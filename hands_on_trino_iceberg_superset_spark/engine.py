@@ -1,0 +1,94 @@
+"""Engine: the SQL/catalog entry point (SURVEY.md §3).
+
+Collapses the reference's Trino-coordinator role
+(``/root/reference/compose/compose.yaml:109-127``) into an in-process
+object: ``Engine.sql(text)`` is the equivalent of the Trino CLI's
+``--execute`` (``compose/seed.sh:9``), ``Engine.ready()`` the
+readiness probes (``seed.sh:32-59``), and the introspection methods
+the ``information_schema`` surface Superset uses
+(``compose/superset/init_db.py:63-67``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.session import configure_runtime, get_spark
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    """SQLAlchemy-``get_columns``-shaped column metadata (reference:
+    init_db.py:63-67)."""
+
+    name: str
+    type: str
+    nullable: bool
+
+
+class Engine:
+    """PySpark-native analytics engine.
+
+    >>> eng = Engine()
+    >>> eng.sql("SELECT 1 AS x").collect()
+    [Row(x=1)]
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        default_schema: str = "demo",
+    ) -> None:
+        self.spark = configure_runtime(spark) if spark else get_spark()
+        self.default_schema = default_schema
+
+    # -- query entry points (reference §3 paths A/C) ------------------
+
+    def sql(self, text: str) -> DataFrame:
+        """Execute SQL text; the Trino-CLI ``--execute`` equivalent."""
+        return self.spark.sql(text)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- readiness (reference seed.sh:32-59) ---------------------------
+
+    def ready(self) -> bool:
+        """``SELECT 1`` + catalog-visibility probe."""
+        try:
+            self.sql("SELECT 1").collect()
+            self.sql("SHOW CATALOGS").collect()
+            return True
+        except Exception:
+            return False
+
+    # -- DDL helpers (reference seed.sh:65-69) -------------------------
+
+    def create_schema(self, name: str | None = None, location: str | None = None) -> None:
+        schema = name or self.default_schema
+        loc = f" LOCATION '{location}'" if location else ""
+        self.sql(f"CREATE DATABASE IF NOT EXISTS {schema}{loc}")
+
+    def drop_table(self, name: str) -> None:
+        self.sql(f"DROP TABLE IF EXISTS {name}")
+
+    # -- introspection (reference init_db.py:63-67) --------------------
+
+    def columns(self, table: str) -> list[ColumnInfo]:
+        """Machine-readable column metadata, ``get_columns`` shaped."""
+        df = self.spark.table(table)
+        return [
+            ColumnInfo(name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
+            for f in df.schema.fields
+        ]
+
+    def tables(self, schema: str | None = None) -> list[str]:
+        return [
+            t.name
+            for t in self.spark.catalog.listTables(schema or self.default_schema)
+        ]
+
+    def describe(self, table: str) -> DataFrame:
+        return self.sql(f"DESCRIBE TABLE {table}")

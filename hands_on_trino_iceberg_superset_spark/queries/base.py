@@ -1,0 +1,67 @@
+"""Query-inventory registry.
+
+Every operator/query from SURVEY.md §2 (plus the north-star
+extensions) registers here as a :class:`QuerySpec`:
+
+- ``spark``  -- ``(SparkSession, sf_dir) -> DataFrame``, the
+  Spark-first implementation (DataFrame API, Catalyst-optimizable).
+- ``oracle`` -- equivalent ANSI SQL runnable by DuckDB over the same
+  parquet views (``None`` for genuinely non-SQL-expressible ops;
+  the driver then records a weaker rows-only check).
+
+Column names are part of the contract: the driver sorts columns by
+name before value-hashing, so both sides alias every computed column
+identically.
+
+Determinism contract for float outputs: aggregate in DECIMAL (exact),
+cast the result to DOUBLE — identical bits on both engines regardless
+of partial-aggregation order. Raw double sums are never emitted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a Spark query implementation to the inventory."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and
+    return the full inventory."""
+    from hands_on_trino_iceberg_superset_spark.queries import (  # noqa: F401
+        bi,
+        core,
+        dedup,
+        events,
+        reference,
+        similarity,
+        text,
+    )
+
+    return REGISTRY
