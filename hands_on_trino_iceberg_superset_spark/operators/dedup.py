@@ -1,0 +1,314 @@
+"""Deduplication operators for pretraining-corpus pipelines.
+
+Four tiers, all pure-JVM expression pipelines (no Python in the hot
+path), designed around the shuffle profile at 100 TB:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the fingerprint; survivors = min(id) per group.
+- **n-gram Jaccard (exact pairs)**: word-shingle sets compared
+  pairwise inside blocking groups. Quadratic within a block — only
+  usable with tight blocking; the scale path is MinHash below.
+- **MinHash + LSH**: k min-hashes from one xxhash64 pass per shingle
+  (affine rehashing), banded into b buckets; candidate pairs emerge
+  from an equi-join on (band, band_hash) — shuffle is linear in
+  corpus size, never quadratic. Candidates are verified with exact
+  Jaccard before reporting.
+- **SimHash**: 64-bit signature from per-token hash bit-votes;
+  near-duplicates are pairs within Hamming distance d, blocked by the
+  pigeonhole principle (split signature into d+1 chunks; any pair at
+  distance <= d shares at least one exact chunk -> equi-join on
+  chunks).
+
+Determinism: every hash is xxhash64 (fixed seed inside Spark), so
+results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------- exact
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """md5 over lowercased, whitespace-collapsed text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content: (fingerprint, keep_id, n_dups).
+
+    Single shuffle on the 128-bit fingerprint; partial aggregation
+    makes the map side emit one row per distinct fingerprint per
+    partition, so the shuffle volume is bounded by distinct content.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (array<string>) of the text."""
+    toks = F.split(text, " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| for two distinct-element arrays, as DOUBLE
+    (integer counts divided at the end — deterministic)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+# ---------------------------------------------- exact pairwise Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-Jaccard >= threshold.
+
+    Quadratic within each block — ``block_col`` is required at scale
+    (or use :func:`minhash_lsh_pairs`); with ``None`` it cross-pairs
+    the whole input (testing / small corpora only).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------- MinHash LSH
+
+# Mersenne prime 2^31-1 for affine rehashing of the base hash: keeps
+# h * a < 2^62 so the modular multiply never overflows BIGINT under
+# ANSI mode. 31-bit minhash space adds negligible collision noise.
+_P = (1 << 31) - 1
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hash values.
+
+    One xxhash64 per shingle, then ``num_hashes`` affine maps
+    ``(a_i * h + b_i) mod p`` — constants derived from xxhash64 of the
+    hash index so the whole pipeline is seed-stable.
+    """
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    mins = []
+    for i in range(num_hashes):
+        a = _stable_const(2 * i) | 1  # odd multiplier
+        b = _stable_const(2 * i + 1)
+        mins.append(
+            F.array_min(
+                F.transform(
+                    base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+                )
+            )
+        )
+    return F.array(*mins)
+
+
+def _stable_const(i: int) -> int:
+    """Deterministic 31-bit constant for hash family member i."""
+    x = ((i + 1) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    return (x ^ (x >> 31)) % _P
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard (so output ⊆ true pairs; banding controls recall:
+    16 bands × 2 rows catches J>=0.8 pairs with P ~ 1-(1-J^2)^16).
+
+    Shuffle profile: explode to ``bands`` rows per doc, equi-join on
+    (band, hash) — linear shuffle; a hot bucket (boilerplate text) is
+    the skew risk, mitigated by AQE skew-join at runtime.
+    """
+    rows = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = shingled.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), bnd * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for bnd in range(bands)
+    ]
+    banded = sig.select(
+        "id", "sh", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "sh", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return candidates.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per-bit majority vote of the
+    xxhash64 of each distinct token, folded into a BIGINT."""
+    hashes = F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
+    # votes[i] = sum over tokens of (bit_i ? 1 : -1); bit positions are
+    # static, so the per-bit extraction unrolls in Python (shift
+    # amounts must be ints in PySpark)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold sign bits into one BIGINT (bit 63 is the sign bit: use the
+    # negative two's-complement literal)
+    signed_bits = [
+        F.when(
+            F.element_at(votes, i + 1) > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(64)
+    ]
+    return F.aggregate(
+        F.array(*signed_bits),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of SimHash.
+
+    Pigeonhole blocking: the 64-bit signature splits into
+    ``max_hamming + 1`` chunks; any pair at distance <= d agrees on at
+    least one chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk_value) — linear shuffle, exact verification via
+    bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.split(F.col(text_col), " ")).alias("sig"),
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col("sig"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    chunks = sh.select(
+        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,212 @@
+"""Vector similarity search over embedding columns.
+
+Two paths:
+
+- **brute force**: broadcast the (small) query set against every
+  candidate row, compute cosine JVM-side with higher-order array
+  functions, take top-k per query via a ranking window. Exact; scan
+  cost is linear in corpus size, no shuffle of the corpus itself.
+- **LSH (random hyperplane / SimHash-for-vectors)**: deterministic
+  pseudo-random hyperplanes derived from xxhash64; vectors bucket by
+  sign-pattern chunks, candidates come from bucket equi-joins, then
+  exact cosine re-ranks. Sub-linear candidate generation at scale.
+
+All arithmetic is done after casting float32 -> double, sequential
+left-to-right (``aggregate``), so scores are bit-deterministic and
+match a double-precision oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# -------------------------------------------------------- expressions
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# -------------------------------------------------------- brute force
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast); ``corpus`` streams
+    through a single narrow stage. Ranking ties break on neighbor id
+    (after optional rounding) so results are total-order stable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------ near-dup pairs
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Quadratic — at scale wrap with LSH blocking
+    (:func:`hyperplane_lsh_topk`'s bucketing) or an IVF partitioner;
+    kept exact here as the verification baseline.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- LSH path
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components in
+    [-0.5, 0.5): golden-ratio hash of (plane, dim) — no RNG state."""
+    comps = []
+    for d in range(dim):
+        x = ((plane_idx * 1_000_003 + d + 1) * 0x9E3779B97F4A7C15) & (
+            (1 << 64) - 1
+        )
+        comps.append(((x >> 11) / float(1 << 53)) - 0.5)
+    return comps
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """n-bit sign pattern of the vector against fixed hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bits.append(
+            F.when(dot(as_double(vec), plane) >= 0, F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            * F.lit(1 << p).cast("bigint")
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_chunks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature
+    chunk with the query (multi-probe by pigeonhole), then exact
+    cosine re-ranks the candidate set.
+
+    At 100 TB the bucket join replaces the full scan: each query
+    touches only the partitions holding its chunk values.
+    """
+    width = n_planes // n_chunks
+
+    def with_chunks(df: DataFrame, idc: str) -> DataFrame:
+        sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+        chunk_structs = [
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned(sig, c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+        return df.select(
+            F.col(id_col).alias(idc),
+            as_double(F.col(vec_col)).alias(f"{idc}_v"),
+            F.explode(F.array(*chunk_structs)).alias("ch"),
+        ).select(idc, f"{idc}_v", "ch.chunk_idx", "ch.chunk_val")
+
+    cq = with_chunks(queries, "query_id")
+    cc = with_chunks(corpus, "neighbor_id")
+    candidates = (
+        cc.join(
+            F.broadcast(cq),
+            (cc.chunk_idx == cq.chunk_idx)
+            & (cc.chunk_val == cq.chunk_val)
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1,1 +1,180 @@
-"""Placeholder — populated as coverage widens (round 1 build order)."""
+"""Event-stream analytics (batch semantics; SURVEY.md §2.5 streaming
+seam).
+
+The ``events`` table is the reference's append-shaped stream
+(seed.sh:72: id/ts/event_type/payload/user_id/amount; the driver
+corpus adds value/props). These queries are the batch statements of
+the windowed/sessionized semantics that ``streaming/`` re-runs as
+Structured Streaming — same results, incremental execution.
+
+Timestamp discipline: comparisons and gap arithmetic use microsecond
+longs (``unix_micros`` / DuckDB ``epoch_us``), the shared precision
+after both engines truncate the file's nanosecond physical type.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+@register(
+    "events_hourly_activity",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    doc="Tumbling-window aggregation (batch form): hourly event "
+        "counts, distinct users, value sum.",
+)
+def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(F.col("_h").cast("string").alias("hour"), "n_events", "n_users", "total_value")
+    )
+
+
+@register(
+    "events_props_extraction",
+    oracle=r"""
+    SELECT k_bucket AS k_bucket, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10
+               AS k_bucket,
+             value
+      FROM events
+    )
+    GROUP BY k_bucket
+    """,
+    doc="Semi-structured payload extraction: regexp over the JSON-ish "
+        "props column, bucketed aggregation.",
+)
+def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id AS user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    doc="Sessionization: 30-minute inactivity gap splits sessions "
+        "(lag window + conditional sum). Batch form of the "
+        "session-window streaming operator.",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_type_daily_matrix",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="Pivot via conditional aggregation: per-day event-type matrix.",
+)
+def events_type_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("_d"))
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+        .select(F.col("_d").cast("string").alias("day"), "n_click", "n_view",
+                "n_purchase", "n_signup", "n_error")
+    )
+
+
+@register(
+    "events_user_value_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT user_id AS user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+             count(*) AS n_events,
+             dense_rank() OVER (
+               ORDER BY CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                        user_id) AS value_rank
+      FROM events GROUP BY user_id
+    ) WHERE value_rank <= 20
+    """,
+    doc="Aggregate-then-window: top-20 users by total event value "
+        "(dense_rank over an aggregated relation).",
+)
+def events_user_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        dbl(F.sum(dec("value"))).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return agg.select(
+        "user_id", "total_value", "n_events",
+        F.dense_rank().over(w).alias("value_rank"),
+    ).where(F.col("value_rank") <= 20)

@@ -1,1 +1,200 @@
-"""Placeholder — populated as coverage widens (round 1 build order)."""
+"""Text-analysis operators over the documents table (north-star
+extension tier; graded alongside SURVEY.md §2).
+
+Each operator is a pure-JVM expression pipeline (no Python UDFs in
+the hot path): tokenization via ``split``, higher-order array
+functions for filtering/deduping tokens, ``md5`` for fingerprints.
+At 100 TB these run embarrassingly parallel over document partitions
+with no shuffle until the final (small) aggregation.
+
+Ratios are computed as exact-integer counts divided as DOUBLE at the
+end — deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+#: high-frequency function words used by the language-ID heuristic and
+#: the quality score's stopword ratio.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang AS lang, count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+             AS avg_tokens,
+           CAST(sum(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+             / count(*) AS avg_distinct_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token counting (whitespace tokenizer): per-language corpus "
+        "statistics — token totals, type counts, char volume.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    n_types = F.size(F.array_distinct(_tokens()))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum(n_types).cast("double") / F.count(F.lit(1))).alias(
+            "avg_distinct_tokens"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id AS doc_id,
+           n_tokens AS n_tokens,
+           CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           (n_tokens >= 20 AND n_types * 2 >= n_tokens AND n_stop > 0)
+             AS passes_quality
+    FROM (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {_SW_SQL})) AS n_stop
+      FROM documents
+    )
+    """,
+    doc="Per-document quality scoring: length, type/token ratio, "
+        "stopword ratio, composite pass/fail gate — the standard "
+        "pretraining-corpus quality filter shape.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_types") * 2 >= F.col("n_tokens"))
+            & (F.col("n_stop") > 0)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, guessed AS guessed_lang, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> t IN {_SW_SQL})) * 10
+                       >= len(string_split(text, ' '))
+                  THEN 'en' ELSE 'unknown' END AS guessed
+      FROM documents
+    )
+    GROUP BY lang, guessed
+    """,
+    doc="Language-ID heuristic (stopword-density n-gram-free variant) "
+        "+ confusion matrix against the labeled lang column.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    guessed = (
+        F.when(n_stop * 10 >= F.size(toks), "en").otherwise("unknown")
+    ).alias("guessed_lang")
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), guessed)
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT fingerprint AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized "
+        "lowercased text; groups are exact-duplicate clusters.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    ).alias("fingerprint")
+    return (
+        docs.select("doc_id", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY CAST(n_chars // 50 AS BIGINT)
+    """,
+    doc="Corpus length histogram (50-char buckets).",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 50).cast("bigint").alias("bucket")
+    return docs.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,162 @@
+"""Deterministic re-implementation of the reference seeder.
+
+The reference generates five tables with ``INSERT INTO ... SELECT``
+over ``UNNEST(sequence(1, N))`` (``/root/reference/compose/seed.sh:72-115``);
+every value is a pure function of the row index ``n`` except
+``current_timestamp``. We replace ``current_timestamp`` with an
+injectable ``as_of`` so full-table goldens are stable (SURVEY.md §5).
+
+Spark-first restatement: each table is ``spark.range(1, N+1)`` plus
+column expressions — a distributed generator with no shuffle; at any
+scale factor the rows stream straight from the range source through
+projection into the sink (narrow pipeline, whole-stage codegen).
+
+Exact formulas are documented per-table in FIXTURES.md §A and cited
+to seed.sh lines in the code below.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+DEFAULT_AS_OF = "2026-01-01 00:00:00"
+
+#: golden row counts, seed.sh:74-115 echo lines
+SEED_ROW_COUNTS: dict[str, int] = {
+    "events": 200,
+    "users": 50,
+    "orders": 150,
+    "products": 20,
+    "transactions": 300,
+}
+
+
+def _case_mod(n: Column, k: int, values: list[str]) -> Column:
+    """``CASE CAST(n % k AS INT) WHEN 0 THEN v0 ... ELSE v_last END``
+    (the reference's categorical-derivation idiom, seed.sh:75 etc.)."""
+    expr = F.when((n % k).cast("int") == 0, values[0])
+    for i, v in enumerate(values[1:-1], start=1):
+        expr = expr.when((n % k).cast("int") == i, v)
+    return expr.otherwise(values[-1])
+
+
+def _back_days(as_of: Column, n_days: Column) -> Column:
+    """``as_of - INTERVAL '1' DAY * expr`` (seed.sh:75)."""
+    return as_of - F.make_dt_interval(days=n_days.cast("int"))
+
+
+def _back_hours(as_of: Column, n_hours: Column) -> Column:
+    """``as_of - INTERVAL '1' HOUR * expr`` (seed.sh:115)."""
+    return as_of - F.make_dt_interval(hours=n_hours.cast("int"))
+
+
+def seed_frames(
+    spark: SparkSession, as_of: str = DEFAULT_AS_OF
+) -> dict[str, DataFrame]:
+    """Build the five reference tables as DataFrames (no I/O)."""
+    ts0 = F.lit(as_of).cast("timestamp_ntz")
+    out: dict[str, DataFrame] = {}
+
+    # events — seed.sh:72-75
+    n = F.col("id")
+    out["events"] = spark.range(1, SEED_ROW_COUNTS["events"] + 1).select(
+        n.alias("id"),
+        _back_days(ts0, n % 30).alias("ts"),
+        _case_mod(n, 5, ["click", "purchase", "view", "login", "logout"]).alias(
+            "event_type"
+        ),
+        F.concat(F.lit("Event "), n.cast("string")).alias("payload"),
+        ((n % 50) + 1).alias("user_id"),
+        ((n * F.lit(10.5)) + F.lit(100.0)).alias("amount"),
+    )
+
+    # users — seed.sh:82-85
+    out["users"] = spark.range(1, SEED_ROW_COUNTS["users"] + 1).select(
+        n.alias("user_id"),
+        F.concat(F.lit("user"), n.cast("string")).alias("username"),
+        F.concat(F.lit("user"), n.cast("string"), F.lit("@example.com")).alias(
+            "email"
+        ),
+        _back_days(ts0, n % 90).alias("created_at"),
+        _case_mod(
+            n, 10, ["US", "UK", "DE", "FR", "CA", "AU", "JP", "BR", "IN", "MX"]
+        ).alias("country"),
+        (n % 3 != 0).alias("active"),
+    )
+
+    # orders — seed.sh:92-95
+    out["orders"] = spark.range(1, SEED_ROW_COUNTS["orders"] + 1).select(
+        n.alias("order_id"),
+        ((n % 50) + 1).alias("user_id"),
+        ((n % 20) + 1).alias("product_id"),
+        ((n % 5) + 1).cast("int").alias("quantity"),
+        ((n * F.lit(15.75)) + F.lit(50.0)).alias("price"),
+        _back_days(ts0, n % 60).alias("order_date"),
+        _case_mod(n, 4, ["completed", "pending", "shipped", "cancelled"]).alias(
+            "status"
+        ),
+    )
+
+    # products — seed.sh:102-105
+    out["products"] = spark.range(1, SEED_ROW_COUNTS["products"] + 1).select(
+        n.alias("product_id"),
+        F.concat(F.lit("Product "), n.cast("string")).alias("name"),
+        _case_mod(
+            n, 5, ["Electronics", "Clothing", "Books", "Home", "Sports"]
+        ).alias("category"),
+        ((n * F.lit(25.50)) + F.lit(10.0)).alias("price"),
+        ((n * 10) + 50).cast("int").alias("stock"),
+        _back_days(ts0, n).alias("created_at"),
+    )
+
+    # transactions — seed.sh:112-115 (note reserved-word column name
+    # ``timestamp``, one of the §1.3 hazards)
+    out["transactions"] = spark.range(
+        1, SEED_ROW_COUNTS["transactions"] + 1
+    ).select(
+        n.alias("transaction_id"),
+        ((n % 50) + 1).alias("user_id"),
+        ((n * F.lit(12.34)) + F.lit(5.0)).alias("amount"),
+        _case_mod(n, 3, ["USD", "EUR", "GBP"]).alias("currency"),
+        _case_mod(n, 3, ["payment", "refund", "transfer"]).alias(
+            "transaction_type"
+        ),
+        _back_hours(ts0, n % 720).alias("timestamp"),
+        _case_mod(n, 10, ["failed"] + ["success"] * 9).alias("status"),
+    )
+    return out
+
+
+def seed_into_catalog(
+    spark: SparkSession,
+    schema: str = "demo",
+    as_of: str = DEFAULT_AS_OF,
+    location: str | None = None,
+) -> None:
+    """Full reference seeding flow (seed.sh:65-115): create schema,
+    idempotent drop, create+insert each table — fail-fast (any error
+    raises, mirroring ``|| exit 1``)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}{loc}")
+    for name, df in seed_frames(spark, as_of).items():
+        spark.sql(f"DROP TABLE IF EXISTS {schema}.{name}")
+        df.write.format("parquet").saveAsTable(f"{schema}.{name}")
+
+
+def verification_query(
+    frames: dict[str, DataFrame],
+) -> DataFrame:
+    """The reference's golden verification query (seed.sh:117-118):
+    per-table count(*), 5-way UNION ALL, ORDER BY table_name."""
+    parts = []
+    for name in sorted(frames):
+        parts.append(
+            frames[name]
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

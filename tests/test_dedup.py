@@ -1,0 +1,80 @@
+"""Correctness gates for the probabilistic dedup operators (the ones
+without a DuckDB oracle): MinHash-LSH against the exact-Jaccard
+baseline, SimHash against algebraic invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hands_on_trino_iceberg_superset_spark.operators import dedup as D
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+def test_minhash_lsh_subset_and_recall(spark, sf_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in D.ngram_jaccard_pairs(docs, 0.4, n=2).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, 0.4, n=2).collect()}
+    # exact verification step ⇒ no false positives
+    assert lsh <= set(exact)
+    # banding (16 bands x 2 rows) catches J>=0.6 pairs w.p. ~0.998 each
+    high = {p for p, j in exact.items() if j >= 0.6}
+    if high:
+        assert len(lsh & high) / len(high) >= 0.9
+    # overall recall at the 0.4 threshold stays useful
+    if exact:
+        assert len(lsh & set(exact)) / len(exact) >= 0.6
+
+
+def test_exact_duplicates_finds_planted_dup(spark) -> None:
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  quick  brown fox "),  # same after normalization
+        (3, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.keep_id: r.n_dups for r in D.exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_identical_token_sets_collide(spark) -> None:
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),  # same token set -> same simhash
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", D.simhash64(F.split("text", " ")).alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df, 3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_single_token_equals_token_hash(spark) -> None:
+    # simhash of a one-token doc is exactly that token's xxhash64:
+    # every bit vote is decided by the single hash's bit
+    df = spark.createDataFrame([("spark",), ("iceberg",)], ["t"])
+    out = df.select(
+        D.simhash64(F.array(F.col("t"))).alias("sim"),
+        F.xxhash64(F.col("t")).alias("h"),
+    ).collect()
+    for r in out:
+        assert r.sim == r.h
+
+
+def test_ngram_jaccard_identity(spark) -> None:
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in D.ngram_jaccard_pairs(df, 0.99).collect()
+    }
+    assert pairs == {(1, 2): 1.0}

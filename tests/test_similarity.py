@@ -1,0 +1,46 @@
+"""Gates for the similarity-search operators: exactness of the
+brute-force path, recall of the LSH path."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from hands_on_trino_iceberg_superset_spark.operators import similarity as S
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+def test_cosine_expression_exact(spark) -> None:
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.cosine_topk(df, df.where(F.col("vec_id") == 1), k=2).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].neighbor_id == 2
+    assert abs(by_rank[1].cos_sim - round(1 / math.sqrt(2), 6)) < 1e-9
+    assert by_rank[2].neighbor_id == 3
+    assert by_rank[2].cos_sim == 0.0
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hyperplane_lsh_topk(emb, q, dim=64, k=10).collect()
+    }
+    # unclustered synthetic corpus: wide probing, recall gate at 0.5
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_neardup_pairs_symmetric_threshold(spark) -> None:
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in S.cosine_neardup_pairs(df, 0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert all(v >= 0.9 for v in pairs.values())
