@@ -1,0 +1,116 @@
+"""Superset form-data -> DataFrame compiler (SURVEY.md §2.6 M5).
+
+The reference stores each chart as a form_data JSON blob
+(``/root/reference/compose/superset/init_db.py:140-157``) and compiles
+it to SQL at view time. This module is that compiler, restated over
+DataFrames so Catalyst plans the query:
+
+- ``query_mode: "raw"``  -> ``select(all_columns)`` [+ order] + limit
+  (init_db.py:148,151,154 -> ``SELECT <cols> FROM t LIMIT 100``)
+- ``query_mode: "aggregate"`` -> ``groupBy(groupby).agg(metrics)``
+  with ``order_by`` / ``row_limit`` (the ``metrics: ["count"]`` +
+  ``order_by: [["count", False]]`` path, init_db.py:150,153)
+
+Metrics accept Superset's two shapes: the builtin string ``"count"``
+(-> COUNT(*)) and the adhoc dict ``{"aggregate": "SUM"|"AVG"|"MIN"|
+"MAX"|"COUNT"|"COUNT_DISTINCT", "column": <name>, "label": <alias>}``.
+
+Scale note: sort+limit compiles to TakeOrderedAndProject (top-K per
+partition then K-way merge on the driver — no global sort shuffle),
+and aggregation runs partial map-side; both survive a 1000-executor
+scale-up untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_AGGS = {
+    "COUNT": F.count,
+    "SUM": F.sum,
+    "AVG": F.avg,
+    "MIN": F.min,
+    "MAX": F.max,
+    "COUNT_DISTINCT": F.countDistinct,
+}
+
+
+def _metric_column(metric: str | Mapping[str, Any]) -> Column:
+    """One Superset metric -> an aggregate Column with a stable alias."""
+    if isinstance(metric, str):
+        if metric != "count":
+            raise ValueError(f"unknown builtin metric: {metric}")
+        return F.count(F.lit(1)).alias("count")
+    agg = metric["aggregate"].upper()
+    if agg not in _AGGS:
+        raise ValueError(f"unknown aggregate: {agg}")
+    col = F.col(metric["column"])
+    label = metric.get("label") or f"{agg.lower()}_{metric['column']}"
+    return _AGGS[agg](col).alias(label)
+
+
+def _metric_label(metric: str | Mapping[str, Any]) -> str:
+    if isinstance(metric, str):
+        return metric
+    return metric.get("label") or (
+        f"{metric['aggregate'].lower()}_{metric['column']}"
+    )
+
+
+def _apply_time_range(
+    df: DataFrame, form_data: Mapping[str, Any]
+) -> DataFrame:
+    """``time_range`` filter hook. ``"No filter"`` (the reference's
+    only value, init_db.py:147) is a no-op; ``"<start> : <end>"``
+    half-open ISO bounds filter ``granularity_sqla``."""
+    rng = form_data.get("time_range", "No filter")
+    time_col = form_data.get("granularity_sqla")
+    if rng in (None, "No filter") or not time_col:
+        return df
+    # separator is " : " with spaces — the bounds themselves contain ":"
+    start, _, end = (part.strip() for part in rng.partition(" : "))
+    if start:
+        df = df.filter(F.col(time_col) >= F.lit(start).cast("timestamp_ntz"))
+    if end:
+        df = df.filter(F.col(time_col) < F.lit(end).cast("timestamp_ntz"))
+    return df
+
+
+def compile_form_data(
+    df: DataFrame, form_data: Mapping[str, Any]
+) -> DataFrame:
+    """Compile one chart's form_data against its dataset DataFrame."""
+    df = _apply_time_range(df, form_data)
+    mode = form_data.get("query_mode", "raw")
+    row_limit = form_data.get("row_limit")
+    order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
+
+    if mode == "raw":
+        cols = form_data.get("all_columns") or df.columns
+        out = df.select(*cols)
+    elif mode == "aggregate":
+        groupby = form_data.get("groupby") or []
+        metrics = form_data.get("metrics") or ["count"]
+        aggs = [_metric_column(m) for m in metrics]
+        out = (
+            df.groupBy(*groupby).agg(*aggs)
+            if groupby
+            else df.agg(*aggs)
+        )
+    else:
+        raise ValueError(f"unknown query_mode: {mode}")
+
+    if order_by:
+        sort_cols = [
+            F.col(_metric_label(c) if not isinstance(c, str) else c)
+            if asc
+            else F.desc(_metric_label(c) if not isinstance(c, str) else c)
+            for c, asc in order_by
+        ]
+        out = out.orderBy(*sort_cols)
+    if row_limit:
+        out = out.limit(int(row_limit))
+    return out

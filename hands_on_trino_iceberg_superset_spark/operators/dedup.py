@@ -262,6 +262,45 @@ def simhash64(tokens: Column) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) SimHash64 per document, computed the scalable way.
+
+    Semantics are identical to :func:`simhash64` (same votes, same
+    bit-fold) but the plan is explode -> xxhash64 -> groupBy(id) with
+    64 ``sum`` aggregates: everything stays inside whole-stage
+    codegen, partial aggregation runs map-side, and the shuffle
+    carries only 64 longs per document (~512 B) — independent of text
+    size. The HOF formulation in :func:`simhash64` builds a 64-wide
+    array per token inside nested lambdas, which breaks codegen and
+    is ~100x slower; keep it for column-level composition on small
+    inputs only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    # vote_i = sum over tokens of (bit_i ? +1 : -1)
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        bit = F.when(
+            F.col(f"v{i}") > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -278,10 +317,7 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(F.split(F.col(text_col), " ")).alias("sig"),
-    )
+    sh = simhash_signatures(df, text_col=text_col, id_col=id_col)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_idx"),

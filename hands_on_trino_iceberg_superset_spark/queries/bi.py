@@ -1,1 +1,112 @@
-"""Placeholder — populated as coverage widens (round 1 build order)."""
+"""BI-layer query-inventory entries (SURVEY.md §2.6).
+
+Each entry runs a Superset-shaped chart — form_data compiled by
+``bi.compiler.compile_form_data`` — over the deterministic seed frames
+(seed.sh:72-115 with fixed ``as_of``), so the oracle regenerates the
+same tables via ``SEED_CTE`` and states the SQL the reference's
+Superset would emit (init_db.py:148-154 raw mode; :150,153 agg mode).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.bi import compile_form_data
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+from hands_on_trino_iceberg_superset_spark.queries.reference import SEED_CTE
+from hands_on_trino_iceberg_superset_spark.seed import seed_frames
+
+
+@register(
+    "bi_chart_raw_orders",
+    oracle=SEED_CTE
+    + """
+    SELECT order_id, user_id, product_id, quantity, price, status
+    FROM seed_orders
+    ORDER BY order_id
+    LIMIT 100
+    """,
+    doc="Raw-mode table chart (init_db.py:148-154): preferred columns, "
+        "row_limit 100, ordered for a deterministic page. Compiles to "
+        "TakeOrderedAndProject — per-partition top-K, no global sort.",
+)
+def bi_chart_raw_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = seed_frames(spark)["orders"]
+    return compile_form_data(
+        orders,
+        {
+            "viz_type": "table",
+            "query_mode": "raw",
+            "all_columns": ["order_id", "user_id", "product_id", "quantity",
+                            "price", "status"],
+            "order_by": [["order_id", True]],
+            "row_limit": 100,
+            "time_range": "No filter",
+        },
+    )
+
+
+@register(
+    "bi_chart_agg_transactions",
+    oracle=SEED_CTE
+    + """
+    SELECT currency, transaction_type,
+           count(*) AS count,
+           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
+    FROM seed_transactions
+    GROUP BY currency, transaction_type
+    ORDER BY count DESC, currency, transaction_type
+    """,
+    doc="Aggregate-mode chart (metrics: count + adhoc SUM, "
+        "order_by count desc — init_db.py:150,153 generalized).",
+)
+def bi_chart_agg_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = seed_frames(spark)["transactions"].withColumn(
+        "amount_dec", dec("amount")
+    )
+    out = compile_form_data(
+        tx,
+        {
+            "query_mode": "aggregate",
+            "groupby": ["currency", "transaction_type"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "sum_amount"},
+            ],
+            "order_by": [["count", False], ["currency", True],
+                         ["transaction_type", True]],
+        },
+    )
+    return out.withColumn("sum_amount", dbl(F.col("sum_amount")))
+
+
+@register(
+    "bi_chart_time_range",
+    oracle=SEED_CTE
+    + """
+    SELECT event_type, count(*) AS count
+    FROM seed_events
+    WHERE ts >= TIMESTAMP '2025-12-20 00:00:00'
+      AND ts < TIMESTAMP '2026-01-01 00:00:00'
+    GROUP BY event_type
+    ORDER BY count DESC, event_type
+    """,
+    doc="time_range + granularity_sqla filter hook on an agg chart "
+        "(the Superset time-window pattern; init_db.py:147).",
+)
+def bi_chart_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = seed_frames(spark)["events"]
+    return compile_form_data(
+        events,
+        {
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_range": "2025-12-20 00:00:00 : 2026-01-01 00:00:00",
+            "groupby": ["event_type"],
+            "metrics": ["count"],
+            "order_by": [["count", False], ["event_type", True]],
+        },
+    )

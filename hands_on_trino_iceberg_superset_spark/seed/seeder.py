@@ -141,7 +141,12 @@ def seed_into_catalog(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}{loc}")
     for name, df in seed_frames(spark, as_of).items():
         spark.sql(f"DROP TABLE IF EXISTS {schema}.{name}")
-        df.write.format("parquet").saveAsTable(f"{schema}.{name}")
+        # overwrite also clears an orphaned table location left behind
+        # by an interrupted earlier run (DROP only removes catalog
+        # entries it knows about)
+        df.write.format("parquet").mode("overwrite").saveAsTable(
+            f"{schema}.{name}"
+        )
 
 
 def verification_query(

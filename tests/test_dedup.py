@@ -70,6 +70,20 @@ def test_simhash_single_token_equals_token_hash(spark) -> None:
         assert r.sim == r.h
 
 
+def test_simhash_signatures_match_hof_formulation(spark, sf_dir: str) -> None:
+    # the scalable explode+groupBy signature must be bit-identical to
+    # the column-expression simhash64 on real documents
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    hof = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", D.simhash64(F.split("text", " ")).alias("sig")
+        ).collect()
+    }
+    agg = {r.id: r.sig for r in D.simhash_signatures(docs).collect()}
+    assert agg == hof
+
+
 def test_ngram_jaccard_identity(spark) -> None:
     rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
