@@ -93,15 +93,32 @@ def ngram_jaccard_pairs(
     Quadratic within each block — ``block_col`` is required at scale
     (or use :func:`minhash_lsh_pairs`); with ``None`` it cross-pairs
     the whole input (testing / small corpora only).
+
+    Two value-preserving accelerations over the naive formulation:
+
+    - shingles are hashed to BIGINT before the join (xxhash64 is
+      injective modulo ~2^-64 collisions, so intersection/union
+      *sizes* — all Jaccard needs — are unchanged), making the
+      per-pair ``array_intersect`` compare longs instead of strings;
+    - a size-ratio prefilter rides in the join condition:
+      ``J(a,b) <= min(|a|,|b|)/max(|a|,|b|)``, so ``J >= t`` requires
+      ``|a| >= t*|b|`` and ``|b| >= t*|a|`` — pairs failing the cheap
+      integer test never reach the intersect.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("block")] if block_col else [] ),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    )
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    cond = (
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        & (F.col("b.sz") >= threshold * F.col("a.sz"))
+    )
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))
     sim = jaccard(F.col("a.sh"), F.col("b.sh"))
@@ -114,6 +131,67 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_inverted(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs`, via an inverted
+    index instead of a pairwise block join.
+
+    Explode each doc's distinct shingles into postings, equi-join
+    postings on (block, shingle-hash) — one row per *common* shingle
+    per pair — then ``groupBy(pair).count()`` is exactly the
+    intersection size (shingles are distinct within a doc), and
+    ``|a ∪ b| = sz_a + sz_b - inter``. Cost is ``Σ_s df(s)²`` join
+    rows rather than ``pairs × intersect``, i.e. near-linear when
+    shingles are rare; docs sharing nothing never meet. At web scale
+    cap df per shingle (hot boilerplate shingles dominate Σdf² and
+    contribute least to discrimination) or switch to
+    :func:`minhash_lsh_pairs`.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    postings = shingled.select(
+        "id", "sz",
+        *( ["block"] if block_col else [] ),
+        F.explode("sh").alias("s"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    cond = (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        & (F.col("b.sz") >= threshold * F.col("a.sz"))
+    )
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sim = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return inter.select(
+        "id_a", "id_b", sim.alias("jaccard_sim")
+    ).where(F.col("jaccard_sim") >= threshold)
 
 
 # --------------------------------------------------------- MinHash LSH
@@ -168,34 +246,57 @@ def minhash_lsh_pairs(
     Shuffle profile: explode to ``bands`` rows per doc, equi-join on
     (band, hash) — linear shuffle; a hot bucket (boilerplate text) is
     the skew risk, mitigated by AQE skew-join at runtime.
+
+    Plan shape, tuned for scale: signatures come from one
+    shingle-explode + groupBy(id) with ``num_hashes`` ``min``
+    aggregates (partial agg map-side, whole-stage codegen — no
+    nested higher-order functions); band rows carry only
+    (id, band, bucket) so the candidate join shuffles ~24 bytes per
+    banded row instead of the full shingle arrays; shingles are
+    re-joined afterwards only for the surviving candidate pairs.
     """
     rows = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        word_shingles(F.col(text_col), n).alias("sh"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     ).where(F.size("sh") > 0)
-    sig = shingled.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    )
+
+    # min over shingles of (a_i * pmod(xxhash64(s), P) + b_i) mod P —
+    # identical values to minhash_signature, but as codegen'd aggs
+    base = shingled.select(
+        "id", F.explode("sh").alias("hs")
+    ).select("id", F.pmod(F.col("hs"), F.lit(_P)).alias("h"))
+    mins = []
+    for i in range(num_hashes):
+        a_i = _stable_const(2 * i) | 1
+        b_i = _stable_const(2 * i + 1)
+        mins.append(
+            F.min(
+                F.pmod(F.col("h") * F.lit(a_i) + F.lit(b_i), F.lit(_P))
+            ).alias(f"m{i}")
+        )
+    sig = base.groupBy("id").agg(*mins)
+
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.slice(F.col("sig"), bnd * rows + 1, rows),
-                        lambda v: v.cast("string"),
-                    ),
+                    *[
+                        F.col(f"m{bnd * rows + j}").cast("string")
+                        for j in range(rows)
+                    ],
                 )
             ).alias("bucket"),
         )
         for bnd in range(bands)
     ]
     banded = sig.select(
-        "id", "sh", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "sh", "bb.band", "bb.bucket")
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -205,19 +306,25 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return candidates.select(
-        "id_a",
-        "id_b",
-        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
-    ).where(F.col("jaccard_sim") >= threshold)
+    sh_a = shingled.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
 
 
 # ------------------------------------------------------------- SimHash

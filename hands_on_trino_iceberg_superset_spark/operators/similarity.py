@@ -93,28 +93,72 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold.
+    """All pairs (id_a < id_b) with cosine >= threshold — exact, via
+    distributed block matrix multiply.
 
-    Quadratic — at scale wrap with LSH blocking
-    (:func:`hyperplane_lsh_topk`'s bucketing) or an IVF partitioner;
-    kept exact here as the verification baseline.
+    Rows hash into ``n_blocks`` blocks on id; each unordered block
+    pair (i <= j) becomes one Arrow-batched ``applyInPandas`` group
+    whose similarity block is a single BLAS GEMM
+    (``A @ B.T / outer(|a|, |b|)``) — ~100x the throughput of
+    per-pair expression evaluation. Each vector is replicated
+    ``n_blocks`` times through one shuffle, so network volume is
+    ``n_blocks * corpus`` while compute stays the full quadratic —
+    the right trade until an LSH/IVF prefilter bounds the candidate
+    set. Size ``n_blocks`` ~ sqrt(parallelism) at the target scale.
     """
+    import numpy as np
+    import pandas as pd
+
     v = df.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cos_sim"),
+    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    combos_df = df.sparkSession.createDataFrame(combos, "bi int, bj int")
+    side_a = v.join(
+        F.broadcast(combos_df), v.blk == combos_df.bi
+    ).select("bi", "bj", "id", "v", F.lit("a").alias("role"))
+    side_b = v.join(
+        F.broadcast(combos_df), v.blk == combos_df.bj
+    ).select("bi", "bj", "id", "v", F.lit("b").alias("role"))
+    tagged = side_a.unionAll(side_b)
+
+    digits = round_digits
+
+    def gemm_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_rows = pdf[pdf["role"] == "a"]
+        b_rows = pdf[pdf["role"] == "b"]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        ma = np.stack(a_rows["v"].to_numpy())
+        mb = np.stack(b_rows["v"].to_numpy())
+        sims = (ma @ mb.T) / np.outer(
+            np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
         )
-        .where(F.col("cos_sim") >= threshold)
+        if digits is not None:
+            sims = np.round(sims, digits)
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        if key[0] == key[1]:
+            # diagonal block: both orderings present, keep one
+            order = ids_a[:, None] < ids_b[None, :]
+        else:
+            # off-diagonal: each unordered pair appears exactly once
+            order = ids_a[:, None] != ids_b[None, :]
+        ii, jj = np.nonzero((sims >= threshold) & order)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ii, jj]})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        gemm_block, "id_a long, id_b long, cos_sim double"
     )
 
 

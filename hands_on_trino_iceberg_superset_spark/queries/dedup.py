@@ -61,12 +61,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
     """,
     doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.4), "
-        "blocked by lang. Quadratic-within-block baseline for the "
-        "MinHash scale path.",
+        "blocked by lang, via the inverted-index plan (postings "
+        "equi-join + pair groupBy = intersection counting; near-"
+        "linear in corpus size for rare shingles).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.4, n=2, block_col="lang")
+    return D.ngram_jaccard_pairs_inverted(
+        docs, threshold=0.4, n=2, block_col="lang"
+    )
 
 
 @register(

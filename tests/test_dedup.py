@@ -70,6 +70,21 @@ def test_simhash_single_token_equals_token_hash(spark) -> None:
         assert r.sim == r.h
 
 
+def test_inverted_index_jaccard_matches_pairwise(spark, sf_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    pairwise = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in D.ngram_jaccard_pairs(docs, 0.4, n=2, block_col="lang").collect()
+    }
+    inverted = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 9)
+        for r in D.ngram_jaccard_pairs_inverted(
+            docs, 0.4, n=2, block_col="lang"
+        ).collect()
+    }
+    assert inverted == pairwise
+
+
 def test_simhash_signatures_match_hof_formulation(spark, sf_dir: str) -> None:
     # the scalable explode+groupBy signature must be bit-identical to
     # the column-expression simhash64 on real documents
