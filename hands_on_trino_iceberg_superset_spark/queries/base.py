@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         reference,
         similarity,
+        streaming,
         text,
     )
 

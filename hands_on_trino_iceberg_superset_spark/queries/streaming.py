@@ -1,0 +1,91 @@
+"""Inventory entries for the stream/batch-unified transforms
+(streaming/pipeline.py). Each runs the SAME function the streaming
+pipeline uses, in batch mode — so the oracle checks the transform
+itself, and tests/test_streaming.py separately proves
+stream-output == batch-output on identical input.
+
+Session/window bounds are emitted as microsecond longs (the shared
+precision across Spark / DuckDB after ns truncation) where raw
+timestamps would risk string-format drift.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+from hands_on_trino_iceberg_superset_spark.streaming import (
+    sessionize,
+    windowed_event_stats,
+)
+
+_SIX_H_US = 6 * 3600 * 1_000_000
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "stream_tumbling_window_stats",
+    oracle=f"""
+    SELECT CAST(make_timestamp((epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US})
+                AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 6h event-time window x event_type via F.window — "
+        "the exact transform streaming/pipeline.py runs incrementally "
+        "with a watermark (epoch-aligned windows on both engines).",
+)
+def stream_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_stats(ev, window_duration="6 hours").select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) + {_GAP_US} AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Per-user session windows (30 min gap) via F.session_window — "
+        "Spark-native dynamic-gap sessionization; oracle restates it "
+        "as gaps-and-islands SQL. session_end = last event + gap.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes").select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        .alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )

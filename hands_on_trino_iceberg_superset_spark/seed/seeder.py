@@ -139,14 +139,31 @@ def seed_into_catalog(
     raises, mirroring ``|| exit 1``)."""
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}{loc}")
+    db_location = (
+        spark.sql(f"DESCRIBE DATABASE {schema}")
+        .where("info_name = 'Location'")
+        .collect()[0]["info_value"]
+    )
     for name, df in seed_frames(spark, as_of).items():
         spark.sql(f"DROP TABLE IF EXISTS {schema}.{name}")
-        # overwrite also clears an orphaned table location left behind
-        # by an interrupted earlier run (DROP only removes catalog
-        # entries it knows about)
+        if not spark.catalog.tableExists(f"{schema}.{name}"):
+            # purge a location orphaned by a previous session: the
+            # default session catalog is in-memory, so a persistent
+            # warehouse dir can outlive the catalog entry and block
+            # managed-table creation
+            _delete_path(spark, f"{db_location}/{name}")
         df.write.format("parquet").mode("overwrite").saveAsTable(
             f"{schema}.{name}"
         )
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works for
+    any configured storage, not just local files)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def verification_query(

@@ -50,11 +50,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _normalize_events(df: DataFrame) -> DataFrame:
     """ts (ns-as-long) -> ts_ns BIGINT + ts TIMESTAMP_NTZ (µs truncation)."""
     if dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: float division of ~1.7e18 ns rounds
+        # to-nearest at double precision (off-by-1µs vs DuckDB's floor)
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
         )
     else:  # already a timestamp (e.g. re-written test fixture)
         df = df.withColumn(

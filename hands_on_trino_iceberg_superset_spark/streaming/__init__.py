@@ -1,0 +1,15 @@
+from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+    read_events_stream,
+    run_available_now_to_memory,
+    running_user_totals,
+    sessionize,
+    windowed_event_stats,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now_to_memory",
+    "running_user_totals",
+    "sessionize",
+    "windowed_event_stats",
+]

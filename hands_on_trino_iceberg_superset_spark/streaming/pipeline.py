@@ -1,0 +1,209 @@
+"""Structured Streaming over the events table (SURVEY.md §2.5).
+
+The reference's ``events`` table (append-shaped:
+``/root/reference/compose/seed.sh:72-75``) is its natural streaming
+seam; the reference never streams, so this whole module is
+north-star extension tier.
+
+Design rule: every transformation is written once against a plain
+DataFrame and works in BOTH batch and streaming mode (Spark's
+unified model) — tests assert stream-vs-batch parity on identical
+input. Late data is handled by event-time watermarks; custom state
+(beyond ``window``/``session_window``) goes through Arrow-batched
+``applyInPandasWithState``.
+
+Scale notes: a streaming shuffle keyed by (window, event_type) or
+user_id partitions state across executors; state store size is
+bounded by the watermark horizon, and file sources at 100 TB become
+Kafka/queue sources with the same pipeline code.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hands_on_trino_iceberg_superset_spark.sources.tpch import _normalize_events
+
+
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-source stream of events parquet files dropped into
+    ``source_dir``, normalized exactly like the batch loader
+    (ns-as-long -> µs TIMESTAMP_NTZ ``ts``).
+
+    ``maxFilesPerTrigger`` throttles each micro-batch; at production
+    scale swap the file source for Kafka and keep everything
+    downstream unchanged.
+    """
+    from hands_on_trino_iceberg_superset_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    # schema discovery from the files present at start (file streams
+    # require an explicit schema); recursive lookup admits both bare
+    # files and Spark-written .parquet output directories
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .schema
+    )
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_events(reader.parquet(source_dir))
+
+
+def windowed_event_stats(
+    df: DataFrame,
+    window_duration: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window x event_type: count + total value.
+
+    Streaming: watermark bounds state and admits late rows up to
+    ``watermark``; windows finalize (append mode) once the watermark
+    passes their end. Batch: identical output, no state.
+    DECIMAL-aggregated totals keep results bit-stable across
+    partial-aggregation orders (queries/base.py contract).
+    """
+    if df.isStreaming:
+        # watermarks require TIMESTAMP; session TZ is pinned UTC so
+        # the NTZ -> TIMESTAMP cast is value-preserving
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+    return (
+        df.groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window``
+    (dynamic-gap session aggregation — the operator the reference
+    stack has no equivalent for). ``session_end`` is
+    last-event + gap, per Spark's session semantics.
+    """
+    if df.isStreaming:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+    return (
+        df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz")
+            .alias("session_end"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+# ------------------------------------------------- custom stateful op
+
+_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _totals_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) across the whole stream —
+    arbitrary stateful processing via ``applyInPandasWithState``.
+
+    Each trigger emits the updated totals for the users present in
+    that micro-batch (update semantics). State is one (n, total)
+    pair per user, partitioned by the streaming shuffle on user_id —
+    O(users) state, no watermark needed since totals never expire.
+    """
+    return (
+        df.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------- sink helpers
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table; returns the result DataFrame.
+    Blocks until the stream is fully processed (test/dev helper)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def write_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Production-shaped sink: exactly-once parquet append with a
+    checkpoint (the lakehouse ingest path)."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )

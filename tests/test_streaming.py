@@ -1,0 +1,110 @@
+"""Structured Streaming: stream-vs-batch parity on identical input,
+plus the custom stateful operator (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+from hands_on_trino_iceberg_superset_spark.streaming import (
+    read_events_stream,
+    run_available_now_to_memory,
+    running_user_totals,
+    sessionize,
+    windowed_event_stats,
+)
+
+
+@pytest.fixture()
+def events_source_dir(tmp_path, sf_dir):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+    return str(src)
+
+
+def _canon(df, *keys):
+    return sorted(
+        (tuple(row[k] for k in keys) for row in df.collect()),
+    )
+
+
+def test_windowed_stats_stream_equals_batch(spark, sf_dir, events_source_dir):
+    stream = windowed_event_stats(read_events_stream(spark, events_source_dir))
+    got = run_available_now_to_memory(
+        stream, "t_windowed_stats", output_mode="complete"
+    )
+    expect = windowed_event_stats(load_table(spark, sf_dir, "events"))
+    keys = ["window_start", "window_end", "event_type", "n_events",
+            "total_value"]
+    assert _canon(got, *keys) == _canon(expect, *keys)
+
+
+def test_sessionize_stream_equals_batch(spark, sf_dir, events_source_dir):
+    stream = sessionize(read_events_stream(spark, events_source_dir))
+    got = run_available_now_to_memory(
+        stream, "t_sessions", output_mode="complete"
+    )
+    expect = sessionize(load_table(spark, sf_dir, "events"))
+    keys = ["user_id", "session_start", "session_end", "n_events",
+            "total_value"]
+    assert _canon(got, *keys) == _canon(expect, *keys)
+
+
+def test_session_end_is_last_event_plus_gap(spark):
+    rows = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 01:00:00"),  # > 30 min gap -> new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    sessions = sorted(
+        sessionize(df, gap="30 minutes").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert len(sessions) == 2
+    assert str(sessions[0].session_start) == "2026-01-01 00:00:00"
+    assert str(sessions[0].session_end) == "2026-01-01 00:40:00"
+    assert sessions[0].n_events == 2
+    assert sessions[1].n_events == 1
+
+
+def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "totals_stream"
+    src.mkdir()
+    # two micro-batches exercising state carry-over between triggers
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(
+        str(src / "batch0.parquet")
+    )
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(
+        str(src / "batch1.parquet")
+    )
+    stream = running_user_totals(read_events_stream(spark, str(src)))
+    out = run_available_now_to_memory(
+        stream, "t_totals", output_mode="update"
+    ).collect()
+    # update mode emits one row per user per trigger; totals are
+    # monotone, so the final state is the max-n_events row per user
+    final: dict[int, tuple[int, float]] = {}
+    for r in out:
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    expect = {
+        r.user_id: (r.n, r.tv)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, (n, tv) in final.items():
+        assert n == expect[uid][0]
+        assert abs(tv - expect[uid][1]) < 1e-6
