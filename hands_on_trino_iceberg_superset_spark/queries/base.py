@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         core,
         dedup,
         events,
+        multimodal,
         reference,
         similarity,
         streaming,
