@@ -1,0 +1,259 @@
+"""Additional TPC-H-shaped analytics over the driver corpus —
+widening the §2.3/§2.4 implied-surface coverage: outer-join
+distributions (Q13), group-filtered IN subqueries (Q18), conditional
+aggregation ratios (Q14), disjunctive multi-predicate join filters
+(Q19), scalar-subquery + anti-join (Q22), CUBE grouping sets, and
+exact interpolated percentiles.
+
+(The corpus has no partsupp table, so Q2/Q9/Q11/Q16/Q20 shapes are
+out of scope; shapes below are adapted to the columns that exist —
+see FIXTURES.md §B.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.core import _t, dbl, dec
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: order-count histogram via left outer join "
+        "+ two-level aggregation (customers with zero orders kept).",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (compiles "
+        "to a semi-join on the aggregated key), then re-aggregation.",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(dbl(F.sum(dec("l_quantity"))).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            dbl(F.col("o_totalprice")).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                AS DOUBLE) AS promo_share_pct,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregation ratio (CASE inside "
+        "SUM) over a fact-dim join; dim side broadcast.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * dbl(F.sum(promo)) / dbl(F.sum(rev)))
+            .cast("double").alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_matched
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive range predicates "
+        "spanning both join sides (planner must keep the equi-join "
+        "key extractable from the OR).",
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        j.where(
+            arm("Brand#1", 1, 15, 1, 20)
+            | arm("Brand#20", 10, 30, 10, 35)
+            | arm("Brand#9", 20, 50, 20, 50)
+        )
+        .agg(
+            dbl(
+                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS "
+        "anti-join (against in-progress orders), grouped. The scalar "
+        "aggregate broadcasts; the anti-join streams.",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    threshold = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(dbl(F.avg(dec("c_acctbal"))).alias("t"))
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(
+            orders.where(F.col("o_orderstatus") == "P"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dbl(F.sum(dec("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS order_status,
+           coalesce(o_orderpriority, '(all)') AS order_priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY CUBE: all 2^2 grouping sets in one pass "
+        "(Spark expands to a single Expand + aggregate, no re-scan).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)"))
+            .alias("order_status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)"))
+            .alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (percentile_cont semantics) "
+        "per group — sort-based exact aggregate, vs the "
+        "approx_percentile sketch used at 100 TB scale.",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
