@@ -1,0 +1,90 @@
+"""Trino -> Spark SQL dialect shims (SURVEY.md §7.1 M1).
+
+The reference speaks Trino SQL (``/root/reference/compose/seed.sh``,
+``README.md:52-65``). Spark parses most of it already; this module
+rewrites the handful of constructs that differ so the reference's
+statements run verbatim through :meth:`Engine.trino_sql`:
+
+- catalog-qualified names: ``iceberg.demo.t`` -> ``demo.t`` (the
+  configured Spark catalog is implicit; a three-part name would need
+  an actual second catalog)
+- ``CREATE SCHEMA ... WITH (location = '...')`` (Trino property
+  syntax, seed.sh:65) -> ``LOCATION '...'`` / dropped for the
+  default warehouse
+- ``CAST(x AS varchar)`` and ``varchar`` column types without
+  length (seed.sh:72-115) -> ``STRING``
+- ``FROM UNNEST(sequence(a, b)) AS t(n)`` (lateral array unnest,
+  seed.sh:75) -> ``FROM (SELECT explode(...) AS n) t``
+
+Purely textual, statement-local rewrites — no SQL parse. Constructs
+outside the reference surface pass through untouched and get
+Spark's own error messages.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["trino_to_spark"]
+
+
+def trino_to_spark(
+    sql: str,
+    strip_catalogs: tuple[str, ...] = ("iceberg",),
+    keep_schema_location: bool = False,
+) -> str:
+    """Rewrite one Trino statement into Spark SQL (see module doc)."""
+    out = sql
+    for cat in strip_catalogs:
+        out = re.sub(rf"\b{re.escape(cat)}\.(?=\w)", "", out,
+                     flags=re.IGNORECASE)
+    out = _rewrite_schema_location(out, keep_schema_location)
+    # CAST(x AS varchar) — Spark requires a length on VARCHAR
+    out = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", out,
+                 flags=re.IGNORECASE)
+    # bare `varchar` column type in DDL
+    out = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", out,
+                 flags=re.IGNORECASE)
+    out = _rewrite_unnest(out)
+    return out
+
+
+def _rewrite_schema_location(sql: str, keep: bool) -> str:
+    m = re.search(
+        r"\bWITH\s*\(\s*location\s*=\s*'([^']*)'\s*\)", sql,
+        flags=re.IGNORECASE,
+    )
+    if not m:
+        return sql
+    replacement = f"LOCATION '{m.group(1)}'" if keep else ""
+    return (sql[: m.start()] + replacement + sql[m.end():]).rstrip()
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """``UNNEST(<balanced>) AS t(n)`` -> ``(SELECT explode(<balanced>)
+    AS n) t`` — paren-balanced scan, repeated for every occurrence."""
+    pat = re.compile(r"\bUNNEST\s*\(", flags=re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        tail = re.match(
+            r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:], flags=re.IGNORECASE
+        )
+        if not tail:
+            # plain UNNEST without alias: posexplode-free fallback
+            sql = f"{sql[:m.start()]}(SELECT explode({inner}) AS col){sql[i:]}"
+            continue
+        alias, col = tail.group(1), tail.group(2)
+        sql = (
+            f"{sql[:m.start()]}(SELECT explode({inner}) AS {col}) {alias}"
+            f"{sql[i + tail.end():]}"
+        )

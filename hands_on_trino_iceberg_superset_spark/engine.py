@@ -50,6 +50,13 @@ class Engine:
         """Execute SQL text; the Trino-CLI ``--execute`` equivalent."""
         return self.spark.sql(text)
 
+    def trino_sql(self, text: str) -> DataFrame:
+        """Execute a Trino-dialect statement (the reference's own SQL
+        flavor, seed.sh / README.md) through the dialect shims."""
+        from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+        return self.spark.sql(trino_to_spark(text))
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

@@ -1,0 +1,78 @@
+"""Plan-quality regression gates: the optimizations SURVEY.md §4
+promises must actually appear in the physical plans — predicate
+pushdown into the Parquet scan, column pruning, broadcast joins for
+dims, sort+limit -> TakeOrderedAndProject, minimal shuffles.
+
+These are the properties that decide 100 TB behavior; a code change
+that silently trades a broadcast join for a sort-merge join or drops
+a pushed filter fails here long before a benchmark would notice.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def inv():
+    return load_all()
+
+
+def _plans(spark, inv, name, sf_dir):
+    df = inv[name].spark(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    executed = qe.executedPlan().toString()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    return executed, formatted
+
+
+def test_q6_pushdown_and_pruning(spark, inv, sf_dir):
+    executed, formatted = _plans(spark, inv, "q6_forecast_revenue", sf_dir)
+    # the shipdate/discount/quantity conjuncts reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in formatted
+    assert "GreaterThanOrEqual(l_discount" in formatted
+    assert "LessThan(l_quantity" in formatted
+    # column pruning: the scan reads exactly the 4 referenced columns
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    assert sorted(c.split(":")[0] for c in schema.split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+    # global agg over a filtered scan needs exactly one exchange
+    assert executed.count("Exchange") == 1
+
+
+def test_star_joins_broadcast_not_sort_merge(spark, inv, sf_dir):
+    for name, min_bhj in [
+        ("q3_shipping_priority", 2),
+        ("q5_region_revenue", 5),
+        ("top_customers_by_spend", 2),
+    ]:
+        executed, _ = _plans(spark, inv, name, sf_dir)
+        assert executed.count("BroadcastHashJoin") >= min_bhj, name
+        assert "SortMergeJoin" not in executed, name
+
+
+def test_topk_queries_avoid_global_sort(spark, inv, sf_dir):
+    for name in ["q3_shipping_priority", "top_customers_by_spend",
+                 "bi_chart_raw_orders"]:
+        executed, _ = _plans(spark, inv, name, sf_dir)
+        assert "TakeOrderedAndProject" in executed, name
+
+
+def test_exact_dedup_is_single_shuffle(spark, inv, sf_dir):
+    executed, _ = _plans(spark, inv, "dedup_exact", sf_dir)
+    assert executed.count("Exchange") == 1
+
+
+def test_metadata_stats_prune_binary_column(spark, inv, sf_dir):
+    _, formatted = _plans(spark, inv, "multimodal_metadata_stats", sf_dir)
+    # binary media bytes must not be read for metadata-only stats
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    assert "text" in schema  # payload derives from text at ingest...
+    # ...but is only needed for n_bytes; the real guard is that the
+    # documents scan doesn't read unrelated wide columns
+    assert "source" not in schema
