@@ -99,3 +99,45 @@ class Engine:
 
     def describe(self, table: str) -> DataFrame:
         return self.sql(f"DESCRIBE TABLE {table}")
+
+    # -- table adoption (reference iceberg.properties:19, S8) ----------
+
+    def register_table(self, name: str, location: str,
+                       file_format: str = "parquet") -> None:
+        """Adopt existing data files as a catalog table — the Spark-
+        native equivalent of Iceberg's ``register_table`` procedure
+        (enabled but never called in the reference). External table:
+        dropping it later leaves the files in place."""
+        self.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} USING {file_format} "
+            f"LOCATION '{location}'"
+        )
+
+    # -- result output (reference seed.sh:9 --output-format CSV, S11) --
+
+    def to_csv(self, df: DataFrame, limit: int | None = None) -> str:
+        """Render a result as CSV text, the seeder-CLI sink shape.
+        Driver-side by design — results at this point are small
+        (verification outputs, chart pages); large exports go through
+        ``df.write.csv`` instead."""
+        import csv
+        import io
+
+        rows = df.limit(limit).collect() if limit else df.collect()
+        buf = io.StringIO()
+        writer = csv.writer(buf)
+        writer.writerow(df.columns)
+        for r in rows:
+            writer.writerow(list(r))
+        return buf.getvalue()
+
+    # -- cost surface (reference superset_config.py:3-5, M7) -----------
+
+    def explain_cost(self, sql_text: str) -> str:
+        """EXPLAIN with statistics — the query-cost-estimation surface
+        Superset's ESTIMATE_QUERY_COST flag would call (explicitly
+        disabled in the reference, available here)."""
+        df = self.sql(sql_text)
+        return self.spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "cost"
+        )

@@ -32,6 +32,30 @@ def test_ddl_roundtrip(spark, tmp_path) -> None:
     eng.drop_table("demo.t_roundtrip")
 
 
+def test_register_table_adopts_existing_files(spark, tmp_path, sf_dir) -> None:
+    eng = Engine(spark)
+    eng.create_schema("demo")
+    src = f"{sf_dir}/region.parquet"
+    eng.drop_table("demo.t_registered")
+    eng.register_table("demo.t_registered", src)
+    assert eng.sql("SELECT count(*) AS n FROM demo.t_registered").collect()[0].n == 5
+    # external semantics: drop leaves the files untouched
+    eng.drop_table("demo.t_registered")
+    assert spark.read.parquet(src).count() == 5
+
+
+def test_to_csv_result_format(spark) -> None:
+    eng = Engine(spark)
+    out = eng.to_csv(eng.sql("SELECT 1 AS a, 'x,y' AS b"))
+    assert out.splitlines() == ["a,b", '1,"x,y"']
+
+
+def test_explain_cost_surface(spark) -> None:
+    eng = Engine(spark)
+    text = eng.explain_cost("SELECT count(*) FROM range(10)")
+    assert "Statistics" in text or "sizeInBytes" in text
+
+
 def test_show_catalogs_probe(spark) -> None:
     # reference seed.sh:46-59 readiness shape
     eng = Engine(spark)
