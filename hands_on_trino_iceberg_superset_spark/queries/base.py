@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         reference,
         similarity,
+        sketches,
         streaming,
         text,
         tpch_extra,

@@ -60,6 +60,21 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivf",
+    oracle=None,  # k-means cell assignment is Spark-side; recall gate
+    # vs the exact baseline lives in tests/test_similarity.py
+    doc="IVF approximate top-k: k-means coarse quantizer (pyspark.ml) "
+        "+ n_probe nearest cells per query + exact cosine re-rank — "
+        "scan cost ~ n_probe/n_centroids of the corpus per query; "
+        "the partition-pruned ANN path at 100 TB.",
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
     SELECT label AS label, count(*) AS n_vectors,

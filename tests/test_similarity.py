@@ -36,6 +36,34 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir: str) -> None:
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ivf_topk_recall_and_exact_rerank(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(20)
+    exact_rows = S.cosine_topk(emb, q, k=10).collect()
+    exact_sets: dict[int, set[int]] = {}
+    exact_sims = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        exact_sims[(r.query_id, r.neighbor_id)] = r.cos_sim
+    ivf_rows = S.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8).collect()
+    ivf_sets: dict[int, set[int]] = {}
+    for r in ivf_rows:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # candidate re-rank is exact cosine: any overlap with the
+        # brute-force result must agree on the score bit-for-bit
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cos_sim == exact_sims[(r.query_id, r.neighbor_id)]
+    # every query returns a full page
+    assert all(len(s) == 10 for s in ivf_sets.values())
+    # unclustered synthetic corpus, probing half the cells: mean
+    # recall stays well above the 50%-scan floor
+    recalls = [
+        len(ivf_sets.get(qid, set()) & n) / len(n)
+        for qid, n in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
 def test_neardup_pairs_symmetric_threshold(spark) -> None:
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
