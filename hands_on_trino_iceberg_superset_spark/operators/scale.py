@@ -1,0 +1,77 @@
+"""Scale utilities: storage-level co-location and skew mitigation.
+
+Two knobs that matter at 100 TB and are invisible at test scale:
+
+- **Bucketing** (:func:`write_bucketed`): pre-shuffle a table into
+  N hash buckets on its join/agg key at write time. Two tables
+  bucketed the same way join with ZERO exchanges — the shuffle was
+  paid once at ingest instead of per query.
+  ``tests/test_scale.py`` asserts the exchange-free plan.
+- **Salting** (:func:`salted_join`): a hot key (null user, default
+  id, boilerplate doc) makes one shuffle partition arbitrarily
+  large. Salting splits each key into ``n_salts`` sub-keys —
+  replicating the build side ``n_salts``x — restoring parallelism
+  at the cost of a bounded fan-out. AQE's skew-join handles the
+  sort-merge case at runtime; explicit salting is for when the
+  skew is known and extreme (or the join is broadcast-ineligible).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    file_format: str = "parquet",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on
+    ``bucket_cols``. Joins/aggregations keyed on the bucket columns
+    between same-bucketed tables skip their exchanges (and with
+    ``sort_cols``, the sort)."""
+    writer = (
+        df.write.format(file_format)
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) ``left`` side
+    gets a deterministic per-row salt; the ``right`` side is
+    replicated across all ``n_salts`` values; the join key becomes
+    (key, salt), spreading each hot key over ``n_salts`` partitions.
+
+    Result is identical to ``left.join(right, key, how)`` for inner
+    and left joins (every right row exists under every salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in left.columns])),
+                  F.lit(n_salts))
+    salted_left = left.withColumn("_salt", salt)
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = salted_left.join(
+        salted_right,
+        (F.col(left_key) == F.col(right_key))
+        & (salted_left["_salt"] == salted_right["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

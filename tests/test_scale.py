@@ -1,0 +1,76 @@
+"""Scale utilities: bucketed joins eliminate exchanges; salted joins
+produce identical results on skewed keys."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+)
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    from hands_on_trino_iceberg_superset_spark.seed.seeder import _delete_path
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS scale_test")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS scale_test.{t}")
+        _delete_path(spark, f"{warehouse}/scale_test.db/{t}")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "scale_test.li_b", ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "scale_test.ord_b", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    return spark.table("scale_test.li_b"), spark.table("scale_test.ord_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    li_b, ord_b = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-based join so bucketing is what saves us
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must read co-located buckets: the only
+        # exchange allowed is the one for the final groupBy
+        assert plan.count("Exchange") <= 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed: 10k rows share key 1, a few unique keys
+    left = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (9_500, "cold"), (42, "missing-on-left-ok")],
+        ["rk", "label"],
+    )
+    plain = left.join(right, left.k == right.rk, "inner")
+    salted = salted_join(left, right, "k", "rk", n_salts=8, how="inner")
+    assert salted.count() == plain.count() == 9_001
+    a = sorted((r.k, r.payload, r.label) for r in plain.collect())
+    b = sorted((r.k, r.payload, r.label) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["rk", "w"])
+    out = salted_join(left, right, "k", "rk", n_salts=4, how="left")
+    rows = {(r.k, r.w) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None)}
