@@ -198,3 +198,51 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT lang,
+           sum(ws_tokens) AS total_ws_tokens,
+           sum(est_bpe) AS total_bpe_tokens,
+           CAST(sum(est_bpe) AS DOUBLE) / sum(ws_tokens)
+             AS bpe_per_word
+    FROM (
+      SELECT lang,
+             len(string_split(text, ' ')) AS ws_tokens,
+             list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+               x -> greatest(1, CAST(ceil(len(x) / 4.0) AS BIGINT))
+             )) AS est_bpe
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="BPE-ish token counting: a GPT-style pre-tokenizer regex "
+        "(letter runs | single digits | punctuation) with a "
+        "~4-chars-per-subword estimate per piece — the budget "
+        "estimator for LLM corpus sizing, all JVM-side regex.",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), F.lit(0)
+    )
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.greatest(F.lit(1).cast("bigint"),
+                     F.ceil(F.length(x) / 4.0).cast("bigint")),
+    )
+    ws = F.size(F.split(F.col("text"), " "))
+    per_doc = docs.select(
+        "lang", ws.alias("ws_tokens"), est.alias("est_bpe")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("est_bpe").alias("total_bpe_tokens"),
+        (F.sum("est_bpe").cast("double") / F.sum("ws_tokens"))
+        .alias("bpe_per_word"),
+    )

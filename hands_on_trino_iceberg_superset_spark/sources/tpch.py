@@ -65,12 +65,25 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
+#: (app_id, sf_dir, name) -> DataFrame. DataFrames are immutable
+#: lineages, so reusing one across queries is safe; the cache saves a
+#: parquet footer/schema read per load (~100ms x ~80 loads per
+#: inventory run). Keyed by application id so a fresh session never
+#: sees another session's plans.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalized per the module contract."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events(df)
+    _LOAD_CACHE[key] = df
     return df
 
 
