@@ -59,15 +59,27 @@ def exact_duplicates(
 
 
 def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles (array<string>) of the text."""
+    """Distinct word n-gram shingles (array<string>) of the text.
+
+    Built from ``zip_with`` over shifted ``slice``s of the token
+    array: each argument array is evaluated ONCE per row. (The
+    tempting ``transform(sequence(...), i -> element_at(toks, i+j))``
+    formulation re-evaluates the ``split`` subtree per element —
+    interpreted higher-order lambdas do no common-subexpression
+    elimination — turning shingling O(words^2) per document.)
+    """
     toks = F.split(text, " ")
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.array_distinct(F.transform(idx, gram))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, m),
+            lambda acc, t: F.concat(acc, F.lit(" "), t),
+        )
+    return F.array_distinct(out)
 
 
 def jaccard(a: Column, b: Column) -> Column:

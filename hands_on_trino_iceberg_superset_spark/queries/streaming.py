@@ -89,3 +89,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_THREE_H_US = 3 * 3600 * 1_000_000
+
+
+@register(
+    "stream_sliding_window_stats",
+    oracle=f"""
+    SELECT CAST(make_timestamp(
+             ((epoch_us(ts) - off.o * {_THREE_H_US}) // {_SIX_H_US})
+             * {_SIX_H_US} + off.o * {_THREE_H_US}) AS VARCHAR)
+             AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS o) off
+    GROUP BY 1
+    """,
+    doc="Sliding event-time window (6h window, 3h slide) via "
+        "F.window — every event lands in window/slide = 2 windows; "
+        "oracle replicates each row per slide offset and re-buckets.",
+)
+def stream_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").cast("string")
+            .alias("window_start"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )

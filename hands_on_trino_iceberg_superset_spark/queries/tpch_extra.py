@@ -257,3 +257,37 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "grouping_sets_nation_segment",
+    oracle="""
+    SELECT coalesce(n.n_name, '(all)') AS nation_name,
+           coalesce(c.c_mktsegment, '(all)') AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+    doc="Explicit GROUPING SETS (two independent dimensions + grand "
+        "total) — one Expand pass, no re-scan per set.",
+)
+def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    j.createOrReplaceTempView("_gs_cust_nation")
+    out = j.sparkSession.sql("""
+        SELECT n_name, c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_acctbal
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """)
+    return out.select(
+        F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
+        "n_customers",
+        "total_acctbal",
+    )
