@@ -178,3 +178,25 @@ def events_user_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "total_value", "n_events",
         F.dense_rank().over(w).alias("value_rank"),
     ).where(F.col("value_rank") <= 20)
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction from the props payload column "
+        "(get_json_object -> JVM-side JSON parse), aggregated per "
+        "event type.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )

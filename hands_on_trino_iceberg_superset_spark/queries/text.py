@@ -246,3 +246,27 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("est_bpe").cast("double") / F.sum("ws_tokens"))
         .alias("bpe_per_word"),
     )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="Lateral token explosion (UNNEST/explode, E1) over real text "
+        "+ top-K vocabulary — plans as TakeOrderedAndProject after a "
+        "partial-aggregated count.",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
