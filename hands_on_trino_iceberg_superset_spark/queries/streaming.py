@@ -125,3 +125,30 @@ def stream_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_tv").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_click_to_purchase",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS first_event_id,
+           b.event_id AS then_event_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us,
+           CAST(b.value AS DOUBLE) AS then_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + CAST(3600 AS BIGINT) * 1000000
+    """,
+    doc="Funnel correlation: click -> purchase by the same user "
+        "within 1h — equi + time-range (interval) join; the batch "
+        "statement of the stream-stream join in streaming/pipeline.",
+)
+def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        correlate_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return correlate_events(ev, within="1 hour")

@@ -1,4 +1,5 @@
 from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+    correlate_events,
     read_events_stream,
     run_available_now_to_memory,
     running_user_totals,
@@ -7,6 +8,7 @@ from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "correlate_events",
     "read_events_stream",
     "run_available_now_to_memory",
     "running_user_totals",

@@ -129,6 +129,65 @@ def sessionize(
     )
 
 
+def correlate_events(
+    df_or_left: DataFrame,
+    right: DataFrame | None = None,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Funnel correlation: for each ``first_type`` event, the
+    ``then_type`` events by the same user within ``within`` — an
+    equi + time-range (interval) join.
+
+    Works batch (one DataFrame, self-joined) and streaming (two
+    stream DataFrames): stream-stream inner joins require watermarks
+    on both sides plus the time-range bound so the state store can
+    evict expired rows — state is O(events inside the watermark
+    horizon), not O(stream).
+    """
+    left = df_or_left
+    right = left if right is None else right
+    secs = _duration_seconds(within)
+    a = left.where(F.col("event_type") == first_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").cast("timestamp").alias("a_ts"),
+        F.col("event_id").alias("first_event_id"),
+    )
+    b = right.where(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+        F.col("event_id").alias("then_event_id"),
+        F.col("value").alias("then_value"),
+    )
+    if a.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if b.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {secs} SECOND")),
+    )
+    return joined.select(
+        F.col("a_user").alias("user_id"),
+        "first_event_id",
+        "then_event_id",
+        (F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts")))
+        .alias("lag_us"),
+        "then_value",
+    )
+
+
+def _duration_seconds(text: str) -> int:
+    amount, unit = text.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    return int(amount) * mult[unit.lower()]
+
+
 # ------------------------------------------------- custom stateful op
 
 _TOTALS_SCHEMA = "user_id long, n_events long, total_value double"

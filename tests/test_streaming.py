@@ -76,6 +76,22 @@ def test_session_end_is_last_event_plus_gap(spark):
     assert sessions[1].n_events == 1
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_source_dir):
+    from hands_on_trino_iceberg_superset_spark.streaming import correlate_events
+
+    left = read_events_stream(spark, events_source_dir)
+    right = read_events_stream(spark, events_source_dir)
+    stream = correlate_events(left, right, within="1 hour")
+    got = run_available_now_to_memory(stream, "t_funnel", output_mode="append")
+    expect = correlate_events(
+        load_table(spark, sf_dir, "events"), within="1 hour"
+    )
+    keys = ["user_id", "first_event_id", "then_event_id", "lag_us",
+            "then_value"]
+    assert _canon(got, *keys) == _canon(expect, *keys)
+    assert got.count() > 0
+
+
 def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events")
     src = tmp_path / "totals_stream"
