@@ -200,3 +200,53 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+@register(
+    "events_asof_last_click",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(c_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_click_id
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id,
+           epoch_us(ts) AS purchase_ts_us, last_click_id
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (union + last-value carry-forward, single "
+        "shuffle): each purchase paired with the user's most recent "
+        "click at-or-before it. operators/asof.py.",
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id").alias("_evt_tb"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("event_id").alias("_evt_tb"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", order_col="ats",
+        carry_cols=["last_click_id"], tiebreak_col="_evt_tb",
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.unix_micros(F.col("ats").cast("timestamp")).alias("purchase_ts_us"),
+        "last_click_id",
+    )
