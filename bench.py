@@ -32,8 +32,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     inventory = load_all()
     spark = get_spark("bench")
-    # JVM + session warm-up so query 1 isn't charged for startup
+    # JVM + session warm-up so query 1 isn't charged for startup:
+    # codegen, the vectorized parquet reader, and the Python worker
+    # pool (Arrow path) are all engine infrastructure, not per-query
+    # work
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    try:
+        import pandas as pd  # noqa: F401
+
+        spark.range(10).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass
 
     per_query: dict[str, float] = {}
     for name, spec in inventory.items():
