@@ -124,6 +124,10 @@ def ngram_jaccard_pairs(
             word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    # shingle-less docs (shorter than n words) have no Jaccard
+    # identity; keeping them would also divide by zero on a pair of
+    # two empty sets
+    shingled = shingled.where(F.col("sz") > 0)
     a = shingled.alias("a")
     b = shingled.alias("b")
     cond = (
