@@ -85,6 +85,38 @@ def test_inverted_index_jaccard_matches_pairwise(spark, sf_dir: str) -> None:
     assert inverted == pairwise
 
 
+def test_minhash_agg_signatures_match_hof_formulation(spark, sf_dir) -> None:
+    # minhash_lsh_pairs derives signatures from explode + min-aggs;
+    # the claim is they equal minhash_signature (the HOF reference)
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    shingled = docs.select(
+        F.col("doc_id").alias("id"),
+        D.word_shingles(F.col("text"), 2).alias("sh"),
+    ).where(F.size("sh") > 0)
+    hof = {
+        r.id: list(r.sig)
+        for r in shingled.select(
+            "id", D.minhash_signature(F.col("sh"), 32).alias("sig")
+        ).collect()
+    }
+    base = shingled.select(
+        "id", F.explode("sh").alias("s")
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(D._P)).alias("h"))
+    mins = []
+    for i in range(32):
+        a_i = D._stable_const(2 * i) | 1
+        b_i = D._stable_const(2 * i + 1)
+        mins.append(
+            F.min(F.pmod(F.col("h") * F.lit(a_i) + F.lit(b_i), F.lit(D._P)))
+            .alias(f"m{i}")
+        )
+    agg = {
+        r.id: [r[f"m{i}"] for i in range(32)]
+        for r in base.groupBy("id").agg(*mins).collect()
+    }
+    assert agg == hof
+
+
 def test_simhash_signatures_match_hof_formulation(spark, sf_dir: str) -> None:
     # the scalable explode+groupBy signature must be bit-identical to
     # the column-expression simhash64 on real documents
