@@ -34,14 +34,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive canonical form: columns sorted by name,
-    values stringified, rows sorted."""
+    values stringified, rows sorted.
+
+    Floats are formatted with full ``repr`` precision so this local
+    check is at least as strict as the driver's exact value-hash —
+    crucially ``repr(123.0) == '123.0' != '123' == str(123)``, which
+    catches engine-side integer/float dtype drift (e.g. DuckDB
+    ``sum(BIGINT) -> HUGEINT`` becoming float64 in pandas) that a
+    ``%.10g`` format would silently collapse.
+    """
     df = df[sorted(df.columns)].copy()
 
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            return f"{v:.10g}"
+            return repr(v)
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)

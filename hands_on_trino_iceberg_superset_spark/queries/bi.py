@@ -54,7 +54,7 @@ def bi_chart_raw_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT currency, transaction_type,
            count(*) AS count,
-           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
     FROM seed_transactions
     GROUP BY currency, transaction_type
     ORDER BY count DESC, currency, transaction_type

@@ -27,8 +27,16 @@ from hands_on_trino_iceberg_superset_spark.queries.base import register
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 
 
-def dec(c: str | Column, scale: int = 4) -> Column:
-    """Exact-arithmetic cast for float aggregation determinism."""
+def dec(c: str | Column, scale: int = 2) -> Column:
+    """Exact-arithmetic cast for float aggregation determinism.
+
+    Scale 2 (cents) matches the money columns' true decimal scale and
+    keeps derived products at scale <= 6, so (a) DuckDB's width-18
+    product decimals never overflow their 6 integer digits and (b)
+    every aggregate's scaled integer representation stays below 2^53,
+    where both engines' decimal->double conversions are exact. Higher
+    scales made sums drift in the last bits (round-1 q1 lesson).
+    """
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal(18,{scale})")
 
@@ -50,16 +58,16 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-      CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -97,8 +105,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS l_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -143,8 +151,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name AS n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -195,8 +203,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -232,7 +240,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
            count(*) AS order_count,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -335,7 +343,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 3 THEN 'login' ELSE 'logout' END AS event_type,
            'Order ' || CAST(o_orderkey AS VARCHAR) AS payload,
            (o_orderkey % 50) + 1 AS synthetic_user,
-           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 + 100.0 AS DOUBLE) AS amount,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 + 100.0 AS DOUBLE) AS amount,
            o_orderkey % 3 != 0 AS active_flag
     FROM orders
     WHERE o_orderstatus = 'O'
@@ -356,7 +364,7 @@ def expression_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("event_type"),
         F.concat(F.lit("Order "), k.cast("string")).alias("payload"),
         ((k % 50) + 1).alias("synthetic_user"),
-        (dec("o_totalprice") * 2 + F.lit(100.0).cast("decimal(18,4)"))
+        (dec("o_totalprice") * 2 + F.lit(100.0).cast("decimal(18,2)"))
         .cast("double")
         .alias("amount"),
         (k % 3 != 0).alias("active_flag"),
@@ -373,7 +381,7 @@ def expression_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand AS p_brand,
            count(DISTINCT l.l_suppkey) AS n_suppliers,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -407,7 +415,7 @@ def brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r.r_name, '(all)') AS region_name,
            coalesce(n.n_name, '(all)') AS nation_name,
            count(*) AS n_customers,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -475,7 +483,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "window_running_spend",
     oracle="""
     SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -591,14 +599,14 @@ def global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "small_quantity_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
              AS avg_yearly,
            count(*) AS n_small
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (
       SELECT l_partkey AS agg_partkey,
-             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                     / count(*)) AS qty_threshold
       FROM lineitem GROUP BY l_partkey
     ) t ON t.agg_partkey = l.l_partkey

@@ -28,7 +28,7 @@ from hands_on_trino_iceberg_superset_spark.sources import load_table
     SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts)
     """,
@@ -52,7 +52,7 @@ def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_extraction",
     oracle=r"""
     SELECT k_bucket AS k_bucket, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM (
       SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10
                AS k_bucket,
@@ -156,10 +156,10 @@ def events_type_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT user_id AS user_id,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              count(*) AS n_events,
              dense_rank() OVER (
-               ORDER BY CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) DESC,
+               ORDER BY CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC,
                         user_id) AS value_rank
       FROM events GROUP BY user_id
     ) WHERE value_rank <= 20
@@ -184,7 +184,8 @@ def events_user_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
     FROM events
     GROUP BY event_type

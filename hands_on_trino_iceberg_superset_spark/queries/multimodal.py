@@ -23,9 +23,9 @@ CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
     oracle=f"""
     SELECT {_KIND_CASE} AS media_type,
            count(*) AS n_media,
-           sum(13 + octet_length(encode(text))) AS total_bytes,
-           CAST(avg(CAST((doc_id * 37) % 1024 + 16 AS DECIMAL(18,4)))
-                AS DOUBLE) AS avg_width,
+           CAST(sum(13 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST((doc_id * 37) % 1024 + 16 AS DECIMAL(18,2)))
+                AS DOUBLE) / count(*) AS avg_width,
            max((doc_id * 97) % 60000) AS max_duration_ms
     FROM documents
     GROUP BY 1
@@ -41,8 +41,13 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("meta.n_bytes").alias("total_bytes"),
-            F.avg(F.col("meta.width").cast("decimal(18,4)"))
-            .cast("double").alias("avg_width"),
+            # exact decimal SUM cast to double, then one double divide —
+            # identical bits on both engines (DuckDB's avg(DECIMAL)
+            # accumulates in floating point, so avg() itself drifts)
+            (
+                F.sum(F.col("meta.width").cast("decimal(18,2)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("avg_width"),
             F.max("meta.duration_ms").cast("bigint").alias("max_duration_ms"),
         )
     )
@@ -53,7 +58,8 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {_KIND_CASE} AS media_type,
            count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_payload_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS total_payload_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -119,7 +119,7 @@ def ref_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SEED_CTE
     + """
     SELECT event_type AS event_type, count(*) AS n_events,
-           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM seed_events GROUP BY event_type
     """,
     doc="Grouped aggregation over seeded events.",
@@ -137,7 +137,7 @@ def ref_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SEED_CTE
     + """
     SELECT u.country AS country, count(*) AS n_tx,
-           CAST(sum(CAST(t.amount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(t.amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM seed_transactions t
     JOIN seed_users u ON t.user_id = u.user_id
     WHERE t.status = 'success'
@@ -165,8 +165,8 @@ def ref_country_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SEED_CTE
     + """
     SELECT p.category AS category, count(*) AS n_orders,
-           sum(o.quantity) AS total_qty,
-           CAST(sum(CAST(o.price AS DECIMAL(18,4)) * o.quantity) AS DOUBLE)
+           CAST(sum(o.quantity) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(o.price AS DECIMAL(18,2)) * o.quantity) AS DOUBLE)
              AS total_value
     FROM seed_orders o
     JOIN seed_products p ON o.product_id = p.product_id

@@ -32,7 +32,7 @@ _GAP_US = 30 * 60 * 1_000_000
                 AS VARCHAR) AS window_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -70,7 +70,7 @@ def stream_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(epoch_us(ts)) AS session_start_us,
            max(epoch_us(ts)) + {_GAP_US} AS session_end_us,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -102,7 +102,7 @@ _THREE_H_US = 3 * 3600 * 1_000_000
              * {_SIX_H_US} + off.o * {_THREE_H_US}) AS VARCHAR)
              AS window_start,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events, (SELECT unnest([0, 1]) AS o) off
     GROUP BY 1
     """,
@@ -116,7 +116,7 @@ def stream_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "6 hours", "3 hours"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").cast("string")

@@ -33,12 +33,12 @@ def _tokens() -> F.Column:
     "text_token_stats",
     oracle=f"""
     SELECT lang AS lang, count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
              AS avg_tokens,
            CAST(sum(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
              / count(*) AS avg_distinct_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -204,8 +204,8 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_token_estimate",
     oracle=r"""
     SELECT lang,
-           sum(ws_tokens) AS total_ws_tokens,
-           sum(est_bpe) AS total_bpe_tokens,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(est_bpe) AS BIGINT) AS total_bpe_tokens,
            CAST(sum(est_bpe) AS DOUBLE) / sum(ws_tokens)
              AS bpe_per_word
     FROM (

@@ -49,14 +49,14 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large_orders",
     oracle="""
     SELECT c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
     )
     GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
     """,
@@ -90,11 +90,12 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     oracle="""
     SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(18,4))
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                       AS DOUBLE)
                 AS DOUBLE) AS promo_share_pct,
            count(*) AS n_lineitems
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -104,7 +105,10 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
-    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # factors cast to decimal BEFORE multiplying: the product is then
+    # exact at scale 4 (no .xx5 tie-rounding, which Spark and DuckDB
+    # resolve differently when casting a double product at scale 2)
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,4)")
     )
@@ -121,8 +125,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_predicate_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
            count(*) AS n_matched
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -152,7 +157,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(
             dbl(
-                F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_matched"),
         )
@@ -164,11 +169,11 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              AS total_acctbal
     FROM customer c
     WHERE c.c_acctbal > (
-            SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+            SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
             FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (
             SELECT 1 FROM orders o
@@ -207,7 +212,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, '(all)') AS order_status,
            coalesce(o_orderpriority, '(all)') AS order_priority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -265,7 +270,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.n_name, '(all)') AS nation_name,
            coalesce(c.c_mktsegment, '(all)') AS segment,
            count(*) AS n_customers,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
@@ -280,7 +285,7 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = j.sparkSession.sql("""
         SELECT n_name, c_mktsegment,
                count(*) AS n_customers,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_acctbal
         FROM _gs_cust_nation
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())

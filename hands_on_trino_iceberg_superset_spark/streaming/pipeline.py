@@ -85,7 +85,7 @@ def windowed_event_stats(
         df.groupBy(F.window("ts", window_duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
@@ -115,7 +115,7 @@ def sessionize(
         df.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
         )
         .select(
             "user_id",
