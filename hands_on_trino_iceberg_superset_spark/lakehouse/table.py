@@ -1,0 +1,363 @@
+"""Copy-on-write versioned tables on plain Parquet — the lakehouse
+core the reference gets from Iceberg-on-Nessie
+(``/root/reference/compose/trino/catalog/iceberg.properties:1-19``):
+snapshot isolation, time travel, and row-level DML
+(DELETE / UPDATE / MERGE), restated Spark-first without the Iceberg
+runtime jar (not present in this environment).
+
+Layout (Iceberg-shaped, one JSON manifest per snapshot)::
+
+    <root>/
+      _snapshots/v00000001.json   {version, ts, op, entries: {pk: dir}}
+      data/v00000001/<pk>/*.parquet
+
+A snapshot's ``entries`` maps a partition key (or ``__all__`` for
+unpartitioned tables) to the data directory holding that partition's
+rows. Copy-on-write DML rewrites ONLY the partitions that contain
+affected rows; untouched partitions carry over by reference into the
+new manifest — at 100 TB a MERGE touching one day of an
+event-partitioned table rewrites one partition, not the table.
+Partition values live inside the files (value-homogeneous files, so
+Parquet min/max stats give scan pruning) and in the manifest (so DML
+prunes rewrites without listing data).
+
+Commits are atomic single-writer: the manifest is written to a temp
+name and ``os.rename``d into place (POSIX atomic), and the snapshot
+counter advances monotonically. Concurrent multi-writer commits need
+the compare-and-swap a real catalog provides (Nessie/Hive/REST in
+Iceberg's case); that seam is ``_commit`` and is documented as such.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+_UNPARTITIONED = "__all__"
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    ts: str
+    op: str
+    entries: dict[str, str]  # partition key -> data dir (relative)
+    row_count: int
+
+
+class VersionedTable:
+    """Handle to a versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_col: str | None = None) -> None:
+        self.spark = spark
+        self.path = path
+        self.partition_col = partition_col
+
+    # ------------------------------------------------------- creation
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_col: str | None = None,
+    ) -> "VersionedTable":
+        """Create snapshot v1 from ``df`` (overwrites any existing
+        table at ``path``)."""
+        t = cls(spark, path, partition_col)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        for f in os.listdir(t._snap_dir):
+            os.remove(os.path.join(t._snap_dir, f))
+        entries, n = t._write_data(df, 1)
+        t._commit(Snapshot(1, _now(), "create", entries, n))
+        return t
+
+    # -------------------------------------------------------- reading
+
+    def read(self, version: int | None = None,
+             as_of: str | None = None) -> DataFrame:
+        """Current state, or time travel: ``version=N`` reads snapshot
+        N (``VERSION AS OF``), ``as_of='<iso ts>'`` the latest
+        snapshot committed at or before that time (``TIMESTAMP AS
+        OF``)."""
+        snap = self._resolve(version, as_of)
+        dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
+        if not dirs:
+            raise ValueError(f"snapshot v{snap.version} is empty")
+        return self.spark.read.parquet(*dirs)
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self._snap_dir)):
+            with open(os.path.join(self._snap_dir, name)) as fh:
+                j = json.load(fh)
+            out.append(Snapshot(**j))
+        return out
+
+    def current(self) -> Snapshot:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(f"no snapshots at {self.path}")
+        return snaps[-1]
+
+    # ------------------------------------------------------------ DML
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Blind append: new files only, no existing partition is
+        rewritten (append-heavy ingest stays O(new data))."""
+        cur = self.current()
+        v = cur.version + 1
+        new_entries, n_new = self._write_data(df, v)
+        entries = dict(cur.entries)
+        for pk, d in new_entries.items():
+            if pk in entries:
+                # both dirs belong to the partition: read() unions them
+                entries[f"{pk}@v{v}"] = d
+            else:
+                entries[pk] = d
+        return self._commit(
+            Snapshot(v, _now(), "append", entries, cur.row_count + n_new)
+        )
+
+    def delete(self, predicate: str | Column) -> Snapshot:
+        """Row-level DELETE (rows where the predicate is TRUE are
+        removed; NULL keeps the row, matching SQL DELETE semantics).
+        Copy-on-write at partition granularity."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._rewrite(
+            op="delete",
+            affected=pred,
+            transform=lambda part: part.where(~pred.eqNullSafe(F.lit(True))),
+        )
+
+    def update(self, assignments: dict[str, str | Column],
+               where: str | Column) -> Snapshot:
+        """Row-level UPDATE ... SET, copy-on-write at partition
+        granularity."""
+        pred = F.expr(where) if isinstance(where, str) else where
+
+        def apply(part: DataFrame) -> DataFrame:
+            cols = []
+            for name in part.columns:
+                if name in assignments:
+                    a = assignments[name]
+                    val = F.expr(a) if isinstance(a, str) else a
+                    cols.append(
+                        F.when(pred.eqNullSafe(F.lit(True)), val)
+                        .otherwise(F.col(name)).alias(name)
+                    )
+                else:
+                    cols.append(F.col(name))
+            return part.select(*cols)
+
+        return self._rewrite(op="update", affected=pred, transform=apply)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: str | None = None,
+        insert_not_matched: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO target USING source ON target.<on> = source.<on>
+        — the upsert primitive Iceberg enables. Matched rows are
+        updated (or deleted when ``when_matched_delete`` predicate
+        holds on the source row); unmatched source rows are inserted.
+        Partitions containing no matched keys and receiving no
+        inserts carry over untouched.
+        """
+        cur = self.current()
+        v = cur.version + 1
+        target = self.read()
+        t, s = target.alias("t"), source.alias("s")
+        joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
+        matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
+        t_only = F.col(f"s.{on}").isNull()
+
+        out_cols = []
+        for name in target.columns:
+            upd = (when_matched_update or {}).get(name)
+            if upd is not None:
+                val = F.when(matched, F.expr(upd)).otherwise(F.col(f"t.{name}"))
+            else:
+                val = F.col(f"t.{name}")
+            src_val = F.col(f"s.{name}") if name in source.columns else F.lit(None)
+            out_cols.append(
+                F.when(t_only | matched, val).otherwise(src_val).alias(name)
+            )
+        keep = F.lit(True)
+        if when_matched_delete is not None:
+            keep = ~(matched & F.expr(when_matched_delete).eqNullSafe(F.lit(True)))
+        if not insert_not_matched:
+            keep = keep & ~(F.col(f"t.{on}").isNull())
+        merged = joined.where(keep).select(*out_cols)
+
+        if self.partition_col is None:
+            entries, n = self._write_data(merged, v)
+            return self._commit(Snapshot(v, _now(), "merge", entries, n))
+
+        # partition-granular COW: rewrite the partitions that held a
+        # matched key (rows may leave them) plus the partitions where
+        # affected rows land post-merge (updates may move rows across
+        # partitions; inserts create/extend partitions); the rest
+        # carry over by reference
+        pc = self.partition_col
+        affected_keys = source.select(on).distinct()
+        old_parts = (
+            target.join(affected_keys, on, "left_semi").select(pc).distinct()
+        )
+        new_parts = (
+            merged.join(affected_keys, on, "left_semi").select(pc).distinct()
+        )
+        touched = old_parts.union(new_parts).distinct()
+        touched_vals = [r[pc] for r in touched.collect()]
+        touched_keys = {_pk(v_) for v_ in touched_vals}
+        changed = merged.where(
+            F.col(pc).isin(touched_vals) if touched_vals else F.lit(False)
+        )
+        entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
+        entries = {
+            pk: d for pk, d in cur.entries.items()
+            if _pk_base(pk) not in touched_keys
+        }
+        entries.update(entries_new)
+        snap = Snapshot(v, _now(), "merge", entries, -1)
+        n = self._count_entries(snap)
+        return self._commit(Snapshot(v, _now(), "merge", entries, n))
+
+    # ------------------------------------------------------- internals
+
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "_snapshots")
+
+    def _resolve(self, version: int | None, as_of: str | None) -> Snapshot:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(f"no snapshots at {self.path}")
+        if version is not None:
+            for sn in snaps:
+                if sn.version == version:
+                    return sn
+            raise ValueError(f"no snapshot v{version} at {self.path}")
+        if as_of is not None:
+            eligible = [sn for sn in snaps if sn.ts <= as_of]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of}")
+            return eligible[-1]
+        return snaps[-1]
+
+    def _write_data(
+        self, df: DataFrame, version: int,
+        only_keys: set[str] | None = None,
+    ) -> tuple[dict[str, str], int]:
+        """Write ``df`` under ``data/v{version}/``, one dir per
+        partition value (or a single dir when unpartitioned).
+        Returns (entries, row_count)."""
+        rel = f"data/v{version:08d}"
+        if self.partition_col is None:
+            d = os.path.join(self.path, rel, _UNPARTITIONED)
+            df.write.mode("overwrite").parquet(d)
+            return {_UNPARTITIONED: f"{rel}/{_UNPARTITIONED}"}, (
+                self.spark.read.parquet(d).count()
+            )
+        pc = self.partition_col
+        values = [r[pc] for r in df.select(pc).distinct().collect()]
+        entries: dict[str, str] = {}
+        total = 0
+        for val in values:
+            pk = _pk(val)
+            if only_keys is not None and pk not in only_keys:
+                continue
+            d = os.path.join(self.path, rel, pk)
+            part = df.where(
+                F.col(pc).eqNullSafe(F.lit(val))
+            )
+            part.write.mode("overwrite").parquet(d)
+            entries[pk] = f"{rel}/{pk}"
+            total += self.spark.read.parquet(d).count()
+        return entries, total
+
+    def _rewrite(self, op: str, affected: Column, transform) -> Snapshot:
+        """Copy-on-write: rewrite only the partitions that contain
+        rows where ``affected`` is TRUE; carry the rest over."""
+        cur = self.current()
+        v = cur.version + 1
+        if self.partition_col is None:
+            new_df = transform(self.read())
+            entries, n = self._write_data(new_df, v)
+            return self._commit(Snapshot(v, _now(), op, entries, n))
+        pc = self.partition_col
+        current = self.read()
+        hit = current.where(affected.eqNullSafe(F.lit(True)))
+        # source partitions of affected rows, PLUS destination
+        # partitions when the transform rewrites the partition column
+        # (an UPDATE moving rows across partitions must rewrite both
+        # ends); every predicate-matching row lives in a source
+        # partition, so one pass closes the set
+        touched_vals = [
+            r[pc]
+            for r in hit.select(pc)
+            .union(transform(hit).select(pc))
+            .distinct().collect()
+        ]
+        touched_keys = {_pk(val) for val in touched_vals}
+        changed = transform(
+            current.where(
+                F.col(pc).isin(touched_vals) if touched_vals else F.lit(False)
+            )
+        )
+        entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
+        entries = {
+            pk: d for pk, d in cur.entries.items()
+            if _pk_base(pk) not in touched_keys
+        }
+        entries.update(entries_new)
+        snap = Snapshot(v, _now(), op, entries, -1)
+        n = self._count_entries(snap)
+        return self._commit(Snapshot(v, _now(), op, entries, n))
+
+    def _count_entries(self, snap: Snapshot) -> int:
+        dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
+        return self.spark.read.parquet(*dirs).count() if dirs else 0
+
+    def _commit(self, snap: Snapshot) -> Snapshot:
+        """Atomic manifest publish (write temp + rename). The
+        single-writer seam: a multi-writer deployment swaps this for
+        a catalog compare-and-swap (Nessie/REST in the reference's
+        stack)."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        final = os.path.join(self._snap_dir, f"v{snap.version:08d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"concurrent commit detected at v{snap.version}"
+            )
+        fd, tmp = tempfile.mkstemp(dir=self._snap_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap.__dict__, fh)
+        os.rename(tmp, final)
+        return snap
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _pk(val) -> str:
+    """Filesystem-safe partition key for a value."""
+    s = "null" if val is None else str(val)
+    return "p_" + "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+
+
+def _pk_base(pk: str) -> str:
+    """Partition key without any ``@vN`` append suffix."""
+    return pk.split("@", 1)[0]

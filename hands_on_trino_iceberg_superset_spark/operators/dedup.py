@@ -156,6 +156,7 @@ def ngram_jaccard_pairs_inverted(
     block_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Same output as :func:`ngram_jaccard_pairs`, via an inverted
     index instead of a pairwise block join.
@@ -166,10 +167,19 @@ def ngram_jaccard_pairs_inverted(
     intersection size (shingles are distinct within a doc), and
     ``|a ∪ b| = sz_a + sz_b - inter``. Cost is ``Σ_s df(s)²`` join
     rows rather than ``pairs × intersect``, i.e. near-linear when
-    shingles are rare; docs sharing nothing never meet. At web scale
-    cap df per shingle (hot boilerplate shingles dominate Σdf² and
-    contribute least to discrimination) or switch to
-    :func:`minhash_lsh_pairs`.
+    shingles are rare; docs sharing nothing never meet.
+
+    ``max_df``: the web-scale guard. One boilerplate shingle in d
+    documents contributes d² postings-join rows while carrying almost
+    no discrimination; with ``max_df=K`` shingles whose document
+    frequency exceeds K are removed from the universe (both from the
+    postings AND from each doc's set size), bounding the join at
+    ``Σ min(df,K)²`` — Jaccard is then computed over the reduced
+    shingle universe (stopword-shingle removal semantics, still
+    symmetric and deterministic). The hot-shingle list is tiny by
+    construction (few shingles exceed K) and anti-joins broadcast.
+    ``None`` disables the cap (exact semantics, small corpora /
+    tight blocks only).
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -183,6 +193,23 @@ def ngram_jaccard_pairs_inverted(
         *( ["block"] if block_col else [] ),
         F.explode("sh").alias("s"),
     )
+    if max_df is not None:
+        keys = ["block", "s"] if block_col else ["s"]
+        hot = (
+            postings.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select(*keys)
+        )
+        pruned = postings.join(F.broadcast(hot), keys, "left_anti")
+        # set sizes over the reduced universe, so |a ∪ b| stays
+        # consistent with the intersection counts
+        sz2 = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("sz2"))
+        postings = (
+            pruned.drop("sz")
+            .join(sz2, "id")
+            .withColumnRenamed("sz2", "sz")
+        )
     a, b = postings.alias("a"), postings.alias("b")
     cond = (
         (F.col("a.s") == F.col("b.s"))
@@ -385,37 +412,57 @@ def simhash64(tokens: Column) -> Column:
     )
 
 
+#: token -> 60-bit hash from the md5 hex prefix. Same family on both
+#: engines: DuckDB computes the identical value via
+#: ``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``, which is what
+#: makes the SimHash query oracle-checkable (xxhash64 has no DuckDB
+#: counterpart). 60 bits also sidesteps BIGINT sign-bit handling.
+def _md5_60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+_HASHERS = {"xxhash64": (F.xxhash64, 64), "md5_60": (_md5_60, 60)}
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig) SimHash64 per document, computed the scalable way.
+    """(id, sig) SimHash per document, computed the scalable way.
 
     Semantics are identical to :func:`simhash64` (same votes, same
-    bit-fold) but the plan is explode -> xxhash64 -> groupBy(id) with
-    64 ``sum`` aggregates: everything stays inside whole-stage
+    bit-fold) but the plan is explode -> hash -> groupBy(id) with
+    one ``sum`` aggregate per bit: everything stays inside whole-stage
     codegen, partial aggregation runs map-side, and the shuffle
-    carries only 64 longs per document (~512 B) — independent of text
+    carries only one long per bit per document — independent of text
     size. The HOF formulation in :func:`simhash64` builds a 64-wide
     array per token inside nested lambdas, which breaks codegen and
     is ~100x slower; keep it for column-level composition on small
     inputs only.
+
+    ``hasher``: ``xxhash64`` (64-bit, fastest, JVM-only) or ``md5_60``
+    (60-bit md5 prefix, reproducible in DuckDB for differential
+    checks).
     """
+    hash_fn, bits = _HASHERS[hasher]
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select("id", hash_fn(F.col("tok")).alias("h"))
     # vote_i = sum over tokens of (bit_i ? +1 : -1)
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
                 F.shiftright("h", i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("bigint")
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(
             F.col(f"v{i}") > 0,
             F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint"),
@@ -429,18 +476,20 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of SimHash.
 
-    Pigeonhole blocking: the 64-bit signature splits into
-    ``max_hamming + 1`` chunks; any pair at distance <= d agrees on at
+    Pigeonhole blocking: the signature splits into ``max_hamming + 1``
+    chunks; any pair at distance <= d agrees on at
     least one chunk, so candidates come from an equi-join on
     (chunk_idx, chunk_value) — linear shuffle, exact verification via
     bit_count(xor).
     """
+    bits = _HASHERS[hasher][1]
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    sh = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    width = bits // n_chunks
+    sh = simhash_signatures(df, text_col=text_col, id_col=id_col, hasher=hasher)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_idx"),

@@ -165,6 +165,116 @@ def cosine_neardup_pairs(
 # ----------------------------------------------------------- IVF path
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> None:
+    """One-off IVF index build: fit a k-means coarse quantizer, then
+    persist the corpus CELL-PARTITIONED at ``path``:
+
+    - ``{path}/vectors`` — (id, v) parquet, ``partitionBy("cell")``,
+      so a probe of p cells is a partition-pruned read touching
+      ~p/n_centroids of the data files;
+    - ``{path}/centroids`` — (cell, centroid) parquet, n_centroids
+      rows of index metadata.
+
+    At 100 TB this runs once (or incrementally on append) and is
+    amortized over every subsequent probe; nothing query-sized or
+    corpus-sized ever lands on the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("fv", array_to_vector(F.col("v")))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="fv", predictionCol="cell",
+    ).fit(feat)
+    assigned = model.transform(feat).select("id", "v", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index (see
+    :func:`build_ivf_index`): each query ranks the centroids
+    (broadcast nested-loop over n_centroids rows of index metadata),
+    keeps its ``n_probe`` nearest cells, and re-ranks the cell
+    contents with exact cosine.
+
+    The vectors scan carries a static ``cell IN (...)`` predicate
+    (the union of probed cells — at most n_centroids values, read
+    driver-side from index metadata, never from data), so the
+    physical plan is a PARTITION-PRUNED parquet read: only the
+    probed cell directories are listed and scanned. Per-query scan
+    cost ~ ``n_probe / n_centroids`` of the corpus.
+    """
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .where(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    # distinct probed cells: <= n_centroids values of index METADATA
+    # (bounded by index width, not by corpus or query count) — turned
+    # into a static partition filter so pruning shows in the plan
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    vectors = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .where(F.col("cell").isin(cells))
+        .select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        )
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        vectors.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,62 +285,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 5,
+    index_path: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) partitioning: a
-    k-means coarse quantizer assigns every corpus vector to one of
-    ``n_centroids`` cells; each query probes only its ``n_probe``
-    nearest cells and re-ranks candidates with exact cosine.
+    """Convenience wrapper: build (or reuse) the persisted IVF index,
+    then probe it. With an explicit ``index_path``, an existing index
+    there is reused without refitting (the caller owns cache
+    invalidation — the path must be corpus-specific); with ``None`` a
+    fresh temp dir is used and the index is always rebuilt."""
+    import os
+    import tempfile
 
-    Scan cost drops to ~``n_probe / n_centroids`` of the corpus per
-    query. The cell assignment is a one-off index build (in a real
-    deployment: persisted and partitioned by cell, so a probe is a
-    partition-pruned read). Centroids are tiny (k x dim) and travel
-    by closure; queries are small by contract (same as
-    :func:`cosine_topk`'s broadcast).
-    """
-    import numpy as np
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("fv", array_to_vector(F.col("cv")))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter,
-        featuresCol="fv", predictionCol="cell",
-    ).fit(feat)
-    assigned = model.transform(feat).select("neighbor_id", "cv", "cell")
-
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
-    # probe list per query: nearest cells by euclidean distance to
-    # centroids (k-means' own metric), computed on the driver — the
-    # centroid matrix is n_centroids x dim
-    probe_rows = []
-    for r in q_rows:
-        d = ((centers - np.asarray(r.qv)) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r.query_id, r.qv, int(cell)))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cell int"
-    )
-
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="spark_ivf_index_")
+    marker = os.path.join(index_path, "centroids", "_SUCCESS")
+    if not os.path.exists(marker):
+        build_ivf_index(
+            corpus, index_path, n_centroids=n_centroids,
+            vec_col=vec_col, id_col=id_col, seed=seed, max_iter=max_iter,
+        )
+    return ivf_probe(
+        queries, index_path, k=k, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
     )
 
 

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         bi,
         core,
         dedup,
+        dml,
         events,
         multimodal,
         reference,

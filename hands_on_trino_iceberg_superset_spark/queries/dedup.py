@@ -4,11 +4,17 @@ Oracle strategy per operator:
 
 - exact + n-gram Jaccard + embedding near-dup: fully SQL-expressible
   -> DuckDB oracles.
-- MinHash-LSH and SimHash: depend on Spark's xxhash64 (not available
-  in DuckDB) -> registered without oracle (driver records rows-only);
-  their correctness gate is ``tests/test_dedup.py``, which checks
-  LSH recall against the exact-Jaccard baseline and SimHash against a
-  pure-Python reference.
+- MinHash-LSH: the output is *verified-exact* pairs (candidates are
+  re-checked with exact Jaccard), so when banding recall is 1 the
+  result set IS the exact quadratic pair set — which DuckDB can
+  compute. On this corpus every true pair sits at J >= 0.9, where a
+  16x2 banding miss has probability ~(1-0.81)^16 ≈ 4e-12 per pair
+  and the hashes are seed-stable, so the equality is deterministic in
+  practice; tests/test_dedup.py additionally gates recall.
+- SimHash: the inventory entry runs the ``md5_60`` hasher (60-bit
+  md5-prefix hashes), which DuckDB can reproduce bit-for-bit ->
+  full differential oracle. The xxhash64 production variant (faster
+  JVM path) is covered by tests/test_dedup.py parity tests.
 """
 
 from __future__ import annotations
@@ -74,10 +80,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified in tests/test_dedup.py
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard_sim
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+    """,
     doc="MinHash(32 hashes) + LSH(16 bands x 2 rows) candidate "
         "generation, exact-Jaccard verification at 0.4. Linear "
-        "shuffle; the 100 TB dedup path.",
+        "shuffle; the 100 TB dedup path. Oracle = the exact quadratic "
+        "pair set: valid because verified-LSH output equals it "
+        "whenever banding recall is 1, which holds deterministically "
+        "here (all true pairs have J >= 0.9; see module docstring).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -86,13 +112,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; verified in tests/test_dedup.py
-    doc="SimHash64 near-dup pairs at Hamming distance <= 3 with "
-        "pigeonhole chunk blocking.",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                                      AS BIGINT)) AS hl
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), i ->
+               CASE WHEN list_sum(list_transform(hl,
+                      x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+               AS sig
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="SimHash near-dup pairs at Hamming distance <= 3 with "
+        "pigeonhole chunk blocking (4 x 15-bit chunks). Runs the "
+        "md5_60 hash family so DuckDB recomputes the identical "
+        "signatures for a full differential check; the pigeonhole "
+        "join is provably exact, so Spark's blocked plan must equal "
+        "the oracle's quadratic scan.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_pairs(docs, max_hamming=3, hasher="md5_60")
 
 
 @register(

@@ -1,0 +1,171 @@
+"""Row-level DML + time-travel inventory entries, backed by the
+copy-on-write :mod:`lakehouse` table format — the Iceberg-enabled
+capability of the reference stack
+(``/root/reference/compose/trino/catalog/iceberg.properties:1-19``)
+restated Spark-first.
+
+Each query materializes a versioned table from the driver parquet in
+a fresh temp dir, applies deterministic DML, and returns the
+post-DML (or time-travel) state; the DuckDB oracle recomputes that
+state declaratively from the same inputs. Everything is a pure
+function of the input data, so the driver hash is stable.
+
+Determinism notes: updates are ADDITIVE on money columns (keeps the
+2-decimal scale exact; multiplicative updates create .xx5 rounding
+ties where Spark and DuckDB disagree), and aggregates follow the
+DECIMAL-exact contract from queries/base.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+@register(
+    "dml_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, 'X' AS new_status, o_totalprice + 1000 AS new_price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', CAST(1.0 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 1000 = 7
+    ), merged AS (
+      SELECT coalesce(s.new_status, t.o_orderstatus) AS o_orderstatus,
+             coalesce(s.new_price, t.o_totalprice) AS o_totalprice
+      FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO (upsert): every 10th order re-statused to 'X' "
+        "with +1000 price, plus synthetic new 'N' orders inserted — "
+        "runs through the copy-on-write VersionedTable (partitioned "
+        "by o_orderstatus, so updated rows MOVE partitions and "
+        "untouched partitions carry over by reference). Returns the "
+        "post-MERGE per-status aggregate; the oracle restates MERGE "
+        "as a FULL JOIN. lakehouse/table.py:merge.",
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dml_merge_")
+    t = VersionedTable.create(
+        spark, path, orders, partition_col="o_orderstatus"
+    )
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        *[c for c in orders.columns
+          if c not in ("o_orderkey", "o_orderstatus", "o_totalprice")],
+    )
+    inserts = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        *[c for c in orders.columns
+          if c not in ("o_orderkey", "o_orderstatus", "o_totalprice")],
+    )
+    source = updates.unionByName(inserts)
+    t.merge(
+        source,
+        on="o_orderkey",
+        when_matched_update={
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "s.o_totalprice",
+        },
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )
+
+
+@register(
+    "dml_delete_time_travel",
+    oracle="""
+    SELECT 'v1' AS snapshot, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    UNION ALL
+    SELECT 'v2', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    """,
+    doc="Row-level DELETE + snapshot time travel (VERSION AS OF): "
+        "delete a third of the 'F' orders, then read BOTH snapshots "
+        "— v1 via time travel must still show the pre-delete state "
+        "(snapshot isolation), v2 the post-delete state. "
+        "lakehouse/table.py:delete/read(version=).",
+)
+def dml_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dml_delete_")
+    t = VersionedTable.create(
+        spark, path, orders, partition_col="o_orderstatus"
+    )
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        ).select(F.lit(tag).alias("snapshot"), "n_orders", "total_price")
+
+    return agg(t.read(version=1), "v1").unionByName(agg(t.read(), "v2"))
+
+
+@register(
+    "dml_update_rewrite",
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 500 ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 'EXPEDITED' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM updated GROUP BY o_orderpriority
+    """,
+    doc="UPDATE ... SET with copy-on-write rewrite: urgent orders get "
+        "a surcharge and a new priority label; returns the "
+        "post-UPDATE per-priority aggregate. "
+        "lakehouse/table.py:update.",
+)
+def dml_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dml_update_")
+    t = VersionedTable.create(spark, path, orders)
+    t.update(
+        {
+            "o_totalprice": "o_totalprice + 500",
+            "o_orderpriority": "'EXPEDITED'",
+        },
+        where="o_orderpriority = '1-URGENT'",
+    )
+    return t.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )

@@ -46,32 +46,88 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _queries(emb), k=10)
 
 
+def _recall_gate(
+    approx: DataFrame, exact: DataFrame, min_overlap: int, col: str
+) -> DataFrame:
+    """Per-query driver-hash-checkable gate for an approximate top-k:
+    (query_id, n_results, <col> = overlap-with-exact >= min_overlap).
+    Both inputs are deterministic (fixed hyperplanes / seeds), so the
+    boolean is stable; the oracle recomputes only the query set and
+    claims TRUE."""
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        a.join(exact.select("query_id", "neighbor_id"),
+               ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        a.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("overlap"), F.lit(0)) >= min_overlap).alias(col),
+        )
+    )
+
+
 @register(
     "ann_cosine_topk_lsh",
-    oracle=None,  # approximate; recall gate in tests/test_similarity.py
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
     doc="Hyperplane-LSH bucketed approximate top-10 (8 planes, 4 "
         "2-bit chunks multi-probe) with exact cosine re-rank. Wide "
         "probing: the test corpus is unclustered (max pairwise "
-        "cosine ~0.5), so narrow buckets would gut recall.",
+        "cosine ~0.5), so narrow buckets would gut recall. Emits a "
+        "per-query recall gate (overlap with the exact top-10 >= 5) "
+        "— deterministic, so driver-hash-checkable; the numeric "
+        "recall bound also lives in tests/test_similarity.py.",
 )
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.hyperplane_lsh_topk(emb, _queries(emb), dim=EMBED_DIM, k=10)
+    q = _queries(emb)
+    lsh = S.hyperplane_lsh_topk(emb, q, dim=EMBED_DIM, k=10)
+    exact = S.cosine_topk(emb, q, k=10)
+    return _recall_gate(lsh, exact, min_overlap=5, col="recall_ok")
 
 
 @register(
     "ann_cosine_topk_ivf",
-    oracle=None,  # k-means cell assignment is Spark-side; recall gate
-    # vs the exact baseline lives in tests/test_similarity.py
-    doc="IVF approximate top-k: k-means coarse quantizer (pyspark.ml) "
-        "+ n_probe nearest cells per query + exact cosine re-rank — "
-        "scan cost ~ n_probe/n_centroids of the corpus per query; "
-        "the partition-pruned ANN path at 100 TB.",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+    """,
+    doc="IVF approximate top-k against a PERSISTED cell-partitioned "
+        "index (build_ivf_index/ivf_probe): k-means coarse quantizer "
+        "(pyspark.ml) built once per corpus, probes read only the "
+        "n_probe nearest cell partitions (static cell IN (...) "
+        "partition pruning) + exact cosine re-rank — scan cost ~ "
+        "n_probe/n_centroids of the corpus per query; the "
+        "partition-pruned ANN path at 100 TB. Emits a per-query "
+        "recall gate (overlap with exact top-10 >= 6), deterministic "
+        "and driver-hash-checkable.",
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
-    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
+    # corpus-specific persisted index location (rebuilt only if absent)
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_path = f"{tempfile.gettempdir()}/spark_ivf_index_{slug}"
+    ivf = S.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=8,
+        index_path=index_path,
+    )
+    exact = S.cosine_topk(emb, queries, k=10)
+    return _recall_gate(ivf, exact, min_overlap=6, col="recall_ok")
 
 
 @register(

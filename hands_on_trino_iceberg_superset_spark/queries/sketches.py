@@ -1,10 +1,14 @@
 """Sketch-based approximate aggregates — the 100 TB substitutes for
 exact distinct-count and percentile (SURVEY.md §2.3 A8 extension).
 
-HLL / KLL sketch estimates are implementation-specific, so these
-register WITHOUT DuckDB oracles (driver records rows-only); the
-accuracy gate lives in tests/test_sketches.py, which bounds the
-relative error against the exact aggregates on the same data.
+HLL / GK sketch estimates are implementation-specific, so the raw
+estimates cannot be oracle-compared. Instead each query emits the
+EXACT aggregate alongside a boolean asserting the sketch estimate is
+within its documented error bound; the DuckDB oracle recomputes the
+exact side and claims the boolean is TRUE. A sketch gone wrong flips
+the boolean and the driver's value-hash catches it — a hard gate,
+not rows-only. tests/test_sketches.py additionally bounds the
+relative error numerically.
 """
 
 from __future__ import annotations
@@ -18,34 +22,80 @@ from hands_on_trino_iceberg_superset_spark.sources import load_table
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL++ estimate; error-bounded in tests/test_sketches.py
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS approx_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++, rsd=0.5%) of users per "
         "event_type — mergeable constant-size sketch vs the exact "
-        "shuffle-heavy COUNT(DISTINCT).",
+        "shuffle-heavy COUNT(DISTINCT). Emits the exact count plus an "
+        "error-bound boolean (|approx-exact|/exact <= 2%) so the "
+        "sketch is driver-hash-gated; HLL++ is deterministic, so the "
+        "boolean is stable.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 0.02 * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type", "exact_users", "n_events",
+        within.alias("approx_within_2pct"),
     )
 
 
 @register(
     "approx_value_percentiles",
-    oracle=None,  # sketch estimate; error-bounded in tests/test_sketches.py
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_percentile of event value per event_type "
         "(Greenwald-Khanna, accuracy 10000) — single-pass mergeable "
-        "quantiles vs the exact sort-based percentile.",
+        "quantiles vs the exact sort-based percentile. The gate is "
+        "rank-based (GK's actual guarantee): each approx percentile "
+        "must lie within the exact [p-2, p+2] percentile band — "
+        "robust to nearest-rank-vs-interpolated discretization on "
+        "small groups, where a value-relative bound false-alarms. "
+        "Deterministic, so driver-hash-checkable.",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pct = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
     )
-    return ev.groupBy("event_type").agg(
-        pct.getItem(0).alias("p50"),
-        pct.getItem(1).alias("p90"),
-        pct.getItem(2).alias("p99"),
+    bounds = F.percentile(
+        "value",
+        F.array(*[F.lit(x) for x in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)]),
+    )
+    agg = ev.groupBy("event_type").agg(
+        pct.alias("apx"), bounds.alias("bnd"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def in_band(i: int, lo: int, hi: int) -> F.Column:
+        a = F.col("apx").getItem(i)
+        return (a >= F.col("bnd").getItem(lo)) & (a <= F.col("bnd").getItem(hi))
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        in_band(0, 0, 1).alias("p50_rank_ok"),
+        in_band(1, 2, 3).alias("p90_rank_ok"),
+        in_band(2, 4, 5).alias("p99_rank_ok"),
     )

@@ -139,3 +139,51 @@ def test_ngram_jaccard_identity(spark) -> None:
         for r in D.ngram_jaccard_pairs(df, 0.99).collect()
     }
     assert pairs == {(1, 2): 1.0}
+
+
+def test_inverted_df_cap_kills_boilerplate_blowup(spark) -> None:
+    """A shingle shared by every document turns the postings join
+    quadratic (df^2 rows); with max_df it leaves the universe and
+    the surviving similarity is computed over the reduced sets."""
+    boiler = "all rights reserved contact us for licensing terms"
+    rows = [
+        (i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} " + boiler)
+        for i in range(60)
+    ]
+    # one true near-dup pair sharing their unique prefix
+    rows.append((100, "same shared prefix words here one two three four"))
+    rows.append((101, "same shared prefix words here one two three five"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in D.ngram_jaccard_pairs_inverted(
+            df, threshold=0.4, n=2, max_df=10
+        ).collect()
+    }
+    # boilerplate-only "pairs" are gone; the true pair survives
+    assert set(capped) == {(100, 101)}
+    # 8 bigrams each, 7 shared (none of them hot) -> J = 7/9
+    assert abs(capped[(100, 101)] - 7 / 9) < 1e-12
+
+    # parity oracle: capping == removing the hot shingles from the
+    # texts themselves and running the exact quadratic operator
+    stripped = df.withColumn(
+        "text", F.regexp_replace("text", boiler, "")
+    ).withColumn("text", F.trim("text"))
+    expected = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in D.ngram_jaccard_pairs(stripped, 0.4, n=2).collect()
+    }
+    assert set(capped) == set(expected)
+
+    # uncapped finds the same thresholded pairs on THIS corpus (the
+    # boilerplate shingles only add sub-threshold noise pairs) --
+    # i.e. the cap changed cost, not the reported near-dup set
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs_inverted(
+            df, threshold=0.4, n=2
+        ).collect()
+    }
+    assert (100, 101) in uncapped

@@ -1,0 +1,224 @@
+"""Versioned-table (lakehouse-lite) gates: snapshot isolation, time
+travel, row-level DML semantics, and partition-granular copy-on-write
+(untouched partitions must carry over by reference, not rewrite)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+
+@pytest.fixture()
+def orders_df(spark):
+    rows = [
+        (i, f"2024-01-{(i % 3) + 1:02d}",
+         ["open", "paid", "shipped"][(i // 3) % 3],   # decorrelated from day
+         float(i * 10))
+        for i in range(1, 31)
+    ]
+    return spark.createDataFrame(
+        rows, "order_id long, day string, status string, amount double"
+    )
+
+
+def test_create_read_roundtrip(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    assert t.current().version == 1
+    assert t.read().count() == 30
+    assert sorted(t.read().columns) == ["amount", "day", "order_id", "status"]
+
+
+def test_delete_is_cow_and_time_travels(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    v1_entries = dict(t.current().entries)
+    t.delete("status = 'open' AND day = '2024-01-01'")
+    # v2 state: the 2024-01-01 'open' rows are gone
+    v2 = t.read()
+    assert v2.where("status = 'open' AND day = '2024-01-01'").count() == 0
+    assert v2.count() == 30 - orders_df.where(
+        "status = 'open' AND day = '2024-01-01'"
+    ).count()
+    # time travel: v1 still has them
+    assert t.read(version=1).count() == 30
+    # COW granularity: only the touched partition was rewritten
+    v2_entries = t.current().entries
+    assert v2_entries["p_2024-01-02"] == v1_entries["p_2024-01-02"]
+    assert v2_entries["p_2024-01-03"] == v1_entries["p_2024-01-03"]
+    assert v2_entries["p_2024-01-01"] != v1_entries["p_2024-01-01"]
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 50.0)], "id long, v double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    t.delete("v > 10")  # NULL predicate -> keep (SQL DELETE semantics)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_update_assignments(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    t.update({"amount": "amount * 2", "status": "'audited'"},
+             where="status = 'paid'")
+    out = t.read()
+    assert out.where("status = 'paid'").count() == 0
+    audited = out.where("status = 'audited'")
+    assert audited.count() == orders_df.where("status = 'paid'").count()
+    # amounts doubled exactly for the updated rows, untouched otherwise
+    orig = {r.order_id: r.amount for r in orders_df.collect()}
+    for r in out.collect():
+        expect = orig[r.order_id] * (2 if r.status == "audited" else 1)
+        assert r.amount == expect
+
+
+def test_merge_upsert_semantics(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    v1_entries = dict(t.current().entries)
+    source = spark.createDataFrame(
+        [
+            (3, "2024-01-01", "cancelled", 0.0),     # matched -> update
+            (6, "2024-01-01", "cancelled", 0.0),     # matched -> update
+            (999, "2024-01-09", "open", 999.0),      # new -> insert
+        ],
+        "order_id long, day string, status string, amount double",
+    )
+    t.merge(
+        source, on="order_id",
+        when_matched_update={"status": "s.status", "amount": "s.amount"},
+    )
+    out = t.read()
+    assert out.count() == 31
+    got = {r.order_id: (r.status, r.amount, r.day) for r in out.collect()}
+    assert got[3] == ("cancelled", 0.0, "2024-01-01")   # day kept from target
+    assert got[6] == ("cancelled", 0.0, "2024-01-01")
+    assert got[999] == ("open", 999.0, "2024-01-09")
+    assert got[1][0] == "open"  # untouched row intact
+    # partitions without matches/inserts carried over by reference
+    v2_entries = t.current().entries
+    assert v2_entries["p_2024-01-02"] == v1_entries["p_2024-01-02"]
+
+
+def test_merge_matched_delete(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    source = spark.createDataFrame(
+        [(9, "x", "y", 0.0), (12, "x", "y", 1.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    t.merge(source, on="order_id", when_matched_delete="s.amount = 0.0",
+            when_matched_update={"status": "s.status"},
+            insert_not_matched=False)
+    out = {r.order_id: r.status for r in t.read().collect()}
+    assert 9 not in out           # deleted
+    assert out[12] == "y"         # updated
+    assert len(out) == 29
+
+
+def test_append_does_not_rewrite(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    v1_entries = dict(t.current().entries)
+    extra = spark.createDataFrame(
+        [(200, "2024-01-01", "open", 5.0), (201, "2024-01-09", "open", 6.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    t.append(extra)
+    assert t.read().count() == 32
+    v2 = t.current().entries
+    # original partition dirs all still referenced unchanged
+    for pk, d in v1_entries.items():
+        assert v2[pk] == d
+    # new partition appears; overlapping partition adds a second dir
+    assert "p_2024-01-09" in v2
+    assert any(k.startswith("p_2024-01-01@v") for k in v2)
+    # and time travel to v1 is unaffected
+    assert t.read(version=1).count() == 30
+
+
+def test_timestamp_as_of(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    ts_between = t.current().ts
+    t.delete("order_id <= 10")
+    assert t.read().count() == 20
+    assert t.read(as_of=ts_between).count() == 30
+
+
+def test_concurrent_commit_detected(spark, orders_df, tmp_path):
+    path = str(tmp_path / "t")
+    t1 = VersionedTable.create(spark, path, orders_df)
+    t2 = VersionedTable(spark, path)
+    t2.delete("order_id = 1")
+    # t1's stale handle now collides on the same next version number
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t1._commit(
+            type(t1.current())(
+                version=2, ts="x", op="delete", entries={}, row_count=0
+            )
+        )
+
+
+def test_merge_then_groupby_matches_dataframe_math(spark, orders_df, tmp_path):
+    """End-to-end: post-MERGE aggregate equals the declaratively
+    recomputed expectation (the DuckDB-oracle shape used by the
+    dml_* inventory queries)."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    source = orders_df.where(F.col("order_id") % 5 == 0).select(
+        "order_id", "day",
+        F.lit("bulk").alias("status"),
+        (F.col("amount") + 1000).alias("amount"),
+    )
+    t.merge(source, on="order_id",
+            when_matched_update={"status": "s.status", "amount": "s.amount"})
+    got = {
+        r.status: (r.n, r.total)
+        for r in t.read().groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("amount"), 2).alias("total"))
+        .collect()
+    }
+    bulk = orders_df.where(F.col("order_id") % 5 == 0)
+    assert got["bulk"][0] == bulk.count()
+    expect_total = sum(r.amount + 1000 for r in bulk.collect())
+    assert abs(got["bulk"][1] - expect_total) < 1e-6
+
+
+def test_update_moving_rows_across_partitions(spark, orders_df, tmp_path):
+    """An UPDATE that rewrites the partition column must land the
+    rows in their destination partition and remove them from the
+    source partition."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    moved = orders_df.where("day = '2024-01-01' AND status = 'open'").count()
+    t.update({"day": "'2024-02-01'"},
+             where="day = '2024-01-01' AND status = 'open'")
+    out = t.read()
+    assert out.count() == 30
+    assert out.where("day = '2024-02-01'").count() == moved
+    assert out.where("day = '2024-01-01' AND status = 'open'").count() == 0
+
+
+def test_merge_update_moving_partition(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    source = spark.createDataFrame(
+        [(3, "2024-03-01", "moved", 1.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    t.merge(source, on="order_id",
+            when_matched_update={"day": "s.day", "status": "s.status"})
+    out = t.read()
+    assert out.count() == 30
+    got = {r.order_id: (r.day, r.status) for r in out.collect()}
+    assert got[3] == ("2024-03-01", "moved")
+    assert out.where("day = '2024-01-01'").count() == \
+        orders_df.where("day = '2024-01-01'").count() - 1

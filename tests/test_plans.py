@@ -76,3 +76,39 @@ def test_metadata_stats_prune_binary_column(spark, inv, sf_dir):
     # ...but is only needed for n_bytes; the real guard is that the
     # documents scan doesn't read unrelated wide columns
     assert "source" not in schema
+
+
+def test_ivf_probe_is_partition_pruned(spark, inv, sf_dir, tmp_path):
+    """The persisted-IVF probe must scan only the probed cell
+    partitions: a static `cell IN (...)` partition filter on the
+    vectors read, with no KMeans fit or corpus collect at probe
+    time (index built once, probes are pruned reads)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import similarity as S
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, index_path, n_centroids=8)
+    queries = emb.orderBy("vec_id").limit(3)
+    probe = S.ivf_probe(queries, index_path, k=5, n_probe=2)
+
+    qe = probe._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert m, formatted
+    assert "cell" in m.group(1) and "IN (" in m.group(1), m.group(1)
+    # pruning is selective: probed cells < total cells
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    assert 0 < len(probed & set(range(8))) < 8
+
+    # results still rank correctly
+    rows = probe.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q and all(len(v) == 5 for v in by_q.values())
+    for v in by_q.values():
+        sims = [r.cos_sim for r in sorted(v, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)

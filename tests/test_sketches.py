@@ -1,5 +1,7 @@
-"""Accuracy gates for the sketch aggregates (no DuckDB oracle):
-bounded relative error against the exact aggregates."""
+"""Accuracy gates for the sketch aggregates: the inventory queries
+emit driver-hash-checkable booleans (exact value + within-bound
+flag); these tests assert the flags hold and re-derive the underlying
+sketch accuracy directly."""
 
 from __future__ import annotations
 
@@ -9,43 +11,32 @@ from hands_on_trino_iceberg_superset_spark.queries import load_all
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 
 
-def test_approx_distinct_within_error(spark, sf_dir) -> None:
+def test_approx_distinct_gate_and_error(spark, sf_dir) -> None:
     inv = load_all()
+    rows = inv["approx_distinct_users"].spark(spark, sf_dir).collect()
+    assert rows and all(r.approx_within_2pct for r in rows), rows
+    # re-derive the raw sketch error against the exact distinct count
     ev = load_table(spark, sf_dir, "events")
-    exact = {
-        r.event_type: r.n
+    got = {
+        r.event_type: (r.approx, r.exact)
         for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    for r in inv["approx_distinct_users"].spark(spark, sf_dir).collect():
-        rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
-        assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
-
-
-def test_approx_percentiles_within_rank_error(spark, sf_dir) -> None:
-    # Greenwald-Khanna guarantees bounded RANK error (the sketch
-    # returns a real data point near the target rank), so the gate
-    # brackets each estimate between exact percentiles +-2 rank points
-    inv = load_all()
-    ev = load_table(spark, sf_dir, "events")
-    brackets = {}
-    for r in (
-        ev.groupBy("event_type")
         .agg(
-            *[
-                F.percentile("value", F.lit(p)).alias(f"b{i}")
-                for i, p in enumerate(
-                    (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
-                )
-            ]
+            F.approx_count_distinct("user_id", rsd=0.005).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
         )
         .collect()
-    ):
-        brackets[r.event_type] = [
-            (r.b0, r.b1), (r.b2, r.b3), (r.b4, r.b5)
-        ]
-    for r in inv["approx_value_percentiles"].spark(spark, sf_dir).collect():
-        for got, (lo, hi) in zip((r.p50, r.p90, r.p99),
-                                 brackets[r.event_type]):
-            assert lo - 1e-9 <= got <= hi + 1e-9, (r.event_type, got, lo, hi)
+    }
+    for et, (approx, exact) in got.items():
+        assert abs(approx - exact) / exact < 0.05, (et, approx, exact)
+
+
+def test_approx_percentiles_gate(spark, sf_dir) -> None:
+    # Greenwald-Khanna guarantees bounded RANK error (the sketch
+    # returns a real data point near the target rank); the inventory
+    # query brackets each estimate between exact percentiles at
+    # +-2 rank points and emits the verdicts as booleans
+    inv = load_all()
+    rows = inv["approx_value_percentiles"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_rank_ok and r.p90_rank_ok and r.p99_rank_ok, r
