@@ -16,9 +16,13 @@ statements run verbatim through :meth:`Engine.trino_sql`:
 - ``FROM UNNEST(sequence(a, b)) AS t(n)`` (lateral array unnest,
   seed.sh:75) -> ``FROM (SELECT explode(...) AS n) t``
 
-Purely textual, statement-local rewrites — no SQL parse. Constructs
-outside the reference surface pass through untouched and get
-Spark's own error messages.
+Purely textual, statement-local rewrites — no SQL parse, but they
+are LITERAL-AWARE: the statement splits on single-quoted spans
+(``''`` escapes included) and the regex rewrites touch only the
+non-literal segments, so a payload string containing ``varchar`` or
+``iceberg.x`` passes through byte-identical. Constructs outside the
+reference surface pass through untouched and get Spark's own error
+messages.
 """
 
 from __future__ import annotations
@@ -27,6 +31,22 @@ import re
 
 __all__ = ["trino_to_spark"]
 
+#: a single-quoted SQL string literal, with '' escapes
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside string
+    literals, leaving the literals byte-identical."""
+    parts: list[str] = []
+    last = 0
+    for m in _LITERAL.finditer(sql):
+        parts.append(fn(sql[last: m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(fn(sql[last:]))
+    return "".join(parts)
+
 
 def trino_to_spark(
     sql: str,
@@ -34,17 +54,21 @@ def trino_to_spark(
     keep_schema_location: bool = False,
 ) -> str:
     """Rewrite one Trino statement into Spark SQL (see module doc)."""
-    out = sql
-    for cat in strip_catalogs:
-        out = re.sub(rf"\b{re.escape(cat)}\.(?=\w)", "", out,
+
+    def rewrite(seg: str) -> str:
+        for cat in strip_catalogs:
+            seg = re.sub(rf"\b{re.escape(cat)}\.(?=\w)", "", seg,
+                         flags=re.IGNORECASE)
+        # CAST(x AS varchar) — Spark requires a length on VARCHAR
+        seg = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", seg,
                      flags=re.IGNORECASE)
+        # bare `varchar` column type in DDL
+        seg = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", seg,
+                     flags=re.IGNORECASE)
+        return seg
+
+    out = _outside_literals(sql, rewrite)
     out = _rewrite_schema_location(out, keep_schema_location)
-    # CAST(x AS varchar) — Spark requires a length on VARCHAR
-    out = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", out,
-                 flags=re.IGNORECASE)
-    # bare `varchar` column type in DDL
-    out = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", out,
-                 flags=re.IGNORECASE)
     out = _rewrite_unnest(out)
     return out
 
@@ -70,9 +94,16 @@ def _rewrite_unnest(sql: str) -> str:
             return sql
         depth, i = 1, m.end()
         while i < len(sql) and depth:
-            if sql[i] == "(":
+            ch = sql[i]
+            if ch == "'":
+                # skip string literals ('' escapes included) so
+                # parens inside them don't unbalance the scan
+                lm = _LITERAL.match(sql, i)
+                i = lm.end() if lm else i + 1
+                continue
+            if ch == "(":
                 depth += 1
-            elif sql[i] == ")":
+            elif ch == ")":
                 depth -= 1
             i += 1
         inner = sql[m.end() : i - 1]

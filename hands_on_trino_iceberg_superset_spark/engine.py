@@ -52,10 +52,19 @@ class Engine:
 
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL
-        flavor, seed.sh / README.md) through the dialect shims."""
+        flavor, seed.sh / README.md) through the dialect shims.
+
+        When the `iceberg` alias catalog is registered on this session
+        (session.py:ALIAS_CATALOG_JAR), three-part identifiers pass
+        through and resolve natively; otherwise the dialect strips the
+        catalog qualifier as a fallback."""
         from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
 
-        return self.spark.sql(trino_to_spark(text))
+        has_alias = bool(
+            self.spark.conf.get("spark.sql.catalog.iceberg", None)
+        )
+        strip = () if has_alias else ("iceberg",)
+        return self.spark.sql(trino_to_spark(text, strip_catalogs=strip))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -37,6 +37,27 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != order_col]
 
+    # fail loudly instead of silently colliding column names
+    overlap = set(carry_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"carry_cols {sorted(overlap)} also exist on the left side; "
+            "alias them on the right input first"
+        )
+    missing = [c for c in carry_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"carry_cols {missing} not found on the right side")
+    reserved = {"_ord", "_side", "_tb"}
+    user_cols = set(left.columns) | set(right.columns)
+    bad = sorted(reserved & user_cols) + sorted(
+        c for c in user_cols if c.startswith("_c_")
+    )
+    if bad:
+        raise ValueError(
+            f"column names {bad} collide with asof_join internals "
+            "(_ord/_side/_tb/_c_*); rename them first"
+        )
+
     l_tagged = left.select(
         *keys,
         F.col(order_col).alias("_ord"),

@@ -298,6 +298,14 @@ def minhash_lsh_pairs(
     banded row instead of the full shingle arrays; shingles are
     re-joined afterwards only for the surviving candidate pairs.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "leftover hashes would be silently dropped, and "
+            "bands > num_hashes would give every band an empty "
+            "signature — all documents collide into one bucket and "
+            "the candidate join degenerates to a quadratic cross-join"
+        )
     rows = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("id"),

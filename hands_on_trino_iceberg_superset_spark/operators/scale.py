@@ -58,7 +58,9 @@ def salted_join(
     (key, salt), spreading each hot key over ``n_salts`` partitions.
 
     Result is identical to ``left.join(right, key, how)`` for inner
-    and left joins (every right row exists under every salt).
+    and left joins (every right row exists under every salt). When
+    both sides name the key identically, the right-side copy is
+    dropped from the output (plain-equi-join column shape).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
@@ -68,10 +70,15 @@ def salted_join(
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    # dataframe-qualified key refs: F.col(key) would raise
+    # AMBIGUOUS_REFERENCE whenever left_key == right_key
     out = salted_left.join(
         salted_right,
-        (F.col(left_key) == F.col(right_key))
+        (salted_left[left_key] == salted_right[right_key])
         & (salted_left["_salt"] == salted_right["_salt"]),
         how,
     )
-    return out.drop("_salt")
+    out = out.drop(salted_left["_salt"]).drop(salted_right["_salt"])
+    if left_key == right_key:
+        out = out.drop(salted_right[right_key])
+    return out

@@ -50,6 +50,19 @@ STARTUP_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+#: Catalog-alias plugin jar (compiled from jvm/src): registers the
+#: catalog name `iceberg` as an alias of the session catalog, so the
+#: reference's three-part identifiers (`iceberg.demo.events`,
+#: seed.sh:65) resolve natively instead of via textual stripping.
+ALIAS_CATALOG_JAR = os.path.join(
+    os.path.dirname(__file__), "jvm", "session-alias-catalog.jar"
+)
+if os.path.exists(ALIAS_CATALOG_JAR):
+    STARTUP_CONF["spark.jars"] = ALIAS_CATALOG_JAR
+    STARTUP_CONF["spark.sql.catalog.iceberg"] = (
+        "lakeshine.SessionAliasCatalog"
+    )
+
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.

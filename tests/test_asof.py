@@ -54,3 +54,17 @@ def test_asof_preserves_left_rows_and_columns(spark):
                     carry_cols=["px"])
     assert out.count() == trades.count()
     assert set(out.columns) == {"sym", "t", "qty", "px"}
+
+
+def test_asof_rejects_colliding_carry_and_reserved_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "t", "v"])
+    right = spark.createDataFrame([(1, 5, "y")], ["k", "t", "v"])
+    with pytest.raises(ValueError, match="carry_cols.*left side"):
+        asof_join(left, right, on="k", order_col="t", carry_cols=["v"])
+    with pytest.raises(ValueError, match="not found on the right"):
+        asof_join(left, right, on="k", order_col="t", carry_cols=["nope"])
+    bad = spark.createDataFrame([(1, 5, "y")], ["k", "t", "_side"])
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left, bad, on="k", order_col="t", carry_cols=["_side"])

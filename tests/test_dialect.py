@@ -103,3 +103,51 @@ def test_reference_seed_flow_in_trino_dialect(trino_engine) -> None:
     assert (first.event_type, first.payload, first.user_id, first.amount) == (
         "view", "Event 7", 8, 173.5
     )
+
+
+def test_rewrites_leave_string_literals_alone() -> None:
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    sql = ("INSERT INTO iceberg.demo.t "
+           "SELECT 'cast as varchar iceberg.demo.x (' AS payload, "
+           "CAST(n AS varchar) AS s FROM iceberg.demo.src")
+    out = trino_to_spark(sql)
+    # literal untouched, code rewritten
+    assert "'cast as varchar iceberg.demo.x ('" in out
+    assert out.count("iceberg.") == 1  # only inside the literal
+    assert "CAST(n AS STRING)" in out
+
+
+def test_unnest_scan_survives_paren_in_literal() -> None:
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    sql = ("SELECT concat('(', CAST(n AS varchar)) "
+           "FROM UNNEST(sequence(1, 3)) AS t(n)")
+    out = trino_to_spark(sql)
+    assert "(SELECT explode(sequence(1, 3)) AS n) t" in out
+    assert "concat('('" in out
+
+
+def test_three_part_identifiers_resolve_natively(trino_engine) -> None:
+    """With the alias catalog registered (session.py), the
+    reference's `iceberg.demo.*` identifiers are NOT stripped — they
+    resolve through a real second Spark catalog."""
+    eng = trino_engine
+    assert eng.spark.conf.get("spark.sql.catalog.iceberg", None)
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    kept = trino_to_spark(
+        "SELECT count(*) FROM iceberg.demo_dialect.events", strip_catalogs=()
+    )
+    assert "iceberg.demo_dialect.events" in kept
+    eng.trino_sql(
+        "CREATE TABLE IF NOT EXISTS iceberg.demo_dialect.events ("
+        " id bigint, ts timestamp, event_type varchar, payload varchar,"
+        " user_id bigint, amount double)"
+    )
+    # native three-part read on the engine session
+    n = eng.sql("SELECT count(*) AS c FROM iceberg.demo_dialect.events")
+    assert n.collect()[0].c >= 0
+    # catalog visible to SHOW CATALOGS (reference readiness probe S1)
+    cats = {r.catalog for r in eng.sql("SHOW CATALOGS").collect()}
+    assert "iceberg" in cats

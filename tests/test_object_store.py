@@ -1,0 +1,65 @@
+"""Object-store (S9) contract tests: the S3A profile seam and
+explicit-scheme URI I/O (the FileSystem dispatch that serves
+``s3a://`` in a real deployment; ``file://`` here, since the
+container has no hadoop-aws jar or S3 stand-in)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hands_on_trino_iceberg_superset_spark.sources.object_store import (
+    apply_object_store_profile,
+    read_object_store_profile,
+    s3a_profile,
+)
+
+
+def test_s3a_profile_reaches_hadoop_conf(spark):
+    profile = s3a_profile(
+        endpoint="http://minio:9000",      # iceberg.properties:11
+        access_key="minioadmin",
+        secret_key="minioadmin",
+        path_style=True,                   # iceberg.properties:12
+    )
+    apply_object_store_profile(spark, profile)
+    got = read_object_store_profile(spark)
+    assert got["fs.s3a.endpoint"] == "http://minio:9000"
+    assert got["fs.s3a.path.style.access"] == "true"
+    assert got["fs.s3a.connection.ssl.enabled"] == "false"
+
+
+def test_explicit_scheme_uri_roundtrip(spark, tmp_path):
+    """Write + read through fully-qualified file:// URIs — the
+    non-default-filesystem code path (URI scheme -> FileSystem
+    resolution) that an s3a:// warehouse exercises."""
+    uri = f"file://{tmp_path}/warehouse/t1"
+    df = spark.range(1, 101).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    df.write.mode("overwrite").partitionBy("g").parquet(uri)
+    back = spark.read.parquet(uri)
+    assert back.count() == 100
+    assert back.where("g = 3").count() == df.where("id % 7 = 3").count()
+    # seed + query flow against the explicit-scheme warehouse
+    agg = back.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    assert sum(r.n for r in agg.collect()) == 100
+
+
+def test_engine_seed_against_uri_warehouse(spark, tmp_path):
+    """The seeder's tables land under an explicitly-schemed external
+    location and query back golden counts (reference S2's
+    WITH (location='s3://...') shape, file:// stand-in)."""
+    from hands_on_trino_iceberg_superset_spark.seed import seed_frames
+
+    uri = f"file://{tmp_path}/wh"
+    frames = seed_frames(spark)
+    for name, df in frames.items():
+        df.write.mode("overwrite").parquet(f"{uri}/{name}")
+    counts = {
+        name: spark.read.parquet(f"{uri}/{name}").count()
+        for name in frames
+    }
+    assert counts == {
+        "events": 200, "users": 50, "orders": 150,
+        "products": 20, "transactions": 300,
+    }

@@ -74,3 +74,20 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(left, right, "k", "rk", n_salts=4, how="left")
     rows = {(r.k, r.w) for r in out.collect()}
     assert rows == {(1, "x"), (2, None)}
+
+
+def test_salted_join_same_key_name(spark):
+    """Both sides naming the join key identically must work (the
+    common case) and produce the plain-equi-join column shape."""
+    from hands_on_trino_iceberg_superset_spark.operators.scale import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "rv"])
+    joined = salted_join(left, right, "k", "k", n_salts=4)
+    assert joined.columns == ["k", "lv", "rv"]
+    out = sorted((r.k, r.lv, r.rv) for r in joined.collect())
+    assert out == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y")]

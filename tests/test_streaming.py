@@ -124,3 +124,51 @@ def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
     for uid, (n, tv) in final.items():
         assert n == expect[uid][0]
         assert abs(tv - expect[uid][1]) < 1e-6
+
+
+def test_parquet_sink_restart_resume_exactly_once(spark, tmp_path):
+    """write_parquet_sink + checkpoint must survive a stop/restart
+    without duplicating or dropping batches: batch 1 before the
+    restart, batch 2 after, a third restart with no new input — the
+    sink holds exactly rows 1..100 throughout."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        write_parquet_sink,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name: str, lo: int, hi: int) -> None:
+        spark.range(lo, hi + 1).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = write_parquet_sink(stream, out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch("b1", 1, 50)
+    run_once()
+    got1 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got1 == list(range(1, 51))
+
+    write_batch("b2", 51, 100)
+    run_once()  # restart from checkpoint
+    got2 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(1, 101))
+
+    run_once()  # restart with nothing new: no reprocessing
+    got3 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got3 == list(range(1, 101))

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Honest per-query Spark-vs-DuckDB timing over the full inventory.
+
+Usage::
+
+    python tools/bench_compare.py [sf_dir] [--json out.json]
+
+For every oracle-checked query: Spark wall time (collect) and DuckDB
+wall time (same oracle SQL the driver runs), plus the ratio. Prints
+a markdown table sorted by Spark time and aggregate statistics that
+EXCLUDE pathological outliers on either side (reported separately) —
+see PERF.md for why the aggregate-only comparison was misleading.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from hands_on_trino_iceberg_superset_spark.oracle import duckdb_connection
+from hands_on_trino_iceberg_superset_spark.queries import load_all
+from hands_on_trino_iceberg_superset_spark.session import get_spark
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+
+    inventory = load_all()
+    spark = get_spark("bench-compare")
+    # warm both engines (JVM + python workers + parquet footers)
+    inventory["global_counts"].spark(spark, sf_dir).collect()
+
+    rows = []
+    for name, spec in inventory.items():
+        t0 = time.time()
+        spec.spark(spark, sf_dir).collect()
+        spark_s = time.time() - t0
+        duck_s = None
+        if spec.oracle is not None:
+            con = duckdb_connection(sf_dir)
+            t0 = time.time()
+            con.sql(spec.oracle).fetchall()
+            duck_s = time.time() - t0
+            con.close()
+        rows.append({"query": name, "spark_s": round(spark_s, 3),
+                     "duckdb_s": round(duck_s, 3) if duck_s else None})
+        print(f"  {name}: spark={spark_s:.2f}s duckdb="
+              f"{'-' if duck_s is None else f'{duck_s:.2f}s'}", flush=True)
+
+    both = [r for r in rows if r["duckdb_s"] is not None]
+    spark_total = sum(r["spark_s"] for r in rows)
+    duck_total = sum(r["duckdb_s"] for r in both)
+    ratios = sorted(r["spark_s"] / r["duckdb_s"] for r in both)
+    med_ratio = statistics.median(ratios)
+    # outliers: queries where one engine is >10x the other
+    outliers = [r for r in both
+                if r["spark_s"] / r["duckdb_s"] > 10
+                or r["duckdb_s"] / r["spark_s"] > 10]
+    core = [r for r in both if r not in outliers]
+    core_spark = sum(r["spark_s"] for r in core)
+    core_duck = sum(r["duckdb_s"] for r in core)
+
+    print("\n| metric | value |")
+    print("|---|---|")
+    print(f"| queries timed | {len(rows)} ({len(both)} with oracle) |")
+    print(f"| Spark total | {spark_total:.1f} s |")
+    print(f"| DuckDB total (oracles) | {duck_total:.1f} s |")
+    print(f"| median per-query ratio (spark/duckdb) | {med_ratio:.1f}x |")
+    print(f"| outliers (>10x either way) | "
+          f"{', '.join(r['query'] for r in outliers) or 'none'} |")
+    print(f"| totals excluding outliers | spark {core_spark:.1f} s / "
+          f"duckdb {core_duck:.1f} s = {core_spark / core_duck:.1f}x |")
+
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "rows": rows,
+                       "median_ratio": med_ratio}, fh, indent=1)
+        print(f"\nwrote {json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
