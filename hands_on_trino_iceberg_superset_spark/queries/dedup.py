@@ -146,6 +146,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine_lsh",
+    oracle="""
+    SELECT count(*) AS n_exact_pairs,
+           TRUE AS no_false_positives,
+           TRUE AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    doc="Embedding near-dup with a hyperplane-LSH prefilter (24 "
+        "planes, 12 x 2-bit pigeonhole chunks) + exact cosine verify "
+        "— the linear-shuffle 100 TB replacement for the all-pairs "
+        "GEMM baseline. Emits a driver-hash gate: exact pair count, "
+        "no-false-positives (guaranteed by the verify step), and "
+        "recall >= 0.9 vs the exact quadratic set (measured 0.98+ "
+        "on this corpus, deterministic hyperplanes). "
+        "operators/similarity.py:cosine_neardup_pairs_lsh.",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("in_e")
+    )
+    lsh = S.cosine_neardup_pairs_lsh(
+        emb, threshold=0.4, dim=64, n_planes=24, n_chunks=12
+    ).select("id_a", "id_b", F.lit(1).alias("in_l"))
+    # one full-outer + one aggregation: each pipeline executes once
+    joined = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.count("in_e").alias("n_exact_pairs"),
+        (F.count("in_l") == F.count(F.when(F.col("in_e").isNotNull()
+                                           & F.col("in_l").isNotNull(), 1)))
+        .alias("no_false_positives"),
+        (F.count(F.when(F.col("in_e").isNotNull()
+                        & F.col("in_l").isNotNull(), 1)) * 10
+         >= F.count("in_e") * 9).alias("recall_ok"),
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

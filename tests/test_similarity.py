@@ -72,3 +72,23 @@ def test_neardup_pairs_symmetric_threshold(spark) -> None:
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in S.cosine_neardup_pairs(df, 0.9).collect()}
     assert set(pairs) == {(1, 2)}
     assert all(v >= 0.9 for v in pairs.values())
+
+
+def test_cosine_neardup_lsh_subset_and_recall(spark, sf_dir: str) -> None:
+    """LSH-prefiltered near-dup pairs: exact-verify step means no
+    false positives; recall vs the exact quadratic set stays high
+    (wide 2-bit probing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs_lsh(
+            emb, 0.4, dim=64, n_planes=24, n_chunks=12
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
