@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 import pyspark.sql.functions as F
@@ -49,6 +49,10 @@ class Snapshot:
     op: str
     entries: dict[str, str]  # partition key -> data dir (relative)
     row_count: int
+    # schema evolution ledger: [name, type, default_sql, added_version]
+    # per column added after table creation (metadata-only ALTER —
+    # Iceberg-style; no data rewrite). Older manifests lack the field.
+    added_cols: list = field(default_factory=list)
 
 
 class VersionedTable:
@@ -87,12 +91,109 @@ class VersionedTable:
         """Current state, or time travel: ``version=N`` reads snapshot
         N (``VERSION AS OF``), ``as_of='<iso ts>'`` the latest
         snapshot committed at or before that time (``TIMESTAMP AS
-        OF``)."""
+        OF``).
+
+        Schema evolution: data dirs written before a column was added
+        (metadata-only ALTER, see :meth:`add_column`) lack it on
+        disk; they are read grouped by write-version and the missing
+        columns filled with their recorded defaults — one grouped
+        union, no file rewrite ever happens for an ADD COLUMN.
+        """
         snap = self._resolve(version, as_of)
-        dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
-        if not dirs:
+        if not snap.entries:
             raise ValueError(f"snapshot v{snap.version} is empty")
-        return self.spark.read.parquet(*dirs)
+        if not snap.added_cols:
+            dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
+            return self.spark.read.parquet(*dirs)
+        # group dirs by data-write version; fill columns added later
+        by_ver: dict[int, list[str]] = {}
+        for d in snap.entries.values():
+            by_ver.setdefault(_data_version(d), []).append(
+                os.path.join(self.path, d)
+            )
+        parts = []
+        for ver, dirs in sorted(by_ver.items()):
+            df = self.spark.read.parquet(*dirs)
+            for name, dtype, default_sql, added_v in snap.added_cols:
+                if added_v > ver:
+                    fill = (
+                        F.expr(default_sql) if default_sql is not None
+                        else F.lit(None)
+                    )
+                    df = df.withColumn(name, fill.cast(dtype))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def add_column(
+        self, name: str, dtype: str, default_sql: str | None = None
+    ) -> Snapshot:
+        """Metadata-only ALTER TABLE ADD COLUMN (Iceberg-style schema
+        evolution): no data file is touched. Existing rows read back
+        with ``default_sql`` (an expression evaluated per row at read
+        time; ``None`` -> NULL); rows written from now on carry the
+        column physically."""
+        cur = self.current()
+        existing = {c[0] for c in cur.added_cols} | set(self.read().columns)
+        if name in existing:
+            raise ValueError(f"column {name} already exists")
+        v = cur.version + 1
+        return self._commit(
+            Snapshot(
+                v, _now(), "add_column", dict(cur.entries), cur.row_count,
+                added_cols=[*cur.added_cols, [name, dtype, default_sql, v]],
+            )
+        )
+
+    def compact(self) -> Snapshot:
+        """Small-file/partition-fragment compaction (the
+        ``rewrite_data_files`` maintenance op): partitions split
+        across multiple dirs by appends are rewritten into one dir
+        each; single-dir partitions carry over untouched. Row-for-row
+        identical state, one new snapshot."""
+        cur = self.current()
+        v = cur.version + 1
+        frag: dict[str, list[str]] = {}
+        for pk, d in cur.entries.items():
+            frag.setdefault(_pk_base(pk), []).append(d)
+        entries = {}
+        changed = False
+        for base, dirs in frag.items():
+            if len(dirs) == 1:
+                entries[base] = dirs[0]
+                continue
+            changed = True
+            # fragments can carry different physical schemas (written
+            # before/after an ADD COLUMN): fill each to the logical
+            # schema before merging, so the compacted file is whole
+            pieces = []
+            for d in dirs:
+                df = self.spark.read.parquet(os.path.join(self.path, d))
+                ver = _data_version(d)
+                for name, dtype, default_sql, added_v in cur.added_cols:
+                    if added_v > ver:
+                        fill = (
+                            F.expr(default_sql) if default_sql is not None
+                            else F.lit(None)
+                        )
+                        df = df.withColumn(name, fill.cast(dtype))
+                pieces.append(df)
+            merged = pieces[0]
+            for p in pieces[1:]:
+                merged = merged.unionByName(p)
+            rel = f"data/v{v:08d}/{base}"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, rel)
+            )
+            entries[base] = rel
+        if not changed:
+            return cur
+        return self._commit(
+            Snapshot(v, _now(), "compact", entries, cur.row_count,
+                     added_cols=list(cur.added_cols))
+        )
 
     def snapshots(self) -> list[Snapshot]:
         out = []
@@ -112,8 +213,17 @@ class VersionedTable:
 
     def append(self, df: DataFrame) -> Snapshot:
         """Blind append: new files only, no existing partition is
-        rewritten (append-heavy ingest stays O(new data))."""
+        rewritten (append-heavy ingest stays O(new data)). The input
+        must carry the table's full logical schema (including
+        evolved columns) — new files are never backfilled."""
         cur = self.current()
+        want = set(self.read().columns)
+        got = set(df.columns)
+        if got != want:
+            raise ValueError(
+                f"append schema mismatch: missing {sorted(want - got)}, "
+                f"unexpected {sorted(got - want)}"
+            )
         v = cur.version + 1
         new_entries, n_new = self._write_data(df, v)
         entries = dict(cur.entries)
@@ -124,7 +234,8 @@ class VersionedTable:
             else:
                 entries[pk] = d
         return self._commit(
-            Snapshot(v, _now(), "append", entries, cur.row_count + n_new)
+            Snapshot(v, _now(), "append", entries, cur.row_count + n_new,
+                     added_cols=list(cur.added_cols))
         )
 
     def delete(self, predicate: str | Column) -> Snapshot:
@@ -203,7 +314,8 @@ class VersionedTable:
 
         if self.partition_col is None:
             entries, n = self._write_data(merged, v)
-            return self._commit(Snapshot(v, _now(), "merge", entries, n))
+            return self._commit(Snapshot(v, _now(), "merge", entries, n,
+                                         added_cols=list(cur.added_cols)))
 
         # partition-granular COW: rewrite the partitions that held a
         # matched key (rows may leave them) plus the partitions where
@@ -230,9 +342,11 @@ class VersionedTable:
             if _pk_base(pk) not in touched_keys
         }
         entries.update(entries_new)
-        snap = Snapshot(v, _now(), "merge", entries, -1)
+        snap = Snapshot(v, _now(), "merge", entries, -1,
+                        added_cols=list(cur.added_cols))
         n = self._count_entries(snap)
-        return self._commit(Snapshot(v, _now(), "merge", entries, n))
+        return self._commit(Snapshot(v, _now(), "merge", entries, n,
+                                         added_cols=list(cur.added_cols)))
 
     # ------------------------------------------------------- internals
 
@@ -295,7 +409,8 @@ class VersionedTable:
         if self.partition_col is None:
             new_df = transform(self.read())
             entries, n = self._write_data(new_df, v)
-            return self._commit(Snapshot(v, _now(), op, entries, n))
+            return self._commit(Snapshot(v, _now(), op, entries, n,
+                                     added_cols=list(cur.added_cols)))
         pc = self.partition_col
         current = self.read()
         hit = current.where(affected.eqNullSafe(F.lit(True)))
@@ -322,9 +437,11 @@ class VersionedTable:
             if _pk_base(pk) not in touched_keys
         }
         entries.update(entries_new)
-        snap = Snapshot(v, _now(), op, entries, -1)
+        snap = Snapshot(v, _now(), op, entries, -1,
+                        added_cols=list(cur.added_cols))
         n = self._count_entries(snap)
-        return self._commit(Snapshot(v, _now(), op, entries, n))
+        return self._commit(Snapshot(v, _now(), op, entries, n,
+                                     added_cols=list(cur.added_cols)))
 
     def _count_entries(self, snap: Snapshot) -> int:
         dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
@@ -356,6 +473,12 @@ def _pk(val) -> str:
     """Filesystem-safe partition key for a value."""
     s = "null" if val is None else str(val)
     return "p_" + "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+
+
+def _data_version(rel_dir: str) -> int:
+    """Write-version of a data dir, from its `data/vNNNNNNNN/` path."""
+    part = rel_dir.split("/")[1]
+    return int(part.lstrip("v"))
 
 
 def _pk_base(pk: str) -> str:

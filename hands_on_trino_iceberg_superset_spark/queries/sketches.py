@@ -30,17 +30,20 @@ from hands_on_trino_iceberg_superset_spark.sources import load_table
     FROM events
     GROUP BY event_type
     """,
-    doc="approx_count_distinct (HyperLogLog++, rsd=0.5%) of users per "
+    doc="approx_count_distinct (HyperLogLog++, rsd=1%) of users per "
         "event_type — mergeable constant-size sketch vs the exact "
         "shuffle-heavy COUNT(DISTINCT). Emits the exact count plus an "
         "error-bound boolean (|approx-exact|/exact <= 2%) so the "
         "sketch is driver-hash-gated; HLL++ is deterministic, so the "
-        "boolean is stable.",
+        "boolean is stable. Register sizing matters at scale: rsd "
+        "halves cost 4x register memory per (group x partial agg) — "
+        "rsd=1% (2^14 registers) fits the 2% gate with 4x less "
+        "merge traffic than 0.5%.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )

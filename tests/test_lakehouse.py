@@ -222,3 +222,86 @@ def test_merge_update_moving_partition(spark, orders_df, tmp_path):
     assert got[3] == ("2024-03-01", "moved")
     assert out.where("day = '2024-01-01'").count() == \
         orders_df.where("day = '2024-01-01'").count() - 1
+
+
+def test_add_column_metadata_only_with_backfill(spark, orders_df, tmp_path):
+    """ADD COLUMN is metadata-only: no data dir changes; old rows
+    read back with the default expression, new writes carry the
+    column physically, and time travel to the pre-ALTER snapshot
+    does not show it."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    v1_entries = dict(t.current().entries)
+    t.add_column("discount", "double", default_sql="amount * 0.01")
+    # no rewrite happened
+    assert t.current().entries == v1_entries
+    out = t.read()
+    assert "discount" in out.columns
+    for r in out.collect():
+        assert abs(r.discount - r.amount * 0.01) < 1e-12
+    # time travel: pre-ALTER snapshot has no such column
+    assert "discount" not in t.read(version=1).columns
+
+    # DML after evolution: updates see and can set the new column
+    t.update({"discount": "5.0"}, where="status = 'open'")
+    got = {r.order_id: r.discount for r in t.read().collect()}
+    orig = {r.order_id: (r.amount, r.status) for r in orders_df.collect()}
+    for oid, disc in got.items():
+        amount, status = orig[oid]
+        expect = 5.0 if status == "open" else amount * 0.01
+        assert abs(disc - expect) < 1e-12
+    # appends with the full schema keep working
+    extra = spark.createDataFrame(
+        [(300, "2024-01-01", "open", 1.0, 9.9)],
+        "order_id long, day string, status string, amount double, discount double",
+    )
+    t.append(extra)
+    assert t.read().where("order_id = 300").collect()[0].discount == 9.9
+
+
+def test_add_column_null_default_and_duplicate_rejected(spark, orders_df, tmp_path):
+    import pytest
+
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    t.add_column("note", "string")
+    assert all(r.note is None for r in t.read().collect())
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("note", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("amount", "double")
+
+
+def test_compact_merges_append_fragments(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    extra = spark.createDataFrame(
+        [(400, "2024-01-01", "open", 4.0), (401, "2024-01-01", "paid", 5.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    t.append(extra)
+    assert any("@v" in k for k in t.current().entries)
+    before = {(r.order_id, r.status, r.amount) for r in t.read().collect()}
+    t.compact()
+    # fragments merged into one dir per partition, state identical
+    assert not any("@v" in k for k in t.current().entries)
+    after = {(r.order_id, r.status, r.amount) for r in t.read().collect()}
+    assert after == before
+    assert t.current().op == "compact"
+
+
+def test_compact_after_evolution_materializes_schema(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    t.add_column("flag", "string", default_sql="'old'")
+    extra = spark.createDataFrame(
+        [(500, "2024-01-01", "open", 4.0, "new")],
+        "order_id long, day string, status string, amount double, flag string",
+    )
+    t.append(extra)
+    t.compact()
+    got = {r.order_id: r.flag for r in t.read().collect()}
+    assert got[500] == "new"
+    assert got[1] == "old"

@@ -21,7 +21,7 @@ def test_approx_distinct_gate_and_error(spark, sf_dir) -> None:
         r.event_type: (r.approx, r.exact)
         for r in ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.005).alias("approx"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
             F.countDistinct("user_id").alias("exact"),
         )
         .collect()

@@ -172,3 +172,59 @@ def test_parquet_sink_restart_resume_exactly_once(spark, tmp_path):
     run_once()  # restart with nothing new: no reprocessing
     got3 = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got3 == list(range(1, 101))
+
+
+def test_stream_merge_into_versioned_table(spark, tmp_path):
+    """Streaming upsert (foreachBatch MERGE) into the copy-on-write
+    table: updates land, inserts land, one snapshot per batch, and
+    time travel reproduces the pre-batch state after restart."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        stream_merge_into,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "open", float(i)) for i in range(1, 11)],
+        "k long, status string, v double",
+    )
+    table = VersionedTable.create(spark, str(tmp_path / "t"), base)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def push(name, rows):
+        spark.createDataFrame(rows, "k long, status string, v double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("k long, status string, v double")
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        q = stream_merge_into(
+            stream, table, on="k", checkpoint_dir=ckpt,
+            when_matched_update={"status": "s.status", "v": "s.v"},
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    push("b1", [(3, "closed", 30.0), (99, "new", 99.0)])
+    run_stream()
+    got = {r.k: (r.status, r.v) for r in table.read().collect()}
+    assert got[3] == ("closed", 30.0)
+    assert got[99] == ("new", 99.0)
+    assert len(got) == 11
+    v_after_b1 = table.current().version
+
+    push("b2", [(99, "updated", 100.0)])
+    run_stream()  # restart from checkpoint: only batch 2 processes
+    got2 = {r.k: (r.status, r.v) for r in table.read().collect()}
+    assert got2[99] == ("updated", 100.0)
+    assert len(got2) == 11
+    # exactly one more snapshot; time travel shows the b1 state
+    assert table.current().version == v_after_b1 + 1
+    tt = {r.k: r.status for r in table.read(version=v_after_b1).collect()}
+    assert tt[99] == "new"
