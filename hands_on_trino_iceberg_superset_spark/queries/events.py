@@ -251,3 +251,42 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ats").cast("timestamp")).alias("purchase_ts_us"),
         "last_click_id",
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    WHERE a.day - f.cohort_day <= 7
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-activity day, "
+        "distinct-active counts at day offsets 0..7 — the standard "
+        "product-analytics triangle. Two aggregations + one "
+        "co-partitioned join on user_id (the first-day aggregate "
+        "reuses the activity shuffle's partitioning).",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day"))
+    activity = days.distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint")
+    return (
+        activity.join(firsts, "user_id")
+        .where(offset <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            offset.alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

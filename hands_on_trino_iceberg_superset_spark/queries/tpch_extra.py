@@ -5,9 +5,9 @@ aggregation ratios (Q14), disjunctive multi-predicate join filters
 (Q19), scalar-subquery + anti-join (Q22), CUBE grouping sets, and
 exact interpolated percentiles.
 
-(The corpus has no partsupp table, so Q2/Q9/Q11/Q16/Q20 shapes are
-out of scope; shapes below are adapted to the columns that exist —
-see FIXTURES.md §B.)
+(The corpus has no partsupp table; Q11/Q16 below are adapted to
+lineitem's l_suppkey and Q2/Q9/Q20 stay out of scope — see
+FIXTURES.md §B.)
 """
 
 from __future__ import annotations
@@ -295,4 +295,75 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
         "n_customers",
         "total_acctbal",
+    )
+
+
+@register(
+    "supplier_part_diversity",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_size AS p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN anti-join against a filtered "
+        "dimension + COUNT(DISTINCT) per group; the exclusion list "
+        "broadcasts, the distinct runs as a two-phase aggregate.",
+)
+def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 5, 9, 13)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "top_value_brands",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS p_brand,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, CAST(r AS DOUBLE) AS revenue
+    FROM rev
+    WHERE r > (SELECT CAST(0.03 AS DECIMAL(4,2)) * sum(r) FROM rev)
+    """,
+    doc="TPC-H Q11 shape: grouped revenue filtered against a scalar "
+        "subquery over the SAME aggregate (fraction-of-total "
+        "threshold) — the aggregate computes once and self-joins "
+        "against its own global sum. Threshold arithmetic stays in "
+        "decimal for hash determinism.",
+)
+def top_value_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("r"))
+    )
+    total = rev.agg(
+        (F.lit("0.03").cast("decimal(4,2)") * F.sum("r")).alias("_t")
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("r") > F.col("_t"))
+        .select("p_brand", dbl(F.col("r")).alias("revenue"))
     )

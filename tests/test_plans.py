@@ -112,3 +112,45 @@ def test_ivf_probe_is_partition_pruned(spark, inv, sf_dir, tmp_path):
     for v in by_q.values():
         sims = [r.cos_sim for r in sorted(v, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The runtime skew story (session.py enables
+    spark.sql.adaptive.skewJoin): a join with one hot key must come
+    out of AQE as SortMergeJoin(skew=true) with the hot partition
+    split — the no-manual-salting path that complements
+    operators/scale.salted_join. Thresholds are lowered so local
+    data sizes trigger the same decision a 100 TB skew would."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1, 50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k").select("k", "rv")
+        assert len(j.collect()) == 5000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
