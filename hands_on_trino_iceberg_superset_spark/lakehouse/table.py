@@ -195,6 +195,41 @@ class VersionedTable:
                      added_cols=list(cur.added_cols))
         )
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Garbage collection (Iceberg's ``expire_snapshots``): drop
+        all but the newest ``keep_last`` snapshot manifests and
+        delete every data dir no surviving snapshot references.
+        Returns the expired version numbers. Time travel to expired
+        versions stops working — that is the point (bounded storage);
+        the current state is untouched.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        if not drop:
+            return []
+        live_dirs = {d for sn in keep for d in sn.entries.values()}
+        dead_dirs = {
+            d for sn in drop for d in sn.entries.values()
+        } - live_dirs
+        for d in dead_dirs:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        for sn in drop:
+            os.remove(
+                os.path.join(self._snap_dir, f"v{sn.version:08d}.json")
+            )
+        # clean now-empty version dirs under data/
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for vd in os.listdir(data_root):
+                full = os.path.join(data_root, vd)
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+        return [sn.version for sn in drop]
+
     def snapshots(self) -> list[Snapshot]:
         out = []
         for name in sorted(os.listdir(self._snap_dir)):

@@ -378,6 +378,70 @@ def minhash_lsh_pairs(
     )
 
 
+# ----------------------------------------------- cluster resolution
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for the undirected graph given by ``edges``
+    — the cluster-resolution step that turns near-dup PAIRS into
+    dedup decisions (pairs alone can't drop documents: duplicates
+    form transitive clusters). ``component`` is the minimum node id
+    in the component, so ``node == component`` marks the survivor.
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes the minimum label among itself and its neighbors;
+    converges within the graph diameter, which for near-dup clusters
+    (small, dense components) is a handful of rounds. Each round is
+    one join + one aggregation on the edge list (linear shuffle);
+    lineage is truncated with ``localCheckpoint`` so plans don't
+    nest per round. For web-scale graphs with long chains, swap in
+    the O(log n)-round large-star/small-star variant; the dedup
+    workload's components are shallow by construction.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+                # labels only ever decrease: a strict decrease marks
+                # non-convergence, checked by a cheap scan of the
+                # checkpointed result instead of a join with the old
+                # labels
+                (F.col("nlabel") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 # ------------------------------------------------------------- SimHash
 
 

@@ -146,6 +146,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.4
+    ), sym AS (
+      SELECT src, dst FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), walk(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN sym e ON w.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_survivor
+    FROM walk GROUP BY src
+    """,
+    doc="Near-dup CLUSTER resolution: pairs alone cannot drop "
+        "documents (duplicates are transitive) — connected components "
+        "over the near-dup edge set assign every document a cluster "
+        "id (= min doc id in its component); survivor = cluster "
+        "representative. Spark side: iterative min-label propagation "
+        "(operators/dedup.py:connected_components, one join + agg "
+        "per round, diameter-bounded); oracle: recursive-CTE "
+        "transitive closure over the same exact pair set.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_inverted(docs, threshold=0.4, n=2)
+    cc = D.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+@register(
     "dedup_embedding_cosine_lsh",
     oracle="""
     SELECT count(*) AS n_exact_pairs,

@@ -308,3 +308,26 @@ def stream_merge_into(
         .outputMode("update")
         .start()
     )
+
+
+def dedup_event_stream(
+    df: DataFrame,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-most-once event delivery: drop duplicate ``id_col`` rows.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keys state by id and
+    EVICTS entries once the watermark passes — state is bounded by
+    the duplicate-arrival horizon (redeliveries cluster near the
+    original event in every real transport), not by stream length;
+    plain streaming ``dropDuplicates`` state would grow forever.
+    Batch: the same call site degrades to an exact ``dropDuplicates``
+    (unified API; parity-tested).
+    """
+    if df.isStreaming:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+        return df.dropDuplicatesWithinWatermark([id_col])
+    return df.dropDuplicates([id_col])

@@ -187,3 +187,28 @@ def test_inverted_df_cap_kills_boilerplate_blowup(spark) -> None:
         ).collect()
     }
     assert (100, 101) in uncapped
+
+
+def test_connected_components_chain_and_singleton(spark) -> None:
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 2)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.component
+        for r in D.connected_components(edges).collect()
+    }
+    # chain 5-3-9 plus 40-2 merges to min; pair 20-21 separate
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 2: 2, 40: 2}
+
+
+def test_connected_components_long_chain_converges(spark) -> None:
+    # a 30-node path needs ~diameter rounds; must still converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.component
+        for r in D.connected_components(edges, max_iter=40).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 31

@@ -305,3 +305,33 @@ def test_compact_after_evolution_materializes_schema(spark, orders_df, tmp_path)
     got = {r.order_id: r.flag for r in t.read().collect()}
     assert got[500] == "new"
     assert got[1] == "old"
+
+
+def test_expire_snapshots_gc(spark, orders_df, tmp_path):
+    """expire_snapshots drops old manifests and deletes data dirs no
+    surviving snapshot references — current state intact, expired
+    time travel gone, shared dirs (carried over by COW) preserved."""
+    import os
+
+    import pytest
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    t.delete("day = '2024-01-01' AND status = 'open'")
+    t.update({"amount": "amount + 1"}, where="day = '2024-01-02'")
+    assert [s.version for s in t.snapshots()] == [1, 2, 3]
+    state_before = {(r.order_id, r.amount) for r in t.read().collect()}
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    assert [s.version for s in t.snapshots()] == [3]
+    # current state identical (carried-over dirs survived the GC)
+    assert {(r.order_id, r.amount) for r in t.read().collect()} == state_before
+    # expired versions are gone
+    with pytest.raises(ValueError):
+        t.read(version=1)
+    # v1-only data dirs removed from disk
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path / "t"), "data", "v00000001", "p_2024-01-01")
+    )

@@ -228,3 +228,42 @@ def test_stream_merge_into_versioned_table(spark, tmp_path):
     assert table.current().version == v_after_b1 + 1
     tt = {r.k: r.status for r in table.read(version=v_after_b1).collect()}
     assert tt[99] == "new"
+
+
+def test_dedup_event_stream_drops_redeliveries(spark, tmp_path):
+    """Duplicate event_ids across micro-batches (transport
+    redelivery) must come out once; stream output equals batch
+    dropDuplicates on the same rows."""
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        dedup_event_stream,
+        run_available_now_to_memory,
+    )
+
+    rows1 = [(1, "2026-01-01 00:00:00", 10.0), (2, "2026-01-01 00:01:00", 20.0)]
+    rows2 = [(2, "2026-01-01 00:01:00", 20.0),  # redelivered
+             (3, "2026-01-01 00:02:00", 30.0)]
+    schema = "event_id long, ts_s string, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        spark.createDataFrame(rows, schema).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+            "value",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz, value double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_available_now_to_memory(
+        dedup_event_stream(stream), "t_dedup_stream", output_mode="append"
+    )
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+    # batch parity on the same unified call site
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    expect = dedup_event_stream(batch)
+    assert sorted(r.event_id for r in expect.collect()) == [1, 2, 3]
