@@ -433,6 +433,51 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return out
 
 
+def with_hyperplane_signature_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+) -> DataFrame:
+    """``df`` plus the hyperplane sign-signature as a column, computed
+    as ONE Arrow-batched matrix multiply per batch instead of
+    ``n_planes`` expression-tree dot products.
+
+    Same planes, same sign rule as :func:`hyperplane_signature` —
+    the expression form is fine at modest dims, but at dim 768 x 16
+    planes it builds a ~12k-literal expression tree per projection
+    (codegen bloat); here the plane matrix ships once per task and
+    each batch is a single ``V @ P.T`` GEMM. Sign parity with the
+    expression form holds unless a projection lands within float
+    summation error of exactly 0 (parity-tested on the corpus).
+    """
+    import numpy as np
+
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )
+    weights = np.power(2.0, np.arange(n_planes)).astype(np.int64)
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} long"
+
+    def add_sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (V @ planes.T) >= 0
+            pdf = pdf.copy()
+            pdf[out_col] = (bits * weights).sum(axis=1).astype(np.int64)
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(add_sig, out_schema)
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

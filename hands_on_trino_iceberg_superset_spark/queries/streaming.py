@@ -152,3 +152,32 @@ def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return correlate_events(ev, within="1 hour")
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Redelivery dedup (streaming/pipeline.dedup_event_stream, "
+        "batch path of the unified call site): the input is the "
+        "events feed plus a re-delivered third of it (every transport "
+        "redelivers); dropping duplicate event_ids must restore the "
+        "original feed exactly — per-type counts equal the clean "
+        "source. The streaming path (dropDuplicatesWithinWatermark, "
+        "watermark-bounded state) is parity-tested in "
+        "tests/test_streaming.py.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.streaming import (
+        dedup_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.where(F.col("event_id") % 3 == 0)
+    feed = ev.unionByName(redelivered)
+    return dedup_event_stream(feed).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

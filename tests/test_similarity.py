@@ -92,3 +92,23 @@ def test_cosine_neardup_lsh_subset_and_recall(spark, sf_dir: str) -> None:
     assert lsh <= exact
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_arrow_signature_matches_expression_form(spark, sf_dir: str) -> None:
+    """The one-GEMM Arrow signature (high-dim path) must produce the
+    same sign pattern as the expression-tree form on the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr_sigs = {
+        r.vec_id: r.sig
+        for r in emb.select(
+            "vec_id",
+            S.hyperplane_signature(F.col("embedding"), 64, 16).alias("sig"),
+        ).collect()
+    }
+    arrow_sigs = {
+        r.vec_id: r.sig
+        for r in S.with_hyperplane_signature_arrow(
+            emb, dim=64, n_planes=16
+        ).select("vec_id", "sig").collect()
+    }
+    assert arrow_sigs == expr_sigs
