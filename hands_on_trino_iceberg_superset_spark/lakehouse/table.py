@@ -411,7 +411,19 @@ class VersionedTable:
     ) -> tuple[dict[str, str], int]:
         """Write ``df`` under ``data/v{version}/``, one dir per
         partition value (or a single dir when unpartitioned).
-        Returns (entries, row_count)."""
+        Returns (entries, row_count).
+
+        Partitioned writes are ONE Spark job: the partition value is
+        duplicated into a ``__pk`` dir column (``partitionBy`` strips
+        the dir column from the files, so the duplicate keeps the
+        real column physically present — the value-in-file layout
+        read() and the scan-pruning story rely on), and the Hive-style
+        ``__pk=<value>`` dirs are mapped into manifest entries
+        afterwards. A per-partition write loop would be one job per
+        value — a non-starter at real partition counts.
+        """
+        import urllib.parse
+
         rel = f"data/v{version:08d}"
         if self.partition_col is None:
             d = os.path.join(self.path, rel, _UNPARTITIONED)
@@ -420,20 +432,34 @@ class VersionedTable:
                 self.spark.read.parquet(d).count()
             )
         pc = self.partition_col
-        values = [r[pc] for r in df.select(pc).distinct().collect()]
+        out_root = os.path.join(self.path, rel)
+        (
+            df.withColumn("__pk", F.col(pc))
+            .write.mode("overwrite")
+            .partitionBy("__pk")
+            .parquet(out_root)
+        )
         entries: dict[str, str] = {}
-        total = 0
-        for val in values:
-            pk = _pk(val)
-            if only_keys is not None and pk not in only_keys:
+        for name in os.listdir(out_root):
+            if not name.startswith("__pk="):
                 continue
-            d = os.path.join(self.path, rel, pk)
-            part = df.where(
-                F.col(pc).eqNullSafe(F.lit(val))
-            )
-            part.write.mode("overwrite").parquet(d)
-            entries[pk] = f"{rel}/{pk}"
-            total += self.spark.read.parquet(d).count()
+            # dir name -> partition key; str() round-trips for the
+            # string/int partition values this layout targets
+            raw = urllib.parse.unquote(name[len("__pk="):])
+            val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            pk = _pk(val)
+            full = os.path.join(out_root, name)
+            if only_keys is not None and pk not in only_keys:
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            entries[pk] = f"{rel}/{name}"
+        if not entries:
+            return entries, 0
+        total = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in entries.values()]
+        ).count()
         return entries, total
 
     def _rewrite(self, op: str, affected: Column, transform) -> Snapshot:
