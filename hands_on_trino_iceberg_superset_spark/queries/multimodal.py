@@ -74,3 +74,79 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("payload_bytes").alias("total_payload_bytes"),
     )
+
+
+@register(
+    "multimodal_frame_sample_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_KIND_CASE} AS media_type,
+             octet_length(encode(text)) AS n,
+             CAST((doc_id * 97) % 60000 AS INTEGER) AS dur
+      FROM documents
+    ), per_doc AS (
+      SELECT media_type,
+             CAST(ceil(CAST(greatest(dur, 1) AS DOUBLE) / 10000) AS BIGINT)
+               AS n_frames,
+             CAST(list_sum(list_transform(
+               range(0, CAST(ceil(CAST(greatest(dur, 1) AS DOUBLE) / 10000)
+                              AS BIGINT)),
+               i -> least(16, n - ((i * 16) % n))
+             )) AS BIGINT) AS frame_bytes
+      FROM base
+    )
+    SELECT media_type, count(*) AS n_media,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(frame_bytes) AS BIGINT) AS total_frame_bytes
+    FROM per_doc GROUP BY media_type
+    """,
+    doc="1->N frame sampling (video shape) through mapInPandas row "
+        "explosion: one row per sampled frame timestamp (10s "
+        "cadence), then per-type frame counts and byte volume — the "
+        "oracle restates the deterministic fake sampler arithmetic. "
+        "operators/multimodal.py:sample_frames.",
+)
+def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, every_ms=10_000)
+    typed = frames.join(
+        media.select("media_id", F.col("meta.media_type").alias("media_type")),
+        "media_id",
+    )
+    return typed.groupBy("media_type").agg(
+        F.countDistinct("media_id").alias("n_media"),
+        F.count(F.lit(1)).alias("total_frames"),
+        F.sum(F.length("frame")).cast("bigint").alias("total_frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_KIND_CASE} AS media_type,
+             octet_length(encode(text)) AS n,
+             CAST((doc_id * 37) % 1024 + 16 AS INTEGER) AS w,
+             CAST((doc_id * 53) % 768 + 16 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT media_type, count(*) AS n_media,
+           CAST(sum(greatest(1, CAST(floor(
+             n * least(4096.0 / (w * h), 1.0)) AS BIGINT)))
+             AS BIGINT) AS total_payload_bytes
+    FROM base GROUP BY media_type
+    """,
+    doc="Binary-in/binary-out resize (transcode shape): resize every "
+        "asset to 64x64, decode the results, and aggregate the "
+        "area-ratio-scaled payload sizes per type — oracle restates "
+        "the deterministic resampling arithmetic. "
+        "operators/multimodal.py:resize_images + decode_media.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    resized = M.resize_images(media, target_w=64, target_h=64)
+    decoded = M.decode_media(resized)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("payload_bytes").cast("bigint").alias("total_payload_bytes"),
+    )
