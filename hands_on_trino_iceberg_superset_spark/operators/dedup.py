@@ -403,42 +403,53 @@ def connected_components(
     the O(log n)-round large-star/small-star variant; the dedup
     workload's components are shallow by construction.
     """
+    # materialize the edge list ONCE before mirroring: the union
+    # below references it twice, and without this the (often
+    # expensive) upstream pair-mining pipeline would execute twice
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.union(edges.select(F.col("b"), F.col("a")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    check_every = 3
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("label"),
-                # labels only ever decrease: a strict decrease marks
-                # non-convergence, checked by a cheap scan of the
-                # checkpointed result instead of a join with the old
-                # labels
-                (F.col("nlabel") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("label"),
+            # labels only ever decrease: a strict decrease marks
+            # non-convergence, checked by a cheap scan of the
+            # checkpointed result instead of a join with the old
+            # labels
+            (F.col("nlabel") < F.col("label")).alias("_changed"),
         )
-        changed = stepped.where(F.col("_changed")).count()
-        labels = stepped.drop("_changed")
-        if changed == 0:
-            break
+        # materialize + convergence-check only every few rounds: the
+        # per-round wall cost is dominated by job overhead, not the
+        # (tiny) label join — chaining rounds lazily amortizes it.
+        # Stability is monotone, so checking round 3k is sound (at
+        # most two redundant rounds run after convergence).
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            stepped = stepped.localCheckpoint(eager=True)
+            changed = stepped.where(F.col("_changed")).count()
+            labels = stepped.drop("_changed")
+            if changed == 0:
+                break
+        else:
+            labels = stepped.drop("_changed")
     return labels.select("node", F.col("label").alias("component"))
 
 
