@@ -271,9 +271,11 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cohort retention: users grouped by first-activity day, "
         "distinct-active counts at day offsets 0..7 — the standard "
-        "product-analytics triangle. Two aggregations + one "
-        "co-partitioned join on user_id (the first-day aggregate "
-        "reuses the activity shuffle's partitioning).",
+        "product-analytics triangle. Plan: activity distinct "
+        "shuffles on (user, day); the per-user first-day aggregate "
+        "(one row per user) BROADCASTS into the join, so the "
+        "activity side never re-shuffles; one final (cohort, offset) "
+        "aggregation.",
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
