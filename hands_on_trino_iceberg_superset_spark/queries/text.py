@@ -270,3 +270,77 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {_SW_SQL})) AS n_stop,
+             min(doc_id) OVER (
+               PARTITION BY md5(lower(trim(
+                 regexp_replace(text, '\\s+', ' ', 'g')))) ) AS keep_id
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN doc_id = keep_id
+                          AND n_tokens >= 20
+                          AND n_types * 2 >= n_tokens
+                          AND n_stop > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN doc_id = keep_id
+                          AND n_tokens >= 20
+                          AND n_types * 2 >= n_tokens
+                          AND n_stop > 0 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM scored
+    GROUP BY lang
+    """,
+    doc="The full pretraining-corpus curation funnel as ONE "
+        "declarative plan: exact-dedup survivorship (window-min over "
+        "the content fingerprint — no separate join pass), the "
+        "quality gate (length / type-token / stopword predicates), "
+        "and per-language retention accounting with kept-token "
+        "budget. Single shuffle on the fingerprint window + final "
+        "small aggregation; every stage is a column expression, so "
+        "Catalyst fuses the funnel into one codegen'd pass over the "
+        "corpus.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    fingerprint = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    w = Window.partitionBy(fingerprint)
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        F.min("doc_id").over(w).alias("keep_id"),
+    )
+    survivor = F.col("doc_id") == F.col("keep_id")
+    quality = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_types") * 2 >= F.col("n_tokens"))
+        & (F.col("n_stop") > 0)
+    )
+    kept = survivor & quality
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(survivor, 1).otherwise(0)).cast("bigint")
+        .alias("n_unique"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("bigint")
+        .alias("kept_tokens"),
+    )
