@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -183,7 +184,7 @@ class VersionedTable:
             merged = pieces[0]
             for p in pieces[1:]:
                 merged = merged.unionByName(p)
-            rel = f"data/v{v:08d}/{base}"
+            rel = f"data/v{v:08d}-{_write_token()}/{base}"
             merged.write.mode("overwrite").parquet(
                 os.path.join(self.path, rel)
             )
@@ -231,8 +232,14 @@ class VersionedTable:
         return [sn.version for sn in drop]
 
     def snapshots(self) -> list[Snapshot]:
+        # only committed manifests count: a crashed _commit can leave
+        # a *.tmp behind (mkstemp + rename publish), and reading it
+        # would either crash every subsequent call (partial JSON) or
+        # resurface a phantom snapshot (fully written, never renamed)
         out = []
         for name in sorted(os.listdir(self._snap_dir)):
+            if not re.fullmatch(r"v\d{8}\.json", name):
+                continue
             with open(os.path.join(self._snap_dir, name)) as fh:
                 j = json.load(fh)
             out.append(Snapshot(**j))
@@ -270,7 +277,10 @@ class VersionedTable:
                 entries[pk] = d
         return self._commit(
             Snapshot(v, _now(), "append", entries, cur.row_count + n_new,
-                     added_cols=list(cur.added_cols))
+                     added_cols=list(cur.added_cols)),
+            base=cur,
+            touched={_pk_base(k) for k in new_entries},
+            mode="add",
         )
 
     def delete(self, predicate: str | Column) -> Snapshot:
@@ -320,7 +330,30 @@ class VersionedTable:
         holds on the source row); unmatched source rows are inserted.
         Partitions containing no matched keys and receiving no
         inserts carry over untouched.
+
+        The source must have non-NULL, unique merge keys — the same
+        contract SQL MERGE enforces (a NULL key joins nothing and
+        would be misclassified; a duplicate key matches one target
+        row twice, which ANSI MERGE rejects with a cardinality
+        violation). Validated up front with one aggregate over the
+        source; violations raise instead of corrupting the table.
         """
+        key_stats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(on).alias("n_nonnull"),
+            F.countDistinct(on).alias("n_distinct"),
+        ).collect()[0]
+        if key_stats["n"] != key_stats["n_nonnull"]:
+            raise ValueError(
+                f"MERGE source has {key_stats['n'] - key_stats['n_nonnull']} "
+                f"NULL value(s) in merge key '{on}'"
+            )
+        if key_stats["n_nonnull"] != key_stats["n_distinct"]:
+            raise ValueError(
+                f"MERGE source has duplicate values in merge key '{on}' "
+                f"({key_stats['n_nonnull']} rows, "
+                f"{key_stats['n_distinct']} distinct keys)"
+            )
         cur = self.current()
         v = cur.version + 1
         target = self.read()
@@ -344,13 +377,22 @@ class VersionedTable:
         if when_matched_delete is not None:
             keep = ~(matched & F.expr(when_matched_delete).eqNullSafe(F.lit(True)))
         if not insert_not_matched:
-            keep = keep & ~(F.col(f"t.{on}").isNull())
+            # source-only rows: no target match. Source keys are
+            # validated non-NULL above, so a NULL t.<on> alone does
+            # NOT mean source-only — a target row whose own key is
+            # NULL also joins nothing and must be kept.
+            keep = keep & ~(
+                F.col(f"t.{on}").isNull() & F.col(f"s.{on}").isNotNull()
+            )
         merged = joined.where(keep).select(*out_cols)
 
         if self.partition_col is None:
             entries, n = self._write_data(merged, v)
-            return self._commit(Snapshot(v, _now(), "merge", entries, n,
-                                         added_cols=list(cur.added_cols)))
+            return self._commit(
+                Snapshot(v, _now(), "merge", entries, n,
+                         added_cols=list(cur.added_cols)),
+                base=cur, touched={_UNPARTITIONED},
+            )
 
         # partition-granular COW: rewrite the partitions that held a
         # matched key (rows may leave them) plus the partitions where
@@ -368,9 +410,7 @@ class VersionedTable:
         touched = old_parts.union(new_parts).distinct()
         touched_vals = [r[pc] for r in touched.collect()]
         touched_keys = {_pk(v_) for v_ in touched_vals}
-        changed = merged.where(
-            F.col(pc).isin(touched_vals) if touched_vals else F.lit(False)
-        )
+        changed = merged.where(_partition_membership(pc, touched_vals))
         entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
         entries = {
             pk: d for pk, d in cur.entries.items()
@@ -380,8 +420,11 @@ class VersionedTable:
         snap = Snapshot(v, _now(), "merge", entries, -1,
                         added_cols=list(cur.added_cols))
         n = self._count_entries(snap)
-        return self._commit(Snapshot(v, _now(), "merge", entries, n,
-                                         added_cols=list(cur.added_cols)))
+        return self._commit(
+            Snapshot(v, _now(), "merge", entries, n,
+                     added_cols=list(cur.added_cols)),
+            base=cur, touched=touched_keys,
+        )
 
     # ------------------------------------------------------- internals
 
@@ -424,7 +467,11 @@ class VersionedTable:
         """
         import urllib.parse
 
-        rel = f"data/v{version:08d}"
+        # the write root carries a unique token: two optimistic
+        # writers racing from the same base would otherwise both
+        # target data/v{N} and the second mode=overwrite write would
+        # clobber the first writer's files before either commits
+        rel = f"data/v{version:08d}-{_write_token()}"
         if self.partition_col is None:
             d = os.path.join(self.path, rel, _UNPARTITIONED)
             df.write.mode("overwrite").parquet(d)
@@ -470,8 +517,11 @@ class VersionedTable:
         if self.partition_col is None:
             new_df = transform(self.read())
             entries, n = self._write_data(new_df, v)
-            return self._commit(Snapshot(v, _now(), op, entries, n,
-                                     added_cols=list(cur.added_cols)))
+            return self._commit(
+                Snapshot(v, _now(), op, entries, n,
+                         added_cols=list(cur.added_cols)),
+                base=cur, touched={_UNPARTITIONED},
+            )
         pc = self.partition_col
         current = self.read()
         hit = current.where(affected.eqNullSafe(F.lit(True)))
@@ -488,9 +538,7 @@ class VersionedTable:
         ]
         touched_keys = {_pk(val) for val in touched_vals}
         changed = transform(
-            current.where(
-                F.col(pc).isin(touched_vals) if touched_vals else F.lit(False)
-            )
+            current.where(_partition_membership(pc, touched_vals))
         )
         entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
         entries = {
@@ -501,29 +549,138 @@ class VersionedTable:
         snap = Snapshot(v, _now(), op, entries, -1,
                         added_cols=list(cur.added_cols))
         n = self._count_entries(snap)
-        return self._commit(Snapshot(v, _now(), op, entries, n,
-                                     added_cols=list(cur.added_cols)))
+        return self._commit(
+            Snapshot(v, _now(), op, entries, n,
+                     added_cols=list(cur.added_cols)),
+            base=cur, touched=touched_keys,
+        )
 
     def _count_entries(self, snap: Snapshot) -> int:
         dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
         return self.spark.read.parquet(*dirs).count() if dirs else 0
 
-    def _commit(self, snap: Snapshot) -> Snapshot:
-        """Atomic manifest publish (write temp + rename). The
-        single-writer seam: a multi-writer deployment swaps this for
-        a catalog compare-and-swap (Nessie/REST in the reference's
-        stack)."""
+    def _commit(
+        self,
+        snap: Snapshot,
+        base: Snapshot | None = None,
+        touched: set[str] | None = None,
+        mode: str = "replace",
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Optimistic-concurrency manifest publish — the
+        compare-and-swap a real catalog provides (Nessie/REST in the
+        reference's stack, ``iceberg.properties:4-7``), implemented
+        with ``os.link`` (atomic, fails EEXIST) on the version file.
+
+        When a concurrent writer wins the version number, the commit
+        is REBASED instead of failing, Iceberg-style: re-read the new
+        head, verify the loser's ``touched`` partitions were not also
+        modified by the interleaved commits (comparing ``base`` vs
+        head entry sets per partition base key), then re-derive the
+        manifest from the new head — ``mode='replace'`` (DML) swaps
+        in our rewritten partitions, ``mode='add'`` (append) adds our
+        new fragment entries. Genuine conflicts — same partition
+        touched, schema evolved concurrently, or no ``base``/
+        ``touched`` provided (whole-table ops) — still raise.
+        """
         os.makedirs(self._snap_dir, exist_ok=True)
-        final = os.path.join(self._snap_dir, f"v{snap.version:08d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"concurrent commit detected at v{snap.version}"
+        for _ in range(max_retries + 1):
+            final = os.path.join(
+                self._snap_dir, f"v{snap.version:08d}.json"
             )
-        fd, tmp = tempfile.mkstemp(dir=self._snap_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(snap.__dict__, fh)
-        os.rename(tmp, final)
-        return snap
+            fd, tmp = tempfile.mkstemp(dir=self._snap_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(snap.__dict__, fh)
+            try:
+                os.link(tmp, final)  # atomic CAS: EEXIST on conflict
+                return snap
+            except FileExistsError:
+                pass
+            finally:
+                os.remove(tmp)
+            if base is None or touched is None:
+                raise RuntimeError(
+                    f"concurrent commit detected at v{snap.version} "
+                    f"(op={snap.op} cannot be rebased)"
+                )
+            snap = self._rebase(snap, base, touched, mode)
+        raise RuntimeError(
+            f"commit of op={snap.op} lost the CAS race "
+            f"{max_retries + 1} times; giving up"
+        )
+
+    def _rebase(
+        self, snap: Snapshot, base: Snapshot,
+        touched: set[str], mode: str,
+    ) -> Snapshot:
+        """Re-derive ``snap`` against the current head after losing
+        the commit race. Raises on real conflicts."""
+        head = self.current()
+        if head.added_cols != base.added_cols:
+            raise RuntimeError(
+                "concurrent commit conflict: schema evolved between "
+                f"v{base.version} and v{head.version}"
+            )
+        base_by: dict[str, set] = {}
+        for k, d in base.entries.items():
+            base_by.setdefault(_pk_base(k), set()).add((k, d))
+        head_by: dict[str, set] = {}
+        for k, d in head.entries.items():
+            head_by.setdefault(_pk_base(k), set()).add((k, d))
+        if mode == "replace":
+            overlap = [
+                bk for bk in sorted(touched)
+                if head_by.get(bk, set()) != base_by.get(bk, set())
+            ]
+            if overlap:
+                raise RuntimeError(
+                    "concurrent commit conflict: partition(s) "
+                    f"{overlap} modified by both writers between "
+                    f"v{base.version} and v{head.version}"
+                )
+        v = head.version + 1
+        ours = {
+            k: d for k, d in snap.entries.items()
+            if _pk_base(k) in touched
+        }
+        if mode == "replace":
+            entries = {
+                k: d for k, d in head.entries.items()
+                if _pk_base(k) not in touched
+            }
+            entries.update(ours)
+        else:  # add: our fragments land alongside whatever head has
+            # ours = entries this append actually wrote (new dirs),
+            # NOT base-carried entries — head already has those
+            ours = {
+                k: d for k, d in snap.entries.items()
+                if base.entries.get(k) != d
+            }
+            entries = dict(head.entries)
+            for k, d in ours.items():
+                kk = k
+                while kk in entries:
+                    kk = f"{_pk_base(k)}@v{v}.{len(entries)}"
+                entries[kk] = d
+        rebased = Snapshot(v, _now(), snap.op, entries, -1,
+                           added_cols=list(head.added_cols))
+        n = self._count_entries(rebased)
+        return Snapshot(v, _now(), snap.op, entries, n,
+                        added_cols=list(head.added_cols))
+
+
+def _partition_membership(pc: str, vals: list) -> Column:
+    """Null-safe partition-membership predicate. ``isin`` follows SQL
+    IN semantics — NULL never matches — but the null partition is a
+    first-class citizen of this layout (``__HIVE_DEFAULT_PARTITION__``
+    in :meth:`VersionedTable._write_data`), so a COW rewrite that
+    touches null-partition rows must select them explicitly or the
+    rewrite silently drops the whole null partition."""
+    non_null = [v for v in vals if v is not None]
+    pred = F.col(pc).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        pred = pred | F.col(pc).isNull()
+    return pred
 
 
 def _now() -> str:
@@ -536,10 +693,20 @@ def _pk(val) -> str:
     return "p_" + "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
 
 
+def _write_token() -> str:
+    """Unique-per-write suffix for data dirs (see _write_data)."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
+
+
 def _data_version(rel_dir: str) -> int:
-    """Write-version of a data dir, from its `data/vNNNNNNNN/` path."""
+    """Write-version of a data dir, from its `data/vNNNNNNNN[-tok]/`
+    path segment (the token distinguishes concurrent same-version
+    writers; the version prefix is what schema-evolution fill keys
+    on)."""
     part = rel_dir.split("/")[1]
-    return int(part.lstrip("v"))
+    return int(re.match(r"v(\d{8})", part).group(1))
 
 
 def _pk_base(pk: str) -> str:

@@ -386,6 +386,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    method: str = "propagate",
 ) -> DataFrame:
     """(node, component) for the undirected graph given by ``edges``
     — the cluster-resolution step that turns near-dup PAIRS into
@@ -399,10 +400,18 @@ def connected_components(
     (small, dense components) is a handful of rounds. Each round is
     one join + one aggregation on the edge list (linear shuffle);
     lineage is truncated with ``localCheckpoint`` so plans don't
-    nest per round. For web-scale graphs with long chains, swap in
-    the O(log n)-round large-star/small-star variant; the dedup
-    workload's components are shallow by construction.
+    nest per round. The dedup workload's components are shallow by
+    construction, so diameter-bounded propagation is the cheap
+    default; ``method='star'`` switches to the O(log n)-round
+    large-star/small-star variant
+    (:func:`connected_components_star`) for graphs with long chains.
     """
+    if method == "star":
+        return connected_components_star(
+            edges, src=src, dst=dst, max_rounds=max_iter
+        )
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r}")
     # materialize the edge list ONCE before mirroring: the union
     # below references it twice, and without this the (often
     # expensive) upstream pair-mining pipeline would execute twice
@@ -450,7 +459,114 @@ def connected_components(
                 break
         else:
             labels = stepped.drop("_changed")
+    else:
+        # loop exhausted without the break: labels were still moving
+        # at the last checked round. Returning them silently would
+        # emit SPLIT clusters (one true component labeled as several)
+        # with no signal — fail loudly instead; callers with genuine
+        # long-chain graphs should raise max_iter or use
+        # connected_components_star (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); the graph's "
+            "diameter exceeds max_iter — raise max_iter or use "
+            "connected_components_star"
+        )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star —
+    the O(log n)-round MapReduce connected-components algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Round count is logarithmic in the LARGEST component
+    size, independent of graph diameter — the right shape for
+    long-chain graphs where min-label propagation
+    (:func:`connected_components`) would need diameter rounds.
+
+    Each round is two groupBy-min aggregations and two joins over the
+    current edge list (linear shuffle, no neighbor lists
+    materialized):
+
+    - **large-star**: every node ``v`` strictly larger than a
+      neighbor ``u`` re-attaches to the minimum of ``u``'s
+      neighborhood (including ``u``).
+    - **small-star**: with edges oriented high→low, every node's
+      smaller neighbors (and the node itself) re-attach to the
+      neighborhood minimum.
+
+    The fixed point is a star forest oriented (child, root=component
+    min); convergence is detected by edge-set equality (both sets are
+    distinct, so equal counts + empty one-sided ``exceptAll`` is set
+    equality).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    for _ in range(max_rounds):
+        if n_e == 0:
+            break
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        ls = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ls is oriented u > v (v is a neighborhood min < u)
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(smins, "u")
+        new_e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_e.count()
+        if n_new == n_e and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e, n_e = new_e, n_new
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds — raise max_rounds"
+        )
+    # star forest: child -> root; roots/isolated nodes map to self
+    return nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("root", "node").alias("component")
+    )
 
 
 # ------------------------------------------------------------- SimHash

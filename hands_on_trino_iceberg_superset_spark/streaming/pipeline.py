@@ -274,28 +274,47 @@ def stream_merge_into(
     on: str,
     checkpoint_dir: str,
     when_matched_update: dict[str, str] | None = None,
+    tiebreak_col: str | None = None,
 ):
     """Streaming upsert into a :class:`lakehouse.VersionedTable` —
     the CDC-style lakehouse ingest path (what MERGE-on-stream gives
     you in Iceberg/Delta deployments), via ``foreachBatch``.
 
-    Each micro-batch is deduplicated on the merge key (last writer
-    within a batch wins by max of a deterministic tiebreak) and
-    MERGEd copy-on-write: one snapshot per non-empty batch, so the
-    table's history is the stream's batch history and time travel
-    reproduces any ingest point.
+    Each micro-batch is deduplicated on the merge key — last writer
+    within a batch wins, where "last" is decided by a DETERMINISTIC
+    tiebreak (max ``tiebreak_col``, then the row's full-column
+    ordering for exact ties), not by ``dropDuplicates``'s arbitrary
+    first-seen row — and MERGEd copy-on-write: one snapshot per
+    non-empty batch, so the table's history is the stream's batch
+    history and time travel reproduces any ingest point.
 
     Exactly-once note: ``foreachBatch`` re-runs a batch after a
     crash, so end-state correctness relies on MERGE idempotence —
-    re-merging the same source rows yields the same table state
-    (upserts are deterministic functions of the source row). That is
-    the same contract Delta/Iceberg streaming MERGE documents. The
-    checkpoint bounds reprocessing to the last unfinished batch.
+    re-merging the same source rows yields the same table state.
+    The deterministic tiebreak is load-bearing here: an arbitrary
+    per-key row choice could differ on replay and yield a different
+    table state. The checkpoint bounds reprocessing to the last
+    unfinished batch.
     """
     import pyspark.sql.functions as F  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates([on])
+        # deterministic last-writer-wins: order by tiebreak desc,
+        # then every remaining column desc so exact-duplicate keys
+        # with identical tiebreaks still pick a unique row on replay
+        lead = [F.col(tiebreak_col).desc()] if tiebreak_col else []
+        order_cols = lead + [
+            F.col(c).desc()
+            for c in batch_df.columns
+            if c not in (on, tiebreak_col)
+        ]
+        w = Window.partitionBy(on).orderBy(*order_cols)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if batch.isEmpty():
             return
         table.merge(

@@ -212,3 +212,52 @@ def test_connected_components_long_chain_converges(spark) -> None:
     }
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_connected_components_nonconvergence_raises(spark) -> None:
+    """max_iter below the graph diameter must FAIL LOUDLY — silently
+    returning split clusters is a wrong answer with no signal."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=6)
+
+
+def test_connected_components_star_path_graph(spark) -> None:
+    """Large-star/small-star converges in O(log n) rounds on a path
+    whose diameter (200) far exceeds what propagation could do in the
+    same budget — the long-chain regime the flag exists for."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.component
+        for r in D.connected_components(
+            edges, max_iter=20, method="star"
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_connected_components_star_matches_propagate(spark) -> None:
+    """Both methods agree on a mixed graph (chains, pair, merge via
+    shared node, self-contained singleton edge)."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 2), (9, 40), (7, 7)],
+        ["src", "dst"],
+    )
+    prop = {
+        r.node: r.component
+        for r in D.connected_components(edges).collect()
+    }
+    star = {
+        r.node: r.component
+        for r in D.connected_components(edges, method="star").collect()
+    }
+    assert star == prop
+    # 5-3-9-40-2 one component rooted at 2; 20-21; 7 alone
+    assert star[5] == 2 and star[20] == 20 and star[7] == 7

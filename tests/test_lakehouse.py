@@ -335,3 +335,196 @@ def test_expire_snapshots_gc(spark, orders_df, tmp_path):
     assert not os.path.isdir(
         os.path.join(str(tmp_path / "t"), "data", "v00000001", "p_2024-01-01")
     )
+
+
+def test_dml_on_null_partition_preserves_other_null_rows(spark, tmp_path):
+    """A DELETE/UPDATE touching null-partition rows must rewrite the
+    null partition like any other (SQL IN semantics would silently
+    drop ALL of it: isin never matches NULL)."""
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0), (4, "b", 40.0)],
+        "id long, day string, amount double",
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, partition_col="day"
+    )
+    v1_entries = dict(t.current().entries)
+    t.delete("id = 1")
+    out = t.read()
+    # row 2 (same null partition, not matched) must survive
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+    assert out.where(F.col("day").isNull()).count() == 1
+    # and the non-null partitions carried over untouched
+    v2_entries = t.current().entries
+    assert v2_entries["p_a"] == v1_entries["p_a"]
+    assert v2_entries["p_b"] == v1_entries["p_b"]
+    # UPDATE on the null partition behaves the same
+    t.update({"amount": "amount * 2"}, where="id = 2")
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {2: 40.0, 3: 30.0, 4: 40.0}
+
+
+def test_merge_touching_null_partition(spark, tmp_path):
+    """MERGE whose matched rows live in the null partition must not
+    drop that partition's unmatched rows."""
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0)],
+        "id long, day string, amount double",
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, partition_col="day"
+    )
+    src = spark.createDataFrame(
+        [(1, None, 11.0)], "id long, day string, amount double"
+    )
+    t.merge(src, on="id", when_matched_update={"amount": "s.amount"})
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
+def test_merge_rejects_null_and_duplicate_source_keys(spark, orders_df, tmp_path):
+    """ANSI MERGE contract: NULL merge keys and duplicate source keys
+    are errors, not silent misclassification / fan-out."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    null_key = spark.createDataFrame(
+        [(None, "2024-01-01", "open", 1.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge(null_key, on="order_id")
+    dup_key = spark.createDataFrame(
+        [(1, "2024-01-01", "open", 1.0), (1, "2024-01-02", "paid", 2.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup_key, on="order_id")
+
+
+def test_merge_keeps_null_key_target_rows(spark, tmp_path):
+    """A target row whose own merge key is NULL joins nothing; it is
+    target-only and must survive even with insert_not_matched=False."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    src = spark.createDataFrame([(2, 20.0), (9, 90.0)], "k long, v double")
+    t.merge(src, on="k", when_matched_update={"v": "s.v"},
+            insert_not_matched=False)
+    got = sorted(
+        ((r.k, r.v) for r in t.read().collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    # NULL-key target row kept, k=2 updated, k=9 NOT inserted
+    assert got == [(2, 20.0), (3, 3.0), (None, 1.0)]
+
+
+def test_snapshots_ignore_stray_tmp_files(spark, orders_df, tmp_path):
+    """A crashed _commit leaves a *.tmp in _snapshots/; reads must
+    skip it (partial JSON would crash; complete-but-unrenamed would
+    resurface a phantom snapshot)."""
+    import os
+
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    t.delete("order_id = 1")
+    # partial write (crash mid-json.dump)
+    with open(os.path.join(t._snap_dir, "tmpabc123.tmp"), "w") as fh:
+        fh.write('{"version": 99, "ts"')
+    # fully written but never renamed
+    with open(os.path.join(t._snap_dir, "tmpdef456.tmp"), "w") as fh:
+        fh.write(
+            '{"version": 99, "ts": "x", "op": "delete", '
+            '"entries": {}, "row_count": 0, "added_cols": []}'
+        )
+    assert [s.version for s in t.snapshots()] == [1, 2]
+    assert t.current().version == 2
+
+
+def test_cas_rebase_two_writers_both_land(spark, orders_df, tmp_path):
+    """Optimistic concurrency: writer B races from a stale base,
+    loses the version number to writer A, and its commit REBASES onto
+    A's head instead of failing — both changes visible, disjoint
+    partitions."""
+    path = str(tmp_path / "t")
+    t_a = VersionedTable.create(spark, path, orders_df, partition_col="day")
+    t_b = VersionedTable(spark, path, partition_col="day")
+
+    orig_write = t_b._write_data
+    state = {"interleaved": False}
+
+    def interleaved(df, version, only_keys=None):
+        # writer A commits AFTER B has read its base but BEFORE B's
+        # commit — the classic lost-update interleaving
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            t_a.update({"amount": "amount + 1000"},
+                       where="day = '2024-01-01'")
+        return orig_write(df, version, only_keys=only_keys)
+
+    t_b._write_data = interleaved
+    t_b.update({"amount": "amount + 1"}, where="day = '2024-01-03'")
+
+    snaps = t_a.snapshots()
+    assert [s.version for s in snaps] == [1, 2, 3]
+    out = t_a.read()
+    assert out.where("day = '2024-01-01' AND amount < 1000").count() == 0
+    base = {r.order_id: r.amount for r in orders_df.collect()}
+    got = {r.order_id: r.amount for r in out.collect()}
+    for r in orders_df.collect():
+        bump = 1000 if r.day == "2024-01-01" else (
+            1 if r.day == "2024-01-03" else 0
+        )
+        assert got[r.order_id] == base[r.order_id] + bump
+    # row_count stayed consistent through the rebase
+    assert t_a.current().row_count == 30
+
+
+def test_cas_same_partition_conflict_raises(spark, orders_df, tmp_path):
+    """Two writers touching the SAME partition is a genuine conflict:
+    the loser must raise, not silently clobber the winner."""
+    path = str(tmp_path / "t")
+    t_a = VersionedTable.create(spark, path, orders_df, partition_col="day")
+    t_b = VersionedTable(spark, path, partition_col="day")
+
+    orig_write = t_b._write_data
+    state = {"interleaved": False}
+
+    def interleaved(df, version, only_keys=None):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            t_a.update({"amount": "amount + 1000"},
+                       where="day = '2024-01-01'")
+        return orig_write(df, version, only_keys=only_keys)
+
+    t_b._write_data = interleaved
+    with pytest.raises(RuntimeError, match="conflict"):
+        t_b.update({"amount": "amount + 1"}, where="day = '2024-01-01'")
+
+
+def test_cas_rebase_append_during_dml(spark, orders_df, tmp_path):
+    """A stale APPEND rebases in 'add' mode: its new fragments land
+    alongside the winner's DML without duplicating carried entries."""
+    path = str(tmp_path / "t")
+    t_a = VersionedTable.create(spark, path, orders_df, partition_col="day")
+    t_b = VersionedTable(spark, path, partition_col="day")
+
+    extra = spark.createDataFrame(
+        [(100, "2024-01-02", "open", 5.0)],
+        "order_id long, day string, status string, amount double",
+    )
+    orig_write = t_b._write_data
+    state = {"interleaved": False}
+
+    def interleaved(df, version, only_keys=None):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            t_a.delete("day = '2024-01-01'")
+        return orig_write(df, version, only_keys=only_keys)
+
+    t_b._write_data = interleaved
+    t_b.append(extra)
+
+    out = t_a.read()
+    assert out.where("day = '2024-01-01'").count() == 0
+    assert out.where("order_id = 100").count() == 1
+    assert out.count() == 30 - 10 + 1
+    assert [s.version for s in t_a.snapshots()] == [1, 2, 3]

@@ -267,3 +267,45 @@ def test_dedup_event_stream_drops_redeliveries(spark, tmp_path):
     batch = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
     expect = dedup_event_stream(batch)
     assert sorted(r.event_id for r in expect.collect()) == [1, 2, 3]
+
+
+def test_stream_merge_deterministic_tiebreak(spark, tmp_path):
+    """Duplicate merge keys WITHIN one micro-batch must resolve by
+    the deterministic tiebreak (max tiebreak_col), not an arbitrary
+    dropDuplicates pick — crash-replayed batches must reproduce the
+    same table state for the exactly-once argument to hold."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        stream_merge_into,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "open", 1.0), (2, "open", 2.0)],
+        "k long, status string, v double",
+    )
+    table = VersionedTable.create(spark, str(tmp_path / "t"), base)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # one file = one batch, with THREE rows for k=1; max v must win
+    spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 9.0), (1, "c", 7.0), (3, "new", 3.0)],
+        "k long, status string, v double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("k long, status string, v double")
+        .option("recursiveFileLookup", "true").parquet(str(src))
+    )
+    q = stream_merge_into(
+        stream, table, on="k", checkpoint_dir=str(tmp_path / "ckpt"),
+        when_matched_update={"status": "s.status", "v": "s.v"},
+        tiebreak_col="v",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.k: (r.status, r.v) for r in table.read().collect()}
+    assert got[1] == ("b", 9.0)  # max-v row, deterministically
+    assert got[3] == ("new", 3.0)
+    assert got[2] == ("open", 2.0)
