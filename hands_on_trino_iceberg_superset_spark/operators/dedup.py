@@ -684,11 +684,26 @@ def simhash_pairs(
     least one chunk, so candidates come from an equi-join on
     (chunk_idx, chunk_value) — linear shuffle, exact verification via
     bit_count(xor).
+
+    Two plan-shape choices that matter at scale:
+
+    - signatures are materialized ONCE (``localCheckpoint``) before
+      the self-join — otherwise the explode + wide-agg signature
+      pipeline executes twice, once per join side.
+    - pair uniqueness is a FILTER, not a shuffle: a pair agreeing on
+      several chunks would surface once per agreeing chunk, so we
+      keep only the row whose chunk_idx is the pair's FIRST agreeing
+      chunk (all lower chunks differ — checked with bit-ops on the
+      xor of the two signatures already in the row). That replaces a
+      ``dropDuplicates`` over the full candidate set (~candidate-
+      cardinality shuffle) with a codegen'd predicate.
     """
     bits = _HASHERS[hasher][1]
     n_chunks = max_hamming + 1
     width = bits // n_chunks
-    sh = simhash_signatures(df, text_col=text_col, id_col=id_col, hasher=hasher)
+    sh = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, hasher=hasher
+    ).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_idx"),
@@ -702,20 +717,29 @@ def simhash_pairs(
         "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
     ).select("id", "sig", "ch.chunk_idx", "ch.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    mask = F.lit((1 << width) - 1)
+
+    def chunk_differs(j: int) -> Column:
+        return F.shiftrightunsigned(xor, j * width).bitwiseAND(mask) != 0
+
+    first_match = F.lit(True)
+    for j in range(n_chunks - 1):
+        first_match = first_match & (
+            (F.col("a.chunk_idx") <= j) | chunk_differs(j)
+        )
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & first_match,
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )

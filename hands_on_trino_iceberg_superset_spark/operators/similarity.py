@@ -162,6 +162,91 @@ def cosine_neardup_pairs(
     )
 
 
+def _lsh_chunked(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_chunks: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_val) hyperplane-signature chunks — the
+    bucket rows both the candidate join and the selectivity estimate
+    run over. ~24 bytes/row (same trick as minhash banding).
+
+    Signatures come from the one-GEMM Arrow path
+    (:func:`with_hyperplane_signature_arrow`): the expression form
+    builds an ``n_planes * dim``-literal tree whose codegen compile
+    alone dwarfs the actual work at high dims; the chunk split is
+    then plain bit ops on the sig column."""
+    width = n_planes // n_chunks
+    sigged = with_hyperplane_signature_arrow(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        dim, n_planes, vec_col=vec_col, out_col="sig",
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col("sig"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    return sigged.select(
+        "id",
+        F.explode(F.array(*chunk_structs)).alias("ch"),
+    ).select("id", "ch.chunk_idx", "ch.chunk_val")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_chunks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from the hyperplane
+    bucket join — exposed separately so tests (and capacity planning)
+    can measure candidate volume against n^2/2 directly."""
+    chunked = _lsh_chunked(df, dim, n_planes, n_chunks, vec_col, id_col)
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_candidate_estimate(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_chunks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[int, int]:
+    """(estimated candidate pairs, corpus size) WITHOUT running the
+    pair join: one groupBy over the bucket rows, summing
+    C(bucket, 2) per (chunk_idx, chunk_val). The sum counts a pair
+    once per agreeing chunk, so it upper-bounds the distinct
+    candidate count — conservative in the fallback direction. Linear
+    cost (one aggregation over n * n_chunks 24-byte rows)."""
+    chunked = _lsh_chunked(df, dim, n_planes, n_chunks, vec_col, id_col)
+    row = chunked.groupBy("chunk_idx", "chunk_val").count().agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("est"),
+        F.sum(F.col("count")).alias("n_rows"),
+    ).collect()[0]
+    n = int((row["n_rows"] or 0) / n_chunks)
+    return int(row["est"] or 0), n
+
+
 def cosine_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
@@ -171,6 +256,7 @@ def cosine_neardup_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
+    fallback_ratio: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH prefilter + exact verify —
     the 100 TB replacement for the all-pairs GEMM in
@@ -186,35 +272,30 @@ def cosine_neardup_pairs_lsh(
     against recall (more, narrower chunks -> higher recall, more
     candidates). Shuffle is linear in corpus size x n_chunks; the
     quadratic all-pairs compute never materializes.
+
+    ``fallback_ratio``: hyperplane LSH only prunes when near-dups sit
+    well above the background cosine (a gap regime: dups >= ~0.8,
+    background near 0). When the threshold lands inside the corpus's
+    bulk similarity mass, every bucket is hot and the "prefilter"
+    degenerates to all-pairs — paying the bucket join AND the verify
+    for nothing. With ``fallback_ratio`` set, a linear-cost estimate
+    (:func:`lsh_candidate_estimate`) predicts the candidate volume
+    first, and when it exceeds ``fallback_ratio * n*(n-1)/2`` the
+    operator routes to the blocked-GEMM exact path, which is strictly
+    better in that regime. Output is identical either way (exact
+    pairs at/above threshold; the GEMM path is recall-1).
     """
-    width = n_planes // n_chunks
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk_idx"),
-            F.shiftrightunsigned(sig, c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("chunk_val"),
+    if fallback_ratio is not None:
+        est, n = lsh_candidate_estimate(
+            df, dim, n_planes, n_chunks, vec_col, id_col
         )
-        for c in range(n_chunks)
-    ]
-    # the bucket join carries only (id, chunk) — ~24 bytes/row, the
-    # same trick as minhash banding; vectors are re-joined afterwards
-    # for the (much smaller) surviving candidate set
-    chunked = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*chunk_structs)).alias("ch"),
-    ).select("id", "ch.chunk_idx", "ch.chunk_val")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        if n > 1 and est >= fallback_ratio * n * (n - 1) / 2:
+            return cosine_neardup_pairs(
+                df, threshold, vec_col=vec_col, id_col=id_col,
+                round_digits=round_digits,
+            )
+    pair_ids = lsh_candidate_pairs(
+        df, dim, n_planes, n_chunks, vec_col, id_col
     )
     vecs_a = df.select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")

@@ -215,8 +215,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— the linear-shuffle 100 TB replacement for the all-pairs "
         "GEMM baseline. Emits a driver-hash gate: exact pair count, "
         "no-false-positives (guaranteed by the verify step), and "
-        "recall >= 0.9 vs the exact quadratic set (measured 0.98+ "
-        "on this corpus, deterministic hyperplanes). "
+        "recall >= 0.9 vs the exact quadratic set. The operator is "
+        "ADAPTIVE (fallback_ratio): a linear-cost bucket-histogram "
+        "estimate detects when the threshold sits inside the "
+        "corpus's bulk similarity mass (this benchmark's regime: "
+        "near-dups at cosine 0.40-0.51, where hyperplane buckets "
+        "cannot prune) and routes to the blocked GEMM, which is "
+        "strictly faster there; in a gap regime (dups >= 0.8 over "
+        "near-orthogonal background — the planted-cluster test in "
+        "tests/test_similarity.py) it runs the true prefilter plan. "
         "operators/similarity.py:cosine_neardup_pairs_lsh.",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +232,8 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.lit(1).alias("in_e")
     )
     lsh = S.cosine_neardup_pairs_lsh(
-        emb, threshold=0.4, dim=64, n_planes=24, n_chunks=12
+        emb, threshold=0.4, dim=64, n_planes=24, n_chunks=12,
+        fallback_ratio=0.5,
     ).select("id_a", "id_b", F.lit(1).alias("in_l"))
     # one full-outer + one aggregation: each pipeline executes once
     joined = exact.join(lsh, ["id_a", "id_b"], "full_outer")

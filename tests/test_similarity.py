@@ -112,3 +112,79 @@ def test_arrow_signature_matches_expression_form(spark, sf_dir: str) -> None:
         ).select("vec_id", "sig").collect()
     }
     assert arrow_sigs == expr_sigs
+
+
+def _clustered_fixture(spark, n_clusters=25, dups_per=3, n_background=400,
+                       dim=64, seed=7):
+    """Planted gap-regime corpus: ``n_clusters`` groups of near-
+    identical vectors (pairwise cosine >= ~0.98) over a background of
+    independent random vectors (pairwise cosine ~ N(0, 1/sqrt(dim)),
+    i.e. |cos| < ~0.5) — the regime hyperplane LSH is built for."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(dups_per):
+            v = base + 0.02 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_background):
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lsh_prunes_in_gap_regime(spark) -> None:
+    """On a clustered corpus the bucket join must generate FAR fewer
+    candidates than n^2/2 while still recalling >= 0.95 of the true
+    pairs — the pruning claim, demonstrated rather than asserted."""
+    df = _clustered_fixture(spark)
+    n = df.count()
+    all_pairs = n * (n - 1) / 2
+    candidates = S.lsh_candidate_pairs(df, dim=64, n_planes=30, n_chunks=5)
+    n_cand = candidates.count()
+    assert n_cand < 0.15 * all_pairs, (n_cand, all_pairs)
+    exact = {(r.id_a, r.id_b)
+             for r in S.cosine_neardup_pairs(df, threshold=0.9).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in S.cosine_neardup_pairs_lsh(
+               df, threshold=0.9, dim=64, n_planes=30, n_chunks=5
+           ).collect()}
+    assert got <= exact  # verify step: no false positives
+    assert len(exact) >= 25  # the planted pairs are actually there
+    assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_lsh_selectivity_fallback_routes_by_regime(spark, sf_dir: str) -> None:
+    """The candidate estimate must (a) predict no pruning on the
+    benchmark corpus (near-dups inside the bulk similarity mass) and
+    route to the GEMM, (b) predict pruning on the clustered fixture
+    and keep the LSH plan — with identical output either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    est, n = S.lsh_candidate_estimate(emb, dim=64, n_planes=24, n_chunks=12)
+    assert n == emb.count()
+    assert est >= 0.5 * n * (n - 1) / 2  # benchmark corpus: no gap
+
+    clustered = _clustered_fixture(spark)
+    est_c, n_c = S.lsh_candidate_estimate(
+        clustered, dim=64, n_planes=30, n_chunks=5
+    )
+    assert n_c == clustered.count()
+    assert est_c < 0.25 * n_c * (n_c - 1) / 2
+
+    with_fb = {(r.id_a, r.id_b)
+               for r in S.cosine_neardup_pairs_lsh(
+                   clustered, threshold=0.9, dim=64, n_planes=30,
+                   n_chunks=5, fallback_ratio=0.5
+               ).collect()}
+    without = {(r.id_a, r.id_b)
+               for r in S.cosine_neardup_pairs_lsh(
+                   clustered, threshold=0.9, dim=64, n_planes=30,
+                   n_chunks=5
+               ).collect()}
+    assert with_fb == without
