@@ -57,13 +57,24 @@ class Snapshot:
 
 
 class VersionedTable:
-    """Handle to a versioned table rooted at ``path``."""
+    """Handle to a versioned table rooted at ``path``.
+
+    ``branch`` selects a named ref (Nessie-style, the reference pins
+    ``iceberg.nessie-catalog.ref=main``, ``iceberg.properties:6``):
+    every branch is its own manifest chain under ``_branches/<name>``
+    (``main`` is the root chain at ``_snapshots/``), all branches
+    SHARE data directories — branching is O(1) metadata, exactly the
+    git-like model Nessie provides. See :meth:`create_branch` /
+    :meth:`merge_branch`.
+    """
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_col: str | None = None) -> None:
+                 partition_col: str | None = None,
+                 branch: str = "main") -> None:
         self.spark = spark
         self.path = path
         self.partition_col = partition_col
+        self.branch = branch
 
     # ------------------------------------------------------- creation
 
@@ -77,10 +88,14 @@ class VersionedTable:
     ) -> "VersionedTable":
         """Create snapshot v1 from ``df`` (overwrites any existing
         table at ``path``)."""
+        import shutil
+
         t = cls(spark, path, partition_col)
         os.makedirs(t._snap_dir, exist_ok=True)
         for f in os.listdir(t._snap_dir):
             os.remove(os.path.join(t._snap_dir, f))
+        # a re-created table invalidates refs into the old history
+        shutil.rmtree(os.path.join(path, "_branches"), ignore_errors=True)
         entries, n = t._write_data(df, 1)
         t._commit(Snapshot(1, _now(), "create", entries, n))
         return t
@@ -213,6 +228,14 @@ class VersionedTable:
         if not drop:
             return []
         live_dirs = {d for sn in keep for d in sn.entries.values()}
+        # data dirs are SHARED across branches (create_branch is
+        # metadata-only): anything any other branch's history still
+        # references is live, whatever this branch's retention says
+        for other in self.branches():
+            if other == self.branch:
+                continue
+            for sn in self.checkout(other).snapshots():
+                live_dirs |= set(sn.entries.values())
         dead_dirs = {
             d for sn in drop for d in sn.entries.values()
         } - live_dirs
@@ -426,11 +449,142 @@ class VersionedTable:
             base=cur, touched=touched_keys,
         )
 
+    # ------------------------------------------------------- branching
+
+    def create_branch(self, name: str) -> "VersionedTable":
+        """Fork a named branch at the current head — O(1) metadata,
+        no data is copied (branches share data dirs, the Nessie
+        model). Returns a handle bound to the new branch; commits on
+        it never move this branch's head."""
+        if not re.fullmatch(r"[A-Za-z0-9_\-]+", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        head = self.current()
+        bdir = os.path.join(self.path, "_branches", name)
+        os.makedirs(os.path.dirname(bdir), exist_ok=True)
+        os.makedirs(bdir)  # FileExistsError if the branch exists
+        with open(os.path.join(bdir, f"v{head.version:08d}.json"), "w") as fh:
+            json.dump(head.__dict__, fh)
+        with open(os.path.join(bdir, "_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "from_branch": self.branch,
+                    "base": head.__dict__,
+                },
+                fh,
+            )
+        return VersionedTable(
+            self.spark, self.path, self.partition_col, branch=name
+        )
+
+    def checkout(self, name: str) -> "VersionedTable":
+        """Handle bound to an existing branch (or ``main``)."""
+        if name != "main" and not os.path.isdir(
+            os.path.join(self.path, "_branches", name)
+        ):
+            raise ValueError(f"no branch {name!r}")
+        return VersionedTable(
+            self.spark, self.path, self.partition_col, branch=name
+        )
+
+    def branches(self) -> list[str]:
+        root = os.path.join(self.path, "_branches")
+        extra = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        return ["main", *extra]
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref (metadata only; shared data dirs stay
+        — they belong to whatever snapshots still reference them)."""
+        import shutil
+
+        if name == "main":
+            raise ValueError("cannot drop main")
+        shutil.rmtree(os.path.join(self.path, "_branches", name))
+
+    def merge_branch(self, name: str) -> Snapshot:
+        """Three-way merge of branch ``name`` into THIS branch at
+        partition granularity (git-like, the capability the
+        reference's Nessie catalog holds in reserve).
+
+        The merge base is the manifest recorded at branch creation.
+        A partition modified on both sides since the base is a
+        genuine conflict and raises; otherwise each side's changes
+        land (branch-touched partitions adopt the branch's entries,
+        everything else keeps this branch's). Schema evolution merges
+        the same way: evolved on one side only. The final publish
+        goes through the optimistic :meth:`_commit` with the
+        branch-touched partitions as the guarded set, so a racing
+        writer on this branch triggers the normal rebase/conflict
+        path.
+        """
+        bdir = os.path.join(self.path, "_branches", name)
+        with open(os.path.join(bdir, "_meta.json")) as fh:
+            meta = json.load(fh)
+        if meta["from_branch"] != self.branch:
+            raise ValueError(
+                f"branch {name!r} was forked from {meta['from_branch']!r}, "
+                f"not {self.branch!r}"
+            )
+        base = Snapshot(**meta["base"])
+        b_head = self.checkout(name).current()
+        head = self.current()
+
+        def by_base(entries: dict[str, str]) -> dict[str, frozenset]:
+            out: dict[str, set] = {}
+            for k, d in entries.items():
+                out.setdefault(_pk_base(k), set()).add((k, d))
+            return {k: frozenset(v) for k, v in out.items()}
+
+        base_by, head_by, br_by = (
+            by_base(base.entries), by_base(head.entries),
+            by_base(b_head.entries),
+        )
+        all_keys = set(base_by) | set(head_by) | set(br_by)
+        br_touched = {
+            bk for bk in all_keys
+            if br_by.get(bk, frozenset()) != base_by.get(bk, frozenset())
+        }
+        main_touched = {
+            bk for bk in all_keys
+            if head_by.get(bk, frozenset()) != base_by.get(bk, frozenset())
+        }
+        conflicts = sorted(br_touched & main_touched)
+        if conflicts:
+            raise RuntimeError(
+                f"merge conflict: partition(s) {conflicts} modified on "
+                f"both {self.branch!r} and {name!r} since the fork"
+            )
+        br_evolved = b_head.added_cols != base.added_cols
+        main_evolved = head.added_cols != base.added_cols
+        if br_evolved and main_evolved:
+            raise RuntimeError(
+                "merge conflict: schema evolved on both branches"
+            )
+        added_cols = b_head.added_cols if br_evolved else head.added_cols
+
+        entries = {
+            k: d for k, d in head.entries.items()
+            if _pk_base(k) not in br_touched
+        }
+        for k, d in b_head.entries.items():
+            if _pk_base(k) in br_touched:
+                entries[k] = d
+        v = head.version + 1
+        snap = Snapshot(v, _now(), f"merge_branch:{name}", entries, -1,
+                        added_cols=list(added_cols))
+        n = self._count_entries(snap)
+        return self._commit(
+            Snapshot(v, _now(), f"merge_branch:{name}", entries, n,
+                     added_cols=list(added_cols)),
+            base=head, touched=br_touched,
+        )
+
     # ------------------------------------------------------- internals
 
     @property
     def _snap_dir(self) -> str:
-        return os.path.join(self.path, "_snapshots")
+        if self.branch == "main":
+            return os.path.join(self.path, "_snapshots")
+        return os.path.join(self.path, "_branches", self.branch)
 
     def _resolve(self, version: int | None, as_of: str | None) -> Snapshot:
         snaps = self.snapshots()

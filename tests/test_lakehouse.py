@@ -528,3 +528,100 @@ def test_cas_rebase_append_during_dml(spark, orders_df, tmp_path):
     assert out.where("order_id = 100").count() == 1
     assert out.count() == 30 - 10 + 1
     assert [s.version for s in t_a.snapshots()] == [1, 2, 3]
+
+
+# ---------------------------------------------------------- branching
+
+
+def test_branch_isolation_and_merge(spark, orders_df, tmp_path):
+    """Nessie-model branching: a branch commit is invisible on main
+    until merge; merge lands exactly the branch's partition changes;
+    the branch fork is O(1) metadata (no data copied)."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    dev = t.create_branch("dev")
+    assert t.branches() == ["main", "dev"]
+
+    dev.update({"amount": "amount + 1000"}, where="day = '2024-01-02'")
+    # isolation: main unchanged, branch changed
+    assert t.read().where("amount >= 1000").count() == 0
+    assert dev.read().where("amount >= 1000").count() == 10
+    # fork shared the data dirs: branch v-head references main's v1
+    # dirs for the untouched partitions
+    main_v1 = t.current().entries
+    dev_head = dev.current().entries
+    assert dev_head["p_2024-01-01"] == main_v1["p_2024-01-01"]
+
+    # divergent-but-disjoint main commit merges cleanly
+    t.delete("day = '2024-01-03'")
+    merged = t.merge_branch("dev")
+    assert merged.op == "merge_branch:dev"
+    out = t.read()
+    assert out.where("day = '2024-01-03'").count() == 0
+    assert out.where("day = '2024-01-02' AND amount < 1000").count() == 0
+    assert out.where("day = '2024-01-01' AND amount >= 1000").count() == 0
+    assert out.count() == 20
+    # branch history is untouched by the merge
+    assert dev.read().count() == 30
+
+
+def test_branch_merge_conflict_same_partition(spark, orders_df, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    dev = t.create_branch("dev")
+    dev.update({"amount": "amount + 1"}, where="day = '2024-01-01'")
+    t.update({"amount": "amount + 2"}, where="day = '2024-01-01'")
+    with pytest.raises(RuntimeError, match="merge conflict"):
+        t.merge_branch("dev")
+    # the failed merge left main's head alone
+    assert t.current().op == "update"
+
+
+def test_branch_time_travel_and_drop(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    dev = t.create_branch("dev")
+    dev.delete("order_id <= 10")
+    dev.delete("order_id <= 20")
+    # branch has its own chain: fork manifest + two deletes
+    assert [s.version for s in dev.snapshots()] == [1, 2, 3]
+    assert dev.read(version=2).count() == 20
+    t.drop_branch("dev")
+    assert t.branches() == ["main"]
+    with pytest.raises(ValueError, match="no branch"):
+        t.checkout("dev")
+    # main never saw any of it
+    assert t.read().count() == 30 and t.current().version == 1
+
+
+def test_branch_schema_evolution_merges_one_side(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), orders_df)
+    dev = t.create_branch("dev")
+    dev.add_column("note", "string", default_sql="'none'")
+    t.merge_branch("dev")
+    assert "note" in t.read().columns
+    assert t.read().where("note = 'none'").count() == 30
+
+
+def test_expire_on_main_keeps_branch_referenced_dirs(
+    spark, orders_df, tmp_path
+):
+    """Branch refs pin shared data dirs: main's GC must not delete
+    dirs a branch's history still references."""
+    import os
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), orders_df, partition_col="day"
+    )
+    dev = t.create_branch("dev")
+    # main rewrites every partition twice, then expires old snapshots
+    t.update({"amount": "amount + 1"}, where="amount >= 0")
+    t.update({"amount": "amount + 1"}, where="amount >= 0")
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    # the branch still reads the fork-time state intact
+    assert dev.read().count() == 30
+    assert dev.read().agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 10.0 for i in range(1, 31)
+    )
