@@ -76,11 +76,12 @@ def load_all() -> dict[str, QuerySpec]:
         streaming,
         text,
         tpch_extra,
+        wire,
     )
 
     never_checked_first = ["text", "streaming", "tpch_extra", "sketches",
-                          "dedup", "dml", "similarity", "multimodal",
-                          "events", "core", "reference", "bi"]
+                          "wire", "dedup", "dml", "similarity",
+                          "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]
                  for name, spec in REGISTRY.items()}
     rank = {m: i for i, m in enumerate(never_checked_first)}

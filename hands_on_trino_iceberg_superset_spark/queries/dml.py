@@ -169,3 +169,48 @@ def dml_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
     )
+
+
+@register(
+    "dml_branch_merge",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN o_totalprice + 250 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="Nessie-style branch workflow: fork an 'etl' branch (O(1) "
+        "metadata, shared data dirs), surcharge the 'O' partition ON "
+        "THE BRANCH while main concurrently deletes half the 'F' "
+        "partition, then three-way merge the branch back — disjoint "
+        "partitions, so both changes land; the oracle recomputes the "
+        "final state declaratively. Isolation is asserted in-flight: "
+        "main must not see the branch's update before the merge. "
+        "lakehouse/table.py:create_branch/merge_branch.",
+)
+def dml_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dml_branch_")
+    t = VersionedTable.create(
+        spark, path, orders, partition_col="o_orderstatus"
+    )
+    etl = t.create_branch("etl")
+    etl.update({"o_totalprice": "o_totalprice + 250"},
+               where="o_orderstatus = 'O'")
+    # isolation gate: the branch commit is invisible on main
+    if t.current().version != 1:
+        raise RuntimeError("branch commit moved main's head")
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+    t.merge_branch("etl")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )

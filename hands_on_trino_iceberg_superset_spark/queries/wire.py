@@ -1,0 +1,70 @@
+"""Wire-protocol inventory entry: the full network round trip the
+reference exercises on every query (Trino CLI -> HTTP -> engine,
+``/root/reference/compose/seed.sh:6-9``), as a driver-checkable
+query.
+
+The Spark side starts a :class:`TrinoWireServer` on an ephemeral
+port, POSTs Trino-dialect SQL over real HTTP, drains the paged
+protocol with a stdlib client that knows nothing about Spark, and
+returns the received rows; the DuckDB oracle computes the same
+aggregate directly. A hash match proves the whole chain — dialect,
+execution, JSON encoding, paging — end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+WIRE_SQL = (
+    "SELECT o_orderstatus AS status, count(*) AS n_orders "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
+@register(
+    "sql_over_http",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="SQL-over-HTTP round trip through the Trino REST client "
+        "protocol (server.py): POST /v1/statement, follow nextUri, "
+        "decode JSON rows. Result-set shape is control-plane sized "
+        "by design (BI clients page modest results; bulk data moves "
+        "via parquet), so re-creating a DataFrame from the received "
+        "rows is the honest representation of what crossed the wire.",
+)
+def sql_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import TrinoWireServer
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"{srv.url}/v1/statement",
+            data=WIRE_SQL.encode(),
+            method="POST",
+            headers={"X-Trino-User": "driver"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            payload = json.load(resp)
+        if "error" in payload:
+            raise RuntimeError(payload["error"]["message"])
+        rows = list(payload.get("data", []))
+        while "nextUri" in payload:
+            with urllib.request.urlopen(payload["nextUri"]) as resp:
+                payload = json.load(resp)
+            rows.extend(payload.get("data", []))
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], int(r[1])) for r in rows], "status string, n_orders long"
+    )
