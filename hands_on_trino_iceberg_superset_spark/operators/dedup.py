@@ -237,6 +237,192 @@ def ngram_jaccard_pairs_inverted(
     ).where(F.col("jaccard_sim") >= threshold)
 
 
+def ngram_jaccard_pairs_gemm(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 8,
+    vocab_cap: int = 1 << 20,
+) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs_inverted`, via
+    blocked binary-matrix multiplication — the exact path for
+    DENSE-vocabulary corpora, where the inverted index degenerates.
+
+    The inverted index costs ``Σ_s df(s)²`` join rows, which is
+    near-linear only when shingles are rare. A corpus whose shingle
+    vocabulary is small relative to the corpus (boilerplate-heavy or
+    template text: every shingle appears in ~every doc) drives that
+    to ~``n² · avg_shingles`` shuffled rows for an output of a few
+    hundred pairs. In that regime, intersection counting is a dense
+    matrix product: encode each doc as a 0/1 row over the (small)
+    shingle vocabulary, and ``A @ B.T`` of two doc blocks IS the
+    pairwise intersection-size matrix — one BLAS GEMM per block pair
+    instead of tens of millions of shuffled postings rows. Same
+    block-replication shuffle shape as
+    :func:`similarity.cosine_neardup_pairs` (each doc ships
+    ``n_blocks`` times); counts are exact small integers (float32
+    holds them exactly), and the final Jaccard division runs in
+    float64 — bit-identical to the inverted path's output.
+
+    The vocabulary is collected and broadcast (guarded by
+    ``vocab_cap``): legitimate ONLY in the dense regime this path is
+    selected for — :func:`ngram_jaccard_pairs_auto` measures density
+    first and never routes sparse/web-scale corpora (huge vocab, low
+    df) here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0)
+    vocab = [
+        r["s"]
+        for r in shingled.select(F.explode("sh").alias("s"))
+        .distinct().collect()
+    ]
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary {len(vocab)} exceeds vocab_cap {vocab_cap}: "
+            "this corpus is sparse — use the inverted-index path"
+        )
+    index = {h: i for i, h in enumerate(sorted(vocab))}
+    b_index = df.sparkSession.sparkContext.broadcast(index)
+    n_vocab = len(vocab)
+
+    v = shingled.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+    )
+    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    combos_df = df.sparkSession.createDataFrame(combos, "bi int, bj int")
+    group_keys = (["block"] if block_col else []) + ["bi", "bj"]
+    side_a = v.join(F.broadcast(combos_df), v.blk == combos_df.bi).select(
+        *group_keys, "id", "sh", F.lit("a").alias("role")
+    )
+    side_b = v.join(F.broadcast(combos_df), v.blk == combos_df.bj).select(
+        *group_keys, "id", "sh", F.lit("b").alias("role")
+    )
+    tagged = side_a.unionAll(side_b)
+    thr = threshold
+    diag_at = len(group_keys) - 2  # key position of bi (bj follows)
+
+    def gemm_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard_sim": pd.Series(dtype="float64")}
+        )
+        a_rows = pdf[pdf["role"] == "a"]
+        b_rows = pdf[pdf["role"] == "b"]
+        if a_rows.empty or b_rows.empty:
+            return empty
+        idx = b_index.value
+
+        def matrix(rows: pd.DataFrame) -> np.ndarray:
+            m = np.zeros((len(rows), n_vocab), dtype=np.float32)
+            for r, hashes in enumerate(rows["sh"].to_numpy()):
+                m[r, [idx[h] for h in hashes]] = 1.0
+            return m
+
+        ma, mb = matrix(a_rows), matrix(b_rows)
+        inter = (ma @ mb.T).astype(np.float64)  # exact counts
+        sz_a = ma.sum(axis=1, dtype=np.float64)
+        sz_b = mb.sum(axis=1, dtype=np.float64)
+        jac = inter / (sz_a[:, None] + sz_b[None, :] - inter)
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        if key[diag_at] == key[diag_at + 1]:
+            order = ids_a[:, None] < ids_b[None, :]
+        else:
+            order = ids_a[:, None] != ids_b[None, :]
+        ii, jj = np.nonzero((jac >= thr) & order)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "jaccard_sim": jac[ii, jj]}
+        )
+
+    return tagged.groupBy(*group_keys).applyInPandas(
+        gemm_block, "id_a long, id_b long, jaccard_sim double"
+    )
+
+
+def ngram_jaccard_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[int, int, int]:
+    """(postings, distinct shingles, Σdf²) in ONE aggregation pass —
+    the linear-cost density probe :func:`ngram_jaccard_pairs_auto`
+    routes on. ``Σdf²`` is exactly the inverted index's join-row
+    count; ``postings / distinct`` is the mean document frequency."""
+    posts = df.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    row = posts.groupBy("s").count().agg(
+        F.sum("count").alias("postings"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("count") * F.col("count")).alias("df2"),
+    ).collect()[0]
+    return int(row["postings"] or 0), int(row["vocab"] or 0), int(row["df2"] or 0)
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    density_cutoff: float = 32.0,
+    vocab_cap: int = 1 << 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with regime-adaptive plan choice.
+
+    One linear-cost stats pass (:func:`ngram_jaccard_stats`) measures
+    the corpus's shingle density; the mean document frequency decides
+    the plan:
+
+    - **sparse** (mean df <= ``density_cutoff``, or vocabulary too
+      large to broadcast): inverted index — ``Σ min(df,K)²`` join
+      rows, the web-scale shape (real text follows Zipf: huge vocab,
+      low mean df).
+    - **dense** (small vocabulary, high mean df — template/boiler-
+      plate corpora, including this benchmark's synthetic documents
+      at mean df ~275): blocked binary GEMM — the inverted index
+      would shuffle ~all-pairs postings anyway, so one BLAS product
+      per block pair computes the same intersections at memory
+      bandwidth.
+
+    Output is identical either way (both paths are exact and emit
+    float64 Jaccard of exact integer counts).
+    """
+    postings, vocab, _df2 = ngram_jaccard_stats(
+        df, n=n, text_col=text_col, id_col=id_col
+    )
+    dense = vocab > 0 and vocab <= vocab_cap and (
+        postings / vocab > density_cutoff
+    )
+    if dense:
+        return ngram_jaccard_pairs_gemm(
+            df, threshold, n=n, block_col=block_col,
+            text_col=text_col, id_col=id_col, vocab_cap=vocab_cap,
+        )
+    return ngram_jaccard_pairs_inverted(
+        df, threshold, n=n, block_col=block_col,
+        text_col=text_col, id_col=id_col, max_df=max_df,
+    )
+
+
 # --------------------------------------------------------- MinHash LSH
 
 # Mersenne prime 2^31-1 for affine rehashing of the base hash: keeps

@@ -67,13 +67,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
     """,
     doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.4), "
-        "blocked by lang, via the inverted-index plan (postings "
-        "equi-join + pair groupBy = intersection counting; near-"
-        "linear in corpus size for rare shingles).",
+        "blocked by lang, with regime-adaptive plan choice: a "
+        "linear-cost density probe routes sparse (Zipfian, web-scale) "
+        "corpora to the inverted-index plan (postings equi-join, "
+        "near-linear for rare shingles) and dense template corpora — "
+        "this benchmark's (mean shingle df ~275) — to blocked binary "
+        "GEMM intersection counting. Output identical either way; "
+        "operators/dedup.py:ngram_jaccard_pairs_auto.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs_inverted(
+    return D.ngram_jaccard_pairs_auto(
         docs, threshold=0.4, n=2, block_col="lang"
     )
 
@@ -185,7 +189,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs_inverted(docs, threshold=0.4, n=2)
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
     cc = D.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

@@ -261,3 +261,55 @@ def test_connected_components_star_matches_propagate(spark) -> None:
     assert star == prop
     # 5-3-9-40-2 one component rooted at 2; 20-21; 7 alone
     assert star[5] == 2 and star[20] == 20 and star[7] == 7
+
+
+def test_ngram_gemm_matches_inverted(spark, sf_dir: str) -> None:
+    """The dense-regime GEMM path must be bit-identical to the
+    inverted index — both blocked and unblocked — including the
+    float64 Jaccard values."""
+    docs = load_table(spark, sf_dir, "documents")
+    for blk in (None, "lang"):
+        inv = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in D.ngram_jaccard_pairs_inverted(
+                docs, 0.4, 2, block_col=blk
+            ).collect()
+        }
+        gemm = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in D.ngram_jaccard_pairs_gemm(
+                docs, 0.4, 2, block_col=blk
+            ).collect()
+        }
+        assert gemm == inv and len(inv) > 0
+
+
+def test_ngram_auto_routes_by_density(spark, sf_dir: str) -> None:
+    """Router: the benchmark corpus is dense (tiny vocabulary, high
+    mean df) -> GEMM; a synthetic sparse corpus (every doc its own
+    vocabulary) -> inverted. Outputs must match the direct paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    # whichever side of the cutoff this fixture lands on, auto must
+    # agree with the direct inverted path bit-for-bit
+    auto = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in D.ngram_jaccard_pairs_auto(docs, 0.4, 2).collect()
+    }
+    inv = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in D.ngram_jaccard_pairs_inverted(docs, 0.4, 2).collect()
+    }
+    assert auto == inv
+
+    sparse = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(200)]
+        + [(1000, " ".join(f"w7_{j}" for j in range(12)))],
+        ["doc_id", "text"],
+    )
+    p, v, _ = D.ngram_jaccard_stats(sparse, 2)
+    assert p / v < 32  # sparse: auto takes the inverted path
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs_auto(sparse, 0.9, 2).collect()
+    }
+    assert got == {(7, 1000)}  # the planted exact-duplicate pair
