@@ -51,17 +51,41 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _last_driver_check() -> dict[str, int]:
+    """query name -> last round it appeared in a driver CORRECTNESS
+    snapshot (0 = never), read from the ``CORRECTNESS_r*.json`` files
+    the driver leaves at the repo root. Missing/any-error -> {}."""
+    import json
+    import re
+    from pathlib import Path
+
+    seen: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    try:
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", f.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            for name in json.loads(f.read_text()):
+                seen[name] = max(seen.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return seen
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and
     return the full inventory.
 
-    Import order is DELIBERATE, not alphabetical: the driver's
-    CORRECTNESS snapshot records at most the first 50 inventory
-    entries, so the families it has never checked (text, streaming,
-    tpch_extra, sketches — all green under the local DuckDB
-    differential through round 2) register first; the families with
-    driver-verified rows from rounds 1-2 cycle to the back of the
-    window.
+    Ordering is DELIBERATE, not alphabetical: the driver's
+    CORRECTNESS snapshot records at most the first ~50 inventory
+    entries, so queries rotate by least-recently-driver-checked —
+    never-checked queries first, then oldest snapshot round first
+    (ties keep a stable family grouping). Every round this cycles the
+    unchecked tail into the driver's window; the full inventory is
+    always covered by the local DuckDB differential
+    (tools/check_correctness.py) regardless.
     """
     from hands_on_trino_iceberg_superset_spark.queries import (  # noqa: F401
         bi,
@@ -79,14 +103,18 @@ def load_all() -> dict[str, QuerySpec]:
         wire,
     )
 
-    never_checked_first = ["text", "streaming", "tpch_extra", "sketches",
-                          "wire", "dedup", "dml", "similarity",
-                          "multimodal", "events", "core", "reference", "bi"]
+    family_order = ["text", "streaming", "tpch_extra", "sketches",
+                    "wire", "dedup", "dml", "similarity",
+                    "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]
                  for name, spec in REGISTRY.items()}
-    rank = {m: i for i, m in enumerate(never_checked_first)}
+    rank = {m: i for i, m in enumerate(family_order)}
+    last_seen = _last_driver_check()
     ordered = sorted(
         REGISTRY,
-        key=lambda name: (rank.get(module_of[name], 99),),
+        key=lambda name: (
+            last_seen.get(name, 0),
+            rank.get(module_of[name], 99),
+        ),
     )
     return {name: REGISTRY[name] for name in ordered}
