@@ -47,6 +47,8 @@ def main() -> None:
     except Exception:
         pass
 
+    import gc
+
     per_query: dict[str, float] = {}
     for name, spec in inventory.items():
         t0 = time.perf_counter()
@@ -56,6 +58,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             per_query[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        # release the previous query's pinned state (localCheckpoint
+        # RDD blocks, broadcasts) — dead Python references keep JVM
+        # blocks alive until a driver GC lets the ContextCleaner run;
+        # without this, executor memory pressure taxes later
+        # shuffle-heavy queries by 2x+
+        gc.collect()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
     detail = {
