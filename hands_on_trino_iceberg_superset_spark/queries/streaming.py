@@ -181,3 +181,70 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_event_stream(feed).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "stream_merge_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts) DESC, event_id DESC,
+                        event_type DESC, value DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event_type,
+           CAST(value AS DOUBLE) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Streaming MERGE (CDC-style lakehouse ingest): a REAL "
+        "Structured Streaming query reads the event log and "
+        "foreachBatch-MERGEs it into a copy-on-write VersionedTable "
+        "keyed by user_id — in-batch duplicate keys resolve by the "
+        "deterministic last-writer tiebreak (max ts_ns, then full "
+        "column ordering), which is what makes crash-replayed "
+        "batches idempotent. Returns the final table state; the "
+        "oracle computes the same last-writer row per user with a "
+        "window. streaming/pipeline.py:stream_merge_into.",
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        stream_merge_into,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_merge_q_")
+    src = os.path.join(tmp, "src")
+    ev.write.mode("overwrite").parquet(src)
+    target = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit("seed").alias("last_event_type"),
+        F.lit(0.0).alias("last_value"),
+    )
+    table = VersionedTable.create(spark, os.path.join(tmp, "t"), target)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_ns long, event_id long, "
+            "event_type string, value double"
+        ).parquet(src)
+    )
+    q = stream_merge_into(
+        stream, table, on="user_id",
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        when_matched_update={
+            "last_event_type": "s.event_type",
+            "last_value": "s.value",
+        },
+        tiebreak_col="ts_ns",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return table.read()
