@@ -11,6 +11,7 @@ the ``information_schema`` surface Superset uses
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,12 +44,19 @@ class Engine:
     ) -> None:
         self.spark = configure_runtime(spark) if spark else get_spark()
         self.default_schema = default_schema
+        self._versioned: dict[str, object] = {}
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
     def sql(self, text: str) -> DataFrame:
-        """Execute SQL text; the Trino-CLI ``--execute`` equivalent."""
-        return self.spark.sql(text)
+        """Execute SQL text; the Trino-CLI ``--execute`` equivalent.
+
+        Supports Trino/Iceberg time-travel syntax on tables
+        registered via :meth:`register_versioned_table`:
+        ``SELECT ... FROM t FOR VERSION AS OF 3`` and
+        ``... FOR TIMESTAMP AS OF TIMESTAMP '2026-01-01 00:00:00'``.
+        """
+        return self.spark.sql(self._resolve_time_travel(text))
 
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL
@@ -63,8 +71,13 @@ class Engine:
         has_alias = bool(
             self.spark.conf.get("spark.sql.catalog.iceberg", None)
         )
-        strip = () if has_alias else ("iceberg",)
-        return self.spark.sql(trino_to_spark(text, strip_catalogs=strip))
+        # time-travel rewriting needs the bare table name, so the
+        # catalog prefix is stripped first even when the alias
+        # catalog could resolve it
+        strip = (
+            ("iceberg",) if self._versioned or not has_alias else ()
+        )
+        return self.sql(trino_to_spark(text, strip_catalogs=strip))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -108,6 +121,51 @@ class Engine:
 
     def describe(self, table: str) -> DataFrame:
         return self.sql(f"DESCRIBE TABLE {table}")
+
+    # -- versioned tables: SQL time travel (Iceberg surface) -----------
+
+    #: ``t FOR VERSION AS OF 3`` / ``t FOR TIMESTAMP AS OF TIMESTAMP '…'``
+    _TIME_TRAVEL = re.compile(
+        r"\b(\w+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?:TIMESTAMP\s+)?('(?:[^']|'')*'|\d+)",
+        re.IGNORECASE,
+    )
+
+    def register_versioned_table(self, name: str, table) -> None:
+        """Expose a :class:`lakehouse.VersionedTable` to SQL: the
+        CURRENT state queries as ``name``, and Trino/Iceberg
+        time-travel syntax (``FOR VERSION AS OF`` /
+        ``FOR TIMESTAMP AS OF``) resolves against its snapshot
+        history. Re-registering refreshes the current-state view."""
+        table.read().createOrReplaceTempView(name)
+        self._versioned[name] = table
+
+    def _resolve_time_travel(self, text: str):
+        def sub(m) -> str:
+            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            table = self._versioned.get(name)
+            if table is None:
+                return m.group(0)  # not ours; let Spark handle/raise
+            if kind == "VERSION":
+                df = table.read(version=int(lit))
+                tag = lit
+            else:
+                # snapshot ts format is ISO-'T'-separated UTC with
+                # microseconds and a Z suffix; shape the SQL literal
+                # to the same form so the lexicographic comparison in
+                # read(as_of=) is a correct time comparison at any
+                # literal precision
+                as_of = lit.strip("'").replace(" ", "T").rstrip("Zz")
+                if "." not in as_of:
+                    as_of += ".000000"
+                as_of += "Z"
+                df = table.read(as_of=as_of)
+                tag = "".join(c if c.isalnum() else "_" for c in as_of)
+            view = f"{name}__asof_{tag}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TIME_TRAVEL.sub(sub, text)
 
     # -- table adoption (reference iceberg.properties:19, S8) ----------
 

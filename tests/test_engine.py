@@ -61,3 +61,47 @@ def test_show_catalogs_probe(spark) -> None:
     eng = Engine(spark)
     cats = [r[0] for r in eng.sql("SHOW CATALOGS").collect()]
     assert "spark_catalog" in cats
+
+
+def test_sql_time_travel_on_versioned_table(spark, tmp_path):
+    """Trino/Iceberg time-travel syntax through the SQL entry point:
+    FOR VERSION AS OF and FOR TIMESTAMP AS OF against a registered
+    VersionedTable, including the Trino-dialect path with a catalog
+    prefix."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "tt"), df)
+    eng.register_versioned_table("ledger", t)
+    between = t.current().ts  # ISO-T UTC, sorts between v1 and v2
+    t.delete("k = 1")
+    eng.register_versioned_table("ledger", t)  # refresh current view
+
+    assert eng.sql("SELECT count(*) AS n FROM ledger").collect()[0].n == 2
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM ledger FOR VERSION AS OF 1"
+        ).collect()[0].n == 3
+    )
+    ts_lit = between.replace("T", " ").rstrip("Z")
+    assert (
+        eng.sql(
+            f"SELECT count(*) AS n FROM ledger FOR TIMESTAMP AS OF "
+            f"TIMESTAMP '{ts_lit}'"
+        ).collect()[0].n == 3
+    )
+    # Trino dialect with catalog prefix
+    got = eng.trino_sql(
+        "SELECT CAST(k AS varchar) AS ks FROM iceberg.ledger "
+        "FOR VERSION AS OF 1 ORDER BY ks"
+    ).collect()
+    assert [r.ks for r in got] == ["1", "2", "3"]
+    # unknown table names pass through to Spark untouched
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        eng.sql("SELECT * FROM nope FOR VERSION AS OF 1").collect()
