@@ -154,3 +154,51 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_simhash_pairs_have_no_dedup_shuffle(spark, sf_dir):
+    """Pair uniqueness in simhash_pairs is a first-agreeing-chunk
+    bit-op FILTER, not a dropDuplicates: the plan must contain no
+    aggregate/exchange downstream of the chunk self-join beyond the
+    join itself."""
+    from hands_on_trino_iceberg_superset_spark.operators import dedup as D
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.simhash_pairs(docs, max_hamming=3)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # one shuffle pair for the sort-merge/shuffled-hash self-join at
+    # most; a dropDuplicates would add a HashAggregate pair on
+    # (id_a, id_b) — that is the regression this gate catches
+    assert "HashAggregate(keys=[id_a" not in executed.replace("#", "")
+    assert "dropDuplicates" not in executed
+
+
+def test_seeded_frames_are_single_partition(spark):
+    """The reference's tiny seeded tables (≤300 rows) must generate
+    as ONE task, not one per core (32 near-empty tasks per aggregate
+    was the round-2 ref_*/bi_* regression)."""
+    from hands_on_trino_iceberg_superset_spark.seed import seed_frames
+
+    frames = seed_frames(spark)
+    for name, df in frames.items():
+        assert df.rdd.getNumPartitions() == 1, name
+
+
+def test_ngram_auto_dense_routes_to_gemm_plan(spark, sf_dir):
+    """On the dense benchmark corpus the auto router must produce the
+    Arrow GEMM plan (FlatMapGroupsInPandas), not the postings
+    self-join; and the sparse path must NOT contain a pandas stage."""
+    from hands_on_trino_iceberg_superset_spark.operators import dedup as D
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, vocab, _ = D.ngram_jaccard_stats(docs, 2)
+    dense = postings / vocab > 32
+    auto = D.ngram_jaccard_pairs_auto(docs, 0.4, 2)
+    executed = auto._jdf.queryExecution().executedPlan().toString()
+    if dense:
+        assert "FlatMapGroupsInPandas" in executed
+    inverted = D.ngram_jaccard_pairs_inverted(docs, 0.4, 2)
+    inv_plan = inverted._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in inv_plan
