@@ -383,35 +383,38 @@ def ngram_jaccard_pairs_auto(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
-    density_cutoff: float = 32.0,
+    gemm_speedup: float = 512.0,
     vocab_cap: int = 1 << 20,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with regime-adaptive plan choice.
 
-    One linear-cost stats pass (:func:`ngram_jaccard_stats`) measures
-    the corpus's shingle density; the mean document frequency decides
-    the plan:
+    One linear-cost stats pass (:func:`ngram_jaccard_stats`) plus a
+    corpus count feed a direct COST comparison:
 
-    - **sparse** (mean df <= ``density_cutoff``, or vocabulary too
-      large to broadcast): inverted index — ``Σ min(df,K)²`` join
-      rows, the web-scale shape (real text follows Zipf: huge vocab,
-      low mean df).
-    - **dense** (small vocabulary, high mean df — template/boiler-
-      plate corpora, including this benchmark's synthetic documents
-      at mean df ~275): blocked binary GEMM — the inverted index
-      would shuffle ~all-pairs postings anyway, so one BLAS product
-      per block pair computes the same intersections at memory
-      bandwidth.
+    - inverted index work ~ ``Σ df(s)²`` shuffled postings-join rows
+      — the web-scale shape for Zipfian text (huge vocab, low df);
+    - blocked binary GEMM work ~ ``n_docs² * vocab`` multiply-adds,
+      discounted by ``gemm_speedup`` (BLAS multiply-adds per
+      shuffled-row-equivalent) — wins on dense template corpora
+      (tiny vocabulary, high df) where the inverted index shuffles
+      ~all-pairs postings anyway.
+
+    Comparing costs (not a density heuristic) keeps the choice
+    correct under scale-up: GEMM's quadratic ``n²V`` term overtakes
+    ``Σdf²`` as the corpus grows, so a corpus that routes to GEMM at
+    5k docs correctly flips to the inverted index at 50k. The
+    ``vocab_cap`` guard additionally bounds the GEMM path's
+    broadcast dictionary.
 
     Output is identical either way (both paths are exact and emit
     float64 Jaccard of exact integer counts).
     """
-    postings, vocab, _df2 = ngram_jaccard_stats(
+    _postings, vocab, df2 = ngram_jaccard_stats(
         df, n=n, text_col=text_col, id_col=id_col
     )
-    dense = vocab > 0 and vocab <= vocab_cap and (
-        postings / vocab > density_cutoff
-    )
+    n_docs = df.count()
+    gemm_cost = n_docs * n_docs * vocab / gemm_speedup
+    dense = 0 < vocab <= vocab_cap and gemm_cost < df2
     if dense:
         return ngram_jaccard_pairs_gemm(
             df, threshold, n=n, block_col=block_col,

@@ -193,8 +193,9 @@ def test_ngram_auto_dense_routes_to_gemm_plan(spark, sf_dir):
     from hands_on_trino_iceberg_superset_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    postings, vocab, _ = D.ngram_jaccard_stats(docs, 2)
-    dense = postings / vocab > 32
+    postings, vocab, df2 = D.ngram_jaccard_stats(docs, 2)
+    n = docs.count()
+    dense = n * n * vocab / 512 < df2
     auto = D.ngram_jaccard_pairs_auto(docs, 0.4, 2)
     executed = auto._jdf.queryExecution().executedPlan().toString()
     if dense:
