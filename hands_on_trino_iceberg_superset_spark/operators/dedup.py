@@ -237,7 +237,7 @@ def ngram_jaccard_pairs_inverted(
     ).where(F.col("jaccard_sim") >= threshold)
 
 
-def ngram_jaccard_pairs_gemm(
+def ngram_jaccard_pairs_blocked(
     df: DataFrame,
     threshold: float,
     n: int = 2,
@@ -245,33 +245,36 @@ def ngram_jaccard_pairs_gemm(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_blocks: int = 8,
-    vocab_cap: int = 1 << 20,
+    chunk_rows: int = 20_000_000,
 ) -> DataFrame:
-    """Same output as :func:`ngram_jaccard_pairs_inverted`, via
-    blocked binary-matrix multiplication — the exact path for
-    DENSE-vocabulary corpora, where the inverted index degenerates.
+    """Same output as :func:`ngram_jaccard_pairs_inverted`, computed
+    as a vectorized in-memory postings join per doc-block pair — the
+    exact path when per-block postings fit worker memory.
 
-    The inverted index costs ``Σ_s df(s)²`` join rows, which is
-    near-linear only when shingles are rare. A corpus whose shingle
-    vocabulary is small relative to the corpus (boilerplate-heavy or
-    template text: every shingle appears in ~every doc) drives that
-    to ~``n² · avg_shingles`` shuffled rows for an output of a few
-    hundred pairs. In that regime, intersection counting is a dense
-    matrix product: encode each doc as a 0/1 row over the (small)
-    shingle vocabulary, and ``A @ B.T`` of two doc blocks IS the
-    pairwise intersection-size matrix — one BLAS GEMM per block pair
-    instead of tens of millions of shuffled postings rows. Same
-    block-replication shuffle shape as
-    :func:`similarity.cosine_neardup_pairs` (each doc ships
-    ``n_blocks`` times); counts are exact small integers (float32
-    holds them exactly), and the final Jaccard division runs in
-    float64 — bit-identical to the inverted path's output.
+    The inverted index's cost measure is ``Σ_s df(s)²`` join rows;
+    that work is irreducible for exact all-pairs Jaccard, but paying
+    it as SHUFFLED SPARK ROWS (~100 ns/row: serialize, hash, spill,
+    aggregate) is ~30x more expensive than paying it as numpy
+    vector operations. Here docs hash into ``n_blocks`` blocks, each
+    unordered block pair becomes one Arrow ``applyInPandas`` group
+    (identical shuffle shape to
+    :func:`similarity.cosine_neardup_pairs` — each doc ships
+    ``n_blocks`` times), and within a group the postings join is a
+    sorted-merge expansion: sort both sides' (shingle-hash, doc)
+    postings, ``searchsorted`` aligns the per-shingle spans, one
+    ``repeat``/gather materializes the matching (doc_a, doc_b) pairs,
+    and one ``unique`` counts them — the intersection sizes. Exact
+    integer counts, float64 Jaccard division: bit-identical to the
+    inverted path. Expansion materialization is chunked at
+    ``chunk_rows`` to bound peak memory.
 
-    The vocabulary is collected and broadcast (guarded by
-    ``vocab_cap``): legitimate ONLY in the dense regime this path is
-    selected for — :func:`ngram_jaccard_pairs_auto` measures density
-    first and never routes sparse/web-scale corpora (huge vocab, low
-    df) here.
+    Unlike a dense bitset/GEMM formulation (``n² · vocab`` work, a
+    broadcast vocabulary dictionary), this does exactly ``Σdf²``
+    work with NO vocabulary structure at all, so it serves sparse
+    and dense corpora alike; its only limit is per-block postings
+    memory, which ``n_blocks`` controls. Past that limit (true
+    web-scale), :func:`ngram_jaccard_pairs_inverted` with ``max_df``
+    is the distributed answer.
     """
     import numpy as np
     import pandas as pd
@@ -283,20 +286,6 @@ def ngram_jaccard_pairs_gemm(
             word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh"),
     ).where(F.size("sh") > 0)
-    vocab = [
-        r["s"]
-        for r in shingled.select(F.explode("sh").alias("s"))
-        .distinct().collect()
-    ]
-    if len(vocab) > vocab_cap:
-        raise ValueError(
-            f"vocabulary {len(vocab)} exceeds vocab_cap {vocab_cap}: "
-            "this corpus is sparse — use the inverted-index path"
-        )
-    index = {h: i for i, h in enumerate(sorted(vocab))}
-    b_index = df.sparkSession.sparkContext.broadcast(index)
-    n_vocab = len(vocab)
-
     v = shingled.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
     )
@@ -313,7 +302,21 @@ def ngram_jaccard_pairs_gemm(
     thr = threshold
     diag_at = len(group_keys) - 2  # key position of bi (bj follows)
 
-    def gemm_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def postings(rows: pd.DataFrame):
+        sh = rows["sh"].to_numpy()
+        lens = np.fromiter(
+            (len(x) for x in sh), dtype=np.int64, count=len(sh)
+        )
+        docs = np.repeat(np.arange(len(sh), dtype=np.int64), lens)
+        hashes = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in sh])
+            if len(sh)
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(hashes, kind="stable")
+        return hashes[order], docs[order], lens
+
+    def expand_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"),
              "id_b": pd.Series(dtype="int64"),
@@ -323,34 +326,63 @@ def ngram_jaccard_pairs_gemm(
         b_rows = pdf[pdf["role"] == "b"]
         if a_rows.empty or b_rows.empty:
             return empty
-        idx = b_index.value
-
-        def matrix(rows: pd.DataFrame) -> np.ndarray:
-            m = np.zeros((len(rows), n_vocab), dtype=np.float32)
-            for r, hashes in enumerate(rows["sh"].to_numpy()):
-                m[r, [idx[h] for h in hashes]] = 1.0
-            return m
-
-        ma, mb = matrix(a_rows), matrix(b_rows)
-        inter = (ma @ mb.T).astype(np.float64)  # exact counts
-        sz_a = ma.sum(axis=1, dtype=np.float64)
-        sz_b = mb.sum(axis=1, dtype=np.float64)
-        jac = inter / (sz_a[:, None] + sz_b[None, :] - inter)
-        ids_a = a_rows["id"].to_numpy()
-        ids_b = b_rows["id"].to_numpy()
+        ha, da, lens_a = postings(a_rows)
+        hb, db, lens_b = postings(b_rows)
+        lo = np.searchsorted(hb, ha, side="left")
+        hi = np.searchsorted(hb, ha, side="right")
+        span = hi - lo
+        csum = np.cumsum(span)
+        total = int(csum[-1]) if len(csum) else 0
+        if total == 0:
+            return empty
+        n_b = len(b_rows)
+        # chunk the expansion: split the a-postings index space where
+        # the cumulative expansion crosses chunk_rows
+        cuts = np.searchsorted(
+            csum, np.arange(chunk_rows, total, chunk_rows), side="left"
+        )
+        bounds = [0, *(int(c) + 1 for c in cuts), len(ha)]
+        key_parts, cnt_parts = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            if s0 >= s1:
+                continue
+            L = span[s0:s1]
+            t = int(L.sum())
+            if t == 0:
+                continue
+            exp_a = np.repeat(da[s0:s1], L)
+            starts = np.repeat(lo[s0:s1], L)
+            offs = np.arange(t, dtype=np.int64) - np.repeat(
+                np.cumsum(L) - L, L
+            )
+            exp_b = db[starts + offs]
+            uk, cnt = np.unique(exp_a * n_b + exp_b, return_counts=True)
+            key_parts.append(uk)
+            cnt_parts.append(cnt)
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        if len(key_parts) > 1:  # re-combine chunk-straddling pairs
+            keys, inv = np.unique(keys, return_inverse=True)
+            cnts = np.bincount(inv, weights=cnts.astype(np.float64))
+        ia = keys // n_b
+        ib = keys % n_b
+        inter = cnts.astype(np.float64)
+        jac = inter / (lens_a[ia] + lens_b[ib] - inter)
+        ids_a = a_rows["id"].to_numpy()[ia]
+        ids_b = b_rows["id"].to_numpy()[ib]
         if key[diag_at] == key[diag_at + 1]:
-            order = ids_a[:, None] < ids_b[None, :]
+            order_ok = ids_a < ids_b
         else:
-            order = ids_a[:, None] != ids_b[None, :]
-        ii, jj = np.nonzero((jac >= thr) & order)
-        lo = np.minimum(ids_a[ii], ids_b[jj])
-        hi = np.maximum(ids_a[ii], ids_b[jj])
+            order_ok = ids_a != ids_b
+        keep = (jac >= thr) & order_ok
+        lo_id = np.minimum(ids_a[keep], ids_b[keep])
+        hi_id = np.maximum(ids_a[keep], ids_b[keep])
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "jaccard_sim": jac[ii, jj]}
+            {"id_a": lo_id, "id_b": hi_id, "jaccard_sim": jac[keep]}
         )
 
     return tagged.groupBy(*group_keys).applyInPandas(
-        gemm_block, "id_a long, id_b long, jaccard_sim double"
+        expand_block, "id_a long, id_b long, jaccard_sim double"
     )
 
 
@@ -383,42 +415,34 @@ def ngram_jaccard_pairs_auto(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
-    gemm_speedup: float = 512.0,
-    vocab_cap: int = 1 << 20,
+    postings_cap: int = 100_000_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs with regime-adaptive plan choice.
+    """Exact n-gram Jaccard pairs with scale-adaptive plan choice.
 
-    One linear-cost stats pass (:func:`ngram_jaccard_stats`) plus a
-    corpus count feed a direct COST comparison:
+    The exact computation's irreducible work is the postings join
+    (``Σ df(s)²`` pair emissions); the choice is only WHERE to pay
+    it:
 
-    - inverted index work ~ ``Σ df(s)²`` shuffled postings-join rows
-      — the web-scale shape for Zipfian text (huge vocab, low df);
-    - blocked binary GEMM work ~ ``n_docs² * vocab`` multiply-adds,
-      discounted by ``gemm_speedup`` (BLAS multiply-adds per
-      shuffled-row-equivalent) — wins on dense template corpora
-      (tiny vocabulary, high df) where the inverted index shuffles
-      ~all-pairs postings anyway.
+    - **blocked in-memory** (:func:`ngram_jaccard_pairs_blocked`):
+      pays it as vectorized numpy ops inside Arrow block tasks —
+      ~30x cheaper per emission than a shuffle row. Valid while the
+      corpus's postings fit block-task memory, measured by one
+      linear-cost stats pass (``postings <= postings_cap``).
+    - **distributed inverted index**
+      (:func:`ngram_jaccard_pairs_inverted`): past the cap, the
+      postings join must shuffle; ``max_df`` bounds hot shingles.
+      This is the true web-scale shape.
 
-    Comparing costs (not a density heuristic) keeps the choice
-    correct under scale-up: GEMM's quadratic ``n²V`` term overtakes
-    ``Σdf²`` as the corpus grows, so a corpus that routes to GEMM at
-    5k docs correctly flips to the inverted index at 50k. The
-    ``vocab_cap`` guard additionally bounds the GEMM path's
-    broadcast dictionary.
-
-    Output is identical either way (both paths are exact and emit
-    float64 Jaccard of exact integer counts).
+    Output is identical either way (exact integer counts, float64
+    Jaccard).
     """
-    _postings, vocab, df2 = ngram_jaccard_stats(
+    postings, _vocab, _df2 = ngram_jaccard_stats(
         df, n=n, text_col=text_col, id_col=id_col
     )
-    n_docs = df.count()
-    gemm_cost = n_docs * n_docs * vocab / gemm_speedup
-    dense = 0 < vocab <= vocab_cap and gemm_cost < df2
-    if dense:
-        return ngram_jaccard_pairs_gemm(
+    if postings <= postings_cap:
+        return ngram_jaccard_pairs_blocked(
             df, threshold, n=n, block_col=block_col,
-            text_col=text_col, id_col=id_col, vocab_cap=vocab_cap,
+            text_col=text_col, id_col=id_col,
         )
     return ngram_jaccard_pairs_inverted(
         df, threshold, n=n, block_col=block_col,

@@ -263,10 +263,10 @@ def test_connected_components_star_matches_propagate(spark) -> None:
     assert star[5] == 2 and star[20] == 20 and star[7] == 7
 
 
-def test_ngram_gemm_matches_inverted(spark, sf_dir: str) -> None:
-    """The dense-regime GEMM path must be bit-identical to the
-    inverted index — both blocked and unblocked — including the
-    float64 Jaccard values."""
+def test_ngram_blocked_matches_inverted(spark, sf_dir: str) -> None:
+    """The blocked in-memory postings join must be bit-identical to
+    the distributed inverted index — both with and without lang
+    blocking — including the float64 Jaccard values."""
     docs = load_table(spark, sf_dir, "documents")
     for blk in (None, "lang"):
         inv = {
@@ -275,41 +275,37 @@ def test_ngram_gemm_matches_inverted(spark, sf_dir: str) -> None:
                 docs, 0.4, 2, block_col=blk
             ).collect()
         }
-        gemm = {
+        blocked = {
             (r.id_a, r.id_b, r.jaccard_sim)
-            for r in D.ngram_jaccard_pairs_gemm(
+            for r in D.ngram_jaccard_pairs_blocked(
                 docs, 0.4, 2, block_col=blk
             ).collect()
         }
-        assert gemm == inv and len(inv) > 0
+        assert blocked == inv and len(inv) > 0
 
 
-def test_ngram_auto_routes_by_density(spark, sf_dir: str) -> None:
-    """Router: the benchmark corpus is dense (tiny vocabulary, high
-    mean df) -> GEMM; a synthetic sparse corpus (every doc its own
-    vocabulary) -> inverted. Outputs must match the direct paths."""
+def test_ngram_auto_routes_by_postings_volume(spark, sf_dir: str) -> None:
+    """Router: under the postings cap auto takes the blocked
+    in-memory plan; past it (forced with postings_cap=0) the
+    distributed inverted plan — identical output either way."""
     docs = load_table(spark, sf_dir, "documents")
-    # whichever side of the cutoff this fixture lands on, auto must
-    # agree with the direct inverted path bit-for-bit
     auto = {
         (r.id_a, r.id_b, r.jaccard_sim)
         for r in D.ngram_jaccard_pairs_auto(docs, 0.4, 2).collect()
     }
-    inv = {
+    forced_inverted = {
         (r.id_a, r.id_b, r.jaccard_sim)
-        for r in D.ngram_jaccard_pairs_inverted(docs, 0.4, 2).collect()
+        for r in D.ngram_jaccard_pairs_auto(
+            docs, 0.4, 2, postings_cap=0
+        ).collect()
     }
-    assert auto == inv
+    assert auto == forced_inverted and len(auto) > 0
 
     sparse = spark.createDataFrame(
         [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(200)]
         + [(1000, " ".join(f"w7_{j}" for j in range(12)))],
         ["doc_id", "text"],
     )
-    p, v, df2 = D.ngram_jaccard_stats(sparse, 2)
-    n = sparse.count()
-    # sparse: quadratic GEMM cost dwarfs the postings join
-    assert n * n * v / 512 > df2
     got = {
         (r.id_a, r.id_b)
         for r in D.ngram_jaccard_pairs_auto(sparse, 0.9, 2).collect()

@@ -185,21 +185,17 @@ def test_seeded_frames_are_single_partition(spark):
         assert df.rdd.getNumPartitions() == 1, name
 
 
-def test_ngram_auto_dense_routes_to_gemm_plan(spark, sf_dir):
-    """On the dense benchmark corpus the auto router must produce the
-    Arrow GEMM plan (FlatMapGroupsInPandas), not the postings
-    self-join; and the sparse path must NOT contain a pandas stage."""
+def test_ngram_auto_routes_to_blocked_plan(spark, sf_dir):
+    """Under the postings cap the auto router must produce the Arrow
+    blocked plan (FlatMapGroupsInPandas); the distributed inverted
+    path must stay pandas-free."""
     from hands_on_trino_iceberg_superset_spark.operators import dedup as D
     from hands_on_trino_iceberg_superset_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    postings, vocab, df2 = D.ngram_jaccard_stats(docs, 2)
-    n = docs.count()
-    dense = n * n * vocab / 512 < df2
     auto = D.ngram_jaccard_pairs_auto(docs, 0.4, 2)
     executed = auto._jdf.queryExecution().executedPlan().toString()
-    if dense:
-        assert "FlatMapGroupsInPandas" in executed
+    assert "FlatMapGroupsInPandas" in executed
     inverted = D.ngram_jaccard_pairs_inverted(docs, 0.4, 2)
     inv_plan = inverted._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in inv_plan

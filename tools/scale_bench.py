@@ -56,6 +56,8 @@ QUERIES = [
     "window_top_orders_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "ann_cosine_topk_ivf",
 ]
 
