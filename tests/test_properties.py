@@ -163,3 +163,102 @@ def test_versioned_table_matches_pandas_model(spark, tmp_path_factory, ops, seed
         assert canon_spark(table.read(version=version)) == canon_model(m), (
             f"version {version} mismatch"
         )
+
+
+# -------------------------------------------- branch + merge DML model
+
+_BRANCH_OPS = st.lists(
+    st.sampled_from(
+        ["m_delete_d0", "m_update_d3", "b_update_d1", "b_delete_d2",
+         "b_append_d9"]
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_BRANCH_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_branch_merge_matches_pandas_model(
+    spark, tmp_path_factory, ops, seed
+):
+    """Model-based branching check: random DML interleaved across
+    main and a branch (touching disjoint partition sets by
+    construction) must merge to exactly the model's three-way result
+    — branch-touched partitions take the branch's state, everything
+    else keeps main's — with the branch's own history intact."""
+    import pandas as pd
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+    rows = [
+        (i, f"d{i % 4}", float((i * 11 + seed) % 90))
+        for i in range(1, 33)
+    ]
+    base = pd.DataFrame(rows, columns=["k", "part", "v"])
+    path = str(tmp_path_factory.mktemp("vtb") / "t")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.createDataFrame(rows, "k long, part string, v double"),
+        partition_col="part",
+    )
+    dev = t.create_branch("dev")
+    main_m, dev_m = base.copy(), base.copy()
+    next_key = 500
+
+    for op in ops:
+        if op == "m_delete_d0":
+            t.delete("part = 'd0' AND v >= 10")
+            main_m = main_m[
+                ~((main_m["part"] == "d0") & (main_m["v"] >= 10))
+            ]
+        elif op == "m_update_d3":
+            t.update({"v": "v + 7"}, where="part = 'd3'")
+            main_m = main_m.copy()
+            main_m.loc[main_m["part"] == "d3", "v"] += 7
+        elif op == "b_update_d1":
+            dev.update({"v": "v + 500"}, where="part = 'd1'")
+            dev_m = dev_m.copy()
+            dev_m.loc[dev_m["part"] == "d1", "v"] += 500
+        elif op == "b_delete_d2":
+            dev.delete("part = 'd2' AND v < 50")
+            dev_m = dev_m[~((dev_m["part"] == "d2") & (dev_m["v"] < 50))]
+        elif op == "b_append_d9":
+            extra = [(next_key, "d9", 3.0)]
+            next_key += 1
+            dev.append(
+                spark.createDataFrame(extra, "k long, part string, v double")
+            )
+            dev_m = pd.concat(
+                [dev_m, pd.DataFrame(extra, columns=["k", "part", "v"])]
+            )
+
+    def per_part(m):
+        return {
+            p: sorted(map(tuple, g[["k", "v"]].to_numpy()))
+            for p, g in m.groupby("part")
+        }
+
+    # branch-touched partitions = where the branch's state departed
+    # from the fork point
+    b0, b1 = per_part(base), per_part(dev_m)
+    br_touched = {
+        p for p in set(b0) | set(b1) if b0.get(p, []) != b1.get(p, [])
+    }
+    expected = pd.concat(
+        [
+            main_m[~main_m["part"].isin(br_touched)],
+            dev_m[dev_m["part"].isin(br_touched)],
+        ]
+    )
+    dev_before = sorted((r.k, r.part, r.v) for r in dev.read().collect())
+
+    t.merge_branch("dev")
+
+    got = sorted((r.k, r.part, r.v) for r in t.read().collect())
+    want = sorted(tuple(x) for x in expected[["k", "part", "v"]].to_numpy())
+    assert got == want
+    # the branch itself is untouched by the merge
+    after = sorted((r.k, r.part, r.v) for r in dev.read().collect())
+    assert after == dev_before
