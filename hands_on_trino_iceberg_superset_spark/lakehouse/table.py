@@ -54,6 +54,11 @@ class Snapshot:
     # per column added after table creation (metadata-only ALTER —
     # Iceberg-style; no data rewrite). Older manifests lack the field.
     added_cols: list = field(default_factory=list)
+    # per-entry row counts (Iceberg manifest-stats style): lets a DML
+    # commit derive the new row_count as carried + written without
+    # re-scanning carried partitions. Manifests written before this
+    # field exist without it; readers fall back to counting.
+    entry_rows: dict = field(default_factory=dict)
 
 
 class VersionedTable:
@@ -96,8 +101,9 @@ class VersionedTable:
             os.remove(os.path.join(t._snap_dir, f))
         # a re-created table invalidates refs into the old history
         shutil.rmtree(os.path.join(path, "_branches"), ignore_errors=True)
-        entries, n = t._write_data(df, 1)
-        t._commit(Snapshot(1, _now(), "create", entries, n))
+        entries, n, rows = t._write_data(df, 1)
+        t._commit(Snapshot(1, _now(), "create", entries, n,
+                           entry_rows=rows))
         return t
 
     # -------------------------------------------------------- reading
@@ -160,6 +166,7 @@ class VersionedTable:
             Snapshot(
                 v, _now(), "add_column", dict(cur.entries), cur.row_count,
                 added_cols=[*cur.added_cols, [name, dtype, default_sql, v]],
+                entry_rows=dict(cur.entry_rows),
             )
         )
 
@@ -206,9 +213,18 @@ class VersionedTable:
             entries[base] = rel
         if not changed:
             return cur
+        rev = {d: pk for pk, d in cur.entries.items()}
+        entry_rows = {}
+        for base, d in entries.items():
+            frags = frag[base]
+            if all(rev[f] in cur.entry_rows for f in frags):
+                entry_rows[base] = sum(
+                    cur.entry_rows[rev[f]] for f in frags
+                )
         return self._commit(
             Snapshot(v, _now(), "compact", entries, cur.row_count,
-                     added_cols=list(cur.added_cols))
+                     added_cols=list(cur.added_cols),
+                     entry_rows=entry_rows)
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
@@ -290,17 +306,17 @@ class VersionedTable:
                 f"unexpected {sorted(got - want)}"
             )
         v = cur.version + 1
-        new_entries, n_new = self._write_data(df, v)
+        new_entries, n_new, new_rows = self._write_data(df, v)
         entries = dict(cur.entries)
+        entry_rows = dict(cur.entry_rows)
         for pk, d in new_entries.items():
-            if pk in entries:
-                # both dirs belong to the partition: read() unions them
-                entries[f"{pk}@v{v}"] = d
-            else:
-                entries[pk] = d
+            key = f"{pk}@v{v}" if pk in entries else pk
+            entries[key] = d
+            entry_rows[key] = new_rows[pk]
         return self._commit(
             Snapshot(v, _now(), "append", entries, cur.row_count + n_new,
-                     added_cols=list(cur.added_cols)),
+                     added_cols=list(cur.added_cols),
+                     entry_rows=entry_rows),
             base=cur,
             touched={_pk_base(k) for k in new_entries},
             mode="add",
@@ -410,10 +426,11 @@ class VersionedTable:
         merged = joined.where(keep).select(*out_cols)
 
         if self.partition_col is None:
-            entries, n = self._write_data(merged, v)
+            entries, n, rows = self._write_data(merged, v)
             return self._commit(
                 Snapshot(v, _now(), "merge", entries, n,
-                         added_cols=list(cur.added_cols)),
+                         added_cols=list(cur.added_cols),
+                         entry_rows=rows),
                 base=cur, touched={_UNPARTITIONED},
             )
 
@@ -434,18 +451,28 @@ class VersionedTable:
         touched_vals = [r[pc] for r in touched.collect()]
         touched_keys = {_pk(v_) for v_ in touched_vals}
         changed = merged.where(_partition_membership(pc, touched_vals))
-        entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
+        entries_new, _, rows_new = self._write_data(
+            changed, v, only_keys=touched_keys
+        )
         entries = {
             pk: d for pk, d in cur.entries.items()
             if _pk_base(pk) not in touched_keys
         }
+        entry_rows = {
+            pk: cur.entry_rows[pk] for pk in entries
+            if pk in cur.entry_rows
+        }
         entries.update(entries_new)
-        snap = Snapshot(v, _now(), "merge", entries, -1,
-                        added_cols=list(cur.added_cols))
-        n = self._count_entries(snap)
+        entry_rows.update(rows_new)
+        n = self._total_rows(entries, entry_rows)
+        if n is None:  # pre-stats carried entries: count once
+            n = self._count_entries(
+                Snapshot(v, _now(), "merge", entries, -1)
+            )
         return self._commit(
             Snapshot(v, _now(), "merge", entries, n,
-                     added_cols=list(cur.added_cols)),
+                     added_cols=list(cur.added_cols),
+                     entry_rows=entry_rows),
             base=cur, touched=touched_keys,
         )
 
@@ -565,16 +592,25 @@ class VersionedTable:
             k: d for k, d in head.entries.items()
             if _pk_base(k) not in br_touched
         }
+        entry_rows = {
+            k: head.entry_rows[k] for k in entries
+            if k in head.entry_rows
+        }
         for k, d in b_head.entries.items():
             if _pk_base(k) in br_touched:
                 entries[k] = d
+                if k in b_head.entry_rows:
+                    entry_rows[k] = b_head.entry_rows[k]
         v = head.version + 1
-        snap = Snapshot(v, _now(), f"merge_branch:{name}", entries, -1,
-                        added_cols=list(added_cols))
-        n = self._count_entries(snap)
+        n = self._total_rows(entries, entry_rows)
+        if n is None:
+            n = self._count_entries(
+                Snapshot(v, _now(), f"merge_branch:{name}", entries, -1)
+            )
         return self._commit(
             Snapshot(v, _now(), f"merge_branch:{name}", entries, n,
-                     added_cols=list(added_cols)),
+                     added_cols=list(added_cols),
+                     entry_rows=entry_rows),
             base=head, touched=br_touched,
         )
 
@@ -605,10 +641,12 @@ class VersionedTable:
     def _write_data(
         self, df: DataFrame, version: int,
         only_keys: set[str] | None = None,
-    ) -> tuple[dict[str, str], int]:
+    ) -> tuple[dict[str, str], int, dict[str, int]]:
         """Write ``df`` under ``data/v{version}/``, one dir per
         partition value (or a single dir when unpartitioned).
-        Returns (entries, row_count).
+        Returns (entries, row_count, rows_per_entry) — the per-entry
+        counts become manifest stats so later commits can derive
+        row_count without re-scanning carried partitions.
 
         Partitioned writes are ONE Spark job: the partition value is
         duplicated into a ``__pk`` dir column (``partitionBy`` strips
@@ -629,8 +667,11 @@ class VersionedTable:
         if self.partition_col is None:
             d = os.path.join(self.path, rel, _UNPARTITIONED)
             df.write.mode("overwrite").parquet(d)
-            return {_UNPARTITIONED: f"{rel}/{_UNPARTITIONED}"}, (
-                self.spark.read.parquet(d).count()
+            n = self.spark.read.parquet(d).count()
+            return (
+                {_UNPARTITIONED: f"{rel}/{_UNPARTITIONED}"},
+                n,
+                {_UNPARTITIONED: n},
             )
         pc = self.partition_col
         out_root = os.path.join(self.path, rel)
@@ -657,11 +698,21 @@ class VersionedTable:
                 continue
             entries[pk] = f"{rel}/{name}"
         if not entries:
-            return entries, 0
-        total = self.spark.read.parquet(
-            *[os.path.join(self.path, d) for d in entries.values()]
-        ).count()
-        return entries, total
+            return entries, 0, {}
+        # one aggregation over the written files yields the per-entry
+        # manifest stats (the partition value is physically present in
+        # every file of its dir)
+        stats = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in entries.values()]
+            )
+            .groupBy(pc)
+            .count()
+            .collect()
+        )
+        rows_by_pk = {_pk(r[pc]): int(r["count"]) for r in stats}
+        rows = {k: rows_by_pk.get(k, 0) for k in entries}
+        return entries, sum(rows.values()), rows
 
     def _rewrite(self, op: str, affected: Column, transform) -> Snapshot:
         """Copy-on-write: rewrite only the partitions that contain
@@ -670,10 +721,11 @@ class VersionedTable:
         v = cur.version + 1
         if self.partition_col is None:
             new_df = transform(self.read())
-            entries, n = self._write_data(new_df, v)
+            entries, n, rows = self._write_data(new_df, v)
             return self._commit(
                 Snapshot(v, _now(), op, entries, n,
-                         added_cols=list(cur.added_cols)),
+                         added_cols=list(cur.added_cols),
+                         entry_rows=rows),
                 base=cur, touched={_UNPARTITIONED},
             )
         pc = self.partition_col
@@ -694,24 +746,41 @@ class VersionedTable:
         changed = transform(
             current.where(_partition_membership(pc, touched_vals))
         )
-        entries_new, _ = self._write_data(changed, v, only_keys=touched_keys)
+        entries_new, _, rows_new = self._write_data(
+            changed, v, only_keys=touched_keys
+        )
         entries = {
             pk: d for pk, d in cur.entries.items()
             if _pk_base(pk) not in touched_keys
         }
+        entry_rows = {
+            pk: cur.entry_rows[pk] for pk in entries
+            if pk in cur.entry_rows
+        }
         entries.update(entries_new)
-        snap = Snapshot(v, _now(), op, entries, -1,
-                        added_cols=list(cur.added_cols))
-        n = self._count_entries(snap)
+        entry_rows.update(rows_new)
+        n = self._total_rows(entries, entry_rows)
+        if n is None:
+            n = self._count_entries(
+                Snapshot(v, _now(), op, entries, -1)
+            )
         return self._commit(
             Snapshot(v, _now(), op, entries, n,
-                     added_cols=list(cur.added_cols)),
+                     added_cols=list(cur.added_cols),
+                     entry_rows=entry_rows),
             base=cur, touched=touched_keys,
         )
 
     def _count_entries(self, snap: Snapshot) -> int:
         dirs = [os.path.join(self.path, d) for d in snap.entries.values()]
         return self.spark.read.parquet(*dirs).count() if dirs else 0
+
+    def _total_rows(self, entries: dict, entry_rows: dict) -> int | None:
+        """Sum manifest stats, or None when any entry lacks them
+        (pre-stats manifests) — callers then fall back to counting."""
+        if all(k in entry_rows for k in entries):
+            return int(sum(entry_rows[k] for k in entries))
+        return None
 
     def _commit(
         self,
@@ -816,11 +885,21 @@ class VersionedTable:
                 while kk in entries:
                     kk = f"{_pk_base(k)}@v{v}.{len(entries)}"
                 entries[kk] = d
-        rebased = Snapshot(v, _now(), snap.op, entries, -1,
-                           added_cols=list(head.added_cols))
-        n = self._count_entries(rebased)
+        entry_rows = {
+            k: head.entry_rows[k] for k in entries
+            if k in head.entry_rows
+        }
+        for k in entries:
+            if k in snap.entry_rows:
+                entry_rows[k] = snap.entry_rows[k]
+        n = self._total_rows(entries, entry_rows)
+        if n is None:
+            n = self._count_entries(
+                Snapshot(v, _now(), snap.op, entries, -1)
+            )
         return Snapshot(v, _now(), snap.op, entries, n,
-                        added_cols=list(head.added_cols))
+                        added_cols=list(head.added_cols),
+                        entry_rows=entry_rows)
 
 
 def _partition_membership(pc: str, vals: list) -> Column:
