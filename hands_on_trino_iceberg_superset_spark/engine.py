@@ -14,9 +14,36 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hands_on_trino_iceberg_superset_spark.session import configure_runtime, get_spark
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parentheses and string literals —
+    enough to separate ``SET a = f(x, y), b = 'v,w'`` assignments."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < len(text):
+                if text[i] == "'" and not (
+                    i + 1 < len(text) and text[i + 1] == "'"
+                ):
+                    break
+                i += 2 if text[i] == "'" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
 
 
 @dataclass(frozen=True)
@@ -54,8 +81,16 @@ class Engine:
         Supports Trino/Iceberg time-travel syntax on tables
         registered via :meth:`register_versioned_table`:
         ``SELECT ... FROM t FOR VERSION AS OF 3`` and
-        ``... FOR TIMESTAMP AS OF TIMESTAMP '2026-01-01 00:00:00'``.
+        ``... FOR TIMESTAMP AS OF TIMESTAMP '2026-01-01 00:00:00'`` —
+        and row-level SQL DML on the same tables (the Iceberg-v2
+        capability the reference's catalog enables): ``DELETE FROM t
+        WHERE …``, ``UPDATE t SET … WHERE …``, ``INSERT INTO t …``,
+        each committing a new snapshot through the copy-on-write
+        :class:`lakehouse.VersionedTable` path.
         """
+        dml = self._resolve_versioned_dml(text)
+        if dml is not None:
+            return dml
         return self.spark.sql(self._resolve_time_travel(text))
 
     def trino_sql(self, text: str) -> DataFrame:
@@ -139,6 +174,80 @@ class Engine:
         history. Re-registering refreshes the current-state view."""
         table.read().createOrReplaceTempView(name)
         self._versioned[name] = table
+
+    _DML_DELETE = re.compile(
+        r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DML_UPDATE = re.compile(
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DML_INSERT = re.compile(
+        r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _resolve_versioned_dml(self, text: str) -> DataFrame | None:
+        """Route DELETE/UPDATE/INSERT statements that target a
+        registered versioned table through its copy-on-write DML;
+        returns the statement's result DataFrame (rows_affected, like
+        an engine's update count), or None when the statement is not
+        versioned-table DML (plain Spark SQL handles it)."""
+        for pattern in (self._DML_DELETE, self._DML_UPDATE,
+                        self._DML_INSERT):
+            m = pattern.match(text)
+            if not m or m.group(1) not in self._versioned:
+                continue
+            name = m.group(1)
+            table = self._versioned[name]
+            before = table.current().row_count
+            if pattern is self._DML_DELETE:
+                table.delete(m.group(2))
+                affected = before - table.current().row_count
+            elif pattern is self._DML_UPDATE:
+                assignments = {
+                    k.strip(): v.strip()
+                    for k, v in (
+                        a.split("=", 1)
+                        for a in _split_top_level(m.group(2))
+                    )
+                }
+                table.update(
+                    assignments,
+                    where=m.group(3) if m.group(3) else "true",
+                )
+                affected = table.current().row_count
+            else:
+                body = m.group(2).strip()
+                if body.upper().startswith("VALUES"):
+                    src = self.spark.sql(
+                        f"SELECT * FROM (VALUES {body[len('VALUES'):]})"
+                    )
+                elif body.upper().startswith("SELECT"):
+                    src = self.spark.sql(self._resolve_time_travel(body))
+                else:
+                    # column-list or other forms: not routed; plain
+                    # Spark SQL gives the proper error downstream
+                    continue
+                # SQL INSERT coerces literals to the target schema
+                # (a DECIMAL 1.5 must land in a DOUBLE column as a
+                # double, not as a mismatched physical type)
+                target = table.read()
+                src = src.toDF(*target.columns).select(
+                    *[
+                        F.col(c).cast(dt).alias(c)
+                        for c, dt in target.dtypes
+                    ]
+                )
+                table.append(src)
+                affected = table.current().row_count - before
+            # refresh the current-state view
+            self.register_versioned_table(name, table)
+            return self.spark.createDataFrame(
+                [(affected,)], "rows_affected long"
+            )
+        return None
 
     def _resolve_time_travel(self, text: str):
         def sub(m) -> str:
