@@ -116,3 +116,24 @@ def test_info_probe(server):
     with urllib.request.urlopen(f"{server.url}/v1/info") as resp:
         info = json.load(resp)
     assert info["starting"] is False
+
+
+def test_concurrent_clients(server):
+    """The threading server must serve interleaved clients correctly
+    (Spark's scheduler handles concurrent jobs on one session)."""
+    import threading
+
+    results: dict[int, list] = {}
+
+    def client(i: int) -> None:
+        _, rows = _drain(server, f"SELECT {i} * n AS x "
+                                 "FROM UNNEST(SEQUENCE(1, 50)) AS t(n)")
+        results[i] = sorted(r[0] for r in rows)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i in range(1, 5):
+        assert results[i] == [i * n for n in range(1, 51)]
