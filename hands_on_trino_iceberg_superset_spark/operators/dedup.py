@@ -520,12 +520,15 @@ def minhash_lsh_pairs(
             "the candidate join degenerates to a quadratic cross-join"
         )
     rows = num_hashes // bands
+    # materialized ONCE: three consumers (signature derivation and
+    # both sides of the candidate-verify join) would otherwise each
+    # re-execute the shingling pipeline
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    ).where(F.size("sh") > 0).localCheckpoint(eager=True)
 
     # min over shingles of (a_i * pmod(xxhash64(s), P) + b_i) mod P —
     # identical values to minhash_signature, but as codegen'd aggs
