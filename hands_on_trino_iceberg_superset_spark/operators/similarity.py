@@ -579,18 +579,24 @@ def hyperplane_lsh_topk(
     width = n_planes // n_chunks
 
     def with_chunks(df: DataFrame, idc: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+        # one Arrow GEMM per batch for the signatures (the expression
+        # form evaluates n_planes interpreted HOF dot products per
+        # row); the chunk split is plain bit ops on the sig column
+        sigged = with_hyperplane_signature_arrow(
+            df.select(F.col(id_col).alias(idc), F.col(vec_col)),
+            dim, n_planes, vec_col=vec_col, out_col="sig",
+        )
         chunk_structs = [
             F.struct(
                 F.lit(c).alias("chunk_idx"),
-                F.shiftrightunsigned(sig, c * width)
+                F.shiftrightunsigned(F.col("sig"), c * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk_val"),
             )
             for c in range(n_chunks)
         ]
-        return df.select(
-            F.col(id_col).alias(idc),
+        return sigged.select(
+            F.col(idc),
             as_double(F.col(vec_col)).alias(f"{idc}_v"),
             F.explode(F.array(*chunk_structs)).alias("ch"),
         ).select(idc, f"{idc}_v", "ch.chunk_idx", "ch.chunk_val")
