@@ -214,3 +214,54 @@ def dml_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
     )
+
+
+@register(
+    "dml_sql_statements",
+    oracle="""
+    WITH after_delete AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    ), after_update AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 100 ELSE o_totalprice END
+               AS o_totalprice
+      FROM after_delete
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM after_update GROUP BY o_orderstatus
+    """,
+    doc="Row-level DML through the SQL ENTRY POINT (the Iceberg-v2 "
+        "statement surface): DELETE FROM ... WHERE and UPDATE ... "
+        "SET ... WHERE strings run via Engine.sql against a "
+        "registered versioned table, committing copy-on-write "
+        "snapshots; the final per-status aggregate is read back "
+        "through the same SQL surface. engine.py:"
+        "_resolve_versioned_dml.",
+)
+def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    orders = _orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dml_sql_")
+    t = VersionedTable.create(
+        spark, path, orders, partition_col="o_orderstatus"
+    )
+    eng = Engine(spark)
+    eng.register_versioned_table("orders_vt", t)
+    eng.sql(
+        "DELETE FROM orders_vt "
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    ).collect()
+    eng.sql(
+        "UPDATE orders_vt SET o_totalprice = o_totalprice + 100 "
+        "WHERE o_orderpriority = '1-URGENT'"
+    ).collect()
+    return eng.sql(
+        "SELECT o_orderstatus, count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price FROM orders_vt GROUP BY o_orderstatus"
+    )
