@@ -67,12 +67,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
     """,
     doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.4), "
-        "blocked by lang, with regime-adaptive plan choice: a "
-        "linear-cost density probe routes sparse (Zipfian, web-scale) "
-        "corpora to the inverted-index plan (postings equi-join, "
-        "near-linear for rare shingles) and dense template corpora — "
-        "this benchmark's (mean shingle df ~275) — to blocked binary "
-        "GEMM intersection counting. Output identical either way; "
+        "blocked by lang, with scale-adaptive plan choice: a "
+        "linear-cost postings probe routes corpora that fit worker "
+        "memory to the vectorized in-memory postings join "
+        "(sorted-merge expansion inside Arrow block tasks) and "
+        "web-scale corpora to the distributed inverted index "
+        "(+max_df). Output identical either way; "
         "operators/dedup.py:ngram_jaccard_pairs_auto.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,3 +268,91 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "dedup_survivors_quality",
+    oracle="""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.4
+    ), sym AS (
+      SELECT src, dst FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), walk(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN sym e ON w.dst = e.src
+    ), clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM walk GROUP BY src
+    ), q AS (
+      SELECT doc_id,
+             len(list_distinct(string_split(text, ' '))) AS n_types
+      FROM documents
+    ), ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.n_types,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.n_types DESC, c.doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-ranked survivor selection — the curation decision a "
+        "real pretraining pipeline makes after cluster resolution: "
+        "instead of keeping the min-id document per near-dup "
+        "cluster, keep the HIGHEST-QUALITY one (vocabulary richness "
+        "n_types; doc_id breaks ties deterministically). One window "
+        "over the cluster assignment; the oracle recomputes clusters "
+        "via recursive-CTE transitive closure and ranks identically.",
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
+    cc = D.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    clusters = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    quality = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "n_types"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_types"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+        )
+    )
