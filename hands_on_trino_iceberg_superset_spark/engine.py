@@ -280,10 +280,30 @@ class Engine:
 
     def register_table(self, name: str, location: str,
                        file_format: str = "parquet") -> None:
-        """Adopt existing data files as a catalog table — the Spark-
-        native equivalent of Iceberg's ``register_table`` procedure
-        (enabled but never called in the reference). External table:
-        dropping it later leaves the files in place."""
+        """Adopt existing data as a queryable table — Iceberg's
+        ``register_table`` procedure (enabled in the reference at
+        ``compose/trino/catalog/iceberg.properties:19``).
+
+        If ``location`` holds REAL Iceberg metadata (a ``metadata/``
+        dir with ``*.metadata.json``), the table is adopted through
+        the spec reader (:mod:`.lakehouse.iceberg`): its manifests —
+        not a directory listing — decide the live files, so deleted
+        or uncommitted files are invisible, and the view always
+        reflects the current snapshot at registration time. Plain
+        data directories fall back to an external Spark table over
+        the files. Dropping either later leaves the files in place."""
+        import os
+
+        if os.path.isdir(os.path.join(location, "metadata")) and any(
+            f.endswith(".metadata.json")
+            for f in os.listdir(os.path.join(location, "metadata"))
+        ):
+            from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+                load_iceberg,
+            )
+
+            load_iceberg(self.spark, location).createOrReplaceTempView(name)
+            return
         self.sql(
             f"CREATE TABLE IF NOT EXISTS {name} USING {file_format} "
             f"LOCATION '{location}'"

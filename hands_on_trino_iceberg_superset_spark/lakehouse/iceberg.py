@@ -1,0 +1,1022 @@
+"""Iceberg-spec table metadata: write and adopt REAL Iceberg tables.
+
+The reference catalog is Iceberg over Trino
+(``/root/reference/compose/trino/catalog/iceberg.properties:1-19``,
+``register_table`` procedure enabled at line 19). Our
+:class:`~.table.VersionedTable` covers the *capabilities* (snapshots,
+COW DML, time travel) in a bespoke manifest format; this module covers
+the *format*: v2 ``*.metadata.json`` + Avro manifest list + Avro
+manifests, readable by any Iceberg implementation, plus adoption of
+tables written by other engines. No iceberg-runtime jar exists in
+this container, so the metadata layer is pure Python over
+:mod:`.avro`; the scan itself is a plain Spark parquet read over
+exactly the live files the manifests name — which is precisely how
+Iceberg reads execute anyway (plan on metadata, scan data natively).
+
+Scale design: metadata is O(files) JSON/Avro — Iceberg's own design
+point is that this planning happens on one node (the driver) while
+the data scan is distributed. File-level pruning uses, in order,
+manifest-list partition summaries (skip whole manifests), per-file
+partition values, then per-file column bounds (min/max file skipping)
+— the same three-tier pruning Iceberg readers do, so a selective
+query plans a scan proportional to matching files, not table size.
+
+Supported surface:
+- write: ``IcebergTable.create`` / ``.append`` — format-version 2,
+  identity partitioning, parquet data files, per-file record counts
+  and lower/upper bounds harvested from parquet footers;
+- read: current snapshot, time travel (``snapshot_id=`` /
+  ``as_of_ms=``), three-tier pruned scan planning;
+- adopt: v1 and v2 tables written elsewhere (position/equality
+  delete files are copy-on-write territory we don't merge-on-read:
+  their presence raises, loudly, rather than returning wrong rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import time
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from hands_on_trino_iceberg_superset_spark.lakehouse.avro import (
+    read_ocf,
+    write_ocf,
+)
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+# ----------------------------------------------------- type conversion
+
+
+_SPARK_TO_ICE = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+}
+
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # micros since midnight; Spark has no TIME
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def spark_to_iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
+    """Spark StructType -> Iceberg schema dict with assigned field
+    IDs (DFS order, the Java assignment). Returns (schema, last_id)."""
+    counter = [0]
+
+    def nid() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv(dt: T.DataType) -> object:
+        for cls, name in _SPARK_TO_ICE.items():
+            if isinstance(dt, cls):
+                return name
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": nid(),
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "key-id": nid(),
+                "key": conv(dt.keyType),
+                "value-id": nid(),
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": nid(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise ValueError(f"no Iceberg mapping for Spark type {dt}")
+
+    # top-level field ids come first (1..n), then nested ids — the
+    # order Iceberg's schema visitor assigns
+    fields = []
+    for f in schema.fields:
+        fields.append({"id": nid(), "name": f.name,
+                       "required": not f.nullable, "type": None, "_dt": f})
+    for entry in fields:
+        entry["type"] = conv(entry.pop("_dt").dataType)
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        counter[0],
+    )
+
+
+def iceberg_to_spark_schema(ice: dict) -> T.StructType:
+    def conv(t: object) -> T.DataType:
+        if isinstance(t, str):
+            if t in _ICE_TO_SPARK:
+                return _ICE_TO_SPARK[t]
+            m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+            if m:
+                return T.DecimalType(int(m.group(1)), int(m.group(2)))
+            m = re.fullmatch(r"fixed\[(\d+)\]", t)
+            if m:
+                return T.BinaryType()
+            raise ValueError(f"unknown Iceberg type {t!r}")
+        kind = t["type"]
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(f["name"], conv(f["type"]),
+                              nullable=not f.get("required", False))
+                for f in t["fields"]
+            ])
+        if kind == "list":
+            return T.ArrayType(conv(t["element"]),
+                               containsNull=not t.get("element-required", False))
+        if kind == "map":
+            return T.MapType(conv(t["key"]), conv(t["value"]),
+                             valueContainsNull=not t.get("value-required", False))
+        raise ValueError(f"unknown Iceberg type {t!r}")
+
+    return conv(ice)  # type: ignore[return-value]
+
+
+# --------------------------------------- single-value serialization
+
+# Iceberg spec Appendix D: bounds are stored as single-value binary.
+
+
+def encode_bound(ice_type: str, v: object) -> bytes | None:
+    if v is None:
+        return None
+    if ice_type == "int" or ice_type == "date":
+        return struct.pack("<i", int(v))
+    if ice_type in ("long", "timestamp", "timestamptz", "time"):
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(v)
+    return None  # decimal/uuid/nested: no bounds emitted
+
+
+def decode_bound(ice_type: str, b: bytes) -> object | None:
+    if b is None:
+        return None
+    if ice_type in ("int", "date"):
+        return struct.unpack("<i", b)[0]
+    if ice_type in ("long", "timestamp", "timestamptz", "time"):
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type == "string":
+        return b.decode("utf-8", errors="replace")
+    return None
+
+
+# ----------------------------------------------- manifest Avro schemas
+
+
+def _opt(t: object) -> list:
+    return ["null", t]
+
+
+def _kv_bytes(name: str, kid: int, vid: int) -> dict:
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+def _ice_type_to_avro(t: str) -> object:
+    base = {
+        "boolean": "boolean", "int": "int", "long": "long",
+        "float": "float", "double": "double", "string": "string",
+        "binary": "bytes",
+        "date": {"type": "int", "logicalType": "date"},
+        "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+        "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+    }
+    if t not in base:
+        raise ValueError(f"unsupported partition type {t!r}")
+    return base[t]
+
+
+def manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """v2 manifest_entry Avro schema; ``partition_fields`` is the
+    partition spec's [{name, field-id, type(iceberg str)}]."""
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": _opt(_ice_type_to_avro(pf["type"])),
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "column_sizes", "type": _opt(_kv_bytes("k117_v118", 117, 118)), "default": None, "field-id": 108},
+            {"name": "value_counts", "type": _opt(_kv_bytes("k119_v120", 119, 120)), "default": None, "field-id": 109},
+            {"name": "null_value_counts", "type": _opt(_kv_bytes("k121_v122", 121, 122)), "default": None, "field-id": 110},
+            {"name": "nan_value_counts", "type": _opt(_kv_bytes("k138_v139", 138, 139)), "default": None, "field-id": 137},
+            {"name": "lower_bounds", "type": _opt(_kv_bytes("k126_v127", 126, 127)), "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": _opt(_kv_bytes("k129_v130", 129, 130)), "default": None, "field-id": 128},
+            {"name": "key_metadata", "type": _opt("bytes"), "default": None, "field-id": 131},
+            {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"}), "default": None, "field-id": 132},
+            {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"}), "default": None, "field-id": 135},
+            {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"), "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": _opt({
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "r508",
+                    "fields": [
+                        {"name": "contains_null", "type": "boolean", "field-id": 509},
+                        {"name": "contains_nan", "type": _opt("boolean"), "default": None, "field-id": 518},
+                        {"name": "lower_bound", "type": _opt("bytes"), "default": None, "field-id": 510},
+                        {"name": "upper_bound", "type": _opt("bytes"), "default": None, "field-id": 511},
+                    ],
+                },
+            }),
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "key_metadata", "type": _opt("bytes"), "default": None, "field-id": 519},
+    ],
+}
+
+
+# ------------------------------------------------------------- planning
+
+
+@dataclass
+class DataFileInfo:
+    path: str
+    partition: dict
+    record_count: int
+    file_size: int
+    lower_bounds: dict[int, bytes] = field(default_factory=dict)
+    upper_bounds: dict[int, bytes] = field(default_factory=dict)
+
+
+@dataclass
+class ScanPlan:
+    files: list[DataFileInfo]
+    total_files: int
+    manifests_total: int
+    manifests_scanned: int
+    schema: T.StructType
+    snapshot_id: int
+
+    @property
+    def files_skipped(self) -> int:
+        return self.total_files - len(self.files)
+
+
+class IcebergTable:
+    """A real Iceberg table (format-version 2) on a filesystem."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -------------------------------------------------------- loading
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IcebergTable":
+        return cls(spark, path, _read_table_metadata(path))
+
+    # ------------------------------------------------------- metadata
+
+    @property
+    def format_version(self) -> int:
+        return self.meta.get("format-version", 1)
+
+    def current_schema(self) -> dict:
+        if "schemas" in self.meta:
+            sid = self.meta.get("current-schema-id", 0)
+            for s in self.meta["schemas"]:
+                if s.get("schema-id") == sid:
+                    return s
+            return self.meta["schemas"][-1]
+        return self.meta["schema"]  # v1
+
+    def spark_schema(self) -> T.StructType:
+        return iceberg_to_spark_schema(self.current_schema())
+
+    def partition_spec(self) -> list[dict]:
+        if "partition-specs" in self.meta:
+            sid = self.meta.get("default-spec-id", 0)
+            for s in self.meta["partition-specs"]:
+                if s.get("spec-id") == sid:
+                    return s["fields"]
+            return []
+        return self.meta.get("partition-spec", [])  # v1
+
+    def snapshots(self) -> list[dict]:
+        return self.meta.get("snapshots", [])
+
+    def _snapshot(self, snapshot_id: int | None, as_of_ms: int | None) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(f"table {self.path} has no snapshots")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise ValueError(f"no snapshot {snapshot_id}")
+        if as_of_ms is not None:
+            eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return max(eligible, key=lambda s: s["timestamp-ms"])
+        cur = self.meta.get("current-snapshot-id")
+        for s in snaps:
+            if s["snapshot-id"] == cur:
+                return s
+        return snaps[-1]
+
+    # ------------------------------------------------------- planning
+
+    def plan_scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        filter: dict | None = None,
+    ) -> ScanPlan:
+        """Three-tier pruned file planning. ``filter`` maps column
+        name -> value | list-of-values (IN) | (lo, hi) inclusive
+        range; partition columns prune via manifest summaries + the
+        per-file partition tuple, every other column via per-file
+        min/max bounds. The residual predicate is re-applied row-wise
+        by :meth:`read`, so pruning here only ever *skips* files that
+        provably contain no matching rows."""
+        snap = self._snapshot(snapshot_id, as_of_ms)
+        ml_path = self._resolve(snap["manifest-list"])
+        _, _, manifests = read_ocf(ml_path)
+
+        spec = self.partition_spec()
+        part_types = self._partition_types(spec)
+        schema_fields = {
+            f["name"]: f for f in self.current_schema()["fields"]
+        }
+        field_by_id = {
+            f["id"]: f for f in self.current_schema()["fields"]
+        }
+        filt = filter or {}
+
+        # tier 1: manifest pruning by partition summaries
+        scanned, skipped_m = [], 0
+        for m in manifests:
+            if m.get("content", 0) not in (0, None):
+                # delete manifests: presence of LIVE delete files is
+                # checked at the entry level below; an empty delete
+                # manifest is fine to scan
+                pass
+            summaries = m.get("partitions")
+            if summaries and self._summary_prunes(summaries, spec,
+                                                  part_types, filt):
+                skipped_m += 1
+                continue
+            scanned.append(m)
+
+        files: list[DataFileInfo] = []
+        total = 0
+        for m in scanned:
+            mpath = self._resolve(m["manifest_path"])
+            _, mmeta, entries = read_ocf(mpath)
+            for e in entries:
+                if e.get("status") == 2:  # deleted
+                    continue
+                df_ = e["data_file"]
+                content = df_.get("content", 0) or 0
+                if content != 0:
+                    raise NotImplementedError(
+                        f"table {self.path} has live delete files "
+                        "(merge-on-read); this engine is copy-on-write "
+                        "only — compact the table with its writer first"
+                    )
+                total += 1
+                info = DataFileInfo(
+                    path=df_["file_path"],
+                    partition=df_.get("partition") or {},
+                    record_count=df_.get("record_count", -1),
+                    file_size=df_.get("file_size_in_bytes", -1),
+                    lower_bounds=_kv_to_dict(df_.get("lower_bounds")),
+                    upper_bounds=_kv_to_dict(df_.get("upper_bounds")),
+                )
+                if self._file_prunes(info, part_types, schema_fields,
+                                     field_by_id, filt):
+                    continue
+                files.append(info)
+        return ScanPlan(
+            files=files,
+            total_files=total,
+            manifests_total=len(manifests),
+            manifests_scanned=len(scanned),
+            schema=self.spark_schema(),
+            snapshot_id=snap["snapshot-id"],
+        )
+
+    def _partition_types(self, spec: list[dict]) -> dict[str, str]:
+        fields = {f["id"]: f for f in self.current_schema()["fields"]}
+        out = {}
+        for pf in spec:
+            if pf.get("transform", "identity") != "identity":
+                continue  # non-identity partitions: no pruning, still scanned
+            src = fields.get(pf["source-id"])
+            if src and isinstance(src["type"], str):
+                out[pf["name"]] = src["type"]
+        return out
+
+    def _summary_prunes(self, summaries, spec, part_types, filt) -> bool:
+        for pf, summ in zip(spec, summaries):
+            name = pf["name"]
+            if name not in filt or name not in part_types:
+                continue
+            t = part_types[name]
+            want = _filter_values(filt[name])
+            lo = decode_bound(t, summ.get("lower_bound"))
+            hi = decode_bound(t, summ.get("upper_bound"))
+            if lo is None or hi is None:
+                continue
+            if isinstance(want, tuple):  # range
+                if want[1] < lo or want[0] > hi:
+                    return True
+            else:
+                if all(v is not None and (v < lo or v > hi)
+                       for v in want):
+                    if not (summ.get("contains_null") and None in want):
+                        return True
+        return False
+
+    def _file_prunes(self, info, part_types, schema_fields,
+                     field_by_id, filt) -> bool:
+        for col, cond in filt.items():
+            want = _filter_values(cond)
+            # partition tuple: exact membership
+            if col in info.partition and col in part_types:
+                v = info.partition[col]
+                if isinstance(want, tuple):
+                    if v is None or v < want[0] or v > want[1]:
+                        return True
+                elif v not in want:
+                    return True
+                continue
+            # column bounds: min/max overlap
+            f = schema_fields.get(col)
+            if not f or not isinstance(f["type"], str):
+                continue
+            fid, t = f["id"], f["type"]
+            lo = decode_bound(t, info.lower_bounds.get(fid))
+            hi = decode_bound(t, info.upper_bounds.get(fid))
+            if lo is None or hi is None:
+                continue
+            if isinstance(want, tuple):
+                if want[1] < lo or want[0] > hi:
+                    return True
+            elif all(v is not None and (v < lo or v > hi) for v in want):
+                return True
+        return False
+
+    # -------------------------------------------------------- reading
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        filter: dict | None = None,
+    ) -> DataFrame:
+        plan = self.plan_scan(snapshot_id, as_of_ms, filter)
+        schema = plan.schema
+        if not plan.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [self._resolve(f.path) for f in plan.files]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        for col, cond in (filter or {}).items():
+            if col not in df.columns:
+                continue
+            want = _filter_values(cond)
+            if isinstance(want, tuple):
+                df = df.where(F.col(col).between(want[0], want[1]))
+            else:
+                non_null = [v for v in want if v is not None]
+                pred: Column = (
+                    F.col(col).isin(non_null) if non_null else F.lit(False)
+                )
+                if None in want:
+                    pred = pred | F.col(col).isNull()
+                df = df.where(pred)
+        return df
+
+    def _resolve(self, p: str) -> str:
+        """Manifest paths may be absolute URIs from the environment
+        that wrote the table; make them readable here. Relative paths
+        (our writer) resolve against the table root; foreign
+        absolute paths fall back to re-rooting at the last path
+        segment that exists under this table's directory."""
+        if p.startswith("file:"):
+            p = re.sub(r"^file:(//)?", "", p)
+        if not p.startswith("/") and "://" not in p:
+            return os.path.join(self.path, p)
+        if os.path.exists(p):
+            return p
+        # re-root: .../<table-dir>/(data|metadata)/... under self.path
+        m = re.search(r"/(data|metadata)/(.*)$", p)
+        if m:
+            cand = os.path.join(self.path, m.group(1), m.group(2))
+            if os.path.exists(cand):
+                return cand
+        raise FileNotFoundError(f"cannot resolve Iceberg file path {p!r}")
+
+    # -------------------------------------------------------- writing
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+        properties: dict | None = None,
+    ) -> "IcebergTable":
+        if os.path.exists(os.path.join(path, "metadata")):
+            raise ValueError(f"Iceberg table already exists at {path}")
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        ice_schema, last_col_id = spark_to_iceberg_schema(df.schema)
+        spec_fields = []
+        if partition_by:
+            src = next(
+                f for f in ice_schema["fields"] if f["name"] == partition_by
+            )
+            if not isinstance(src["type"], str) or src["type"] not in (
+                "string", "int", "long", "date", "boolean",
+            ):
+                raise ValueError(
+                    f"identity partitioning on {partition_by!r} "
+                    f"({src['type']}) is not supported"
+                )
+            spec_fields = [{
+                "name": partition_by,
+                "transform": "identity",
+                "source-id": src["id"],
+                "field-id": 1000,
+            }]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": _now_ms(),
+            "last-column-id": last_col_id,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000 if spec_fields else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": properties or {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        tbl = cls(spark, path, meta)
+        tbl._commit_append(df)
+        return tbl
+
+    def append(self, df: DataFrame) -> None:
+        want = [f.name for f in self.spark_schema().fields]
+        if [c for c in df.columns] != want:
+            df = df.select(*want)  # raises on missing columns
+        self._commit_append(df)
+
+    def _commit_append(self, df: DataFrame) -> None:
+        meta = self.meta
+        seq = meta["last-sequence-number"] + 1
+        snap_id = seq  # deterministic, unique within the table
+        version = len(meta.get("metadata-log", [])) + 1
+
+        spec = self.partition_spec()
+        pc = spec[0]["name"] if spec else None
+        data_files = self._write_data_files(df, seq, pc)
+
+        part_types = self._partition_types(spec)
+        entry_schema = manifest_entry_schema([
+            {"name": pf["name"], "field-id": pf["field-id"],
+             "type": part_types[pf["name"]]}
+            for pf in spec
+        ])
+        entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherit from manifest list
+                "file_sequence_number": None,
+                "data_file": fd,
+            }
+            for fd in data_files
+        ]
+        mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        mpath = os.path.join(self.path, mname)
+        write_ocf(
+            mpath, entry_schema, entries,
+            metadata={
+                "schema": json.dumps(self.current_schema()),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        added_rows = sum(f["record_count"] for f in data_files)
+        new_manifest = {
+            "manifest_path": mname,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": self._partition_summaries(data_files, spec,
+                                                    part_types),
+            "key_metadata": None,
+        }
+        prior = []
+        if meta["snapshots"]:
+            cur = self._snapshot(None, None)
+            _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
+        ml_name = f"metadata/snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        ml_path = os.path.join(self.path, ml_name)
+        write_ocf(
+            ml_path, MANIFEST_LIST_SCHEMA, [new_manifest, *prior],
+            metadata={
+                "snapshot-id": str(snap_id),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+        now = _now_ms()
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(data_files)),
+                "added-records": str(added_rows),
+            },
+            "manifest-list": ml_name,
+            "schema-id": 0,
+        }
+        if meta["snapshots"]:
+            snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
+        meta["snapshots"] = [*meta["snapshots"], snapshot]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now
+        meta["snapshot-log"] = [
+            *meta.get("snapshot-log", []),
+            {"timestamp-ms": now, "snapshot-id": snap_id},
+        ]
+        mfile = os.path.join(self.path, "metadata",
+                             f"v{version}.metadata.json")
+        with open(mfile + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(mfile + ".tmp", mfile)  # atomic publish
+        with open(os.path.join(self.path, "metadata",
+                               "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        meta["metadata-log"] = [
+            *meta.get("metadata-log", []),
+            {"timestamp-ms": now, "metadata-file": mfile},
+        ]
+
+    def _write_data_files(self, df: DataFrame, seq: int,
+                          pc: str | None) -> list[dict]:
+        """One distributed write job; per-file stats harvested from
+        the parquet footers (driver-side listing — O(files), the same
+        footer pass Iceberg's own writers fold into their commit)."""
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.path, "data", f"seq{seq}")
+        if pc:
+            # duplicate the partition column under a scratch name so
+            # partitionBy lays out directories while the REAL column
+            # stays inside every data file (Iceberg data files carry
+            # the full schema; identity partitioning does not drop
+            # the source column)
+            (df.withColumn("__p", F.col(pc))
+               .repartition(F.col("__p"))
+               .write.partitionBy("__p").parquet(out_dir))
+        else:
+            df.write.parquet(out_dir)
+
+        fields = self.current_schema()["fields"]
+        ftype = {f["name"]: (f["id"], f["type"]) for f in fields}
+        part_type = ftype[pc][1] if pc else None
+
+        out = []
+        for root, _dirs, names in sorted(os.walk(out_dir)):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                pf = pq.ParquetFile(full)
+                lowers, uppers = _footer_bounds(pf, ftype)
+                part = {}
+                if pc:
+                    raw = os.path.basename(root).split("=", 1)[1]
+                    part[pc] = (None if raw == HIVE_NULL
+                                else _parse_part(part_type, raw))
+                out.append({
+                    "content": 0,
+                    "file_path": os.path.relpath(full, self.path),
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "column_sizes": None,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "nan_value_counts": None,
+                    "lower_bounds": _dict_to_kv(lowers),
+                    "upper_bounds": _dict_to_kv(uppers),
+                    "key_metadata": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                })
+        return out
+
+    def _partition_summaries(self, data_files, spec, part_types):
+        if not spec:
+            return None
+        out = []
+        for pf in spec:
+            name, t = pf["name"], part_types[pf["name"]]
+            vals = [f["partition"].get(name) for f in data_files]
+            non_null = [v for v in vals if v is not None]
+            out.append({
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": encode_bound(t, min(non_null)) if non_null else None,
+                "upper_bound": encode_bound(t, max(non_null)) if non_null else None,
+            })
+        return out
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _kv_to_dict(kv) -> dict[int, bytes]:
+    if not kv:
+        return {}
+    return {e["key"]: e["value"] for e in kv}
+
+
+def _dict_to_kv(d: dict[int, bytes]):
+    if not d:
+        return None
+    return [{"key": k, "value": v} for k, v in sorted(d.items())]
+
+
+def _filter_values(cond) -> list | tuple:
+    """Normalize a filter condition: tuple -> inclusive range,
+    anything else -> list of allowed values."""
+    if isinstance(cond, tuple) and len(cond) == 2:
+        return cond
+    if isinstance(cond, (list, set)):
+        return list(cond)
+    return [cond]
+
+
+def _parse_part(ice_type: str, raw: str):
+    raw = urllib.parse.unquote(raw)
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type == "date":
+        import datetime as dt
+        return (dt.date.fromisoformat(raw) - dt.date(1970, 1, 1)).days
+    return raw
+
+
+def _py_stat_value(ice_type: str, v):
+    """pyarrow statistics value -> the numeric/str shape
+    ``encode_bound`` wants (dates to epoch days, ts to micros)."""
+    import datetime as dt
+
+    if v is None:
+        return None
+    if ice_type == "date":
+        if isinstance(v, dt.date):
+            return (v - dt.date(1970, 1, 1)).days
+        return int(v)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, dt.datetime):
+            base = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - base).total_seconds() * 1_000_000)
+        return int(v)
+    if ice_type == "string" and isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _footer_bounds(pf, ftype: dict[str, tuple[int, str]]):
+    """Aggregate per-file min/max for primitive top-level columns
+    from the parquet row-group statistics."""
+    import math
+
+    lowers: dict[int, bytes] = {}
+    uppers: dict[int, bytes] = {}
+    md = pf.metadata
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in ftype or not isinstance(ftype[name][1], str):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            t = ftype[name][1]
+            lo = _py_stat_value(t, st.min)
+            hi = _py_stat_value(t, st.max)
+            if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    for name, (lo, hi) in agg.items():
+        fid, t = ftype[name]
+        blo, bhi = encode_bound(t, lo), encode_bound(t, hi)
+        if blo is not None and bhi is not None:
+            lowers[fid] = blo
+            uppers[fid] = bhi
+    return lowers, uppers
+
+
+def _read_table_metadata(path: str) -> dict:
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no Iceberg metadata dir under {path}")
+    hint = os.path.join(mdir, "version-hint.text")
+    cand = None
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(mdir, pat)
+            if os.path.exists(p):
+                cand = p
+                break
+    if cand is None:
+        metas = sorted(
+            f for f in os.listdir(mdir) if f.endswith(".metadata.json")
+        )
+        if not metas:
+            raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+
+        def key(n: str):
+            m = re.match(r"v?(\d+)", n)
+            return (int(m.group(1)) if m else -1, n)
+
+        cand = os.path.join(mdir, max(metas, key=key))
+    with open(cand) as fh:
+        return json.load(fh)
+
+
+def load_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    filter: dict | None = None,
+) -> DataFrame:
+    """Adopt an Iceberg table directory and return a DataFrame over
+    its live data files (three-tier pruned when ``filter`` given)."""
+    return IcebergTable.load(spark, path).read(
+        snapshot_id=snapshot_id, as_of_ms=as_of_ms, filter=filter
+    )

@@ -93,6 +93,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         dml,
         events,
+        iceberg,
         multimodal,
         reference,
         similarity,
@@ -103,8 +104,8 @@ def load_all() -> dict[str, QuerySpec]:
         wire,
     )
 
-    family_order = ["text", "streaming", "tpch_extra", "sketches",
-                    "wire", "dedup", "dml", "similarity",
+    family_order = ["iceberg", "text", "streaming", "tpch_extra",
+                    "sketches", "wire", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]
                  for name, spec in REGISTRY.items()}

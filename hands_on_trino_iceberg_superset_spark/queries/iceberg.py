@@ -1,0 +1,147 @@
+"""Iceberg-format inventory entries: the reference's catalog surface
+(``/root/reference/compose/trino/catalog/iceberg.properties:1-19``)
+exercised against REAL Iceberg v2 metadata written and adopted by
+:mod:`..lakehouse.iceberg` — spec-format manifests, not the bespoke
+``VersionedTable`` manifest.
+
+Each entry materializes (once per ``sf_dir``, memoized — bench calls
+repeat) an Iceberg table from the driver parquet, then answers
+through the adopted table. Everything downstream of table creation is
+a pure function of the inputs, so driver hashes are stable; the
+DuckDB oracle restates the same result straight from the parquet
+views.
+
+Scale notes: the scan behind every entry is planned on metadata
+(three-tier pruning: manifest partition summaries -> per-file
+partition tuples -> per-file column min/max bounds) and executed as a
+plain distributed parquet read of exactly the live files — the
+Iceberg execution model. The plan-shape gate for pruning lives in
+``tests/test_iceberg.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+    IcebergTable,
+)
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+_CACHE: dict[tuple[str, str], IcebergTable] = {}
+
+
+def _orders_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Orders as a partitioned Iceberg v2 table: snapshot 1 = full
+    load, snapshot 2 = append of a deterministic late-arriving batch
+    (every 100th order re-keyed into a disjoint id space)."""
+    key = (sf_dir, "orders")
+    hit = _CACHE.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg_orders_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    late = (
+        orders.where((F.col("o_orderkey") % 100) == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    ).select(*orders.columns)
+    t.append(late)
+    _CACHE[key] = t
+    return t
+
+
+@register(
+    "iceberg_register_scan",
+    oracle="""
+    WITH ice AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM ice
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="register_table over REAL Iceberg v2 metadata "
+        "(iceberg.properties:19): adopt the table directory by "
+        "parsing metadata.json + Avro manifest list + manifests "
+        "(pure-Python codec), plan the scan with a partition filter "
+        "(manifest partition summaries + per-file partition tuples "
+        "skip the 'P' partition's files entirely), and aggregate the "
+        "two snapshots' live files.",
+)
+def iceberg_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _orders_iceberg(spark, sf_dir)
+    # fresh adoption through the metadata on disk, as a foreign
+    # reader would see it — not the in-memory writer state
+    adopted = IcebergTable.load(spark, t.path)
+    df = adopted.read(filter={"o_orderstatus": ["F", "O"]})
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "iceberg_time_travel",
+    oracle="""
+    SELECT 1 AS snapshot_seq, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    UNION ALL
+    SELECT 2, count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM (
+      SELECT o_totalprice FROM orders
+      UNION ALL
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+    )
+    ORDER BY snapshot_seq
+    """,
+    doc="Iceberg time travel on spec metadata: read snapshot 1 "
+        "(initial load) and snapshot 2 (post-append) of the same "
+        "table via their manifest lists — the capability Trino "
+        "exposes as FOR VERSION AS OF over this catalog.",
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _orders_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    snaps = sorted(s["snapshot-id"] for s in adopted.snapshots())
+    parts = []
+    for seq, sid in enumerate(snaps, start=1):
+        parts.append(
+            adopted.read(snapshot_id=sid)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+            )
+            .withColumn("snapshot_seq", F.lit(seq))
+            .select("snapshot_seq", "n_orders", "total_price")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("snapshot_seq")

@@ -1,0 +1,257 @@
+"""Iceberg-spec metadata layer: write, adopt, time travel, and the
+three-tier scan-pruning plan gates."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.engine import Engine
+from hands_on_trino_iceberg_superset_spark.lakehouse.avro import write_ocf
+from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+    IcebergTable,
+    iceberg_to_spark_schema,
+    load_iceberg,
+    manifest_entry_schema,
+    spark_to_iceberg_schema,
+)
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="iceberg_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def orders_table(spark, tmp_root):
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmp_root, "orders")
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    late = orders.limit(100)
+    t.append(late)
+    return t
+
+
+def test_create_read_counts(spark, orders_table):
+    n = load_table(spark, SF, "orders").count()
+    assert IcebergTable.load(spark, orders_table.path).read().count() == n + 100
+
+
+def test_schema_preserved(spark, orders_table):
+    orig = load_table(spark, SF, "orders").schema
+    adopted = IcebergTable.load(spark, orders_table.path)
+    assert [f.name for f in adopted.spark_schema().fields] == \
+        [f.name for f in orig.fields]
+    assert [f.dataType for f in adopted.spark_schema().fields] == \
+        [f.dataType for f in orig.fields]
+
+
+def test_time_travel(spark, orders_table):
+    t = IcebergTable.load(spark, orders_table.path)
+    snaps = sorted(s["snapshot-id"] for s in t.snapshots())
+    assert len(snaps) == 2
+    n = load_table(spark, SF, "orders").count()
+    assert t.read(snapshot_id=snaps[0]).count() == n
+    assert t.read(snapshot_id=snaps[1]).count() == n + 100
+    # as-of timestamp resolves to the first snapshot
+    ts0 = next(s["timestamp-ms"] for s in t.snapshots()
+               if s["snapshot-id"] == snaps[0])
+    assert t.read(as_of_ms=ts0).count() == n
+
+
+def test_partition_pruning_gate(spark, orders_table):
+    """Plan gate: a partition filter must SKIP non-matching files at
+    the metadata tier — the scan reads matching partitions only."""
+    t = IcebergTable.load(spark, orders_table.path)
+    full = t.plan_scan()
+    pruned = t.plan_scan(filter={"o_orderstatus": "F"})
+    assert pruned.total_files == full.total_files
+    assert 0 < len(pruned.files) < full.total_files
+    # correctness of the pruned read vs a straight filter
+    orders = load_table(spark, SF, "orders")
+    expected = orders.where("o_orderstatus = 'F'").count() + \
+        orders.limit(100).where("o_orderstatus = 'F'").count()
+    assert t.read(filter={"o_orderstatus": "F"}).count() == expected
+
+
+def test_bounds_pruning_gate(spark, tmp_root):
+    """Min/max file skipping on a NON-partition column: range-sorted
+    files carry disjoint o_orderkey bounds, so a narrow range
+    predicate plans a 1-file scan."""
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmp_root, "orders_ranged")
+    t = IcebergTable.create(
+        spark, path, orders.repartitionByRange(4, F.col("o_orderkey"))
+    )
+    plan = t.plan_scan(filter={"o_orderkey": (1, 10)})
+    assert plan.total_files == 4
+    assert len(plan.files) == 1
+    got = t.read(filter={"o_orderkey": (1, 10)}).count()
+    assert got == orders.where("o_orderkey between 1 and 10").count()
+    # an impossible double-range prunes everything
+    assert t.plan_scan(filter={"o_totalprice": (-2.0, -1.0)}).files == []
+
+
+def test_null_partition_value(spark, tmp_root):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, k string"
+    )
+    path = os.path.join(tmp_root, "nullpart")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    assert t.read().count() == 3
+    rows = t.read(filter={"k": [None]}).collect()
+    assert [r.id for r in rows] == [2]
+    assert t.read(filter={"k": "a"}).count() == 2
+
+
+def test_register_table_adopts_iceberg(spark, orders_table):
+    eng = Engine(spark)
+    eng.register_table("ice_orders", orders_table.path)
+    n = load_table(spark, SF, "orders").count()
+    assert spark.table("ice_orders").count() == n + 100
+    spark.catalog.dropTempView("ice_orders")
+
+
+def test_delete_files_raise(spark, tmp_root):
+    """Merge-on-read tables (live position/equality deletes) must
+    fail loudly, not silently return un-deleted rows."""
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    path = os.path.join(tmp_root, "mor")
+    t = IcebergTable.create(spark, path, df)
+    # forge a delete manifest entry into the existing manifest file
+    plan = t.plan_scan()
+    meta_dir = os.path.join(path, "metadata")
+    man = [f for f in os.listdir(meta_dir) if f.endswith("-m0.avro")]
+    schema = manifest_entry_schema([])
+    entry = {
+        "status": 1, "snapshot_id": 1, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,  # position deletes
+            "file_path": plan.files[0].path,
+            "file_format": "PARQUET", "partition": {},
+            "record_count": 1, "file_size_in_bytes": 10,
+            "column_sizes": None, "value_counts": None,
+            "null_value_counts": None, "nan_value_counts": None,
+            "lower_bounds": None, "upper_bounds": None,
+            "key_metadata": None, "split_offsets": None,
+            "equality_ids": None, "sort_order_id": None,
+        },
+    }
+    write_ocf(os.path.join(meta_dir, man[0]), schema, [entry])
+    with pytest.raises(NotImplementedError, match="delete files"):
+        IcebergTable.load(spark, path).read()
+
+
+def test_v1_metadata_adoption(spark, tmp_root):
+    """Read a (synthesized) format-version 1 table: singular
+    ``schema``/``partition-spec`` keys, v1 manifests without
+    sequence numbers or ``content`` fields."""
+    root = os.path.join(tmp_root, "v1tbl")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    df.coalesce(1).write.parquet(os.path.join(root, "data", "d0"))
+    pq_file = next(
+        os.path.join(root, "data", "d0", f)
+        for f in os.listdir(os.path.join(root, "data", "d0"))
+        if f.endswith(".parquet")
+    )
+    v1_entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    write_ocf(
+        os.path.join(root, "metadata", "m0.avro"), v1_entry_schema,
+        [{"status": 1, "snapshot_id": 99, "data_file": {
+            "file_path": os.path.relpath(pq_file, root),
+            "file_format": "PARQUET", "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(pq_file)}}],
+    )
+    v1_list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "default": None},
+        ]}
+    write_ocf(
+        os.path.join(root, "metadata", "snap-99.avro"), v1_list_schema,
+        [{"manifest_path": "metadata/m0.avro",
+          "manifest_length": 100, "partition_spec_id": 0,
+          "added_snapshot_id": 99}],
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": root,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [{"snapshot-id": 99, "timestamp-ms": 0,
+                       "manifest-list": "metadata/snap-99.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = load_iceberg(spark, root).orderBy("id").collect()
+    assert [(r.id, r.s) for r in got] == [(1, "x"), (2, "y")]
+
+
+def test_schema_conversion_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.ArrayType(T.FloatType())),
+        T.StructField("d", T.DecimalType(18, 2)),
+        T.StructField("e", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("f", T.StructType([
+            T.StructField("x", T.DoubleType()),
+        ])),
+        T.StructField("g", T.TimestampNTZType()),
+        T.StructField("h", T.DateType()),
+        T.StructField("i", T.BinaryType()),
+        T.StructField("j", T.BooleanType()),
+    ])
+    ice, last_id = spark_to_iceberg_schema(schema)
+    assert last_id >= 10
+    ids = [f["id"] for f in ice["fields"]]
+    assert ids == list(range(1, 11))  # top-level ids first, in order
+    back = iceberg_to_spark_schema(ice)
+    assert back == schema
+
+
+def test_deterministic_snapshot_ids(spark, orders_table):
+    snaps = IcebergTable.load(spark, orders_table.path).snapshots()
+    assert [s["snapshot-id"] for s in snaps] == [1, 2]
+    assert [s["sequence-number"] for s in snaps] == [1, 2]
