@@ -170,6 +170,21 @@ class VersionedTable:
             )
         )
 
+    def export_iceberg(self, path: str):
+        """Materialize the current snapshot as a REAL Iceberg v2
+        table (spec metadata.json + Avro manifests, written by
+        :mod:`.iceberg`) — the migration path OUT of this bespoke
+        manifest format into something any Iceberg reader can adopt.
+        One distributed rewrite of the live data; history does not
+        carry over (the export is a fresh table at snapshot 1)."""
+        from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+            IcebergTable,
+        )
+
+        return IcebergTable.create(
+            self.spark, path, self.read(), partition_by=self.partition_col
+        )
+
     def compact(self) -> Snapshot:
         """Small-file/partition-fragment compaction (the
         ``rewrite_data_files`` maintenance op): partitions split

@@ -255,3 +255,28 @@ def test_deterministic_snapshot_ids(spark, orders_table):
     snaps = IcebergTable.load(spark, orders_table.path).snapshots()
     assert [s["snapshot-id"] for s in snaps] == [1, 2]
     assert [s["sequence-number"] for s in snaps] == [1, 2]
+
+
+def test_versioned_table_export(spark, tmp_root):
+    """Bespoke VersionedTable -> spec Iceberg migration."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import (
+        VersionedTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, k string, v double",
+    )
+    vt = VersionedTable.create(
+        spark, os.path.join(tmp_root, "vt"), df, partition_col="k"
+    )
+    vt.delete("id = 2")
+    ice = vt.export_iceberg(os.path.join(tmp_root, "vt_ice"))
+    got = sorted(
+        (r.id, r.k) for r in
+        IcebergTable.load(spark, ice.path).read().collect()
+    )
+    assert got == [(1, "a"), (3, "a")]
+    # exported table is partition-pruned like any spec table
+    plan = ice.plan_scan(filter={"k": "a"})
+    assert len(plan.files) == plan.total_files  # only 'a' remains
