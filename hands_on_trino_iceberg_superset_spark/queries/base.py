@@ -90,6 +90,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hands_on_trino_iceberg_superset_spark.queries import (  # noqa: F401
         bi,
         core,
+        curation,
         dedup,
         dml,
         events,
@@ -104,7 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
         wire,
     )
 
-    family_order = ["iceberg", "text", "streaming", "tpch_extra",
+    family_order = ["iceberg", "curation", "text", "streaming", "tpch_extra",
                     "sketches", "wire", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]

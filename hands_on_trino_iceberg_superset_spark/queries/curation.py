@@ -1,0 +1,278 @@
+"""Training-corpus curation operators beyond the basic text metrics:
+repetition filtering, benchmark decontamination, and training-mix
+construction — the operations a 100 TB pretraining pipeline runs
+between raw crawl and tokenizer.
+
+Scale notes per entry:
+
+- repetition rules are per-row column expressions (no shuffle at
+  all): each document's top-token/top-bigram fractions are computed
+  with higher-order array functions inside whole-stage codegen, so
+  the filter is embarrassingly parallel map-side work — the shape
+  you want when the corpus is 100 TB and the filter drops half of it
+  before anything expensive runs.
+- decontamination is a broadcast semi-join: the benchmark side is
+  tiny by construction (eval sets are thousands of documents, not
+  billions), so its shingle set broadcasts and the training corpus
+  is scanned once with zero shuffle of the big side.
+- mix construction is deterministic hash sampling (portable md5
+  bucket, no RNG state) + ``explode(sequence(...))`` for integer
+  epoch multiplicity — reproducible across runs/engines and
+  map-side only; the aggregate at the end is bookkeeping for the
+  oracle check, not part of the pipeline shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# tokens of the whitespace-normalized text (same canon as text.py)
+_TOKS = "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, y -> y = x)))) AS top_tok,
+             list_max(list_transform(
+                list_distinct(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])),
+                x -> len(list_filter(
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]),
+                  y -> y = x)))) AS top_bg
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+           CAST(2 * top_bg AS DOUBLE) / n_tokens AS top_bigram_frac,
+           (CAST(top_tok AS DOUBLE) / n_tokens <= 0.20
+            AND CAST(2 * top_bg AS DOUBLE) / n_tokens <= 0.30)
+             AS passes_repetition
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition rules: most-frequent-token fraction "
+        "and most-frequent-bigram coverage per document, with the "
+        "composite keep/drop gate. Pure higher-order array "
+        "expressions — zero shuffles, fully codegen'd, O(distinct "
+        "tokens x tokens) per row on ~100-token documents.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "array_max(transform(array_distinct(toks), "
+            "x -> size(filter(toks, y -> y = x))))"
+        ).alias("top_tok"),
+        F.expr(
+            "array_max(transform("
+            "  array_distinct(transform(sequence(1, size(toks) - 1), "
+            "    i -> concat(element_at(toks, i), ' ', "
+            "                element_at(toks, i + 1)))), "
+            "  x -> size(filter(transform(sequence(1, size(toks) - 1), "
+            "    i -> concat(element_at(toks, i), ' ', "
+            "                element_at(toks, i + 1))), y -> y = x))))"
+        ).alias("top_bg"),
+    )
+    top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bg_frac = (2 * F.col("top_bg")).cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        top_tok_frac.alias("top_token_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+        ((top_tok_frac <= 0.20) & (top_bg_frac <= 0.30))
+        .alias("passes_repetition"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS sh
+      FROM t WHERE len(toks) >= 8
+    ), eval_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id, s.source
+      FROM shingles s JOIN eval_sh e USING (sh)
+      WHERE s.doc_id % 97 <> 0
+    )
+    SELECT d.source,
+           count(*) AS n_train_docs,
+           count(c.doc_id) AS n_contaminated
+    FROM (SELECT doc_id, source FROM documents
+          WHERE doc_id % 97 <> 0) d
+    LEFT JOIN contaminated c
+      ON d.doc_id = c.doc_id AND d.source = c.source
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+        "any 8-gram with the held-out eval set (docs with doc_id %% "
+        "97 == 0 stand in for the benchmark). The eval shingle set "
+        "is broadcast (eval sets are small by construction); the "
+        "training side streams through one exploded semi-join — no "
+        "shuffle of the corpus.",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.expr(_TOKS).alias("toks")
+    ).where(F.size("toks") >= 8)
+    shingles = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("sh"),
+    )
+    is_eval = (F.col("doc_id") % 97) == 0
+    eval_sh = shingles.where(is_eval).select("sh").distinct()
+    contaminated = (
+        shingles.where(~is_eval)
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.where((F.col("doc_id") % 97) != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(contaminated, ["doc_id", "source"], "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "training_mix_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(trim(
+               regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+             CAST(substr(source, 4) AS INT) % 3 AS grp,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 1000 AS bucket
+      FROM documents
+    ), w AS (
+      SELECT *,
+             CASE grp WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS n_full,
+             CASE grp WHEN 0 THEN 500 WHEN 1 THEN 0 ELSE 500 END AS thresh
+      FROM d
+    ), mult AS (
+      SELECT source, n_tokens,
+             n_full + CASE WHEN bucket < thresh THEN 1 ELSE 0 END AS copies
+      FROM w
+    )
+    SELECT source,
+           count(*) AS n_input_docs,
+           CAST(sum(copies) AS BIGINT) AS n_emitted_docs,
+           CAST(sum(copies * n_tokens) AS BIGINT) AS emitted_tokens
+    FROM mult
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Training-mix construction with fractional epochs: sources "
+        "are weighted 0.5x / 1x / 2.5x (by source-number mod 3); "
+        "integer epochs materialize via explode(sequence(1, n)), the "
+        "fractional remainder via a deterministic portable md5 "
+        "bucket on doc_id (no RNG state — identical mix on every "
+        "run and every engine). The Spark side REALLY materializes "
+        "the mix (explode), then aggregates per-source doc/token "
+        "budgets; the oracle restates the same budgets as a "
+        "weighted aggregate.",
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grp = (F.substring("source", 4, 10).cast("int") % 3).alias("grp")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 1000
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+        grp,
+        bucket.alias("bucket"),
+    ).select(
+        "*",
+        F.when(F.col("grp") == 0, 0)
+        .when(F.col("grp") == 1, 1)
+        .otherwise(2).alias("n_full"),
+        F.when(F.col("grp") == 0, 500)
+        .when(F.col("grp") == 1, 0)
+        .otherwise(500).alias("thresh"),
+    )
+    copies = F.col("n_full") + F.when(
+        F.col("bucket") < F.col("thresh"), 1
+    ).otherwise(0)
+    # the actual mix materialization: one row per emitted copy
+    mix = base.withColumn("copies", copies).withColumn(
+        "epoch",
+        F.explode(
+            F.expr("CASE WHEN copies >= 1 THEN sequence(1, copies) "
+                   "ELSE array() END")
+        ),
+    )
+    emitted = mix.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted_docs"),
+        F.sum("n_tokens").cast("bigint").alias("emitted_tokens"),
+    )
+    inputs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input_docs")
+    )
+    return (
+        inputs.join(emitted, "source", "left_outer")
+        .select(
+            "source",
+            "n_input_docs",
+            F.coalesce("n_emitted_docs", F.lit(0)).alias("n_emitted_docs"),
+            F.coalesce("emitted_tokens", F.lit(0)).alias("emitted_tokens"),
+        )
+        .orderBy("source")
+    )
