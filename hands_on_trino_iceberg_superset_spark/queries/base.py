@@ -99,13 +99,15 @@ def load_all() -> dict[str, QuerySpec]:
         reference,
         similarity,
         sketches,
+        sourcefmt,
         streaming,
         text,
         tpch_extra,
         wire,
     )
 
-    family_order = ["iceberg", "curation", "text", "streaming", "tpch_extra",
+    family_order = ["iceberg", "curation", "sourcefmt", "text",
+                    "streaming", "tpch_extra",
                     "sketches", "wire", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]

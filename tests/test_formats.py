@@ -1,0 +1,100 @@
+"""Interchange-format source layer: full-fidelity roundtrips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.sources import load_table
+from hands_on_trino_iceberg_superset_spark.sources.formats import (
+    avro_to_spark_schema,
+    read_avro,
+    read_formatted,
+    spark_to_avro_schema,
+    write_avro,
+    write_formatted,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, key):
+    return sorted(df.collect(), key=lambda r: r[key])
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_orders_roundtrip_exact(spark, tmp_path, fmt):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / fmt)
+    write_formatted(orders, path, fmt)
+    back = read_formatted(spark, path, fmt)
+    assert back.schema == orders.schema
+    assert _sorted_rows(back, "o_orderkey") == \
+        _sorted_rows(orders, "o_orderkey")
+
+
+def test_csv_array_columns_via_json_cells(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    path = str(tmp_path / "emb_csv")
+    write_formatted(emb, path, "csv")
+    back = read_formatted(spark, path, "csv")
+    assert back.schema == emb.schema
+    a = _sorted_rows(back, "vec_id")
+    b = _sorted_rows(emb, "vec_id")
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    assert a[0].embedding == pytest.approx(b[0].embedding)
+
+
+def test_csv_nulls_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "x", None)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "nulls")
+    write_formatted(df, path, "csv")
+    back = _sorted_rows(read_formatted(spark, path, "csv"), "id")
+    assert back[0].s is None and back[1].v is None
+
+
+def test_avro_roundtrip_documents(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_avro")
+    n_files = write_avro(docs.repartition(4), path)
+    assert 1 <= n_files <= 4
+    assert sorted(os.listdir(path))[0].endswith(".avro")
+    back = read_avro(spark, path)
+    assert back.schema == docs.schema
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+
+
+def test_avro_roundtrip_float_arrays(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    path = str(tmp_path / "emb_avro")
+    write_avro(emb, path)
+    back = read_avro(spark, path)
+    assert back.schema == emb.schema
+    a = _sorted_rows(back, "vec_id")
+    b = _sorted_rows(emb, "vec_id")
+    assert a == b  # float32 values survive bit-exactly
+
+
+def test_avro_schema_conversion_rejects_nested_structs(spark):
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="primitives and arrays"):
+        spark_to_avro_schema(T.StructType([
+            T.StructField("s", T.StructType([
+                T.StructField("x", T.LongType())]))]))
+
+
+def test_avro_schema_conversion_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.ArrayType(T.FloatType(), False), True),
+        T.StructField("d", T.DoubleType(), False),
+    ])
+    assert avro_to_spark_schema(spark_to_avro_schema(schema)) == schema
