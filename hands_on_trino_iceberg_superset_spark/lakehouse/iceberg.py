@@ -43,6 +43,7 @@ import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -50,6 +51,10 @@ from pyspark.sql import types as T
 from hands_on_trino_iceberg_superset_spark.lakehouse.avro import (
     read_ocf,
     write_ocf,
+)
+from hands_on_trino_iceberg_superset_spark.lakehouse.transforms import (
+    parse_transform,
+    transform_filter,
 )
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -460,12 +465,9 @@ class IcebergTable:
         _, _, manifests = read_ocf(ml_path)
 
         spec = self.partition_spec()
-        part_types = self._partition_types(spec)
+        pfs = self._partition_fields(spec)
         schema_fields = {
             f["name"]: f for f in self.current_schema()["fields"]
-        }
-        field_by_id = {
-            f["id"]: f for f in self.current_schema()["fields"]
         }
         filt = filter or {}
 
@@ -478,8 +480,7 @@ class IcebergTable:
                 # manifest is fine to scan
                 pass
             summaries = m.get("partitions")
-            if summaries and self._summary_prunes(summaries, spec,
-                                                  part_types, filt):
+            if summaries and self._summary_prunes(summaries, pfs, filt):
                 skipped_m += 1
                 continue
             scanned.append(m)
@@ -509,8 +510,7 @@ class IcebergTable:
                     lower_bounds=_kv_to_dict(df_.get("lower_bounds")),
                     upper_bounds=_kv_to_dict(df_.get("upper_bounds")),
                 )
-                if self._file_prunes(info, part_types, schema_fields,
-                                     field_by_id, filt):
+                if self._file_prunes(info, pfs, schema_fields, filt):
                     continue
                 files.append(info)
         return ScanPlan(
@@ -522,56 +522,90 @@ class IcebergTable:
             snapshot_id=snap["snapshot-id"],
         )
 
-    def _partition_types(self, spec: list[dict]) -> dict[str, str]:
+    def _partition_fields(self, spec: list[dict]) -> list[dict]:
+        """Partition-spec fields resolved against the schema:
+        ``[{pname, transform, source_name, source_type,
+        result_type}]``. Hidden partitioning means filters arrive on
+        the SOURCE column and prune on the TRANSFORMED value."""
         fields = {f["id"]: f for f in self.current_schema()["fields"]}
-        out = {}
+        out = []
         for pf in spec:
-            if pf.get("transform", "identity") != "identity":
-                continue  # non-identity partitions: no pruning, still scanned
             src = fields.get(pf["source-id"])
-            if src and isinstance(src["type"], str):
-                out[pf["name"]] = src["type"]
+            if not src or not isinstance(src["type"], str):
+                out.append(None)  # positional: summaries zip by index
+                continue
+            tr = pf.get("transform", "identity")
+            out.append({
+                "pname": pf["name"],
+                "transform": tr,
+                "source_name": src["name"],
+                "source_type": src["type"],
+                "result_type": _result_type(tr, src["type"]),
+            })
         return out
 
-    def _summary_prunes(self, summaries, spec, part_types, filt) -> bool:
-        for pf, summ in zip(spec, summaries):
-            name = pf["name"]
-            if name not in filt or name not in part_types:
+    @staticmethod
+    def _mapped_cond(pf: dict, filt: dict):
+        """Filter condition mapped onto ``pf``'s partition value, or
+        None when nothing about this filter can prune through the
+        transform. A condition keyed by the source column maps
+        through the transform; one keyed by the partition field name
+        (when it differs) is taken as already-transformed."""
+        if pf is None:
+            return None
+        if pf["source_name"] in filt:
+            return transform_filter(
+                pf["transform"], pf["source_type"],
+                filt[pf["source_name"]],
+            )
+        if pf["pname"] != pf["source_name"] and pf["pname"] in filt:
+            cond = filt[pf["pname"]]
+            return cond if isinstance(cond, tuple) else _filter_values(cond)
+        return None
+
+    def _summary_prunes(self, summaries, pfs, filt) -> bool:
+        for pf, summ in zip(pfs, summaries):
+            mapped = self._mapped_cond(pf, filt)
+            if mapped is None:
                 continue
-            t = part_types[name]
-            want = _filter_values(filt[name])
+            t = pf["result_type"]
             lo = decode_bound(t, summ.get("lower_bound"))
             hi = decode_bound(t, summ.get("upper_bound"))
             if lo is None or hi is None:
                 continue
-            if isinstance(want, tuple):  # range
-                if want[1] < lo or want[0] > hi:
+            if isinstance(mapped, tuple):  # range
+                if mapped[1] < lo or mapped[0] > hi:
                     return True
             else:
                 if all(v is not None and (v < lo or v > hi)
-                       for v in want):
-                    if not (summ.get("contains_null") and None in want):
+                       for v in mapped):
+                    if not (summ.get("contains_null") and None in mapped):
                         return True
         return False
 
-    def _file_prunes(self, info, part_types, schema_fields,
-                     field_by_id, filt) -> bool:
-        for col, cond in filt.items():
-            want = _filter_values(cond)
-            # partition tuple: exact membership
-            if col in info.partition and col in part_types:
-                v = info.partition[col]
-                if isinstance(want, tuple):
-                    if v is None or v < want[0] or v > want[1]:
-                        return True
-                elif v not in want:
-                    return True
+    def _file_prunes(self, info, pfs, schema_fields, filt) -> bool:
+        # partition tuple: transform-mapped membership
+        for pf in pfs:
+            mapped = self._mapped_cond(pf, filt)
+            if mapped is None or pf["pname"] not in info.partition:
                 continue
-            # column bounds: min/max overlap
+            v = info.partition[pf["pname"]]
+            if isinstance(mapped, tuple):
+                if v is None or v < mapped[0] or v > mapped[1]:
+                    return True
+            elif v not in mapped:
+                return True
+        # column bounds: min/max overlap on the source columns
+        for col, cond in filt.items():
             f = schema_fields.get(col)
             if not f or not isinstance(f["type"], str):
                 continue
             fid, t = f["id"], f["type"]
+            want = _filter_values(cond)
+            if isinstance(want, tuple):
+                want = (_canon(t, want[0]), _canon(t, want[1]))
+            else:
+                want = [_canon(t, v) for v in want]
             lo = decode_bound(t, info.lower_bounds.get(fid))
             hi = decode_bound(t, info.upper_bounds.get(fid))
             if lo is None or hi is None:
@@ -650,19 +684,19 @@ class IcebergTable:
         ice_schema, last_col_id = spark_to_iceberg_schema(df.schema)
         spec_fields = []
         if partition_by:
+            transform, src_name, pname = _parse_partition_by(partition_by)
             src = next(
-                f for f in ice_schema["fields"] if f["name"] == partition_by
+                f for f in ice_schema["fields"] if f["name"] == src_name
             )
-            if not isinstance(src["type"], str) or src["type"] not in (
-                "string", "int", "long", "date", "boolean",
-            ):
+            if not isinstance(src["type"], str):
                 raise ValueError(
-                    f"identity partitioning on {partition_by!r} "
-                    f"({src['type']}) is not supported"
+                    f"partitioning on nested column {src_name!r} "
+                    "is not supported"
                 )
+            _validate_transform(transform, src_name, src["type"])
             spec_fields = [{
-                "name": partition_by,
-                "transform": "identity",
+                "name": pname,
+                "transform": transform,
                 "source-id": src["id"],
                 "field-id": 1000,
             }]
@@ -703,14 +737,14 @@ class IcebergTable:
         version = len(meta.get("metadata-log", [])) + 1
 
         spec = self.partition_spec()
-        pc = spec[0]["name"] if spec else None
-        data_files = self._write_data_files(df, seq, pc)
+        pfs = self._partition_fields(spec)
+        pf0 = pfs[0] if pfs else None
+        data_files = self._write_data_files(df, seq, pf0)
 
-        part_types = self._partition_types(spec)
         entry_schema = manifest_entry_schema([
-            {"name": pf["name"], "field-id": pf["field-id"],
-             "type": part_types[pf["name"]]}
-            for pf in spec
+            {"name": pf["pname"], "field-id": sf["field-id"],
+             "type": pf["result_type"]}
+            for pf, sf in zip(pfs, spec)
         ])
         entries = [
             {
@@ -750,8 +784,7 @@ class IcebergTable:
             "added_rows_count": added_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
-            "partitions": self._partition_summaries(data_files, spec,
-                                                    part_types),
+            "partitions": self._partition_summaries(data_files, pfs),
             "key_metadata": None,
         }
         prior = []
@@ -805,20 +838,23 @@ class IcebergTable:
         ]
 
     def _write_data_files(self, df: DataFrame, seq: int,
-                          pc: str | None) -> list[dict]:
+                          pf0: dict | None) -> list[dict]:
         """One distributed write job; per-file stats harvested from
         the parquet footers (driver-side listing — O(files), the same
         footer pass Iceberg's own writers fold into their commit)."""
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(self.path, "data", f"seq{seq}")
-        if pc:
-            # duplicate the partition column under a scratch name so
-            # partitionBy lays out directories while the REAL column
-            # stays inside every data file (Iceberg data files carry
-            # the full schema; identity partitioning does not drop
-            # the source column)
-            (df.withColumn("__p", F.col(pc))
+        if pf0:
+            # lay out directories by the TRANSFORMED partition value
+            # under a scratch name; the source column itself stays
+            # inside every data file (Iceberg data files carry the
+            # full schema — hidden partitioning never drops the
+            # source column)
+            pcol = _transform_column(
+                pf0["transform"], pf0["source_name"], pf0["source_type"]
+            )
+            (df.withColumn("__p", pcol)
                .repartition(F.col("__p"))
                .write.partitionBy("__p").parquet(out_dir))
         else:
@@ -826,7 +862,6 @@ class IcebergTable:
 
         fields = self.current_schema()["fields"]
         ftype = {f["name"]: (f["id"], f["type"]) for f in fields}
-        part_type = ftype[pc][1] if pc else None
 
         out = []
         for root, _dirs, names in sorted(os.walk(out_dir)):
@@ -837,10 +872,12 @@ class IcebergTable:
                 pf = pq.ParquetFile(full)
                 lowers, uppers = _footer_bounds(pf, ftype)
                 part = {}
-                if pc:
+                if pf0:
                     raw = os.path.basename(root).split("=", 1)[1]
-                    part[pc] = (None if raw == HIVE_NULL
-                                else _parse_part(part_type, raw))
+                    part[pf0["pname"]] = (
+                        None if raw == HIVE_NULL
+                        else _parse_part(pf0["result_type"], raw)
+                    )
                 out.append({
                     "content": 0,
                     "file_path": os.path.relpath(full, self.path),
@@ -861,12 +898,12 @@ class IcebergTable:
                 })
         return out
 
-    def _partition_summaries(self, data_files, spec, part_types):
-        if not spec:
+    def _partition_summaries(self, data_files, pfs):
+        if not pfs:
             return None
         out = []
-        for pf in spec:
-            name, t = pf["name"], part_types[pf["name"]]
+        for pf in pfs:
+            name, t = pf["pname"], pf["result_type"]
             vals = [f["partition"].get(name) for f in data_files]
             non_null = [v for v in vals if v is not None]
             out.append({
@@ -879,6 +916,158 @@ class IcebergTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _canon(ice_type: str, v):
+    """Filter literal -> the canonical comparable form bounds and
+    partition tuples store (temporal values as epoch ordinals)."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.transforms import (
+        apply_transform,
+    )
+
+    return apply_transform("identity", ice_type, v)
+
+
+def _result_type(transform: str, source_type: str) -> str:
+    base, _ = parse_transform(transform)
+    if base in ("identity", "truncate", "void"):
+        return source_type
+    return "int"  # bucket / day / month / year / hour ordinals
+
+
+def _parse_partition_by(partition_by: str) -> tuple[str, str, str]:
+    """'col' | 'bucket(16, col)' | 'truncate(4, col)' | 'day(col)'
+    -> (iceberg transform, source column, partition field name),
+    using the Java implementation's field-naming conventions."""
+    s = partition_by.strip()
+    m = re.fullmatch(r"(\w+)\s*\(\s*([^)]+)\s*\)", s)
+    if not m:
+        return "identity", s, s
+    fn = m.group(1).lower()
+    args = [a.strip() for a in m.group(2).split(",")]
+    if fn in ("bucket", "truncate"):
+        if len(args) != 2:
+            raise ValueError(f"{fn} wants (N, column): {partition_by!r}")
+        n, col = int(args[0]), args[1]
+        suffix = "bucket" if fn == "bucket" else "trunc"
+        return f"{fn}[{n}]", col, f"{col}_{suffix}"
+    if fn in ("day", "days", "month", "months", "year", "years",
+              "hour", "hours"):
+        base = fn.rstrip("s")
+        (col,) = args
+        return base, col, f"{col}_{base}"
+    raise ValueError(f"unknown partition transform {fn!r}")
+
+
+def _validate_transform(transform: str, src_name: str,
+                        src_type: str) -> None:
+    base, _ = parse_transform(transform)
+    ok = {
+        "identity": ("string", "int", "long", "date", "boolean"),
+        "bucket": ("string", "int", "long", "date", "timestamp",
+                   "timestamptz", "binary"),
+        "truncate": ("string", "int", "long"),
+        "day": ("date", "timestamp", "timestamptz"),
+        "month": ("date", "timestamp", "timestamptz"),
+        "year": ("date", "timestamp", "timestamptz"),
+        "hour": ("timestamp", "timestamptz"),
+    }
+    if src_type not in ok.get(base, ()):
+        raise ValueError(
+            f"{transform} partitioning on {src_name!r} "
+            f"({src_type}) is not supported"
+        )
+
+
+def _transform_column(transform: str, col: str, src_type: str) -> Column:
+    """Spark column computing the transform of a source column —
+    JVM expressions for everything except bucket, which needs the
+    spec's murmur3 and runs as an Arrow-vectorized pandas UDF
+    (numpy-vectorized for the fixed-width long form)."""
+    base, arg = parse_transform(transform)
+    c = F.col(col)
+    if base == "identity":
+        return c
+    if base == "truncate":
+        if src_type == "string":
+            return F.substring(c, 1, arg)
+        return (c - F.pmod(c, F.lit(arg))).cast(
+            "int" if src_type == "int" else "long"
+        )
+    if base == "day":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01"))
+    if base == "month":
+        return (F.year(c) - 1970) * 12 + F.month(c) - 1
+    if base == "year":
+        return F.year(c) - 1970
+    if base == "hour":
+        return (
+            F.datediff(c.cast("date"), F.lit("1970-01-01")) * 24
+            + F.hour(c)
+        )
+    if base == "bucket":
+        return _bucket_udf(arg, src_type)(c)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _bucket_udf(n: int, src_type: str):
+    from hands_on_trino_iceberg_superset_spark.lakehouse.transforms import (
+        bucket as py_bucket,
+        murmur3_32,
+    )
+
+    if src_type in ("int", "long"):
+
+        @F.pandas_udf("int")
+        def b(s: pd.Series) -> pd.Series:
+            mask = ~pd.isna(s).to_numpy()
+            out = pd.array([pd.NA] * len(s), dtype="Int32")
+            if mask.any():
+                h = _np_murmur3_long(s[mask].to_numpy(dtype="int64"))
+                out[mask] = ((h & 0x7FFFFFFF) % n).astype("int32")
+            return pd.Series(out)
+
+        return b
+
+    @F.pandas_udf("int")
+    def b_any(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else py_bucket(n, src_type, v)
+        ).astype("Int32")
+
+    return b_any
+
+
+def _np_murmur3_long(vals):
+    """Vectorized murmur3_x86_32 over int64 values in their 8-byte
+    little-endian form (two 4-byte blocks, empty tail) — the hot
+    write path for bucket[N] on long keys. Bit-identical to
+    ``transforms.murmur3_32(struct.pack('<q', v))``."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    v = vals.astype(np.int64).view(np.uint64)
+    blocks = [
+        (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (v >> np.uint64(32)).astype(np.uint32),
+    ]
+    h = np.zeros(len(vals), np.uint32)
+    with np.errstate(over="ignore"):
+        for k in blocks:
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # total byte length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
 
 
 def _now_ms() -> int:
