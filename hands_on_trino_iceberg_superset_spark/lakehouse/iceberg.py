@@ -365,6 +365,8 @@ class DataFileInfo:
     file_size: int
     lower_bounds: dict[int, bytes] = field(default_factory=dict)
     upper_bounds: dict[int, bytes] = field(default_factory=dict)
+    sequence_number: int = 0
+    raw: dict | None = None  # verbatim data_file record (DML carry)
 
 
 @dataclass
@@ -509,6 +511,11 @@ class IcebergTable:
                     file_size=df_.get("file_size_in_bytes", -1),
                     lower_bounds=_kv_to_dict(df_.get("lower_bounds")),
                     upper_bounds=_kv_to_dict(df_.get("upper_bounds")),
+                    sequence_number=(
+                        e.get("sequence_number")
+                        or m.get("sequence_number") or 0
+                    ),
+                    raw=df_,
                 )
                 if self._file_prunes(info, pfs, schema_fields, filt):
                     continue
@@ -791,10 +798,23 @@ class IcebergTable:
         if meta["snapshots"]:
             cur = self._snapshot(None, None)
             _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
+        self._publish_snapshot(
+            seq, snap_id, [new_manifest, *prior], version,
+            summary={
+                "operation": "append",
+                "added-data-files": str(len(data_files)),
+                "added-records": str(added_rows),
+            },
+        )
+
+    def _publish_snapshot(self, seq: int, snap_id: int,
+                          manifests: list[dict], version: int,
+                          summary: dict) -> None:
+        meta = self.meta
         ml_name = f"metadata/snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         ml_path = os.path.join(self.path, ml_name)
         write_ocf(
-            ml_path, MANIFEST_LIST_SCHEMA, [new_manifest, *prior],
+            ml_path, MANIFEST_LIST_SCHEMA, manifests,
             metadata={
                 "snapshot-id": str(snap_id),
                 "sequence-number": str(seq),
@@ -806,11 +826,7 @@ class IcebergTable:
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": now,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(data_files)),
-                "added-records": str(added_rows),
-            },
+            "summary": summary,
             "manifest-list": ml_name,
             "schema-id": 0,
         }
@@ -836,6 +852,151 @@ class IcebergTable:
             *meta.get("metadata-log", []),
             {"timestamp-ms": now, "metadata-file": mfile},
         ]
+
+    # ------------------------------------------------- row-level DML
+
+    def delete(self, predicate: str) -> None:
+        """Row-level DELETE, copy-on-write at FILE granularity: one
+        scan finds the files containing matching rows
+        (``input_file_name`` — the same touched-file planning
+        Iceberg's COW DELETE does), only those files are rewritten;
+        every other live file carries into the new snapshot as an
+        EXISTING manifest entry with its original sequence number.
+        NULL predicate keeps the row (SQL DELETE semantics)."""
+        self._cow_rewrite(
+            "delete", predicate,
+            lambda df, pred: df.where(~pred.eqNullSafe(F.lit(True))),
+        )
+
+    def update(self, assignments: dict[str, str], where: str) -> None:
+        """Row-level UPDATE ... SET, copy-on-write at file
+        granularity (see :meth:`delete` for the planning shape)."""
+
+        def apply(df: DataFrame, pred: Column) -> DataFrame:
+            cols = []
+            for name in df.columns:
+                if name in assignments:
+                    cols.append(
+                        F.when(pred.eqNullSafe(F.lit(True)),
+                               F.expr(assignments[name]))
+                        .otherwise(F.col(name)).alias(name)
+                    )
+                else:
+                    cols.append(F.col(name))
+            return df.select(*cols)
+
+        self._cow_rewrite("update", where, apply)
+
+    def _cow_rewrite(self, op: str, predicate: str, transform) -> None:
+        plan = self.plan_scan()
+        if not plan.files:
+            return
+        pred = F.expr(predicate)
+        by_norm = {
+            _norm_file_uri(self._resolve(f.path)):
+            (self._resolve(f.path), f)
+            for f in plan.files
+        }
+        df = self.spark.read.schema(plan.schema).parquet(
+            *[p for p, _ in by_norm.values()]
+        )
+        touched = {
+            _norm_file_uri(r.f)
+            for r in df.where(pred.eqNullSafe(F.lit(True)))
+            .select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        unknown = touched - set(by_norm)
+        if unknown:
+            raise RuntimeError(
+                f"touched files not in scan plan: {sorted(unknown)[:3]}"
+            )
+        if not touched:
+            return  # no matching rows: no new snapshot
+        rewrite_paths = [by_norm[t][0] for t in sorted(touched)]
+        carried = [
+            info for norm, (_p, info) in by_norm.items()
+            if norm not in touched
+        ]
+
+        meta = self.meta
+        seq = meta["last-sequence-number"] + 1
+        snap_id = seq
+        version = len(meta.get("metadata-log", [])) + 1
+        spec = self.partition_spec()
+        pfs = self._partition_fields(spec)
+        new_df = transform(
+            self.spark.read.schema(plan.schema).parquet(*rewrite_paths),
+            pred,
+        )
+        added = self._write_data_files(new_df, seq, pfs[0] if pfs else None)
+
+        entry_schema = manifest_entry_schema([
+            {"name": pf["pname"], "field-id": sf["field-id"],
+             "type": pf["result_type"]}
+            for pf, sf in zip(pfs, spec)
+        ])
+        entries = [
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": fd}
+            for fd in added
+        ] + [
+            {"status": 0,  # EXISTING: carried with original sequence
+             "snapshot_id": None,
+             "sequence_number": info.sequence_number,
+             "file_sequence_number": info.sequence_number,
+             "data_file": info.raw}
+            for info in carried
+        ]
+        mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        mpath = os.path.join(self.path, mname)
+        write_ocf(
+            mpath, entry_schema, entries,
+            metadata={
+                "schema": json.dumps(self.current_schema()),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        added_rows = sum(f["record_count"] for f in added)
+        existing_rows = sum(i.record_count for i in carried)
+        min_seq = min([seq, *(i.sequence_number for i in carried)])
+        manifest = {
+            "manifest_path": mname,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(carried),
+            "deleted_files_count": len(touched),
+            "added_rows_count": added_rows,
+            "existing_rows_count": existing_rows,
+            "deleted_rows_count": sum(
+                by_norm[t][1].record_count for t in touched
+            ),
+            "partitions": self._partition_summaries(
+                [*added,
+                 *({"partition": i.partition} for i in carried)],
+                pfs,
+            ),
+            "key_metadata": None,
+        }
+        self._publish_snapshot(
+            seq, snap_id, [manifest], version,
+            summary={
+                "operation": "overwrite",
+                "trigger": op,
+                "added-data-files": str(len(added)),
+                "deleted-data-files": str(len(touched)),
+                "added-records": str(added_rows),
+            },
+        )
 
     def _write_data_files(self, df: DataFrame, seq: int,
                           pf0: dict | None) -> list[dict]:
@@ -916,6 +1077,13 @@ class IcebergTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _norm_file_uri(p: str) -> str:
+    """input_file_name() URIs and manifest paths -> one canonical
+    absolute local path for set comparison."""
+    p = re.sub(r"^file:(//)?", "", p)
+    return os.path.realpath(urllib.parse.unquote(p))
 
 
 def _canon(ice_type: str, v):

@@ -104,6 +104,67 @@ def iceberg_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dml_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Fresh Iceberg table with deterministic COW DML applied once:
+    DELETE every 10th 'F' order, then UPDATE 'P' prices +500."""
+    key = (sf_dir, "orders_dml")
+    hit = _CACHE.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg_dml_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+    t.update({"o_totalprice": "o_totalprice + 500"},
+             "o_orderstatus = 'P'")
+    _CACHE[key] = t
+    return t
+
+
+@register(
+    "iceberg_cow_dml",
+    oracle="""
+    WITH state AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice + 500 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM state
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Row-level DELETE + UPDATE on SPEC-format Iceberg metadata "
+        "(copy-on-write at file granularity: touched files found via "
+        "one input_file_name scan and rewritten; untouched files "
+        "carried as EXISTING manifest entries with their original "
+        "sequence numbers). The post-DML state is read back through "
+        "a fresh metadata adoption, exactly as a foreign Iceberg "
+        "reader would see it.",
+)
+def iceberg_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _dml_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register(
     "iceberg_time_travel",
     oracle="""

@@ -280,3 +280,61 @@ def test_versioned_table_export(spark, tmp_root):
     # exported table is partition-pruned like any spec table
     plan = ice.plan_scan(filter={"k": "a"})
     assert len(plan.files) == plan.total_files  # only 'a' remains
+
+
+def test_cow_delete_rewrites_only_touched_files(spark, tmp_root):
+    """File-granularity COW: a delete confined to one partition must
+    carry every other partition's files VERBATIM (same paths, same
+    sequence numbers) into the new snapshot."""
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmp_root, "cow")
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    before = {f.path: f.sequence_number for f in t.plan_scan().files}
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+    after = {f.path: f.sequence_number for f in t.plan_scan().files}
+    carried = set(before) & set(after)
+    assert carried  # O and P partition files survive untouched
+    for p in carried:
+        assert after[p] == before[p]  # original sequence numbers
+    assert set(after) - set(before)  # the rewritten F file is new
+    expected = orders.where(
+        "NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)"
+    ).count()
+    assert t.read().count() == expected
+    # pre-DML snapshot still reads the original rows
+    assert t.read(snapshot_id=1).count() == orders.count()
+
+
+def test_cow_update_and_noop(spark, tmp_root):
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmp_root, "cow_upd")
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    t.update({"o_totalprice": "o_totalprice + 1000"},
+             "o_orderstatus = 'P'")
+    got = (t.read().agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0])
+    n_p = orders.where("o_orderstatus = 'P'").count()
+    exp = (orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]) + 1000 * n_p
+    assert got == exp
+    # predicate matching nothing: NO new snapshot
+    n_snaps = len(t.snapshots())
+    t.delete("o_orderkey = -1")
+    assert len(t.snapshots()) == n_snaps
+
+
+def test_cow_visible_to_fresh_reader(spark, tmp_root):
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(30)], "id long, k string"
+    )
+    path = os.path.join(tmp_root, "cow_fresh")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.delete("id >= 20")
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.read().count() == 20
+    assert sorted(r.id for r in fresh.read(filter={"k": "k0"}).collect()) == \
+        [0, 3, 6, 9, 12, 15, 18]
