@@ -853,6 +853,99 @@ class IcebergTable:
             {"timestamp-ms": now, "metadata-file": mfile},
         ]
 
+    # ------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Expire all but the newest ``keep_last`` snapshots (the
+        ``expire_snapshots`` table maintenance procedure): expired
+        entries leave the snapshot list, and any data or manifest
+        file referenced ONLY by expired snapshots is deleted from
+        disk. Time travel to expired snapshots stops working — the
+        point of the procedure is reclaiming that storage."""
+        meta = self.meta
+        snaps = sorted(meta.get("snapshots", []),
+                       key=lambda s: s["sequence-number"])
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        if not expired:
+            return []
+
+        def referenced(snapshots: list[dict]) -> set[str]:
+            out: set[str] = set()
+            for s in snapshots:
+                ml = self._resolve(s["manifest-list"])
+                out.add(os.path.realpath(ml))
+                _, _, manifests = read_ocf(ml)
+                for m in manifests:
+                    mp = self._resolve(m["manifest_path"])
+                    out.add(os.path.realpath(mp))
+                    _, _, entries = read_ocf(mp)
+                    for e in entries:
+                        if e.get("status") == 2:
+                            continue
+                        out.add(os.path.realpath(
+                            self._resolve(e["data_file"]["file_path"])
+                        ))
+            return out
+
+        live = referenced(kept)
+        dead = referenced(expired) - live
+        for p in sorted(dead):
+            if os.path.exists(p):
+                os.remove(p)
+
+        version = len(meta.get("metadata-log", [])) + 1
+        expired_ids = [s["snapshot-id"] for s in expired]
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] not in expired_ids
+        ]
+        now = _now_ms()
+        meta["last-updated-ms"] = now
+        mfile = os.path.join(self.path, "metadata",
+                             f"v{version}.metadata.json")
+        with open(mfile + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(mfile + ".tmp", mfile)
+        with open(os.path.join(self.path, "metadata",
+                               "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        meta["metadata-log"] = [
+            *meta.get("metadata-log", []),
+            {"timestamp-ms": now, "metadata-file": mfile},
+        ]
+        return expired_ids
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete data files under the table location that no
+        snapshot references (the ``remove_orphan_files`` procedure)
+        — crash debris from writes that never committed. Metadata
+        files are never touched; the live set is computed from ALL
+        snapshots, so time travel is preserved."""
+        live: set[str] = set()
+        for s in self.meta.get("snapshots", []):
+            ml = self._resolve(s["manifest-list"])
+            _, _, manifests = read_ocf(ml)
+            for m in manifests:
+                _, _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                for e in entries:
+                    live.add(os.path.realpath(
+                        self._resolve(e["data_file"]["file_path"])
+                    ))
+        orphans = []
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                full = os.path.realpath(os.path.join(root, n))
+                if n.endswith(".parquet") and full not in live:
+                    orphans.append(full)
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+        return sorted(orphans)
+
     # ------------------------------------------------- row-level DML
 
     def delete(self, predicate: str) -> None:

@@ -338,3 +338,84 @@ def test_cow_visible_to_fresh_reader(spark, tmp_root):
     assert fresh.read().count() == 20
     assert sorted(r.id for r in fresh.read(filter={"k": "k0"}).collect()) == \
         [0, 3, 6, 9, 12, 15, 18]
+
+
+def test_expire_snapshots_reclaims_files(spark, tmp_root):
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmp_root, "expire")
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    t.delete("o_orderkey % 10 = 0")  # snapshot 2 rewrites every file
+    n_parquet_before = sum(
+        1 for _r, _d, ns in os.walk(os.path.join(path, "data"))
+        for n in ns if n.endswith(".parquet")
+    )
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    n_parquet_after = sum(
+        1 for _r, _d, ns in os.walk(os.path.join(path, "data"))
+        for n in ns if n.endswith(".parquet")
+    )
+    assert n_parquet_after < n_parquet_before  # snapshot-1 files gone
+    fresh = IcebergTable.load(spark, path)
+    assert len(fresh.snapshots()) == 1
+    assert fresh.read().count() == \
+        orders.where("o_orderkey % 10 <> 0").count()
+    with pytest.raises(ValueError, match="no snapshot"):
+        fresh.read(snapshot_id=1)
+
+
+def test_remove_orphan_files(spark, tmp_root):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    path = os.path.join(tmp_root, "orphans")
+    t = IcebergTable.create(spark, path, df)
+    # crash debris: a parquet file no manifest references
+    stray_dir = os.path.join(path, "data", "seq99")
+    df.coalesce(1).write.parquet(stray_dir)
+    found = t.remove_orphan_files(dry_run=True)
+    assert len(found) == 1 and "seq99" in found[0]
+    assert os.path.exists(found[0])  # dry run leaves it
+    t.remove_orphan_files()
+    assert not os.path.exists(found[0])
+    assert t.read().count() == 2  # live data untouched
+
+
+def test_stream_append_iceberg(spark, tmp_root):
+    """Streaming micro-batches land as append snapshots on the
+    spec-format table; snapshot history == batch history."""
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        stream_append_iceberg,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "seed")], "id long, tag string"
+    )
+    path = os.path.join(tmp_root, "stream_ice")
+    table = IcebergTable.create(spark, path, base)
+
+    src = os.path.join(tmp_root, "stream_src")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_root, "stream_ckpt")
+    spark.createDataFrame(
+        [(i, "b0") for i in range(1, 6)], "id long, tag string"
+    ).coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    stream = (
+        spark.readStream.schema("id long, tag string")
+        .option("recursiveFileLookup", "true").parquet(src)
+    )
+    q = stream_append_iceberg(stream, table, ckpt)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(i, "b1") for i in range(6, 9)], "id long, tag string"
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    q.processAllAvailable()
+    q.stop()
+
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.read().count() == 9
+    ops = [s["summary"]["operation"] for s in fresh.snapshots()]
+    assert ops == ["append"] * len(ops) and len(ops) >= 3
+    # time travel to the pre-b1 ingest point
+    pre_b1 = sorted(s["snapshot-id"] for s in fresh.snapshots())[-2]
+    assert fresh.read(snapshot_id=pre_b1).count() == 6
