@@ -769,7 +769,7 @@ class IcebergTable:
             mpath, entry_schema, entries,
             metadata={
                 "schema": json.dumps(self.current_schema()),
-                "schema-id": "0",
+                "schema-id": str(self.current_schema().get("schema-id", 0)),
                 "partition-spec": json.dumps(spec),
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -828,7 +828,7 @@ class IcebergTable:
             "timestamp-ms": now,
             "summary": summary,
             "manifest-list": ml_name,
-            "schema-id": 0,
+            "schema-id": self.current_schema().get("schema-id", 0),
         }
         if meta["snapshots"]:
             snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
@@ -845,6 +845,50 @@ class IcebergTable:
         with open(mfile + ".tmp", "w") as fh:
             json.dump(meta, fh, indent=2)
         os.replace(mfile + ".tmp", mfile)  # atomic publish
+        with open(os.path.join(self.path, "metadata",
+                               "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        meta["metadata-log"] = [
+            *meta.get("metadata-log", []),
+            {"timestamp-ms": now, "metadata-file": mfile},
+        ]
+
+    # -------------------------------------------- schema evolution
+
+    def add_column(self, name: str, spark_type: T.DataType) -> None:
+        """Metadata-only ADD COLUMN (Iceberg schema evolution): a new
+        schema with a fresh field id becomes current; NO data file is
+        touched. Existing files lack the column and read as NULL —
+        Spark's name-based parquet resolution fills missing columns,
+        which matches Iceberg's id-based semantics for ADDED fields.
+        (Column RENAME is id-resolved in real Iceberg and is NOT
+        supported here — our scan resolves by name; renaming would
+        orphan old files' data. Raise rather than corrupt.)"""
+        meta = self.meta
+        cur = self.current_schema()
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        one_col, n_ids = spark_to_iceberg_schema(
+            T.StructType([T.StructField(name, spark_type, True)])
+        )
+        base_id = meta.get("last-column-id", 0)
+        new_field = _shift_ids(one_col["fields"][0], base_id)
+        new_schema = {
+            "type": "struct",
+            "schema-id": cur.get("schema-id", 0) + 1,
+            "fields": [*cur["fields"], new_field],
+        }
+        version = len(meta.get("metadata-log", [])) + 1
+        meta["schemas"] = [*meta.get("schemas", [cur]), new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = base_id + n_ids
+        now = _now_ms()
+        meta["last-updated-ms"] = now
+        mfile = os.path.join(self.path, "metadata",
+                             f"v{version}.metadata.json")
+        with open(mfile + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(mfile + ".tmp", mfile)
         with open(os.path.join(self.path, "metadata",
                                "version-hint.text"), "w") as fh:
             fh.write(str(version))
@@ -1047,7 +1091,7 @@ class IcebergTable:
             mpath, entry_schema, entries,
             metadata={
                 "schema": json.dumps(self.current_schema()),
-                "schema-id": "0",
+                "schema-id": str(self.current_schema().get("schema-id", 0)),
                 "partition-spec": json.dumps(spec),
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -1170,6 +1214,30 @@ class IcebergTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _shift_ids(field: dict, offset: int) -> dict:
+    """Re-base the field ids a fresh spark_to_iceberg_schema assigned
+    (1..n) onto the table's id space (last-column-id+1..)."""
+    out = dict(field)
+    out["id"] = field["id"] + offset
+
+    def shift_type(t):
+        if isinstance(t, str):
+            return t
+        t = dict(t)
+        for k in ("element-id", "key-id", "value-id"):
+            if k in t:
+                t[k] += offset
+        if t.get("type") == "struct":
+            t["fields"] = [_shift_ids(f, offset) for f in t["fields"]]
+        for k in ("element", "key", "value"):
+            if k in t:
+                t[k] = shift_type(t[k])
+        return t
+
+    out["type"] = shift_type(field["type"])
+    return out
 
 
 def _norm_file_uri(p: str) -> str:

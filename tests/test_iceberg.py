@@ -419,3 +419,31 @@ def test_stream_append_iceberg(spark, tmp_root):
     # time travel to the pre-b1 ingest point
     pre_b1 = sorted(s["snapshot-id"] for s in fresh.snapshots())[-2]
     assert fresh.read(snapshot_id=pre_b1).count() == 6
+
+
+def test_schema_evolution_add_column(spark, tmp_root):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"
+    )
+    path = os.path.join(tmp_root, "evolve")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.add_column("score", T.DoubleType())
+    # old files read as NULL for the new column
+    fresh = IcebergTable.load(spark, path)
+    assert [f.name for f in fresh.spark_schema().fields] == \
+        ["id", "k", "score"]
+    rows = {r.id: r.score for r in fresh.read().collect()}
+    assert rows == {1: None, 2: None}
+    # new appends carry the column; old rows stay NULL
+    fresh.append(spark.createDataFrame(
+        [(3, "a", 0.5)], "id long, k string, score double"
+    ))
+    rows = {r.id: r.score for r in fresh.read().collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+    # fresh field id is beyond the original id space
+    schema = fresh.current_schema()
+    assert schema["fields"][-1]["id"] == 3 and schema["schema-id"] == 1
+    with pytest.raises(ValueError, match="already exists"):
+        fresh.add_column("score", T.DoubleType())
