@@ -166,6 +166,25 @@ class Engine:
         re.IGNORECASE,
     )
 
+    def register_iceberg_table(self, name: str, table_or_path) -> None:
+        """Expose a SPEC-format Iceberg table
+        (:class:`lakehouse.iceberg.IcebergTable` or its directory) to
+        the full SQL surface: current-state SELECT, Trino time-travel
+        syntax (``FOR VERSION AS OF <snapshot-id>`` /
+        ``FOR TIMESTAMP AS OF``), and routed DELETE/UPDATE/INSERT
+        (copy-on-write, one snapshot per statement) — the same
+        contract :meth:`register_versioned_table` gives the bespoke
+        format, now over metadata any Iceberg reader shares."""
+        from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+            IcebergTable,
+        )
+
+        t = (
+            IcebergTable.load(self.spark, table_or_path)
+            if isinstance(table_or_path, str) else table_or_path
+        )
+        self.register_versioned_table(name, _IcebergSqlAdapter(t))
+
     def register_versioned_table(self, name: str, table) -> None:
         """Expose a :class:`lakehouse.VersionedTable` to SQL: the
         CURRENT state queries as ``name``, and Trino/Iceberg
@@ -336,4 +355,45 @@ class Engine:
         df = self.sql(sql_text)
         return self.spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "cost"
+        )
+
+
+class _IcebergSqlAdapter:
+    """Shape a :class:`lakehouse.iceberg.IcebergTable` to the small
+    protocol the SQL surface drives (``read``/``delete``/``update``/
+    ``append``/``current().row_count``): VERSION AS OF resolves to
+    the snapshot id, TIMESTAMP AS OF to the snapshot-log timestamp."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def read(self, version=None, as_of=None):
+        if version is not None:
+            return self.table.read(snapshot_id=int(version))
+        if as_of is not None:
+            import datetime as dt
+
+            iso = str(as_of).rstrip("Zz").replace(" ", "T")
+            ts = dt.datetime.fromisoformat(iso).replace(
+                tzinfo=dt.timezone.utc
+            )
+            return self.table.read(as_of_ms=int(ts.timestamp() * 1000))
+        return self.table.read()
+
+    def delete(self, predicate):
+        self.table.delete(predicate)
+
+    def update(self, assignments, where):
+        self.table.update(assignments, where)
+
+    def append(self, df):
+        self.table.append(df)
+
+    def current(self):
+        from types import SimpleNamespace
+
+        plan = self.table.plan_scan()
+        return SimpleNamespace(
+            row_count=sum(f.record_count for f in plan.files),
+            version=plan.snapshot_id,
         )

@@ -447,3 +447,35 @@ def test_schema_evolution_add_column(spark, tmp_root):
     assert schema["fields"][-1]["id"] == 3 and schema["schema-id"] == 1
     with pytest.raises(ValueError, match="already exists"):
         fresh.add_column("score", T.DoubleType())
+
+
+def test_sql_surface_over_iceberg(spark, tmp_root):
+    """Full SQL surface on spec metadata: SELECT, time travel by
+    snapshot id, and routed DELETE/UPDATE through the engine."""
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 2), float(i)) for i in range(1, 11)],
+        "id long, k string, v double",
+    )
+    path = os.path.join(tmp_root, "sqltbl")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    eng = Engine(spark)
+    eng.register_iceberg_table("ice_sql", t)
+
+    assert eng.sql("SELECT count(*) AS n FROM ice_sql").collect()[0].n == 10
+    out = eng.sql("DELETE FROM ice_sql WHERE id > 8")
+    assert out.collect()[0].rows_affected == 2
+    eng.sql("UPDATE ice_sql SET v = v + 100 WHERE k = 'k0'")
+    got = eng.sql(
+        "SELECT CAST(sum(v) AS LONG) AS s FROM ice_sql"
+    ).collect()[0].s
+    expected = sum(
+        i + (100 if i % 2 == 0 else 0) for i in range(1, 9)
+    )
+    assert got == expected
+    # time travel to the original snapshot
+    n0 = eng.sql(
+        "SELECT count(*) AS n FROM ice_sql FOR VERSION AS OF 1"
+    ).collect()[0].n
+    assert n0 == 10
+    # the three statements produced three snapshots
+    assert len(IcebergTable.load(spark, path).snapshots()) == 3
