@@ -188,6 +188,70 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_sequence_pack",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(trim(
+               regexp_replace(text, '\\s+', ' ', 'g')), ' ')) + 1
+               AS n_tokens  -- +1: EOS separator
+      FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(max(cum) AS BIGINT) AS stream_tokens,
+           CAST(ceil(CAST(max(cum) AS DOUBLE) / 512) AS BIGINT)
+             AS n_blocks,
+           CAST(max(cum) - 512 * (ceil(CAST(max(cum) AS DOUBLE)
+                / 512) - 1) AS BIGINT) AS last_block_fill
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Sequence packing for pretraining (concat-with-EOS then "
+        "chunk into fixed 512-token blocks — documents straddle "
+        "block boundaries, the standard packing): per-source token "
+        "stream length, block count, and last-block utilization via "
+        "ONE window cumsum in deterministic doc_id order + a final "
+        "aggregate. One shuffle on source; the block assignment for "
+        "any document is floor(cum/512), computable in the same "
+        "pass when materializing the packed dataset.",
+)
+def training_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source",
+        (F.size(F.expr(_TOKS)) + 1).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    n_blocks = F.ceil(F.max("cum").cast("double") / 512)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("cum").cast("bigint").alias("stream_tokens"),
+            n_blocks.cast("bigint").alias("n_blocks"),
+            (F.max("cum") - 512 * (n_blocks - 1)).cast("bigint")
+            .alias("last_block_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "training_mix_sample",
     oracle="""
     WITH d AS (
