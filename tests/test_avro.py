@@ -149,3 +149,68 @@ def test_we_read_jvm_files(spark):
     _, meta, out = read_ocf(p)
     assert meta["avro.codec"] == "deflate"
     assert out == JVM_RECS
+
+
+# ------------------------------------------------- property-based
+
+
+from hypothesis import given, settings, strategies as st
+
+_prim = st.sampled_from(["long", "int", "double", "boolean", "string",
+                         "bytes"])
+
+
+def _value_for(t):
+    return {
+        "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "double": st.floats(allow_nan=False),
+        "boolean": st.booleans(),
+        "string": st.text(max_size=40),
+        "bytes": st.binary(max_size=40),
+    }[t]
+
+
+@st.composite
+def _schema_and_records(draw):
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    for i in range(n_fields):
+        t = draw(_prim)
+        nullable = draw(st.booleans())
+        as_array = draw(st.booleans())
+        ftype = {"type": "array", "items": t} if as_array else t
+        fields.append({
+            "name": f"f{i}",
+            "type": ["null", ftype] if nullable else ftype,
+            **({"default": None} if nullable else {}),
+            "_t": t, "_null": nullable, "_arr": as_array,
+        })
+    schema = {"type": "record", "name": "r",
+              "fields": [{k: v for k, v in f.items()
+                          if not k.startswith("_")} for f in fields]}
+    n_recs = draw(st.integers(min_value=0, max_value=8))
+    records = []
+    for _ in range(n_recs):
+        rec = {}
+        for f in fields:
+            if f["_null"] and draw(st.booleans()):
+                rec[f["name"]] = None
+            elif f["_arr"]:
+                rec[f["name"]] = draw(
+                    st.lists(_value_for(f["_t"]), max_size=5)
+                )
+            else:
+                rec[f["name"]] = draw(_value_for(f["_t"]))
+        records.append(rec)
+    return schema, records
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schema_and_records(), st.sampled_from(["null", "deflate"]))
+def test_property_roundtrip(schema_records, codec):
+    schema, records = schema_records
+    data = write_ocf("", schema, records, codec=codec)
+    got_schema, meta, got = read_ocf(data)
+    assert got == records
+    assert got_schema["fields"] == schema["fields"]
