@@ -853,6 +853,140 @@ class IcebergTable:
             {"timestamp-ms": now, "metadata-file": mfile},
         ]
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | None = None,
+        insert_not_matched: bool = True,
+    ) -> None:
+        """MERGE INTO over spec metadata — the Iceberg upsert
+        primitive, copy-on-write at file granularity: one broadcast
+        semi-join finds the files holding matched keys, only those
+        files are rewritten (full-outer with the source resolves
+        updates), unmatched source rows land as fresh files in the
+        SAME overwrite snapshot, and every untouched file carries
+        verbatim. Source keys must be non-NULL and unique (the ANSI
+        MERGE cardinality contract); violations raise up front."""
+        key_stats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(on).alias("n_nonnull"),
+            F.countDistinct(on).alias("n_distinct"),
+        ).collect()[0]
+        if key_stats["n"] != key_stats["n_nonnull"]:
+            raise ValueError(
+                f"MERGE source has NULL value(s) in merge key {on!r}"
+            )
+        if key_stats["n_nonnull"] != key_stats["n_distinct"]:
+            raise ValueError(
+                f"MERGE source has duplicate values in merge key {on!r}"
+            )
+        plan = self.plan_scan()
+        schema = plan.schema
+        cols = [f.name for f in schema.fields]
+        source = source.select(*cols)
+        keys = source.select(on).distinct()
+
+        by_norm = {
+            _norm_file_uri(self._resolve(f.path)):
+            (self._resolve(f.path), f)
+            for f in plan.files
+        }
+        touched: set[str] = set()
+        if by_norm:
+            target = self.spark.read.schema(schema).parquet(
+                *[p for p, _ in by_norm.values()]
+            )
+            touched = {
+                _norm_file_uri(r.f)
+                for r in target.join(F.broadcast(keys), on, "left_semi")
+                .select(F.input_file_name().alias("f"))
+                .distinct().collect()
+            }
+        carried = [
+            info for norm, (_p, info) in by_norm.items()
+            if norm not in touched
+        ]
+        deleted = [by_norm[t][1] for t in touched]
+
+        if touched:
+            sub = self.spark.read.schema(schema).parquet(
+                *[by_norm[t][0] for t in sorted(touched)]
+            )
+        else:
+            sub = self.spark.createDataFrame([], schema)
+        t, s = sub.alias("t"), source.alias("s")
+        joined = t.join(F.broadcast(s),
+                        F.col(f"t.{on}") == F.col(f"s.{on}"),
+                        "full_outer")
+        matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
+        t_only = F.col(f"s.{on}").isNull()
+        out_cols = []
+        for name in cols:
+            upd = (when_matched_update or {}).get(name)
+            val = (F.when(matched, F.expr(upd))
+                   .otherwise(F.col(f"t.{name}"))
+                   if upd is not None else F.col(f"t.{name}"))
+            out_cols.append(
+                F.when(t_only | matched, val)
+                .otherwise(F.col(f"s.{name}")).alias(name)
+            )
+        merged = joined.select(*out_cols)
+        if not insert_not_matched:
+            merged = joined.where(t_only | matched).select(*out_cols)
+        self._commit_file_rewrite(merged, carried, deleted, "merge")
+
+    # ---------------------------------------------- incremental scan
+
+    def read_incremental(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current head) —
+        Iceberg's incremental-append consumption. A downstream
+        consumer that remembers its last-processed snapshot id reads
+        only the delta, never rescanning the table: the O(changed
+        data) pattern that keeps 100 TB pipelines incremental.
+
+        Only append/DML-added files qualify; rows REMOVED by
+        overwrite snapshots in the range are not replayed (same
+        contract as Spark's Iceberg incremental read, which refuses
+        overwrite snapshots — here the added side of an overwrite is
+        still surfaced, documented rather than hidden)."""
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"no snapshot {from_snapshot_id}")
+        head = (to_snapshot_id if to_snapshot_id is not None
+                else self._snapshot(None, None)["snapshot-id"])
+        if head not in snaps:
+            raise ValueError(f"no snapshot {head}")
+        lo = snaps[from_snapshot_id]["sequence-number"]
+        hi = snaps[head]["sequence-number"]
+        if hi <= lo:
+            return self.spark.createDataFrame([], self.spark_schema())
+
+        ml_path = self._resolve(snaps[head]["manifest-list"])
+        _, _, manifests = read_ocf(ml_path)
+        paths: list[str] = []
+        for m in manifests:
+            m_seq = m.get("sequence_number", 0)
+            if m_seq <= lo:  # manifest predates the range entirely
+                continue
+            _, _, entries = read_ocf(self._resolve(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2 or e.get("status") == 0:
+                    continue  # deleted or carried-existing
+                seq = e.get("sequence_number") or m_seq
+                if lo < seq <= hi:
+                    paths.append(
+                        self._resolve(e["data_file"]["file_path"])
+                    )
+        if not paths:
+            return self.spark.createDataFrame([], self.spark_schema())
+        return self.spark.read.schema(self.spark_schema()).parquet(*paths)
+
     # -------------------------------------------- schema evolution
 
     def add_column(self, name: str, spark_type: T.DataType) -> None:
@@ -1054,17 +1188,26 @@ class IcebergTable:
             info for norm, (_p, info) in by_norm.items()
             if norm not in touched
         ]
+        deleted = [by_norm[t][1] for t in touched]
+        new_df = transform(
+            self.spark.read.schema(plan.schema).parquet(*rewrite_paths),
+            pred,
+        )
+        self._commit_file_rewrite(new_df, carried, deleted, op)
 
+    def _commit_file_rewrite(self, new_df: DataFrame,
+                             carried: list[DataFileInfo],
+                             deleted: list[DataFileInfo],
+                             op: str) -> None:
+        """Publish an overwrite snapshot: write ``new_df`` as added
+        files, carry ``carried`` verbatim (EXISTING entries keeping
+        their original sequence numbers), drop ``deleted``."""
         meta = self.meta
         seq = meta["last-sequence-number"] + 1
         snap_id = seq
         version = len(meta.get("metadata-log", [])) + 1
         spec = self.partition_spec()
         pfs = self._partition_fields(spec)
-        new_df = transform(
-            self.spark.read.schema(plan.schema).parquet(*rewrite_paths),
-            pred,
-        )
         added = self._write_data_files(new_df, seq, pfs[0] if pfs else None)
 
         entry_schema = manifest_entry_schema([
@@ -1111,12 +1254,10 @@ class IcebergTable:
             "added_snapshot_id": snap_id,
             "added_files_count": len(added),
             "existing_files_count": len(carried),
-            "deleted_files_count": len(touched),
+            "deleted_files_count": len(deleted),
             "added_rows_count": added_rows,
             "existing_rows_count": existing_rows,
-            "deleted_rows_count": sum(
-                by_norm[t][1].record_count for t in touched
-            ),
+            "deleted_rows_count": sum(i.record_count for i in deleted),
             "partitions": self._partition_summaries(
                 [*added,
                  *({"partition": i.partition} for i in carried)],
@@ -1130,7 +1271,7 @@ class IcebergTable:
                 "operation": "overwrite",
                 "trigger": op,
                 "added-data-files": str(len(added)),
-                "deleted-data-files": str(len(touched)),
+                "deleted-data-files": str(len(deleted)),
                 "added-records": str(added_rows),
             },
         )

@@ -479,3 +479,58 @@ def test_sql_surface_over_iceberg(spark, tmp_root):
     assert n0 == 10
     # the three statements produced three snapshots
     assert len(IcebergTable.load(spark, path).snapshots()) == 3
+
+
+def test_incremental_read(spark, tmp_root):
+    """Snapshot-range consumption: a consumer holding the last seen
+    snapshot id reads ONLY the appended delta."""
+    df0 = spark.createDataFrame(
+        [(i, "b0") for i in range(5)], "id long, tag string"
+    )
+    path = os.path.join(tmp_root, "incr")
+    t = IcebergTable.create(spark, path, df0)
+    t.append(spark.createDataFrame(
+        [(i, "b1") for i in range(5, 8)], "id long, tag string"))
+    t.append(spark.createDataFrame(
+        [(i, "b2") for i in range(8, 12)], "id long, tag string"))
+
+    delta = t.read_incremental(from_snapshot_id=1)
+    assert sorted(r.id for r in delta.collect()) == list(range(5, 12))
+    just_b1 = t.read_incremental(from_snapshot_id=1, to_snapshot_id=2)
+    assert sorted(r.tag for r in just_b1.collect()) == ["b1"] * 3
+    assert t.read_incremental(from_snapshot_id=3).count() == 0
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read_incremental(from_snapshot_id=99)
+
+
+def test_merge_into_spec_table(spark, tmp_root):
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 2), float(i)) for i in range(1, 7)],
+        "id long, k string, v double",
+    )
+    path = os.path.join(tmp_root, "merge")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    before = {f.path for f in t.plan_scan().files}
+    src = spark.createDataFrame(
+        [(2, "k0", 0.0), (100, "k0", 7.5)],  # one update, one insert
+        "id long, k string, v double",
+    )
+    t.merge(src, on="id", when_matched_update={"v": "s.v + 1000"})
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[2] == 1000.0          # updated: 0.0 + 1000
+    assert rows[100] == 7.5           # inserted
+    assert rows[1] == 1.0             # untouched row intact
+    assert len(rows) == 7
+    # only files holding matched keys were rewritten: the k1
+    # partition file (ids 1,3,5 — no matches) carried verbatim
+    after = {f.path for f in t.plan_scan().files}
+    assert before & after
+    # duplicate/NULL source keys raise up front
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(spark.createDataFrame(
+            [(1, "k0", 0.0), (1, "k0", 1.0)],
+            "id long, k string, v double"), on="id")
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge(spark.createDataFrame(
+            [(None, "k0", 0.0)], "id long, k string, v double"),
+            on="id")
