@@ -245,7 +245,11 @@ def _pick_branch(branches: list, value: Any, names: _Names) -> int:
         if t == "boolean":
             return isinstance(value, bool)
         if t in ("int", "long"):
-            return isinstance(value, int) and not isinstance(value, bool)
+            # integral floats are accepted: a nullable int64 column
+            # arrives from the Arrow->pandas bridge as float64 (NaN
+            # for null), and 7.0 in a [null, long] union is a long
+            return (isinstance(value, int) and not isinstance(value, bool)) \
+                or (isinstance(value, float) and value.is_integer())
         if t in ("float", "double"):
             return isinstance(value, float)
         if t in ("bytes", "fixed"):

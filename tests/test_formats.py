@@ -98,3 +98,18 @@ def test_avro_schema_conversion_roundtrip(spark):
         T.StructField("d", T.DoubleType(), False),
     ])
     assert avro_to_spark_schema(spark_to_avro_schema(schema)) == schema
+
+
+def test_avro_nullable_long_with_nulls(spark, tmp_path):
+    """Arrow->pandas turns a nullable int64 column with NULLs into
+    float64 (NaN for null); the writer must land longs, not floats."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    path = str(tmp_path / "nullable_long")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    got = {r.id: r.v for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: 30}
+    assert isinstance(got[1], int)
