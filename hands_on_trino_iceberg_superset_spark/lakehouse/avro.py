@@ -245,11 +245,17 @@ def _pick_branch(branches: list, value: Any, names: _Names) -> int:
         if t == "boolean":
             return isinstance(value, bool)
         if t in ("int", "long"):
-            # integral floats are accepted: a nullable int64 column
-            # arrives from the Arrow->pandas bridge as float64 (NaN
-            # for null), and 7.0 in a [null, long] union is a long
+            # integral floats are accepted ONLY inside float64's
+            # exact-integer range: a nullable int64 column arrives
+            # from the Arrow->pandas bridge as float64 (NaN for
+            # null), so 7.0 in a [null, long] union is a long — but
+            # a float beyond ±2^53 has already lost integer
+            # precision upstream, and silently writing the rounded
+            # long would corrupt the value, so it stays unmatched
+            # (loud error) instead
             return (isinstance(value, int) and not isinstance(value, bool)) \
-                or (isinstance(value, float) and value.is_integer())
+                or (isinstance(value, float) and value.is_integer()
+                    and abs(value) <= 2.0 ** 53)
         if t in ("float", "double"):
             return isinstance(value, float)
         if t in ("bytes", "fixed"):

@@ -561,10 +561,16 @@ class IcebergTable:
         if pf is None:
             return None
         if pf["source_name"] in filt:
-            return transform_filter(
-                pf["transform"], pf["source_type"],
-                filt[pf["source_name"]],
-            )
+            try:
+                return transform_filter(
+                    pf["transform"], pf["source_type"],
+                    filt[pf["source_name"]],
+                )
+            except (ValueError, TypeError):
+                # transform/type combos our evaluator doesn't cover
+                # (bucket on decimal, an unknown future transform):
+                # no pruning, scan everything — never fail the read
+                return None
         if pf["pname"] != pf["source_name"] and pf["pname"] in filt:
             cond = filt[pf["pname"]]
             return cond if isinstance(cond, tuple) else _filter_values(cond)
@@ -840,18 +846,7 @@ class IcebergTable:
             *meta.get("snapshot-log", []),
             {"timestamp-ms": now, "snapshot-id": snap_id},
         ]
-        mfile = os.path.join(self.path, "metadata",
-                             f"v{version}.metadata.json")
-        with open(mfile + ".tmp", "w") as fh:
-            json.dump(meta, fh, indent=2)
-        os.replace(mfile + ".tmp", mfile)  # atomic publish
-        with open(os.path.join(self.path, "metadata",
-                               "version-hint.text"), "w") as fh:
-            fh.write(str(version))
-        meta["metadata-log"] = [
-            *meta.get("metadata-log", []),
-            {"timestamp-ms": now, "metadata-file": mfile},
-        ]
+        self._write_metadata_version(version, now)
 
     def merge(
         self,
@@ -976,8 +971,13 @@ class IcebergTable:
                 continue
             _, _, entries = read_ocf(self._resolve(m["manifest_path"]))
             for e in entries:
-                if e.get("status") == 2 or e.get("status") == 0:
-                    continue  # deleted or carried-existing
+                if e.get("status") == 2:  # deleted
+                    continue
+                # status 0 (EXISTING) entries matter too: an overwrite
+                # snapshot's manifest carries files ADDED by earlier
+                # snapshots with their ORIGINAL sequence numbers —
+                # a file appended inside the range and then carried
+                # through a later overwrite must still be returned
                 seq = e.get("sequence_number") or m_seq
                 if lo < seq <= hi:
                     paths.append(
@@ -1018,18 +1018,7 @@ class IcebergTable:
         meta["last-column-id"] = base_id + n_ids
         now = _now_ms()
         meta["last-updated-ms"] = now
-        mfile = os.path.join(self.path, "metadata",
-                             f"v{version}.metadata.json")
-        with open(mfile + ".tmp", "w") as fh:
-            json.dump(meta, fh, indent=2)
-        os.replace(mfile + ".tmp", mfile)
-        with open(os.path.join(self.path, "metadata",
-                               "version-hint.text"), "w") as fh:
-            fh.write(str(version))
-        meta["metadata-log"] = [
-            *meta.get("metadata-log", []),
-            {"timestamp-ms": now, "metadata-file": mfile},
-        ]
+        self._write_metadata_version(version, now)
 
     # ------------------------------------------------- maintenance
 
@@ -1082,18 +1071,7 @@ class IcebergTable:
         ]
         now = _now_ms()
         meta["last-updated-ms"] = now
-        mfile = os.path.join(self.path, "metadata",
-                             f"v{version}.metadata.json")
-        with open(mfile + ".tmp", "w") as fh:
-            json.dump(meta, fh, indent=2)
-        os.replace(mfile + ".tmp", mfile)
-        with open(os.path.join(self.path, "metadata",
-                               "version-hint.text"), "w") as fh:
-            fh.write(str(version))
-        meta["metadata-log"] = [
-            *meta.get("metadata-log", []),
-            {"timestamp-ms": now, "metadata-file": mfile},
-        ]
+        self._write_metadata_version(version, now)
         return expired_ids
 
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
@@ -1123,6 +1101,26 @@ class IcebergTable:
             for p in orphans:
                 os.remove(p)
         return sorted(orphans)
+
+
+    def _write_metadata_version(self, version: int, now: int) -> None:
+        """Atomic metadata publish: write vN.metadata.json via
+        tmp+rename, point version-hint at it, append to the
+        metadata log. The single publish path for snapshot commits,
+        schema evolution, and maintenance."""
+        meta = self.meta
+        mfile = os.path.join(self.path, "metadata",
+                             f"v{version}.metadata.json")
+        with open(mfile + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(mfile + ".tmp", mfile)  # atomic publish
+        with open(os.path.join(self.path, "metadata",
+                               "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        meta["metadata-log"] = [
+            *meta.get("metadata-log", []),
+            {"timestamp-ms": now, "metadata-file": mfile},
+        ]
 
     # ------------------------------------------------- row-level DML
 
@@ -1225,7 +1223,10 @@ class IcebergTable:
              "snapshot_id": None,
              "sequence_number": info.sequence_number,
              "file_sequence_number": info.sequence_number,
-             "data_file": info.raw}
+             # v1-adopted entries lack v2-only fields (content, nan
+             # counts, ...); fill spec defaults so the v2 re-encode
+             # never rejects a carried record
+             "data_file": _with_v2_defaults(info.raw)}
             for info in carried
         ]
         mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
@@ -1357,6 +1358,18 @@ class IcebergTable:
 # ------------------------------------------------------------- helpers
 
 
+_V2_DATA_FILE_DEFAULTS = {
+    "content": 0, "column_sizes": None, "value_counts": None,
+    "null_value_counts": None, "nan_value_counts": None,
+    "lower_bounds": None, "upper_bounds": None, "key_metadata": None,
+    "split_offsets": None, "equality_ids": None, "sort_order_id": None,
+}
+
+
+def _with_v2_defaults(raw: dict | None) -> dict:
+    return {**_V2_DATA_FILE_DEFAULTS, **(raw or {})}
+
+
 def _shift_ids(field: dict, offset: int) -> dict:
     """Re-base the field ids a fresh spark_to_iceberg_schema assigned
     (1..n) onto the table's id space (last-column-id+1..)."""
@@ -1464,17 +1477,41 @@ def _transform_column(transform: str, col: str, src_type: str) -> Column:
         return (c - F.pmod(c, F.lit(arg))).cast(
             "int" if src_type == "int" else "long"
         )
+    # temporal transforms: timestamptz holds an absolute instant, so
+    # its ordinals come from pure epoch arithmetic (session-timezone
+    # independent — cast('date')/year()/hour() would slice on the
+    # session's wall clock and disagree with the UTC-based filter
+    # mapping); date / timestamp_ntz ARE wall-clock values, so the
+    # calendar expressions are exactly right for them
+    tz = isinstance(
+        _ICE_TO_SPARK.get(src_type), T.TimestampType
+    ) or src_type == "timestamptz"
     if base == "day":
+        if tz:
+            return F.expr(
+                f"floor(unix_micros(`{col}`) / 86400000000)"
+            ).cast("int")
         return F.datediff(c.cast("date"), F.lit("1970-01-01"))
-    if base == "month":
-        return (F.year(c) - 1970) * 12 + F.month(c) - 1
-    if base == "year":
-        return F.year(c) - 1970
     if base == "hour":
+        if tz:
+            return F.expr(
+                f"floor(unix_micros(`{col}`) / 3600000000)"
+            ).cast("int")
         return (
             F.datediff(c.cast("date"), F.lit("1970-01-01")) * 24
             + F.hour(c)
         )
+    if base in ("month", "year"):
+        d = (
+            F.expr(
+                f"date_add(date'1970-01-01', "
+                f"cast(floor(unix_micros(`{col}`) / 86400000000) as int))"
+            )
+            if tz else c
+        )
+        if base == "month":
+            return (F.year(d) - 1970) * 12 + F.month(d) - 1
+        return F.year(d) - 1970
     if base == "bucket":
         return _bucket_udf(arg, src_type)(c)
     raise ValueError(f"unknown transform {transform!r}")
@@ -1493,7 +1530,18 @@ def _bucket_udf(n: int, src_type: str):
             mask = ~pd.isna(s).to_numpy()
             out = pd.array([pd.NA] * len(s), dtype="Int32")
             if mask.any():
-                h = _np_murmur3_long(s[mask].to_numpy(dtype="int64"))
+                vals = s[mask]
+                if vals.dtype.kind == "f":
+                    # nullable int64 arrives as float64; beyond ±2^53
+                    # the integer was already rounded upstream and
+                    # the bucket would be silently wrong — refuse
+                    if (vals.abs() > 2.0 ** 53).any():
+                        raise ValueError(
+                            "bucket key above 2^53 in a nullable "
+                            "column: float64 bridge lost integer "
+                            "precision; drop the NULLs first"
+                        )
+                h = _np_murmur3_long(vals.to_numpy(dtype="int64"))
                 out[mask] = ((h & 0x7FFFFFFF) % n).astype("int32")
             return pd.Series(out)
 
@@ -1502,7 +1550,7 @@ def _bucket_udf(n: int, src_type: str):
     @F.pandas_udf("int")
     def b_any(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda v: None if v is None else py_bucket(n, src_type, v)
+            lambda v: None if pd.isna(v) else py_bucket(n, src_type, v)
         ).astype("Int32")
 
     return b_any

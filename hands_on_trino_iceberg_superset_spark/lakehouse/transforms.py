@@ -107,8 +107,11 @@ def _to_epoch_days(v) -> int:
 
 def _to_epoch_micros(v) -> int:
     if isinstance(v, dt.datetime):
-        base = _EPOCH_TS.replace(tzinfo=v.tzinfo)
-        return int((v - base).total_seconds() * 1_000_000)
+        if v.tzinfo is not None:
+            # aware: absolute instant vs the UTC epoch (anchoring the
+            # epoch at the VALUE's offset would skew by that offset)
+            return int(v.timestamp() * 1_000_000)
+        return int((v - _EPOCH_TS).total_seconds() * 1_000_000)
     return int(v)
 
 
@@ -160,19 +163,25 @@ def apply_transform(transform: str, ice_type: str, v):
         if ice_type == "string":
             return str(v)[:arg]
         raise ValueError(f"truncate unsupported on {ice_type!r}")
-    d = _as_datetime(ice_type, v)
     if base in ("day", "days"):
-        return (d.date() - _EPOCH).days
+        return _to_epoch_micros(_norm_utc(ice_type, v)) // 86_400_000_000
+    if base in ("hour", "hours"):
+        return _to_epoch_micros(_norm_utc(ice_type, v)) // 3_600_000_000
+    d = _norm_utc(ice_type, v)
     if base in ("month", "months"):
         return (d.year - 1970) * 12 + (d.month - 1)
     if base in ("year", "years"):
         return d.year - 1970
-    if base in ("hour", "hours"):
-        return int(
-            (d - _EPOCH_TS.replace(tzinfo=d.tzinfo)).total_seconds()
-            // 3600
-        )
     raise ValueError(f"unknown transform {transform!r}")
+
+
+def _norm_utc(ice_type: str, v) -> dt.datetime:
+    """Value -> naive UTC datetime (aware values convert; naive and
+    date/ordinal values are taken at face value)."""
+    d = _as_datetime(ice_type, v)
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
 
 
 def is_monotonic(transform: str) -> bool:

@@ -173,7 +173,6 @@ def main() -> int:
     dst = build(spark, reps)
     print(f"corpus at {dst} (build {time.time() - t0:.0f}s)", file=sys.stderr)
 
-    inventory = load_all()
     print("| query | rows_1x | s_1x | rows_10x | s_10x | time ratio |")
     print("|---|---|---|---|---|---|")
     for name in QUERIES:
