@@ -60,6 +60,13 @@ from hands_on_trino_iceberg_superset_spark.lakehouse.transforms import (
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer published the metadata version this commit
+    tried to claim. Appends rebase-and-retry automatically; DML and
+    metadata-only operations surface it — their read set may overlap
+    the winner's changes, so the caller must re-plan."""
+
+
 # ----------------------------------------------------- type conversion
 
 
@@ -386,16 +393,22 @@ class ScanPlan:
 class IcebergTable:
     """A real Iceberg table (format-version 2) on a filesystem."""
 
-    def __init__(self, spark: SparkSession, path: str, meta: dict):
+    def __init__(self, spark: SparkSession, path: str, meta: dict,
+                 version: int = 0):
         self.spark = spark
         self.path = path
         self.meta = meta
+        #: version of the metadata file this handle's state is based
+        #: on — the CAS base: a commit claims v(_version+1) and fails
+        #: if another writer got there first
+        self._version = version
 
     # -------------------------------------------------------- loading
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IcebergTable":
-        return cls(spark, path, _read_table_metadata(path))
+        meta, version = _read_table_metadata_versioned(path)
+        return cls(spark, path, meta, version=version)
 
     # ------------------------------------------------------- metadata
 
@@ -744,15 +757,34 @@ class IcebergTable:
         self._commit_append(df)
 
     def _commit_append(self, df: DataFrame) -> None:
+        """Optimistic append: data files are written ONCE (immutable);
+        on a concurrent-commit conflict only the metadata attempt is
+        rebased — re-read the winner's head and re-publish the same
+        files against it, which is always safe for appends (disjoint
+        file sets commute)."""
+        spec = self.partition_spec()
+        pfs = self._partition_fields(spec)
+        pf0 = pfs[0] if pfs else None
+        data_files = self._write_data_files(
+            df, self.meta["last-sequence-number"] + 1, pf0
+        )
+        for attempt in range(5):
+            try:
+                self._try_publish_append(data_files, spec, pfs)
+                return
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                self.meta, self._version = (
+                    _read_table_metadata_versioned(self.path)  # rebase
+                )
+
+    def _try_publish_append(self, data_files: list[dict],
+                            spec: list[dict], pfs: list[dict]) -> None:
         meta = self.meta
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, unique within the table
         version = len(meta.get("metadata-log", [])) + 1
-
-        spec = self.partition_spec()
-        pfs = self._partition_fields(spec)
-        pf0 = pfs[0] if pfs else None
-        data_files = self._write_data_files(df, seq, pf0)
 
         entry_schema = manifest_entry_schema([
             {"name": pf["pname"], "field-id": sf["field-id"],
@@ -1103,24 +1135,46 @@ class IcebergTable:
         return sorted(orphans)
 
 
-    def _write_metadata_version(self, version: int, now: int) -> None:
-        """Atomic metadata publish: write vN.metadata.json via
-        tmp+rename, point version-hint at it, append to the
-        metadata log. The single publish path for snapshot commits,
-        schema evolution, and maintenance."""
+    def _write_metadata_version(self, version: int, now: int) -> int:
+        """Atomic CAS metadata publish: the next ``vN.metadata.json``
+        is claimed with ``os.link`` (fails, atomically, if another
+        writer already published that version — the same
+        compare-and-swap an Iceberg catalog performs on its table
+        pointer), then version-hint advances monotonically. Raises
+        :class:`CommitConflict` when a concurrent writer won; the
+        caller decides whether to rebase-and-retry (appends) or
+        surface the conflict (DML). ``version`` is advisory — the
+        actual claimed version is max-on-disk + 1, returned."""
         meta = self.meta
-        mfile = os.path.join(self.path, "metadata",
-                             f"v{version}.metadata.json")
-        with open(mfile + ".tmp", "w") as fh:
+        mdir = os.path.join(self.path, "metadata")
+        version = self._version + 1  # claim exactly base+1: the CAS
+        mfile = os.path.join(mdir, f"v{version}.metadata.json")
+        fd, tmp = None, os.path.join(mdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=2)
-        os.replace(mfile + ".tmp", mfile)  # atomic publish
-        with open(os.path.join(self.path, "metadata",
-                               "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        try:
+            os.link(tmp, mfile)  # CAS: exactly one writer claims vN
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was published concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        hint = os.path.join(mdir, "version-hint.text")
+        try:
+            prev = int(open(hint).read().strip())
+        except (OSError, ValueError):
+            prev = 0
+        if version > prev:  # hint only ever advances
+            with open(hint + ".tmp", "w") as fh:
+                fh.write(str(version))
+            os.replace(hint + ".tmp", hint)
+        self._version = version
         meta["metadata-log"] = [
             *meta.get("metadata-log", []),
             {"timestamp-ms": now, "metadata-file": mfile},
         ]
+        return version
 
     # ------------------------------------------------- row-level DML
 
@@ -1284,7 +1338,12 @@ class IcebergTable:
         footer pass Iceberg's own writers fold into their commit)."""
         import pyarrow.parquet as pq
 
-        out_dir = os.path.join(self.path, "data", f"seq{seq}")
+        # unique per write attempt: two racing writers must never
+        # collide on a data directory (manifests carry explicit file
+        # paths, so the directory name is free)
+        out_dir = os.path.join(
+            self.path, "data", f"seq{seq}-{uuid.uuid4().hex[:8]}"
+        )
         if pf0:
             # lay out directories by the TRANSFORMED partition value
             # under a scratch name; the source column itself stays
@@ -1687,32 +1746,41 @@ def _footer_bounds(pf, ftype: dict[str, tuple[int, str]]):
 
 
 def _read_table_metadata(path: str) -> dict:
+    return _read_table_metadata_versioned(path)[0]
+
+
+def _read_table_metadata_versioned(path: str) -> tuple[dict, int]:
+    """Current table metadata + its version number. The numbered
+    listing is authoritative (max vN wins) — the version-hint file is
+    advisory and may trail a racing writer's commit by a beat, so it
+    is only consulted for tables using foreign naming conventions."""
     mdir = os.path.join(path, "metadata")
     if not os.path.isdir(mdir):
         raise FileNotFoundError(f"no Iceberg metadata dir under {path}")
+    numbered = []
+    for f in os.listdir(mdir):
+        m = re.match(r"v?(\d+)[^/]*\.metadata\.json$", f)
+        if m:
+            numbered.append((int(m.group(1)), f))
+    if numbered:
+        version, name = max(numbered)
+        with open(os.path.join(mdir, name)) as fh:
+            return json.load(fh), version
     hint = os.path.join(mdir, "version-hint.text")
-    cand = None
     if os.path.exists(hint):
         v = open(hint).read().strip()
         for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
             p = os.path.join(mdir, pat)
             if os.path.exists(p):
-                cand = p
-                break
-    if cand is None:
-        metas = sorted(
-            f for f in os.listdir(mdir) if f.endswith(".metadata.json")
-        )
-        if not metas:
-            raise FileNotFoundError(f"no *.metadata.json under {mdir}")
-
-        def key(n: str):
-            m = re.match(r"v?(\d+)", n)
-            return (int(m.group(1)) if m else -1, n)
-
-        cand = os.path.join(mdir, max(metas, key=key))
-    with open(cand) as fh:
-        return json.load(fh)
+                with open(p) as fh:
+                    return json.load(fh), int(v)
+    metas = sorted(
+        f for f in os.listdir(mdir) if f.endswith(".metadata.json")
+    )
+    if not metas:
+        raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+    with open(os.path.join(mdir, metas[-1])) as fh:
+        return json.load(fh), 0
 
 
 def load_iceberg(

@@ -571,3 +571,35 @@ def test_bucket_on_timestamp_with_nulls(spark, tmp_root):
     assert t.read().count() == 3
     assert sorted(r.id for r in
                   t.read(filter={"ts": [None]}).collect()) == [2]
+
+
+def test_concurrent_append_rebase(spark, tmp_root):
+    """Two writer handles on the same table: the loser's append must
+    rebase onto the winner's head — both commits land."""
+    df = spark.createDataFrame([(0, "seed")], "id long, tag string")
+    path = os.path.join(tmp_root, "cas")
+    a = IcebergTable.create(spark, path, df)
+    b = IcebergTable.load(spark, path)  # independent stale handle
+    a.append(spark.createDataFrame([(1, "a")], "id long, tag string"))
+    # b's in-memory head is stale: its publish attempt conflicts on
+    # the version file and must rebase onto a's commit
+    b.append(spark.createDataFrame([(2, "b")], "id long, tag string"))
+    fresh = IcebergTable.load(spark, path)
+    assert sorted(r.id for r in fresh.read().collect()) == [0, 1, 2]
+    assert len(fresh.snapshots()) == 3
+
+
+def test_concurrent_dml_conflict_raises(spark, tmp_root):
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        CommitConflict,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "id long, tag string"
+    )
+    path = os.path.join(tmp_root, "cas_dml")
+    a = IcebergTable.create(spark, path, df)
+    b = IcebergTable.load(spark, path)
+    a.delete("id = 1")
+    with pytest.raises(CommitConflict):
+        b.delete("id = 2")  # stale read set: must not silently clobber
