@@ -367,3 +367,133 @@ def top_value_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") > F.col("_t"))
         .select("p_brand", dbl(F.col("r")).alias("revenue"))
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000
+                      AS BIGINT) // CAST(l_quantity AS BIGINT))
+               AS unit_micro
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_micro) AS best_micro FROM unit
+      GROUP BY l_partkey
+    )
+    SELECT u.l_partkey AS partkey,
+           min(u.l_suppkey) AS suppkey,
+           b.best_micro AS unit_cost_e4
+    FROM unit u JOIN best b
+      ON u.l_partkey = b.l_partkey AND u.unit_micro = b.best_micro
+    GROUP BY u.l_partkey, b.best_micro
+    ORDER BY partkey LIMIT 100
+    """,
+    doc="Q2 shape adapted to the corpus (no partsupp table): the "
+        "cheapest supplier per part by observed unit price — the "
+        "correlated-min-subquery pattern, executed Spark-first as "
+        "aggregate + self-join on the grouping key (what Catalyst "
+        "rewrites correlated scalar subqueries into anyway), with "
+        "min(suppkey) as the deterministic tiebreak. Two shuffles on "
+        "l_partkey, both reusing the same partitioning.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # exact integer unit cost (price in 1e-4 units, floor-divided by
+    # quantity): decimal DIVISION scales differ between engines and
+    # drift in the last double bits, integer math cannot
+    unit_micro = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT) "
+        "div CAST(l_quantity AS BIGINT)"
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_micro).alias("unit_micro")
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min("unit_micro").alias("best_micro")
+    ).withColumnRenamed("l_partkey", "b_partkey")
+    return (
+        unit.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_micro") == F.col("best_micro")),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("best_micro"))
+        .agg(F.min("l_suppkey").alias("suppkey"))
+        .select("partkey", "suppkey",
+                F.col("best_micro").alias("unit_cost_e4"))
+        .orderBy("partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "suppliers_kept_orders_waiting",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END)
+               AS n_late_supp
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s_name,
+           count(DISTINCT f.l_orderkey) AS numwait
+    FROM flagged f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier ON s_suppkey = f.l_suppkey
+    WHERE f.late AND p.n_supp > 1 AND p.n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="Q21 shape (suppliers who kept orders waiting) adapted to "
+        "the corpus dates: the sole late supplier in a finished "
+        "multi-supplier order. The classic formulation is EXISTS + "
+        "NOT EXISTS self-joins on lineitem; Spark-first it collapses "
+        "into ONE aggregation per order (distinct suppliers, "
+        "distinct late suppliers) joined back to the flagged rows — "
+        "two shuffles on l_orderkey replace two self-joins, and the "
+        "supplier dimension broadcasts.",
+)
+def suppliers_kept_orders_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li, orders, supplier = _t(spark, sf_dir, "lineitem", "orders",
+                              "supplier")
+    flagged = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .alias("late"),
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        flagged.where("late")
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
