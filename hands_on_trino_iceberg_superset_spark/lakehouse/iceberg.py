@@ -374,6 +374,7 @@ class DataFileInfo:
     upper_bounds: dict[int, bytes] = field(default_factory=dict)
     sequence_number: int = 0
     raw: dict | None = None  # verbatim data_file record (DML carry)
+    spec_id: int = 0  # partition spec the file was written under
 
 
 @dataclass
@@ -479,12 +480,28 @@ class IcebergTable:
         ml_path = self._resolve(snap["manifest-list"])
         _, _, manifests = read_ocf(ml_path)
 
-        spec = self.partition_spec()
-        pfs = self._partition_fields(spec)
         schema_fields = {
             f["name"]: f for f in self.current_schema()["fields"]
         }
         filt = filter or {}
+        # partition evolution: each manifest prunes under ITS OWN
+        # spec (partition_spec_id from the manifest list) — a table
+        # re-partitioned from identity(status) to bucket(key) keeps
+        # pruning BOTH file generations, each by its own layout
+        pfs_by_id = {
+            s.get("spec-id", 0): self._partition_fields(s["fields"])
+            for s in self.meta.get(
+                "partition-specs",
+                [{"spec-id": 0, "fields": self.partition_spec()}],
+            )
+        }
+        default_pfs = pfs_by_id.get(
+            self.meta.get("default-spec-id", 0), []
+        )
+
+        def pfs_of(m: dict) -> list:
+            return pfs_by_id.get(m.get("partition_spec_id", 0),
+                                 default_pfs)
 
         # tier 1: manifest pruning by partition summaries
         scanned, skipped_m = [], 0
@@ -495,7 +512,8 @@ class IcebergTable:
                 # manifest is fine to scan
                 pass
             summaries = m.get("partitions")
-            if summaries and self._summary_prunes(summaries, pfs, filt):
+            if summaries and self._summary_prunes(summaries, pfs_of(m),
+                                                  filt):
                 skipped_m += 1
                 continue
             scanned.append(m)
@@ -503,6 +521,7 @@ class IcebergTable:
         files: list[DataFileInfo] = []
         total = 0
         for m in scanned:
+            pfs = pfs_of(m)
             mpath = self._resolve(m["manifest_path"])
             _, mmeta, entries = read_ocf(mpath)
             for e in entries:
@@ -529,6 +548,7 @@ class IcebergTable:
                         or m.get("sequence_number") or 0
                     ),
                     raw=df_,
+                    spec_id=m.get("partition_spec_id", 0),
                 )
                 if self._file_prunes(info, pfs, schema_fields, filt):
                     continue
@@ -809,7 +829,7 @@ class IcebergTable:
                 "schema": json.dumps(self.current_schema()),
                 "schema-id": str(self.current_schema().get("schema-id", 0)),
                 "partition-spec": json.dumps(spec),
-                "partition-spec-id": "0",
+                "partition-spec-id": str(meta.get("default-spec-id", 0)),
                 "format-version": "2",
                 "content": "data",
             },
@@ -818,7 +838,7 @@ class IcebergTable:
         new_manifest = {
             "manifest_path": mname,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1018,6 +1038,59 @@ class IcebergTable:
         if not paths:
             return self.spark.createDataFrame([], self.spark_schema())
         return self.spark.read.schema(self.spark_schema()).parquet(*paths)
+
+    # ---------------------------------------- partition evolution
+
+    def update_partition_spec(self, partition_by: str | None) -> None:
+        """Partition evolution: subsequent writes use the new layout,
+        existing files stay under theirs — metadata only, no data
+        moves (the Iceberg model: specs are versioned, manifests
+        remember which spec wrote them, and the scan planner prunes
+        each file generation by its own layout). ``None`` evolves to
+        unpartitioned. Use :meth:`rewrite_data_files` afterwards to
+        physically migrate old generations when wanted."""
+        meta = self.meta
+        specs = meta.get(
+            "partition-specs",
+            [{"spec-id": 0, "fields": self.partition_spec()}],
+        )
+        new_id = max(s.get("spec-id", 0) for s in specs) + 1
+        fields = []
+        if partition_by:
+            transform, src_name, pname = _parse_partition_by(partition_by)
+            src = next(
+                (f for f in self.current_schema()["fields"]
+                 if f["name"] == src_name), None
+            )
+            if src is None or not isinstance(src["type"], str):
+                raise ValueError(f"no partitionable column {src_name!r}")
+            _validate_transform(transform, src_name, src["type"])
+            fid = meta.get("last-partition-id", 999) + 1
+            fields = [{
+                "name": pname, "transform": transform,
+                "source-id": src["id"], "field-id": fid,
+            }]
+            meta["last-partition-id"] = fid
+        meta["partition-specs"] = [
+            *specs, {"spec-id": new_id, "fields": fields},
+        ]
+        meta["default-spec-id"] = new_id
+        now = _now_ms()
+        meta["last-updated-ms"] = now
+        self._write_metadata_version(
+            len(meta.get("metadata-log", [])) + 1, now
+        )
+
+    def rewrite_data_files(self) -> None:
+        """Compaction (the ``rewrite_data_files`` procedure): rewrite
+        every live file under the CURRENT partition spec in one
+        distributed job — merges small files, migrates old partition
+        generations after :meth:`update_partition_spec`, and
+        re-harvests column bounds. One overwrite snapshot; time
+        travel to pre-compaction snapshots still works."""
+        full = self.read()
+        plan = self.plan_scan()
+        self._commit_file_rewrite(full, [], plan.files, "rewrite")
 
     # -------------------------------------------- schema evolution
 
@@ -1258,70 +1331,102 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         snap_id = seq
         version = len(meta.get("metadata-log", [])) + 1
+        default_id = meta.get("default-spec-id", 0)
         spec = self.partition_spec()
         pfs = self._partition_fields(spec)
         added = self._write_data_files(new_df, seq, pfs[0] if pfs else None)
 
-        entry_schema = manifest_entry_schema([
-            {"name": pf["pname"], "field-id": sf["field-id"],
-             "type": pf["result_type"]}
-            for pf, sf in zip(pfs, spec)
-        ])
-        entries = [
-            {"status": 1, "snapshot_id": snap_id,
-             "sequence_number": None, "file_sequence_number": None,
-             "data_file": fd}
-            for fd in added
-        ] + [
-            {"status": 0,  # EXISTING: carried with original sequence
-             "snapshot_id": None,
-             "sequence_number": info.sequence_number,
-             "file_sequence_number": info.sequence_number,
-             # v1-adopted entries lack v2-only fields (content, nan
-             # counts, ...); fill spec defaults so the v2 re-encode
-             # never rejects a carried record
-             "data_file": _with_v2_defaults(info.raw)}
-            for info in carried
+        def spec_by_id(sid: int) -> list[dict]:
+            for s in meta.get("partition-specs",
+                              [{"spec-id": 0, "fields": spec}]):
+                if s.get("spec-id", 0) == sid:
+                    return s["fields"]
+            return spec
+
+        # partition evolution: a manifest holds entries of exactly
+        # ONE spec (the entry schema's partition record is fixed), so
+        # added files go to a default-spec manifest and carried files
+        # group into one manifest per originating spec id
+        manifest_groups: list[tuple[int, list[dict], list]] = [
+            (default_id, spec, [
+                {"status": 1, "snapshot_id": snap_id,
+                 "sequence_number": None, "file_sequence_number": None,
+                 "data_file": fd}
+                for fd in added
+            ]),
         ]
-        mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
-        mpath = os.path.join(self.path, mname)
-        write_ocf(
-            mpath, entry_schema, entries,
-            metadata={
-                "schema": json.dumps(self.current_schema()),
-                "schema-id": str(self.current_schema().get("schema-id", 0)),
-                "partition-spec": json.dumps(spec),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data",
-            },
-        )
+        carried_by_spec: dict[int, list[DataFileInfo]] = {}
+        for info in carried:
+            carried_by_spec.setdefault(info.spec_id, []).append(info)
+        for sid, infos in sorted(carried_by_spec.items()):
+            manifest_groups.append((sid, spec_by_id(sid), [
+                {"status": 0,  # EXISTING: carried, original sequence
+                 "snapshot_id": None,
+                 "sequence_number": info.sequence_number,
+                 "file_sequence_number": info.sequence_number,
+                 # v1-adopted entries lack v2-only fields; fill spec
+                 # defaults so the v2 re-encode never rejects them
+                 "data_file": _with_v2_defaults(info.raw)}
+                for info in infos
+            ]))
+
         added_rows = sum(f["record_count"] for f in added)
-        existing_rows = sum(i.record_count for i in carried)
-        min_seq = min([seq, *(i.sequence_number for i in carried)])
-        manifest = {
-            "manifest_path": mname,
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min_seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(added),
-            "existing_files_count": len(carried),
-            "deleted_files_count": len(deleted),
-            "added_rows_count": added_rows,
-            "existing_rows_count": existing_rows,
-            "deleted_rows_count": sum(i.record_count for i in deleted),
-            "partitions": self._partition_summaries(
-                [*added,
-                 *({"partition": i.partition} for i in carried)],
-                pfs,
-            ),
-            "key_metadata": None,
-        }
+        manifests = []
+        for sid, g_spec, entries in manifest_groups:
+            if not entries:
+                continue
+            g_pfs = self._partition_fields(g_spec)
+            entry_schema = manifest_entry_schema([
+                {"name": pf["pname"], "field-id": sf["field-id"],
+                 "type": pf["result_type"]}
+                for pf, sf in zip(g_pfs, g_spec)
+            ])
+            mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
+            mpath = os.path.join(self.path, mname)
+            write_ocf(
+                mpath, entry_schema, entries,
+                metadata={
+                    "schema": json.dumps(self.current_schema()),
+                    "schema-id": str(
+                        self.current_schema().get("schema-id", 0)
+                    ),
+                    "partition-spec": json.dumps(g_spec),
+                    "partition-spec-id": str(sid),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            is_added = entries[0]["status"] == 1
+            g_rows = sum(
+                e["data_file"]["record_count"] for e in entries
+            )
+            g_seqs = [
+                e["sequence_number"] or seq for e in entries
+            ]
+            manifests.append({
+                "manifest_path": mname,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": sid,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(g_seqs),
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries) if is_added else 0,
+                "existing_files_count": 0 if is_added else len(entries),
+                "deleted_files_count": len(deleted) if is_added else 0,
+                "added_rows_count": g_rows if is_added else 0,
+                "existing_rows_count": 0 if is_added else g_rows,
+                "deleted_rows_count": (
+                    sum(i.record_count for i in deleted)
+                    if is_added else 0
+                ),
+                "partitions": self._partition_summaries(
+                    [e["data_file"] for e in entries], g_pfs,
+                ),
+                "key_metadata": None,
+            })
         self._publish_snapshot(
-            seq, snap_id, [manifest], version,
+            seq, snap_id, manifests, version,
             summary={
                 "operation": "overwrite",
                 "trigger": op,

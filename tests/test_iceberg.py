@@ -603,3 +603,40 @@ def test_concurrent_dml_conflict_raises(spark, tmp_root):
     a.delete("id = 1")
     with pytest.raises(CommitConflict):
         b.delete("id = 2")  # stale read set: must not silently clobber
+
+
+def test_partition_evolution(spark, tmp_root):
+    """identity(k) -> bucket(4, id): both file generations keep
+    pruning under their own spec; compaction migrates everything to
+    the current layout."""
+    df0 = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(30)], "id long, k string"
+    )
+    path = os.path.join(tmp_root, "evolve_part")
+    t = IcebergTable.create(spark, path, df0, partition_by="k")
+    t.update_partition_spec("bucket(4, id)")
+    t.append(spark.createDataFrame(
+        [(i, "k9") for i in range(100, 120)], "id long, k string"))
+
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.read().count() == 50
+    # old generation still prunes on k (identity spec)
+    p_k = fresh.plan_scan(filter={"k": "k1"})
+    assert len(p_k.files) < p_k.total_files
+    assert fresh.read(filter={"k": "k1"}).count() == 10
+    # new generation prunes on id (bucket spec)
+    p_id = fresh.plan_scan(filter={"id": [105]})
+    new_gen = [f for f in p_id.files if f.spec_id != 0]
+    assert len(new_gen) <= 1
+    assert fresh.read(filter={"id": [105]}).count() == 1
+
+    # DML across mixed specs: carried files keep their spec
+    fresh.delete("id = 0")
+    assert fresh.read().count() == 49
+    # compaction rewrites everything under the current (bucket) spec
+    fresh.rewrite_data_files()
+    after = IcebergTable.load(spark, path)
+    assert after.read().count() == 49
+    assert all(f.spec_id == after.meta["default-spec-id"]
+               for f in after.plan_scan().files)
+    assert after.read(filter={"k": "k1"}).count() == 10
