@@ -103,10 +103,11 @@ def load_all() -> dict[str, QuerySpec]:
         streaming,
         text,
         tpch_extra,
+        tpch_global,
         wire,
     )
 
-    family_order = ["iceberg", "curation", "sourcefmt", "text",
+    family_order = ["tpch_global", "iceberg", "curation", "sourcefmt", "text",
                     "streaming", "tpch_extra",
                     "sketches", "wire", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
