@@ -27,9 +27,17 @@ Supported surface:
   and lower/upper bounds harvested from parquet footers;
 - read: current snapshot, time travel (``snapshot_id=`` /
   ``as_of_ms=``), three-tier pruned scan planning;
-- adopt: v1 and v2 tables written elsewhere (position/equality
-  delete files are copy-on-write territory we don't merge-on-read:
-  their presence raises, loudly, rather than returning wrong rows).
+- adopt: v1 and v2 tables written elsewhere, including tables with
+  live POSITIONAL delete files (merge-on-read): reads subtract them
+  via one ``(file_path, pos)`` anti-join against Spark's parquet
+  ``_metadata`` hidden columns. Equality delete files (Flink-CDC
+  style) are not supported and raise, loudly, rather than returning
+  wrong rows;
+- write merge-on-read: ``delete(..., mode="merge-on-read")`` /
+  ``update(..., mode="merge-on-read")`` emit positional delete files
+  instead of rewriting data — O(deleted rows) write cost vs COW's
+  O(touched files), the right trade at 100 TB for wide tables with
+  selective DML; ``rewrite_data_files`` materializes deletes away.
 """
 
 from __future__ import annotations
@@ -378,6 +386,17 @@ class DataFileInfo:
 
 
 @dataclass
+class DeleteFileInfo:
+    """A positional (content=1) delete file: parquet rows of
+    ``(file_path, pos)`` marking dead rows in data files."""
+
+    path: str
+    sequence_number: int
+    record_count: int
+    raw: dict | None = None
+
+
+@dataclass
 class ScanPlan:
     files: list[DataFileInfo]
     total_files: int
@@ -385,6 +404,7 @@ class ScanPlan:
     manifests_scanned: int
     schema: T.StructType
     snapshot_id: int
+    deletes: list[DeleteFileInfo] = field(default_factory=list)
 
     @property
     def files_skipped(self) -> int:
@@ -503,22 +523,24 @@ class IcebergTable:
             return pfs_by_id.get(m.get("partition_spec_id", 0),
                                  default_pfs)
 
-        # tier 1: manifest pruning by partition summaries
+        # tier 1: manifest pruning by partition summaries — data
+        # manifests only: a delete manifest is never pruned by the
+        # query filter (its rows may apply to data files that DO
+        # survive pruning; delete sets are small by construction)
         scanned, skipped_m = [], 0
         for m in manifests:
-            if m.get("content", 0) not in (0, None):
-                # delete manifests: presence of LIVE delete files is
-                # checked at the entry level below; an empty delete
-                # manifest is fine to scan
-                pass
             summaries = m.get("partitions")
-            if summaries and self._summary_prunes(summaries, pfs_of(m),
-                                                  filt):
+            if (
+                m.get("content", 0) in (0, None)
+                and summaries
+                and self._summary_prunes(summaries, pfs_of(m), filt)
+            ):
                 skipped_m += 1
                 continue
             scanned.append(m)
 
         files: list[DataFileInfo] = []
+        deletes: list[DeleteFileInfo] = []
         total = 0
         for m in scanned:
             pfs = pfs_of(m)
@@ -529,11 +551,27 @@ class IcebergTable:
                     continue
                 df_ = e["data_file"]
                 content = df_.get("content", 0) or 0
+                if content == 1:
+                    # positional delete file (merge-on-read): applied
+                    # row-wise by read(); NEVER pruned by the query
+                    # filter — a pruned delete would resurrect rows in
+                    # data files that survive pruning
+                    deletes.append(DeleteFileInfo(
+                        path=df_["file_path"],
+                        sequence_number=(
+                            e.get("sequence_number")
+                            or m.get("sequence_number") or 0
+                        ),
+                        record_count=df_.get("record_count", -1),
+                        raw=df_,
+                    ))
+                    continue
                 if content != 0:
                     raise NotImplementedError(
-                        f"table {self.path} has live delete files "
-                        "(merge-on-read); this engine is copy-on-write "
-                        "only — compact the table with its writer first"
+                        f"table {self.path} has live EQUALITY delete "
+                        "files; only positional merge-on-read deletes "
+                        "are supported — compact the table with its "
+                        "writer first"
                     )
                 total += 1
                 info = DataFileInfo(
@@ -560,6 +598,7 @@ class IcebergTable:
             manifests_scanned=len(scanned),
             schema=self.spark_schema(),
             snapshot_id=snap["snapshot-id"],
+            deletes=deletes,
         )
 
     def _partition_fields(self, spec: list[dict]) -> list[dict]:
@@ -675,8 +714,7 @@ class IcebergTable:
         schema = plan.schema
         if not plan.files:
             return self.spark.createDataFrame([], schema)
-        paths = [self._resolve(f.path) for f in plan.files]
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._scan_plan_df(plan)
         for col, cond in (filter or {}).items():
             if col not in df.columns:
                 continue
@@ -692,6 +730,100 @@ class IcebergTable:
                     pred = pred | F.col(col).isNull()
                 df = df.where(pred)
         return df
+
+    # merge-on-read plumbing: per-row identity is (normalized file
+    # path, ordinal row position) from Spark's parquet _metadata
+    # hidden columns — exactly the (file_path, pos) key positional
+    # delete files use, so applying deletes is one anti-join
+    _FP = "__ice_mor_fp__"
+    _POS = "__ice_mor_pos__"
+
+    def _scan_plan_df(self, plan: ScanPlan,
+                      keep_position: bool = False) -> DataFrame:
+        """DataFrame over the plan's data files with positional
+        deletes subtracted. ``keep_position`` retains the normalized
+        file-path / row-position helper columns (DML planning)."""
+        paths = [self._resolve(f.path) for f in plan.files]
+        if not plan.deletes and not keep_position:
+            return self.spark.read.schema(plan.schema).parquet(*paths)
+        df = (
+            self.spark.read.schema(plan.schema).parquet(*paths)
+            .select(
+                "*",
+                _norm_path_col(F.col("_metadata.file_path"))
+                .alias(self._FP),
+                F.col("_metadata.row_index").alias(self._POS),
+            )
+        )
+        if plan.deletes:
+            df = self._subtract_deletes(df, plan)
+        if not keep_position:
+            df = df.drop(self._FP, self._POS)
+        return df
+
+    def _path_lookup(self, plan: ScanPlan) -> DataFrame:
+        """Tiny driver-built mapping DataFrame ``(fp, mpath,
+        data_seq)``: every normalized-local-path variant of each data
+        file -> its manifest-form path string + data sequence number.
+        O(files) rows — the same metadata the plan already holds."""
+        rows = []
+        for f in plan.files:
+            resolved = self._resolve(f.path)
+            for v in {os.path.abspath(resolved),
+                      os.path.realpath(resolved)}:
+                rows.append((v, f.path, f.sequence_number))
+        return self.spark.createDataFrame(
+            rows, "fp string, mpath string, data_seq long"
+        )
+
+    def _path_variants(self, plan: ScanPlan) -> dict[str, DataFileInfo]:
+        """normalized local path variant -> DataFileInfo (driver-side
+        twin of :meth:`_path_lookup`, for touched-file planning)."""
+        out: dict[str, DataFileInfo] = {}
+        for f in plan.files:
+            resolved = self._resolve(f.path)
+            out[os.path.abspath(resolved)] = f
+            out[os.path.realpath(resolved)] = f
+        return out
+
+    def _subtract_deletes(self, df: DataFrame, plan: ScanPlan) -> DataFrame:
+        """Anti-join away positionally-deleted rows. A delete file
+        applies to a data file when delete_seq >= data_seq (the v2
+        sequence rule); matching is by the manifest-form path string,
+        which the spec requires delete rows to use verbatim. The
+        delete set broadcasts when small (the common case — delete
+        files are bounded by DML selectivity, not table size)."""
+        from functools import reduce
+
+        by_seq: dict[int, list[str]] = {}
+        for d in plan.deletes:
+            by_seq.setdefault(d.sequence_number, []).append(
+                self._resolve(d.path)
+            )
+        parts = [
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*dpaths)
+            .select("file_path", "pos", F.lit(seq).alias("delete_seq"))
+            for seq, dpaths in sorted(by_seq.items())
+        ]
+        deletes = reduce(lambda a, b: a.unionByName(b), parts)
+        lookup = self._path_lookup(plan)
+        applicable = (
+            deletes.join(F.broadcast(lookup),
+                         deletes.file_path == lookup.mpath)
+            .where(F.col("delete_seq") >= F.col("data_seq"))
+            .select("fp", "pos")
+        )
+        total_dead = sum(
+            max(d.record_count, 0) for d in plan.deletes
+        )
+        if total_dead < 5_000_000:
+            applicable = F.broadcast(applicable)
+        cond = (
+            (F.col(self._FP) == applicable["fp"])
+            & (F.col(self._POS) == applicable["pos"])
+        )
+        return df.join(applicable, cond, "left_anti")
 
     def _resolve(self, p: str) -> str:
         """Manifest paths may be absolute URIs from the environment
@@ -934,32 +1066,28 @@ class IcebergTable:
         source = source.select(*cols)
         keys = source.select(on).distinct()
 
-        by_norm = {
-            _norm_file_uri(self._resolve(f.path)):
-            (self._resolve(f.path), f)
-            for f in plan.files
-        }
-        touched: set[str] = set()
-        if by_norm:
-            target = self.spark.read.schema(schema).parquet(
-                *[p for p, _ in by_norm.values()]
-            )
-            touched = {
-                _norm_file_uri(r.f)
+        variants = self._path_variants(plan)
+        touched_mpaths: set[str] = set()
+        if plan.files:
+            target = self._scan_plan_df(plan, keep_position=True)
+            touched_mpaths = {
+                variants[r.fp].path
                 for r in target.join(F.broadcast(keys), on, "left_semi")
-                .select(F.input_file_name().alias("f"))
+                .select(F.col(self._FP).alias("fp"))
                 .distinct().collect()
             }
-        carried = [
-            info for norm, (_p, info) in by_norm.items()
-            if norm not in touched
-        ]
-        deleted = [by_norm[t][1] for t in touched]
+        carried = [f for f in plan.files
+                   if f.path not in touched_mpaths]
+        deleted = [f for f in plan.files if f.path in touched_mpaths]
 
-        if touched:
-            sub = self.spark.read.schema(schema).parquet(
-                *[by_norm[t][0] for t in sorted(touched)]
+        if deleted:
+            sub_plan = ScanPlan(
+                files=deleted, total_files=len(deleted),
+                manifests_total=0, manifests_scanned=0,
+                schema=schema, snapshot_id=plan.snapshot_id,
+                deletes=plan.deletes,
             )
+            sub = self._scan_plan_df(sub_plan)
         else:
             sub = self.spark.createDataFrame([], schema)
         t, s = sub.alias("t"), source.alias("s")
@@ -1021,9 +1149,13 @@ class IcebergTable:
             m_seq = m.get("sequence_number", 0)
             if m_seq <= lo:  # manifest predates the range entirely
                 continue
+            if (m.get("content", 0) or 0) != 0:
+                continue  # delete manifests add no rows
             _, _, entries = read_ocf(self._resolve(m["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # deleted
+                    continue
+                if (e["data_file"].get("content", 0) or 0) != 0:
                     continue
                 # status 0 (EXISTING) entries matter too: an overwrite
                 # snapshot's manifest carries files ADDED by earlier
@@ -1088,9 +1220,10 @@ class IcebergTable:
         generations after :meth:`update_partition_spec`, and
         re-harvests column bounds. One overwrite snapshot; time
         travel to pre-compaction snapshots still works."""
-        full = self.read()
+        full = self.read()  # positional deletes applied = materialized
         plan = self.plan_scan()
-        self._commit_file_rewrite(full, [], plan.files, "rewrite")
+        self._commit_file_rewrite(full, [], plan.files, "rewrite",
+                                  carry_deletes=False)
 
     # -------------------------------------------- schema evolution
 
@@ -1251,22 +1384,40 @@ class IcebergTable:
 
     # ------------------------------------------------- row-level DML
 
-    def delete(self, predicate: str) -> None:
-        """Row-level DELETE, copy-on-write at FILE granularity: one
-        scan finds the files containing matching rows
-        (``input_file_name`` — the same touched-file planning
-        Iceberg's COW DELETE does), only those files are rewritten;
-        every other live file carries into the new snapshot as an
-        EXISTING manifest entry with its original sequence number.
-        NULL predicate keeps the row (SQL DELETE semantics)."""
+    def delete(self, predicate: str,
+               mode: str = "copy-on-write") -> None:
+        """Row-level DELETE. ``copy-on-write`` (default): one scan
+        finds the files containing matching rows, only those files
+        are rewritten; every other live file carries into the new
+        snapshot as an EXISTING manifest entry with its original
+        sequence number. ``merge-on-read``: NO data file is touched —
+        matching rows' ``(file_path, pos)`` pairs land in positional
+        delete files (content=1) that every subsequent read
+        anti-joins away; write cost is O(deleted rows), not O(touched
+        files), the v2 answer to COW write amplification on wide
+        tables. NULL predicate keeps the row (SQL DELETE)."""
+        if mode == "merge-on-read":
+            self._mor_dml("delete", predicate, None)
+            return
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown DML mode {mode!r}")
         self._cow_rewrite(
             "delete", predicate,
             lambda df, pred: df.where(~pred.eqNullSafe(F.lit(True))),
         )
 
-    def update(self, assignments: dict[str, str], where: str) -> None:
-        """Row-level UPDATE ... SET, copy-on-write at file
-        granularity (see :meth:`delete` for the planning shape)."""
+    def update(self, assignments: dict[str, str], where: str,
+               mode: str = "copy-on-write") -> None:
+        """Row-level UPDATE ... SET. ``copy-on-write``: file-granular
+        rewrite (see :meth:`delete`). ``merge-on-read``: matched rows
+        are positionally deleted and their updated images appended as
+        fresh data files in the SAME snapshot — new files have new
+        paths, so the snapshot's own deletes never touch them."""
+        if mode == "merge-on-read":
+            self._mor_dml("update", where, assignments)
+            return
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown DML mode {mode!r}")
 
         def apply(df: DataFrame, pred: Column) -> DataFrame:
             cols = []
@@ -1283,50 +1434,232 @@ class IcebergTable:
 
         self._cow_rewrite("update", where, apply)
 
+    def _mor_dml(self, op: str, predicate: str,
+                 assignments: dict[str, str] | None) -> None:
+        """Shared merge-on-read DML: mine matched row positions into
+        delete files; for UPDATE additionally append the updated row
+        images. One snapshot, no data-file rewrite."""
+        plan = self.plan_scan()
+        if not plan.files:
+            return
+        pred = F.expr(predicate)
+        df = self._scan_plan_df(plan, keep_position=True)
+        matched = df.where(pred.eqNullSafe(F.lit(True)))
+        # positions must be pinned before reuse: the delete-file
+        # write and the updated-image write must see the same rows
+        matched = matched.localCheckpoint(eager=False)
+        lookup = self._path_lookup(plan)
+        dead = (
+            matched.select(F.col(self._FP).alias("fp"),
+                           F.col(self._POS).alias("pos"))
+            .join(F.broadcast(lookup), "fp")
+            .select(F.col("mpath").alias("file_path"), "pos")
+        )
+        new_df = None
+        if assignments is not None:
+            data_cols = [
+                F.expr(assignments[name]).alias(name)
+                if name in assignments else F.col(name)
+                for name in [f.name for f in plan.schema.fields]
+            ]
+            new_df = matched.select(*data_cols)
+        self._commit_mor(dead, new_df, op)
+
+    def _commit_mor(self, dead: DataFrame,
+                    new_df: DataFrame | None, op: str) -> None:
+        """Publish a merge-on-read snapshot: positional delete files
+        (+ optional fresh data files for UPDATE images) in new
+        manifests; EVERY prior manifest — data and delete — carries
+        verbatim into the new manifest list."""
+        meta = self.meta
+        seq = meta["last-sequence-number"] + 1
+        snap_id = seq
+        version = len(meta.get("metadata-log", [])) + 1
+        spec = self.partition_spec()
+        pfs = self._partition_fields(spec)
+        del_files = self._write_delete_files(dead, seq, pfs)
+        if not del_files:
+            return  # no matching rows: no new snapshot
+        entry_fields = [
+            {"name": pf["pname"], "field-id": sf["field-id"],
+             "type": pf["result_type"]}
+            for pf, sf in zip(pfs, spec)
+        ]
+        manifests = []
+        added_rows = n_added = 0
+        if new_df is not None:
+            data_files = self._write_data_files(
+                new_df, seq, pfs[0] if pfs else None
+            )
+            added_rows = sum(f["record_count"] for f in data_files)
+            n_added = len(data_files)
+            if data_files:
+                manifests.append(self._write_manifest(
+                    data_files, entry_fields, spec, pfs, seq, snap_id,
+                    content=0,
+                ))
+        manifests.append(self._write_manifest(
+            del_files, entry_fields, spec, pfs, seq, snap_id, content=1,
+        ))
+        prior = []
+        if meta["snapshots"]:
+            cur = self._snapshot(None, None)
+            _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
+        dead_rows = sum(f["record_count"] for f in del_files)
+        self._publish_snapshot(
+            seq, snap_id, [*manifests, *prior], version,
+            summary={
+                "operation": "overwrite" if new_df is not None
+                else "delete",
+                "trigger": op,
+                "mode": "merge-on-read",
+                "added-delete-files": str(len(del_files)),
+                "added-position-delete-records": str(dead_rows),
+                "added-data-files": str(n_added),
+                "added-records": str(added_rows),
+            },
+        )
+
+    def _write_manifest(self, file_dicts: list[dict],
+                        entry_fields: list[dict], spec: list[dict],
+                        pfs: list[dict], seq: int, snap_id: int,
+                        content: int) -> dict:
+        """Write one ADDED-entries manifest and return its
+        manifest-list row (``content`` 0=data, 1=deletes)."""
+        entry_schema = manifest_entry_schema(entry_fields)
+        entries = [
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": fd}
+            for fd in file_dicts
+        ]
+        mname = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        mpath = os.path.join(self.path, mname)
+        write_ocf(
+            mpath, entry_schema, entries,
+            metadata={
+                "schema": json.dumps(self.current_schema()),
+                "schema-id": str(self.current_schema().get("schema-id", 0)),
+                "partition-spec": json.dumps(spec),
+                "partition-spec-id": str(
+                    self.meta.get("default-spec-id", 0)
+                ),
+                "format-version": "2",
+                "content": "deletes" if content == 1 else "data",
+            },
+        )
+        rows = sum(f["record_count"] for f in file_dicts)
+        return {
+            "manifest_path": mname,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": self.meta.get("default-spec-id", 0),
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(file_dicts),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": (
+                self._partition_summaries(file_dicts, pfs)
+                if content == 0 else None
+            ),
+            "key_metadata": None,
+        }
+
+    def _write_delete_files(self, dead: DataFrame, seq: int,
+                            pfs: list[dict]) -> list[dict]:
+        """Distributed write of positional delete files: rows sorted
+        by (file_path, pos) within each file per the spec; partition
+        tuple is all-NULL (path-scoped global deletes)."""
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(
+            self.path, "data", f"seq{seq}-deletes-{uuid.uuid4().hex[:8]}"
+        )
+        (dead.repartition(F.col("file_path"))
+             .sortWithinPartitions("file_path", "pos")
+             .write.parquet(out_dir))
+        out = []
+        null_part = {pf["pname"]: None for pf in pfs}
+        for root, _dirs, names in sorted(os.walk(out_dir)):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                pf = pq.ParquetFile(full)
+                if pf.metadata.num_rows == 0:
+                    os.remove(full)
+                    continue
+                out.append({
+                    "content": 1,
+                    "file_path": os.path.relpath(full, self.path),
+                    "file_format": "PARQUET",
+                    "partition": dict(null_part),
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "column_sizes": None,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "nan_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "key_metadata": None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                })
+        return out
+
     def _cow_rewrite(self, op: str, predicate: str, transform) -> None:
         plan = self.plan_scan()
         if not plan.files:
             return
         pred = F.expr(predicate)
-        by_norm = {
-            _norm_file_uri(self._resolve(f.path)):
-            (self._resolve(f.path), f)
-            for f in plan.files
-        }
-        df = self.spark.read.schema(plan.schema).parquet(
-            *[p for p, _ in by_norm.values()]
-        )
-        touched = {
-            _norm_file_uri(r.f)
+        variants = self._path_variants(plan)
+        df = self._scan_plan_df(plan, keep_position=True)
+        touched_norm = {
+            r.fp
             for r in df.where(pred.eqNullSafe(F.lit(True)))
-            .select(F.input_file_name().alias("f")).distinct().collect()
+            .select(F.col(self._FP).alias("fp")).distinct().collect()
         }
-        unknown = touched - set(by_norm)
+        unknown = touched_norm - set(variants)
         if unknown:
             raise RuntimeError(
                 f"touched files not in scan plan: {sorted(unknown)[:3]}"
             )
-        if not touched:
+        if not touched_norm:
             return  # no matching rows: no new snapshot
-        rewrite_paths = [by_norm[t][0] for t in sorted(touched)]
-        carried = [
-            info for norm, (_p, info) in by_norm.items()
-            if norm not in touched
-        ]
-        deleted = [by_norm[t][1] for t in touched]
-        new_df = transform(
-            self.spark.read.schema(plan.schema).parquet(*rewrite_paths),
-            pred,
+        touched_mpaths = {variants[t].path for t in touched_norm}
+        carried = [f for f in plan.files if f.path not in touched_mpaths]
+        deleted = [f for f in plan.files if f.path in touched_mpaths]
+        # the rewrite read applies live positional deletes scoped to
+        # the touched files — a COW rewrite must never resurrect
+        # rows a prior merge-on-read DELETE removed
+        sub_plan = ScanPlan(
+            files=deleted, total_files=len(deleted),
+            manifests_total=0, manifests_scanned=0,
+            schema=plan.schema, snapshot_id=plan.snapshot_id,
+            deletes=plan.deletes,
         )
+        new_df = transform(self._scan_plan_df(sub_plan), pred)
         self._commit_file_rewrite(new_df, carried, deleted, op)
 
     def _commit_file_rewrite(self, new_df: DataFrame,
                              carried: list[DataFileInfo],
                              deleted: list[DataFileInfo],
-                             op: str) -> None:
+                             op: str,
+                             carry_deletes: bool = True) -> None:
         """Publish an overwrite snapshot: write ``new_df`` as added
         files, carry ``carried`` verbatim (EXISTING entries keeping
-        their original sequence numbers), drop ``deleted``."""
+        their original sequence numbers), drop ``deleted``. Live
+        positional-delete manifests carry verbatim too (their rows
+        still apply to carried files; entries naming dropped files
+        dangle harmlessly) unless ``carry_deletes`` is False
+        (compaction, which materializes the deletes)."""
         meta = self.meta
         seq = meta["last-sequence-number"] + 1
         snap_id = seq
@@ -1425,6 +1758,12 @@ class IcebergTable:
                 ),
                 "key_metadata": None,
             })
+        if carry_deletes and meta["snapshots"]:
+            cur = self._snapshot(None, None)
+            _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
+            manifests.extend(
+                m for m in prior if (m.get("content", 0) or 0) == 1
+            )
         self._publish_snapshot(
             seq, snap_id, manifests, version,
             summary={
@@ -1563,6 +1902,18 @@ def _norm_file_uri(p: str) -> str:
     absolute local path for set comparison."""
     p = re.sub(r"^file:(//)?", "", p)
     return os.path.realpath(urllib.parse.unquote(p))
+
+
+def _norm_path_col(c: Column) -> Column:
+    """JVM-side twin of :func:`_norm_file_uri` for
+    ``_metadata.file_path`` URIs: percent-decode (after guarding
+    literal ``+``, which url_decode would turn into a space) and
+    strip the ``file:`` scheme, yielding the plain absolute path the
+    driver-side lookups are keyed by."""
+    return F.regexp_replace(
+        F.url_decode(F.regexp_replace(c, r"\+", "%2B")),
+        "^file:/+", "/",
+    )
 
 
 def _canon(ice_type: str, v):

@@ -206,3 +206,70 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("snapshot_seq")
+
+
+def _mor_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Fresh Iceberg table with deterministic MERGE-ON-READ DML:
+    positional-delete every 10th 'F' order, then MOR-update 'P'
+    prices +500 — no data file is ever rewritten; reads subtract the
+    delete files."""
+    key = (sf_dir, "orders_mor")
+    hit = _CACHE.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg_mor_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 10 = 0",
+             mode="merge-on-read")
+    t.update({"o_totalprice": "o_totalprice + 500"},
+             "o_orderstatus = 'P'", mode="merge-on-read")
+    _CACHE[key] = t
+    return t
+
+
+@register(
+    "iceberg_mor_dml",
+    oracle="""
+    WITH state AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice + 500 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM state
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="MERGE-ON-READ row-level DML on spec Iceberg metadata: "
+        "DELETE emits positional delete files (content=1, "
+        "(file_path,pos) parquet rows) instead of rewriting data; "
+        "UPDATE stacks a second delete set plus fresh row images in "
+        "one snapshot. The read plans data + delete files from "
+        "manifests and subtracts deletes with one broadcast "
+        "anti-join on Spark's parquet _metadata (file_path, "
+        "row_index) — O(deleted rows) write cost vs COW's O(touched "
+        "files). Same oracle as iceberg_cow_dml: both modes must "
+        "converge to identical table state.",
+)
+def iceberg_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _mor_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -123,13 +123,15 @@ def test_register_table_adopts_iceberg(spark, orders_table):
     spark.catalog.dropTempView("ice_orders")
 
 
-def test_delete_files_raise(spark, tmp_root):
-    """Merge-on-read tables (live position/equality deletes) must
-    fail loudly, not silently return un-deleted rows."""
+def test_equality_delete_files_raise(spark, tmp_root):
+    """EQUALITY delete files (content=2, Flink-CDC style) are not
+    merge-on-read-able here and must fail loudly, not silently
+    return un-deleted rows. (Positional deletes ARE applied — see
+    the merge-on-read suite below.)"""
     df = spark.createDataFrame([(1,), (2,)], "id long")
-    path = os.path.join(tmp_root, "mor")
+    path = os.path.join(tmp_root, "mor_eq")
     t = IcebergTable.create(spark, path, df)
-    # forge a delete manifest entry into the existing manifest file
+    # forge an equality-delete manifest entry into the manifest file
     plan = t.plan_scan()
     meta_dir = os.path.join(path, "metadata")
     man = [f for f in os.listdir(meta_dir) if f.endswith("-m0.avro")]
@@ -138,7 +140,7 @@ def test_delete_files_raise(spark, tmp_root):
         "status": 1, "snapshot_id": 1, "sequence_number": None,
         "file_sequence_number": None,
         "data_file": {
-            "content": 1,  # position deletes
+            "content": 2,  # equality deletes
             "file_path": plan.files[0].path,
             "file_format": "PARQUET", "partition": {},
             "record_count": 1, "file_size_in_bytes": 10,
@@ -146,11 +148,11 @@ def test_delete_files_raise(spark, tmp_root):
             "null_value_counts": None, "nan_value_counts": None,
             "lower_bounds": None, "upper_bounds": None,
             "key_metadata": None, "split_offsets": None,
-            "equality_ids": None, "sort_order_id": None,
+            "equality_ids": [1], "sort_order_id": None,
         },
     }
     write_ocf(os.path.join(meta_dir, man[0]), schema, [entry])
-    with pytest.raises(NotImplementedError, match="delete files"):
+    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
         IcebergTable.load(spark, path).read()
 
 
@@ -640,3 +642,117 @@ def test_partition_evolution(spark, tmp_root):
     assert all(f.spec_id == after.meta["default-spec-id"]
                for f in after.plan_scan().files)
     assert after.read(filter={"k": "k1"}).count() == 10
+
+
+# ---------------------------------------------------- merge-on-read
+
+
+def test_mor_delete_leaves_data_files_untouched(spark, tmp_root):
+    """merge-on-read DELETE: no data file is rewritten — the snapshot
+    adds only positional delete files, reads subtract them, and time
+    travel to the pre-delete snapshot still sees every row."""
+    path = os.path.join(tmp_root, "mor_del")
+    df = spark.range(100).selectExpr("id", "id % 7 as grp")
+    t = IcebergTable.create(spark, path, df)
+    files_before = {f.path for f in t.plan_scan().files}
+    t.delete("id % 10 = 3", mode="merge-on-read")
+    plan = t.plan_scan()
+    assert {f.path for f in plan.files} == files_before  # untouched
+    assert len(plan.deletes) >= 1
+    assert t.read().count() == 90
+    assert t.read().where("id % 10 = 3").count() == 0
+    snaps = t.snapshots()
+    assert snaps[-1]["summary"]["mode"] == "merge-on-read"
+    assert t.read(snapshot_id=snaps[0]["snapshot-id"]).count() == 100
+    # no matching rows -> no new snapshot
+    n = len(t.snapshots())
+    t.delete("id = -1", mode="merge-on-read")
+    assert len(t.snapshots()) == n
+
+
+def test_mor_update_one_snapshot(spark, tmp_root):
+    """merge-on-read UPDATE: matched rows are positionally deleted
+    and their updated images appended — ONE snapshot, both visible
+    atomically, original files untouched."""
+    path = os.path.join(tmp_root, "mor_upd")
+    df = spark.range(50).selectExpr("id", "cast(id as double) as val")
+    t = IcebergTable.create(spark, path, df)
+    n_snaps = len(t.snapshots())
+    t.update({"val": "val + 1000"}, "id < 10", mode="merge-on-read")
+    assert len(t.snapshots()) == n_snaps + 1
+    got = t.read().selectExpr("sum(val) as s").collect()[0].s
+    assert got == sum(range(50)) + 10 * 1000
+    assert t.read().count() == 50
+
+
+def test_mor_stacks_and_survives_cow(spark, tmp_root):
+    """Stacked MOR deletes both apply; a later COW DML carries the
+    live delete manifests (carried files keep their deletes, touched
+    files materialize them); compaction clears all delete files."""
+    path = os.path.join(tmp_root, "mor_stack")
+    df = spark.range(100).selectExpr("id", "id % 7 as grp")
+    t = IcebergTable.create(spark, path, df)
+    t.delete("id % 10 = 3", mode="merge-on-read")
+    t.delete("id % 10 = 4", mode="merge-on-read")
+    assert t.read().count() == 80
+    t.delete("grp = 0", mode="copy-on-write")
+    expect = len([i for i in range(100)
+                  if i % 10 not in (3, 4) and i % 7 != 0])
+    assert t.read().count() == expect
+    assert len(t.plan_scan().deletes) >= 1  # carried forward
+    t.rewrite_data_files()
+    reloaded = IcebergTable.load(spark, path)
+    assert reloaded.plan_scan().deletes == []
+    assert reloaded.read().count() == expect
+
+
+def test_mor_partitioned_pruned_read_applies_deletes(spark, tmp_root):
+    """Partition-pruned reads still subtract positional deletes:
+    delete manifests are exempt from pruning, so a filtered scan of
+    one partition never resurrects rows deleted in it."""
+    path = os.path.join(tmp_root, "mor_part")
+    df = spark.range(90).selectExpr(
+        "id", "concat('k', id % 3) as k"
+    )
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.delete("k = 'k1' and id < 40", mode="merge-on-read")
+    plan = t.plan_scan(filter={"k": "k1"})
+    assert len(plan.files) < plan.total_files  # data pruned
+    assert len(plan.deletes) >= 1              # deletes kept
+    got = t.read(filter={"k": "k1"}).count()
+    assert got == len([i for i in range(90)
+                       if i % 3 == 1 and not i < 40])
+    # untouched partition unaffected
+    assert t.read(filter={"k": "k0"}).count() == 30
+
+
+def test_mor_merge_does_not_resurrect(spark, tmp_root):
+    """MERGE on a table with live positional deletes reads the
+    deletes during touched-file planning and rewrite — a MOR-deleted
+    row must not reappear via the merge's file rewrite."""
+    path = os.path.join(tmp_root, "mor_merge")
+    df = spark.range(20).selectExpr("id", "cast(0 as long) as v")
+    t = IcebergTable.create(spark, path, df)
+    t.delete("id = 5", mode="merge-on-read")
+    src = spark.createDataFrame([(6, 66), (100, 1)], "id long, v long")
+    t.merge(src, on="id", when_matched_update={"v": "s.v"})
+    out = {r.id: r.v for r in t.read().collect()}
+    assert 5 not in out          # stayed deleted
+    assert out[6] == 66          # matched update applied
+    assert out[100] == 1         # unmatched inserted
+    assert len(out) == 20        # 20 - 1 deleted + 1 inserted
+
+
+def test_mor_incremental_read_skips_delete_manifests(spark, tmp_root):
+    """Incremental consumption over a snapshot range containing MOR
+    deletes returns only genuinely ADDED data rows."""
+    path = os.path.join(tmp_root, "mor_inc")
+    t = IcebergTable.create(
+        spark, path, spark.range(10).selectExpr("id")
+    )
+    s0 = t.snapshots()[-1]["snapshot-id"]
+    t.delete("id = 1", mode="merge-on-read")
+    t.append(spark.range(100, 105).selectExpr("id"))
+    inc = t.read_incremental(s0)
+    got = sorted(r.id for r in inc.collect())
+    assert got == [100, 101, 102, 103, 104]
