@@ -387,12 +387,16 @@ class DataFileInfo:
 
 @dataclass
 class DeleteFileInfo:
-    """A positional (content=1) delete file: parquet rows of
-    ``(file_path, pos)`` marking dead rows in data files."""
+    """A delete file. ``content`` 1 = positional (parquet rows of
+    ``(file_path, pos)``, applies to data files with data_seq <=
+    delete_seq), 2 = equality (rows of the ``equality_ids`` columns,
+    applies when data_seq < delete_seq, null-safe matching)."""
 
     path: str
     sequence_number: int
     record_count: int
+    content: int = 1
+    equality_ids: list[int] | None = None
     raw: dict | None = None
 
 
@@ -551,11 +555,16 @@ class IcebergTable:
                     continue
                 df_ = e["data_file"]
                 content = df_.get("content", 0) or 0
-                if content == 1:
-                    # positional delete file (merge-on-read): applied
-                    # row-wise by read(); NEVER pruned by the query
-                    # filter — a pruned delete would resurrect rows in
-                    # data files that survive pruning
+                if content in (1, 2):
+                    # delete file (merge-on-read): applied row-wise
+                    # by read(); NEVER pruned by the query filter — a
+                    # pruned delete would resurrect rows in data
+                    # files that survive pruning
+                    if content == 2 and not df_.get("equality_ids"):
+                        raise ValueError(
+                            f"equality delete file {df_['file_path']} "
+                            "has no equality_ids"
+                        )
                     deletes.append(DeleteFileInfo(
                         path=df_["file_path"],
                         sequence_number=(
@@ -563,15 +572,15 @@ class IcebergTable:
                             or m.get("sequence_number") or 0
                         ),
                         record_count=df_.get("record_count", -1),
+                        content=content,
+                        equality_ids=df_.get("equality_ids"),
                         raw=df_,
                     ))
                     continue
                 if content != 0:
                     raise NotImplementedError(
-                        f"table {self.path} has live EQUALITY delete "
-                        "files; only positional merge-on-read deletes "
-                        "are supported — compact the table with its "
-                        "writer first"
+                        f"table {self.path} has delete files of "
+                        f"unknown content {content}"
                     )
                 total += 1
                 info = DataFileInfo(
@@ -787,43 +796,100 @@ class IcebergTable:
         return out
 
     def _subtract_deletes(self, df: DataFrame, plan: ScanPlan) -> DataFrame:
-        """Anti-join away positionally-deleted rows. A delete file
-        applies to a data file when delete_seq >= data_seq (the v2
-        sequence rule); matching is by the manifest-form path string,
-        which the spec requires delete rows to use verbatim. The
-        delete set broadcasts when small (the common case — delete
-        files are bounded by DML selectivity, not table size)."""
+        """Anti-join away merge-on-read-deleted rows. Positional
+        deletes match by (manifest-form path string, row position)
+        and apply when delete_seq >= data_seq; equality deletes
+        match null-safely on the ``equality_ids`` columns and apply
+        when data_seq < delete_seq (the v2 sequence rules). Delete
+        sets broadcast when small (the common case — they are
+        bounded by DML selectivity, not table size)."""
         from functools import reduce
 
-        by_seq: dict[int, list[str]] = {}
-        for d in plan.deletes:
-            by_seq.setdefault(d.sequence_number, []).append(
-                self._resolve(d.path)
-            )
-        parts = [
-            self.spark.read.schema("file_path string, pos long")
-            .parquet(*dpaths)
-            .select("file_path", "pos", F.lit(seq).alias("delete_seq"))
-            for seq, dpaths in sorted(by_seq.items())
-        ]
-        deletes = reduce(lambda a, b: a.unionByName(b), parts)
+        pos = [d for d in plan.deletes if d.content == 1]
+        eq = [d for d in plan.deletes if d.content == 2]
         lookup = self._path_lookup(plan)
-        applicable = (
-            deletes.join(F.broadcast(lookup),
-                         deletes.file_path == lookup.mpath)
-            .where(F.col("delete_seq") >= F.col("data_seq"))
-            .select("fp", "pos")
-        )
-        total_dead = sum(
-            max(d.record_count, 0) for d in plan.deletes
-        )
-        if total_dead < 5_000_000:
-            applicable = F.broadcast(applicable)
-        cond = (
-            (F.col(self._FP) == applicable["fp"])
-            & (F.col(self._POS) == applicable["pos"])
-        )
-        return df.join(applicable, cond, "left_anti")
+        small = sum(max(d.record_count, 0)
+                    for d in plan.deletes) < 5_000_000
+
+        if pos:
+            by_seq: dict[int, list[str]] = {}
+            for d in pos:
+                by_seq.setdefault(d.sequence_number, []).append(
+                    self._resolve(d.path)
+                )
+            parts = [
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*dpaths)
+                .select("file_path", "pos",
+                        F.lit(seq).alias("delete_seq"))
+                for seq, dpaths in sorted(by_seq.items())
+            ]
+            deletes = reduce(lambda a, b: a.unionByName(b), parts)
+            applicable = (
+                deletes.join(F.broadcast(lookup),
+                             deletes.file_path == lookup.mpath)
+                .where(F.col("delete_seq") >= F.col("data_seq"))
+                .select("fp", "pos")
+            )
+            if small:
+                applicable = F.broadcast(applicable)
+            cond = (
+                (F.col(self._FP) == applicable["fp"])
+                & (F.col(self._POS) == applicable["pos"])
+            )
+            df = df.join(applicable, cond, "left_anti")
+
+        if eq:
+            seq_col = "__ice_data_seq__"
+            df = (
+                df.join(
+                    F.broadcast(
+                        lookup.select(
+                            "fp", F.col("data_seq").alias(seq_col)
+                        )
+                    ),
+                    df[self._FP] == F.col("fp"), "left",
+                )
+                .drop("fp")
+            )
+            id_to_field = {
+                f["id"]: f for f in self.current_schema()["fields"]
+            }
+            groups: dict[tuple, dict[int, list[str]]] = {}
+            for d in eq:
+                groups.setdefault(tuple(d.equality_ids), {}) \
+                    .setdefault(d.sequence_number, []) \
+                    .append(self._resolve(d.path))
+            for ids, by_seq in sorted(groups.items()):
+                cols = [id_to_field[i]["name"] for i in ids]
+                sub_schema = T.StructType([
+                    f for f in plan.schema.fields if f.name in set(cols)
+                ])
+                parts = [
+                    self.spark.read.schema(sub_schema).parquet(*paths)
+                    .select(*cols)
+                    .withColumn("__eq_seq__", F.lit(seq))
+                    for seq, paths in sorted(by_seq.items())
+                ]
+                dels = reduce(lambda a, b: a.unionByName(b), parts)
+                ren = dels.select(
+                    *[F.col(c).alias(f"__eqd_{c}__") for c in cols],
+                    "__eq_seq__",
+                )
+                if small:
+                    ren = F.broadcast(ren)
+                match = reduce(
+                    lambda a, b: a & b,
+                    [df[c].eqNullSafe(ren[f"__eqd_{c}__"])
+                     for c in cols],
+                )
+                df = df.join(
+                    ren,
+                    match & (F.col(seq_col) < ren["__eq_seq__"]),
+                    "left_anti",
+                )
+            df = df.drop(seq_col)
+        return df
 
     def _resolve(self, p: str) -> str:
         """Manifest paths may be absolute URIs from the environment
@@ -1465,10 +1531,35 @@ class IcebergTable:
             new_df = matched.select(*data_cols)
         self._commit_mor(dead, new_df, op)
 
-    def _commit_mor(self, dead: DataFrame,
-                    new_df: DataFrame | None, op: str) -> None:
-        """Publish a merge-on-read snapshot: positional delete files
-        (+ optional fresh data files for UPDATE images) in new
+    def equality_delete(self, keys: DataFrame) -> None:
+        """Delete by key WITHOUT scanning the table: the keys land in
+        an equality delete file (content=2) that reads subtract from
+        every data file with a smaller sequence number. O(keys) write
+        cost and zero read amplification at commit time — the CDC
+        primitive for tables too large to plan a positional delete
+        against."""
+        self._commit_mor(None, None, "equality_delete", eq_keys=keys)
+
+    def upsert(self, source: DataFrame, on: str | list[str]) -> None:
+        """O(batch) upsert: equality-delete the source's key columns
+        and append the full source rows — ONE snapshot, NO table
+        scan. New data files share the snapshot's sequence number,
+        and equality deletes apply only to STRICTLY older data, so
+        the batch's own rows survive its own deletes by the spec's
+        sequencing rule (the same mechanics Flink's Iceberg CDC sink
+        relies on). Duplicate keys within one batch both land —
+        deduplicate upstream for last-writer-wins."""
+        cols = [on] if isinstance(on, str) else list(on)
+        want = [f.name for f in self.spark_schema().fields]
+        source = source.select(*want)
+        keys = source.select(*cols).distinct()
+        self._commit_mor(None, source, "upsert", eq_keys=keys)
+
+    def _commit_mor(self, dead: DataFrame | None,
+                    new_df: DataFrame | None, op: str,
+                    eq_keys: DataFrame | None = None) -> None:
+        """Publish a merge-on-read snapshot: positional and/or
+        equality delete files (+ optional fresh data files) in new
         manifests; EVERY prior manifest — data and delete — carries
         verbatim into the new manifest list."""
         meta = self.meta
@@ -1477,8 +1568,14 @@ class IcebergTable:
         version = len(meta.get("metadata-log", [])) + 1
         spec = self.partition_spec()
         pfs = self._partition_fields(spec)
-        del_files = self._write_delete_files(dead, seq, pfs)
-        if not del_files:
+        del_files = []
+        if dead is not None:
+            del_files.extend(self._write_delete_files(dead, seq, pfs))
+        if eq_keys is not None:
+            del_files.extend(
+                self._write_eq_delete_files(eq_keys, seq, pfs)
+            )
+        if not del_files and new_df is None:
             return  # no matching rows: no new snapshot
         entry_fields = [
             {"name": pf["pname"], "field-id": sf["field-id"],
@@ -1498,14 +1595,19 @@ class IcebergTable:
                     data_files, entry_fields, spec, pfs, seq, snap_id,
                     content=0,
                 ))
-        manifests.append(self._write_manifest(
-            del_files, entry_fields, spec, pfs, seq, snap_id, content=1,
-        ))
+        if del_files:
+            manifests.append(self._write_manifest(
+                del_files, entry_fields, spec, pfs, seq, snap_id,
+                content=1,
+            ))
         prior = []
         if meta["snapshots"]:
             cur = self._snapshot(None, None)
             _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
-        dead_rows = sum(f["record_count"] for f in del_files)
+        dead_rows = sum(f["record_count"] for f in del_files
+                        if f["content"] == 1)
+        eq_rows = sum(f["record_count"] for f in del_files
+                      if f["content"] == 2)
         self._publish_snapshot(
             seq, snap_id, [*manifests, *prior], version,
             summary={
@@ -1515,6 +1617,7 @@ class IcebergTable:
                 "mode": "merge-on-read",
                 "added-delete-files": str(len(del_files)),
                 "added-position-delete-records": str(dead_rows),
+                "added-equality-delete-records": str(eq_rows),
                 "added-data-files": str(n_added),
                 "added-records": str(added_rows),
             },
@@ -1610,6 +1713,59 @@ class IcebergTable:
                     "key_metadata": None,
                     "split_offsets": None,
                     "equality_ids": None,
+                    "sort_order_id": None,
+                })
+        return out
+
+    def _write_eq_delete_files(self, keys: DataFrame, seq: int,
+                               pfs: list[dict]) -> list[dict]:
+        """Write equality delete files (content=2): rows of the key
+        columns; ``equality_ids`` records their schema field ids so
+        any reader knows the match columns."""
+        import pyarrow.parquet as pq
+
+        name_to_id = {
+            f["name"]: f["id"] for f in self.current_schema()["fields"]
+        }
+        ids = []
+        for c in keys.columns:
+            if c not in name_to_id:
+                raise ValueError(
+                    f"equality-delete key {c!r} is not a table column"
+                )
+            ids.append(name_to_id[c])
+        out_dir = os.path.join(
+            self.path, "data",
+            f"seq{seq}-eqdeletes-{uuid.uuid4().hex[:8]}",
+        )
+        keys.write.parquet(out_dir)
+        out = []
+        null_part = {pf["pname"]: None for pf in pfs}
+        for root, _dirs, names in sorted(os.walk(out_dir)):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                pf = pq.ParquetFile(full)
+                if pf.metadata.num_rows == 0:
+                    os.remove(full)
+                    continue
+                out.append({
+                    "content": 2,
+                    "file_path": os.path.relpath(full, self.path),
+                    "file_format": "PARQUET",
+                    "partition": dict(null_part),
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "column_sizes": None,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "nan_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "key_metadata": None,
+                    "split_offsets": None,
+                    "equality_ids": ids,
                     "sort_order_id": None,
                 })
         return out

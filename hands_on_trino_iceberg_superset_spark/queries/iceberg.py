@@ -273,3 +273,66 @@ def iceberg_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _upsert_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Orders table upserted with a deterministic CDC batch: every
+    50th order's price zeroed and re-keyed batch of new orders —
+    committed as ONE equality-delete + append snapshot, no scan."""
+    key = (sf_dir, "orders_upsert")
+    hit = _CACHE.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg_upsert_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders)
+    batch = (
+        orders.where((F.col("o_orderkey") % 50) == 0)
+        .withColumn("o_totalprice", F.lit(0.0))
+    ).select(*orders.columns)
+    t.upsert(batch, on="o_orderkey")
+    _CACHE[key] = t
+    return t
+
+
+@register(
+    "iceberg_upsert",
+    oracle="""
+    WITH state AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 50 = 0 THEN 0.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM state
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="O(batch) CDC upsert on spec Iceberg metadata: ONE snapshot "
+        "holding an equality delete file (content=2, equality_ids = "
+        "the key column) plus the batch rows as data files — the "
+        "table is never scanned at commit time. Reads subtract the "
+        "equality deletes from strictly-older data files with a "
+        "null-safe broadcast anti-join; the batch's own rows survive "
+        "by the spec's strict sequence rule. This is the Flink-CDC "
+        "ingest shape: commit cost scales with the batch, merge cost "
+        "is deferred to reads and discharged by compaction.",
+)
+def iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _upsert_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

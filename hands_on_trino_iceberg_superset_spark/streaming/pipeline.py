@@ -362,6 +362,65 @@ def stream_append_iceberg(
     )
 
 
+def stream_upsert_iceberg(
+    stream_df: DataFrame,
+    table,
+    on: str | list[str],
+    checkpoint_dir: str,
+    tiebreak: str | None = None,
+):
+    """CDC upsert stream into a SPEC-format Iceberg table via
+    ``foreachBatch`` + :meth:`IcebergTable.upsert` — each micro-batch
+    commits ONE snapshot holding an equality delete file on the batch
+    keys plus the batch rows as data files. The table is NEVER
+    scanned at commit time (O(batch) write cost), which is what keeps
+    a 100 TB table ingestible: the merge work is deferred to reads
+    (one broadcast anti-join) and discharged by periodic
+    ``rewrite_data_files`` compaction.
+
+    Within-batch key collisions resolve by ``tiebreak`` (keep the row
+    with the max tiebreak value per key, deterministic — required for
+    idempotent crash replay); without a tiebreak, duplicate keys in
+    one batch raise rather than landing twice. Replayed batches
+    re-commit the same end state: the equality delete removes the
+    previous attempt's rows, so the upsert is naturally
+    self-converging (unlike blind append)."""
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df
+        if tiebreak is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(tiebreak),
+                *[F.desc(c) for c in b.columns if c not in keys],
+            )
+            b = (
+                b.withColumn("__rn__", F.row_number().over(w))
+                .where(F.col("__rn__") == 1).drop("__rn__")
+            )
+        else:
+            dupes = (
+                b.groupBy(*keys).count().where(F.col("count") > 1)
+            )
+            if dupes.take(1):
+                raise ValueError(
+                    "upsert batch has duplicate keys and no "
+                    "tiebreak column"
+                )
+        table.upsert(b, on=keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def dedup_event_stream(
     df: DataFrame,
     id_col: str = "event_id",

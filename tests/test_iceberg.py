@@ -123,15 +123,14 @@ def test_register_table_adopts_iceberg(spark, orders_table):
     spark.catalog.dropTempView("ice_orders")
 
 
-def test_equality_delete_files_raise(spark, tmp_root):
-    """EQUALITY delete files (content=2, Flink-CDC style) are not
-    merge-on-read-able here and must fail loudly, not silently
-    return un-deleted rows. (Positional deletes ARE applied — see
-    the merge-on-read suite below.)"""
+def test_unknown_delete_content_raises(spark, tmp_root):
+    """A delete file of unknown content id must fail loudly, not
+    silently return un-deleted rows. (Positional AND equality
+    deletes ARE applied — see the merge-on-read suite below.)"""
     df = spark.createDataFrame([(1,), (2,)], "id long")
-    path = os.path.join(tmp_root, "mor_eq")
+    path = os.path.join(tmp_root, "mor_unknown")
     t = IcebergTable.create(spark, path, df)
-    # forge an equality-delete manifest entry into the manifest file
+    # forge a future-content delete entry into the manifest file
     plan = t.plan_scan()
     meta_dir = os.path.join(path, "metadata")
     man = [f for f in os.listdir(meta_dir) if f.endswith("-m0.avro")]
@@ -140,7 +139,7 @@ def test_equality_delete_files_raise(spark, tmp_root):
         "status": 1, "snapshot_id": 1, "sequence_number": None,
         "file_sequence_number": None,
         "data_file": {
-            "content": 2,  # equality deletes
+            "content": 3,  # not a spec content id
             "file_path": plan.files[0].path,
             "file_format": "PARQUET", "partition": {},
             "record_count": 1, "file_size_in_bytes": 10,
@@ -148,11 +147,11 @@ def test_equality_delete_files_raise(spark, tmp_root):
             "null_value_counts": None, "nan_value_counts": None,
             "lower_bounds": None, "upper_bounds": None,
             "key_metadata": None, "split_offsets": None,
-            "equality_ids": [1], "sort_order_id": None,
+            "equality_ids": None, "sort_order_id": None,
         },
     }
     write_ocf(os.path.join(meta_dir, man[0]), schema, [entry])
-    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
+    with pytest.raises(NotImplementedError, match="unknown content"):
         IcebergTable.load(spark, path).read()
 
 
@@ -756,3 +755,81 @@ def test_mor_incremental_read_skips_delete_manifests(spark, tmp_root):
     inc = t.read_incremental(s0)
     got = sorted(r.id for r in inc.collect())
     assert got == [100, 101, 102, 103, 104]
+
+
+def test_equality_delete_no_scan(spark, tmp_root):
+    """equality_delete removes rows by key without planning a scan;
+    strict sequence rule: only data STRICTLY older than the delete
+    is affected, and null keys match null values null-safely."""
+    path = os.path.join(tmp_root, "eq_del")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "id long, s string"
+    )
+    t = IcebergTable.create(spark, path, df)
+    t.equality_delete(spark.createDataFrame([(2,), (None,)], "id long"))
+    got = sorted(r.s for r in t.read().collect())
+    assert got == ["a"]  # 2 gone; NULL key matched NULL id
+    # rows appended AFTER the delete are untouched (strict <)
+    t.append(spark.createDataFrame([(2, "b2")], "id long, s string"))
+    got = sorted(r.s for r in t.read().collect())
+    assert got == ["a", "b2"]
+
+
+def test_upsert_single_snapshot_no_table_scan(spark, tmp_root):
+    """upsert = equality-delete keys + append rows in ONE snapshot;
+    the batch's own rows survive its own delete (same sequence
+    number, strict < rule) and older versions of the keys vanish."""
+    path = os.path.join(tmp_root, "upsert")
+    t = IcebergTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        ),
+    )
+    n0 = len(t.snapshots())
+    t.upsert(
+        spark.createDataFrame([(2, 200), (9, 900)], "id long, v long"),
+        on="id",
+    )
+    assert len(t.snapshots()) == n0 + 1
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out == {1: 10, 2: 200, 3: 30, 9: 900}
+    # stacked upserts: later one wins for overlapping keys
+    t.upsert(
+        spark.createDataFrame([(9, 999)], "id long, v long"), on="id"
+    )
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out[9] == 999 and out[2] == 200
+    # a fresh foreign-style adoption sees the same state
+    out2 = {r.id: r.v
+            for r in IcebergTable.load(spark, path).read().collect()}
+    assert out2 == out
+    # compaction materializes equality deletes away
+    t.rewrite_data_files()
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.plan_scan().deletes == []
+    assert {r.id: r.v for r in fresh.read().collect()} == out
+
+
+def test_upsert_composite_key_and_time_travel(spark, tmp_root):
+    path = os.path.join(tmp_root, "upsert_ck")
+    t = IcebergTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 11), (2, "x", 20)],
+            "a long, b string, v long",
+        ),
+    )
+    s0 = t.snapshots()[-1]["snapshot-id"]
+    t.upsert(
+        spark.createDataFrame([(1, "y", 111)], "a long, b string, v long"),
+        on=["a", "b"],
+    )
+    out = {(r.a, r.b): r.v for r in t.read().collect()}
+    assert out == {(1, "x"): 10, (1, "y"): 111, (2, "x"): 20}
+    # time travel to pre-upsert state ignores the later delete file
+    old = {(r.a, r.b): r.v
+           for r in t.read(snapshot_id=s0).collect()}
+    assert old[(1, "y")] == 11
