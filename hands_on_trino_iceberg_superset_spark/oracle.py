@@ -95,6 +95,11 @@ def compare(
             spec.name, len(sdf), len(odf), True, False,
             detail=f"columns {sorted(sdf.columns)} != {sorted(odf.columns)}",
         )
+    if len(sdf) == 0:
+        # both empty (row counts matched above): equal by definition —
+        # empty pandas frames carry engine-side dtypes that .equals()
+        # would spuriously reject
+        return CompareResult(spec.name, 0, 0, True, True)
     a, b = _canon(sdf), _canon(odf)
     values_match = a.equals(b)
     detail = ""

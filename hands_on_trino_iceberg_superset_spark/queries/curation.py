@@ -340,3 +340,108 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' tel +1-555-010-' ||
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                     ELSE '' END AS raw
+      FROM documents
+    ), red AS (
+      SELECT source,
+             len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_email,
+             len(regexp_extract_all(raw,
+                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
+               AS n_phone,
+             len(regexp_extract_all(raw,
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                 '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(sum(n_ip) AS BIGINT) AS ips_redacted,
+           CAST(sum(length(redacted)) AS BIGINT) AS redacted_chars,
+           CAST(sum(CASE WHEN contains(redacted, '@') THEN 1 ELSE 0 END)
+                AS BIGINT) AS residual_at_signs
+    FROM red
+    GROUP BY source
+    """,
+    doc="PII scrubbing (operators/scrub.py): deterministic synthetic "
+        "PII — an email per doc, a phone every 3rd, an IPv4 every "
+        "5th, derived from doc_id so BOTH engines construct the "
+        "identical input — then portable-regex redaction "
+        "(email -> phone -> IP, email first so user@host never "
+        "half-redacts). All rules are codegen'd regexp_count/"
+        "regexp_replace projections: zero shuffle until the final "
+        "bookkeeping aggregate, the map-side shape a 100 TB scrub "
+        "pass requires. residual_at_signs gates completeness: 0 "
+        "means no email survived redaction.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.scrub import (
+        redact_pii,
+    )
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" tel +1-555-010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" host 10.0."),
+                     (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."),
+                     ((F.col("doc_id") / 256).cast("long") % 256)
+                     .cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", "source", raw.alias("raw"))
+    red = redact_pii(aug, "raw")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum("n_ip").alias("ips_redacted"),
+            F.sum(F.length("raw_redacted").cast("long"))
+            .alias("redacted_chars"),
+            F.sum(
+                F.when(F.col("raw_redacted").contains("@"), 1)
+                .otherwise(0)
+            ).alias("residual_at_signs"),
+        )
+    )
