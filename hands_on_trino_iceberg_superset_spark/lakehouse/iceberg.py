@@ -465,10 +465,22 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return self.meta.get("snapshots", [])
 
-    def _snapshot(self, snapshot_id: int | None, as_of_ms: int | None) -> dict:
+    def refs(self) -> dict[str, dict]:
+        """Named refs (Iceberg v2 ``refs`` map): branch and tag
+        pointers to snapshot ids. ``main`` tracks the current
+        snapshot automatically."""
+        return self.meta.get("refs", {})
+
+    def _snapshot(self, snapshot_id: int | None, as_of_ms: int | None,
+                  ref: str | None = None) -> dict:
         snaps = self.snapshots()
         if not snaps:
             raise ValueError(f"table {self.path} has no snapshots")
+        if ref is not None:
+            r = self.refs().get(ref)
+            if r is None:
+                raise ValueError(f"no ref {ref!r} on table {self.path}")
+            snapshot_id = r["snapshot-id"]
         if snapshot_id is not None:
             for s in snaps:
                 if s["snapshot-id"] == snapshot_id:
@@ -492,6 +504,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         filter: dict | None = None,
+        ref: str | None = None,
     ) -> ScanPlan:
         """Three-tier pruned file planning. ``filter`` maps column
         name -> value | list-of-values (IN) | (lo, hi) inclusive
@@ -500,7 +513,7 @@ class IcebergTable:
         min/max bounds. The residual predicate is re-applied row-wise
         by :meth:`read`, so pruning here only ever *skips* files that
         provably contain no matching rows."""
-        snap = self._snapshot(snapshot_id, as_of_ms)
+        snap = self._snapshot(snapshot_id, as_of_ms, ref=ref)
         ml_path = self._resolve(snap["manifest-list"])
         _, _, manifests = read_ocf(ml_path)
 
@@ -718,8 +731,9 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        plan = self.plan_scan(snapshot_id, as_of_ms, filter)
+        plan = self.plan_scan(snapshot_id, as_of_ms, filter, ref=ref)
         schema = plan.schema
         if not plan.files:
             return self.spark.createDataFrame([], schema)
@@ -1096,6 +1110,11 @@ class IcebergTable:
             *meta.get("snapshot-log", []),
             {"timestamp-ms": now, "snapshot-id": snap_id},
         ]
+        # the main branch ref tracks the current snapshot (Iceberg's
+        # own writers maintain refs.main the same way)
+        refs = dict(meta.get("refs", {}))
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
         self._write_metadata_version(version, now)
 
     def merge(
@@ -1324,6 +1343,178 @@ class IcebergTable:
         meta["last-updated-ms"] = now
         self._write_metadata_version(version, now)
 
+    # ------------------------------------------------------- refs
+
+    def _commit_refs(self, refs: dict[str, dict]) -> None:
+        meta = self.meta
+        meta["refs"] = refs
+        now = _now_ms()
+        meta["last-updated-ms"] = now
+        self._write_metadata_version(
+            len(meta.get("metadata-log", [])) + 1, now
+        )
+
+    def create_tag(self, name: str,
+                   snapshot_id: int | None = None) -> None:
+        """Named immutable pointer to a snapshot (Iceberg v2 ``refs``
+        entry, type=tag): pins the snapshot against expiry and makes
+        ``read(ref=name)`` reproducible forever — the
+        'training-data-as-of-release-X' primitive. Metadata-only
+        commit."""
+        refs = dict(self.refs())
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = (snapshot_id if snapshot_id is not None
+               else self._snapshot(None, None)["snapshot-id"])
+        self._snapshot(sid, None)  # validates existence
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        self._commit_refs(refs)
+
+    def create_branch(self, name: str,
+                      snapshot_id: int | None = None) -> None:
+        """Named movable pointer (type=branch). This engine reads
+        branches (``read(ref=...)``) and fast-forwards them; writing
+        through a spec-table branch head is intentionally out of
+        scope — :class:`~.table.VersionedTable` carries the full
+        branch-write + three-way-merge semantics."""
+        refs = dict(self.refs())
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = (snapshot_id if snapshot_id is not None
+               else self._snapshot(None, None)["snapshot-id"])
+        self._snapshot(sid, None)
+        refs[name] = {"snapshot-id": sid, "type": "branch"}
+        self._commit_refs(refs)
+
+    def fast_forward(self, name: str, snapshot_id: int) -> None:
+        """Move a branch ref ahead to ``snapshot_id``. Tags are
+        immutable and refuse."""
+        refs = dict(self.refs())
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        if refs[name]["type"] == "tag":
+            raise ValueError(f"ref {name!r} is a tag (immutable)")
+        self._snapshot(snapshot_id, None)
+        refs[name] = {**refs[name], "snapshot-id": snapshot_id}
+        self._commit_refs(refs)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch ref")
+        refs = dict(self.refs())
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        del refs[name]
+        self._commit_refs(refs)
+
+    # ---------------------------------------------- metadata tables
+
+    def metadata_table(self, kind: str) -> DataFrame:
+        """Iceberg metadata tables (``table$snapshots`` etc., the
+        surface Trino exposes over this catalog): ``snapshots``,
+        ``history``, ``manifests``, ``files``, ``partitions``,
+        ``refs`` — each a DataFrame built from the driver-side
+        planning metadata (O(files), exactly what a scan plan already
+        parses; the data files themselves are never opened)."""
+        spark = self.spark
+        if kind == "snapshots":
+            rows = [
+                (s["snapshot-id"], s.get("parent-snapshot-id"),
+                 s.get("sequence-number", 0), s["timestamp-ms"],
+                 s.get("summary", {}).get("operation"),
+                 s["manifest-list"])
+                for s in self.snapshots()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, sequence_number "
+                "long, committed_at_ms long, operation string, "
+                "manifest_list string",
+            )
+        if kind == "history":
+            cur = self._snapshot(None, None)
+            ancestors = set()
+            by_id = {s["snapshot-id"]: s for s in self.snapshots()}
+            walk = cur
+            while walk is not None:
+                ancestors.add(walk["snapshot-id"])
+                walk = by_id.get(walk.get("parent-snapshot-id"))
+            rows = [
+                (e["timestamp-ms"], e["snapshot-id"],
+                 e["snapshot-id"] in ancestors)
+                for e in self.meta.get("snapshot-log", [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "made_current_at_ms long, snapshot_id long, "
+                "is_current_ancestor boolean",
+            )
+        if kind == "refs":
+            rows = [
+                (name, r["type"], r["snapshot-id"])
+                for name, r in sorted(self.refs().items())
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
+        if kind == "manifests":
+            snap = self._snapshot(None, None)
+            _, _, manifests = read_ocf(
+                self._resolve(snap["manifest-list"])
+            )
+            rows = [
+                (m["manifest_path"], m.get("manifest_length", -1),
+                 m.get("partition_spec_id", 0),
+                 m.get("content", 0) or 0,
+                 m.get("sequence_number", 0),
+                 m.get("added_files_count", 0),
+                 m.get("existing_files_count", 0),
+                 m.get("deleted_files_count", 0),
+                 m.get("added_rows_count", 0))
+                for m in manifests
+            ]
+            return spark.createDataFrame(
+                rows,
+                "path string, length long, partition_spec_id int, "
+                "content int, sequence_number long, added_files int, "
+                "existing_files int, deleted_files int, "
+                "added_rows long",
+            )
+        if kind in ("files", "partitions"):
+            plan = self.plan_scan()
+            rows = [
+                (0, f.path, json.dumps(f.partition, default=str),
+                 f.spec_id, f.record_count, f.file_size,
+                 f.sequence_number)
+                for f in plan.files
+            ] + [
+                (d.content, d.path, None, -1, d.record_count, -1,
+                 d.sequence_number)
+                for d in plan.deletes
+            ]
+            files = spark.createDataFrame(
+                rows,
+                "content int, file_path string, partition string, "
+                "spec_id int, record_count long, "
+                "file_size_in_bytes long, sequence_number long",
+            )
+            if kind == "files":
+                return files
+            return (
+                files.where(F.col("content") == 0)
+                .groupBy("partition", "spec_id")
+                .agg(
+                    F.count(F.lit(1)).alias("file_count"),
+                    F.sum("record_count").alias("record_count"),
+                    F.sum("file_size_in_bytes")
+                    .alias("total_size_bytes"),
+                )
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}; one of snapshots/"
+            "history/refs/manifests/files/partitions"
+        )
+
     # ------------------------------------------------- maintenance
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
@@ -1338,7 +1529,11 @@ class IcebergTable:
                        key=lambda s: s["sequence-number"])
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        pinned = {r["snapshot-id"] for r in self.refs().values()}
+        expired = [s for s in snaps[:-keep_last]
+                   if s["snapshot-id"] not in pinned]
+        kept = [s for s in snaps
+                if s not in expired]
         if not expired:
             return []
 
@@ -1511,9 +1706,14 @@ class IcebergTable:
         pred = F.expr(predicate)
         df = self._scan_plan_df(plan, keep_position=True)
         matched = df.where(pred.eqNullSafe(F.lit(True)))
-        # positions must be pinned before reuse: the delete-file
-        # write and the updated-image write must see the same rows
-        matched = matched.localCheckpoint(eager=False)
+        if assignments is not None:
+            # positions must be pinned before reuse: the delete-file
+            # write and the updated-image write must see the same rows
+            matched = matched.localCheckpoint(eager=False)
+        else:
+            # DELETE needs only (fp, pos) — prune before any work so
+            # the mining scan never materializes full rows
+            matched = matched.select(self._FP, self._POS)
         lookup = self._path_lookup(plan)
         dead = (
             matched.select(F.col(self._FP).alias("fp"),

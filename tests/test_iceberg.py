@@ -833,3 +833,75 @@ def test_upsert_composite_key_and_time_travel(spark, tmp_root):
     old = {(r.a, r.b): r.v
            for r in t.read(snapshot_id=s0).collect()}
     assert old[(1, "y")] == 11
+
+
+# ------------------------------------------- refs + metadata tables
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_root):
+    """A tag makes read(ref=) reproducible and pins its snapshot
+    against expire_snapshots — the training-data-release primitive."""
+    path = os.path.join(tmp_root, "refs")
+    t = IcebergTable.create(spark, path, spark.range(10).selectExpr("id"))
+    t.create_tag("v1.0")
+    t.append(spark.range(100, 110).selectExpr("id"))
+    t.append(spark.range(200, 210).selectExpr("id"))
+    assert t.read(ref="v1.0").count() == 10
+    assert t.read(ref="main").count() == 30
+    # expiry keeps the tagged snapshot alive
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == 1  # only the untagged middle snapshot
+    assert t.read(ref="v1.0").count() == 10
+    assert t.read().count() == 30
+    # foreign adoption sees the refs
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.refs()["v1.0"]["type"] == "tag"
+    assert fresh.read(ref="v1.0").count() == 10
+    # tags are immutable; branches fast-forward
+    with pytest.raises(ValueError, match="immutable"):
+        t.fast_forward("v1.0", t.snapshots()[-1]["snapshot-id"])
+    t.create_branch("audit", t.snapshots()[0]["snapshot-id"])
+    t.fast_forward("audit", t.snapshots()[-1]["snapshot-id"])
+    assert t.read(ref="audit").count() == 30
+    t.drop_ref("audit")
+    with pytest.raises(ValueError, match="no ref"):
+        t.read(ref="audit")
+    with pytest.raises(ValueError, match="cannot drop"):
+        t.drop_ref("main")
+
+
+def test_metadata_tables(spark, tmp_root):
+    """table$snapshots/history/manifests/files/partitions/refs as
+    DataFrames — the introspection surface Trino exposes."""
+    path = os.path.join(tmp_root, "meta_tbl")
+    df = spark.range(40).selectExpr("id", "concat('k', id % 2) as k")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.delete("id = 7", mode="merge-on-read")
+
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == 2
+    ops = [r.operation for r in snaps.orderBy("sequence_number").collect()]
+    assert ops == ["append", "delete"]
+
+    hist = t.metadata_table("history")
+    assert hist.count() == 2
+    assert all(r.is_current_ancestor for r in hist.collect())
+
+    refs = {r.name: r.type for r in t.metadata_table("refs").collect()}
+    assert refs == {"main": "branch"}
+
+    mans = t.metadata_table("manifests")
+    assert mans.where("content = 1").count() == 1  # delete manifest
+
+    files = t.metadata_table("files")
+    assert files.where("content = 1").count() >= 1
+    data_rows = files.where("content = 0").count()
+    assert data_rows == len(t.plan_scan().files)
+
+    parts = {r.partition: r.record_count
+             for r in t.metadata_table("partitions").collect()}
+    assert sum(parts.values()) == 40  # record counts are pre-delete
+    assert len(parts) == 2
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_table("nope")

@@ -199,3 +199,29 @@ def test_ngram_auto_routes_to_blocked_plan(spark, sf_dir):
     inverted = D.ngram_jaccard_pairs_inverted(docs, 0.4, 2)
     inv_plan = inverted._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in inv_plan
+
+
+def test_mor_read_antijoin_is_broadcast(spark, tmp_path):
+    """Merge-on-read scan shape: the positional-delete subtraction
+    must execute as a BROADCAST anti-join (delete sets are small by
+    construction) — never a sort-merge or nested-loop join that
+    would shuffle the full data side at 100 TB."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+
+    t = IcebergTable.create(
+        spark, str(tmp_path / "mor_plan"),
+        spark.range(10_000).selectExpr("id", "id % 10 as g"),
+    )
+    t.delete("id % 97 = 0", mode="merge-on-read")
+    df = t.read()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in executed
+    assert "BroadcastHashJoin" in executed or \
+        "BroadcastExchange" in executed
+    assert "SortMergeJoin" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert df.count() == 10_000 - len(
+        [i for i in range(10_000) if i % 97 == 0]
+    )
