@@ -72,6 +72,8 @@ class Engine:
         self.spark = configure_runtime(spark) if spark else get_spark()
         self.default_schema = default_schema
         self._versioned: dict[str, object] = {}
+        #: Trino-spelled metadata-table identifier -> safe view name
+        self._meta_views: dict[str, str] = {}
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
@@ -88,6 +90,10 @@ class Engine:
         each committing a new snapshot through the copy-on-write
         :class:`lakehouse.VersionedTable` path.
         """
+        for alias, safe in self._meta_views.items():
+            for quoted in (f"`{alias}`", f'"{alias}"'):
+                if quoted in text:
+                    text = text.replace(quoted, safe)
         dml = self._resolve_versioned_dml(text)
         if dml is not None:
             return dml
@@ -190,9 +196,25 @@ class Engine:
         CURRENT state queries as ``name``, and Trino/Iceberg
         time-travel syntax (``FOR VERSION AS OF`` /
         ``FOR TIMESTAMP AS OF``) resolves against its snapshot
-        history. Re-registering refreshes the current-state view."""
+        history. Re-registering refreshes the current-state view.
+        Tables exposing ``metadata_table`` (spec Iceberg) also get
+        Trino's ``tbl$snapshots``-style introspection views,
+        refreshed on every (re-)registration so SQL DML keeps them
+        current."""
         table.read().createOrReplaceTempView(name)
         self._versioned[name] = table
+        meta_src = getattr(table, "table", table)
+        if hasattr(meta_src, "metadata_table"):
+            # Spark view names reject '$', so the Trino-spelled
+            # identifier (`tbl$snapshots` / "tbl$snapshots") is
+            # rewritten by Engine.sql onto a safe twin view
+            for kind in ("snapshots", "history", "refs", "manifests",
+                         "files", "partitions"):
+                safe = f"__meta_{name}__{kind}"
+                meta_src.metadata_table(kind).createOrReplaceTempView(
+                    safe
+                )
+                self._meta_views[f"{name}${kind}"] = safe
 
     _DML_DELETE = re.compile(
         r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
@@ -393,7 +415,14 @@ class _IcebergSqlAdapter:
         from types import SimpleNamespace
 
         plan = self.table.plan_scan()
+        if plan.deletes:
+            # merge-on-read state: manifest record counts are
+            # pre-delete (and delete entries may dangle), so the
+            # exact row count needs the subtracted read
+            rows = self.table.read().count()
+        else:
+            rows = sum(f.record_count for f in plan.files)
         return SimpleNamespace(
-            row_count=sum(f.record_count for f in plan.files),
+            row_count=rows,
             version=plan.snapshot_id,
         )

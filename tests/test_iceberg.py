@@ -905,3 +905,57 @@ def test_metadata_tables(spark, tmp_root):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         t.metadata_table("nope")
+
+
+def test_sorted_compaction_enables_bounds_pruning(spark, tmp_root):
+    """rewrite_data_files(sort_by=...) clusters the layout: before,
+    a narrow range predicate scans every file (random layout = every
+    file's bounds straddle the range); after, bounds pruning plans
+    ~1 of N files, and the sort order is recorded in metadata."""
+    path = os.path.join(tmp_root, "sorted")
+    # deliberately scrambled layout: hash-partitioned on a hash
+    df = (
+        spark.range(40_000)
+        .selectExpr("id", "id % 100 as g")
+        .repartition(4, F.col("g"))
+    )
+    t = IcebergTable.create(spark, path, df)
+    before = t.plan_scan(filter={"id": (100, 200)})
+    assert len(before.files) == before.total_files  # nothing skipped
+
+    t.rewrite_data_files(sort_by=["id"], target_files=8)
+    after = t.plan_scan(filter={"id": (100, 200)})
+    assert after.total_files == 8
+    assert len(after.files) == 1  # clustered: one file covers range
+    assert t.read(filter={"id": (100, 200)}).count() == 101
+    assert t.read().count() == 40_000
+    # sort order landed in metadata and is the default
+    fresh = IcebergTable.load(spark, path)
+    sid = fresh.meta["default-sort-order-id"]
+    order = next(o for o in fresh.meta["sort-orders"]
+                 if o["order-id"] == sid)
+    assert [f["direction"] for f in order["fields"]] == ["asc"]
+
+
+def test_sql_metadata_tables(spark, tmp_root):
+    """Trino's tbl$snapshots-style introspection through the SQL
+    surface, refreshed by SQL DML."""
+    path = os.path.join(tmp_root, "sql_meta")
+    t = IcebergTable.create(
+        spark, path, spark.range(30).selectExpr("id")
+    )
+    eng = Engine(spark)
+    eng.register_iceberg_table("mtbl", t)
+    assert eng.sql("SELECT count(*) AS n FROM `mtbl$snapshots`") \
+        .collect()[0].n == 1
+    refs = eng.sql("SELECT name, type FROM `mtbl$refs`").collect()
+    assert [(r.name, r.type) for r in refs] == [("main", "branch")]
+    # SQL DML commits a snapshot AND refreshes the $views
+    eng.sql("DELETE FROM mtbl WHERE id < 5")
+    assert eng.sql("SELECT count(*) AS n FROM `mtbl$snapshots`") \
+        .collect()[0].n == 2
+    ops = [r.operation for r in eng.sql(
+        "SELECT operation FROM `mtbl$snapshots` "
+        "ORDER BY sequence_number").collect()]
+    assert ops == ["append", "overwrite"]
+    assert eng.sql("SELECT count(*) AS n FROM mtbl").collect()[0].n == 25
