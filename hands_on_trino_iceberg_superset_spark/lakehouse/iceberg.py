@@ -1299,7 +1299,8 @@ class IcebergTable:
         )
 
     def rewrite_data_files(self, sort_by: list[str] | None = None,
-                           target_files: int | None = None) -> None:
+                           target_files: int | None = None,
+                           zorder: bool = False) -> None:
         """Compaction (the ``rewrite_data_files`` procedure): rewrite
         every live file under the CURRENT partition spec in one
         distributed job — merges small files, migrates old partition
@@ -1326,11 +1327,25 @@ class IcebergTable:
             if missing:
                 raise ValueError(f"unknown sort columns {missing}")
             n = target_files or max(1, len(plan.files))
-            full = (
-                full.repartitionByRange(n, *[F.col(c) for c in sort_by])
-                .sortWithinPartitions(*sort_by)
-            )
-            self._record_sort_order(sort_by)
+            if zorder and len(sort_by) > 1:
+                z = _zorder_column(full, sort_by)
+                full = (
+                    full.withColumn("__z__", z)
+                    .repartitionByRange(n, F.col("__z__"))
+                    .sortWithinPartitions("__z__")
+                    .drop("__z__")
+                )
+                props = dict(self.meta.get("properties", {}))
+                props["write.zorder.columns"] = ",".join(sort_by)
+                self.meta["properties"] = props
+            else:
+                full = (
+                    full.repartitionByRange(
+                        n, *[F.col(c) for c in sort_by]
+                    )
+                    .sortWithinPartitions(*sort_by)
+                )
+                self._record_sort_order(sort_by)
         self._commit_file_rewrite(full, [], plan.files, "rewrite",
                                   carry_deletes=False)
 
@@ -2295,6 +2310,48 @@ def _shift_ids(field: dict, offset: int) -> dict:
 
     out["type"] = shift_type(field["type"])
     return out
+
+
+def _zorder_column(df: DataFrame, cols: list[str],
+                   bits: int = 6) -> Column:
+    """Morton (Z-order) key over ``cols`` for multi-dimension
+    clustering: each column is quantized to ``bits`` levels via
+    approx-quantile boundaries (one driver-side pass, boundaries
+    broadcast inside the expression), then the level codes are
+    bit-interleaved with pure shiftleft/or arithmetic — the whole key
+    stays inside whole-stage codegen, no UDF. Files written in z
+    order carry tight min/max bounds on EVERY participating column,
+    so single-column range predicates prune files regardless of
+    which dimension they hit — the property plain lexicographic sort
+    only gives the leading column. 6 bits = 64 levels per dimension,
+    far finer than any realistic file count (the code comparison
+    chain is 63 codegen'd terms per column; more bits would bloat
+    the generated method for no extra file-level skipping)."""
+    levels = 1 << bits
+    codes = []
+    for c in cols:
+        qs = df.select(F.col(c).cast("double").alias("v")) \
+            .na.drop().approxQuantile(
+                "v", [i / levels for i in range(1, levels)], 0.001
+            )
+        # strictly increasing boundaries (duplicate quantiles on
+        # skewed data collapse into one bucket edge)
+        bounds = sorted(set(qs))
+        # level code = count of quantile boundaries the value exceeds
+        code = F.lit(0).cast("long")
+        for b in bounds:
+            code = code + F.when(
+                F.col(c).cast("double") > F.lit(b), 1
+            ).otherwise(0)
+        codes.append(code)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, code in enumerate(codes):
+            bit = F.shiftright(code, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(codes) + j)
+            )
+    return z
 
 
 def _norm_file_uri(p: str) -> str:

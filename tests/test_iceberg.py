@@ -959,3 +959,36 @@ def test_sql_metadata_tables(spark, tmp_root):
         "ORDER BY sequence_number").collect()]
     assert ops == ["append", "overwrite"]
     assert eng.sql("SELECT count(*) AS n FROM mtbl").collect()[0].n == 25
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_root):
+    """Z-order clustering: after rewrite_data_files(zorder=True) on
+    (x, y), a narrow range predicate on EITHER column prunes files —
+    plain lexicographic sort would only prune on the leading one."""
+    path = os.path.join(tmp_root, "zorder")
+    # 100x100 grid in random layout
+    df = (
+        spark.range(10_000)
+        .selectExpr("id % 100 as x",
+                    "cast(id / 100 as long) as y",
+                    "id as payload")
+        .repartition(8)
+    )
+    t = IcebergTable.create(spark, path, df)
+    before_x = t.plan_scan(filter={"x": (10, 15)})
+    assert len(before_x.files) == before_x.total_files  # no skipping
+
+    t.rewrite_data_files(sort_by=["x", "y"], target_files=16,
+                         zorder=True)
+    after_x = t.plan_scan(filter={"x": (10, 15)})
+    after_y = t.plan_scan(filter={"y": (10, 15)})
+    assert after_x.total_files == 16
+    # both dimensions skip the majority of files
+    assert len(after_x.files) <= 8
+    assert len(after_y.files) <= 8
+    # correctness: counts match the predicate exactly
+    assert t.read(filter={"x": (10, 15)}).count() == 6 * 100
+    assert t.read(filter={"y": (10, 15)}).count() == 6 * 100
+    assert t.read().count() == 10_000
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.meta["properties"]["write.zorder.columns"] == "x,y"
