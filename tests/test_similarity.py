@@ -188,3 +188,39 @@ def test_lsh_selectivity_fallback_routes_by_regime(spark, sf_dir: str) -> None:
                    n_chunks=5
                ).collect()}
     assert with_fb == without
+
+
+def test_pq_topk_recall_and_codes_only_scan(spark, sf_dir, tmp_path):
+    """IVF-PQ: recall >= 0.5 vs full-corpus exact top-10 (losses are
+    dominated by the coarse-cell restriction, same as plain IVF),
+    and the ADC candidate scan reads ONLY the codes column — the raw
+    vector column appears in no scan before the refine join."""
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq")
+    S.build_pq_index(emb, path, n_centroids=8, m=8)
+    q = emb.where("vec_id % 100 = 0")
+    pq = S.pq_topk(q, path, k=10, n_probe=3)
+    exact = S.cosine_topk(emb, q, k=10)
+    a = pq.select("query_id", "neighbor_id")
+    n_q = q.count()
+    overlap = a.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+    assert overlap / (10 * n_q) >= 0.5
+    # deterministic across rebuilds (seeded training, lowest-id
+    # sample): same ids out
+    ids1 = sorted(map(tuple, a.collect()))
+    ids2 = sorted(map(tuple,
+                      S.pq_topk(q, path, k=10, n_probe=3)
+                      .select("query_id", "neighbor_id").collect()))
+    assert ids1 == ids2
+    # plan gate: at least one vectors scan reads codes WITHOUT v
+    formatted = spark._jvm.PythonSQLUtils.explainString(
+        pq._jdf.queryExecution(), "formatted"
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    codes_only = [s for s in schemas if "codes" in s and "v:" not in s]
+    assert codes_only, f"no codes-only scan in {schemas}"
