@@ -982,13 +982,51 @@ class IcebergTable:
         tbl._commit_append(df)
         return tbl
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, stage_only: bool = False) -> None:
+        """Append a snapshot. ``stage_only`` implements
+        write-audit-publish (WAP): the snapshot commits to metadata
+        with its full manifest list but the table HEAD does not
+        advance — readers of the current state never see it, an
+        auditor reads it explicitly via ``read(snapshot_id=...)``,
+        and :meth:`cherry_pick` publishes it after validation. The
+        un-published data is real and durable (crash-safe), just
+        unreferenced by ``main``."""
         want = [f.name for f in self.spark_schema().fields]
         if [c for c in df.columns] != want:
             df = df.select(*want)  # raises on missing columns
-        self._commit_append(df)
+        self._commit_append(df, stage_only=stage_only)
 
-    def _commit_append(self, df: DataFrame) -> None:
+    def cherry_pick(self, snapshot_id: int) -> None:
+        """Publish a staged (WAP) snapshot: advance the head to it.
+        Safe only when its parent is still the current head — an
+        interleaved commit means the staged manifest list no longer
+        contains the head's files, so publishing would silently drop
+        them; that case raises and the batch must be re-staged."""
+        snap = self._snapshot(snapshot_id, None)
+        meta = self.meta
+        cur = meta.get("current-snapshot-id")
+        if snap.get("parent-snapshot-id") != cur:
+            raise CommitConflict(
+                f"staged snapshot {snapshot_id} was taken on parent "
+                f"{snap.get('parent-snapshot-id')}, but the head is "
+                f"now {cur}: re-stage the batch"
+            )
+        now = _now_ms()
+        meta["current-snapshot-id"] = snapshot_id
+        meta["last-updated-ms"] = now
+        meta["snapshot-log"] = [
+            *meta.get("snapshot-log", []),
+            {"timestamp-ms": now, "snapshot-id": snapshot_id},
+        ]
+        refs = dict(meta.get("refs", {}))
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        self._write_metadata_version(
+            len(meta.get("metadata-log", [])) + 1, now
+        )
+
+    def _commit_append(self, df: DataFrame,
+                       stage_only: bool = False) -> None:
         """Optimistic append: data files are written ONCE (immutable);
         on a concurrent-commit conflict only the metadata attempt is
         rebased — re-read the winner's head and re-publish the same
@@ -1002,7 +1040,8 @@ class IcebergTable:
         )
         for attempt in range(5):
             try:
-                self._try_publish_append(data_files, spec, pfs)
+                self._try_publish_append(data_files, spec, pfs,
+                                         stage_only=stage_only)
                 return
             except CommitConflict:
                 if attempt == 4:
@@ -1012,7 +1051,8 @@ class IcebergTable:
                 )
 
     def _try_publish_append(self, data_files: list[dict],
-                            spec: list[dict], pfs: list[dict]) -> None:
+                            spec: list[dict], pfs: list[dict],
+                            stage_only: bool = False) -> None:
         meta = self.meta
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, unique within the table
@@ -1068,18 +1108,22 @@ class IcebergTable:
         if meta["snapshots"]:
             cur = self._snapshot(None, None)
             _, _, prior = read_ocf(self._resolve(cur["manifest-list"]))
+        summary = {
+            "operation": "append",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(added_rows),
+        }
+        if stage_only:
+            summary["wap.staged"] = "true"
         self._publish_snapshot(
             seq, snap_id, [new_manifest, *prior], version,
-            summary={
-                "operation": "append",
-                "added-data-files": str(len(data_files)),
-                "added-records": str(added_rows),
-            },
+            summary=summary, advance_head=not stage_only,
         )
 
     def _publish_snapshot(self, seq: int, snap_id: int,
                           manifests: list[dict], version: int,
-                          summary: dict) -> None:
+                          summary: dict,
+                          advance_head: bool = True) -> None:
         meta = self.meta
         ml_name = f"metadata/snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         ml_path = os.path.join(self.path, ml_name)
@@ -1103,18 +1147,19 @@ class IcebergTable:
         if meta["snapshots"]:
             snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
         meta["snapshots"] = [*meta["snapshots"], snapshot]
-        meta["current-snapshot-id"] = snap_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now
-        meta["snapshot-log"] = [
-            *meta.get("snapshot-log", []),
-            {"timestamp-ms": now, "snapshot-id": snap_id},
-        ]
-        # the main branch ref tracks the current snapshot (Iceberg's
-        # own writers maintain refs.main the same way)
-        refs = dict(meta.get("refs", {}))
-        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
-        meta["refs"] = refs
+        if advance_head:
+            meta["current-snapshot-id"] = snap_id
+            meta["snapshot-log"] = [
+                *meta.get("snapshot-log", []),
+                {"timestamp-ms": now, "snapshot-id": snap_id},
+            ]
+            # the main branch ref tracks the current snapshot
+            # (Iceberg's own writers maintain refs.main the same way)
+            refs = dict(meta.get("refs", {}))
+            refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+            meta["refs"] = refs
         self._write_metadata_version(version, now)
 
     def merge(

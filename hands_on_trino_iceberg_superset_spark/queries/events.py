@@ -292,3 +292,82 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, CAST(1 AS INT) AS step_order,
+           count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click', 2, count(*) FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, count(*) FROM s3
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): a "
+        "user advances a step only with an event strictly AFTER "
+        "their first event of the previous step. Spark-first this is "
+        "ONE pass: a conditional min-aggregation per user computes "
+        "first_view, then first_click-after-view and first_purchase-"
+        "after-click via min(CASE) over a pre-aggregated per-user "
+        "event list — no self-joins, a single shuffle on user_id, "
+        "the shape that survives when the event log is 100 TB and "
+        "self-joining it three times is not an option.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    # one shuffle: per (user, type) first/last bounds + the ordered
+    # event times as a sorted list per user for the chained mins
+    per_user = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us")))
+            .alias("t1"),
+            F.sort_array(F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            )).alias("clicks"),
+            F.sort_array(F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            )).alias("purchases"),
+        )
+    )
+    # first click strictly after t1; first purchase strictly after t2
+    first_after = lambda arr, t: F.array_min(  # noqa: E731
+        F.filter(arr, lambda x: x > t)
+    )
+    funnel = (
+        per_user.withColumn("t2", first_after(F.col("clicks"), F.col("t1")))
+        .withColumn("t3", first_after(F.col("purchases"), F.col("t2")))
+    )
+    counts = funnel.agg(
+        F.count("t1").alias("n1"),
+        F.count(F.when(F.col("t1").isNotNull(), F.col("t2"))).alias("n2"),
+        F.count(
+            F.when(F.col("t1").isNotNull() & F.col("t2").isNotNull(),
+                   F.col("t3"))
+        ).alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', 1, n1, 'click', 2, n2, 'purchase', 3, n3) "
+        "AS (step, step_order, n_users)"
+    ).select(
+        "step", F.col("step_order").cast("int").alias("step_order"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )

@@ -992,3 +992,34 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_root):
     assert t.read().count() == 10_000
     fresh = IcebergTable.load(spark, path)
     assert fresh.meta["properties"]["write.zorder.columns"] == "x,y"
+
+
+def test_write_audit_publish(spark, tmp_root):
+    """WAP: a staged append is invisible to current-state readers,
+    auditable by snapshot id, publishable via cherry_pick — and
+    cherry_pick refuses when an interleaved commit moved the head."""
+    path = os.path.join(tmp_root, "wap")
+    t = IcebergTable.create(spark, path, spark.range(10).selectExpr("id"))
+    t.append(spark.range(100, 120).selectExpr("id"), stage_only=True)
+    staged = t.snapshots()[-1]
+    assert staged["summary"]["wap.staged"] == "true"
+    assert t.read().count() == 10                      # head unmoved
+    assert t.read(ref="main").count() == 10
+    audit = t.read(snapshot_id=staged["snapshot-id"])  # auditor view
+    assert audit.count() == 30
+    # audit passes -> publish
+    t.cherry_pick(staged["snapshot-id"])
+    assert t.read().count() == 30
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.read().count() == 30
+
+    # staleness: stage, interleave a commit, cherry-pick must refuse
+    t.append(spark.range(200, 205).selectExpr("id"), stage_only=True)
+    staged2 = t.snapshots()[-1]["snapshot-id"]
+    t.append(spark.range(300, 303).selectExpr("id"))  # interleaved
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        CommitConflict,
+    )
+    with pytest.raises(CommitConflict, match="re-stage"):
+        t.cherry_pick(staged2)
+    assert t.read().count() == 33  # 30 + 3, staged 5 still invisible
