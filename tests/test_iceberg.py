@@ -1023,3 +1023,66 @@ def test_write_audit_publish(spark, tmp_root):
     with pytest.raises(CommitConflict, match="re-stage"):
         t.cherry_pick(staged2)
     assert t.read().count() == 33  # 30 + 3, staged 5 still invisible
+
+
+def test_continuous_aggregate_incremental_refresh(spark, tmp_root):
+    """Hypertable-rollup pattern: the materialized hourly aggregate
+    refreshes from the snapshot DELTA only and equals a full
+    recompute; non-append source history refuses to refresh."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.rollup import (
+        ContinuousAggregate,
+    )
+
+    src_path = os.path.join(tmp_root, "ca_src")
+    events = spark.range(2_000).selectExpr(
+        "id",
+        "timestampadd(HOUR, cast(id % 48 as int), "
+        "timestamp'2024-01-01 00:00:00') as ts",
+        "concat('t', id % 3) as typ",
+        "cast(id % 7 as double) as v",
+    )
+    src = IcebergTable.create(spark, src_path, events)
+    dims = {"hour": "date_trunc('HOUR', ts)", "typ": "typ"}
+    aggs = {"n": ["count", "v"], "total": ["sum", "v"],
+            "vmax": ["max", "v"]}
+    ca = ContinuousAggregate.create(
+        src, os.path.join(tmp_root, "ca"), dims, aggs
+    )
+    assert ca.refresh() == 0  # nothing new
+
+    batch = spark.range(2_000, 2_500).selectExpr(
+        "id",
+        "timestampadd(HOUR, cast(id % 48 as int), "
+        "timestamp'2024-01-01 00:00:00') as ts",
+        "concat('t', id % 3) as typ",
+        "cast(id % 7 as double) as v",
+    )
+    src.append(batch)
+    assert ca.refresh() == 500  # only the delta was read
+
+    expect = (
+        src.read()
+        .selectExpr("date_trunc('HOUR', ts) as hour", "typ", "v")
+        .groupBy("hour", "typ")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("total"),
+             F.max("v").alias("vmax"))
+    )
+    got = ca.read()
+    assert got.count() == expect.count()
+    diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    assert diff == 0
+    # reload from disk: the fold state persisted
+    ca2 = ContinuousAggregate.load(spark, ca.table.path, src)
+    assert ca2.refresh() == 0
+
+    # a source DELETE poisons incremental semantics: must refuse
+    src.delete("id = 0")
+    src.append(spark.range(9_000, 9_010).selectExpr(
+        "id",
+        "timestampadd(HOUR, cast(id % 48 as int), "
+        "timestamp'2024-01-01 00:00:00') as ts",
+        "concat('t', id % 3) as typ",
+        "cast(id % 7 as double) as v",
+    ))
+    with pytest.raises(ValueError, match="rebuild"):
+        ca2.refresh()
