@@ -59,6 +59,9 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "ann_cosine_topk_ivf",
+    # PQ: rep 1 includes the one-off index build, rep 2 hits the
+    # per-sf_dir cache, so best-of-2 reports the steady-state probe
+    "ann_cosine_topk_pq",
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
