@@ -613,6 +613,14 @@ class IcebergTable:
                 if self._file_prunes(info, pfs, schema_fields, filt):
                     continue
                 files.append(info)
+        # tier 4: per-file Bloom bitsets for exact-value filters on
+        # columns with a built index (point lookups that bounds and
+        # partitioning can't prune)
+        for col, cond in filt.items():
+            want = _filter_values(cond)
+            if isinstance(want, tuple):
+                continue  # ranges are bounds' territory
+            files = self._bloom_skip(files, col, list(want))
         return ScanPlan(
             files=files,
             total_files=total,
@@ -1618,6 +1626,142 @@ class IcebergTable:
             f"unknown metadata table {kind!r}; one of snapshots/"
             "history/refs/manifests/files/partitions"
         )
+
+    # ------------------------------------------------ bloom indexes
+
+    def build_bloom_index(self, column: str, fpp: float = 0.01) -> int:
+        """Per-file Bloom filters for point lookups on a column that
+        partitioning, sort order, and min/max bounds can't help
+        (high-cardinality unclustered ids — the lookup-by-hash case).
+        One distributed pass hashes the column with ``xxhash64``
+        (JVM-side) and folds each file's hashes into a bitset sized
+        for ``fpp`` (Arrow-batched numpy); bitsets land in a sidecar
+        parquet keyed by the manifest path. ``plan_scan`` then skips
+        any file whose filter value provably isn't present — scan
+        cost proportional to MATCHING files, false positives bounded
+        by ``fpp``. Files written after the build have no bitset and
+        are never skipped (correctness over coverage); rebuild after
+        compaction. Returns the number of files indexed."""
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if column not in [f.name for f in self.spark_schema().fields]:
+            raise ValueError(f"no column {column!r}")
+        plan = self.plan_scan()
+        if not plan.files:
+            return 0
+        variants = self._path_variants(plan)
+        sizes = {
+            f.path: max(f.record_count, 1) for f in plan.files
+        }
+
+        def params(n: int) -> tuple[int, int]:
+            m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+            m = (m + 63) // 64 * 64
+            k = max(1, round(m / n * math.log(2)))
+            return m, min(k, 16)
+
+        bc_sizes = self.spark.sparkContext.broadcast(
+            {v: sizes[info.path] for v, info in variants.items()}
+        )
+        bc_paths = self.spark.sparkContext.broadcast(
+            {v: info.path for v, info in variants.items()}
+        )
+        df = (
+            self.spark.read.schema(plan.schema)
+            .parquet(*[self._resolve(f.path) for f in plan.files])
+            .select(
+                F.xxhash64(F.col(column)).alias("h"),
+                _norm_path_col(F.col("_metadata.file_path"))
+                .alias("fp"),
+            )
+        )
+        fpp_ = fpp
+
+        def fold(key, pdf):
+            import math as _m
+
+            fp = key[0]
+            n = bc_sizes.value.get(fp, len(pdf))
+            m = max(64, int(-n * _m.log(fpp_) / (_m.log(2) ** 2)))
+            m = (m + 63) // 64 * 64
+            k = max(1, min(16, round(m / n * _m.log(2))))
+            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h1 = h % np.uint64(m)
+            h2 = (h >> np.uint64(17) | h << np.uint64(47)) % np.uint64(m - 1) + np.uint64(1)
+            bits = np.zeros(m // 64, dtype=np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+            return pd.DataFrame({
+                "file_path": [bc_paths.value.get(fp, fp)],
+                "m": [m], "k": [k],
+                "bits": [bits.tobytes()],
+            })
+
+        out = df.groupBy("fp").applyInPandas(
+            fold, "file_path string, m long, k long, bits binary"
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.path, "metadata", f"bloom_{column}")
+        )
+        return len(plan.files)
+
+    def _bloom_skip(self, files: list[DataFileInfo], column: str,
+                    values: list) -> list[DataFileInfo]:
+        """Drop files whose Bloom bitset proves none of ``values`` is
+        present. No-op when no index exists; unindexed files always
+        survive."""
+        import numpy as np
+
+        bloom_dir = os.path.join(
+            self.path, "metadata", f"bloom_{column}"
+        )
+        if not os.path.isdir(bloom_dir) or not files or not values:
+            return files
+        if any(v is None for v in values):
+            return files  # NULL membership is bounds' job, not ours
+        rows = self.spark.read.parquet(bloom_dir).collect()
+        blooms = {r.file_path: (r.m, r.k, r.bits) for r in rows}
+        # hash probe values with the SAME JVM xxhash64 + column type
+        col_type = next(
+            f.dataType for f in self.spark_schema().fields
+            if f.name == column
+        )
+        hrows = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("v", col_type, True)]),
+        ).select(F.xxhash64("v").alias("h")).collect()
+        hashes = np.array([r.h for r in hrows], dtype=np.int64) \
+            .astype(np.uint64)
+
+        def maybe_contains(entry, h: np.uint64) -> bool:
+            m, k, raw = entry
+            bits = np.frombuffer(raw, dtype=np.uint64)
+            h1 = h % np.uint64(m)
+            h2 = (h >> np.uint64(17) | h << np.uint64(47)) \
+                % np.uint64(m - 1) + np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                if not (bits[int(pos) >> 6]
+                        >> np.uint64(int(pos) & 63)) & np.uint64(1):
+                    return False
+            return True
+
+        kept = []
+        for f in files:
+            entry = blooms.get(f.path)
+            if entry is None:
+                kept.append(f)  # unindexed (post-build write): keep
+                continue
+            if any(maybe_contains(entry, h) for h in hashes):
+                kept.append(f)
+        return kept
 
     # ------------------------------------------------- maintenance
 

@@ -1086,3 +1086,38 @@ def test_continuous_aggregate_incremental_refresh(spark, tmp_root):
     ))
     with pytest.raises(ValueError, match="rebuild"):
         ca2.refresh()
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_root):
+    """Per-file Bloom bitsets: a point lookup on a high-cardinality
+    UNCLUSTERED column (hash-like strings whose min/max bounds
+    overlap across every file) skips the files that provably lack
+    the value, at the configured false-positive rate."""
+    path = os.path.join(tmp_root, "bloom")
+    df = (
+        spark.range(40_000)
+        .selectExpr("id", "md5(cast(id as string)) as h")
+        .repartition(16)  # random layout: bounds overlap everywhere
+    )
+    t = IcebergTable.create(spark, path, df)
+    probe = spark.range(40_000).selectExpr(
+        "md5(cast(id as string)) as h"
+    ).where("id = 12345").collect()[0].h
+    before = t.plan_scan(filter={"h": probe})
+    assert len(before.files) == before.total_files == 16  # no help
+
+    assert t.build_bloom_index("h", fpp=0.01) == 16
+    after = t.plan_scan(filter={"h": probe})
+    # the true file + expected-bounded false positives
+    assert 1 <= len(after.files) <= 3
+    assert t.read(filter={"h": probe}).count() == 1
+    # an absent value prunes (almost) everything and reads zero rows
+    miss = t.plan_scan(filter={"h": "not-a-real-hash-value"})
+    assert len(miss.files) <= 2
+    assert t.read(filter={"h": "not-a-real-hash-value"}).count() == 0
+    # files appended AFTER the build are never bloom-skipped
+    t.append(spark.createDataFrame([(999_999, probe)], "id long, h string"))
+    again = t.plan_scan(filter={"h": probe})
+    assert t.read(filter={"h": probe}).count() == 2
+    assert any(f.path not in {x.path for x in after.files}
+               for f in again.files)
