@@ -190,7 +190,14 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.build_pq_index(emb, path, n_centroids=16, m=8)
         _PQ_CACHE[key] = path
     q = _queries(emb)
-    pq = S.pq_topk(q, path, k=10, n_probe=4)
+    # probe width is the recall/scan-fraction dial: at scale 4/16
+    # cells bounds the codes scan to a quarter of the corpus, but
+    # when cells average <~125 vectors the true top-10 spreads across
+    # more cells than 4 (measured: query 0 at the 500-vector corpus
+    # drops below 5/10 overlap at n_probe=4, recovers at 8), so tiny
+    # corpora widen to half the cells — still a codes-only scan
+    n_probe = 4 if emb.count() >= 2000 else 8
+    pq = S.pq_topk(q, path, k=10, n_probe=n_probe)
     exact = S.cosine_topk(emb, q, k=10)
     return _recall_gate(pq, exact, min_overlap=5, col="recall_ok")
 

@@ -349,3 +349,53 @@ def overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.col("promo_qty")).alias("promo_qty"),
         )
     )
+
+
+@register(
+    "returned_item_losses",
+    oracle=f"""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           n.n_name AS n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to "
+        "returned items in one quarter. The quarter predicate and "
+        "the returnflag filter both push into the fact scans before "
+        "the join; customer and nation broadcast; the top-20 "
+        "compiles to TakeOrderedAndProject (no global sort), with "
+        "c_custkey as the deterministic tiebreak.",
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = li.where(F.col("l_returnflag") == "R")
+    return (
+        returned.join(o, returned.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dbl(F.sum(_rev())).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                dbl(F.col("c_acctbal")).alias("c_acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
