@@ -230,10 +230,17 @@ def decode_bound(ice_type: str, b: bytes) -> object | None:
     if ice_type in ("int", "date"):
         return struct.unpack("<i", b)[0]
     if ice_type in ("long", "timestamp", "timestamptz", "time"):
+        # 4-byte value: bound written before an int -> long type
+        # promotion (the spec keeps old bounds as-written; readers
+        # widen)
+        if len(b) == 4:
+            return struct.unpack("<i", b)[0]
         return struct.unpack("<q", b)[0]
     if ice_type == "float":
         return struct.unpack("<f", b)[0]
     if ice_type == "double":
+        if len(b) == 4:  # pre-promotion float bound
+            return struct.unpack("<f", b)[0]
         return struct.unpack("<d", b)[0]
     if ice_type == "boolean":
         return b != b"\x00"
@@ -775,17 +782,32 @@ class IcebergTable:
         deletes subtracted. ``keep_position`` retains the normalized
         file-path / row-position helper columns (DML planning)."""
         paths = [self._resolve(f.path) for f in plan.files]
-        if not plan.deletes and not keep_position:
-            return self.spark.read.schema(plan.schema).parquet(*paths)
-        df = (
-            self.spark.read.schema(plan.schema).parquet(*paths)
-            .select(
+        # renamed columns: files written before a rename carry the
+        # old name, so the read schema includes every former name
+        # (NULL where absent) and the scan coalesces newest-first
+        # into the current column — the name-mapping read path
+        alias_of = self._read_aliases()
+        read_schema = plan.schema
+        if alias_of:
+            extra = [
+                T.StructField(old, plan.schema[cur].dataType, True)
+                for cur, olds in alias_of.items() for old in olds
+            ]
+            read_schema = T.StructType([*plan.schema.fields, *extra])
+        df = self.spark.read.schema(read_schema).parquet(*paths)
+        if plan.deletes or keep_position:
+            df = df.select(
                 "*",
                 _norm_path_col(F.col("_metadata.file_path"))
                 .alias(self._FP),
                 F.col("_metadata.row_index").alias(self._POS),
             )
-        )
+        if alias_of:
+            for cur, olds in alias_of.items():
+                df = df.withColumn(
+                    cur, F.coalesce(F.col(cur), *[F.col(o) for o in olds])
+                )
+            df = df.drop(*[o for olds in alias_of.values() for o in olds])
         if plan.deletes:
             df = self._subtract_deletes(df, plan)
         if not keep_position:
@@ -1430,30 +1452,203 @@ class IcebergTable:
         touched. Existing files lack the column and read as NULL —
         Spark's name-based parquet resolution fills missing columns,
         which matches Iceberg's id-based semantics for ADDED fields.
-        (Column RENAME is id-resolved in real Iceberg and is NOT
-        supported here — our scan resolves by name; renaming would
-        orphan old files' data. Raise rather than corrupt.)"""
-        meta = self.meta
+        A name that any field (live or dropped) has EVER used is
+        rejected: old data files still carry that column name, and a
+        fresh field id must never resurrect their values."""
         cur = self.current_schema()
         if any(f["name"] == name for f in cur["fields"]):
             raise ValueError(f"column {name!r} already exists")
+        if name in self._all_mapped_names():
+            raise ValueError(
+                f"column name {name!r} was used by a previous schema "
+                "version; existing data files still carry it, and a "
+                "new field must not inherit their values — pick a "
+                "fresh name"
+            )
         one_col, n_ids = spark_to_iceberg_schema(
             T.StructType([T.StructField(name, spark_type, True)])
         )
-        base_id = meta.get("last-column-id", 0)
+        base_id = self.meta.get("last-column-id", 0)
         new_field = _shift_ids(one_col["fields"][0], base_id)
+        self._commit_schema(
+            [*cur["fields"], new_field], bump_last_col=n_ids
+        )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME (Iceberg schema evolution): the field
+        keeps its id, bounds, and data files — only the name in the
+        current schema changes. Because this reader resolves parquet
+        columns by NAME, every former name is recorded in the spec's
+        ``schema.name-mapping.default`` table property and the scan
+        coalesces old-name columns into the current one, so files
+        written before the rename keep their values. (Real Iceberg
+        resolves by field ids embedded in the parquet schema; name
+        mapping is the spec's own fallback for id-less files, which
+        is exactly what our Spark-written parquet is.)"""
+        cur = self.current_schema()
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if old not in by_name:
+            raise ValueError(f"no column {old!r}")
+        if new in by_name:
+            raise ValueError(f"column {new!r} already exists")
+        if new in self._all_mapped_names():
+            raise ValueError(
+                f"column name {new!r} was used by a previous schema "
+                "version; reusing it would make old data files "
+                "ambiguous — pick a fresh name"
+            )
+        fid = by_name[old]["id"]
+        mapping = self._name_mapping()
+        names = mapping.setdefault(fid, [old])
+        if new not in names:
+            names.append(new)
+        self._set_name_mapping(mapping)
+        fields = [
+            {**f, "name": new} if f["id"] == fid else f
+            for f in cur["fields"]
+        ]
+        self._commit_schema(fields)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN: the field leaves the current
+        schema; data files are untouched (their column bytes become
+        dead weight until compaction rewrites them). Refused when the
+        column sources the DEFAULT partition spec (writes could no
+        longer derive partition values) or is referenced by a live
+        equality-delete file (the delete could no longer be applied
+        and deleted rows would resurface). The name stays reserved in
+        the name mapping — re-adding it would resurrect old values."""
+        cur = self.current_schema()
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if name not in by_name:
+            raise ValueError(f"no column {name!r}")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the only column")
+        fid = by_name[name]["id"]
+        for pf in self.partition_spec():
+            if pf.get("source-id") == fid:
+                raise ValueError(
+                    f"column {name!r} sources partition field "
+                    f"{pf.get('name')!r} in the default spec; evolve "
+                    "the partition spec first"
+                )
+        if self.snapshots():
+            for d in self.plan_scan().deletes:
+                if d.content == 2 and fid in (d.equality_ids or []):
+                    raise ValueError(
+                        f"column {name!r} is referenced by live "
+                        "equality-delete files; compact "
+                        "(rewrite_data_files) to materialize deletes "
+                        "first"
+                    )
+        mapping = self._name_mapping()
+        mapping.setdefault(fid, [name])  # tombstone: name stays taken
+        self._set_name_mapping(mapping)
+        self._commit_schema(
+            [f for f in cur["fields"] if f["id"] != fid]
+        )
+
+    _PROMOTIONS = {
+        ("int", "long"), ("float", "double"), ("date", "timestamp"),
+    }
+
+    def promote_column(self, name: str, new_type: str) -> None:
+        """Widening type promotion (Iceberg schema evolution):
+        int -> long, float -> double, or decimal precision growth at
+        fixed scale. Metadata-only — old files keep their narrow
+        physical type and Spark's parquet reader widens at scan time
+        (explicit read schema); old manifest bounds keep their narrow
+        byte width and :func:`decode_bound` widens on length."""
+        cur = self.current_schema()
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if name not in by_name:
+            raise ValueError(f"no column {name!r}")
+        old_t = by_name[name]["type"]
+        ok = (old_t, new_type) in self._PROMOTIONS
+        if (not ok and isinstance(old_t, str)
+                and old_t.startswith("decimal(")
+                and new_type.startswith("decimal(")):
+            (p0, s0), (p1, s1) = (
+                [int(x) for x in t[8:-1].split(",")]
+                for t in (old_t, new_type)
+            )
+            ok = s1 == s0 and p1 >= p0
+        if not ok:
+            raise ValueError(
+                f"cannot promote {name!r} from {old_t} to {new_type}; "
+                "allowed: int->long, float->double, date->timestamp, "
+                "decimal precision growth at fixed scale"
+            )
+        fields = [
+            {**f, "type": new_type} if f["name"] == name else f
+            for f in cur["fields"]
+        ]
+        self._commit_schema(fields)
+
+    def _commit_schema(self, fields: list[dict],
+                       bump_last_col: int = 0) -> None:
+        """Append a new schema version and make it current (one
+        metadata commit, no data I/O)."""
+        meta = self.meta
+        cur = self.current_schema()
         new_schema = {
             "type": "struct",
-            "schema-id": cur.get("schema-id", 0) + 1,
-            "fields": [*cur["fields"], new_field],
+            "schema-id": max(
+                s.get("schema-id", 0)
+                for s in meta.get("schemas", [cur])
+            ) + 1,
+            "fields": fields,
         }
         version = len(meta.get("metadata-log", [])) + 1
         meta["schemas"] = [*meta.get("schemas", [cur]), new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
-        meta["last-column-id"] = base_id + n_ids
+        if bump_last_col:
+            meta["last-column-id"] = (
+                meta.get("last-column-id", 0) + bump_last_col
+            )
         now = _now_ms()
         meta["last-updated-ms"] = now
         self._write_metadata_version(version, now)
+
+    # ------------------------------------------- name mapping (spec)
+
+    _NM_PROP = "schema.name-mapping.default"
+
+    def _name_mapping(self) -> dict[int, list[str]]:
+        """field id -> every name the field has had, oldest first
+        (current name last for live fields). Parsed from the spec's
+        name-mapping table property; {} when never renamed/dropped."""
+        raw = self.meta.get("properties", {}).get(self._NM_PROP)
+        if not raw:
+            return {}
+        return {
+            e["field-id"]: list(e["names"]) for e in json.loads(raw)
+        }
+
+    def _set_name_mapping(self, mapping: dict[int, list[str]]) -> None:
+        props = dict(self.meta.get("properties", {}))
+        props[self._NM_PROP] = json.dumps(
+            [{"field-id": fid, "names": names}
+             for fid, names in sorted(mapping.items())]
+        )
+        self.meta["properties"] = props
+
+    def _all_mapped_names(self) -> set[str]:
+        return {n for ns in self._name_mapping().values() for n in ns}
+
+    def _read_aliases(self) -> dict[str, list[str]]:
+        """current column name -> former names, newest first — the
+        coalesce order the scan applies so renamed columns keep their
+        pre-rename values."""
+        mapping = self._name_mapping()
+        out: dict[str, list[str]] = {}
+        for f in self.current_schema()["fields"]:
+            names = mapping.get(f["id"])
+            if names:
+                olds = [n for n in names if n != f["name"]]
+                if olds:
+                    out[f["name"]] = list(reversed(olds))
+        return out
 
     # ------------------------------------------------------- refs
 

@@ -1121,3 +1121,108 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_root):
     assert t.read(filter={"h": probe}).count() == 2
     assert any(f.path not in {x.path for x in after.files}
                for f in again.files)
+
+
+def test_schema_evolution_rename_column(spark, tmp_root):
+    """Rename keeps the field id: pre-rename files resolve through
+    the name mapping (coalesce of former names), bounds pruning
+    stays id-keyed, and DML sees the new name."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+    )
+    path = os.path.join(tmp_root, "rename")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.rename_column("v", "score")
+    fresh = IcebergTable.load(spark, path)
+    assert [f.name for f in fresh.spark_schema().fields] == \
+        ["id", "k", "score"]
+    # pre-rename file values survive under the new name
+    assert {r.id: r.score for r in fresh.read().collect()} == \
+        {1: 10.0, 2: 20.0}
+    # post-rename appends mix with pre-rename files
+    fresh.append(spark.createDataFrame(
+        [(3, "a", 30.0)], "id long, k string, score double"
+    ))
+    assert {r.id: r.score for r in fresh.read().collect()} == \
+        {1: 10.0, 2: 20.0, 3: 30.0}
+    # bounds pruning on the renamed column is id-keyed: a filter on
+    # the NEW name prunes files written under the OLD name
+    plan = fresh.plan_scan(filter={"score": (25.0, 35.0)})
+    assert len(plan.files) < plan.total_files
+    assert {r.id for r in fresh.read(filter={"score": (25.0, 35.0)})
+            .collect()} == {3}
+    # DML through the new name, including pre-rename rows
+    fresh.delete("score < 15.0")
+    assert {r.id for r in fresh.read().collect()} == {2, 3}
+    # former name is reserved forever
+    import pyspark.sql.types as T
+    with pytest.raises(ValueError, match="previous schema"):
+        fresh.add_column("v", T.DoubleType())
+    with pytest.raises(ValueError, match="previous schema"):
+        fresh.rename_column("id", "v")
+    # spec property round-trips for foreign readers
+    import json as _json
+    nm = _json.loads(
+        IcebergTable.load(spark, path).meta["properties"][
+            "schema.name-mapping.default"]
+    )
+    assert {"field-id": 3, "names": ["v", "score"]} in nm
+
+
+def test_schema_evolution_drop_column(spark, tmp_root):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+    )
+    path = os.path.join(tmp_root, "dropcol")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.drop_column("v")
+    fresh = IcebergTable.load(spark, path)
+    assert [f.name for f in fresh.spark_schema().fields] == ["id", "k"]
+    assert {r.id for r in fresh.read().collect()} == {1, 2}
+    # appends no longer need (or accept values for) the dropped column
+    fresh.append(spark.createDataFrame([(3, "a")], "id long, k string"))
+    assert fresh.read().count() == 3
+    # the name is tombstoned: re-adding would resurrect old bytes
+    import pyspark.sql.types as T
+    with pytest.raises(ValueError, match="previous schema"):
+        fresh.add_column("v", T.DoubleType())
+    # partition-source columns refuse to drop
+    with pytest.raises(ValueError, match="partition"):
+        fresh.drop_column("k")
+
+
+def test_schema_evolution_promote_column(spark, tmp_root):
+    """int -> long promotion: old narrow files widen at scan time,
+    old 4-byte manifest bounds decode by length, and post-promotion
+    appends hold values beyond int range."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]),
+    )
+    path = os.path.join(tmp_root, "promote")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    assert t.current_schema()["fields"][2]["type"] == "int"
+    t.promote_column("n", "long")
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.spark_schema()["n"].dataType == T.LongType()
+    big = 2**40
+    fresh.append(spark.createDataFrame(
+        [(3, "a", big)], "id long, k string, n long"
+    ))
+    assert {r.n for r in fresh.read().collect()} == {100, 200, big}
+    # bounds pruning across mixed 4-byte (pre) and 8-byte (post)
+    # manifest bounds: the narrow-range filter keeps only old files
+    plan = fresh.plan_scan(filter={"n": (150, 250)})
+    assert len(plan.files) < plan.total_files
+    assert {r.id for r in fresh.read(filter={"n": (150, 250)})
+            .collect()} == {2}
+    with pytest.raises(ValueError, match="cannot promote"):
+        fresh.promote_column("n", "int")
+    with pytest.raises(ValueError, match="cannot promote"):
+        fresh.promote_column("k", "long")
