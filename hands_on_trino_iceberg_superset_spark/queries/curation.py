@@ -445,3 +445,62 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_at_signs"),
         )
     )
+
+
+@register(
+    "training_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT source, n_chars,
+             CAST(CAST(concat('0x', substr(
+               md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               AS BIGINT) AS h60
+      FROM documents
+    ), s AS (
+      SELECT *, h60 >> 57 AS shard FROM h
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(h60) AS min_h,
+           max(h60) AS max_h
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Deterministic global shuffle + sharding for training-data "
+        "ordering: each document gets a 60-bit md5 position, shards "
+        "are FIXED hash ranges (top 3 bits — no sampling pass, no "
+        "RNG state, identical shard assignment on every run and "
+        "engine), and the plan REALLY performs the shuffle "
+        "(repartition on shard + sort within partition by position "
+        "— the exact write pattern of a tokenizer-feed job, where "
+        "each shard lands as one ordered output file). A uniform "
+        "hash makes fixed ranges balanced at any corpus size, which "
+        "is what removes the repartitionByRange sampling job a 100 "
+        "TB shuffle cannot afford. Per-shard min/max positions "
+        "verify the ranges are disjoint and ordered.",
+)
+def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    sharded = (
+        docs.select("source", "n_chars", h60.alias("h60"))
+        .withColumn("shard", F.shiftright("h60", 57))
+        .repartition(8, "shard")
+        .sortWithinPartitions("h60")
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("h60").alias("min_h"),
+            F.max("h60").alias("max_h"),
+        )
+        .orderBy("shard")
+    )

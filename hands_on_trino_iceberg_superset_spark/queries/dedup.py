@@ -356,3 +356,67 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT fp FROM f WHERE doc_id % 10 < 8
+    ), batch AS (
+      SELECT doc_id, source, fp FROM f WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, source, fp FROM f WHERE doc_id % 50 = 0
+    )
+    SELECT source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN EXISTS
+             (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN EXISTS
+             (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           TRUE AS bloom_sound
+    FROM batch b
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Cross-batch incremental dedup (continuous-ingestion shape): "
+        "an ingest batch — genuinely new documents plus a simulated "
+        "re-crawl of every 50th corpus document — is marked against "
+        "the existing corpus WITHOUT shuffling it: a distributed-"
+        "built broadcast Bloom filter over corpus fingerprints "
+        "clears definitely-new rows map-side (no false negatives), "
+        "and only the surviving candidates are exact-verified with "
+        "the candidate set broadcast as the join's build side. "
+        "bloom_sound asserts the no-false-negative invariant "
+        "(is_dup implies bloom_candidate) per source.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "source",
+        D.normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    corpus = f.where(F.col("doc_id") % 10 < 8).select("fp")
+    recrawl = (
+        f.where(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    batch = f.where(F.col("doc_id") % 10 >= 8).unionByName(recrawl)
+    marked = D.incremental_exact_mark(corpus, batch, fp_col="fp")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.sum((~F.col("is_dup")).cast("long")).alias("n_kept"),
+            F.every(~F.col("is_dup") | F.col("bloom_candidate"))
+            .alias("bloom_sound"),
+        )
+        .orderBy("source")
+    )

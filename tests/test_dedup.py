@@ -311,3 +311,27 @@ def test_ngram_auto_routes_by_postings_volume(spark, sf_dir: str) -> None:
         for r in D.ngram_jaccard_pairs_auto(sparse, 0.9, 2).collect()
     }
     assert got == {(7, 1000)}  # the planted exact-duplicate pair
+
+
+def test_incremental_exact_mark_invariants(spark) -> None:
+    """Bloom tier has no false negatives (every true dup is a
+    candidate), the exact tier has no false positives, and
+    definitely-new rows skip the verify join."""
+    corpus = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(500)], ["fp"]
+    )
+    batch = spark.createDataFrame(
+        # 20 true dups of the corpus + 480 genuinely new
+        [(i, f"fp{i}") for i in range(20)]
+        + [(1000 + i, f"new{i}") for i in range(480)],
+        ["row_id", "fp"],
+    )
+    marked = D.incremental_exact_mark(corpus, batch, fp_col="fp").collect()
+    dups = {r.row_id for r in marked if r.is_dup}
+    assert dups == set(range(20))
+    # no false negatives: is_dup implies bloom_candidate
+    assert all(r.bloom_candidate for r in marked if r.is_dup)
+    # at fpp=1% over 480 new rows, candidates stay close to the true
+    # dup count (generous bound: < 20 + 30 false positives)
+    n_cand = sum(1 for r in marked if r.bloom_candidate)
+    assert 20 <= n_cand < 50
