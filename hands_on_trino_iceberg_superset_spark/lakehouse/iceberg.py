@@ -1153,8 +1153,19 @@ class IcebergTable:
     def _publish_snapshot(self, seq: int, snap_id: int,
                           manifests: list[dict], version: int,
                           summary: dict,
-                          advance_head: bool = True) -> None:
+                          advance_head: bool = True,
+                          properties: dict | None = None) -> None:
+        """``properties`` merge into the table properties within the
+        SAME metadata commit as the snapshot — the seam that lets a
+        caller (e.g. the continuous-aggregate refresh) make "data
+        fold + progress pointer" atomic instead of two commits with
+        a double-fold window between them."""
         meta = self.meta
+        if properties:
+            meta["properties"] = {
+                **meta.get("properties", {}),
+                **{k: str(v) for k, v in properties.items()},
+            }
         ml_name = f"metadata/snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         ml_path = os.path.join(self.path, ml_name)
         write_ocf(
@@ -2451,7 +2462,8 @@ class IcebergTable:
                              carried: list[DataFileInfo],
                              deleted: list[DataFileInfo],
                              op: str,
-                             carry_deletes: bool = True) -> None:
+                             carry_deletes: bool = True,
+                             properties: dict | None = None) -> None:
         """Publish an overwrite snapshot: write ``new_df`` as added
         files, carry ``carried`` verbatim (EXISTING entries keeping
         their original sequence numbers), drop ``deleted``. Live
@@ -2572,6 +2584,7 @@ class IcebergTable:
                 "deleted-data-files": str(len(deleted)),
                 "added-records": str(added_rows),
             },
+            properties=properties,
         )
 
     def _write_data_files(self, df: DataFrame, seq: int,

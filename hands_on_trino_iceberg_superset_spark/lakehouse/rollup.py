@@ -125,11 +125,17 @@ class ContinuousAggregate:
         head = self.source._snapshot(None, None)["snapshot-id"]
         if head == last:
             return 0
+        last_seq = [x["sequence-number"] for x in self.source.snapshots()
+                    if x["snapshot-id"] == last]
+        if not last_seq:
+            raise ValueError(
+                f"last folded source snapshot {last} has been expired "
+                "from the source; the delta range is gone — rebuild "
+                "the rollup"
+            )
         retracts = [
             s for s in self.source.snapshots()
-            if s["sequence-number"] >
-            next(x["sequence-number"] for x in self.source.snapshots()
-                 if x["snapshot-id"] == last)
+            if s["sequence-number"] > last_seq[0]
             and s.get("summary", {}).get("operation") != "append"
         ]
         if retracts:
@@ -166,12 +172,16 @@ class ContinuousAggregate:
             ])
         )
         # the rollup is group-cardinality-sized: a full rewrite is
-        # the cheap side of this trade (the SOURCE is never rescanned)
+        # the cheap side of this trade (the SOURCE is never rescanned).
+        # The progress pointer advances in the SAME metadata commit as
+        # the fold — two commits would leave a crash window in which
+        # the delta is folded but not recorded, and the next refresh
+        # would fold it AGAIN (doubled counts)
         self.table._commit_file_rewrite(
             merged, [], self.table.plan_scan().files, "rollup-refresh",
             carry_deletes=False,
+            properties={self.PROP_SNAP: str(head)},
         )
-        self._advance(head)
         return n
 
     def _advance(self, head: int) -> None:

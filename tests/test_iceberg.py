@@ -1058,7 +1058,22 @@ def test_continuous_aggregate_incremental_refresh(spark, tmp_root):
         "cast(id % 7 as double) as v",
     )
     src.append(batch)
+    import glob as _glob
+
+    def _n_meta_files():
+        return len(_glob.glob(
+            os.path.join(ca.table.path, "metadata", "v*.metadata.json")
+        ))
+
+    versions_before = _n_meta_files()
     assert ca.refresh() == 500  # only the delta was read
+    # fold + progress pointer land in ONE metadata commit: a crash
+    # between two commits would double-fold the delta on retry
+    assert _n_meta_files() == versions_before + 1
+    fresh_meta = IcebergTable.load(spark, ca.table.path).meta
+    assert fresh_meta["properties"][ca.PROP_SNAP] == str(
+        src._snapshot(None, None)["snapshot-id"]
+    )
 
     expect = (
         src.read()
