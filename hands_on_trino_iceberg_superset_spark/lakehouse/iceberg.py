@@ -899,20 +899,57 @@ class IcebergTable:
             id_to_field = {
                 f["id"]: f for f in self.current_schema()["fields"]
             }
+            alias_of = self._read_aliases()
             groups: dict[tuple, dict[int, list[str]]] = {}
             for d in eq:
                 groups.setdefault(tuple(d.equality_ids), {}) \
                     .setdefault(d.sequence_number, []) \
                     .append(self._resolve(d.path))
             for ids, by_seq in sorted(groups.items()):
+                missing = [i for i in ids if i not in id_to_field]
+                if missing:
+                    # time travel to a snapshot whose equality
+                    # deletes key on a since-dropped column: the
+                    # current schema cannot express the match.
+                    # drop_column guards the CURRENT snapshot; this
+                    # guards historical ones with a clear error
+                    # instead of a KeyError
+                    raise ValueError(
+                        "equality-delete files key on dropped "
+                        f"field id(s) {missing}; this snapshot can "
+                        "only be read with its historical schema, "
+                        "which is not supported"
+                    )
                 cols = [id_to_field[i]["name"] for i in ids]
-                sub_schema = T.StructType([
+                # delete files written before a rename carry the old
+                # column name: read every former name too and
+                # coalesce, exactly like the data-file scan — an
+                # old-name delete read under the new name alone would
+                # be all-NULL and eqNullSafe would wrongly delete
+                # NULL-keyed data rows
+                sub_fields = [
                     f for f in plan.schema.fields if f.name in set(cols)
+                ]
+                sub_schema = T.StructType([
+                    *sub_fields,
+                    *[T.StructField(o, plan.schema[c].dataType, True)
+                      for c in cols for o in alias_of.get(c, [])],
                 ])
+
+                def read_one(seq: int, paths: list[str]):
+                    p = self.spark.read.schema(sub_schema) \
+                        .parquet(*paths)
+                    for c in cols:
+                        olds = alias_of.get(c, [])
+                        if olds:
+                            p = p.withColumn(c, F.coalesce(
+                                F.col(c), *[F.col(o) for o in olds]
+                            ))
+                    return (p.select(*cols)
+                            .withColumn("__eq_seq__", F.lit(seq)))
+
                 parts = [
-                    self.spark.read.schema(sub_schema).parquet(*paths)
-                    .select(*cols)
-                    .withColumn("__eq_seq__", F.lit(seq))
+                    read_one(seq, paths)
                     for seq, paths in sorted(by_seq.items())
                 ]
                 dels = reduce(lambda a, b: a.unionByName(b), parts)
@@ -1509,6 +1546,11 @@ class IcebergTable:
                 "ambiguous — pick a fresh name"
             )
         fid = by_name[old]["id"]
+        # live equality-delete files carry the pre-rename column
+        # name; the scan handles that (it reads every former name
+        # and coalesces, same as for data files), so no guard is
+        # needed here — unlike drop, where the match becomes
+        # inexpressible
         mapping = self._name_mapping()
         names = mapping.setdefault(fid, [old])
         if new not in names:
@@ -1559,9 +1601,12 @@ class IcebergTable:
             [f for f in cur["fields"] if f["id"] != fid]
         )
 
-    _PROMOTIONS = {
-        ("int", "long"), ("float", "double"), ("date", "timestamp"),
-    }
+    # the v2 spec's widening set. date->timestamp is NOT here even
+    # though Spark can widen the physical read: date bounds are
+    # epoch DAYS and timestamp bounds epoch MICROS, so old manifest
+    # bounds would compare against micros-canonicalized filters and
+    # silently prune every pre-promotion file
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
 
     def promote_column(self, name: str, new_type: str) -> None:
         """Widening type promotion (Iceberg schema evolution):
@@ -1569,7 +1614,11 @@ class IcebergTable:
         fixed scale. Metadata-only — old files keep their narrow
         physical type and Spark's parquet reader widens at scan time
         (explicit read schema); old manifest bounds keep their narrow
-        byte width and :func:`decode_bound` widens on length."""
+        byte width and :func:`decode_bound` widens on length. Any
+        Bloom sidecar on the column is dropped: xxhash64 is
+        type-sensitive (hash of 7-as-int != 7-as-long), so bitsets
+        built under the old type would reject every probe and
+        silently skip files — rebuild the index after promoting."""
         cur = self.current_schema()
         by_name = {f["name"]: f for f in cur["fields"]}
         if name not in by_name:
@@ -1587,13 +1636,18 @@ class IcebergTable:
         if not ok:
             raise ValueError(
                 f"cannot promote {name!r} from {old_t} to {new_type}; "
-                "allowed: int->long, float->double, date->timestamp, "
+                "allowed: int->long, float->double, "
                 "decimal precision growth at fixed scale"
             )
         fields = [
             {**f, "type": new_type} if f["name"] == name else f
             for f in cur["fields"]
         ]
+        bloom_dir = os.path.join(self.path, "metadata", f"bloom_{name}")
+        if os.path.isdir(bloom_dir):
+            import shutil
+
+            shutil.rmtree(bloom_dir)
         self._commit_schema(fields)
 
     def _commit_schema(self, fields: list[dict],
@@ -1848,10 +1902,13 @@ class IcebergTable:
         by ``fpp``. Files written after the build have no bitset and
         are never skipped (correctness over coverage); rebuild after
         compaction. Returns the number of files indexed."""
-        import math
-
         import numpy as np
         import pandas as pd
+
+        from hands_on_trino_iceberg_superset_spark.bloom import (
+            bloom_params,
+            fold_hashes,
+        )
 
         if column not in [f.name for f in self.spark_schema().fields]:
             raise ValueError(f"no column {column!r}")
@@ -1863,23 +1920,33 @@ class IcebergTable:
             f.path: max(f.record_count, 1) for f in plan.files
         }
 
-        def params(n: int) -> tuple[int, int]:
-            m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-            m = (m + 63) // 64 * 64
-            k = max(1, round(m / n * math.log(2)))
-            return m, min(k, 16)
-
         bc_sizes = self.spark.sparkContext.broadcast(
             {v: sizes[info.path] for v, info in variants.items()}
         )
         bc_paths = self.spark.sparkContext.broadcast(
             {v: info.path for v, info in variants.items()}
         )
+        # renamed columns: hash the coalesce of every former name,
+        # like the scan does — hashing the current name alone would
+        # fold NULL for pre-rename files and their bitsets would
+        # wrongly skip real values
+        olds = self._read_aliases().get(column, [])
+        read_schema = plan.schema
+        if olds:
+            read_schema = T.StructType([
+                *plan.schema.fields,
+                *[T.StructField(o, plan.schema[column].dataType, True)
+                  for o in olds],
+            ])
+        col_expr = (
+            F.coalesce(F.col(column), *[F.col(o) for o in olds])
+            if olds else F.col(column)
+        )
         df = (
-            self.spark.read.schema(plan.schema)
+            self.spark.read.schema(read_schema)
             .parquet(*[self._resolve(f.path) for f in plan.files])
             .select(
-                F.xxhash64(F.col(column)).alias("h"),
+                F.xxhash64(col_expr).alias("h"),
                 _norm_path_col(F.col("_metadata.file_path"))
                 .alias("fp"),
             )
@@ -1887,23 +1954,10 @@ class IcebergTable:
         fpp_ = fpp
 
         def fold(key, pdf):
-            import math as _m
-
             fp = key[0]
-            n = bc_sizes.value.get(fp, len(pdf))
-            m = max(64, int(-n * _m.log(fpp_) / (_m.log(2) ** 2)))
-            m = (m + 63) // 64 * 64
-            k = max(1, min(16, round(m / n * _m.log(2))))
-            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-            h1 = h % np.uint64(m)
-            h2 = (h >> np.uint64(17) | h << np.uint64(47)) % np.uint64(m - 1) + np.uint64(1)
+            m, k = bloom_params(bc_sizes.value.get(fp, len(pdf)), fpp_)
             bits = np.zeros(m // 64, dtype=np.uint64)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                np.bitwise_or.at(
-                    bits, (pos >> np.uint64(6)).astype(np.int64),
-                    np.uint64(1) << (pos & np.uint64(63)),
-                )
+            fold_hashes(bits, pdf["h"].to_numpy(dtype=np.int64), m, k)
             return pd.DataFrame({
                 "file_path": [bc_paths.value.get(fp, fp)],
                 "m": [m], "k": [k],
@@ -1946,18 +2000,16 @@ class IcebergTable:
         hashes = np.array([r.h for r in hrows], dtype=np.int64) \
             .astype(np.uint64)
 
+        from hands_on_trino_iceberg_superset_spark.bloom import (
+            probe_hashes,
+        )
+
         def maybe_contains(entry, h: np.uint64) -> bool:
             m, k, raw = entry
             bits = np.frombuffer(raw, dtype=np.uint64)
-            h1 = h % np.uint64(m)
-            h2 = (h >> np.uint64(17) | h << np.uint64(47)) \
-                % np.uint64(m - 1) + np.uint64(1)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                if not (bits[int(pos) >> 6]
-                        >> np.uint64(int(pos) & 63)) & np.uint64(1):
-                    return False
-            return True
+            return bool(probe_hashes(
+                bits, np.array([h], dtype=np.uint64), m, k
+            )[0])
 
         kept = []
         for f in files:

@@ -997,15 +997,15 @@ def incremental_exact_mark(
     even at 10^10 documents with a sharded filter; this single-bitset
     implementation is the one-broadcast variant.
     """
-    import math
-
     import numpy as np
-    import pandas as pd
 
-    n = max(corpus_fps.count(), 1)
-    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = (m + 63) // 64 * 64
-    k = max(1, min(16, round(m / n * math.log(2))))
+    from hands_on_trino_iceberg_superset_spark.bloom import (
+        bloom_params,
+        fold_hashes,
+        probe_hashes,
+    )
+
+    m, k = bloom_params(corpus_fps.count(), fpp)
     spark = corpus_fps.sparkSession
 
     hashed = corpus_fps.select(F.xxhash64(fp_col).alias("h"))
@@ -1013,16 +1013,7 @@ def incremental_exact_mark(
     def fold_partition(batches):
         bits = np.zeros(m // 64, dtype=np.uint64)
         for pdf in batches:
-            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-            h1 = h % np.uint64(m)
-            h2 = (h >> np.uint64(17) | h << np.uint64(47)) \
-                % np.uint64(m - 1) + np.uint64(1)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                np.bitwise_or.at(
-                    bits, (pos >> np.uint64(6)).astype(np.int64),
-                    np.uint64(1) << (pos & np.uint64(63)),
-                )
+            fold_hashes(bits, pdf["h"].to_numpy(dtype=np.int64), m, k)
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     merged = np.zeros(m // 64, dtype=np.uint64)
@@ -1035,18 +1026,9 @@ def incremental_exact_mark(
     @pandas_udf("boolean")
     def maybe_in_corpus(h: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint64)
-        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
-        h1 = hv % np.uint64(m)
-        h2 = (hv >> np.uint64(17) | hv << np.uint64(47)) \
-            % np.uint64(m - 1) + np.uint64(1)
-        out = np.ones(len(hv), dtype=bool)
-        for i in range(k):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-            out &= (
-                bits[(pos >> np.uint64(6)).astype(np.int64)]
-                >> (pos & np.uint64(63))
-            ).astype(np.uint64) & np.uint64(1) > 0
-        return pd.Series(out)
+        return pd.Series(
+            probe_hashes(bits, h.to_numpy(dtype=np.int64), m, k)
+        )
 
     marked = batch.withColumn(
         "bloom_candidate", maybe_in_corpus(F.xxhash64(fp_col))

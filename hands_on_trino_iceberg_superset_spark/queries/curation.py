@@ -474,13 +474,16 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "are FIXED hash ranges (top 3 bits — no sampling pass, no "
         "RNG state, identical shard assignment on every run and "
         "engine), and the plan REALLY performs the shuffle "
-        "(repartition on shard + sort within partition by position "
-        "— the exact write pattern of a tokenizer-feed job, where "
-        "each shard lands as one ordered output file). A uniform "
-        "hash makes fixed ranges balanced at any corpus size, which "
-        "is what removes the repartitionByRange sampling job a 100 "
-        "TB shuffle cannot afford. Per-shard min/max positions "
-        "verify the ranges are disjoint and ordered.",
+        "(repartition on shard + sort within partition by position). "
+        "Note repartition(8, shard) HASH-buckets the 8 shard values, "
+        "so task partitions may hold two shards; the write job of "
+        "this pattern uses write.partitionBy(shard), which splits "
+        "each task by shard value and still lands one ordered file "
+        "per shard directory. A uniform hash makes fixed ranges "
+        "balanced at any corpus size, which is what removes the "
+        "repartitionByRange sampling job a 100 TB shuffle cannot "
+        "afford. Per-shard min/max positions verify the ranges are "
+        "disjoint and ordered.",
 )
 def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)

@@ -1241,3 +1241,62 @@ def test_schema_evolution_promote_column(spark, tmp_root):
         fresh.promote_column("n", "int")
     with pytest.raises(ValueError, match="cannot promote"):
         fresh.promote_column("k", "long")
+
+
+def test_rename_column_with_live_equality_deletes(spark, tmp_root):
+    """Equality-delete files written before a rename carry the old
+    column name; the scan reads former names and coalesces, so the
+    deletes keep applying and NULL-keyed rows are NOT wrongly
+    deleted."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "id long, v string"
+    )
+    path = os.path.join(tmp_root, "ren_eqdel")
+    t = IcebergTable.create(spark, path, df)
+    t.equality_delete(spark.createDataFrame([("b",)], "v string"))
+    t.rename_column("v", "val")
+    fresh = IcebergTable.load(spark, path)
+    got = {r.id: r.val for r in fresh.read().collect()}
+    # id=2 deleted by the pre-rename equality delete; the NULL-keyed
+    # row survives (eqNullSafe must not match it against NULL reads)
+    assert got == {1: "a", 3: None, 4: "d"}
+
+
+def test_promote_column_drops_stale_bloom_index(spark, tmp_root):
+    """xxhash64 is type-sensitive, so a Bloom sidecar built under int
+    would reject every long-typed probe; promotion drops it."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 2001)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+        ]),
+    ).repartition(8)
+    path = os.path.join(tmp_root, "promote_bloom")
+    t = IcebergTable.create(spark, path, df)
+    t.build_bloom_index("n")
+    assert os.path.isdir(os.path.join(path, "metadata", "bloom_n"))
+    t.promote_column("n", "long")
+    assert not os.path.isdir(os.path.join(path, "metadata", "bloom_n"))
+    fresh = IcebergTable.load(spark, path)
+    assert {r.id for r in fresh.read(filter={"n": 700}).collect()} == {70}
+
+
+def test_bloom_index_built_after_rename_hashes_old_files(spark, tmp_root):
+    """build_bloom_index on a renamed column coalesces former names,
+    so bitsets of pre-rename files contain the real values and the
+    probe does not skip them."""
+    df = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(2000)], "id long, v string"
+    ).repartition(8)
+    path = os.path.join(tmp_root, "ren_bloom")
+    t = IcebergTable.create(spark, path, df)
+    t.rename_column("v", "key")
+    fresh = IcebergTable.load(spark, path)
+    fresh.build_bloom_index("key")
+    plan = fresh.plan_scan(filter={"key": "h1234"})
+    assert plan.files, "bloom must not skip the file holding h1234"
+    assert {r.id for r in fresh.read(filter={"key": "h1234"}).collect()} \
+        == {1234}
