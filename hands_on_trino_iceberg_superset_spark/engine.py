@@ -94,6 +94,9 @@ class Engine:
             for quoted in (f"`{alias}`", f'"{alias}"'):
                 if quoted in text:
                     text = text.replace(quoted, safe)
+        ddl = self._resolve_versioned_alter(text)
+        if ddl is not None:
+            return ddl
         dml = self._resolve_versioned_dml(text)
         if dml is not None:
             return dml
@@ -215,6 +218,80 @@ class Engine:
                     safe
                 )
                 self._meta_views[f"{name}${kind}"] = safe
+
+    _ALTER_ADD = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"
+        r"([\w]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_RENAME = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+"
+        r"(\w+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_DROP = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_TYPE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        r"(?:SET\s+DATA\s+)?TYPE\s+"
+        r"([\w]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _resolve_versioned_alter(self, text: str) -> DataFrame | None:
+        """Route ALTER TABLE schema-evolution statements (both Trino's
+        ``SET DATA TYPE`` and Spark's ``TYPE`` spelling) to the
+        registered table's metadata-only evolution: ADD COLUMN,
+        RENAME COLUMN, DROP COLUMN, widening type promotion. Returns
+        a one-row status DataFrame, or None when the statement is not
+        ours (plain Spark SQL handles or rejects it downstream)."""
+        from pyspark.sql import types as T
+
+        def parse_spark_type(s: str) -> T.DataType:
+            return T._parse_datatype_string(s)
+
+        def ice_type(s: str) -> str:
+            dt = parse_spark_type(s)
+            m = {"integer": "int", "bigint": "long", "float": "float",
+                 "double": "double"}
+            simple = dt.simpleString()
+            return m.get(simple, simple)  # decimal(p,s) passes through
+
+        for pattern in (self._ALTER_ADD, self._ALTER_RENAME,
+                        self._ALTER_DROP, self._ALTER_TYPE):
+            m = pattern.match(text)
+            if not m or m.group(1) not in self._versioned:
+                continue
+            name = m.group(1)
+            adapter = self._versioned[name]
+            inner = getattr(adapter, "table", adapter)
+            spec = hasattr(inner, "rename_column")  # spec IcebergTable
+            if pattern is self._ALTER_ADD:
+                if spec:
+                    inner.add_column(m.group(2),
+                                     parse_spark_type(m.group(3)))
+                else:
+                    inner.add_column(m.group(2), m.group(3))
+            elif not spec:
+                raise ValueError(
+                    f"{name!r} is a bespoke versioned table; only ADD "
+                    "COLUMN is supported — register a spec Iceberg "
+                    "table for rename/drop/type evolution"
+                )
+            elif pattern is self._ALTER_RENAME:
+                inner.rename_column(m.group(2), m.group(3))
+            elif pattern is self._ALTER_DROP:
+                inner.drop_column(m.group(2))
+            else:
+                inner.promote_column(m.group(2), ice_type(m.group(3)))
+            # refresh the current-state + metadata views
+            self.register_versioned_table(name, adapter)
+            return self.spark.createDataFrame(
+                [("OK",)], "result string"
+            )
+        return None
 
     _DML_DELETE = re.compile(
         r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",

@@ -1300,3 +1300,41 @@ def test_bloom_index_built_after_rename_hashes_old_files(spark, tmp_root):
     assert plan.files, "bloom must not skip the file holding h1234"
     assert {r.id for r in fresh.read(filter={"key": "h1234"}).collect()} \
         == {1234}
+
+
+def test_sql_alter_table_schema_evolution(spark, tmp_root):
+    """ALTER TABLE routes to metadata-only evolution on a registered
+    spec table, in both Trino (SET DATA TYPE) and Spark (TYPE)
+    spellings, and the refreshed view reflects each step."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]),
+    )
+    path = os.path.join(tmp_root, "sql_alter")
+    t = IcebergTable.create(spark, path, df)
+    eng = Engine(spark)
+    eng.register_iceberg_table("alt_t", t)
+
+    eng.sql("ALTER TABLE alt_t ADD COLUMN score double")
+    assert [c.name for c in eng.columns("alt_t")] == \
+        ["id", "k", "n", "score"]
+    eng.sql("ALTER TABLE alt_t RENAME COLUMN score TO quality")
+    eng.sql("ALTER TABLE alt_t ALTER COLUMN n SET DATA TYPE bigint")
+    cols = {c.name: c.type for c in eng.columns("alt_t")}
+    assert cols == {"id": "bigint", "k": "string", "n": "bigint",
+                    "quality": "double"}
+    eng.sql("ALTER TABLE alt_t DROP COLUMN quality")
+    assert [c.name for c in eng.columns("alt_t")] == ["id", "k", "n"]
+    # data survived all four statements
+    assert {r.n for r in eng.sql("SELECT n FROM alt_t").collect()} == \
+        {10, 20}
+    # a non-registered table falls through to Spark SQL (which raises
+    # its own resolution error)
+    with pytest.raises(Exception):
+        eng.sql("ALTER TABLE nosuch_t DROP COLUMN x").collect()
