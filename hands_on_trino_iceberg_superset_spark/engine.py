@@ -205,7 +205,10 @@ class Engine:
         refreshed on every (re-)registration so SQL DML keeps them
         current."""
         table.read().createOrReplaceTempView(name)
-        self._versioned[name] = table
+        # Spark resolves view names case-insensitively; the DML/DDL/
+        # time-travel routing must agree, so the registry is keyed
+        # lowercase and every lookup folds case
+        self._versioned[name.lower()] = table
         meta_src = getattr(table, "table", table)
         if hasattr(meta_src, "metadata_table"):
             # Spark view names reject '$', so the Trino-spelled
@@ -262,10 +265,10 @@ class Engine:
         for pattern in (self._ALTER_ADD, self._ALTER_RENAME,
                         self._ALTER_DROP, self._ALTER_TYPE):
             m = pattern.match(text)
-            if not m or m.group(1) not in self._versioned:
+            if not m or m.group(1).lower() not in self._versioned:
                 continue
             name = m.group(1)
-            adapter = self._versioned[name]
+            adapter = self._versioned[name.lower()]
             inner = getattr(adapter, "table", adapter)
             spec = hasattr(inner, "rename_column")  # spec IcebergTable
             if pattern is self._ALTER_ADD:
@@ -315,10 +318,10 @@ class Engine:
         for pattern in (self._DML_DELETE, self._DML_UPDATE,
                         self._DML_INSERT):
             m = pattern.match(text)
-            if not m or m.group(1) not in self._versioned:
+            if not m or m.group(1).lower() not in self._versioned:
                 continue
             name = m.group(1)
-            table = self._versioned[name]
+            table = self._versioned[name.lower()]
             before = table.current().row_count
             if pattern is self._DML_DELETE:
                 table.delete(m.group(2))
@@ -331,11 +334,12 @@ class Engine:
                         for a in _split_top_level(m.group(2))
                     )
                 }
-                table.update(
-                    assignments,
-                    where=m.group(3) if m.group(3) else "true",
-                )
-                affected = table.current().row_count
+                where = m.group(3) if m.group(3) else "true"
+                # rows_affected = rows the predicate matches (row
+                # count is unchanged by UPDATE, so a before/after
+                # delta can't measure it)
+                affected = table.read().where(where).count()
+                table.update(assignments, where=where)
             else:
                 body = m.group(2).strip()
                 if body.upper().startswith("VALUES"):
@@ -370,22 +374,42 @@ class Engine:
     def _resolve_time_travel(self, text: str):
         def sub(m) -> str:
             name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
-            table = self._versioned.get(name)
+            table = self._versioned.get(name.lower())
             if table is None:
                 return m.group(0)  # not ours; let Spark handle/raise
             if kind == "VERSION":
-                df = table.read(version=int(lit))
-                tag = lit
+                if lit.startswith("'"):
+                    # Trino's branch/tag form: FOR VERSION AS OF 'ref'
+                    ref = lit.strip("'")
+                    inner = getattr(table, "table", None)
+                    if not hasattr(inner, "read") or not hasattr(
+                            inner, "refs"):
+                        raise ValueError(
+                            f"FOR VERSION AS OF {lit}: named refs "
+                            "need a spec Iceberg table; "
+                            f"{name!r} has numeric versions only"
+                        )
+                    df = inner.read(ref=ref)
+                    tag = "".join(
+                        c if c.isalnum() else "_" for c in ref
+                    )
+                else:
+                    df = table.read(version=int(lit))
+                    tag = lit
             else:
-                # snapshot ts format is ISO-'T'-separated UTC with
-                # microseconds and a Z suffix; shape the SQL literal
-                # to the same form so the lexicographic comparison in
-                # read(as_of=) is a correct time comparison at any
-                # literal precision
-                as_of = lit.strip("'").replace(" ", "T").rstrip("Zz")
-                if "." not in as_of:
-                    as_of += ".000000"
-                as_of += "Z"
+                # canonicalize the SQL literal through a real
+                # datetime parse (handles date-only, minute- and
+                # second-precision forms) into the snapshot-ts shape
+                # — ISO 'T'-separated UTC with microseconds and Z —
+                # so the lexicographic comparison in read(as_of=) is
+                # a correct time comparison and exact-boundary
+                # snapshots are included
+                import datetime as _dt
+
+                parsed = _dt.datetime.fromisoformat(
+                    lit.strip("'").rstrip("Zz")
+                )
+                as_of = parsed.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
                 df = table.read(as_of=as_of)
                 tag = "".join(c if c.isalnum() else "_" for c in as_of)
             view = f"{name}__asof_{tag}"

@@ -35,14 +35,17 @@ from hands_on_trino_iceberg_superset_spark.queries.base import register
 from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 
-_CACHE: dict[tuple[str, str], IcebergTable] = {}
+# keyed by (spark application id, sf_dir, fixture name): cached
+# table objects hold a SparkSession reference, so a hit from a
+# previous (stopped) session must never be returned to a new one
+_CACHE: dict[tuple[str, str, str], IcebergTable] = {}
 
 
 def _orders_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Orders as a partitioned Iceberg v2 table: snapshot 1 = full
     load, snapshot 2 = append of a deterministic late-arriving batch
     (every 100th order re-keyed into a disjoint id space)."""
-    key = (sf_dir, "orders")
+    key = (spark.sparkContext.applicationId, sf_dir, "orders")
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
@@ -107,7 +110,7 @@ def iceberg_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dml_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Fresh Iceberg table with deterministic COW DML applied once:
     DELETE every 10th 'F' order, then UPDATE 'P' prices +500."""
-    key = (sf_dir, "orders_dml")
+    key = (spark.sparkContext.applicationId, sf_dir, "orders_dml")
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
@@ -213,7 +216,7 @@ def _mor_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     positional-delete every 10th 'F' order, then MOR-update 'P'
     prices +500 — no data file is ever rewritten; reads subtract the
     delete files."""
-    key = (sf_dir, "orders_mor")
+    key = (spark.sparkContext.applicationId, sf_dir, "orders_mor")
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
@@ -279,7 +282,7 @@ def _upsert_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Orders table upserted with a deterministic CDC batch: every
     50th order's price zeroed and re-keyed batch of new orders —
     committed as ONE equality-delete + append snapshot, no scan."""
-    key = (sf_dir, "orders_upsert")
+    key = (spark.sparkContext.applicationId, sf_dir, "orders_upsert")
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
@@ -346,7 +349,7 @@ def _rollup_pair(spark: SparkSession, sf_dir: str):
         ContinuousAggregate,
     )
 
-    key = (sf_dir, "events_rollup")
+    key = (spark.sparkContext.applicationId, sf_dir, "events_rollup")
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.table.path):
         return hit

@@ -68,11 +68,15 @@ def write_formatted(df: DataFrame, path: str, fmt: str) -> None:
                 flat = flat.withColumn(f.name, F.to_json(f.name))
         (flat.write.option("header", "true")
              .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+             .option("timestampFormat",
+                     "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
              .csv(path))
         _save_schema(df, path)
     elif fmt == "json":
-        df.write.option("timestampNTZFormat",
-                        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").json(path)
+        (df.write
+           .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+           .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+           .json(path))
         _save_schema(df, path)
     elif fmt in ("orc", "parquet"):
         getattr(df.write, fmt)(path)
@@ -97,6 +101,8 @@ def read_formatted(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         df = (spark.read.option("header", "true")
               .option("timestampNTZFormat",
                       "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+              .option("timestampFormat",
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
               .schema(read_schema).csv(path))
         for f in schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
@@ -109,6 +115,8 @@ def read_formatted(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         return (spark.read
                 .option("timestampNTZFormat",
                         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .option("timestampFormat",
+                        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
                 .schema(schema).json(path))
     if fmt in ("orc", "parquet"):
         return getattr(spark.read, fmt)(path)
@@ -202,9 +210,20 @@ def write_avro(df: DataFrame, path: str) -> int:
     """Distributed Avro write: one OCF file per partition, encoded
     executor-side (Arrow batches -> python dicts -> our codec).
     Returns the number of files written."""
+    # ErrorIfExists parity with the Spark writers: merging new
+    # part files into a directory still holding a previous write's
+    # parts would silently mix the two datasets on read
+    if os.path.isdir(path) and os.listdir(path):
+        raise FileExistsError(
+            f"{path} already holds files; write_avro never merges"
+        )
     os.makedirs(path, exist_ok=True)
     avro_schema = spark_to_avro_schema(df.schema)
     schema_json = json.dumps(avro_schema)
+    # schema sidecar: lets an all-empty write (zero part files) still
+    # round-trip through read_avro as an empty, correctly-typed frame
+    with open(os.path.join(path, "_schema.json"), "w") as fh:
+        fh.write(schema_json)
     out_schema = T.StructType([T.StructField("n", T.LongType())])
 
     def encode(batches: Iterator) -> Iterator:
@@ -243,7 +262,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for f in os.listdir(path)
         if f.endswith(".avro")
     )
+    sidecar = os.path.join(path, "_schema.json")
     if not files:
+        if os.path.exists(sidecar):
+            schema_obj = json.load(open(sidecar))
+            return spark.createDataFrame(
+                [], avro_to_spark_schema(schema_obj)
+            )
         raise FileNotFoundError(f"no .avro files under {path}")
     # schema from the first file (driver decodes one file; at scale
     # a header-only parse would do — the schema lives in the first

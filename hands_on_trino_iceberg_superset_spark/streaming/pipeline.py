@@ -437,8 +437,13 @@ def dedup_event_stream(
     (unified API; parity-tested).
     """
     if df.isStreaming:
+        orig_ts = df.schema["ts"].dataType.simpleString()
         df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
             "ts", watermark
         )
-        return df.dropDuplicatesWithinWatermark([id_col])
+        out = df.dropDuplicatesWithinWatermark([id_col])
+        # stream/batch parity includes the SCHEMA: the watermark
+        # needs TIMESTAMP, but the caller gets ts back in its
+        # original type (the corpus is TIMESTAMP_NTZ)
+        return out.withColumn("ts", F.col("ts").cast(orig_ts))
     return df.dropDuplicates([id_col])

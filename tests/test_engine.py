@@ -151,3 +151,60 @@ def test_sql_dml_on_versioned_table(spark, tmp_path):
 
     with _pytest.raises((AnalysisException, ParseException)):
         eng.sql("DELETE FROM not_registered WHERE x = 1").collect()
+
+
+def test_sql_dml_update_count_and_case_insensitive(spark, tmp_path) -> None:
+    """UPDATE reports the rows the predicate matched (not the table
+    size), and routed DML/DDL/time travel resolve registered names
+    case-insensitively, like Spark resolves the views themselves."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(i, "open", float(i)) for i in range(1, 11)],
+        "k long, status string, v double",
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "updcount"), df)
+    eng.register_versioned_table("Jobs2", t)
+
+    out = eng.sql("UPDATE jobs2 SET status = 'hot' WHERE k <= 3").collect()
+    assert out[0].rows_affected == 3
+    out = eng.sql("DELETE FROM JOBS2 WHERE k = 10").collect()
+    assert out[0].rows_affected == 1
+    assert eng.sql("SELECT count(*) AS n FROM jobs2").collect()[0].n == 9
+    # time travel with any case
+    n0 = eng.sql(
+        "SELECT count(*) AS n FROM JOBS2 FOR VERSION AS OF 1"
+    ).collect()[0].n
+    assert n0 == 10
+
+
+def test_sql_time_travel_literal_shapes(spark, tmp_path) -> None:
+    """Date-only and second-precision AS OF literals canonicalize
+    through a real datetime parse; an exact-boundary snapshot is
+    INCLUDED (AS OF is <=)."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1,)], "k long")
+    t = VersionedTable.create(spark, str(tmp_path / "asof"), df)
+    eng.register_versioned_table("asof_t", t)
+    snap_ts = t.current().ts  # ISO ...T...Z with microseconds
+    day = snap_ts[:10]
+    # a date-only literal for the day AFTER the snapshot must see it
+    import datetime as dt
+
+    next_day = (dt.date.fromisoformat(day)
+                + dt.timedelta(days=1)).isoformat()
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM asof_t FOR TIMESTAMP AS OF "
+        f"TIMESTAMP '{next_day}'"
+    ).collect()[0].n
+    assert n == 1
+    # the snapshot's own exact timestamp is inclusive
+    lit = snap_ts.rstrip("Z").replace("T", " ")
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM asof_t FOR TIMESTAMP AS OF "
+        f"TIMESTAMP '{lit}'"
+    ).collect()[0].n
+    assert n == 1

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pytest
+import pyspark.sql.functions as F
 
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 from hands_on_trino_iceberg_superset_spark.sources.formats import (
@@ -62,7 +63,7 @@ def test_avro_roundtrip_documents(spark, tmp_path):
     path = str(tmp_path / "docs_avro")
     n_files = write_avro(docs.repartition(4), path)
     assert 1 <= n_files <= 4
-    assert sorted(os.listdir(path))[0].endswith(".avro")
+    assert [f for f in sorted(os.listdir(path)) if f.endswith(".avro")]
     back = read_avro(spark, path)
     assert back.schema == docs.schema
     assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
@@ -113,3 +114,36 @@ def test_avro_nullable_long_with_nulls(spark, tmp_path):
     got = {r.id: r.v for r in back.collect()}
     assert got == {1: 10, 2: None, 3: 30}
     assert isinstance(got[1], int)
+
+
+def test_avro_empty_roundtrip_and_overwrite_guard(spark, tmp_path) -> None:
+    """An all-empty write still round-trips (schema sidecar), and a
+    second write into the same directory refuses instead of merging
+    with the first write's part files."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    empty_path = str(tmp_path / "avro_empty")
+    write_avro(df.where(F.lit(False)), empty_path)
+    back = read_avro(spark, empty_path)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+    full_path = str(tmp_path / "avro_full")
+    write_avro(df.repartition(2), full_path)
+    with pytest.raises(FileExistsError, match="never merges"):
+        write_avro(df, full_path)
+
+
+def test_csv_json_timestamp_microseconds_roundtrip(spark, tmp_path) -> None:
+    """TIMESTAMP (with-TZ) columns keep microsecond precision through
+    the csv and json roundtrips, same as TIMESTAMP_NTZ."""
+    df = spark.sql(
+        "SELECT CAST('2024-03-01 10:00:00.123456' AS TIMESTAMP) AS ts,"
+        "       TIMESTAMP_NTZ'2024-03-01 10:00:00.654321' AS tsn"
+    )
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / f"micro_{fmt}")
+        write_formatted(df, p, fmt)
+        back = read_formatted(spark, p, fmt)
+        r = back.collect()[0]
+        assert r.ts.microsecond == 123456, fmt
+        assert r.tsn.microsecond == 654321, fmt
