@@ -344,3 +344,59 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+@register(
+    "text_unigram_commonness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), cf AS (
+      SELECT tok, count(*) AS corpus_count FROM tok GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(c.corpus_count) AS BIGINT) AS sum_cf
+      FROM tok t JOIN cf c ON t.tok = c.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_cf,
+           CAST(sum_cf AS DOUBLE) / n_tokens AS commonness
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Corpus-statistics quality score (unigram-LM commonness, the "
+        "KenLM-shaped filter without transcendental math): pass 1 "
+        "builds the corpus unigram frequency table (one shuffle, "
+        "bounded by vocabulary size), pass 2 joins each token "
+        "instance to its corpus count and aggregates per document. "
+        "Documents of very common tokens score high (boilerplate), "
+        "rare-token documents low (noise or novelty) — the standard "
+        "two-sided quality cut. All arithmetic is exact integers "
+        "until one final IEEE double division, so both engines agree "
+        "bit-for-bit. At 100 TB the frequency table broadcasts when "
+        "it fits (web vocabularies ~10^7 rows) and degrades to a "
+        "shuffle join keyed by token otherwise.",
+)
+def text_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    cf = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("corpus_count")
+    )
+    scored = (
+        tok.join(F.broadcast(cf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("corpus_count").cast("bigint").alias("sum_cf"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "sum_cf",
+        (F.col("sum_cf").cast("double") / F.col("n_tokens"))
+        .alias("commonness"),
+    ).orderBy("doc_id")

@@ -58,6 +58,10 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # cross-batch Bloom dedup: corpus/batch split is doc_id-mod based,
+    # so it replicates per-replica and dup structure grows linearly
+    "dedup_incremental",
+    "training_global_shuffle",
     "ann_cosine_topk_ivf",
     # PQ: rep 1 includes the one-off index build, rep 2 hits the
     # per-sf_dir cache, so best-of-2 reports the steady-state probe
