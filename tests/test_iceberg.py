@@ -1338,3 +1338,100 @@ def test_sql_alter_table_schema_evolution(spark, tmp_root):
     # its own resolution error)
     with pytest.raises(Exception):
         eng.sql("ALTER TABLE nosuch_t DROP COLUMN x").collect()
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+def test_schema_evolution_model_sequence(spark, tmp_root, seed):
+    """Model-based sequence test: a random interleaving of append /
+    add / rename / drop / promote must read back exactly what a
+    plain-Python model of Iceberg evolution semantics predicts
+    (adds backfill NULL, renames keep values, drops hide values,
+    promotions widen in place)."""
+    import random
+
+    import pyspark.sql.types as T
+
+    rng = random.Random(seed)
+    type_pool = {"long": T.LongType(), "int": T.IntegerType(),
+                 "double": T.DoubleType(), "string": T.StringType()}
+
+    cols: list[tuple[str, str]] = [("rid", "long"), ("v0", "int")]
+    next_name = [1]
+    next_rid = [0]
+    model: list[dict] = []
+
+    def fresh() -> str:
+        next_name[0] += 1
+        return f"v{next_name[0]}"
+
+    def gen_row() -> dict:
+        next_rid[0] += 1
+        row = {}
+        for name, t in cols:
+            if name == "rid":
+                row[name] = next_rid[0]
+            elif t in ("int", "long"):
+                row[name] = rng.randrange(1000)
+            elif t == "double":
+                row[name] = float(rng.randrange(1000))
+            else:
+                row[name] = f"s{rng.randrange(1000)}"
+        return row
+
+    def spark_df(rows: list[dict]):
+        schema = T.StructType([
+            T.StructField(n, type_pool[t], True) for n, t in cols
+        ])
+        return spark.createDataFrame(
+            [tuple(r[n] for n, _ in cols) for r in rows], schema
+        )
+
+    first = [gen_row() for _ in range(3)]
+    model.extend(first)
+    path = os.path.join(tmp_root, f"model_seq_{seed}")
+    t = IcebergTable.create(spark, path, spark_df(first))
+
+    for _ in range(6):
+        op = rng.choice(["append", "add", "rename", "drop", "promote"])
+        if op == "append":
+            rows = [gen_row() for _ in range(2)]
+            model.extend(rows)
+            t.append(spark_df(rows))
+        elif op == "add":
+            name, ty = fresh(), rng.choice(list(type_pool))
+            t.add_column(name, type_pool[ty])
+            cols.append((name, ty))
+            for r in model:
+                r[name] = None
+        elif op == "rename":
+            old = rng.choice([n for n, _ in cols if n != "rid"])
+            new = fresh()
+            t.rename_column(old, new)
+            cols[:] = [(new if n == old else n, ty) for n, ty in cols]
+            for r in model:
+                r[new] = r.pop(old)
+        elif op == "drop":
+            cands = [n for n, _ in cols if n != "rid"]
+            if len(cands) < 2:
+                continue
+            victim = rng.choice(cands)
+            t.drop_column(victim)
+            cols[:] = [(n, ty) for n, ty in cols if n != victim]
+            for r in model:
+                r.pop(victim)
+        else:
+            ints = [n for n, ty in cols if ty == "int"]
+            if not ints:
+                continue
+            name = rng.choice(ints)
+            t.promote_column(name, "long")
+            cols[:] = [(n, "long" if n == name else ty)
+                       for n, ty in cols]
+
+    got = sorted(
+        tuple(row[n] for n, _ in cols)
+        for row in (r.asDict() for r in
+                    IcebergTable.load(spark, path).read().collect())
+    )
+    want = sorted(tuple(r[n] for n, _ in cols) for r in model)
+    assert got == want, f"seed {seed}: table diverged from model"
