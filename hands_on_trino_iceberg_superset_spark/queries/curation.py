@@ -507,3 +507,90 @@ def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "text_duplicated_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents
+    ), spans AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS sp
+      FROM t WHERE len(toks) >= 8
+    ), shared AS (
+      SELECT sp FROM spans GROUP BY sp
+      HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT DISTINCT s.doc_id, s.source
+      FROM spans s JOIN shared USING (sp)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(f.doc_id) AS n_docs_with_shared_span,
+           CAST(coalesce(sum(sp_count), 0) AS BIGINT)
+             AS n_shared_span_instances
+    FROM documents d
+    LEFT JOIN (
+      SELECT s.doc_id, s.source, count(*) AS sp_count
+      FROM spans s JOIN shared USING (sp)
+      GROUP BY s.doc_id, s.source
+    ) c ON d.doc_id = c.doc_id
+    LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Span-level duplication accounting (the suffix-array-style "
+        "'deduplicating training data' signal, computed with "
+        "shingles instead of suffix arrays): every distinct 8-gram "
+        "span per document, spans appearing in >= 2 documents are "
+        "'shared', and each source reports how many of its documents "
+        "carry shared spans and how many shared-span instances they "
+        "hold — the decision input for span-level (not document-"
+        "level) dedup. Shuffle profile: one explode + one groupBy "
+        "bounded by distinct spans (the 100 TB build caps hot spans "
+        "with a max-df cut exactly like the n-gram inverted index) "
+        "+ one semi-join back.",
+)
+def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.expr(_TOKS).alias("toks")
+    ).where(F.size("toks") >= 8)
+    spans = toks.select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("sp"),
+    ).distinct()
+    shared = (
+        spans.groupBy("sp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("sp")
+    )
+    hits = spans.join(shared, "sp", "left_semi")
+    per_doc = hits.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("sp_count")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc.withColumnRenamed("source", "_s"),
+              "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("sp_count").alias("n_docs_with_shared_span"),
+            F.coalesce(F.sum("sp_count"), F.lit(0)).cast("bigint")
+            .alias("n_shared_span_instances"),
+        )
+        .orderBy("source")
+    )
