@@ -1435,3 +1435,53 @@ def test_schema_evolution_model_sequence(spark, tmp_root, seed):
     )
     want = sorted(tuple(r[n] for n, _ in cols) for r in model)
     assert got == want, f"seed {seed}: table diverged from model"
+
+
+def test_stream_to_continuous_aggregate(spark, tmp_root):
+    """End-to-end streaming materialized view: micro-batches land as
+    append snapshots (stream_append_iceberg) and the continuous
+    aggregate folds each delta incrementally — equaling a full
+    recompute after every refresh."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.rollup import (
+        ContinuousAggregate,
+    )
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        stream_append_iceberg,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i % 7)) for i in range(100)],
+        "id long, typ string, v double",
+    )
+    path = os.path.join(tmp_root, "sca_src")
+    table = IcebergTable.create(spark, path, base)
+    ca = ContinuousAggregate.create(
+        table, os.path.join(tmp_root, "sca_rollup"),
+        dims={"typ": "typ"},
+        aggs={"n": ["count", "v"], "total": ["sum", "v"]},
+    )
+
+    src = os.path.join(tmp_root, "sca_stream")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_root, "sca_ckpt")
+    stream = (
+        spark.readStream.schema("id long, typ string, v double")
+        .option("recursiveFileLookup", "true").parquet(src)
+    )
+    q = stream_append_iceberg(stream, table, ckpt)
+    for b, lo in enumerate((100, 150)):
+        spark.createDataFrame(
+            [(i, f"t{i % 3}", float(i % 7)) for i in range(lo, lo + 50)],
+            "id long, typ string, v double",
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+        q.processAllAvailable()
+        assert ca.refresh() == 50  # exactly the micro-batch delta
+        expect = {
+            (r.typ, r.n, r.total)
+            for r in table.read().groupBy("typ")
+            .agg(F.count("v").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+        got = {(r.typ, r.n, r.total) for r in ca.read().collect()}
+        assert got == expect, f"batch {b} diverged"
+    q.stop()

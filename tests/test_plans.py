@@ -225,3 +225,37 @@ def test_mor_read_antijoin_is_broadcast(spark, tmp_path):
     assert df.count() == 10_000 - len(
         [i for i in range(10_000) if i % 97 == 0]
     )
+
+
+def test_incremental_dedup_corpus_side_broadcasts(spark, inv, sf_dir):
+    """dedup_incremental's verify join must broadcast the small side
+    (candidates / dup-fps), never sort-merge the corpus — and the
+    bloom tier's verdict must reach the plan as a pandas-UDF
+    projection, not a join."""
+    executed, _ = _plans(spark, inv, "dedup_incremental", sf_dir)
+    assert "SortMergeJoin" not in executed
+    assert "BroadcastHashJoin" in executed
+
+
+def test_global_shuffle_is_single_exchange_per_branch(spark, inv, sf_dir):
+    """training_global_shuffle: the shard repartition is THE shuffle;
+    the per-shard aggregate reuses it (no second exchange of the
+    corpus on the same branch)."""
+    executed, _ = _plans(
+        spark, inv, "training_global_shuffle", sf_dir
+    )
+    n_exchanges = executed.count("Exchange ")
+    # one hash repartition on shard + the final orderBy's range
+    # exchange over 8 aggregate rows
+    assert n_exchanges <= 3, executed
+
+
+def test_unigram_commonness_frequency_table_broadcasts(spark, inv, sf_dir):
+    """text_unigram_commonness joins every token instance to the
+    corpus frequency table: vocab-sized side broadcasts, the token
+    stream never sort-merges."""
+    executed, _ = _plans(
+        spark, inv, "text_unigram_commonness", sf_dir
+    )
+    assert "SortMergeJoin" not in executed
+    assert "BroadcastHashJoin" in executed
