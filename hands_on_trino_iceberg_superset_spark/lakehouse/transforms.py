@@ -83,8 +83,17 @@ def _hash_bytes_for(ice_type: str, v) -> bytes:
         return bytes(v)
     if ice_type in ("float", "double"):
         # spec: hash doubles as their IEEE-754 long bits; floats
-        # widen to double first
-        return struct.pack("<d", float(v))
+        # widen to double first. -0.0 canonicalizes to 0.0 and every
+        # NaN to the canonical quiet NaN (doubleToLongBits semantics)
+        # — SQL equality treats 0.0 = -0.0, so the two MUST land in
+        # the same bucket or an equality filter on 0.0 would prune
+        # files whose partition tuple says the -0.0 bucket
+        f = float(v)
+        if f != f:  # NaN
+            return struct.pack("<Q", 0x7FF8000000000000)
+        if f == 0.0:
+            f = 0.0
+        return struct.pack("<d", f)
     raise ValueError(f"bucket transform unsupported on {ice_type!r}")
 
 
@@ -106,12 +115,19 @@ def _to_epoch_days(v) -> int:
 
 
 def _to_epoch_micros(v) -> int:
+    # integer arithmetic throughout: double has 53 mantissa bits, so
+    # total_seconds()*1e6 / timestamp()*1e6 drop 1 us on ~1% of
+    # modern timestamps — enough to land a bucket[N] hash in the
+    # wrong partition and silently prune matching files
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             # aware: absolute instant vs the UTC epoch (anchoring the
             # epoch at the VALUE's offset would skew by that offset)
-            return int(v.timestamp() * 1_000_000)
-        return int((v - _EPOCH_TS).total_seconds() * 1_000_000)
+            td = v - _EPOCH_TS.replace(tzinfo=dt.timezone.utc)
+        else:
+            td = v - _EPOCH_TS
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds)
     return int(v)
 
 

@@ -60,10 +60,14 @@ def attach_fake_media(df: DataFrame, text_col: str = "text",
     corpus: (media_id, content binary, meta struct). Pure JVM
     expressions — the fake header is assembled with concat/encode so
     ingest itself needs no Python."""
-    kind = (F.col(id_col) % 3).cast("int")
-    width = (F.col(id_col) * 37 % 1024 + 16).cast("int")
-    height = (F.col(id_col) * 53 % 768 + 16).cast("int")
-    duration = (F.col(id_col) * 97 % 60_000).cast("int")
+    # pmod, not %: Spark's % keeps the dividend's sign, and a
+    # negative field value would feed F.chr a negative code point,
+    # which yields an EMPTY string — a short header every downstream
+    # struct.unpack would mis-parse
+    kind = F.pmod(F.col(id_col), F.lit(3)).cast("int")
+    width = (F.pmod(F.col(id_col) * 37, F.lit(1024)) + 16).cast("int")
+    height = (F.pmod(F.col(id_col) * 53, F.lit(768)) + 16).cast("int")
+    duration = F.pmod(F.col(id_col) * 97, F.lit(60_000)).cast("int")
     payload = F.encode(F.col(text_col), "UTF-8")
     header = F.concat(
         F.lit(_MAGIC),

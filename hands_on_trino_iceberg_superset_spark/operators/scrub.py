@@ -15,14 +15,30 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-#: portable patterns — no lookarounds, no engine-specific classes
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+#: portable patterns — no lookarounds, no engine-specific classes.
+#: EMAIL matches alphabetic-TLD hosts AND raw-IP hosts
+#: (user@10.0.0.1) — without the IP-host branch the local part
+#: (often firstname.lastname) would survive redaction when only the
+#: host gets rewritten by the IP rule.
+#: PHONE covers +C[C]- prefixed, bare DDD-DDD[D]-DDDD, and
+#: (DDD) DDD-DDDD forms with -/space separators; fully free-form
+#: international spacing is out of scope and documented as such.
+EMAIL_RE = (
+    r"[A-Za-z0-9._%+-]+@"
+    r"(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    r"|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})"
+)
+PHONE_RE = (
+    r"(?:\+[0-9]{1,2}[- ])?"
+    r"(?:\([0-9]{3}\)[ ]?|[0-9]{3}[- ])"
+    r"[0-9]{3,4}[- ][0-9]{4}"
+)
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
-#: applied in this order; phone before IP is irrelevant (disjoint),
-#: but email MUST run before IP so "user@10.0.0.1" redacts as one
-#: email, not an email-with-redacted-host
+#: applied in this order; email MUST run before IP so
+#: "user@10.0.0.1" redacts as one <EMAIL> (the email pattern's
+#: IP-host branch claims it first), not as a leaked local part with
+#: a redacted host
 RULES: list[tuple[str, str, str]] = [
     ("email", EMAIL_RE, "<EMAIL>"),
     ("phone", PHONE_RE, "<PHONE>"),

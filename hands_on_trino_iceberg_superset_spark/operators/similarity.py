@@ -162,6 +162,21 @@ def cosine_neardup_pairs(
     )
 
 
+def _lsh_chunk_width(n_planes: int, n_chunks: int) -> int:
+    """Validated chunk width. A zero width (n_chunks > n_planes)
+    masks every chunk value to 0 and the candidate equi-join
+    degenerates to the full O(n^2) cross product the prefilter
+    exists to avoid; a non-dividing n_chunks silently drops the high
+    signature bits (recall below the documented chunk model). Both
+    are caller errors — raise instead of degrading."""
+    if n_chunks < 1 or n_chunks > n_planes or n_planes % n_chunks:
+        raise ValueError(
+            f"n_chunks={n_chunks} must divide n_planes={n_planes} "
+            "(1 <= n_chunks <= n_planes)"
+        )
+    return n_planes // n_chunks
+
+
 def _lsh_chunked(
     df: DataFrame,
     dim: int,
@@ -179,7 +194,7 @@ def _lsh_chunked(
     builds an ``n_planes * dim``-literal tree whose codegen compile
     alone dwarfs the actual work at high dims; the chunk split is
     then plain bit ops on the sig column."""
-    width = n_planes // n_chunks
+    width = _lsh_chunk_width(n_planes, n_chunks)
     sigged = with_hyperplane_signature_arrow(
         df.select(F.col(id_col).alias("id"), F.col(vec_col)),
         dim, n_planes, vec_col=vec_col, out_col="sig",
@@ -471,6 +486,17 @@ def ivf_topk(
 
     if index_path is None:
         index_path = tempfile.mkdtemp(prefix="spark_ivf_index_")
+    if "://" in index_path:
+        # the reuse probe below is a LOCAL os.path check; on a
+        # remote filesystem it would always miss and silently refit
+        # + rewrite the whole index on every call (racing concurrent
+        # readers). Remote index homes need the Hadoop FS API —
+        # refuse rather than degrade.
+        raise ValueError(
+            "ivf_topk index reuse supports local paths only; for "
+            f"{index_path!r} call build_ivf_index/ivf_probe "
+            "explicitly"
+        )
     marker = os.path.join(index_path, "centroids", "_SUCCESS")
     if not os.path.exists(marker):
         build_ivf_index(
@@ -576,7 +602,7 @@ def hyperplane_lsh_topk(
     At 100 TB the bucket join replaces the full scan: each query
     touches only the partitions holding its chunk values.
     """
-    width = n_planes // n_chunks
+    width = _lsh_chunk_width(n_planes, n_chunks)
 
     def with_chunks(df: DataFrame, idc: str) -> DataFrame:
         # one Arrow GEMM per batch for the signatures (the expression
@@ -713,6 +739,14 @@ def build_pq_index(
         assigned.orderBy("id").limit(train_sample).select("v").collect()
     )
     samples = np.array([r.v for r in sample_rows])
+    if samples.shape[1] % m:
+        # silent truncation here would drop the trailing dims from
+        # every code (recall loss) and pq_topk's reshape(m, dsub)
+        # would crash at query time on the full-width query vector
+        raise ValueError(
+            f"embedding dim {samples.shape[1]} is not divisible by "
+            f"m={m} subspaces; pick m dividing the dimension"
+        )
     books = _train_pq_codebooks(samples, m, 1 << nbits, seed)
     bc = spark.sparkContext.broadcast(books)
 
@@ -824,21 +858,35 @@ def pq_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
 
-    def adc(key, pdf):
-        qv = np.array(pdf["qv"].iloc[0])
-        # LUT[j][c] = <q_sub_j, codebook[j][c]> — one small GEMM
-        lut = np.einsum(
-            "jd,jcd->jc", qv.reshape(m, dsub), bc.value
-        )
-        codes = np.vstack(pdf["codes"].values)
-        score = lut[np.arange(m)[None, :], codes].sum(axis=1)
-        return pd.DataFrame({
-            "query_id": pdf["query_id"],
-            "neighbor_id": pdf["neighbor_id"],
-            "adc": score,
-        })
+    # streaming ADC: mapInPandas scores each Arrow batch as it
+    # arrives (LUT recomputed per distinct query within the batch —
+    # a few einsums over m x 2^nbits x dsub, microseconds). The
+    # earlier groupBy(query_id).applyInPandas formulation
+    # materialized a query's ENTIRE candidate set (~n_probe /
+    # n_centroids of the corpus) as one in-memory pandas group —
+    # exactly the memory shape that cannot survive the billion-
+    # vector target; this one is bounded by the Arrow batch size
+    # and adds no shuffle (the top-k window below shuffles anyway)
+    def adc(batches):
+        arange_m = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].values)
+            score = np.empty(len(pdf))
+            for _qid, idx in pdf.groupby("query_id").indices.items():
+                qv = np.array(pdf["qv"].iloc[idx[0]])
+                lut = np.einsum(
+                    "jd,jcd->jc", qv.reshape(m, dsub), bc.value
+                )
+                score[idx] = lut[arange_m, codes[idx]].sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "adc": score,
+            })
 
-    scored = paired.groupBy("query_id").applyInPandas(
+    scored = paired.mapInPandas(
         adc, "query_id long, neighbor_id long, adc double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -361,10 +361,10 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), red AS (
       SELECT source,
              len(regexp_extract_all(raw,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})'))
                AS n_email,
              len(regexp_extract_all(raw,
-                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
+                 '(?:\+[0-9]{1,2}[- ])?(?:\([0-9]{3}\)[ ]?|[0-9]{3}[- ])[0-9]{3,4}[- ][0-9]{4}'))
                AS n_phone,
              len(regexp_extract_all(raw,
                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
@@ -372,9 +372,9 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(
                regexp_replace(
                  regexp_replace(raw,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})',
                    '<EMAIL>', 'g'),
-                 '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                 '(?:\+[0-9]{1,2}[- ])?(?:\([0-9]{3}\)[ ]?|[0-9]{3}[- ])[0-9]{3,4}[- ][0-9]{4}',
                  '<PHONE>', 'g'),
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                '<IP>', 'g') AS redacted
