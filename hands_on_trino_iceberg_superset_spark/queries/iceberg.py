@@ -22,7 +22,6 @@ Iceberg execution model. The plan-shape gate for pruning lives in
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 import pyspark.sql.functions as F

@@ -313,15 +313,18 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shipped sh
     JOIN supplier s ON s.s_suppkey = sh.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE sh.promo_qty > (
-      SELECT CAST(1.2 AS DECIMAL(2,1)) * avg(promo_qty) FROM shipped)
+    WHERE sh.promo_qty * 10 * (SELECT count(*) FROM shipped)
+          > (SELECT sum(promo_qty) FROM shipped) * 12
     """,
     doc="TPC-H Q20 shape: suppliers holding excess stock of a part "
         "class — the availqty threshold (no partsupp table) becomes "
         "120% of the mean shipped PROMO quantity, keeping the "
         "aggregate -> scalar-threshold -> dimension semi-join chain. "
-        "The threshold compares in decimal (avg of decimals is "
-        "exact); only the output casts to double.",
+        "The 'qty > 1.2 * sum/n' cut is cross-multiplied to "
+        "'qty*10*n > sum*12' so BOTH engines compare exact decimals "
+        "(DuckDB's avg(DECIMAL) returns DOUBLE, so an avg-based "
+        "threshold would round differently per engine and flip "
+        "borderline suppliers); only the output casts to double.",
 )
 def overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp, nation = _t(
@@ -334,11 +337,15 @@ def overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).alias("promo_qty"))
     )
     thresh = shipped.agg(
-        (F.lit("1.2").cast("decimal(2,1)") * F.avg("promo_qty")).alias("_t")
+        F.sum("promo_qty").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
     )
     return (
         shipped.join(F.broadcast(thresh))
-        .where(F.col("promo_qty") > F.col("_t"))
+        .where(
+            F.col("promo_qty") * 10 * F.col("_n")
+            > F.col("_total") * 12
+        )
         .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),

@@ -62,6 +62,12 @@ def sql_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         while "nextUri" in payload:
             with urllib.request.urlopen(payload["nextUri"]) as resp:
                 payload = json.load(resp)
+            # a page-fetch failure (cancelled/evicted query) arrives
+            # as an error payload with no nextUri — returning the
+            # truncated rows as a normal result would be a silent
+            # wrong answer
+            if "error" in payload:
+                raise RuntimeError(payload["error"]["message"])
             rows.extend(payload.get("data", []))
     finally:
         srv.stop()
