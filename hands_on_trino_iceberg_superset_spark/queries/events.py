@@ -88,7 +88,7 @@ def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
       SELECT user_id, ts_us,
              CASE WHEN prev_us IS NULL
-                       OR ts_us - prev_us > 30 * 60 * 1000000
+                       OR ts_us - prev_us >= 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     )
@@ -100,7 +100,9 @@ def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sessionization: 30-minute inactivity gap splits sessions "
         "(lag window + conditional sum). Batch form of the "
-        "session-window streaming operator.",
+        "session-window streaming operator — same boundary rule "
+        "(a gap of EXACTLY 30min starts a new session: "
+        "session_window ends are exclusive).",
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -111,7 +113,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(
             F.lag(ts_us).over(w).isNull()
-            | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+            | ((ts_us - F.lag(ts_us).over(w)) >= gap_us),
             1,
         )
         .otherwise(0)
@@ -321,40 +323,45 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ordered conversion funnel (view -> click -> purchase): a "
         "user advances a step only with an event strictly AFTER "
         "their first event of the previous step. Spark-first this is "
-        "ONE pass: a conditional min-aggregation per user computes "
-        "first_view, then first_click-after-view and first_purchase-"
-        "after-click via min(CASE) over a pre-aggregated per-user "
-        "event list — no self-joins, a single shuffle on user_id, "
-        "the shape that survives when the event log is 100 TB and "
-        "self-joining it three times is not an option.",
+        "ONE shuffle on user_id: three chained whole-partition "
+        "window mins (first_view, then first-click-after-view, then "
+        "first-purchase-after-click) — each a running MIN, never a "
+        "collected per-user event array, so a skewed key (a bot with "
+        "10^8 clicks in a 100 TB log) costs a big sortable partition "
+        "but never an unbounded in-memory aggregation buffer; no "
+        "self-joins.",
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
-    )
-    # one shuffle: per (user, type) first/last bounds + the ordered
-    # event times as a sorted list per user for the chained mins
-    per_user = (
-        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+            F.col("us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t2")),
+            F.col("us"),
+        )
+    ).over(w)
+    funnel = (
+        staged.withColumn("t3", t3)
         .groupBy("user_id")
         .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("us")))
-            .alias("t1"),
-            F.sort_array(F.collect_list(
-                F.when(F.col("event_type") == "click", F.col("us"))
-            )).alias("clicks"),
-            F.sort_array(F.collect_list(
-                F.when(F.col("event_type") == "purchase", F.col("us"))
-            )).alias("purchases"),
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
         )
-    )
-    # first click strictly after t1; first purchase strictly after t2
-    first_after = lambda arr, t: F.array_min(  # noqa: E731
-        F.filter(arr, lambda x: x > t)
-    )
-    funnel = (
-        per_user.withColumn("t2", first_after(F.col("clicks"), F.col("t1")))
-        .withColumn("t3", first_after(F.col("purchases"), F.col("t2")))
     )
     counts = funnel.agg(
         F.count("t1").alias("n1"),

@@ -106,23 +106,26 @@ _THREE_H_US = 3 * 3600 * 1_000_000
     FROM events, (SELECT unnest([0, 1]) AS o) off
     GROUP BY 1
     """,
-    doc="Sliding event-time window (6h window, 3h slide) via "
-        "F.window — every event lands in window/slide = 2 windows; "
-        "oracle replicates each row per slide offset and re-buckets.",
+    doc="Sliding event-time window (6h window, 3h slide) — the SAME "
+        "streaming/pipeline.windowed_event_stats transform the "
+        "tumbling query runs, with a slide_duration; every event "
+        "lands in window/slide = 2 windows; oracle replicates each "
+        "row per slide offset and re-buckets.",
 )
 def stream_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        windowed_event_stats,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "6 hours", "3 hours"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        windowed_event_stats(
+            ev, "6 hours", slide_duration="3 hours", by_type=False
         )
         .select(
-            F.col("window.start").cast("timestamp_ntz").cast("string")
-            .alias("window_start"),
+            F.col("window_start").cast("string").alias("window_start"),
             "n_events",
-            F.col("_tv").cast("double").alias("total_value"),
+            "total_value",
         )
     )
 
@@ -218,33 +221,55 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_merge_into,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts_ns", "event_id", "event_type", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_merge_q_")
-    src = os.path.join(tmp, "src")
-    ev.write.mode("overwrite").parquet(src)
-    target = ev.select("user_id").distinct().select(
-        "user_id",
-        F.lit("seed").alias("last_event_type"),
-        F.lit(0.0).alias("last_value"),
-    )
-    table = VersionedTable.create(spark, os.path.join(tmp, "t"), target)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts_ns long, event_id long, "
-            "event_type string, value double"
-        ).parquet(src)
-    )
-    q = stream_merge_into(
-        stream, table, on="user_id",
-        checkpoint_dir=os.path.join(tmp, "ckpt"),
-        when_matched_update={
-            "last_event_type": "s.event_type",
-            "last_value": "s.value",
-        },
-        tiebreak_col="ts_ns",
-    )
-    q.processAllAvailable()
-    q.stop()
+    def build() -> VersionedTable:
+        # tiebreak on MICROSECOND-truncated time: the oracle's
+        # epoch_ns(ts) is what DuckDB reads from the nanos parquet —
+        # truncated to micros — so ordering by raw ts_ns would
+        # resolve same-microsecond collisions differently per engine
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            (F.col("ts_ns") - F.pmod(F.col("ts_ns"), F.lit(1000)))
+            .alias("ts_ns"),
+            "event_id", "event_type", "value",
+        )
+        tmp = tempfile.mkdtemp(prefix="stream_merge_q_")
+        src = os.path.join(tmp, "src")
+        ev.write.mode("overwrite").parquet(src)
+        target = ev.select("user_id").distinct().select(
+            "user_id",
+            F.lit("seed").alias("last_event_type"),
+            F.lit(0.0).alias("last_value"),
+        )
+        table = VersionedTable.create(
+            spark, os.path.join(tmp, "t"), target
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_ns long, event_id long, "
+                "event_type string, value double"
+            ).parquet(src)
+        )
+        q = stream_merge_into(
+            stream, table, on="user_id",
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            when_matched_update={
+                "last_event_type": "s.event_type",
+                "last_value": "s.value",
+            },
+            tiebreak_col="ts_ns",
+        )
+        q.processAllAvailable()
+        q.stop()
+        return table
+
+    # memoized per (app, sf_dir): each invocation used to re-copy the
+    # events table + checkpoint into a fresh never-cleaned temp dir
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_merge")
+    table = _MERGE_CACHE.get(key)
+    if table is None or not __import__("os").path.isdir(table.path):
+        table = build()
+        _MERGE_CACHE[key] = table
     return table.read()
+
+
+_MERGE_CACHE: dict = {}

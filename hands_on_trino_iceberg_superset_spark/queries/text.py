@@ -29,6 +29,28 @@ def _tokens() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
+def _fingerprint() -> F.Column:
+    """The document-identity fingerprint every dedup/funnel surface
+    shares (same expression as operators.dedup.normalized_fingerprint
+    — one definition here so the funnel's survivorship can never
+    drift from the per-document fingerprint groups)."""
+    from hands_on_trino_iceberg_superset_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    return normalized_fingerprint(F.col("text"))
+
+
+def _quality_gate() -> F.Column:
+    """The keep/drop quality cut over (n_tokens, n_types, n_stop)
+    columns — shared by text_quality_scores and the curation funnel."""
+    return (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_types") * 2 >= F.col("n_tokens"))
+        & (F.col("n_stop") > 0)
+    )
+
+
 @register(
     "text_token_stats",
     oracle=f"""
@@ -107,11 +129,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
             "avg_token_len"
         ),
-        (
-            (F.col("n_tokens") >= 20)
-            & (F.col("n_types") * 2 >= F.col("n_tokens"))
-            & (F.col("n_stop") > 0)
-        ).alias("passes_quality"),
+        _quality_gate().alias("passes_quality"),
     )
 
 
@@ -165,9 +183,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    ).alias("fingerprint")
+    fp = _fingerprint().alias("fingerprint")
     return (
         docs.select("doc_id", fp)
         .groupBy("fingerprint")
@@ -318,9 +334,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    fingerprint = F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    )
+    fingerprint = _fingerprint()
     w = Window.partitionBy(fingerprint)
     scored = docs.select(
         "doc_id", "lang",
@@ -330,12 +344,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("keep_id"),
     )
     survivor = F.col("doc_id") == F.col("keep_id")
-    quality = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("n_types") * 2 >= F.col("n_tokens"))
-        & (F.col("n_stop") > 0)
-    )
-    kept = survivor & quality
+    kept = survivor & _quality_gate()
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(survivor, 1).otherwise(0)).cast("bigint")
@@ -375,7 +384,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rare-token documents low (noise or novelty) — the standard "
         "two-sided quality cut. All arithmetic is exact integers "
         "until one final IEEE double division, so both engines agree "
-        "bit-for-bit. At 100 TB the frequency table broadcasts when "
+        "bit-for-bit. No broadcast hint — Catalyst picks by size: "
+        "at 100 TB the frequency table broadcasts when "
         "it fits (web vocabularies ~10^7 rows) and degrades to a "
         "shuffle join keyed by token otherwise.",
 )
@@ -387,8 +397,12 @@ def text_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("corpus_count")
     )
+    # NO broadcast hint: Catalyst auto-broadcasts the frequency
+    # table while it is under the threshold and degrades to a
+    # shuffle join past it — a mandatory hint would force a
+    # 10^7-row web vocabulary into every executor and the driver
     scored = (
-        tok.join(F.broadcast(cf), "tok")
+        tok.join(cf, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

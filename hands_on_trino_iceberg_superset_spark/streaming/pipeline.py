@@ -66,8 +66,12 @@ def windowed_event_stats(
     df: DataFrame,
     window_duration: str = "6 hours",
     watermark: str = "1 hour",
+    slide_duration: str | None = None,
+    by_type: bool = True,
 ) -> DataFrame:
-    """Tumbling event-time window x event_type: count + total value.
+    """Tumbling (or, with ``slide_duration``, sliding) event-time
+    window aggregation: count + total value, optionally per
+    event_type.
 
     Streaming: watermark bounds state and admits late rows up to
     ``watermark``; windows finalize (append mode) once the watermark
@@ -81,8 +85,13 @@ def windowed_event_stats(
         df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
             "ts", watermark
         )
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration else F.window("ts", window_duration)
+    )
+    keys = [win, "event_type"] if by_type else [win]
     return (
-        df.groupBy(F.window("ts", window_duration), "event_type")
+        df.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
@@ -90,7 +99,7 @@ def windowed_event_stats(
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             F.col("window.end").cast("timestamp_ntz").alias("window_end"),
-            "event_type",
+            *(["event_type"] if by_type else []),
             "n_events",
             F.col("_tv").cast("double").alias("total_value"),
         )
@@ -191,7 +200,13 @@ def _duration_seconds(text: str) -> int:
 # ------------------------------------------------- custom stateful op
 
 _TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
-_STATE_SCHEMA = "n long, total double"
+# the running sum is carried as an EXACT decimal string, not a raw
+# double: IEEE addition is non-associative, so a double accumulator
+# makes totals depend on micro-batch arrival order (the repo-wide
+# determinism contract — queries/base.py — forbids emitting raw
+# double sums). Decimal addition over each double's shortest repr is
+# associative, so any batch split yields the same total.
+_STATE_SCHEMA = "n long, total string"
 
 
 def _totals_fn(
@@ -199,13 +214,19 @@ def _totals_fn(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    from decimal import Decimal
+
+    n, total_s = state.get if state.exists else (0, "0")
+    total = Decimal(total_s)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total += sum(
+            (Decimal(str(x)) for x in pdf["value"]), Decimal(0)
+        )
+    state.update((n, str(total)))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n],
+         "total_value": [float(total)]}
     )
 
 
