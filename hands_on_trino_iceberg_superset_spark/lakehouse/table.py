@@ -34,6 +34,7 @@ import json
 import os
 import re
 import tempfile
+import urllib.parse
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -101,6 +102,10 @@ class VersionedTable:
             os.remove(os.path.join(t._snap_dir, f))
         # a re-created table invalidates refs into the old history
         shutil.rmtree(os.path.join(path, "_branches"), ignore_errors=True)
+        # old data dirs are unreferenced once the manifests are gone;
+        # leaving them would leak storage forever (expire_snapshots
+        # only reclaims dirs referenced by dropped manifests)
+        shutil.rmtree(os.path.join(path, "data"), ignore_errors=True)
         entries, n, rows = t._write_data(df, 1)
         t._commit(Snapshot(1, _now(), "create", entries, n,
                            entry_rows=rows))
@@ -303,7 +308,31 @@ class VersionedTable:
         snaps = self.snapshots()
         if not snaps:
             raise ValueError(f"no snapshots at {self.path}")
+        self._check_layout(snaps[-1])
         return snaps[-1]
+
+    def _check_layout(self, snap: "Snapshot") -> None:
+        """partition_col is load-bearing handle state: a handle
+        opened with the WRONG value would silently no-op deletes
+        (touched keys never match '__all__' entries) or duplicate
+        rows on update. Validate it against the manifest's entry
+        shape before any DML uses it."""
+        keys = {_pk_base(k) for k in snap.entries}
+        keys.discard("__empty__")
+        if not keys:
+            return
+        is_unpart = keys == {_UNPARTITIONED}
+        if is_unpart and self.partition_col is not None:
+            raise ValueError(
+                f"table at {self.path} is unpartitioned but this "
+                f"handle was opened with partition_col="
+                f"{self.partition_col!r}"
+            )
+        if not is_unpart and self.partition_col is None:
+            raise ValueError(
+                f"table at {self.path} is partitioned but this "
+                "handle was opened without partition_col"
+            )
 
     # ------------------------------------------------------------ DML
 
@@ -392,6 +421,15 @@ class VersionedTable:
         violation). Validated up front with one aggregate over the
         source; violations raise instead of corrupting the table.
         """
+        if when_matched_update and on in when_matched_update:
+            # rewriting the merge key would strand the updated rows:
+            # touched-partition discovery semi-joins on the ORIGINAL
+            # key values, so a row whose key changes matches no
+            # partition and silently vanishes. SQL engines commonly
+            # restrict this too; refuse loudly.
+            raise ValueError(
+                f"MERGE cannot update the merge key {on!r} itself"
+            )
         key_stats = source.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(on).alias("n_nonnull"),
@@ -672,8 +710,6 @@ class VersionedTable:
         afterwards. A per-partition write loop would be one job per
         value — a non-starter at real partition counts.
         """
-        import urllib.parse
-
         # the write root carries a unique token: two optimistic
         # writers racing from the same base would otherwise both
         # target data/v{N} and the second mode=overwrite write would
@@ -682,6 +718,13 @@ class VersionedTable:
         if self.partition_col is None:
             d = os.path.join(self.path, rel, _UNPARTITIONED)
             df.write.mode("overwrite").parquet(d)
+            if not any(f.endswith(".parquet") for f in os.listdir(d)):
+                # delete-all: empty tasks emit no part files, and a
+                # part-less dir cannot be read back (no schema) —
+                # write one empty footer-bearing file
+                df.limit(0).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(d)
             n = self.spark.read.parquet(d).count()
             return (
                 {_UNPARTITIONED: f"{rel}/{_UNPARTITIONED}"},
@@ -713,6 +756,21 @@ class VersionedTable:
                 continue
             entries[pk] = f"{rel}/{name}"
         if not entries:
+            if only_keys is not None:
+                # a rewrite emptied every touched partition; whether
+                # the TABLE is empty is the caller's bookkeeping
+                # (carried entries may remain) — but if nothing else
+                # survives either, a part-less snapshot would brick
+                # read()/append() (no schema source), so leave a
+                # sentinel empty dir with a parquet footer
+                sent = os.path.join(out_root, "__empty__")
+                df.limit(0).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(sent)
+                return (
+                    {"__empty__": f"{rel}/__empty__"}, 0,
+                    {"__empty__": 0},
+                )
             return entries, 0, {}
         # one aggregation over the written files yields the per-entry
         # manifest stats (the partition value is physically present in
@@ -936,9 +994,18 @@ def _now() -> str:
 
 
 def _pk(val) -> str:
-    """Filesystem-safe partition key for a value."""
-    s = "null" if val is None else str(val)
-    return "p_" + "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+    """Filesystem-safe AND INJECTIVE partition key for a value.
+
+    Injectivity is load-bearing: two distinct partition values
+    sharing a key would make one manifest entry overwrite the other
+    (silent loss of a whole partition). Percent-encoding is
+    injective over strings ('a b' -> p_a%20b, 'a_b' -> p_a_b), and
+    NULL gets its own prefix so no string value — including the
+    literal 'null' — can collide with it. '@' always encodes, so the
+    ``@vN`` append-suffix parsing stays unambiguous."""
+    if val is None:
+        return "pn_"
+    return "p_" + urllib.parse.quote(str(val), safe="")
 
 
 def _write_token() -> str:

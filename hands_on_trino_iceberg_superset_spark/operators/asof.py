@@ -58,6 +58,12 @@ def asof_join(
             "(_ord/_side/_tb/_c_*); rename them first"
         )
 
+    # a right row with NULL order_col can never satisfy
+    # right.order_col <= left.order_col — but the window sorts NULLS
+    # FIRST, which would make it "earlier than everything" and carry
+    # its values into every left row. Drop such rows up front.
+    right = right.where(F.col(order_col).isNotNull())
+
     l_tagged = left.select(
         *keys,
         F.col(order_col).alias("_ord"),

