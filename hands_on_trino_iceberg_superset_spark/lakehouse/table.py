@@ -619,6 +619,11 @@ class VersionedTable:
             by_base(b_head.entries),
         )
         all_keys = set(base_by) | set(head_by) | set(br_by)
+        # the delete-all sentinel holds zero rows — two branches each
+        # emptying (or having emptied) the table cannot conflict ON
+        # THE SENTINEL; real conflicts surface on the real partition
+        # keys both sides touched
+        all_keys.discard("__empty__")
         br_touched = {
             bk for bk in all_keys
             if br_by.get(bk, frozenset()) != base_by.get(bk, frozenset())
@@ -654,6 +659,19 @@ class VersionedTable:
                 entries[k] = d
                 if k in b_head.entry_rows:
                     entry_rows[k] = b_head.entry_rows[k]
+        if not entries:
+            # a branch that emptied the table merges to zero real
+            # entries; adopt one side's delete-all sentinel so the
+            # merged snapshot stays readable (schema lives in its
+            # parquet footer)
+            for side in (b_head, head):
+                for k, d in side.entries.items():
+                    if _pk_base(k) == "__empty__":
+                        entries[k] = d
+                        entry_rows[k] = 0
+                        break
+                if entries:
+                    break
         v = head.version + 1
         n = self._total_rows(entries, entry_rows)
         if n is None:
