@@ -420,3 +420,86 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "crossmodal_dedup_agreement",
+    oracle="""
+    WITH tpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, len(string_split(text,' ')) - 1),
+              i -> string_split(text,' ')[i] || ' ' ||
+                   string_split(text,' ')[i+1])) AS sh
+            FROM documents) a
+      JOIN (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, len(string_split(text,' ')) - 1),
+              i -> string_split(text,' ')[i] || ' ' ||
+                   string_split(text,' ')[i+1])) AS sh
+            FROM documents) b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.4
+    ), epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4
+    ), u AS (
+      SELECT id_a, id_b,
+             max(in_t) AS in_t, max(in_e) AS in_e
+      FROM (
+        SELECT id_a, id_b, 1 AS in_t, 0 AS in_e FROM tpairs
+        UNION ALL
+        SELECT id_a, id_b, 0, 1 FROM epairs
+      ) GROUP BY id_a, id_b
+    )
+    SELECT CAST(sum(in_t) AS BIGINT) AS n_text_pairs,
+           CAST(sum(in_e) AS BIGINT) AS n_embedding_pairs,
+           CAST(sum(in_t * in_e) AS BIGINT) AS n_both,
+           CAST(CAST(sum(in_t * in_e) AS DOUBLE)
+                / (sum(in_t) + sum(in_e) - sum(in_t * in_e))
+                AS DOUBLE) AS pair_jaccard
+    FROM u
+    """,
+    doc="Cross-modal dedup agreement: the documents and embeddings "
+        "tables share an id space, so the 2-gram-Jaccard text "
+        "near-dup pair set and the cosine embedding near-dup pair "
+        "set (both at 0.4) are directly comparable — n_both and the "
+        "pair-level Jaccard overlap quantify how much semantic "
+        "(embedding) dedup would remove beyond lexical dedup, the "
+        "measurement a curation pipeline runs before picking its "
+        "dedup tier. Spark side reuses both production operators "
+        "(inverted-index/blocked Jaccard pairs + blocked-GEMM cosine "
+        "pairs) and full-outer-joins the two pair sets; all counts "
+        "exact, one final IEEE division.",
+)
+def crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tpairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2).select(
+        "id_a", "id_b", F.lit(1).alias("in_t")
+    )
+    epairs = S.cosine_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("in_e")
+    )
+    u = (
+        tpairs.join(epairs.withColumnRenamed("in_e", "_e"),
+                    ["id_a", "id_b"], "full_outer")
+        .select(
+            F.coalesce("in_t", F.lit(0)).alias("in_t"),
+            F.coalesce("_e", F.lit(0)).alias("in_e"),
+        )
+    )
+    return u.agg(
+        F.sum("in_t").cast("bigint").alias("n_text_pairs"),
+        F.sum("in_e").cast("bigint").alias("n_embedding_pairs"),
+        F.sum(F.col("in_t") * F.col("in_e")).cast("bigint")
+        .alias("n_both"),
+        (
+            F.sum(F.col("in_t") * F.col("in_e")).cast("double")
+            / (F.sum("in_t") + F.sum("in_e")
+               - F.sum(F.col("in_t") * F.col("in_e")))
+        ).alias("pair_jaccard"),
+    )
