@@ -1117,6 +1117,83 @@ class IcebergTable:
                     _read_table_metadata_versioned(self.path)  # rebase
                 )
 
+    def add_files(self, parquet_dir: str) -> int:
+        """The ``add_files`` migration procedure: adopt EXISTING
+        parquet files into this table as ONE append snapshot without
+        rewriting or moving them — files stay in place, referenced by
+        absolute path, with per-file stats harvested from their
+        footers (the same footer pass the writer does). The
+        in-place-migration companion to ``register_table``: that
+        adopts a whole table, this folds a directory of foreign
+        files into an existing one.
+
+        Unpartitioned default spec only (external files carry no
+        partition tuple; the real procedure's partition-filter form
+        is out of scope). Schema contract: every column present in a
+        file must exist in the table schema (a stray column would be
+        silently unreadable — refuse); table columns a file lacks
+        read as NULL, exactly like post-ADD COLUMN files. Returns the
+        number of files added."""
+        import pyarrow.parquet as pq
+
+        if self.partition_spec():
+            raise ValueError(
+                "add_files supports tables with an unpartitioned "
+                "default spec; evolve the spec or rewrite the files "
+                "through append()"
+            )
+        fields = self.current_schema()["fields"]
+        ftype = {f["name"]: (f["id"], f["type"]) for f in fields}
+        paths = []
+        for root, _dirs, names in sorted(os.walk(parquet_dir)):
+            paths.extend(
+                os.path.join(root, n) for n in sorted(names)
+                if n.endswith(".parquet")
+            )
+        if not paths:
+            raise ValueError(f"no parquet files under {parquet_dir}")
+        data_files = []
+        for full in paths:
+            pf = pq.ParquetFile(full)
+            stray = [
+                c for c in pf.schema_arrow.names if c not in ftype
+            ]
+            if stray:
+                raise ValueError(
+                    f"{full} has columns {stray} not in the table "
+                    "schema; they would be silently unreadable"
+                )
+            lowers, uppers = _footer_bounds(pf, ftype)
+            data_files.append({
+                "content": 0,
+                "file_path": os.path.abspath(full),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pf.metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+                "column_sizes": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "nan_value_counts": None,
+                "lower_bounds": _dict_to_kv(lowers),
+                "upper_bounds": _dict_to_kv(uppers),
+                "key_metadata": None,
+                "split_offsets": None,
+                "equality_ids": None,
+                "sort_order_id": None,
+            })
+        for attempt in range(5):
+            try:
+                self._try_publish_append(data_files, [], [])
+                return len(data_files)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                self.meta, self._version = (
+                    _read_table_metadata_versioned(self.path)
+                )
+        return len(data_files)
+
     def _try_publish_append(self, data_files: list[dict],
                             spec: list[dict], pfs: list[dict],
                             stage_only: bool = False) -> None:

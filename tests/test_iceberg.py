@@ -1485,3 +1485,54 @@ def test_stream_to_continuous_aggregate(spark, tmp_root):
         got = {(r.typ, r.n, r.total) for r in ca.read().collect()}
         assert got == expect, f"batch {b} diverged"
     q.stop()
+
+
+def test_add_files_adopts_foreign_parquet_in_place(spark, tmp_root):
+    """The add_files procedure: foreign parquet files fold into the
+    table as one append snapshot, in place (no rewrite, no move),
+    with footer-harvested bounds that prune; files missing evolved
+    columns read as NULL; stray columns refuse."""
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    path = os.path.join(tmp_root, "addfiles")
+    t = IcebergTable.create(spark, path, base)
+
+    foreign = os.path.join(tmp_root, "foreign_pq")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 160)], "id long, v double"
+    ).repartitionByRange(2, "id").write.parquet(foreign)
+
+    n_before = len(t.plan_scan().files)
+    n_added = t.add_files(foreign)
+    assert n_added == 2
+    fresh = IcebergTable.load(spark, path)
+    assert fresh.read().count() == 160
+    # in place: manifest references the foreign dir, nothing copied
+    assert any(
+        f.path.startswith(os.path.abspath(foreign))
+        for f in fresh.plan_scan().files
+    )
+    assert len(fresh.plan_scan().files) == n_before + 2
+    # footer bounds prune: a range inside ONE foreign file's id span
+    plan = fresh.plan_scan(filter={"id": (150, 159)})
+    assert len(plan.files) == 1
+    # snapshot history: one append, time-travel to pre-adopt works
+    snaps = sorted(s["snapshot-id"] for s in fresh.snapshots())
+    assert fresh.read(snapshot_id=snaps[0]).count() == 100
+
+    # a file whose columns the schema lacks refuses
+    bad = os.path.join(tmp_root, "foreign_bad")
+    spark.createDataFrame([(1, "x")], "id long, mystery string") \
+        .write.parquet(bad)
+    with pytest.raises(ValueError, match="mystery"):
+        fresh.add_files(bad)
+
+    # a file lacking a column reads it as NULL
+    narrow = os.path.join(tmp_root, "foreign_narrow")
+    spark.createDataFrame([(1000,)], "id long").coalesce(1) \
+        .write.parquet(narrow)
+    fresh.add_files(narrow)
+    fresh2 = IcebergTable.load(spark, path)
+    row = [r for r in fresh2.read().collect() if r.id == 1000][0]
+    assert row.v is None
