@@ -71,7 +71,16 @@ def _apply_time_range(
     if rng in (None, "No filter") or not time_col:
         return df
     # separator is " : " with spaces — the bounds themselves contain ":"
-    start, _, end = (part.strip() for part in rng.partition(" : "))
+    start, sep, end = (part.strip() for part in rng.partition(" : "))
+    if not sep:
+        # Superset relative ranges ('Last week', 'previous calendar
+        # month', ...) need a date-parser this compiler does not
+        # have; casting the phrase to timestamp would crash under
+        # ANSI or silently filter out every row with ANSI off
+        raise ValueError(
+            f"unsupported time_range {rng!r}: use 'No filter' or "
+            "explicit '<start> : <end>' ISO bounds"
+        )
     if start:
         df = df.filter(F.col(time_col) >= F.lit(start).cast("timestamp_ntz"))
     if end:
@@ -91,6 +100,14 @@ def compile_form_data(
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
+        # Superset ignores metric-shaped order_by in raw mode (raw
+        # ordering comes from order_by_cols); the reference's raw
+        # blob carries order_by [["count", false]] with no such
+        # column — applying it would crash on UNRESOLVED_COLUMN
+        order_by = [
+            ob for ob in order_by
+            if isinstance(ob[0], str) and ob[0] in out.columns
+        ]
     elif mode == "aggregate":
         groupby = form_data.get("groupby") or []
         metrics = form_data.get("metrics") or ["count"]

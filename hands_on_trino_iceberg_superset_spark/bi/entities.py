@@ -91,7 +91,17 @@ class Dashboard:
         """Reference-shaped position blob (init_db.py:273-307)."""
         pos: dict[str, Any] = {
             "DASHBOARD_VERSION_KEY": "v2",
-            "GRID_ID": {"type": "GRID", "id": "GRID_ID", "children": []},
+            # ROOT_ID anchors the layout tree — every chart's parents
+            # chain references it, and Superset's importer walks it;
+            # omitting it leaves a dangling root
+            "ROOT_ID": {
+                "type": "ROOT", "id": "ROOT_ID",
+                "children": ["GRID_ID"],
+            },
+            "GRID_ID": {
+                "type": "GRID", "id": "GRID_ID", "children": [],
+                "parents": ["ROOT_ID"],
+            },
             "HEADER_ID": {
                 "type": "HEADER",
                 "id": "HEADER_ID",

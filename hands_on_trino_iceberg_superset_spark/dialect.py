@@ -73,25 +73,42 @@ def trino_to_spark(
     return out
 
 
+def _in_literal(sql: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted literal."""
+    return any(
+        m.start() <= pos < m.end() for m in _LITERAL.finditer(sql)
+    )
+
+
 def _rewrite_schema_location(sql: str, keep: bool) -> str:
-    m = re.search(
+    for m in re.finditer(
         r"\bWITH\s*\(\s*location\s*=\s*'([^']*)'\s*\)", sql,
         flags=re.IGNORECASE,
-    )
-    if not m:
-        return sql
-    replacement = f"LOCATION '{m.group(1)}'" if keep else ""
-    return (sql[: m.start()] + replacement + sql[m.end():]).rstrip()
+    ):
+        # a payload literal containing this construct must pass
+        # through byte-identical (module contract)
+        if _in_literal(sql, m.start()):
+            continue
+        replacement = f"LOCATION '{m.group(1)}'" if keep else ""
+        return (sql[: m.start()] + replacement + sql[m.end():]).rstrip()
+    return sql
 
 
 def _rewrite_unnest(sql: str) -> str:
     """``UNNEST(<balanced>) AS t(n)`` -> ``(SELECT explode(<balanced>)
-    AS n) t`` — paren-balanced scan, repeated for every occurrence."""
+    AS n) t`` — paren-balanced scan, repeated for every occurrence
+    OUTSIDE string literals; unbalanced parens leave the statement
+    untouched (Spark's parser then errors on the ORIGINAL text, not
+    on a truncated rewrite)."""
     pat = re.compile(r"\bUNNEST\s*\(", flags=re.IGNORECASE)
+    start_at = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, start_at)
         if not m:
             return sql
+        if _in_literal(sql, m.start()):
+            start_at = m.end()
+            continue
         depth, i = 1, m.end()
         while i < len(sql) and depth:
             ch = sql[i]
@@ -106,6 +123,8 @@ def _rewrite_unnest(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             i += 1
+        if depth:
+            return sql  # unbalanced input: not ours to rewrite
         inner = sql[m.end() : i - 1]
         tail = re.match(
             r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", sql[i:], flags=re.IGNORECASE

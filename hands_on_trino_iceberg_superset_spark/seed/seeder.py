@@ -73,6 +73,10 @@ def seed_frames(
     """Build the five reference tables as DataFrames (no I/O)."""
     memo_key = (spark.sparkContext.applicationId, as_of)
     cached = _FRAMES_MEMO.get(memo_key)
+    if cached is None:
+        # evict other (stopped) sessions' frames — see sources/tpch.py
+        for k in [k for k in _FRAMES_MEMO if k[0] != memo_key[0]]:
+            del _FRAMES_MEMO[k]
     if cached is not None:
         return dict(cached)
     ts0 = F.lit(as_of).cast("timestamp_ntz")
@@ -171,12 +175,12 @@ def seed_into_catalog(
     )
     for name, df in seed_frames(spark, as_of).items():
         spark.sql(f"DROP TABLE IF EXISTS {schema}.{name}")
-        if not spark.catalog.tableExists(f"{schema}.{name}"):
-            # purge a location orphaned by a previous session: the
-            # default session catalog is in-memory, so a persistent
-            # warehouse dir can outlive the catalog entry and block
-            # managed-table creation
-            _delete_path(spark, f"{db_location}/{name}")
+        # purge a location orphaned by a previous session: the
+        # default session catalog is in-memory, so a persistent
+        # warehouse dir can outlive the catalog entry and block
+        # managed-table creation (after the DROP the table never
+        # exists, so no guard)
+        _delete_path(spark, f"{db_location}/{name}")
         df.write.format("parquet").mode("overwrite").saveAsTable(
             f"{schema}.{name}"
         )

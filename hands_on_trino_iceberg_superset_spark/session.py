@@ -98,5 +98,22 @@ def get_spark(
     for key, value in {**STARTUP_CONF, **RUNTIME_CONF, **(extra_conf or {})}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    if extra_conf:
+        # getOrCreate returning an EXISTING session silently ignores
+        # builder confs; startup-only confs (spark.hadoop.*,
+        # credentials, jars) then never reach the session — apply
+        # what is runtime-settable, fail loudly for the rest instead
+        # of letting the first s3a:// read die on auth
+        for key, value in extra_conf.items():
+            if spark.conf.get(key, None) == value:
+                continue
+            try:
+                spark.conf.set(key, value)
+            except Exception as exc:
+                raise RuntimeError(
+                    f"extra_conf {key!r} cannot be applied to the "
+                    "already-running SparkSession; stop it first "
+                    "(SparkSession.getActiveSession().stop())"
+                ) from exc
     spark.sparkContext.setLogLevel("ERROR")
     return configure_runtime(spark)

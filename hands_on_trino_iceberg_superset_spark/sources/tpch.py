@@ -77,6 +77,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalized per the module contract."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
+    if cached is None:
+        # evict entries of other (stopped) sessions: they pin
+        # DataFrames whose plans reference a dead JVM context and
+        # would otherwise accumulate forever in long-lived processes
+        for k in [k for k in _LOAD_CACHE if k[0] != key[0]]:
+            del _LOAD_CACHE[k]
     if cached is not None:
         return cached
     configure_runtime(spark)

@@ -82,3 +82,57 @@ def test_compiler_time_range_halfopen(spark) -> None:
         (F.col("ts") >= "2025-12-31") & (F.col("ts") < "2026-01-01")
     ).count()
     assert got == expect > 0
+
+
+def test_raw_mode_ignores_metric_order_by(spark):
+    """The reference's raw-mode blob carries order_by [["count",
+    false]] with no such column; Superset ignores it in raw mode and
+    so must the compiler (applying it crashed on UNRESOLVED_COLUMN)."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = compile_form_data(df, {
+        "query_mode": "raw",
+        "all_columns": ["id", "s"],
+        "order_by": [["count", False]],
+        "row_limit": 10,
+    })
+    assert out.count() == 2
+    # a raw order_by naming a REAL projected column still applies
+    out2 = compile_form_data(df, {
+        "query_mode": "raw", "all_columns": ["id"],
+        "order_by": [["id", False]], "row_limit": 1,
+    })
+    assert out2.collect()[0].id == 2
+
+
+def test_relative_time_range_raises(spark):
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "timestamp'2024-01-01' as ts"
+    )
+    with _pytest.raises(ValueError, match="time_range"):
+        compile_form_data(df, {
+            "query_mode": "raw",
+            "time_range": "Last week",
+            "granularity_sqla": "ts",
+        })
+
+
+def test_dashboard_position_has_root(spark):
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Chart, Dashboard,
+    )
+
+    d = Dashboard(title="t", charts=[
+        Chart(name="c1", dataset=None, form_data={}),
+    ])
+    pos = d.position_json()
+    assert pos["ROOT_ID"]["children"] == ["GRID_ID"]
+    assert pos["GRID_ID"]["parents"] == ["ROOT_ID"]

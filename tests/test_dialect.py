@@ -151,3 +151,25 @@ def test_three_part_identifiers_resolve_natively(trino_engine) -> None:
     # catalog visible to SHOW CATALOGS (reference readiness probe S1)
     cats = {r.catalog for r in eng.sql("SHOW CATALOGS").collect()}
     assert "iceberg" in cats
+
+
+def test_literals_pass_through_all_rewrites():
+    """The module contract — payload literals byte-identical — must
+    hold for EVERY rewrite, including UNNEST and WITH(location=...)."""
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    lit = "'use UNNEST(seq) AS t(n) here'"
+    out = trino_to_spark(f"INSERT INTO demo.notes VALUES ({lit})")
+    assert lit in out
+    lit2 = "'WITH (location = ''/x'')'"
+    out2 = trino_to_spark(f"SELECT {lit2} AS s")
+    assert lit2 in out2
+
+
+def test_unbalanced_unnest_left_untouched():
+    """A typo'd statement must reach Spark's parser verbatim, not as
+    a truncated rewrite."""
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    bad = "SELECT * FROM UNNEST(sequence(1, 10) AS t(n)"
+    assert trino_to_spark(bad, strip_catalogs=()) == bad
