@@ -97,6 +97,9 @@ class Engine:
         ddl = self._resolve_versioned_alter(text)
         if ddl is not None:
             return ddl
+        call = self._resolve_call(text)
+        if call is not None:
+            return call
         dml = self._resolve_versioned_dml(text)
         if dml is not None:
             return dml
@@ -221,6 +224,122 @@ class Engine:
                     safe
                 )
                 self._meta_views[f"{name}${kind}"] = safe
+
+    _CALL = re.compile(
+        r"^\s*CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _resolve_call(self, text: str) -> DataFrame | None:
+        """Trino/Spark procedure syntax — ``CALL <catalog>.system.
+        <proc>(...)`` — for the Iceberg maintenance surface the
+        reference's catalog enables (``iceberg.properties:19``
+        switches ``register_table`` on):
+
+        - ``register_table(table_name => 't', table_location => p)``
+          (Trino's ``schema_name`` accepted and ignored — registered
+          names are flat here)
+        - ``add_files(table => 't', location => p)``
+        - ``expire_snapshots(table => 't'[, retain_last => n])``
+        - ``rewrite_data_files(table => 't')``
+        - ``remove_orphan_files(table => 't'[, dry_run => true])``
+        - ``cherrypick_snapshot(table => 't', snapshot_id => n)``
+
+        Positional arguments work in the same order. Returns a small
+        status DataFrame, or None when the text is not a CALL."""
+        m = self._CALL.match(text)
+        if not m:
+            return None
+        proc = m.group(1).lower()
+        raw_args = [
+            a.strip() for a in _split_top_level(m.group(2)) if a.strip()
+        ]
+        named: dict[str, str] = {}
+        pos: list[str] = []
+
+        def unlit(v: str):
+            v = v.strip()
+            if v.startswith("'") and v.endswith("'"):
+                return v[1:-1].replace("''", "'")
+            if v.lower() in ("true", "false"):
+                return v.lower() == "true"
+            return int(v)
+
+        for a in raw_args:
+            if "=>" in a:
+                k, v = a.split("=>", 1)
+                named[k.strip().lower()] = unlit(v)
+            else:
+                pos.append(unlit(a))
+
+        def arg(name: str, idx: int, default=None, required=True):
+            if name in named:
+                return named[name]
+            if idx < len(pos):
+                return pos[idx]
+            if required and default is None:
+                raise ValueError(
+                    f"CALL system.{proc}: missing argument {name!r}"
+                )
+            return default
+
+        from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+            IcebergTable,
+        )
+
+        def status(msg: str) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(msg,)], "result string"
+            )
+
+        if proc == "register_table":
+            # Trino signature: (schema_name, table_name, table_location)
+            off = 1 if ("schema_name" not in named and len(pos) == 3) \
+                else 0
+            name = arg("table_name", 0 + off)
+            loc = arg("table_location", 1 + off)
+            self.register_iceberg_table(name, loc)
+            return status(f"registered {name}")
+
+        def ice_of(name: str) -> IcebergTable:
+            adapter = self._versioned.get(str(name).lower())
+            inner = getattr(adapter, "table", None)
+            if inner is None or not isinstance(inner, IcebergTable):
+                raise ValueError(
+                    f"CALL system.{proc}: {name!r} is not a "
+                    "registered Iceberg table"
+                )
+            return inner
+
+        if proc == "add_files":
+            t = ice_of(arg("table", 0))
+            n = t.add_files(str(arg("location", 1)))
+            self.register_iceberg_table(str(arg("table", 0)), t)
+            return status(f"added {n} files")
+        if proc == "expire_snapshots":
+            t = ice_of(arg("table", 0))
+            keep = arg("retain_last", 1, default=1, required=False)
+            expired = t.expire_snapshots(keep_last=int(keep))
+            return status(f"expired {len(expired)} snapshots")
+        if proc == "rewrite_data_files":
+            name = arg("table", 0)
+            t = ice_of(name)
+            t.rewrite_data_files()
+            self.register_iceberg_table(str(name), t)
+            return status("rewritten")
+        if proc == "remove_orphan_files":
+            t = ice_of(arg("table", 0))
+            dry = bool(arg("dry_run", 1, default=True, required=False))
+            orphans = t.remove_orphan_files(dry_run=dry)
+            return status(f"{len(orphans)} orphan files"
+                          f"{' (dry run)' if dry else ' removed'}")
+        if proc == "cherrypick_snapshot":
+            name = arg("table", 0)
+            t = ice_of(name)
+            t.cherry_pick(int(arg("snapshot_id", 1)))
+            self.register_iceberg_table(str(name), t)
+            return status("cherry-picked")
+        raise ValueError(f"unknown procedure system.{proc}")
 
     _ALTER_ADD = re.compile(
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"

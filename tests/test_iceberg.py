@@ -1536,3 +1536,56 @@ def test_add_files_adopts_foreign_parquet_in_place(spark, tmp_root):
     fresh2 = IcebergTable.load(spark, path)
     row = [r for r in fresh2.read().collect() if r.id == 1000][0]
     assert row.v is None
+
+
+def test_call_procedures_sql_surface(spark, tmp_root):
+    """CALL iceberg.system.<proc>(...) — the Trino procedure surface
+    the reference's catalog enables: register_table, add_files,
+    expire_snapshots, cherrypick_snapshot, remove_orphan_files."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    path = os.path.join(tmp_root, "call_t")
+    IcebergTable.create(spark, path, df)
+    eng = Engine(spark)
+
+    out = eng.sql(
+        f"CALL iceberg.system.register_table("
+        f"table_name => 'call_t', table_location => '{path}')"
+    ).collect()
+    assert "registered" in out[0].result
+    assert eng.sql("SELECT count(*) AS n FROM call_t").collect()[0].n == 50
+
+    foreign = os.path.join(tmp_root, "call_foreign")
+    spark.createDataFrame([(100, 1.0)], "id long, v double") \
+        .coalesce(1).write.parquet(foreign)
+    out = eng.sql(
+        f"CALL iceberg.system.add_files(table => 'call_t', "
+        f"location => '{foreign}')"
+    ).collect()
+    assert "added 1 files" in out[0].result
+    assert eng.sql("SELECT count(*) AS n FROM call_t").collect()[0].n == 51
+
+    # stage + cherrypick through the procedure
+    t = IcebergTable.load(spark, path)
+    t.append(spark.createDataFrame([(200, 2.0)], "id long, v double"),
+             stage_only=True)
+    staged = max(s["snapshot-id"] for s in t.snapshots())
+    eng.register_iceberg_table("call_t", t)
+    eng.sql(
+        f"CALL iceberg.system.cherrypick_snapshot('call_t', {staged})"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM call_t").collect()[0].n == 52
+
+    out = eng.sql(
+        "CALL iceberg.system.expire_snapshots(table => 'call_t', "
+        "retain_last => 1)"
+    ).collect()
+    assert "expired" in out[0].result
+    out = eng.sql(
+        "CALL iceberg.system.remove_orphan_files(table => 'call_t')"
+    ).collect()
+    assert "dry run" in out[0].result
+    # unknown procedure fails loudly
+    with pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL iceberg.system.nope('x')")
