@@ -91,7 +91,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(
                range(0, CAST(ceil(CAST(greatest(dur, 1) AS DOUBLE) / 10000)
                               AS BIGINT)),
-               i -> least(16, n - ((i * 16) % n))
+               -- greatest(n,1) mirrors the kernel's max(len,1)
+               -- divisor (an empty payload must not modulo by
+               -- zero); the outer greatest(0, ...) yields the
+               -- kernel's empty-slice 0 bytes for n = 0
+               i -> greatest(0, least(16, n - ((i * 16) % greatest(n, 1))))
              )) AS BIGINT) AS frame_bytes
       FROM base
     )
@@ -131,8 +135,11 @@ def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM documents
     )
     SELECT media_type, count(*) AS n_media,
-           CAST(sum(greatest(1, CAST(floor(
-             n * least(4096.0 / (w * h), 1.0)) AS BIGINT)))
+           -- least(n, ...) mirrors the kernel's payload[:k] slice:
+           -- an empty payload stays 0 bytes even though the target
+           -- floor is clamped to >= 1
+           CAST(sum(least(n, greatest(1, CAST(floor(
+             n * least(4096.0 / (w * h), 1.0)) AS BIGINT))))
              AS BIGINT) AS total_payload_bytes
     FROM base GROUP BY media_type
     """,

@@ -212,9 +212,14 @@ def ref_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seeded tables (reserved-word-safe timestamp handling).",
 )
 def ref_active_users_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.seed import DEFAULT_AS_OF
+
     frames = seed_frames(spark)
     users, events = frames["users"], frames["events"]
-    cutoff = F.lit("2026-01-01 00:00:00").cast("timestamp_ntz") - F.make_dt_interval(
+    # cutoff derives from the seeder's single as_of source of truth
+    # (the oracle SQL hardcodes the same literal by necessity — a
+    # constant drift there fails the differential loudly)
+    cutoff = F.lit(DEFAULT_AS_OF).cast("timestamp_ntz") - F.make_dt_interval(
         days=F.lit(7)
     )
     recent = events.where(F.col("ts") >= cutoff)

@@ -27,11 +27,23 @@ from hands_on_trino_iceberg_superset_spark.session import get_spark
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    # consume --json (and its VALUE) before positional parsing —
+    # otherwise the filename is mistaken for sf_dir
+    argv = sys.argv[1:]
     json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: bench_compare.py [sf_dir] [--json out.json]",
+                  file=sys.stderr)
+            return 2
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        print(f"unknown options: {unknown}", file=sys.stderr)
+        return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     inventory = load_all()
     spark = get_spark("bench-compare")
@@ -50,8 +62,11 @@ def main() -> int:
             con.sql(spec.oracle).fetchall()
             duck_s = time.time() - t0
             con.close()
-        rows.append({"query": name, "spark_s": round(spark_s, 3),
-                     "duckdb_s": round(duck_s, 3) if duck_s else None})
+        # keep UNROUNDED floats: ratios from 3-decimal-rounded values
+        # divide by zero for sub-millisecond oracles and skew the
+        # median the tool exists to report (display rounds at print)
+        rows.append({"query": name, "spark_s": spark_s,
+                     "duckdb_s": duck_s})
         print(f"  {name}: spark={spark_s:.2f}s duckdb="
               f"{'-' if duck_s is None else f'{duck_s:.2f}s'}", flush=True)
 
@@ -82,8 +97,14 @@ def main() -> int:
           f"duckdb {core_duck:.1f} s = {core_spark / core_duck:.1f}x |")
 
     if json_out:
+        out_rows = [
+            {"query": r["query"], "spark_s": round(r["spark_s"], 4),
+             "duckdb_s": (None if r["duckdb_s"] is None
+                          else round(r["duckdb_s"], 4))}
+            for r in rows
+        ]
         with open(json_out, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "rows": rows,
+            json.dump({"sf_dir": sf_dir, "rows": out_rows,
                        "median_ratio": med_ratio}, fh, indent=1)
         print(f"\nwrote {json_out}")
     return 0

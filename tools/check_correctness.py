@@ -22,6 +22,13 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
     inventory = load_all()
+    # a typo'd query name must not silently match nothing and print
+    # ALL OK with exit 0 — a false pass for any script using this as
+    # a gate
+    unknown = [q for q in only if q not in inventory]
+    if unknown:
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
     spark = get_spark("check-correctness")
     failures = 0
     for name, spec in inventory.items():
