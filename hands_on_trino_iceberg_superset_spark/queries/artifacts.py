@@ -1,0 +1,86 @@
+"""Per-corpus persisted pipeline artifacts (indexes, mined pair sets).
+
+At 100 TB an ANN index or a mined near-dup edge set is a materialized
+pipeline artifact shared by many queries/sessions, not a per-query
+recompute. These helpers make the local persistence of those
+artifacts safe:
+
+- :func:`corpus_token` keys the cache by the *contents* of the
+  backing table (file sizes + mtimes), not just its path — a corpus
+  regenerated in place gets a fresh token instead of silently reusing
+  a stale artifact built from the old data.
+- :func:`ensure_artifact` builds into a private temp dir and
+  publishes with one atomic ``os.rename``: a reader can never observe
+  a half-built artifact, and two concurrent builders race safely (the
+  loser's rename fails, its temp dir is discarded, the winner's
+  artifact is used).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+
+def corpus_token(sf_dir: str, table: str) -> str:
+    """Content token for ``{sf_dir}/{table}.parquet``: md5 over the
+    absolute path plus every file's (relpath, size, mtime_ns). Any
+    in-place regeneration of the corpus changes the token."""
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    h = hashlib.md5(root.encode())
+    if os.path.isfile(root):
+        st = os.stat(root)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.isdir(root):
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for nm in sorted(filenames):
+                fp = os.path.join(dirpath, nm)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, root)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def artifact_path(sf_dir: str, kind: str, table: str) -> str:
+    """Cache location for artifact ``kind`` derived from ``table`` at
+    ``sf_dir`` — content-token keyed (see :func:`corpus_token`)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_{kind}_{corpus_token(sf_dir, table)}",
+    )
+
+
+def ensure_artifact(path: str, build: Callable[[str], None]) -> str:
+    """Return ``path``, building it first if absent.
+
+    ``build(tmp_dir)`` must write the COMPLETE artifact under
+    ``tmp_dir``; it is then published to ``path`` with one atomic
+    rename. Existence of ``path`` therefore implies a fully-built
+    artifact — no separate ``_SUCCESS`` gate needed (a marker-file
+    gate adopts half-built artifacts after an interrupted build and
+    races concurrent readers during overwrite)."""
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+        if not os.path.isdir(tmp):
+            raise RuntimeError(
+                f"artifact builder produced nothing at {tmp}"
+            )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race — the winner's artifact is
+            # complete (rename is atomic), use it
+            if not os.path.isdir(path):
+                raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path

@@ -156,19 +156,24 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution, quality-ranked survivors, and the cross-modal
     agreement — consume the same edges. At 100 TB a mined pair set is
     a materialized pipeline artifact, not a per-query recompute; the
-    live mining itself stays measured by dedup_ngram_jaccard."""
-    import hashlib
-    import os
-    import tempfile
+    live mining itself stays measured by dedup_ngram_jaccard.
 
-    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_neardup_pairs_{slug}"
+    Content-token keyed + atomically published (queries/artifacts.py):
+    a regenerated corpus never reuses stale pairs, and concurrent
+    sessions never race a half-written pair set."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build(tmp: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         (D.ngram_jaccard_pairs_auto(docs, threshold=0.4, n=2)
-         .write.mode("overwrite").parquet(path))
+         .write.mode("overwrite").parquet(tmp))
+
+    path = ensure_artifact(
+        artifact_path(sf_dir, "neardup_pairs", "documents"), build
+    )
     return spark.read.parquet(path)
 
 

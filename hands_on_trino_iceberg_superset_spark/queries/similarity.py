@@ -114,18 +114,21 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and driver-hash-checkable.",
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
-    # corpus-specific persisted index location (rebuilt only if absent)
-    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    index_path = f"{tempfile.gettempdir()}/spark_ivf_index_{slug}"
-    ivf = S.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=8,
-        index_path=index_path,
+    # persisted per-corpus index: content-token keyed (a regenerated
+    # corpus gets a fresh index, never a stale one) and published by
+    # atomic rename (concurrent sessions can't race a half-built dir)
+    index_path = ensure_artifact(
+        artifact_path(sf_dir, "ivf_index", "embeddings"),
+        lambda tmp: S.build_ivf_index(emb, tmp, n_centroids=16),
     )
+    ivf = S.ivf_probe(queries, index_path, k=10, n_probe=8)
     exact = S.cosine_topk(emb, queries, k=10)
     return _recall_gate(ivf, exact, min_overlap=6, col="recall_ok")
 
@@ -187,23 +190,23 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seeded k-means + lowest-id training sample.",
 )
 def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # persisted per-corpus index (same pattern as the IVF entry):
     # the one-off build is amortized across sessions, so the steady
-    # state measures the probe path, not index construction. The
-    # reuse gate checks the LAST artifact written (codebooks) — a
-    # first-artifact check would permanently adopt a half-built
-    # index after an interrupted build
-    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_pq_index_{slug}", "pq"
+    # state measures the probe path, not index construction.
+    # Content-token keyed + atomic-rename published: existence of the
+    # dir implies a COMPLETE index (no marker-file gate that could
+    # adopt a half-built index after an interrupted build), and a
+    # regenerated corpus never reuses stale codebooks
+    path = ensure_artifact(
+        artifact_path(sf_dir, "pq_index", "embeddings"),
+        lambda tmp: S.build_pq_index(emb, tmp, n_centroids=16, m=8),
     )
-    if not os.path.exists(f"{path}/codebooks/_SUCCESS"):
-        S.build_pq_index(emb, path, n_centroids=16, m=8)
     q = _queries(emb)
     # probe width is the recall/scan-fraction dial: at scale 4/16
     # cells bounds the codes scan to a quarter of the corpus, but
