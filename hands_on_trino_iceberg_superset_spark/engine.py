@@ -528,6 +528,15 @@ class Engine:
                 parsed = _dt.datetime.fromisoformat(
                     lit.strip("'").rstrip("Zz")
                 )
+                if parsed.tzinfo is not None:
+                    # a literal carrying a UTC offset (e.g.
+                    # '… 10:00:00+05:30') must be converted to UTC —
+                    # strftime would silently DROP the offset and
+                    # reinterpret the wall-clock as UTC, selecting
+                    # the wrong snapshot
+                    parsed = parsed.astimezone(
+                        _dt.timezone.utc
+                    ).replace(tzinfo=None)
                 as_of = parsed.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
                 df = table.read(as_of=as_of)
                 tag = "".join(c if c.isalnum() else "_" for c in as_of)

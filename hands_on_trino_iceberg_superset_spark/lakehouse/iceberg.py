@@ -1163,6 +1163,25 @@ class IcebergTable:
                     f"{full} has columns {stray} not in the table "
                     "schema; they would be silently unreadable"
                 )
+            # physical types must be readable AS the table types —
+            # a conflicting type (string where the table says long)
+            # must fail at adoption, not later at scan time after
+            # the snapshot is already committed. Iceberg-legal
+            # widenings (int->long, float->double, decimal precision
+            # at same scale) are accepted.
+            bad = [
+                (fld.name, str(fld.type), ftype[fld.name][1])
+                for fld in pf.schema_arrow
+                if not _arrow_type_ok(ftype[fld.name][1], fld.type)
+            ]
+            if bad:
+                detail = "; ".join(
+                    f"{n}: file has {a}, table expects {i}"
+                    for n, a, i in bad
+                )
+                raise ValueError(
+                    f"{full} has incompatible column types ({detail})"
+                )
             lowers, uppers = _footer_bounds(pf, ftype)
             data_files.append({
                 "content": 0,
@@ -3143,6 +3162,47 @@ def _py_stat_value(ice_type: str, v):
     if ice_type == "string" and isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
     return v
+
+
+def _arrow_type_ok(ice_type: object, at) -> bool:
+    """Is a parquet file's physical (arrow) column type readable as
+    the table's Iceberg type? Exact matches plus the Iceberg-legal
+    read-time widenings (int->long, float->double, decimal precision
+    widening at same scale). Nested types (dict-shaped Iceberg types)
+    are not validated — adoption of nested columns is best-effort."""
+    import pyarrow as pa
+
+    if not isinstance(ice_type, str):
+        return True  # nested struct/list/map: skip
+    if ice_type == "boolean":
+        return pa.types.is_boolean(at)
+    if ice_type == "int":
+        return pa.types.is_signed_integer(at) and at.bit_width <= 32
+    if ice_type == "long":
+        return pa.types.is_signed_integer(at)
+    if ice_type == "float":
+        return pa.types.is_floating(at) and at.bit_width <= 32
+    if ice_type == "double":
+        return pa.types.is_floating(at)
+    if ice_type == "string":
+        return pa.types.is_string(at) or pa.types.is_large_string(at)
+    if ice_type == "binary":
+        return (pa.types.is_binary(at) or pa.types.is_large_binary(at)
+                or pa.types.is_fixed_size_binary(at))
+    if ice_type == "date":
+        return pa.types.is_date(at)
+    if ice_type in ("timestamp", "timestamptz"):
+        return pa.types.is_timestamp(at)
+    if ice_type == "time":
+        return pa.types.is_time(at)
+    if ice_type.startswith("decimal("):
+        m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", ice_type)
+        return (m is not None and pa.types.is_decimal(at)
+                and at.scale == int(m.group(2))
+                and at.precision <= int(m.group(1)))
+    if ice_type.startswith("fixed["):
+        return pa.types.is_fixed_size_binary(at)
+    return True  # unknown/future type: don't block adoption
 
 
 def _footer_bounds(pf, ftype: dict[str, tuple[int, str]]):

@@ -51,19 +51,38 @@ def salted_join(
     right_key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_on: str = "content",
 ) -> DataFrame:
     """Skew-resistant equi-join: the (large, skewed) ``left`` side
-    gets a deterministic per-row salt; the ``right`` side is
-    replicated across all ``n_salts`` values; the join key becomes
-    (key, salt), spreading each hot key over ``n_salts`` partitions.
+    gets a per-row salt; the ``right`` side is replicated across all
+    ``n_salts`` values; the join key becomes (key, salt), spreading
+    each hot key over ``n_salts`` partitions.
 
     Result is identical to ``left.join(right, key, how)`` for inner
     and left joins (every right row exists under every salt). When
     both sides name the key identically, the right-side copy is
     dropped from the output (plain-equi-join column shape).
+
+    ``salt_on`` picks the salt derivation:
+
+    - ``"content"`` (default): ``xxhash64`` over every left column —
+      fully DETERMINISTIC, so a partial stage retry re-salts each row
+      identically and can never duplicate or drop join rows. Spreads
+      a hot key whenever its rows differ in any column (the usual
+      null-key/default-id skew). Fully-identical duplicate rows share
+      a salt and stay in one partition — correct, just unspread.
+    - ``"rowid"``: ``monotonically_increasing_id() % n_salts`` —
+      spreads even byte-identical duplicate rows (the boilerplate-doc
+      case), but the id depends on partition layout, so the LEFT
+      INPUT MUST BE A DETERMINISTIC SCAN (e.g. a parquet read with a
+      fixed split layout): if the left is itself shuffled output, a
+      partial map-output recomputation can re-salt rows into
+      different sub-keys and corrupt the join under task retries.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    if salt_on not in ("content", "rowid"):
+        raise ValueError("salt_on must be 'content' or 'rowid'")
     if "_salt" in left.columns or "_salt" in right.columns:
         # withColumn would silently REPLACE a caller's _salt column
         # and the drops below would erase it from the result
@@ -71,14 +90,11 @@ def salted_join(
             "column '_salt' collides with salted_join internals; "
             "rename it first"
         )
-    # salt must vary WITHIN a hot key — a content hash is constant
-    # across fully-duplicate rows (the boilerplate/default-id case
-    # that causes the skew in the first place), which would leave the
-    # entire hot key in one partition while still paying the n_salts
-    # right-side replication. A per-row id varies by position, not
-    # content; join RESULTS are salt-independent, so nondeterministic
-    # salt assignment is safe.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    if salt_on == "content":
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                      F.lit(n_salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     salted_left = left.withColumn("_salt", salt)
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

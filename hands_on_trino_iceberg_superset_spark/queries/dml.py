@@ -49,6 +49,11 @@ def _memo_table(spark: SparkSession, sf_dir: str, name: str, build):
     t = _CACHE.get(key)
     if t is not None and os.path.isdir(t.path):
         return t
+    # evict entries bound to other (stopped) sessions — same policy
+    # as _LOAD_CACHE in sources/tpch.py: a long-lived process must
+    # not accumulate tables pinned to dead SparkSessions
+    for k in [k for k in _CACHE if k[0] != key[0]]:
+        del _CACHE[k]
     t = build()
     _CACHE[key] = t
     return t

@@ -267,6 +267,10 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "stream_merge")
     table = _MERGE_CACHE.get(key)
     if table is None or not __import__("os").path.isdir(table.path):
+        # evict entries bound to other (stopped) sessions — same
+        # policy as _LOAD_CACHE in sources/tpch.py
+        for k in [k for k in _MERGE_CACHE if k[0] != key[0]]:
+            del _MERGE_CACHE[k]
         table = build()
         _MERGE_CACHE[key] = table
     return table.read()

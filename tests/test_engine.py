@@ -208,3 +208,40 @@ def test_sql_time_travel_literal_shapes(spark, tmp_path) -> None:
         f"TIMESTAMP '{lit}'"
     ).collect()[0].n
     assert n == 1
+
+
+def test_sql_time_travel_offset_literal(spark, tmp_path) -> None:
+    """An AS OF literal carrying a non-UTC offset denotes an
+    INSTANT: '+05:30' wall-clock must be converted to UTC, not
+    reinterpreted as UTC (which selects a different snapshot)."""
+    import datetime as dt
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse import VersionedTable
+
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    t = VersionedTable.create(spark, str(tmp_path / "tz"), df)
+    eng.register_versioned_table("tz_t", t)
+    v1_ts = t.current().ts  # ISO ...T...Z UTC, microseconds
+    eng.sql("DELETE FROM tz_t WHERE k = 2")  # v2: 1 row
+
+    # v1's exact instant written as a +05:30 wall clock — the SAME
+    # instant, so it must (inclusively) see v1's 2 rows. Dropping
+    # the offset reads it as UTC, 5h30m late -> v2's 1 row.
+    aware = dt.datetime.fromisoformat(v1_ts.rstrip("Z")).replace(
+        tzinfo=dt.timezone.utc
+    ).astimezone(dt.timezone(dt.timedelta(hours=5, minutes=30)))
+    lit = aware.strftime("%Y-%m-%d %H:%M:%S.%f") + "+05:30"
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM tz_t FOR TIMESTAMP AS OF "
+        f"TIMESTAMP '{lit}'"
+    ).collect()[0].n
+    assert n == 2
+    # the same wall clock with a -05:30 offset is a LATER instant
+    # (after v2): must see v2's single row
+    lit_late = lit[:-6] + "-05:30"
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM tz_t FOR TIMESTAMP AS OF "
+        f"TIMESTAMP '{lit_late}'"
+    ).collect()[0].n
+    assert n == 1

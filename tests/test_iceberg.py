@@ -1537,6 +1537,26 @@ def test_add_files_adopts_foreign_parquet_in_place(spark, tmp_root):
     row = [r for r in fresh2.read().collect() if r.id == 1000][0]
     assert row.v is None
 
+    # a conflicting PHYSICAL type (string where the table says long)
+    # refuses at adoption time — before the bad type would otherwise
+    # surface only at scan time, after the snapshot committed
+    clash = os.path.join(tmp_root, "foreign_clash")
+    spark.createDataFrame([("oops", 1.0)], "id string, v double") \
+        .coalesce(1).write.parquet(clash)
+    n_snaps = len(fresh2.snapshots())
+    with pytest.raises(ValueError, match="incompatible column types"):
+        fresh2.add_files(clash)
+    assert len(IcebergTable.load(spark, path).snapshots()) == n_snaps
+
+    # Iceberg-legal widenings are accepted: int->long, float->double
+    widen = os.path.join(tmp_root, "foreign_widen")
+    spark.createDataFrame([(2000, 2.5)], "id int, v float") \
+        .coalesce(1).write.parquet(widen)
+    assert fresh2.add_files(widen) == 1
+    wide_row = [r for r in IcebergTable.load(spark, path).read()
+                .collect() if r.id == 2000][0]
+    assert wide_row.v == 2.5
+
 
 def test_call_procedures_sql_surface(spark, tmp_root):
     """CALL iceberg.system.<proc>(...) — the Trino procedure surface

@@ -94,8 +94,8 @@ def test_salted_join_same_key_name(spark):
 
 
 def test_salted_join_spreads_identical_rows_and_guards_salt(spark):
-    """Fully-duplicate hot-key rows (the motivating skew case) must
-    receive multiple distinct salts, and a caller's _salt column is
+    """salt_on='rowid' spreads even fully-duplicate hot-key rows (the
+    boilerplate-doc skew case), and a caller's _salt column is
     refused instead of silently clobbered."""
     from hands_on_trino_iceberg_superset_spark.operators.scale import (
         salted_join,
@@ -105,7 +105,7 @@ def test_salted_join_spreads_identical_rows_and_guards_salt(spark):
         [(7, "same")] * 400 + [(8, "other")], "k long, payload string"
     ).repartition(8)
     dim = spark.createDataFrame([(7, "d7"), (8, "d8")], "k long, d string")
-    out = salted_join(hot, dim, "k", "k", n_salts=4)
+    out = salted_join(hot, dim, "k", "k", n_salts=4, salt_on="rowid")
     assert out.count() == 401  # row-preserving
     # the salt column used internally must actually spread the
     # identical rows: check the physical distribution via the same
@@ -122,3 +122,37 @@ def test_salted_join_spreads_identical_rows_and_guards_salt(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="_salt"):
         salted_join(bad, dim, "k", "k")
+    with _pytest.raises(ValueError, match="salt_on"):
+        salted_join(hot, dim, "k", "k", salt_on="random")
+
+
+def test_salted_join_content_salt_deterministic_and_spreads(spark):
+    """The default content salt is a pure function of the row, so a
+    recomputed partition re-salts identically (retry-safe — the r3
+    ADVICE finding on monotonically_increasing_id), and a hot key
+    whose rows differ in any column still spreads across salts."""
+    import pyspark.sql.functions as F
+    from hands_on_trino_iceberg_superset_spark.operators.scale import (
+        salted_join,
+    )
+
+    # hot key 1 with 2000 rows of DIFFERING payloads
+    left = spark.range(2_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(1, "hot")], ["k", "d"])
+    out = salted_join(left, dim, "k", "k", n_salts=8)
+    assert out.count() == 2_000
+    # same salt expression as the implementation: all 8 sub-keys used
+    n_salts_seen = (
+        left.withColumn(
+            "s", F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+        ).select("s").distinct().count()
+    )
+    assert n_salts_seen == 8
+    # determinism: the salt assignment is identical across two
+    # independent evaluations even after a reshuffle of the input
+    a = left.withColumn("s", F.pmod(F.xxhash64("k", "payload"), F.lit(8)))
+    b = (left.repartition(13)
+         .withColumn("s", F.pmod(F.xxhash64("k", "payload"), F.lit(8))))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
