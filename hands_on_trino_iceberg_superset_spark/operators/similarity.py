@@ -55,24 +55,41 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must be small (it is broadcast); ``corpus`` streams
     through a single narrow stage. Ranking ties break on neighbor id
     (after optional rounding) so results are total-order stable.
+
+    ``match_cols`` implements FILTERED vector search: each listed
+    column must be equal between query and neighbor (e.g. the same
+    label/tenant/language). This is the PRE-filter strategy — the
+    predicate lands in the hash-join key, so non-matching corpus rows
+    are discarded before any distance math, and top-k is exact within
+    the filtered set (post-filtering an unfiltered top-k would
+    silently return < k when the filter is selective).
     """
+    match_cols = match_cols or []
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        *[F.col(c).alias(f"_qm_{c}") for c in match_cols],
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        *match_cols,
     )
     sim = cosine(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    cond = F.col("query_id") != F.col("neighbor_id")
+    for mc in match_cols:
+        cond = cond & (F.col(mc) == F.col(f"_qm_{mc}"))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -351,6 +368,74 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each pre-assigned cluster, drop every
+    vector whose cosine similarity to ANY lower-id vector in the same
+    cluster reaches ``threshold``; the lowest-id member of each
+    semantic duplicate group survives.
+
+    The greedy *prefix* rule (compare against all lower ids, not just
+    surviving ones) makes the output a pure per-cluster function —
+    deterministic, order-free, and exactly expressible in SQL for the
+    oracle — at the cost of occasionally dropping one more vector
+    than transitive-closure dedup would.
+
+    Scale shape: ONE shuffle keyed on the cluster id, then one
+    Arrow-batched BLAS GEMM per cluster (``M @ M.T``). The quadratic
+    is confined within clusters, which is the entire point of
+    SemDeDup: the k-means step (see :func:`build_ivf_index` — the
+    same coarse quantizer artifact serves both ANN and this) bounds
+    cluster sizes, so 100 TB of embeddings costs ``sum(|c|^2)``
+    instead of ``N^2``. Cluster size must fit one executor's memory
+    (~50k x 1KB vectors per group is comfortable); re-cluster with
+    more centroids if a cell outgrows that.
+
+    Returns (vec_id, cluster, is_survivor) — one row per input.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    digits = round_digits
+    thr = float(threshold)
+
+    def dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+        sims = (m @ m.T) / np.outer(norms, norms)
+        if digits is not None:
+            sims = np.round(sims, digits)
+        # strictly-lower-triangular mask = "some lower-id vector is
+        # too similar"; row-wise any() gives the drop set in one pass
+        dropped = np.tril(sims >= thr, k=-1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": pdf["id"].to_numpy(),
+            "cluster": pdf["cluster"].to_numpy(),
+            "is_survivor": ~dropped,
+        })
+
+    return v.groupBy("cluster").applyInPandas(
+        dedup_cluster, "vec_id long, cluster int, is_survivor boolean"
+    )
+
+
 # ----------------------------------------------------------- IVF path
 
 
@@ -396,6 +481,66 @@ def build_ivf_index(
         "cell int, centroid array<double>",
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF maintenance: fold NEW vectors into an existing
+    index WITHOUT refitting the quantizer — assign each vector to its
+    nearest existing centroid (the same euclidean rule k-means used
+    at build time) and append into the cell-partitioned store.
+
+    This is the 100 TB steady state: the coarse quantizer is fit
+    once (or re-fit rarely, offline); the daily embedding batch is
+    one map + one partitioned append, no shuffle of the existing
+    corpus, and probes see the new vectors immediately because cell
+    membership — not manifest age — drives partition pruning.
+    Centroids are bounded index metadata (n_centroids rows), so the
+    driver-side read here is O(n_centroids), never O(corpus).
+
+    Cells drift as data distribution shifts; when the cell-size
+    histogram degrades (hot cells growing unbounded), re-fit and
+    rebuild via :func:`build_ivf_index` — the same trade every IVF
+    system (FAISS et al.) makes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = new_vectors.sparkSession
+    cent = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r.cell,
+    )
+    cells = np.array([r.cell for r in cent], dtype=np.int64)
+    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent])
+    cnorm2 = (C * C).sum(axis=1)
+
+    feat = new_vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            # argmin ||v - c||^2 = argmin (-2 v.c + |c|^2): the |v|^2
+            # term is constant per row and drops out
+            d = -2.0 * (m @ C.T) + cnorm2[None, :]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "v": pdf["v"],
+                "cell": cells[d.argmin(axis=1)],
+            })
+
+    assigned = feat.mapInPandas(assign, "id long, v array<double>, cell int")
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/vectors"
+    )
 
 
 def ivf_probe(

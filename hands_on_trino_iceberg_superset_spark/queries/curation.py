@@ -594,3 +594,72 @@ def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "training_curriculum_order",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n_chars < 150 THEN 1
+                  WHEN n_chars < 300 THEN 2
+                  WHEN n_chars < 450 THEN 3
+                  ELSE 4 END AS stage,
+             CAST(CAST(concat('0x', substr(
+               md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               AS BIGINT) AS pos
+      FROM documents
+    )
+    SELECT stage,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           min(pos) AS first_pos
+    FROM staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    doc="Curriculum ordering for training: documents tier into "
+        "easy->hard stages by FIXED difficulty thresholds (length "
+        "here; any per-doc score works), then shuffle "
+        "deterministically WITHIN each stage via the same 60-bit md5 "
+        "position training_global_shuffle uses. Fixed thresholds "
+        "(a curriculum config) instead of rank-based ntile is the "
+        "scale-honest choice: stage assignment is a stateless map "
+        "(no global sort, no sampling pass), so the whole plan is "
+        "one shuffle keyed on the stage. Emits per-stage stats; the "
+        "write job of this pattern lands write.partitionBy(stage) "
+        "with intra-file md5 order.",
+)
+def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stage = (
+        F.when(F.col("n_chars") < 150, 1)
+        .when(F.col("n_chars") < 300, 2)
+        .when(F.col("n_chars") < 450, 3)
+        .otherwise(4)
+    )
+    pos = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    staged = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("stage", stage)
+        .withColumn("pos", pos)
+        .repartition(4, "stage")
+        .sortWithinPartitions("pos")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("stage")
+    )

@@ -530,3 +530,32 @@ def crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                - F.sum(F.col("in_t") * F.col("in_e")))
         ).alias("pair_jaccard"),
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    SELECT e.vec_id AS vec_id, e.label AS cluster,
+           NOT EXISTS (
+             SELECT 1 FROM embeddings o
+             WHERE o.label = e.label AND o.vec_id < e.vec_id
+               AND round(list_cosine_similarity(o.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 6)
+                   >= 0.4
+           ) AS is_survivor
+    FROM embeddings e
+    """,
+    doc="SemDeDup semantic deduplication (arXiv:2303.09540): within "
+        "each cluster (the corpus's label column stands in for the "
+        "k-means cell assignment the IVF index already materializes "
+        "at scale), drop every vector with cosine >= 0.4 to a "
+        "lower-id clustermate; lowest id survives. Spark side "
+        "(operators/similarity.py semantic_dedup): one shuffle on "
+        "the cluster id, then a per-cluster BLAS GEMM via "
+        "applyInPandas — quadratic confined within clusters, "
+        "sum(|c|^2) not N^2. Oracle: the equivalent greedy-prefix "
+        "rule as a correlated NOT EXISTS.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.4, cluster_col="label")

@@ -231,3 +231,77 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CACHE: dict = {}
 
+
+
+@register(
+    "ann_cosine_topk_filtered",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label = c.label
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="FILTERED vector search: exact cosine top-10 restricted to "
+        "neighbors sharing the query's label (the tenant/language/"
+        "category predicate every production vector store needs). "
+        "Pre-filter strategy — the equality lands in the broadcast "
+        "hash-join key, so non-matching rows never reach the "
+        "distance math and top-k is exact within the filtered set; "
+        "post-filtering an unfiltered top-k would return short "
+        "result lists under selective filters. At IVF scale the "
+        "same predicate composes with cell pruning (filter first, "
+        "then probe).",
+)
+def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _queries(emb), k=10, match_cols=["label"])
+
+
+@register(
+    "ann_ivf_incremental",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+    """,
+    doc="Incremental IVF index maintenance (operators/similarity.py "
+        "append_to_ivf_index): the quantizer is fit on HALF the "
+        "corpus (even vec_ids), then the other half folds in as an "
+        "append-only batch — nearest-existing-centroid assignment + "
+        "partitioned append, no refit, no shuffle of the existing "
+        "store. The daily-embedding-batch steady state at 100 TB. "
+        "Probes then run against the merged index; emits the same "
+        "deterministic per-query recall gate as ann_cosine_topk_ivf "
+        "(overlap with exact top-10 >= 6), proving appended vectors "
+        "are immediately visible and correctly celled.",
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        S.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), tmp, n_centroids=16
+        )
+        S.append_to_ivf_index(emb.where(F.col("vec_id") % 2 == 1), tmp)
+
+    index_path = ensure_artifact(
+        artifact_path(sf_dir, "ivf_incr_index", "embeddings"), build
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    ivf = S.ivf_probe(queries, index_path, k=10, n_probe=8)
+    exact = S.cosine_topk(emb, queries, k=10)
+    return _recall_gate(ivf, exact, min_overlap=6, col="recall_ok")

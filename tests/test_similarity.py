@@ -224,3 +224,87 @@ def test_pq_topk_recall_and_codes_only_scan(spark, sf_dir, tmp_path):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
     codes_only = [s for s in schemas if "codes" in s and "v:" not in s]
     assert codes_only, f"no codes-only scan in {schemas}"
+
+
+def test_semantic_dedup_greedy_prefix_rule(spark):
+    """SemDeDup per-cluster greedy dedup: lowest id survives; any
+    vector >= threshold to a LOWER id drops (even if that lower id
+    itself dropped); clusters are independent; zero vectors are
+    similar to nothing."""
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        # cluster 0: a chain 1~2, 2~3, but 1 !~ 3 -> 2 and 3 both
+        # drop under the prefix rule (3 is similar to dropped 2)
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.45, 0.0], 0),
+        (3, [0.45, 0.9, 0.0], 0),
+        # orthogonal -> survives
+        (4, [0.0, 0.0, 1.0], 0),
+        # cluster 1: identical direction to vec 1 but OTHER cluster
+        # -> untouched (clusters are independent)
+        (5, [1.0, 0.0, 0.0], 1),
+        (6, [2.0, 0.0, 0.0], 1),  # same direction as 5 -> drops
+        # zero vector: cosine 0 to everything -> survives
+        (7, [0.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r.is_survivor
+        for r in semantic_dedup(emb, threshold=0.8).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True,
+                   5: True, 6: False, 7: True}
+
+
+def test_cosine_topk_filtered_matches_per_label_bruteforce(spark) -> None:
+    """match_cols restricts neighbors to rows sharing the query's
+    metadata — exact within the filtered set, never short-listed by
+    post-filtering."""
+    rows = [
+        (1, [1.0, 0.0], "en"), (2, [0.9, 0.1], "en"),
+        (3, [0.99, 0.01], "de"),  # closest overall but wrong lang
+        (4, [0.0, 1.0], "en"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "lang"])
+    out = S.cosine_topk(
+        df, df.where(F.col("vec_id") == 1), k=2, match_cols=["lang"]
+    ).collect()
+    assert [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)] \
+        == [(1, 2), (2, 4)]  # 3 excluded despite highest cosine
+
+
+def test_ivf_incremental_append(spark, tmp_path) -> None:
+    """append_to_ivf_index folds new vectors into an existing index:
+    counts add up, every appended vector lands in its nearest cell,
+    and probes see appended vectors immediately."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # two clearly separated blobs so cell assignment is unambiguous
+    base = [(i, (rng.normal(0, 0.05, 4) + (5.0 if i % 2 else -5.0))
+             .tolist()) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df.where(F.col("vec_id") < 20), idx, n_centroids=2)
+    S.append_to_ivf_index(df.where(F.col("vec_id") >= 20), idx)
+
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == 40
+    # appended vectors share cells with the base vectors of their blob
+    cells = {r.vec_id: r.cell for r in stored.select("id", "cell")
+             .withColumnRenamed("id", "vec_id").collect()}
+    for i in range(20, 40):
+        assert cells[i] == cells[i % 2], f"vec {i} in wrong cell"
+    # probe finds appended near-duplicates of an appended query
+    q = df.where(F.col("vec_id") == 21)
+    out = S.ivf_probe(q, idx, k=5, n_probe=1).collect()
+    assert len(out) == 5
+    assert all(r.neighbor_id % 2 == 1 for r in out)  # same blob only
