@@ -663,3 +663,29 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "tokenizer_bpe_train",
+    oracle=None,  # iterative argmax loop: genuinely non-SQL-
+    # expressible (each round's merge depends on the previous
+    # round's argmax); the driver records a rows-only check, and the
+    # strict gate is tests/test_curation.py's differential against a
+    # pure-Python reference implementation of the algorithm.
+    doc="Distributed BPE tokenizer training (arXiv:1508.07909) over "
+        "the corpus: collapse 100 TB of text to the word-frequency "
+        "table once (the only corpus-sized shuffle), then each merge "
+        "round is a JVM-codegen'd adjacent-pair count + a 1-row "
+        "argmax collect + an expression-fold merge application on "
+        "the cached word table — no Python in the hot path, lineage "
+        "kept one map deep by per-round materialization. "
+        "Deterministic tie-breaks make the learned tokenizer "
+        "identical on every run. operators/bpe.py.",
+)
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_train_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return bpe_train_df(docs, n_merges=16)

@@ -414,3 +414,55 @@ def text_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_cf").cast("double") / F.col("n_tokens"))
         .alias("commonness"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST((s - 1) / 40 + 1 AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_word,
+             list_slice(words, s, least(s + 49, len(words))) AS chunk
+      FROM w, unnest(generate_series(1, greatest(len(words) - 49, 1), 40))
+             AS t(s)
+    )
+    SELECT doc_id, chunk_idx, start_word,
+           CAST(len(chunk) AS BIGINT) AS n_words,
+           CAST(length(array_to_string(chunk, ' ')) AS BIGINT) AS n_chars
+    FROM c
+    """,
+    doc="RAG/context-window chunking: each document splits into "
+        "50-word windows with stride 40 (10-word overlap so no "
+        "retrieval-relevant sentence is cut without a duplicate "
+        "covering it). Pure JVM expressions — split + sequence + "
+        "explode + slice — zero shuffles and zero Python: chunking "
+        "100 TB is a map-only job whose output partitioning simply "
+        "inherits the scan's. Emits one row per chunk with its word "
+        "offset and size, the manifest a downstream embedding job "
+        "consumes.",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    w = docs.select("doc_id", words.alias("words"), n.alias("n"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - 49, F.lit(1)), F.lit(40)
+    )
+    exploded = w.select(
+        "doc_id", "words", "n", F.explode(starts).alias("s")
+    )
+    chunk = F.slice(
+        F.col("words"), F.col("s"),
+        F.least(F.lit(50), F.col("n") - F.col("s") + 1),
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / 40 + 1).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.length(F.array_join(chunk, " ")).cast("bigint").alias("n_chars"),
+    )

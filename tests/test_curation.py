@@ -91,3 +91,61 @@ def test_contamination_plan_broadcasts_eval(spark, inventory):
     df = inventory["text_contamination_check"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir: str) -> None:
+    """The distributed BPE trainer must learn EXACTLY the merge
+    sequence of the reference algorithm (pure-Python get_stats /
+    merge_vocab over the same corpus, same tie-breaks)."""
+    from collections import Counter
+
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        END,
+        bpe_train,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bpe_train(docs, n_merges=12)
+
+    # reference implementation (Sennrich et al. 2016, fig. 1 shape)
+    words = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + [END]): f for w, f in words.items()}
+    expect = []
+    for rank in range(1, 13):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        # deterministic tie-break: count desc, then (a, b) ASC
+        top = max(stats.values())
+        best = min(
+            (p for p, c in stats.items() if c == top)
+        )
+        cnt = stats[best]
+        if cnt < 2:
+            break
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+        expect.append({"rank": rank, "left_sym": a, "right_sym": b,
+                       "merged": a + b, "pair_count": cnt})
+
+    assert got == expect
