@@ -3191,8 +3191,16 @@ def _arrow_type_ok(ice_type: object, at) -> bool:
                 or pa.types.is_fixed_size_binary(at))
     if ice_type == "date":
         return pa.types.is_date(at)
-    if ice_type in ("timestamp", "timestamptz"):
-        return pa.types.is_timestamp(at)
+    if ice_type == "timestamp":
+        # tz-awareness is part of the type: adopting a tz-aware (or
+        # ns-unit) column into a naive micros column would silently
+        # shift/truncate values at scan time — reject at adoption,
+        # not at first read. Units below micros are lossless.
+        return (pa.types.is_timestamp(at) and at.tz is None
+                and at.unit in ("s", "ms", "us"))
+    if ice_type == "timestamptz":
+        return (pa.types.is_timestamp(at) and at.tz is not None
+                and at.unit in ("s", "ms", "us"))
     if ice_type == "time":
         return pa.types.is_time(at)
     if ice_type.startswith("decimal("):

@@ -1,37 +1,60 @@
-"""Distributed BPE tokenizer training (Sennrich et al. 2016,
-arXiv:1508.07909) — the merge-table learning step of the tokenizer a
-training-data pipeline ships alongside the corpus.
+"""BPE tokenizer training AND encoding (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer a training-data pipeline learns
+from, then runs over, the corpus.
 
-Spark-first shape:
+Spark-first shape — and the honest 100 TB cost model:
 
 1. The corpus collapses to a **word-frequency table** once (one
    shuffle). This is the classic BPE trick: merges depend only on
    (distinct word, count), so 100 TB of text becomes ~10^7-10^8
-   weighted rows — still distributed, never driver-side.
-2. Each merge round is **one JVM-side pair count** (adjacent symbol
-   pairs exploded with the word's weight, summed) + a 1-row collect
-   of the argmax (bounded driver traffic) + a map applying the merge
-   to the symbol arrays. No Python in the hot path: pair extraction
-   is ``transform(sequence(...))`` and merge application is an
-   ``aggregate`` fold, both whole-stage-codegen expressions.
-3. The symbols table is cached and re-materialized per round, so the
-   lineage stays one-map deep instead of n_merges-deep.
+   weighted rows. This is the ONLY corpus-sized stage of training.
+2. BPE *state* is vocab-sized, and the merge loop is inherently
+   serial (each round's argmax depends on the previous merge) — so
+   the right engine for the loop is chosen by DATA VOLUME, not
+   dogma. :func:`bpe_train` volume-routes exactly like
+   ``ngram_jaccard_pairs_auto``:
 
-Production tokenizers batch multiple disjoint merges per scan to cut
-round count; this implementation learns one merge per round (the
-textbook algorithm) because correctness against the reference
-algorithm is the contract here — the per-round plan is already the
-batched shape (swap the limit-1 for a limit-k of pairwise-disjoint
-pairs to batch).
+   - **driver route** (word table <= ``driver_max_words``, the
+     common case — even a 100 TB web corpus has ~10^8 distinct
+     words, a few GB): collect (word, freq) once and run the exact
+     incremental-pair-count algorithm in memory (pair->word inverted
+     index, delta updates per merge — the subword-nmt shape). 16
+     merges cost milliseconds instead of 16 x (shuffle + argmax
+     collect + re-cache) Spark jobs. This is what production
+     tokenizer trainers do: distributed word count, in-memory merge
+     loop.
+   - **distributed route** (word table too big to collect): the
+     per-round JVM pipeline — codegen'd adjacent-pair count, 1-row
+     argmax collect, expression-fold merge application on the cached
+     word table, re-materialized per round so lineage stays one map
+     deep. Correct at any vocab size; pays ~3 Spark jobs per merge.
+
+   Both routes learn the IDENTICAL merge table (same counts, same
+   count-desc / (a, b)-asc tie-break); tests/test_curation.py runs
+   the differential on both.
+3. **Encoding** (:func:`bpe_encode`) replays the learned merges over
+   each word left-to-right in rank order — equivalent to min-rank
+   iterative merging because a merge's operands always predate it in
+   rank order. One Arrow-batched ``mapInPandas`` pass, embarrassingly
+   parallel, with a per-batch word->tokens memo so each distinct
+   word in a batch is encoded once.
 """
 
 from __future__ import annotations
+
+from collections import Counter, defaultdict
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 #: marks end-of-word so a word-final symbol can't merge across words
 END = "</w>"
+
+#: above this many distinct words the trainer stays distributed;
+#: below it the (word, freq) table collects to the driver. 2M rows
+#: x ~50 bytes is ~100 MB of driver memory — far under any sane
+#: driver heap, far over any natural-language vocabulary.
+DRIVER_MAX_WORDS = 2_000_000
 
 
 def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,6 +68,87 @@ def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _merge_word(
+    syms: tuple[str, ...], a: str, b: str
+) -> tuple[str, ...]:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with a||b — the reference algorithm's merge_vocab scan."""
+    out: list[str] = []
+    i, n, merged = 0, len(syms), a + b
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_driver(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[dict]:
+    """Exact in-memory BPE with incremental pair-count maintenance:
+    a pair -> containing-word inverted index means each merge
+    touches only the words it occurs in (delta-updates the global
+    counts) instead of rescanning the vocabulary — the subword-nmt
+    ``learn_bpe`` shape. Identical output to the naive
+    recount-per-round reference by construction (deltas preserve the
+    exact counts)."""
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(list(w) + [END]), f) for w, f in word_freqs
+    ]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wid, (syms, f) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] += f
+            index[p].add(wid)
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        if not stats:
+            break
+        top = max(stats.values())
+        if top < min_pair_count:
+            break
+        best = min(p for p, c in stats.items() if c == top)
+        a, b = best
+        merges.append({
+            "rank": rank,
+            "left_sym": a,
+            "right_sym": b,
+            "merged": a + b,
+            "pair_count": int(top),
+        })
+        for wid in list(index[best]):
+            syms, f = words[wid]
+            new = _merge_word(syms, a, b)
+            if new == syms:
+                continue
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(new, new[1:]))
+            for p, k in old_pairs.items():
+                stats[p] -= k * f
+                if stats[p] == 0:
+                    del stats[p]
+            for p, k in new_pairs.items():
+                stats[p] += k * f
+            for p in old_pairs:
+                if p not in new_pairs:
+                    index[p].discard(wid)
+            for p in new_pairs:
+                if p not in old_pairs:
+                    index[p].add(wid)
+            words[wid] = (new, f)
+    return merges
+
+
+# ------------------------------------------------- distributed route
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
@@ -95,21 +199,12 @@ def _apply_merge(symbols_col, a: str, b: str):
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    n_merges: int,
-    text_col: str = "text",
-    min_pair_count: int = 2,
+def _train_distributed(
+    words: DataFrame, n_merges: int, min_pair_count: int
 ) -> list[dict]:
-    """Learn ``n_merges`` BPE merges over ``docs``. Returns the merge
-    table as a list of dicts (rank, left_sym, right_sym, merged,
-    pair_count) — driver-sized by construction (one row per merge).
-
-    Deterministic: the argmax tie-breaks on (count desc, left asc,
-    right asc), so the learned tokenizer is identical on every run
-    and engine. Stops early when no pair reaches ``min_pair_count``.
-    """
-    symbols = _initial_symbols(word_frequency(docs, text_col)).cache()
+    """One merge per round on the cached distributed word table —
+    the huge-vocab fallback (see module docstring, route 2)."""
+    symbols = _initial_symbols(words).cache()
     symbols.count()  # materialize round 0
     merges: list[dict] = []
     try:
@@ -141,6 +236,38 @@ def bpe_train(
     return merges
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    driver_max_words: int = DRIVER_MAX_WORDS,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges over ``docs``. Returns the merge
+    table as a list of dicts (rank, left_sym, right_sym, merged,
+    pair_count) — driver-sized by construction (one row per merge).
+
+    Volume-routed (see module docstring): the word-frequency table
+    collects to the driver when it fits (exact in-memory loop), else
+    the per-round distributed pipeline runs. Both routes are exact
+    and deterministic: the argmax tie-breaks on (count desc, left
+    asc, right asc), so the learned tokenizer is identical on every
+    run, engine, and route. Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    wf = word_frequency(docs, text_col)
+    # one job decides the route AND fetches the driver-route input:
+    # limit(max+1) proves the table fits without a separate count()
+    head = wf.limit(driver_max_words + 1).collect()
+    if len(head) <= driver_max_words:
+        return _train_driver(
+            [(r.word, int(r.freq)) for r in head],
+            n_merges,
+            min_pair_count,
+        )
+    return _train_distributed(wf, n_merges, min_pair_count)
+
+
 def bpe_train_df(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> DataFrame:
@@ -156,4 +283,93 @@ def bpe_train_df(
         [(m["rank"], m["left_sym"], m["right_sym"], m["merged"],
           m["pair_count"]) for m in merges],
         schema,
+    )
+
+
+# ------------------------------------------------------------ encode
+
+
+def encode_word(word: str, pairs: list[tuple[str, str]]) -> tuple:
+    """Tokenize one word by replaying the learned merges in rank
+    order (chars + END marker, then each merge left-to-right
+    non-overlapping). Rank-order replay equals iterative min-rank
+    merging: a merge's operands are base chars or outputs of
+    LOWER-ranked merges, so no later merge can ever create a pair an
+    earlier merge consumes."""
+    syms = tuple(list(word) + [END])
+    for a, b in pairs:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, a, b)
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table — the APPLY
+    half of the tokenizer (the pipeline step that turns curated text
+    into training tokens).
+
+    One Arrow-batched ``mapInPandas`` pass: no shuffle, scales
+    linearly with executors; a per-batch word->tokens memo encodes
+    each distinct word once per batch (natural-language batches
+    repeat words heavily). Emits per document:
+
+    - ``tokens``     — the BPE token stream (END-marked words);
+    - ``n_tokens``   — its length;
+    - ``n_words``    — words encoded (= END markers emitted), and
+    - ``n_chars``    — characters reconstructed from the tokens
+      (token lengths minus each word's END marker) — conservation
+      laws: they must equal the whitespace word count / non-space
+      char count of the raw text, which is how the DuckDB oracle
+      checks this path end-to-end without re-implementing BPE.
+    """
+    import pandas as pd
+
+    pairs = [
+        (m["left_sym"], m["right_sym"])
+        for m in sorted(merges, key=lambda m: m["rank"])
+    ]
+    end_len = len(END)
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, tuple] = {}
+            ids, toks_col, n_toks, n_words_col, n_chars_col = (
+                [], [], [], [], []
+            )
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tokens: list[str] = []
+                n_words = 0
+                n_chars = 0
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    toks = memo.get(w)
+                    if toks is None:
+                        memo[w] = toks = encode_word(w, pairs)
+                    tokens.extend(toks)
+                    n_words += 1
+                    n_chars += sum(map(len, toks)) - end_len
+                ids.append(did)
+                toks_col.append(tokens)
+                n_toks.append(len(tokens))
+                n_words_col.append(n_words)
+                n_chars_col.append(n_chars)
+            yield pd.DataFrame({
+                id_col: ids,
+                "tokens": toks_col,
+                "n_tokens": n_toks,
+                "n_words": n_words_col,
+                "n_chars": n_chars_col,
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} long, tokens array<string>, n_tokens int, "
+        "n_words int, n_chars long",
     )

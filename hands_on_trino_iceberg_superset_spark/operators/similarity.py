@@ -48,6 +48,18 @@ def cosine(a: Column, b: Column) -> Column:
 # -------------------------------------------------------- brute force
 
 
+def _round_half_up(x, digits: int):
+    """Round half AWAY FROM ZERO at ``digits`` decimals — the
+    semantics of Spark's ``F.round`` and DuckDB's ``round``, which
+    every oracle compares against. ``np.round`` is banker's
+    half-to-even: a similarity landing exactly on a decimal half
+    would classify differently from the oracle."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,7 +172,7 @@ def cosine_neardup_pairs(
             np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
         )
         if digits is not None:
-            sims = np.round(sims, digits)
+            sims = _round_half_up(sims, digits)
         ids_a = a_rows["id"].to_numpy()
         ids_b = b_rows["id"].to_numpy()
         if key[0] == key[1]:
@@ -355,7 +367,7 @@ def cosine_neardup_pairs_lsh(
                 np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             )
             if digits is not None:
-                s = np.round(s, digits)
+                s = _round_half_up(s, digits)
             keep = s >= thr
             yield pd.DataFrame(
                 {"id_a": pdf["id_a"].to_numpy()[keep],
@@ -421,7 +433,7 @@ def semantic_dedup(
         norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
         sims = (m @ m.T) / np.outer(norms, norms)
         if digits is not None:
-            sims = np.round(sims, digits)
+            sims = _round_half_up(sims, digits)
         # strictly-lower-triangular mask = "some lower-id vector is
         # too similar"; row-wise any() gives the drop set in one pass
         dropped = np.tril(sims >= thr, k=-1).any(axis=1)

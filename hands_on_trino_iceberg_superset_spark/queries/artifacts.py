@@ -46,12 +46,52 @@ def corpus_token(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:16]
 
 
-def artifact_path(sf_dir: str, kind: str, table: str) -> str:
+#: bump when an artifact's ON-DISK LAYOUT changes incompatibly —
+#: folded into every cache key so old-format artifacts are never
+#: adopted by new readers
+FORMAT_VERSION = "v2"
+
+
+def _artifact_root() -> str:
+    """Per-user 0700 cache root. Artifacts must not live at
+    predictable names directly under the shared world-writable temp
+    dir: another user could pre-create the path and have
+    :func:`ensure_artifact` adopt a poisoned or empty "artifact".
+    The root is keyed by uid, created 0700, and ownership-checked
+    before use (a squatter's pre-made dir with our name but their
+    uid is rejected, not adopted)."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_artifacts_{uid}"
+    )
+    try:
+        os.mkdir(root, 0o700)
+    except FileExistsError:
+        st = os.stat(root)
+        if hasattr(os, "getuid") and st.st_uid != uid:
+            raise RuntimeError(
+                f"artifact cache root {root} is owned by uid "
+                f"{st.st_uid}, not {uid} — refusing to adopt"
+            )
+    return root
+
+
+def artifact_path(
+    sf_dir: str, kind: str, table: str, params: str = ""
+) -> str:
     """Cache location for artifact ``kind`` derived from ``table`` at
-    ``sf_dir`` — content-token keyed (see :func:`corpus_token`)."""
+    ``sf_dir`` — keyed by corpus CONTENT (see :func:`corpus_token`),
+    the builder's HYPERPARAMETERS (``params`` — callers must fold in
+    every knob that changes the artifact, e.g. ``"n_centroids=16"``;
+    changing a threshold then silently reusing the old artifact is
+    the staleness bug this key exists to prevent), and the artifact
+    :data:`FORMAT_VERSION`."""
+    h = hashlib.md5(
+        f"{FORMAT_VERSION}|{params}".encode()
+    ).hexdigest()[:8]
     return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_{kind}_{corpus_token(sf_dir, table)}",
+        _artifact_root(),
+        f"{kind}_{corpus_token(sf_dir, table)}_{h}",
     )
 
 

@@ -671,16 +671,19 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressible (each round's merge depends on the previous
     # round's argmax); the driver records a rows-only check, and the
     # strict gate is tests/test_curation.py's differential against a
-    # pure-Python reference implementation of the algorithm.
-    doc="Distributed BPE tokenizer training (arXiv:1508.07909) over "
-        "the corpus: collapse 100 TB of text to the word-frequency "
-        "table once (the only corpus-sized shuffle), then each merge "
-        "round is a JVM-codegen'd adjacent-pair count + a 1-row "
-        "argmax collect + an expression-fold merge application on "
-        "the cached word table — no Python in the hot path, lineage "
-        "kept one map deep by per-round materialization. "
-        "Deterministic tie-breaks make the learned tokenizer "
-        "identical on every run. operators/bpe.py.",
+    # pure-Python reference implementation of the algorithm (run on
+    # BOTH volume routes).
+    doc="BPE tokenizer training (arXiv:1508.07909) over the corpus: "
+        "collapse 100 TB of text to the word-frequency table once "
+        "(the only corpus-sized shuffle), then VOLUME-ROUTE the "
+        "serial merge loop (operators/bpe.py bpe_train): BPE state "
+        "is vocab-sized, so when the word table fits the driver "
+        "(it does even for a 100 TB web corpus) the exact "
+        "incremental-pair-count loop runs in memory in milliseconds "
+        "— the production-tokenizer shape — and only a "
+        "beyond-vocabulary word table falls back to the per-round "
+        "distributed pipeline. Deterministic tie-breaks make the "
+        "learned tokenizer identical on every run and route.",
 )
 def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hands_on_trino_iceberg_superset_spark.operators.bpe import (
@@ -689,3 +692,69 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return bpe_train_df(docs, n_merges=16)
+
+
+#: learned merge table memo per (session, corpus) — training is
+#: deterministic, so the encode query need not re-learn per call
+_MERGES_CACHE: dict = {}
+
+
+def _merges(spark: SparkSession, sf_dir: str) -> list[dict]:
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MERGES_CACHE.get(key)
+    if got is None:
+        for k in [k for k in _MERGES_CACHE if k[0] != key[0]]:
+            del _MERGES_CACHE[k]
+        got = _MERGES_CACHE[key] = bpe_train(
+            _docs(spark, sf_dir), n_merges=16
+        )
+    return got
+
+
+@register(
+    "tokenizer_bpe_encode",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(list_filter(string_split(text, ' '),
+                                       w -> w <> ''))) AS BIGINT)
+             AS total_words,
+           CAST(sum(length(replace(text, ' ', ''))) AS BIGINT)
+             AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="BPE ENCODE — run the learned tokenizer over the corpus "
+        "(operators/bpe.py bpe_encode): train the 16-merge table "
+        "once per corpus (memoized, deterministic), then one "
+        "Arrow-batched mapInPandas pass tokenizes every document "
+        "(no shuffle; per-batch word memo). The emitted per-lang "
+        "word/char totals are derived FROM the token stream (END "
+        "markers / token lengths), so the DuckDB oracle checks the "
+        "encode path via conservation laws on the raw text — a "
+        "corrupted tokenization breaks the hash — while exact "
+        "token-identity vs a pure-Python reference encoder is "
+        "gated in tests/test_curation.py.",
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, _merges(spark, sf_dir))
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -172,7 +172,8 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").parquet(tmp))
 
     path = ensure_artifact(
-        artifact_path(sf_dir, "neardup_pairs", "documents"), build
+        artifact_path(sf_dir, "neardup_pairs", "documents",
+                      params="threshold=0.4,n=2"), build
     )
     return spark.read.parquet(path)
 

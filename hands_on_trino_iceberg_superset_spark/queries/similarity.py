@@ -288,7 +288,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ensure_artifact(
-        artifact_path(sf_dir, "ivf_index", "embeddings"),
+        artifact_path(sf_dir, "ivf_index", "embeddings",
+                      params="n_centroids=16"),
         lambda tmp: S.build_ivf_index(emb, tmp, n_centroids=16),
     )
 
@@ -301,7 +302,8 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> str:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ensure_artifact(
-        artifact_path(sf_dir, "pq_index", "embeddings"),
+        artifact_path(sf_dir, "pq_index", "embeddings",
+                      params="n_centroids=16,m=8"),
         lambda tmp: S.build_pq_index(emb, tmp, n_centroids=16, m=8),
     )
 
@@ -321,7 +323,8 @@ def _ivf_incr_index(spark: SparkSession, sf_dir: str) -> str:
         S.append_to_ivf_index(emb.where(F.col("vec_id") % 2 == 1), tmp)
 
     return ensure_artifact(
-        artifact_path(sf_dir, "ivf_incr_index", "embeddings"), build
+        artifact_path(sf_dir, "ivf_incr_index", "embeddings",
+                      params="n_centroids=16,split=parity"), build
     )
 
 

@@ -107,3 +107,35 @@ def test_ensure_artifact_lost_race_uses_winner(tmp_path):
     assert ensure_artifact(target, racing_build) == target
     assert open(os.path.join(target, "data")).read() == "winner"
     assert sorted(os.listdir(str(tmp_path))) == ["artifact"]
+
+
+def test_artifact_path_keyed_by_params(tmp_path):
+    """r4 ADVICE: builder hyperparameters are part of the cache key —
+    changing a threshold must NOT silently reuse an artifact built
+    with the old parameters."""
+    sf = str(tmp_path)
+    _fake_table(sf, "documents")
+    a = artifact_path(sf, "neardup_pairs", "documents",
+                      params="threshold=0.4,n=2")
+    b = artifact_path(sf, "neardup_pairs", "documents",
+                      params="threshold=0.5,n=2")
+    c = artifact_path(sf, "neardup_pairs", "documents",
+                      params="threshold=0.4,n=2")
+    assert a != b
+    assert a == c
+
+
+def test_artifact_root_is_private_and_owned(tmp_path):
+    """r4 ADVICE: artifacts live in a per-uid 0700 root (not at
+    predictable names in the shared temp dir), and a root owned by
+    another uid is refused, never adopted."""
+    import stat
+
+    sf = str(tmp_path)
+    _fake_table(sf, "documents")
+    p = artifact_path(sf, "ivf_index", "documents")
+    root = os.path.dirname(p)
+    assert str(os.getuid()) in os.path.basename(root)
+    st = os.stat(root)
+    assert stat.S_IMODE(st.st_mode) == 0o700
+    assert st.st_uid == os.getuid()

@@ -93,30 +93,23 @@ def test_contamination_plan_broadcasts_eval(spark, inventory):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
-def test_bpe_train_matches_python_reference(spark, sf_dir: str) -> None:
-    """The distributed BPE trainer must learn EXACTLY the merge
-    sequence of the reference algorithm (pure-Python get_stats /
-    merge_vocab over the same corpus, same tie-breaks)."""
+def _reference_merges(docs_rows, n_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016, fig. 1
+    shape): full get_stats recount every round — deliberately the
+    naive algorithm, so both production routes (incremental driver
+    loop, distributed loop) diff against it."""
     from collections import Counter
 
-    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
-        END,
-        bpe_train,
-    )
-    from hands_on_trino_iceberg_superset_spark.sources import load_table
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import END
 
-    docs = load_table(spark, sf_dir, "documents")
-    got = bpe_train(docs, n_merges=12)
-
-    # reference implementation (Sennrich et al. 2016, fig. 1 shape)
     words = Counter()
-    for r in docs.select("text").collect():
-        for w in r.text.split(" "):
+    for text in docs_rows:
+        for w in text.split(" "):
             if w:
                 words[w] += 1
     vocab = {tuple(list(w) + [END]): f for w, f in words.items()}
     expect = []
-    for rank in range(1, 13):
+    for rank in range(1, n_merges + 1):
         stats = Counter()
         for syms, f in vocab.items():
             for i in range(len(syms) - 1):
@@ -125,9 +118,7 @@ def test_bpe_train_matches_python_reference(spark, sf_dir: str) -> None:
             break
         # deterministic tie-break: count desc, then (a, b) ASC
         top = max(stats.values())
-        best = min(
-            (p for p, c in stats.items() if c == top)
-        )
+        best = min(p for p, c in stats.items() if c == top)
         cnt = stats[best]
         if cnt < 2:
             break
@@ -147,5 +138,104 @@ def test_bpe_train_matches_python_reference(spark, sf_dir: str) -> None:
         vocab = new_vocab
         expect.append({"rank": rank, "left_sym": a, "right_sym": b,
                        "merged": a + b, "pair_count": cnt})
+    return expect
 
-    assert got == expect
+
+def test_bpe_train_matches_python_reference(spark, sf_dir: str) -> None:
+    """BOTH volume routes of the BPE trainer must learn EXACTLY the
+    merge sequence of the reference algorithm (pure-Python
+    get_stats / merge_vocab over the same corpus, same
+    tie-breaks)."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_train,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    expect = _reference_merges(
+        [r.text for r in docs.select("text").collect()], 12
+    )
+    # default = driver route (vocab-sized word table)
+    assert bpe_train(docs, n_merges=12) == expect
+    # forced distributed route must learn the identical table
+    assert bpe_train(docs, n_merges=12, driver_max_words=0) == expect
+
+
+def test_bpe_encode_matches_min_rank_reference(spark) -> None:
+    """The rank-order-replay encoder must equal an INDEPENDENT
+    implementation of BPE encoding (GPT-2 style: repeatedly merge
+    the lowest-ranked pair present) on an adversarial vocabulary —
+    runs of repeated symbols, nested merges, single-char words."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        END,
+        bpe_train,
+        encode_word,
+    )
+
+    corpus = [
+        "aaaa aaa aa a aaaaaa",
+        "low lower lowest low low slow",
+        "new newer newest news new",
+        "ab abab ababab b ba",
+    ]
+    merges = bpe_train(_docs_df(spark, corpus), n_merges=10)
+    ranks = {
+        (m["left_sym"], m["right_sym"]): m["rank"] for m in merges
+    }
+    pairs = [(m["left_sym"], m["right_sym"]) for m in merges]
+
+    def min_rank_encode(word):
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            cands = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(syms, syms[1:]))
+                if p in ranks
+            ]
+            if not cands:
+                break
+            rank = min(r for r, _ in cands)
+            a, b = pairs[rank - 1]
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    words = {w for t in corpus for w in t.split(" ") if w}
+    for w in sorted(words):
+        assert encode_word(w, pairs) == min_rank_encode(w), w
+
+
+def test_bpe_encode_roundtrip_and_conservation(spark, sf_dir) -> None:
+    """Decoding the token stream must reproduce each document's
+    non-space text exactly, and the emitted n_words/n_chars/
+    n_tokens columns must match the token stream they summarize."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        END,
+        bpe_encode,
+        bpe_train,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=16)
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert enc.keys() == raw.keys()
+    for did, text in raw.items():
+        r = enc[did]
+        decoded = "".join(r.tokens).replace(END, "")
+        assert decoded == text.replace(" ", "")
+        assert r.n_tokens == len(r.tokens)
+        assert r.n_words == sum(
+            1 for t in r.tokens if t.endswith(END)
+        )
+        assert r.n_chars == len(decoded)
+

@@ -1609,3 +1609,67 @@ def test_call_procedures_sql_surface(spark, tmp_root):
     # unknown procedure fails loudly
     with pytest.raises(ValueError, match="unknown procedure"):
         eng.sql("CALL iceberg.system.nope('x')")
+
+
+def test_add_files_rejects_timestamp_tz_mismatch(spark, tmp_root):
+    """r4 ADVICE: tz-awareness and sub-micro units are part of the
+    timestamp type. Adopting a tz-aware parquet column into a naive
+    'timestamp' table column (or vice versa, or a ns-unit file)
+    must refuse at adoption time, not shift values at scan time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    naive = spark.sql(
+        "SELECT id, timestamp_ntz'2024-01-01 00:00:00' + "
+        "make_interval(0,0,0,0,cast(id as int),0,0) AS ts "
+        "FROM range(4)"
+    )
+    path = os.path.join(tmp_root, "ts_naive")
+    t = IcebergTable.create(spark, path, naive)
+
+    # tz-AWARE file into the naive column: refuse
+    aware = os.path.join(tmp_root, "foreign_aware")
+    spark.sql(
+        "SELECT id + 100 AS id, timestamp'2024-02-01 00:00:00' AS ts "
+        "FROM range(2)"
+    ).coalesce(1).write.parquet(aware)
+    with pytest.raises(ValueError, match="incompatible column types"):
+        t.add_files(aware)
+
+    # ns-unit naive file: sub-micro precision would truncate; refuse
+    ns_dir = os.path.join(tmp_root, "foreign_ns")
+    os.makedirs(ns_dir)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([200], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_123],
+                           pa.timestamp("ns")),
+        }),
+        os.path.join(ns_dir, "part-0.parquet"),
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    with pytest.raises(ValueError, match="incompatible column types"):
+        t.add_files(ns_dir)
+
+    # matching naive micros file adopts fine
+    ok = os.path.join(tmp_root, "foreign_ok")
+    spark.sql(
+        "SELECT id + 300 AS id, "
+        "timestamp_ntz'2024-03-01 00:00:00' AS ts FROM range(2)"
+    ).coalesce(1).write.parquet(ok)
+    assert t.add_files(ok) == 1
+
+    # and the inverse: naive file into a timestamptz column refuses
+    aware_tbl = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' AS ts FROM range(2)"
+    )
+    path2 = os.path.join(tmp_root, "ts_aware")
+    t2 = IcebergTable.create(spark, path2, aware_tbl)
+    naive_file = os.path.join(tmp_root, "foreign_naive")
+    spark.sql(
+        "SELECT id + 50 AS id, "
+        "timestamp_ntz'2024-04-01 00:00:00' AS ts FROM range(2)"
+    ).coalesce(1).write.parquet(naive_file)
+    with pytest.raises(ValueError, match="incompatible column types"):
+        t2.add_files(naive_file)

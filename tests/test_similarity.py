@@ -308,3 +308,24 @@ def test_ivf_incremental_append(spark, tmp_path) -> None:
     out = S.ivf_probe(q, idx, k=5, n_probe=1).collect()
     assert len(out) == 5
     assert all(r.neighbor_id % 2 == 1 for r in out)  # same blob only
+
+
+def test_round_half_up_matches_oracle_semantics():
+    """r4 ADVICE: Arrow-kernel rounding must be half-away-from-zero
+    (F.round / DuckDB round), not numpy banker's rounding — an exact
+    decimal half must round AWAY from zero on both engines."""
+    import numpy as np
+
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    x = np.array([0.1234565, -0.1234565, 0.0000005, -0.0000005,
+                  1.25e-6, 0.5e-6, 0.9999995])
+    got = _round_half_up(x, 6)
+    # np.round would give .123456 / 1e-6 / 0 here (half-to-even)
+    assert got[2] == 1e-6 and got[3] == -1e-6
+    assert got[4] == 1e-6  # 1.25e-6 -> nearest, not involved in half
+    assert got[5] == 1e-6
+    assert got[6] == 1.0
+    assert (np.sign(got) == np.sign(x)).all()
