@@ -448,6 +448,71 @@ def semantic_dedup(
     )
 
 
+def quantizer_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_vec_col: str = "centroid",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Nearest-centroid cell assignment: ``df`` plus an int ``cell``
+    column (argmin squared euclidean distance to the broadcast
+    centroid set, ties to the lowest cell id).
+
+    This is the k-means E-step as a standalone, REUSABLE operator:
+    the ``centroids`` side is bounded index metadata (collected
+    driver-side, closure-broadcast), the corpus side is one
+    Arrow-batched map — no shuffle, embarrassingly parallel, the
+    same scale shape as :func:`append_to_ivf_index`'s fold-in. Feed
+    it the IVF index's ``{path}/centroids`` to give
+    :func:`semantic_dedup` its cluster column (SemDeDup's intended
+    pairing — one quantizer artifact serves both ANN and dedup), or
+    any deterministic centroid set.
+
+    Distances are rounded half-away-from-zero at ``round_digits``
+    before the argmin so the assignment is reproducible bit-for-bit
+    by an independent engine (the DuckDB oracle recomputes it).
+    """
+    import numpy as np
+
+    cent = sorted(
+        centroids.select(cell_col, cent_vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    cells = np.array([r[0] for r in cent], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
+    cnorm2 = (C * C).sum(axis=1)
+    digits = round_digits
+    # fresh StructType — StructType.add would mutate the DataFrame's
+    # cached schema object in place
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(cell_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([
+                np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+            ])
+            d = ((m * m).sum(axis=1)[:, None]
+                 - 2.0 * (m @ C.T) + cnorm2[None, :])
+            if digits is not None:
+                d = _round_half_up(d, digits)
+            # cells are sorted ascending and argmin keeps the first
+            # occurrence, so ties resolve to the lowest cell id
+            pdf = pdf.copy()
+            pdf[cell_col] = cells[d.argmin(axis=1)].astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 # ----------------------------------------------------------- IVF path
 
 

@@ -570,3 +570,57 @@ def crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=0.4, cluster_col="label")
+
+
+@register(
+    "dedup_semantic_quantized",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             (SELECT c.cell FROM cent c
+              ORDER BY round(
+                list_inner_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])
+                - 2 * list_inner_product(c.c, e.embedding::DOUBLE[])
+                + list_inner_product(c.c, c.c), 6) ASC,
+              c.cell ASC
+              LIMIT 1) AS cell
+      FROM embeddings e
+    )
+    SELECT a.vec_id AS vec_id, CAST(a.cell AS INTEGER) AS cluster,
+           NOT EXISTS (
+             SELECT 1 FROM assigned o
+             WHERE o.cell = a.cell AND o.vec_id < a.vec_id
+               AND round(list_cosine_similarity(o.v, a.v), 6) >= 0.4
+           ) AS is_survivor
+    FROM assigned a
+    """,
+    doc="SemDeDup over QUANTIZER-DERIVED cells — the end-to-end "
+        "pairing the paper intends (arXiv:2303.09540): cluster "
+        "membership comes from nearest-centroid vector quantization "
+        "(operators/similarity.py quantizer_assign — the k-means "
+        "E-step as one Arrow-batched map, centroids broadcast, no "
+        "shuffle), then the per-cell greedy-prefix GEMM dedup. The "
+        "centroid set here is the 8 lowest-id vectors (a "
+        "deterministic depth-0 quantizer) so the DuckDB oracle can "
+        "recompute the ENTIRE pipeline — assignment argmin included "
+        "— in SQL; the same operator consumes the persisted IVF "
+        "index's k-means centroids (Lloyd-refined, non-SQL), which "
+        "tests/test_similarity.py exercises end-to-end against the "
+        "exact SemDeDup property. At 100 TB: one broadcast map for "
+        "assignment + one cluster-keyed shuffle, sum(|cell|^2) "
+        "pair-work, never N^2.",
+)
+def dedup_semantic_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("embedding").alias("centroid"))
+    )
+    assigned = S.quantizer_assign(emb, cents)
+    return S.semantic_dedup(assigned, threshold=0.4, cluster_col="cell")

@@ -329,3 +329,66 @@ def test_round_half_up_matches_oracle_semantics():
     assert got[5] == 1e-6
     assert got[6] == 1.0
     assert (np.sign(got) == np.sign(x)).all()
+
+
+def test_semantic_dedup_over_ivf_kmeans_cells(spark, tmp_path):
+    """SemDeDup end-to-end with its INTENDED cluster source: the
+    persisted IVF index's Lloyd-refined k-means centroids feed
+    quantizer_assign, whose cells feed semantic_dedup. Verified
+    exactly in numpy: (a) every cell is the true rounded-distance
+    argmin, (b) survivorship equals the greedy-prefix rule computed
+    from scratch within those cells."""
+    import numpy as np
+
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        _round_half_up,
+        build_ivf_index,
+        quantizer_assign,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 3.0
+    rows = []
+    for i in range(120):
+        base = centers[i % 4] + rng.randn(16) * 0.05
+        if i % 10 == 9:  # planted near-duplicate of the previous row
+            base = centers[(i - 1) % 4] + rng.randn(16) * 0.001
+        rows.append((i, [float(x) for x in base], i % 4))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    cents = spark.read.parquet(f"{path}/centroids")
+
+    assigned = quantizer_assign(emb, cents)
+    got = {
+        r.vec_id: (r.cluster, r.is_survivor)
+        for r in semantic_dedup(
+            assigned, threshold=0.95, cluster_col="cell"
+        ).collect()
+    }
+    assert len(got) == 120
+
+    # exact recompute from scratch
+    cent_rows = sorted(cents.collect(), key=lambda r: r.cell)
+    C = np.stack([np.asarray(r.centroid, float) for r in cent_rows])
+    cell_ids = [r.cell for r in cent_rows]
+    V = np.stack([np.asarray(v, np.float32).astype(np.float64)
+                  for _, v, _ in rows])
+    d = _round_half_up(
+        (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1), 6
+    )
+    want_cell = [cell_ids[j] for j in d.argmin(axis=1)]
+    norms = np.linalg.norm(V, axis=1)
+    sims = _round_half_up((V @ V.T) / np.outer(norms, norms), 6)
+    for i in range(120):
+        assert got[i][0] == want_cell[i], i
+        dropped = any(
+            want_cell[j] == want_cell[i] and sims[i, j] >= 0.95
+            for j in range(i)
+        )
+        assert got[i][1] == (not dropped), i
+    # the planted near-dups actually exercised the drop path
+    assert sum(1 for _, s in got.values() if not s) >= 10
