@@ -442,7 +442,35 @@ class IcebergTable:
         meta, version = _read_table_metadata_versioned(path)
         return cls(spark, path, meta, version=version)
 
+    @classmethod
+    def from_metadata_file(
+        cls, spark: SparkSession, metadata_file: str
+    ) -> "IcebergTable":
+        """Open the table AT a specific ``*.metadata.json`` — the
+        catalog-pointer contract (Nessie/REST catalogs store a
+        metadataLocation per ref, not "whatever is newest on disk"):
+        two branches of one table resolve to different metadata
+        files under the same table root."""
+        metadata_file = os.path.abspath(metadata_file)
+        with open(metadata_file) as fh:
+            meta = json.load(fh)
+        m = re.match(
+            r"v?(\d+)[^/]*\.metadata\.json$",
+            os.path.basename(metadata_file),
+        )
+        version = int(m.group(1)) if m else 0
+        path = os.path.dirname(os.path.dirname(metadata_file))
+        return cls(spark, path, meta, version=version)
+
     # ------------------------------------------------------- metadata
+
+    @property
+    def metadata_location(self) -> str:
+        """The ``*.metadata.json`` this handle's state is based on —
+        what a pointer catalog (Nessie) stores per ref."""
+        return os.path.join(
+            self.path, "metadata", f"v{self._version}.metadata.json"
+        )
 
     @property
     def format_version(self) -> int:

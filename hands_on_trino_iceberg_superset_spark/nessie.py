@@ -1,0 +1,475 @@
+"""Nessie-style REST catalog server (API v2 subset).
+
+The reference stack's Iceberg catalog is Nessie over HTTP — Trino
+points ``iceberg.catalog.type=nessie`` at
+``http://nessie:19120/api/v2`` (``compose/trino/catalog/
+iceberg.properties:4-7``) and every branch/merge/commit crosses that
+wire. The branch/merge/CAS *semantics* already live in this repo's
+lakehouse tier; this module closes the remaining surface: a network
+catalog endpoint speaking the public Nessie REST API v2 shapes
+(https://projectnessie.org/nessie-latest/api/), stdlib-HTTP-hosted
+exactly like :class:`server.TrinoWireServer`.
+
+Nessie's model, faithfully kept: the catalog stores only POINTERS —
+each commit maps table keys to an ``ICEBERG_TABLE`` content carrying
+a ``metadataLocation``; table data/metadata stay in the warehouse
+(our ``lakehouse.iceberg`` files). Branches are names for commit
+hashes; every mutation is an optimistic-concurrency commit (CAS on
+an expected hash, per-key conflict detection against the commits
+that landed in between); merge is three-way from the merge base.
+
+Endpoints implemented (the subset a client needs to branch, commit,
+read, and merge):
+
+- ``GET    /api/v2/config``
+- ``GET    /api/v2/trees``                       — list references
+- ``POST   /api/v2/trees?name=N[&type=BRANCH]``  — create from source
+- ``GET    /api/v2/trees/{ref}``                 — resolve (``name`` or ``name@hash``)
+- ``DELETE /api/v2/trees/{name}@{hash}``         — CAS delete
+- ``GET    /api/v2/trees/{ref}/entries``
+- ``GET    /api/v2/trees/{ref}/contents/{key}``  — dotted key elements
+- ``POST   /api/v2/trees/{branch}@{hash}/history/commit``
+- ``POST   /api/v2/trees/{branch}@{hash}/history/merge``
+
+Scale note: a Nessie catalog is control-plane metadata — commits are
+key->pointer maps (bytes per table, not per row), so the in-memory
+commit DAG + a global lock is the right shape at any data scale; the
+100 TB lives behind the metadataLocations, never in the catalog.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+#: Nessie's well-known "no ancestor" sentinel hash
+NO_ANCESTOR = "2e1cfa82b035c26cbbbdae632cea070514eb8b773f616aaeaf668e2f0be8f10d"
+
+
+class NessieError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+@dataclass(frozen=True)
+class _Commit:
+    hash: str
+    parent: str | None
+    #: full catalog state at this commit: "a.b.tbl" -> content dict
+    contents: dict
+    #: keys this commit changed (Put or Delete) vs its parent
+    changed: frozenset
+    meta: dict = field(default_factory=dict)
+
+
+def _khash(parent: str | None, contents: dict, meta: dict) -> str:
+    return hashlib.sha256(
+        json.dumps([parent, contents, meta], sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _key_str(key: dict | str) -> str:
+    if isinstance(key, str):
+        return key
+    return ".".join(key["elements"])
+
+
+def _key_json(key_str: str) -> dict:
+    return {"elements": key_str.split(".")}
+
+
+class _Store:
+    """The commit DAG + branch heads, guarded by one lock (catalog
+    commits are tiny and rare relative to data-plane work)."""
+
+    def __init__(self, default_branch: str = "main"):
+        self.lock = threading.Lock()
+        self.default_branch = default_branch
+        self.commits: dict[str, _Commit] = {}
+        self.branches: dict[str, str] = {default_branch: NO_ANCESTOR}
+
+    # ------------------------------------------------------ resolve
+
+    def _resolve(self, ref: str) -> tuple[str, str]:
+        """``name`` or ``name@hash`` -> (name, commit hash)."""
+        name, _, h = unquote(ref).partition("@")
+        if name not in self.branches:
+            raise NessieError(404, f"reference '{name}' not found")
+        head = self.branches[name]
+        if h:
+            if h != head and h not in self.commits:
+                raise NessieError(404, f"hash '{h}' not found")
+            return name, h
+        return name, head
+
+    def _contents_at(self, h: str) -> dict:
+        if h == NO_ANCESTOR:
+            return {}
+        return self.commits[h].contents
+
+    def _ancestors(self, h: str):
+        while h != NO_ANCESTOR:
+            c = self.commits.get(h)
+            if c is None:
+                return
+            yield c
+            h = c.parent or NO_ANCESTOR
+
+    def _changed_since(self, head: str, base: str) -> dict[str, list]:
+        """key -> [commit hashes that changed it] walking head..base.
+        Raises if ``base`` is not an ancestor of ``head``."""
+        out: dict[str, list] = {}
+        h = head
+        while h != base:
+            if h == NO_ANCESTOR:
+                raise NessieError(
+                    409, f"expected hash {base} is not an ancestor"
+                )
+            c = self.commits[h]
+            for k in c.changed:
+                out.setdefault(k, []).append(h)
+            h = c.parent or NO_ANCESTOR
+        return out
+
+    def _merge_base(self, a: str, b: str) -> str:
+        seen = {a} | {c.hash for c in self._ancestors(a)} | {NO_ANCESTOR}
+        if b in seen:
+            return b
+        for c in self._ancestors(b):
+            if c.hash in seen:
+                return c.hash
+        return NO_ANCESTOR
+
+    # ------------------------------------------------------ mutators
+
+    def create_reference(
+        self, name: str, source_name: str, source_hash: str | None
+    ) -> dict:
+        with self.lock:
+            if name in self.branches:
+                raise NessieError(
+                    409, f"reference '{name}' already exists"
+                )
+            _, head = self._resolve(
+                f"{source_name}@{source_hash}" if source_hash
+                else source_name
+            )
+            self.branches[name] = head
+            return self._ref_json(name)
+
+    def delete_reference(self, name: str, expected: str) -> dict:
+        with self.lock:
+            if name == self.default_branch:
+                raise NessieError(
+                    400, "default branch cannot be deleted"
+                )
+            _, head = self._resolve(name)
+            if expected != head:
+                raise NessieError(
+                    409,
+                    f"expected hash {expected} but '{name}' is at "
+                    f"{head}",
+                )
+            ref = self._ref_json(name)
+            del self.branches[name]
+            return ref
+
+    def commit(
+        self, branch: str, expected: str, ops: list, meta: dict
+    ) -> dict:
+        """Optimistic commit: ``expected`` must be the head or an
+        ancestor of it whose intervening commits touch none of this
+        commit's keys — Nessie's per-key conflict rule, not a bare
+        head CAS."""
+        with self.lock:
+            _, head = self._resolve(branch)
+            if not expected:
+                raise NessieError(400, "expectedHash is required")
+            changed_between = self._changed_since(head, expected)
+            contents = dict(self._contents_at(head))
+            changed = set()
+            for op in ops:
+                kind, body = self._op(op)
+                k = _key_str(body["key"])
+                if k in changed_between:
+                    raise NessieError(
+                        409,
+                        f"key '{k}' changed by "
+                        f"{changed_between[k][0][:16]} after the "
+                        f"expected hash",
+                    )
+                if kind == "Put":
+                    content = dict(body["content"])
+                    prev = contents.get(k)
+                    if prev is not None and "id" in prev:
+                        if content.get("id", prev["id"]) != prev["id"]:
+                            raise NessieError(
+                                409,
+                                f"content id mismatch for '{k}'",
+                            )
+                        content["id"] = prev["id"]
+                    else:
+                        content.setdefault("id", str(uuid.uuid4()))
+                    contents[k] = content
+                elif kind == "Delete":
+                    if k not in contents:
+                        raise NessieError(
+                            409, f"key '{k}' does not exist"
+                        )
+                    del contents[k]
+                else:
+                    raise NessieError(
+                        400, f"unsupported operation {kind}"
+                    )
+                changed.add(k)
+            new = _Commit(
+                hash=_khash(head, contents, meta),
+                parent=head,
+                contents=contents,
+                changed=frozenset(changed),
+                meta=meta,
+            )
+            self.commits[new.hash] = new
+            self.branches[branch] = new.hash
+            return self._ref_json(branch)
+
+    def merge(
+        self, branch: str, expected: str, from_name: str,
+        from_hash: str | None,
+    ) -> dict:
+        """Three-way merge ``from`` into ``branch``: keys changed on
+        both sides since the merge base conflict unless both sides
+        landed on the same content."""
+        with self.lock:
+            _, head = self._resolve(branch)
+            if expected and expected != head:
+                raise NessieError(
+                    409,
+                    f"expected hash {expected} but '{branch}' is at "
+                    f"{head}",
+                )
+            _, src = self._resolve(
+                f"{from_name}@{from_hash}" if from_hash else from_name
+            )
+            base = self._merge_base(head, src)
+            if src == base:  # nothing to merge
+                return self._ref_json(branch)
+            src_changed = self._changed_since(src, base)
+            tgt_changed = self._changed_since(head, base)
+            contents = dict(self._contents_at(head))
+            src_contents = self._contents_at(src)
+            changed = set()
+            for k in src_changed:
+                new_val = src_contents.get(k)
+                if k in tgt_changed:
+                    if contents.get(k) == new_val:
+                        continue  # both sides converged
+                    raise NessieError(
+                        409,
+                        f"key '{k}' changed on both '{branch}' and "
+                        f"'{from_name}' since merge base "
+                        f"{base[:16]}",
+                    )
+                if new_val is None:
+                    contents.pop(k, None)
+                else:
+                    contents[k] = new_val
+                changed.add(k)
+            meta = {
+                "message": f"merge {from_name} into {branch}",
+                "mergeBase": base,
+            }
+            new = _Commit(
+                hash=_khash(head, contents, meta),
+                parent=head,
+                contents=contents,
+                changed=frozenset(changed),
+                meta=meta,
+            )
+            self.commits[new.hash] = new
+            self.branches[branch] = new.hash
+            return {
+                "resultType": "MERGE",
+                "sourceRef": from_name,
+                "effectiveTargetHash": new.hash,
+                "expectedHash": head,
+                "commonAncestor": base,
+            }
+
+    # ------------------------------------------------------- helpers
+
+    @staticmethod
+    def _op(op: dict) -> tuple[str, dict]:
+        for kind in ("Put", "Delete", "Unchanged"):
+            if kind in op:
+                return kind, op[kind]
+        t = op.get("type", "").capitalize()
+        if t in ("Put", "Delete", "Unchanged"):
+            return t, op
+        raise NessieError(400, f"unparseable operation: {op}")
+
+    def _ref_json(self, name: str) -> dict:
+        return {
+            "reference": {
+                "type": "BRANCH",
+                "name": name,
+                "hash": self.branches[name],
+            }
+        }
+
+
+class NessieCatalogServer:
+    """HTTP host for :class:`_Store` — same stdlib shape as
+    :class:`server.TrinoWireServer` (threaded, port 0 for tests)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 default_branch: str = "main"):
+        self.store = _Store(default_branch)
+        store = self.store
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args) -> None:
+                pass
+
+            def _reply(self, payload: dict, status: int = 200) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _dispatch(self, method: str) -> None:
+                try:
+                    self._reply(_route(store, method, self.path,
+                                       self._body()))
+                except NessieError as e:
+                    self._reply(
+                        {"status": e.status, "message": e.message},
+                        e.status,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._reply({"status": 500, "message": str(e)},
+                                500)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                if not n:
+                    return {}
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self) -> None:  # noqa: N802
+                self._dispatch("GET")
+
+            def do_POST(self) -> None:  # noqa: N802
+                self._dispatch("POST")
+
+            def do_DELETE(self) -> None:  # noqa: N802
+                self._dispatch("DELETE")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}/api/v2"
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def _route(store: _Store, method: str, path: str, body: dict) -> dict:
+    u = urlparse(path)
+    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+    parts = [p for p in u.path.split("/") if p]
+    if parts[:2] != ["api", "v2"]:
+        raise NessieError(404, f"unknown path {u.path}")
+    rest = parts[2:]
+    if rest == ["config"]:
+        return {
+            "defaultBranch": store.default_branch,
+            "minSupportedApiVersion": 2,
+            "maxSupportedApiVersion": 2,
+            "specVersion": "2.1.0",
+        }
+    if not rest or rest[0] != "trees":
+        raise NessieError(404, f"unknown path {u.path}")
+    rest = rest[1:]
+    if not rest:
+        if method == "GET":
+            with store.lock:
+                return {"references": [
+                    store._ref_json(n)["reference"]
+                    for n in sorted(store.branches)
+                ]}
+        if method == "POST":
+            src = body.get("name", store.default_branch)
+            return store.create_reference(
+                q["name"], src, body.get("hash")
+            )
+    ref = rest[0]
+    tail = rest[1:]
+    if not tail:
+        if method == "GET":
+            with store.lock:
+                name, h = store._resolve(ref)
+            return {"reference":
+                    {"type": "BRANCH", "name": name, "hash": h}}
+        if method == "DELETE":
+            name, _, expected = unquote(ref).partition("@")
+            if not expected:
+                raise NessieError(
+                    400, "DELETE requires name@expectedHash"
+                )
+            return store.delete_reference(name, expected)
+    if tail == ["entries"] and method == "GET":
+        with store.lock:
+            _, h = store._resolve(ref)
+            contents = store._contents_at(h)
+        return {"entries": [
+            {"key": _key_json(k),
+             "type": v.get("type", "ICEBERG_TABLE")}
+            for k, v in sorted(contents.items())
+        ]}
+    if len(tail) == 2 and tail[0] == "contents" and method == "GET":
+        with store.lock:
+            name, h = store._resolve(ref)
+            contents = store._contents_at(h)
+        k = unquote(tail[1])
+        if k not in contents:
+            raise NessieError(404, f"key '{k}' not found")
+        return {
+            "content": contents[k],
+            "effectiveReference":
+                {"type": "BRANCH", "name": name, "hash": h},
+        }
+    if tail == ["history", "commit"] and method == "POST":
+        name, _, expected = unquote(ref).partition("@")
+        return store.commit(
+            name, expected, body.get("operations", []),
+            body.get("commitMeta", {}),
+        )
+    if tail == ["history", "merge"] and method == "POST":
+        name, _, expected = unquote(ref).partition("@")
+        return store.merge(
+            name, expected, body["fromRefName"],
+            body.get("fromHash"),
+        )
+    raise NessieError(404, f"unknown path {u.path}")

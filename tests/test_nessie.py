@@ -1,0 +1,220 @@
+"""Nessie REST catalog server (API v2 subset): reference CRUD,
+per-key optimistic commits, three-way merge, and the end-to-end
+Iceberg pointer flow the reference stack runs over
+``http://nessie:19120/api/v2``."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from hands_on_trino_iceberg_superset_spark.nessie import (
+    NO_ANCESTOR,
+    NessieCatalogServer,
+)
+
+
+@pytest.fixture()
+def srv():
+    s = NessieCatalogServer()
+    s.start()
+    yield s
+    s.stop()
+
+
+def _call(srv, method, path, body=None):
+    req = urllib.request.Request(
+        f"{srv.url}{path}",
+        method=method,
+        data=None if body is None else json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _put(key, location, content_id=None):
+    content = {"type": "ICEBERG_TABLE", "metadataLocation": location}
+    if content_id:
+        content["id"] = content_id
+    return {"Put": {"key": {"elements": key.split(".")},
+                    "content": content}}
+
+
+def _commit(srv, branch, expected, ops, msg="c"):
+    return _call(
+        srv, "POST", f"/trees/{branch}@{expected}/history/commit",
+        {"commitMeta": {"message": msg}, "operations": ops},
+    )
+
+
+def test_config_and_empty_tree(srv):
+    st, cfg = _call(srv, "GET", "/config")
+    assert st == 200 and cfg["defaultBranch"] == "main"
+    st, refs = _call(srv, "GET", "/trees")
+    assert st == 200
+    assert refs["references"] == [
+        {"type": "BRANCH", "name": "main", "hash": NO_ANCESTOR}
+    ]
+    st, main = _call(srv, "GET", "/trees/main")
+    assert st == 200 and main["reference"]["hash"] == NO_ANCESTOR
+
+
+def test_commit_entries_contents_roundtrip(srv):
+    st, ref = _commit(srv, "main", NO_ANCESTOR,
+                      [_put("demo.orders", "/w/orders/v1.metadata.json")])
+    assert st == 200
+    h1 = ref["reference"]["hash"]
+    assert h1 != NO_ANCESTOR
+    st, ents = _call(srv, "GET", "/trees/main/entries")
+    assert [e["key"]["elements"] for e in ents["entries"]] == [
+        ["demo", "orders"]
+    ]
+    st, got = _call(srv, "GET", "/trees/main/contents/demo.orders")
+    assert st == 200
+    assert got["content"]["metadataLocation"].endswith("v1.metadata.json")
+    assert got["content"]["id"]  # server assigned a content id
+    # reading at the detached old hash still works after more commits
+    _commit(srv, "main", h1,
+            [_put("demo.events", "/w/events/v1.metadata.json")])
+    st, old = _call(srv, "GET", f"/trees/main@{h1}/entries")
+    assert len(old["entries"]) == 1
+
+
+def test_per_key_conflict_rule(srv):
+    """A stale expectedHash only conflicts when the intervening
+    commits touched the SAME key — Nessie's optimistic rule, not a
+    bare head CAS."""
+    st, r1 = _commit(srv, "main", NO_ANCESTOR,
+                     [_put("a.t1", "/w/t1/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    st, r2 = _commit(srv, "main", h1,
+                     [_put("a.t2", "/w/t2/v1.metadata.json")])
+    assert st == 200
+    # stale expected (h1), different key -> allowed
+    st, r3 = _commit(srv, "main", h1,
+                     [_put("a.t3", "/w/t3/v1.metadata.json")])
+    assert st == 200
+    # stale expected (h1), key t2 changed in between -> 409
+    st, err = _commit(srv, "main", h1,
+                      [_put("a.t2", "/w/t2/v9.metadata.json")])
+    assert st == 409 and "a.t2" in err["message"]
+    # unknown expected hash -> 409
+    st, err = _commit(srv, "main", "f" * 64,
+                      [_put("a.t4", "/w/t4/v1.metadata.json")])
+    assert st == 409
+
+
+def test_content_id_is_sticky(srv):
+    st, r1 = _commit(srv, "main", NO_ANCESTOR,
+                     [_put("a.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    _, got = _call(srv, "GET", "/trees/main/contents/a.t")
+    cid = got["content"]["id"]
+    # same id (or no id) re-put is fine; a different id is a 409
+    st, r2 = _commit(srv, "main", h1,
+                     [_put("a.t", "/w/t/v2.metadata.json", cid)])
+    assert st == 200
+    st, err = _commit(srv, "main", r2["reference"]["hash"],
+                      [_put("a.t", "/w/t/v3.metadata.json", "other")])
+    assert st == 409 and "id mismatch" in err["message"]
+
+
+def test_branch_create_merge_and_conflict(srv):
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    st, b = _call(srv, "POST", "/trees?name=etl&type=BRANCH",
+                  {"name": "main", "hash": h1})
+    assert st == 200 and b["reference"]["hash"] == h1
+    # diverge: branch updates d.t, main adds an unrelated key
+    _, rb = _commit(srv, "etl", h1,
+                    [_put("d.t", "/w/t/v2.metadata.json")])
+    _, rm = _commit(srv, "main", h1,
+                    [_put("d.u", "/w/u/v1.metadata.json")])
+    st, mg = _call(srv, "POST", "/trees/main/history/merge",
+                   {"fromRefName": "etl"})
+    assert st == 200 and mg["resultType"] == "MERGE"
+    _, got = _call(srv, "GET", "/trees/main/contents/d.t")
+    assert got["content"]["metadataLocation"].endswith("v2.metadata.json")
+    _, got = _call(srv, "GET", "/trees/main/contents/d.u")
+    assert st == 200
+    # now BOTH sides change d.t -> merge conflicts with 409
+    _, mh = _call(srv, "GET", "/trees/main")
+    _, bh = _call(srv, "GET", "/trees/etl")
+    _commit(srv, "etl", bh["reference"]["hash"],
+            [_put("d.t", "/w/t/v3.metadata.json")])
+    _commit(srv, "main", mh["reference"]["hash"],
+            [_put("d.t", "/w/t/v4.metadata.json")])
+    st, err = _call(srv, "POST", "/trees/main/history/merge",
+                    {"fromRefName": "etl"})
+    assert st == 409 and "d.t" in err["message"]
+
+
+def test_branch_delete_cas(srv):
+    _, b = _call(srv, "POST", "/trees?name=tmp", {"name": "main"})
+    st, err = _call(srv, "DELETE", "/trees/tmp@" + "0" * 64)
+    assert st == 409
+    st, _ = _call(srv, "DELETE",
+                  f"/trees/tmp@{b['reference']['hash']}")
+    assert st == 200
+    st, err = _call(srv, "GET", "/trees/tmp")
+    assert st == 404
+    st, err = _call(srv, "DELETE", f"/trees/main@{NO_ANCESTOR}")
+    assert st == 400  # default branch is protected
+
+
+def test_iceberg_pointer_flow_over_http(srv, spark, tmp_path):
+    """The reference stack's end-to-end loop: a real Iceberg table in
+    the warehouse, the catalog holding only metadataLocation
+    pointers; a branch sees new data via its OWN pointer while main
+    keeps serving the old snapshot, then the merge publishes it."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+
+    path = os.path.join(str(tmp_path), "orders")
+    t = IcebergTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ),
+    )
+    loc_v1 = t.metadata_location
+    assert os.path.isfile(loc_v1)
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("demo.orders", loc_v1)], "register")
+    h1 = r1["reference"]["hash"]
+    _call(srv, "POST", "/trees?name=etl", {"name": "main", "hash": h1})
+
+    # data lands on the branch: append + new pointer on etl only
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(10, 25)], "id long, v double"
+    ))
+    t2 = IcebergTable.load(spark, path)
+    assert t2.metadata_location != loc_v1
+    _, bh = _call(srv, "GET", "/trees/etl")
+    _commit(srv, "etl", bh["reference"]["hash"],
+            [_put("demo.orders", t2.metadata_location)], "append")
+
+    def count_via(ref):
+        _, got = _call(srv, "GET",
+                       f"/trees/{ref}/contents/demo.orders")
+        return IcebergTable.from_metadata_file(
+            spark, got["content"]["metadataLocation"]
+        ).read().count()
+
+    assert count_via("main") == 10   # main still serves v1
+    assert count_via("etl") == 25    # branch sees the append
+    st, mg = _call(srv, "POST", "/trees/main/history/merge",
+                   {"fromRefName": "etl"})
+    assert st == 200
+    assert count_via("main") == 25   # published atomically
