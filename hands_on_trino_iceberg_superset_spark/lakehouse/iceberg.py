@@ -460,17 +460,33 @@ class IcebergTable:
         )
         version = int(m.group(1)) if m else 0
         path = os.path.dirname(os.path.dirname(metadata_file))
-        return cls(spark, path, meta, version=version)
+        t = cls(spark, path, meta, version=version)
+        # remember the exact file: metadata_location must round-trip
+        # through a pointer catalog even for foreign naming schemes
+        t._metadata_file = metadata_file
+        return t
 
     # ------------------------------------------------------- metadata
 
     @property
     def metadata_location(self) -> str:
         """The ``*.metadata.json`` this handle's state is based on —
-        what a pointer catalog (Nessie) stores per ref."""
-        return os.path.join(
-            self.path, "metadata", f"v{self._version}.metadata.json"
-        )
+        what a pointer catalog (Nessie) stores per ref. Resolves the
+        ACTUAL on-disk file: foreign tables may name version N
+        ``N.metadata.json`` or ``0000N-uuid.metadata.json`` rather
+        than this writer's ``vN.metadata.json``."""
+        if getattr(self, "_metadata_file", None):
+            return self._metadata_file
+        mdir = os.path.join(self.path, "metadata")
+        own = os.path.join(mdir, f"v{self._version}.metadata.json")
+        if os.path.exists(own):
+            return own
+        if os.path.isdir(mdir):
+            for f in sorted(os.listdir(mdir)):
+                m = re.match(r"v?(\d+)[^/]*\.metadata\.json$", f)
+                if m and int(m.group(1)) == self._version:
+                    return os.path.join(mdir, f)
+        return own
 
     @property
     def format_version(self) -> int:

@@ -61,17 +61,19 @@ class NessieError(Exception):
 @dataclass(frozen=True)
 class _Commit:
     hash: str
-    parent: str | None
+    #: (first parent, *extra parents) — a merge commit records BOTH
+    #: sides, so later merges find the true merge base instead of
+    #: re-conflicting on already-merged keys
+    parents: tuple
     #: full catalog state at this commit: "a.b.tbl" -> content dict
     contents: dict
-    #: keys this commit changed (Put or Delete) vs its parent
-    changed: frozenset
     meta: dict = field(default_factory=dict)
 
 
-def _khash(parent: str | None, contents: dict, meta: dict) -> str:
+def _khash(parents: tuple, contents: dict, meta: dict) -> str:
     return hashlib.sha256(
-        json.dumps([parent, contents, meta], sort_keys=True).encode()
+        json.dumps([list(parents), contents, meta],
+                   sort_keys=True).encode()
     ).hexdigest()
 
 
@@ -114,37 +116,55 @@ class _Store:
             return {}
         return self.commits[h].contents
 
-    def _ancestors(self, h: str):
-        while h != NO_ANCESTOR:
-            c = self.commits.get(h)
-            if c is None:
-                return
-            yield c
-            h = c.parent or NO_ANCESTOR
+    def _ancestor_hashes(self, h: str) -> set:
+        """All ancestors of ``h`` (inclusive), breadth-first over
+        EVERY parent — merge commits contribute both sides."""
+        seen = {NO_ANCESTOR}
+        frontier = [h]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                if x in seen:
+                    continue
+                seen.add(x)
+                c = self.commits.get(x)
+                if c is not None:
+                    nxt.extend(c.parents)
+            frontier = nxt
+        return seen
 
-    def _changed_since(self, head: str, base: str) -> dict[str, list]:
-        """key -> [commit hashes that changed it] walking head..base.
-        Raises if ``base`` is not an ancestor of ``head``."""
-        out: dict[str, list] = {}
-        h = head
-        while h != base:
-            if h == NO_ANCESTOR:
-                raise NessieError(
-                    409, f"expected hash {base} is not an ancestor"
-                )
-            c = self.commits[h]
-            for k in c.changed:
-                out.setdefault(k, []).append(h)
-            h = c.parent or NO_ANCESTOR
-        return out
+    def _changed_since(self, head: str, base: str) -> set:
+        """Keys whose content DIFFERS between ``head`` and ``base``
+        (a semantic diff of the stored catalog maps — robust to any
+        DAG shape). Raises if ``base`` is not an ancestor of
+        ``head``."""
+        if base not in self._ancestor_hashes(head):
+            raise NessieError(
+                409, f"hash {base} is not an ancestor of {head}"
+            )
+        hc = self._contents_at(head)
+        bc = self._contents_at(base)
+        return {
+            k for k in set(hc) | set(bc) if hc.get(k) != bc.get(k)
+        }
 
     def _merge_base(self, a: str, b: str) -> str:
-        seen = {a} | {c.hash for c in self._ancestors(a)} | {NO_ANCESTOR}
-        if b in seen:
-            return b
-        for c in self._ancestors(b):
-            if c.hash in seen:
-                return c.hash
+        """Nearest common ancestor: first hash in a breadth-first
+        walk from ``b`` that is also an ancestor of ``a``."""
+        a_anc = self._ancestor_hashes(a)
+        frontier, visited = [b], set()
+        while frontier:
+            nxt = []
+            for x in frontier:
+                if x in visited:
+                    continue
+                visited.add(x)
+                if x in a_anc:
+                    return x
+                c = self.commits.get(x)
+                if c is not None:
+                    nxt.extend(c.parents)
+            frontier = nxt
         return NO_ANCESTOR
 
     # ------------------------------------------------------ mutators
@@ -201,10 +221,12 @@ class _Store:
                 if k in changed_between:
                     raise NessieError(
                         409,
-                        f"key '{k}' changed by "
-                        f"{changed_between[k][0][:16]} after the "
-                        f"expected hash",
+                        f"key '{k}' changed after the expected "
+                        f"hash {expected[:16]}",
                     )
+                if kind == "Unchanged":
+                    continue  # a guard op: conflict-checked above,
+                    # never mutates
                 if kind == "Put":
                     content = dict(body["content"])
                     prev = contents.get(k)
@@ -229,11 +251,14 @@ class _Store:
                         400, f"unsupported operation {kind}"
                     )
                 changed.add(k)
+            if not changed:
+                raise NessieError(
+                    400, "commit carries no Put/Delete operations"
+                )
             new = _Commit(
-                hash=_khash(head, contents, meta),
-                parent=head,
+                hash=_khash((head,), contents, meta),
+                parents=(head,),
                 contents=contents,
-                changed=frozenset(changed),
                 meta=meta,
             )
             self.commits[new.hash] = new
@@ -265,7 +290,6 @@ class _Store:
             tgt_changed = self._changed_since(head, base)
             contents = dict(self._contents_at(head))
             src_contents = self._contents_at(src)
-            changed = set()
             for k in src_changed:
                 new_val = src_contents.get(k)
                 if k in tgt_changed:
@@ -281,16 +305,14 @@ class _Store:
                     contents.pop(k, None)
                 else:
                     contents[k] = new_val
-                changed.add(k)
             meta = {
                 "message": f"merge {from_name} into {branch}",
                 "mergeBase": base,
             }
             new = _Commit(
-                hash=_khash(head, contents, meta),
-                parent=head,
+                hash=_khash((head, src), contents, meta),
+                parents=(head, src),
                 contents=contents,
-                changed=frozenset(changed),
                 meta=meta,
             )
             self.commits[new.hash] = new
@@ -420,10 +442,15 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
                     for n in sorted(store.branches)
                 ]}
         if method == "POST":
+            if not q.get("name"):
+                raise NessieError(
+                    400, "POST /trees requires a 'name' query param"
+                )
             src = body.get("name", store.default_branch)
             return store.create_reference(
                 q["name"], src, body.get("hash")
             )
+        raise NessieError(405, f"{method} not supported on /trees")
     ref = rest[0]
     tail = rest[1:]
     if not tail:

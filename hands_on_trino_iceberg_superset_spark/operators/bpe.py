@@ -255,17 +255,21 @@ def bpe_train(
     run, engine, and route. Stops early when no pair reaches
     ``min_pair_count``.
     """
-    wf = word_frequency(docs, text_col)
-    # one job decides the route AND fetches the driver-route input:
-    # limit(max+1) proves the table fits without a separate count()
-    head = wf.limit(driver_max_words + 1).collect()
-    if len(head) <= driver_max_words:
-        return _train_driver(
-            [(r.word, int(r.freq)) for r in head],
-            n_merges,
-            min_pair_count,
-        )
-    return _train_distributed(wf, n_merges, min_pair_count)
+    wf = word_frequency(docs, text_col).persist()
+    try:
+        # a count() aggregate decides the route without shipping a
+        # single row: probing with limit(max+1).collect() would
+        # materialize millions of driver-side Row objects just to
+        # discover the table is too big, then throw them away
+        if wf.count() <= driver_max_words:
+            return _train_driver(
+                [(r.word, int(r.freq)) for r in wf.collect()],
+                n_merges,
+                min_pair_count,
+            )
+        return _train_distributed(wf, n_merges, min_pair_count)
+    finally:
+        wf.unpersist()
 
 
 def bpe_train_df(
@@ -368,8 +372,11 @@ def bpe_encode(
                 "n_chars": n_chars_col,
             })
 
+    # carry the id column's REAL type through (doc ids may be
+    # strings/uuids, not just longs)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         run,
-        f"{id_col} long, tokens array<string>, n_tokens int, "
+        f"{id_col} {id_type}, tokens array<string>, n_tokens int, "
         "n_words int, n_chars long",
     )

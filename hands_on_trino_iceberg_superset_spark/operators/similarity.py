@@ -49,11 +49,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _round_half_up(x, digits: int):
-    """Round half AWAY FROM ZERO at ``digits`` decimals — the
-    semantics of Spark's ``F.round`` and DuckDB's ``round``, which
-    every oracle compares against. ``np.round`` is banker's
-    half-to-even: a similarity landing exactly on a decimal half
-    would classify differently from the oracle."""
+    """Round half AWAY FROM ZERO at ``digits`` decimals — matching
+    DuckDB's ``round`` (multiply-then-round on the binary double),
+    which is what every oracle compares against. ``np.round`` is
+    banker's half-to-even: a similarity landing exactly on a decimal
+    half would classify differently from the oracle. NOT guaranteed
+    bit-identical to Spark's ``F.round`` on every input: F.round
+    rounds the double's SHORTEST DECIMAL REPR (BigDecimal HALF_UP),
+    which can differ from the binary product on repr-half values
+    like 0.1234565 — never pair this helper's output with an
+    F.round value in one compared column."""
     import numpy as np
 
     scale = 10.0 ** digits
@@ -481,6 +486,15 @@ def quantizer_assign(
         key=lambda r: r[0],
     )
     cells = np.array([r[0] for r in cent], dtype=np.int64)
+    if cells.size and int(cells.max()) > 2**31 - 1:
+        # the output column is int32 (matching semantic_dedup's
+        # cluster schema); silently wrapping 64-bit cell ids would
+        # collide distinct cells and dedup unrelated vectors
+        raise ValueError(
+            "centroid cell ids exceed int32 range — renumber the "
+            "centroid set (cell ids are index metadata, not data "
+            "ids)"
+        )
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
     cnorm2 = (C * C).sum(axis=1)
     digits = round_digits

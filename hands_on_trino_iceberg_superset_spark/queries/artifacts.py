@@ -60,6 +60,8 @@ def _artifact_root() -> str:
     The root is keyed by uid, created 0700, and ownership-checked
     before use (a squatter's pre-made dir with our name but their
     uid is rejected, not adopted)."""
+    import stat as stat_mod
+
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_artifacts_{uid}"
@@ -67,7 +69,20 @@ def _artifact_root() -> str:
     try:
         os.mkdir(root, 0o700)
     except FileExistsError:
-        st = os.stat(root)
+        # lstat + explicit dir check: a squatter's SYMLINK at this
+        # name pointing into a victim-owned writable dir would pass
+        # a follow-symlinks stat's uid check while redirecting the
+        # whole cache to an attacker-chosen location
+        st = os.lstat(root)
+        if stat_mod.S_ISLNK(st.st_mode):
+            raise RuntimeError(
+                f"artifact cache root {root} is a symlink — "
+                "refusing to adopt"
+            )
+        if not stat_mod.S_ISDIR(st.st_mode):
+            raise RuntimeError(
+                f"artifact cache root {root} is not a directory"
+            )
         if hasattr(os, "getuid") and st.st_uid != uid:
             raise RuntimeError(
                 f"artifact cache root {root} is owned by uid "

@@ -139,3 +139,21 @@ def test_artifact_root_is_private_and_owned(tmp_path):
     st = os.stat(root)
     assert stat.S_IMODE(st.st_mode) == 0o700
     assert st.st_uid == os.getuid()
+
+
+def test_artifact_root_rejects_symlink_squat(tmp_path, monkeypatch):
+    """A symlink pre-planted at the cache-root name must be refused
+    outright (lstat, not stat — a link into a victim-owned writable
+    dir would pass a follow-symlink uid check)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    victim_dir = tmp_path / "elsewhere"
+    victim_dir.mkdir()
+    root_name = f"spark_graft_artifacts_{os.getuid()}"
+    (tmp_path / root_name).symlink_to(victim_dir)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _fake_table(sf, "documents")
+    with pytest.raises(RuntimeError, match="symlink"):
+        artifact_path(sf, "ivf_index", "documents")

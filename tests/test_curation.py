@@ -239,3 +239,21 @@ def test_bpe_encode_roundtrip_and_conservation(spark, sf_dir) -> None:
         )
         assert r.n_chars == len(decoded)
 
+
+
+def test_bpe_encode_carries_string_id_type(spark):
+    """id_col is schema-driven, not hardcoded long: string doc ids
+    must round-trip through the encoder."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc-a", "low lower low"), ("doc-b", "newer new")],
+        "doc_id string, text string",
+    )
+    merges = bpe_train(docs, n_merges=4)
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert set(out) == {"doc-a", "doc-b"}
+    assert out["doc-a"].n_words == 3

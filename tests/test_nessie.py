@@ -218,3 +218,94 @@ def test_iceberg_pointer_flow_over_http(srv, spark, tmp_path):
                    {"fromRefName": "etl"})
     assert st == 200
     assert count_via("main") == 25   # published atomically
+
+
+def test_remerge_living_branch(srv):
+    """A branch that keeps receiving commits can be merged again and
+    again: the merge commit records both parents, so the next merge
+    base advances past the previous merge instead of re-conflicting
+    on already-published keys."""
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    _call(srv, "POST", "/trees?name=etl", {"name": "main", "hash": h1})
+    for v in (2, 3, 4):  # daily publish loop: commit on etl, merge
+        _, bh = _call(srv, "GET", "/trees/etl")
+        _commit(srv, "etl", bh["reference"]["hash"],
+                [_put("d.t", f"/w/t/v{v}.metadata.json")])
+        st, mg = _call(srv, "POST", "/trees/main/history/merge",
+                       {"fromRefName": "etl"})
+        assert st == 200, (v, mg)
+        _, got = _call(srv, "GET", "/trees/main/contents/d.t")
+        assert got["content"]["metadataLocation"].endswith(
+            f"v{v}.metadata.json"
+        )
+
+
+def test_unchanged_op_guards_without_mutating(srv):
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("a.t1", "/w/t1/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    _, r2 = _commit(srv, "main", h1,
+                    [_put("a.t1", "/w/t1/v2.metadata.json")])
+    # guard on an untouched key passes alongside a Put
+    ops = [
+        {"Unchanged": {"key": {"elements": ["a", "t2"]}}},
+        _put("a.t3", "/w/t3/v1.metadata.json"),
+    ]
+    st, _ = _call(
+        srv, "POST",
+        f"/trees/main@{r2['reference']['hash']}/history/commit",
+        {"commitMeta": {"message": "c"}, "operations": ops},
+    )
+    assert st == 200
+    # guard on a key that moved since the expected hash -> 409
+    ops = [
+        {"Unchanged": {"key": {"elements": ["a", "t1"]}}},
+        _put("a.t4", "/w/t4/v1.metadata.json"),
+    ]
+    st, err = _call(
+        srv, "POST", f"/trees/main@{h1}/history/commit",
+        {"commitMeta": {"message": "c"}, "operations": ops},
+    )
+    assert st == 409 and "a.t1" in err["message"]
+
+
+def test_malformed_requests_are_4xx_not_5xx(srv):
+    st, err = _call(srv, "POST", "/trees", {})
+    assert st == 400
+    st, err = _call(srv, "DELETE", "/trees")
+    assert st == 405
+    st, err = _call(
+        srv, "POST", f"/trees/main@{NO_ANCESTOR}/history/commit",
+        {"commitMeta": {"message": "c"}, "operations": []},
+    )
+    assert st == 400  # no-op commit
+
+
+def test_metadata_location_resolves_foreign_naming(spark, tmp_path):
+    """metadata_location must point at the REAL file even when the
+    table uses a foreign metadata naming scheme (N.metadata.json or
+    0000N-uuid.metadata.json), so catalog pointers never dangle."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    IcebergTable.create(
+        spark, path,
+        spark.createDataFrame([(1,)], "id long"),
+    )
+    mdir = os.path.join(path, "metadata")
+    [own] = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
+    foreign = own.lstrip("v").zfill(5).replace(
+        ".metadata.json", ""
+    ) + "-abc.metadata.json"
+    os.rename(os.path.join(mdir, own), os.path.join(mdir, foreign))
+    t = IcebergTable.load(spark, path)
+    assert os.path.isfile(t.metadata_location)
+    assert t.metadata_location.endswith(foreign)
+    # and a handle opened AT a metadata file echoes that exact file
+    t2 = IcebergTable.from_metadata_file(spark, t.metadata_location)
+    assert t2.metadata_location == t.metadata_location
+    assert t2.read().count() == 1

@@ -392,3 +392,20 @@ def test_semantic_dedup_over_ivf_kmeans_cells(spark, tmp_path):
         assert got[i][1] == (not dropped), i
     # the planted near-dups actually exercised the drop path
     assert sum(1 for _, s in got.values() if not s) >= 10
+
+
+def test_quantizer_assign_rejects_int32_overflow_cells(spark):
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        quantizer_assign,
+    )
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(2**31, [1.0, 0.0])], "cell long, centroid array<float>"
+    )
+    with pytest.raises(ValueError, match="int32"):
+        quantizer_assign(df, cents)
