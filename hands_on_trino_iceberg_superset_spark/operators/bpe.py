@@ -290,6 +290,93 @@ def bpe_train_df(
     )
 
 
+# ------------------------------------------------------- vocabulary
+
+
+def bpe_base_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the corpus's words (plus the
+    END marker) — the base tier of the vocabulary. One distributed
+    distinct over characters (alphabet-sized result)."""
+    rows = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.col(text_col), " ", ""), ""
+                )
+            ).alias("ch")
+        )
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r.ch for r in rows} | {END})
+
+
+def bpe_vocab(
+    merges: list[dict], base_alphabet: list[str]
+) -> dict[str, int]:
+    """token -> id, the artifact a trained tokenizer ships: sorted
+    base symbols first (stable ids for the alphabet), then one entry
+    per merge in rank order — deterministic given (corpus, merges),
+    exactly how production BPE vocabularies are numbered."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(base_alphabet)):
+        vocab[ch] = len(vocab)
+    for m in sorted(merges, key=lambda m: m["rank"]):
+        tok = m["merged"]
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[dict],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bpe_encode` to INTEGER token ids — the actual training
+    input format. ONE Arrow-batched map pass with the (vocab-sized)
+    id table in the task closure: no explode, no join, no shuffle —
+    tokenizing 100 TB stays embarrassingly parallel. Unknown tokens
+    (impossible when ``vocab`` came from :func:`bpe_vocab` over the
+    same corpus+merges) map to -1 rather than raising, so a stale
+    vocab is visible in the data, not a mid-job crash."""
+    import pandas as pd
+
+    pairs = [
+        (m["left_sym"], m["right_sym"])
+        for m in sorted(merges, key=lambda m: m["rank"])
+    ]
+    vmap = dict(vocab)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[int]] = {}
+            ids, out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tids: list[int] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        memo[w] = got = [
+                            vmap.get(t, -1)
+                            for t in encode_word(w, pairs)
+                        ]
+                    tids.extend(got)
+                ids.append(did)
+                out.append(tids)
+            yield pd.DataFrame({id_col: ids, "token_ids": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, token_ids array<int>"
+    )
+
+
 # ------------------------------------------------------------ encode
 
 

@@ -257,3 +257,41 @@ def test_bpe_encode_carries_string_id_type(spark):
     out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
     assert set(out) == {"doc-a", "doc-b"}
     assert out["doc-a"].n_words == 3
+
+
+def test_bpe_vocab_and_id_encoding_roundtrip(spark, sf_dir) -> None:
+    """The shipped artifact chain: merges -> vocabulary -> id-encoded
+    corpus. Ids are deterministic (sorted base chars, then merges in
+    rank order), every emitted id resolves (no -1 when the vocab came
+    from the same corpus), and inverting the vocab reconstructs each
+    document's non-space text exactly."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        END,
+        bpe_base_alphabet,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=16)
+    vocab = bpe_vocab(merges, bpe_base_alphabet(docs))
+    # base tier is a contiguous sorted prefix; merge tier follows rank
+    base = sorted(v for k, v in vocab.items()
+                  if k == END or len(k) == 1)
+    assert base == list(range(len(base)))
+    ranked = [m["merged"] for m in merges if m["merged"] in vocab]
+    ids = [vocab[t] for t in ranked]
+    assert ids == sorted(ids)
+
+    inv = {v: k for k, v in vocab.items()}
+    enc = {r.doc_id: r.token_ids
+           for r in bpe_encode_ids(docs, merges, vocab).collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert enc.keys() == raw.keys()
+    for did, text in raw.items():
+        tids = enc[did]
+        assert -1 not in tids
+        decoded = "".join(inv[t] for t in tids).replace(END, "")
+        assert decoded == text.replace(" ", "")

@@ -66,6 +66,14 @@ QUERIES = [
     # PQ: rep 1 includes the one-off index build, rep 2 hits the
     # per-sf_dir cache, so best-of-2 reports the steady-state probe
     "ann_cosine_topk_pq",
+    # BPE: token salting grows the distinct-word table 10x, so this
+    # measures the one corpus-sized shuffle + the driver-routed loop
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    # quantized SemDeDup: fixed 8-cell quantizer, so per-cell pair
+    # work grows ~100x at 10x rows — the measured reminder that the
+    # quantizer's cell count must scale with the corpus
+    "dedup_semantic_quantized",
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
