@@ -417,6 +417,131 @@ class NessieCatalogServer:
             self._thread.join(timeout=5)
 
 
+class NessieClient:
+    """Thin stdlib client for the v2 surface — what an engine uses
+    to resolve table pointers through the catalog (the role Trino's
+    ``iceberg.nessie-catalog.uri`` conf plays in the reference).
+    Works against :class:`NessieCatalogServer` or any server
+    speaking the same subset."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def _call(self, method: str, path: str, body: dict | None = None):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base}{path}",
+            method=method,
+            data=None if body is None else json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            err = json.loads(e.read() or b"{}")
+            raise NessieError(
+                e.code, err.get("message", str(e))
+            ) from None
+
+    # ------------------------------------------------------ reading
+
+    def config(self) -> dict:
+        return self._call("GET", "/config")
+
+    def reference(self, ref: str = "main") -> dict:
+        return self._call("GET", f"/trees/{ref}")["reference"]
+
+    def entries(self, ref: str = "main") -> list[dict]:
+        return self._call("GET", f"/trees/{ref}/entries")["entries"]
+
+    def content(self, key: str, ref: str = "main") -> dict:
+        return self._call(
+            "GET", f"/trees/{ref}/contents/{key}"
+        )["content"]
+
+    def metadata_location(self, key: str, ref: str = "main") -> str:
+        return self.content(key, ref)["metadataLocation"]
+
+    def load_table(self, spark, key: str, ref: str = "main"):
+        """Resolve ``key`` at ``ref`` and open the Iceberg table AT
+        the pointed-to metadata file — catalog-consistent reads:
+        what the ref's commit published, not whatever is newest on
+        disk."""
+        from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+            IcebergTable,
+        )
+
+        return IcebergTable.from_metadata_file(
+            spark, self.metadata_location(key, ref)
+        )
+
+    # ----------------------------------------------------- mutating
+
+    def create_branch(self, name: str, source: str = "main",
+                      at_hash: str | None = None) -> dict:
+        body = {"name": source}
+        if at_hash:
+            body["hash"] = at_hash
+        return self._call(
+            "POST", f"/trees?name={name}&type=BRANCH", body
+        )["reference"]
+
+    def delete_branch(self, name: str, expected_hash: str) -> dict:
+        return self._call(
+            "DELETE", f"/trees/{name}@{expected_hash}"
+        )["reference"]
+
+    def put(self, branch: str, key: str, metadata_location: str,
+            message: str = "", expected_hash: str | None = None,
+            content_id: str | None = None) -> dict:
+        """Publish a table pointer: one optimistic commit. With no
+        ``expected_hash`` the current head is used (read-modify-
+        write; per-key conflict detection still applies server-side
+        to concurrent writers racing between the read and the
+        commit)."""
+        if expected_hash is None:
+            expected_hash = self.reference(branch)["hash"]
+        content = {
+            "type": "ICEBERG_TABLE",
+            "metadataLocation": metadata_location,
+        }
+        if content_id:
+            content["id"] = content_id
+        return self._call(
+            "POST", f"/trees/{branch}@{expected_hash}/history/commit",
+            {
+                "commitMeta": {"message": message or f"put {key}"},
+                "operations": [{
+                    "Put": {"key": _key_json(key), "content": content}
+                }],
+            },
+        )["reference"]
+
+    def delete_key(self, branch: str, key: str,
+                   expected_hash: str | None = None) -> dict:
+        if expected_hash is None:
+            expected_hash = self.reference(branch)["hash"]
+        return self._call(
+            "POST", f"/trees/{branch}@{expected_hash}/history/commit",
+            {
+                "commitMeta": {"message": f"drop {key}"},
+                "operations": [{"Delete": {"key": _key_json(key)}}],
+            },
+        )["reference"]
+
+    def merge(self, into: str, from_ref: str,
+              from_hash: str | None = None) -> dict:
+        body: dict = {"fromRefName": from_ref}
+        if from_hash:
+            body["fromHash"] = from_hash
+        return self._call(
+            "POST", f"/trees/{into}/history/merge", body
+        )
+
+
 def _route(store: _Store, method: str, path: str, body: dict) -> dict:
     u = urlparse(path)
     q = {k: v[0] for k, v in parse_qs(u.query).items()}

@@ -309,3 +309,58 @@ def test_metadata_location_resolves_foreign_naming(spark, tmp_path):
     t2 = IcebergTable.from_metadata_file(spark, t.metadata_location)
     assert t2.metadata_location == t.metadata_location
     assert t2.read().count() == 1
+
+
+def test_client_full_lifecycle(srv, spark, tmp_path):
+    """NessieClient drives the whole catalog loop the reference's
+    Trino conf delegates to its Nessie service: register a table
+    pointer, branch, publish an append on the branch, read each
+    ref's consistent snapshot through client.load_table, merge, and
+    observe conflict semantics surfacing as NessieError."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieClient,
+        NessieError,
+    )
+
+    c = NessieClient(srv.url)
+    assert c.config()["defaultBranch"] == "main"
+
+    path = os.path.join(str(tmp_path), "t")
+    t = IcebergTable.create(
+        spark, path,
+        spark.createDataFrame([(i,) for i in range(5)], "id long"),
+    )
+    loc_v1 = t.metadata_location
+    c.put("main", "demo.t", loc_v1, "register")
+    assert [e["key"]["elements"] for e in c.entries()] == [["demo", "t"]]
+
+    c.create_branch("etl")
+    t.append(spark.createDataFrame([(9,), (10,)], "id long"))
+    t2 = IcebergTable.load(spark, path)
+    c.put("etl", "demo.t", t2.metadata_location, "append")
+
+    assert c.load_table(spark, "demo.t", "main").read().count() == 5
+    assert c.load_table(spark, "demo.t", "etl").read().count() == 7
+    assert c.merge("main", "etl")["resultType"] == "MERGE"
+    assert c.load_table(spark, "demo.t", "main").read().count() == 7
+
+    # a re-put of the SAME pointer is a semantic no-op: a later
+    # stale-hash commit on the key does NOT conflict with it
+    old = c.reference("main")["hash"]
+    c.put("main", "demo.t", t2.metadata_location, "same-pointer")
+    # ... but a REAL intervening change (pointer moved) conflicts
+    c.put("main", "demo.t", loc_v1, "moved")
+    with pytest.raises(NessieError) as ei:
+        c.put("main", "demo.t", t2.metadata_location,
+              expected_hash=old)
+    assert ei.value.status == 409
+
+    # delete the key, then the branch (CAS via current head)
+    c.delete_key("main", "demo.t")
+    assert c.entries() == []
+    c.delete_branch("etl", c.reference("etl")["hash"])
+    with pytest.raises(NessieError):
+        c.reference("etl")
