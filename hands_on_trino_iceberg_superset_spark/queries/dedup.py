@@ -246,9 +246,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_lsh",
     oracle="""
-    SELECT count(*) AS n_exact_pairs,
-           TRUE AS no_false_positives,
-           TRUE AS recall_ok
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 6) >= 0.4
@@ -256,9 +256,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-dup with a hyperplane-LSH prefilter (24 "
         "planes, 12 x 2-bit pigeonhole chunks) + exact cosine verify "
         "— the linear-shuffle 100 TB replacement for the all-pairs "
-        "GEMM baseline. Emits a driver-hash gate: exact pair count, "
-        "no-false-positives (guaranteed by the verify step), and "
-        "recall >= 0.9 vs the exact quadratic set. The operator is "
+        "GEMM baseline. Same gated-exact contract as the ANN "
+        "queries: emits the EXACT pair set (id_a, id_b, cos_sim) — "
+        "which the oracle recomputes from scratch with the "
+        "quadratic join — gated on the adaptive LSH path having NO "
+        "false positives and recall >= 0.9 against it; a broken "
+        "prefilter empties the output and fails rows/hash, and no "
+        "oracle column is an asserted constant. The operator is "
         "ADAPTIVE (fallback_ratio): a linear-cost bucket-histogram "
         "estimate detects when the threshold sits inside the "
         "corpus's bulk similarity mass (this benchmark's regime: "
@@ -270,24 +274,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operators/similarity.py:cosine_neardup_pairs_lsh.",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_neardup_pairs(emb, threshold=0.4).select(
-        "id_a", "id_b", F.lit(1).alias("in_e")
-    )
+    exact = S.cosine_neardup_pairs(emb, threshold=0.4)
     lsh = S.cosine_neardup_pairs_lsh(
         emb, threshold=0.4, dim=64, n_planes=24, n_chunks=12,
         fallback_ratio=0.5,
     ).select("id_a", "id_b", F.lit(1).alias("in_l"))
-    # one full-outer + one aggregation: each pipeline executes once
-    joined = exact.join(lsh, ["id_a", "id_b"], "full_outer")
-    return joined.agg(
-        F.count("in_e").alias("n_exact_pairs"),
-        (F.count("in_l") == F.count(F.when(F.col("in_e").isNotNull()
-                                           & F.col("in_l").isNotNull(), 1)))
-        .alias("no_false_positives"),
-        (F.count(F.when(F.col("in_e").isNotNull()
-                        & F.col("in_l").isNotNull(), 1)) * 10
-         >= F.count("in_e") * 9).alias("recall_ok"),
+    # ONE pass: full-outer aligns the two pair sets, a global window
+    # over the (pair-set-sized, tiny vs corpus) result computes the
+    # gate booleans without re-executing either GEMM pipeline
+    joined = exact.withColumn("in_e", F.lit(1)).join(
+        lsh, ["id_a", "id_b"], "full_outer"
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    both = F.when(
+        F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1
+    )
+    return (
+        joined
+        .withColumn("n_e", F.count("in_e").over(w))
+        .withColumn("n_l", F.count("in_l").over(w))
+        .withColumn("n_both", F.count(both).over(w))
+        .where(
+            (F.col("n_l") == F.col("n_both"))          # no false pos
+            & (F.col("n_both") * 10 >= F.col("n_e") * 9)  # recall
+            & F.col("in_e").isNotNull()
+        )
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

@@ -259,3 +259,51 @@ def test_unigram_commonness_frequency_table_broadcasts(spark, inv, sf_dir):
     )
     assert "SortMergeJoin" not in executed
     assert "BroadcastHashJoin" in executed
+
+
+def test_bpe_encode_is_shuffle_free(spark, sf_dir):
+    """The tokenizer's apply half (both token and id output) is ONE
+    Arrow map over the corpus — no Exchange anywhere in the plan;
+    100 TB tokenization scales with executors, not shuffle."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        bpe_base_alphabet,
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    plan = bpe_encode(docs, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    vocab = bpe_vocab(merges, bpe_base_alphabet(docs))
+    plan = bpe_encode_ids(docs, merges, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_quantizer_assign_is_shuffle_free(spark, inv, sf_dir):
+    """The k-means E-step broadcasts centroids in the task closure:
+    assignment adds zero Exchanges, and dedup_semantic_quantized's
+    only shuffle is the per-cell grouping semantic_dedup needs."""
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        quantizer_assign,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("embedding").alias("centroid"))
+    )
+    plan = quantizer_assign(emb, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    executed, _ = _plans(spark, inv, "dedup_semantic_quantized", sf_dir)
+    assert executed.count("Exchange ") <= 1, executed
