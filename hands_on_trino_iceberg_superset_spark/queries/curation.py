@@ -758,3 +758,62 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "training_packed_sequences",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+    ), o AS (
+      SELECT doc_id, toks,
+             COALESCE(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM c
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             off + unnest(range(len(toks))) AS gpos
+      FROM o
+    )
+    SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+           count(*) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs,
+           arg_min(tok, gpos) AS first_token,
+           arg_max(tok, gpos) AS last_token
+    FROM t
+    GROUP BY 1
+    ORDER BY seq_id
+    """,
+    doc="SEQUENCE PACKING (operators/packing.py): concatenate the "
+        "corpus's token streams in doc_id order and slice into fixed "
+        "64-token training sequences — documents cross boundaries, "
+        "nothing padded. Global token offsets come from a "
+        "distributed TWO-PHASE PREFIX SUM (deterministic "
+        "quantile-bucketed partitions + per-bucket totals + "
+        "partition-local cumulative — never a single-partition "
+        "global window), then chunk assembly is the one unavoidable "
+        "shuffle keyed on seq_id. Emits per-sequence bookkeeping "
+        "(counts + boundary tokens); the DuckDB oracle recomputes "
+        "the identical packing with a window cumulative sum. "
+        "Complements training_sequence_pack (per-source block "
+        "BOOKKEEPING via one windowed cumsum): this entry "
+        "MATERIALIZES the per-sequence output itself.",
+)
+def training_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.packing import (
+        pack_summary,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), " "), lambda w: w != ""
+        ).alias("tokens"),
+    )
+    return pack_summary(toks, seq_len=64).orderBy("seq_id")
