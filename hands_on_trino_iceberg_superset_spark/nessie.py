@@ -427,6 +427,15 @@ class NessieClient:
     def __init__(self, base_url: str):
         self.base = base_url.rstrip("/")
 
+    @staticmethod
+    def _q(segment: str) -> str:
+        """Percent-encode a ref name or table key for the path: a
+        branch like ``feature/x`` (the standard git-style ref
+        convention) must travel as one path segment, not two."""
+        from urllib.parse import quote
+
+        return quote(segment, safe="")
+
     def _call(self, method: str, path: str, body: dict | None = None):
         import urllib.error
         import urllib.request
@@ -441,9 +450,18 @@ class NessieClient:
             with urllib.request.urlopen(req) as r:
                 return json.loads(r.read())
         except urllib.error.HTTPError as e:
-            err = json.loads(e.read() or b"{}")
+            raw = e.read() or b"{}"
+            try:
+                msg = json.loads(raw).get("message", str(e))
+            except ValueError:
+                # a proxy / stdlib default handler emitted a
+                # non-JSON error page — surface the HTTP status,
+                # don't mask it with a JSONDecodeError
+                msg = raw.decode(errors="replace")[:200] or str(e)
+            raise NessieError(e.code, msg) from None
+        except urllib.error.URLError as e:
             raise NessieError(
-                e.code, err.get("message", str(e))
+                503, f"catalog unreachable: {e.reason}"
             ) from None
 
     # ------------------------------------------------------ reading
@@ -452,14 +470,16 @@ class NessieClient:
         return self._call("GET", "/config")
 
     def reference(self, ref: str = "main") -> dict:
-        return self._call("GET", f"/trees/{ref}")["reference"]
+        return self._call("GET", f"/trees/{self._q(ref)}")["reference"]
 
     def entries(self, ref: str = "main") -> list[dict]:
-        return self._call("GET", f"/trees/{ref}/entries")["entries"]
+        return self._call(
+            "GET", f"/trees/{self._q(ref)}/entries"
+        )["entries"]
 
     def content(self, key: str, ref: str = "main") -> dict:
         return self._call(
-            "GET", f"/trees/{ref}/contents/{key}"
+            "GET", f"/trees/{self._q(ref)}/contents/{self._q(key)}"
         )["content"]
 
     def metadata_location(self, key: str, ref: str = "main") -> str:
@@ -486,12 +506,12 @@ class NessieClient:
         if at_hash:
             body["hash"] = at_hash
         return self._call(
-            "POST", f"/trees?name={name}&type=BRANCH", body
+            "POST", f"/trees?name={self._q(name)}&type=BRANCH", body
         )["reference"]
 
     def delete_branch(self, name: str, expected_hash: str) -> dict:
         return self._call(
-            "DELETE", f"/trees/{name}@{expected_hash}"
+            "DELETE", f"/trees/{self._q(name)}@{expected_hash}"
         )["reference"]
 
     def put(self, branch: str, key: str, metadata_location: str,
@@ -511,7 +531,8 @@ class NessieClient:
         if content_id:
             content["id"] = content_id
         return self._call(
-            "POST", f"/trees/{branch}@{expected_hash}/history/commit",
+            "POST",
+            f"/trees/{self._q(branch)}@{expected_hash}/history/commit",
             {
                 "commitMeta": {"message": message or f"put {key}"},
                 "operations": [{
@@ -525,7 +546,8 @@ class NessieClient:
         if expected_hash is None:
             expected_hash = self.reference(branch)["hash"]
         return self._call(
-            "POST", f"/trees/{branch}@{expected_hash}/history/commit",
+            "POST",
+            f"/trees/{self._q(branch)}@{expected_hash}/history/commit",
             {
                 "commitMeta": {"message": f"drop {key}"},
                 "operations": [{"Delete": {"key": _key_json(key)}}],
@@ -538,7 +560,7 @@ class NessieClient:
         if from_hash:
             body["fromHash"] = from_hash
         return self._call(
-            "POST", f"/trees/{into}/history/merge", body
+            "POST", f"/trees/{self._q(into)}/history/merge", body
         )
 
 

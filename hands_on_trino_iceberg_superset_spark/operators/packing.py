@@ -9,13 +9,14 @@ Scale shape, the part that matters at 100 TB:
 1. **Global token offsets come from a TWO-PHASE PREFIX SUM**, not a
    global window. ``Window.orderBy(...)`` without partition keys
    collapses every row into ONE task — the classic driver-shaped
-   bottleneck. :func:`prefix_sum` instead range-partitions on the
-   order column (ascending ranges land in ascending partition ids),
-   computes per-partition totals (one tiny aggregate, bounded by
-   partition count), broadcasts the running bases, and finishes with
-   a partition-local cumulative pass — the textbook distributed scan
-   primitive. The order column must be a unique key (doc ids are):
-   rows TIED on it would receive arbitrary relative offsets.
+   bottleneck. :func:`prefix_sum` instead buckets on the order
+   column with driver-computed boundary literals (ascending buckets
+   = ascending data), computes per-bucket totals (one tiny
+   aggregate, bounded by bucket count), broadcasts the running
+   bases, and finishes with a partition-local cumulative pass — the
+   textbook distributed scan primitive. The order column must be a
+   unique key (doc ids are): rows TIED on it would receive
+   arbitrary relative offsets.
 2. **Chunk assembly is ONE shuffle of the token stream** keyed on
    chunk id — unavoidable and optimal: packing by definition
    co-locates tokens that were produced by different documents.
@@ -29,6 +30,46 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _boundaries(df: DataFrame, order_col: str, n_part: int) -> list:
+    """Driver-side bucket boundaries for ``order_col``. Numeric
+    columns use the deterministic Greenwald-Khanna approxQuantile
+    sketch (skew-balanced); string keys (uuid-style doc ids) fall
+    back to a seeded-sample quantile — boundary QUALITY only affects
+    bucket balance, never correctness, because the boundaries are
+    computed once and embedded as literals that every job evaluates
+    identically."""
+    dt = df.schema[order_col].dataType
+    if isinstance(dt, _NUMERIC):
+        return df.stat.approxQuantile(
+            order_col, [i / n_part for i in range(1, n_part)], 0.001
+        )
+    if isinstance(dt, T.StringType):
+        sample = [
+            r[0]
+            for r in df.select(order_col)
+            .sample(fraction=0.1, seed=7)
+            .limit(100_000)
+            .collect()
+        ]
+        if not sample:
+            return []
+        sample.sort()
+        return sorted({
+            sample[(len(sample) * i) // n_part]
+            for i in range(1, n_part)
+        })
+    raise TypeError(
+        f"prefix_sum order column '{order_col}' has unsupported "
+        f"type {dt.simpleString()} (numeric or string required)"
+    )
 
 
 def prefix_sum(
@@ -38,32 +79,43 @@ def prefix_sum(
     out_col: str = "offset",
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``val_col`` in ``order_col`` order,
-    distributed: range partition -> per-partition totals (collected:
-    one row per partition, bounded metadata) -> broadcast bases ->
-    partition-local cumulative. Returns the input columns plus
-    ``out_col``."""
+    distributed: boundary-literal bucketing -> per-bucket totals
+    (collected: one row per bucket, bounded metadata) -> broadcast
+    bases -> partition-local cumulative. Returns the input columns
+    plus ``out_col``. Order keys must be unique (see module
+    docstring); numeric and string keys supported.
+
+    The input is persisted for the duration (MEMORY_AND_DISK): the
+    boundary job, the totals job, and the final scan all read it —
+    without the cache a corpus-sized upstream (tokenization) would
+    execute three times. Spark's ContextCleaner reclaims the blocks
+    when the returned plan is garbage collected.
+    """
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     n_part = max(2, min(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         200,
     ))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # DETERMINISTIC bucketing: repartitionByRange samples its
     # boundaries PER EXECUTION, so the totals job and the scan job
-    # could disagree on which rows land where. approxQuantile is a
-    # deterministic (Greenwald-Khanna) one-pass sketch, computed
-    # once driver-side; bucket id = count of boundaries strictly
-    # below the order value — pure arithmetic, identical in every
-    # job that evaluates it.
-    bounds = df.stat.approxQuantile(
-        order_col,
-        [i / n_part for i in range(1, n_part)],
-        0.001,
+    # could disagree on which rows land where. Driver-computed
+    # boundary LITERALS are identical in every job that evaluates
+    # them; bucket id = count of boundaries strictly below the key.
+    bounds = _boundaries(df, order_col, n_part)
+    dt = df.schema[order_col].dataType
+    key = (
+        F.col(order_col).cast("double")
+        if isinstance(dt, _NUMERIC) else F.col(order_col)
     )
-    barr = F.array(*[F.lit(b) for b in bounds])
-    bucketed = df.withColumn(
-        "_pid",
-        F.size(F.filter(barr, lambda b: b < F.col(order_col).cast("double"))),
-    )
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < key))
+    else:
+        pid = F.lit(0)
+    bucketed = df.withColumn("_pid", pid)
     totals = {
         r._pid: r.tot
         for r in bucketed.groupBy("_pid")
@@ -71,9 +123,9 @@ def prefix_sum(
         .collect()
     }
     bases, run = {}, 0
-    for pid in sorted(totals):
-        bases[pid] = run
-        run += int(totals[pid] or 0)
+    for b in sorted(totals):
+        bases[b] = run
+        run += int(totals[b] or 0)
 
     ranged = bucketed.repartition(n_part, "_pid").sortWithinPartitions(
         "_pid", order_col
@@ -93,9 +145,9 @@ def prefix_sum(
             if pdf.empty:
                 continue
             outs = []
-            for pid, grp in pdf.groupby("_pid", sort=False):
-                if pid != cur:
-                    cur, run = pid, bases[int(pid)]
+            for b, grp in pdf.groupby("_pid", sort=False):
+                if b != cur:
+                    cur, run = b, bases[int(b)]
                 vals = grp[val_col].to_numpy()
                 out = grp[cols].copy()
                 out[out_col] = run + vals.cumsum() - vals
@@ -106,6 +158,28 @@ def prefix_sum(
             yield pd.concat(outs)
 
     return ranged.mapInPandas(scan, schema)
+
+
+def _token_stream(
+    docs: DataFrame, seq_len: int, tokens_col: str, id_col: str
+) -> DataFrame:
+    """(doc, tok, gpos, seq_id): every token with its global position
+    — the prefix sum + explode shared by both packing views."""
+    counted = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(tokens_col).alias("toks"),
+        F.size(tokens_col).cast("bigint").alias("n"),
+    ).where(F.col("n") > 0)
+    offs = prefix_sum(counted, "doc", "n")
+    return offs.select(
+        "doc",
+        F.posexplode("toks").alias("i", "tok"),
+        F.col("offset"),
+    ).select(
+        "doc",
+        "tok",
+        (F.col("offset") + F.col("i")).alias("gpos"),
+    ).withColumn("seq_id", (F.col("gpos") / seq_len).cast("bigint"))
 
 
 def pack_sequences(
@@ -124,21 +198,7 @@ def pack_sequences(
     their GLOBAL positions, so chunk assembly is a plain groupBy —
     no cross-document alignment logic survives to the reduce side.
     """
-    counted = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(tokens_col).alias("toks"),
-        F.size(tokens_col).cast("bigint").alias("n"),
-    ).where(F.col("n") > 0)
-    offs = prefix_sum(counted, "doc", "n")
-    tok = offs.select(
-        "doc",
-        F.posexplode("toks").alias("i", "tok"),
-        F.col("offset"),
-    ).select(
-        "doc",
-        "tok",
-        (F.col("offset") + F.col("i")).alias("gpos"),
-    ).withColumn("seq_id", (F.col("gpos") / seq_len).cast("bigint"))
+    tok = _token_stream(docs, seq_len, tokens_col, id_col)
     return (
         tok.groupBy("seq_id")
         .agg(
@@ -157,14 +217,16 @@ def pack_summary(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-chunk packing summary WITHOUT materializing the packed
-    arrays: (seq_id, n_tokens, n_docs, first_token, last_token) —
-    the bookkeeping view the driver oracle checks; min_by/max_by on
-    global position pick the boundary tokens."""
-    packed = pack_sequences(docs, seq_len, tokens_col, id_col)
-    return packed.select(
-        "seq_id",
-        "n_tokens",
-        "n_docs",
-        F.element_at("tokens", 1).alias("first_token"),
-        F.element_at("tokens", -1).alias("last_token"),
+    arrays: (seq_id, n_tokens, n_docs, first_token, last_token).
+    Aggregates the exploded token stream directly — min_by/max_by on
+    global position pick the boundary tokens, so no collect_list /
+    array_sort of whole chunks ever runs; this is the cheap
+    bookkeeping pass over the same stream :func:`pack_sequences`
+    materializes."""
+    tok = _token_stream(docs, seq_len, tokens_col, id_col)
+    return tok.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        F.expr("min_by(tok, gpos)").alias("first_token"),
+        F.expr("max_by(tok, gpos)").alias("last_token"),
     )

@@ -364,3 +364,39 @@ def test_client_full_lifecycle(srv, spark, tmp_path):
     c.delete_branch("etl", c.reference("etl")["hash"])
     with pytest.raises(NessieError):
         c.reference("etl")
+
+
+def test_client_encodes_git_style_branch_names(srv):
+    """A branch named with the git-style 'team/feature' convention
+    must round-trip through the client: path segments are
+    percent-encoded so the slash never splits the route."""
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieClient,
+    )
+
+    c = NessieClient(srv.url)
+    c.create_branch("team/feature")
+    assert c.reference("team/feature")["type"] == "BRANCH"
+    c.put("team/feature", "demo.t", "/w/t/v1.metadata.json")
+    assert c.metadata_location("demo.t", "team/feature").endswith(
+        "v1.metadata.json"
+    )
+    assert c.merge("main", "team/feature")["resultType"] == "MERGE"
+    c.delete_branch("team/feature",
+                    c.reference("team/feature")["hash"])
+
+
+def test_client_wraps_non_json_errors(srv):
+    """Errors from a non-Nessie endpoint (proxy page, wrong path)
+    surface as NessieError, never a JSONDecodeError or raw
+    URLError."""
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieClient,
+        NessieError,
+    )
+
+    # unreachable server -> 503-style NessieError
+    dead = NessieClient("http://127.0.0.1:9")
+    with pytest.raises(NessieError) as ei:
+        dead.config()
+    assert ei.value.status == 503
