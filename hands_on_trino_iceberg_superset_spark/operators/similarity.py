@@ -527,6 +527,27 @@ def quantizer_assign(
     return df.mapInPandas(assign, schema)
 
 
+def auto_centroids(
+    n_rows: int,
+    target_cell_size: int = 50_000,
+    lo: int = 2,
+    hi: int = 65_536,
+) -> int:
+    """Quantizer sizing rule: enough centroids that the EXPECTED
+    cell holds ~``target_cell_size`` vectors. This is the knob that
+    keeps both consumers of the coarse quantizer honest at scale —
+    IVF probes scan ``n_probe/n_centroids`` of the corpus, and
+    SemDeDup's per-cell GEMM costs ``sum(|cell|^2)``: a FIXED cell
+    count makes the quadratic grow with the corpus (measured in
+    PERF.md's 10x table), while cells bounded at ~50k x 1KB vectors
+    stay comfortably inside one executor's memory at any corpus
+    size. Clamped to [lo, hi] (65k cells already serves ~3B
+    vectors at the default target)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(max(1, n_rows) / target_cell_size)))
+
+
 # ----------------------------------------------------------- IVF path
 
 

@@ -85,3 +85,60 @@ def test_prefix_sum_avoids_single_partition_exchange(spark):
     plan = prefix_sum(df, "k", "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_prefix_sum_string_order_keys(spark):
+    """uuid-style string doc ids order lexicographically through the
+    seeded-sample boundary fallback."""
+    rows = [(f"doc-{i:04d}", i % 7 + 1) for i in range(200)]
+    import random
+
+    rnd = random.Random(3)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        shuffled, "k string, v long"
+    ).repartition(9)
+    got = {r.k: r.offset for r in prefix_sum(df, "k", "v").collect()}
+    run, want = 0, {}
+    for k, v in sorted(rows):
+        want[k] = run
+        run += v
+    assert got == want
+
+
+def test_pack_bpe_ids_end_to_end(spark):
+    """The documented pipeline: BPE-train -> encode to ids -> pack
+    into fixed sequences, with STRING doc ids end to end; decoding
+    the packed stream reproduces the corpus's non-space text in doc
+    order."""
+    from hands_on_trino_iceberg_superset_spark.operators.bpe import (
+        END,
+        bpe_base_alphabet,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(
+            ["low lower lowest", "new newer news", "low new lowest"]
+        )],
+        "doc_id string, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    vocab = bpe_vocab(merges, bpe_base_alphabet(docs))
+    ids = bpe_encode_ids(docs, merges, vocab)
+    packed = sorted(
+        pack_sequences(ids, 8, tokens_col="token_ids").collect(),
+        key=lambda r: r.seq_id,
+    )
+    inv = {v: k for k, v in vocab.items()}
+    stream = [t for r in packed for t in r.tokens]
+    decoded = "".join(inv[t] for t in stream).replace(END, "")
+    want = "".join(
+        r.text.replace(" ", "")
+        for r in docs.orderBy("doc_id").collect()
+    )
+    assert decoded == want
+    assert all(r.n_tokens == 8 for r in packed[:-1])

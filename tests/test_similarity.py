@@ -409,3 +409,16 @@ def test_quantizer_assign_rejects_int32_overflow_cells(spark):
     )
     with pytest.raises(ValueError, match="int32"):
         quantizer_assign(df, cents)
+
+
+def test_auto_centroids_sizing():
+    from hands_on_trino_iceberg_superset_spark.operators.similarity import (
+        auto_centroids,
+    )
+
+    assert auto_centroids(0) == 2
+    assert auto_centroids(49_999) == 2
+    assert auto_centroids(500_000) == 10
+    assert auto_centroids(10**9) == 20_000
+    assert auto_centroids(10**12) == 65_536     # clamped
+    assert auto_centroids(1_000, target_cell_size=100) == 10

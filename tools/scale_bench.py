@@ -74,6 +74,9 @@ QUERIES = [
     # work grows ~100x at 10x rows — the measured reminder that the
     # quantizer's cell count must scale with the corpus
     "dedup_semantic_quantized",
+    # packing: the distributed prefix sum (3 cached passes) + one
+    # token-stream shuffle — should scale ~linearly in tokens
+    "training_packed_sequences",
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
