@@ -392,3 +392,90 @@ def _register_prewarmers() -> None:
 
 
 _register_prewarmers()
+
+
+def _outlier_oracle() -> str:
+    """Generated (constant) oracle SQL: 64 per-dimension decimal-sum
+    centroid terms, then exact sequential-sum distances — the same
+    determinism contract as the cosine oracles."""
+    cent_terms = ",\n             ".join(
+        f"round(CAST(sum(CAST(embedding[{i + 1}]::DOUBLE AS "
+        f"DECIMAL(27,12))) AS DOUBLE) / count(*), 6) AS c{i}"
+        for i in range(EMBED_DIM)
+    )
+    cent_list = "[" + ", ".join(f"c{i}" for i in range(EMBED_DIM)) + "]"
+    return f"""
+    WITH cent AS (
+      SELECT label,
+             {cent_terms}
+      FROM embeddings GROUP BY label
+    ), c AS (
+      SELECT label, {cent_list} AS cv FROM cent
+    ), d AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(list_aggregate(list_transform(range({EMBED_DIM}),
+               i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+                    * (e.embedding[i+1]::DOUBLE - c.cv[i+1])), 'sum')), 6)
+               AS dist
+      FROM embeddings e JOIN c ON e.label = c.label
+    )
+    SELECT label, vec_id, dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY dist DESC, vec_id) AS rank
+      FROM d
+    ) WHERE rank <= 5
+    ORDER BY label, rank
+    """
+
+
+@register(
+    "embedding_outliers",
+    oracle=_outlier_oracle(),
+    doc="Embedding OUTLIER detection (the data-cleaning pass before "
+        "dedup/indexing): per-label mean vector via 64 decimal-sum "
+        "aggregates (exact, partial-agg-order independent — the "
+        "registry's determinism contract), broadcast back, then each "
+        "vector's euclidean distance to its label centroid; the 5 "
+        "most distant vectors per label surface for review. One "
+        "shuffle for the centroid aggregate (centroids are "
+        "label-count-sized metadata), one broadcast join, one "
+        "label-partitioned TopK — no quadratic anywhere, 100 TB "
+        "shape. Oracle recomputes centroids and distances from "
+        "scratch with the same sequential-sum order.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = [
+        F.round(
+            F.sum(
+                F.element_at(S.as_double(F.col("embedding")), i + 1)
+                .cast("decimal(27,12)")
+            ).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias(f"c{i}")
+        for i in range(EMBED_DIM)
+    ]
+    cent = emb.groupBy("label").agg(*dims).select(
+        "label",
+        F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("cv"),
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    diff = F.zip_with(
+        S.as_double(F.col("embedding")),
+        F.col("cv"),
+        lambda a, b: (a - b) * (a - b),
+    )
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)), 6
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist"), F.asc("vec_id")
+    )
+    return (
+        joined.select("label", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .orderBy("label", "rank")
+    )

@@ -422,3 +422,29 @@ def test_auto_centroids_sizing():
     assert auto_centroids(10**9) == 20_000
     assert auto_centroids(10**12) == 65_536     # clamped
     assert auto_centroids(1_000, target_cell_size=100) == 10
+
+
+def test_embedding_outliers_finds_planted_outlier(spark, tmp_path):
+    """A vector far from its label's cluster must rank first in that
+    label's outlier list."""
+    import numpy as np
+
+    from hands_on_trino_iceberg_superset_spark.queries import load_all
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64) * 0.01 + (1.0 if i % 2 else -1.0)
+        rows.append((i, [float(x) for x in v], i % 2))
+    rows.append((99, [float(25.0)] * 64, 0))  # planted outlier, label 0
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = load_all()["embedding_outliers"].spark(
+        spark, str(tmp_path)
+    ).collect()
+    top_label0 = [r for r in out if r.label == 0 and r.rank == 1]
+    assert top_label0[0].vec_id == 99
+    assert all(r.rank <= 5 for r in out)
