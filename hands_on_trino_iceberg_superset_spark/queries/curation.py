@@ -817,3 +817,72 @@ def training_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
     )
     return pack_summary(toks, seq_len=64).orderBy("seq_id")
+
+
+@register(
+    "training_split_leakproof",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source, fingerprint,
+             CAST(CAST(concat('0x', substr(md5(fingerprint), 1, 8))
+                       AS UBIGINT) % 100 AS BIGINT) AS bucket,
+             count(*) OVER (PARTITION BY fingerprint) AS n_group
+      FROM fp
+    )
+    SELECT doc_id, source, fingerprint,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_group AS BIGINT) AS n_group
+    FROM b
+    """,
+    doc="Leakage-proof train/val/test assignment: the split key is "
+        "the CONTENT fingerprint (same normalization as dedup_exact "
+        "— operators/dedup.py:normalized_fingerprint), not the row "
+        "id, so byte-identical duplicates can never straddle a "
+        "split boundary and leak eval data into training. Buckets "
+        "come from a portable md5 hash of the fingerprint (90/5/5), "
+        "deterministic with zero RNG state — the same document "
+        "lands in the same split on every engine, every run, every "
+        "re-shard. 100 TB design: split assignment is embarrassingly "
+        "parallel (hash of a hash, map-only); the only shuffle is "
+        "the group-size window keyed by fingerprint, bounded by "
+        "distinct content — and it exists purely for the audit "
+        "column. tests/test_curation.py proves the invariant on the "
+        "sf0.1 corpus where real duplicate groups exist.",
+)
+def training_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hands_on_trino_iceberg_superset_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "source", normalized_fingerprint(F.col("text")).alias(
+            "fingerprint"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("fingerprint")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return fp.select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .cast("bigint")
+        .alias("n_group"),
+    )

@@ -466,3 +466,342 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_words"),
         F.length(F.array_join(chunk, " ")).cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), bigr AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || chr(1) || t[i + 1])) AS bg,
+             unnest(list_slice(t, 1, len(t) - 1)) AS w1
+      FROM toks WHERE len(t) >= 2
+    ), uni AS (
+      SELECT doc_id, lang, unnest(t) AS w FROM toks
+    ), cb AS (
+      SELECT lang, bg, count(*) AS c
+      FROM bigr WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ), cu AS (
+      SELECT lang, w, count(*) AS c
+      FROM uni WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ), vocab AS (
+      SELECT lang, count(DISTINCT w) AS v
+      FROM uni WHERE doc_id % 2 = 0 GROUP BY 1
+    ), term AS (
+      SELECT b.doc_id, b.lang,
+             round(-ln((coalesce(cb.c, 0) + 0.5)
+                       / (coalesce(cu.c, 0)
+                          + 0.5 * coalesce(vocab.v, 1))), 6) AS nll6
+      FROM bigr b
+      LEFT JOIN cb ON cb.lang = b.lang AND cb.bg = b.bg
+      LEFT JOIN cu ON cu.lang = b.lang AND cu.w = b.w1
+      LEFT JOIN vocab ON vocab.lang = b.lang
+    ), doc AS (
+      SELECT doc_id, lang, count(*) AS n_bigrams,
+             sum(CAST(nll6 AS DECIMAL(18, 6))) AS nll
+      FROM term GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(nll AS DOUBLE) AS nll,
+             round(CAST(nll AS DOUBLE) / n_bigrams, 4) AS score
+      FROM doc
+    ), hist AS (
+      SELECT lang, score, count(*) AS c FROM scored GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, score,
+             sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ), th AS (
+      SELECT lang,
+             min(CASE WHEN cum >= ceil(n / 3.0) THEN score END) AS t1,
+             min(CASE WHEN cum >= ceil(2 * n / 3.0) THEN score END) AS t2
+      FROM cum GROUP BY lang
+    )
+    SELECT s.doc_id AS doc_id, s.lang AS lang, s.n_bigrams AS n_bigrams,
+           s.nll AS nll, s.score AS score,
+           CASE WHEN s.score <= th.t1 THEN 'head'
+                WHEN s.score <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th ON th.lang = s.lang
+    """,
+    doc="CCNet-style statistical quality filtering (Wenzek et al. "
+        "2020): train a per-language add-alpha bigram LM on a "
+        "held-in reference slice (even doc_ids), score every "
+        "document's per-token negative log-likelihood, and split "
+        "each language into head/middle/tail perplexity tertiles — "
+        "the standard prune-the-tail signal for web-corpus "
+        "curation. Reference analog: the quality tier of the "
+        "seeded-pipeline datasets (compose/seed.sh:72-118 pattern "
+        "of derive-then-consume artifacts). 100 TB design: model "
+        "training is ONE shuffle bounded by vocab² (min-count "
+        "pruning keeps real-web models broadcastable); scoring "
+        "joins each bigram occurrence to the model with Catalyst "
+        "free to broadcast (no forced hint); tertile thresholds "
+        "come from a rounded-score HISTOGRAM (vocab-bounded "
+        "cardinality, one tiny window) — no global sort, no "
+        "single-partition ntile over N documents. Determinism: "
+        "each bigram's nll is rounded to 6 decimals (engine libm "
+        "ULP differences cannot reach the grid) then DECIMAL-summed "
+        "so partial-aggregation order can never change the answer.",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _tokens().alias("t"))
+    # one row per bigram occurrence; chr(1) never occurs in tokens
+    bigr = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    "         slice(t, 2, size(t) - 1),"
+                    "         (a, b) -> struct(a AS w1,"
+                    "                          concat(a, char(1), b) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"),
+                F.col("p.bg").alias("bg"))
+    )
+    uni = toks.select("doc_id", "lang", F.explode("t").alias("w"))
+    train_bigr = bigr.where(F.col("doc_id") % 2 == 0)
+    train_uni = uni.where(F.col("doc_id") % 2 == 0)
+    cb = train_bigr.groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cu = train_uni.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = train_uni.groupBy("lang").agg(
+        F.countDistinct("w").alias("v")
+    )
+    # scoring joins: Catalyst picks broadcast vs shuffle by model
+    # size (vocab-bounded after min-count pruning at real scale)
+    p = (
+        (F.coalesce("cb", F.lit(0)) + F.lit(0.5))
+        / (F.coalesce("cu", F.lit(0))
+           + F.lit(0.5) * F.coalesce("v", F.lit(1)))
+    )
+    term = (
+        bigr.join(cb, ["lang", "bg"], "left")
+        .join(cu.withColumnRenamed("w", "w1"), ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), ["lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll6"),
+        )
+    )
+    scored = (
+        term.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll6").alias("nll_dec"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.col("nll_dec").cast("double").alias("nll"),
+            F.round(
+                F.col("nll_dec").cast("double") / F.col("n_bigrams"), 4
+            ).alias("score"),
+        )
+    )
+    # tertile thresholds from the per-lang ROUNDED-SCORE histogram:
+    # the windows below run over vocab-bounded aggregate rows, never
+    # over the N-document corpus
+    hist = scored.groupBy("lang", "score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "score",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 3.0), F.col("score"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * 2 / 3.0), F.col("score")
+            )
+        ).alias("t2"),
+    )
+    return scored.join(F.broadcast(th), ["lang"]).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "nll",
+        "score",
+        F.when(F.col("score") <= F.col("t1"), F.lit("head"))
+        .when(F.col("score") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@register(
+    "corpus_drift_report",
+    oracle="""
+    WITH u AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tk AS (
+      SELECT w, count(*) AS c_all
+      FROM u GROUP BY w ORDER BY c_all DESC, w LIMIT 100
+    ), consts AS (
+      SELECT count(*) AS k, sum(c_all) AS n_all FROM tk
+    ), cs AS (
+      SELECT u.source, u.w, count(*) AS c_s
+      FROM u JOIN tk ON tk.w = u.w
+      GROUP BY u.source, u.w
+    ), grid AS (
+      SELECT s.source, tk.w, tk.c_all, coalesce(cs.c_s, 0) AS c_s
+      FROM (SELECT DISTINCT source FROM u) s
+      CROSS JOIN tk
+      LEFT JOIN cs ON cs.source = s.source AND cs.w = tk.w
+    ), gs AS (
+      SELECT g.*, consts.k, consts.n_all,
+             sum(c_s) OVER (PARTITION BY source) AS n_s
+      FROM grid g CROSS JOIN consts
+    ), prob AS (
+      SELECT source, w, c_s,
+             (c_s + 1.0) / (n_s + k) AS p_s,
+             (c_all + 1.0) / (n_all + k) AS p_a
+      FROM gs
+    ), term AS (
+      SELECT source, w, c_s, p_s, p_a,
+             CAST(round((p_s - p_a) * ln(p_s / p_a), 6)
+                  AS DECIMAL(18, 6)) AS psi6,
+             row_number() OVER (
+               PARTITION BY source ORDER BY abs(p_s - p_a) DESC, w
+             ) AS rk
+      FROM prob
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_present,
+           CAST(sum(psi6) AS DOUBLE) AS psi,
+           min(CASE WHEN rk = 1 THEN w END) AS top_drift_token,
+           CAST(min(CASE WHEN rk = 1 THEN round(p_s - p_a, 6) END)
+                AS DOUBLE) AS top_drift_delta
+    FROM term
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Distribution-drift monitor for corpus intake: compares "
+        "each source's token distribution against the whole-corpus "
+        "baseline with the Population Stability Index "
+        "(sum((p_s - p_all) * ln(p_s / p_all)) over the global "
+        "top-K token vocabulary, add-one smoothed), plus the single "
+        "most-drifting token per source — the report a pipeline "
+        "gates new crawl dumps on before they enter the training "
+        "mix. 100 TB design: two vocab-bounded count shuffles "
+        "(global and per-source token histograms with map-side "
+        "partial aggregation), then ALL remaining work runs on the "
+        "sources-by-K grid (broadcast top-K, tiny windows) — "
+        "per-document data is never re-shuffled and no global sort "
+        "touches row-level data (top-K lowers to "
+        "TakeOrderedAndProject on the aggregated histogram). "
+        "Determinism: probabilities are exact-integer ratios "
+        "divided once in IEEE double, PSI terms rounded to 6 "
+        "decimals then DECIMAL-summed; top-K and argmax ties break "
+        "on the token string.",
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("source", F.explode(_tokens()).alias("w"))
+    tk = (
+        u.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_all"))
+        .orderBy(F.desc("c_all"), F.asc("w"))
+        .limit(100)
+    )
+    consts = tk.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("c_all").alias("n_all")
+    )
+    cs = (
+        u.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .join(F.broadcast(tk.select("w")), "w")
+    )
+    grid = (
+        u.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(tk))
+        .join(cs, ["source", "w"], "left")
+        .select(
+            "source", "w", "c_all",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    n_s = F.sum("c_s").over(Window.partitionBy("source"))
+    prob = grid.select(
+        "source",
+        "w",
+        "c_s",
+        ((F.col("c_s") + 1.0) / (n_s + F.col("k"))).alias("p_s"),
+        ((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("k"))).alias(
+            "p_a"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.abs(F.col("p_s") - F.col("p_a")).desc(), F.asc("w")
+        )
+    )
+    term = prob.select(
+        "source",
+        "w",
+        "c_s",
+        "p_s",
+        "p_a",
+        F.round(
+            (F.col("p_s") - F.col("p_a"))
+            * F.log(F.col("p_s") / F.col("p_a")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("psi6"),
+        rk.alias("rk"),
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c_s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum("psi6").cast("double").alias("psi"),
+            F.min(F.when(F.col("rk") == 1, F.col("w"))).alias(
+                "top_drift_token"
+            ),
+            F.min(
+                F.when(
+                    F.col("rk") == 1,
+                    F.round(F.col("p_s") - F.col("p_a"), 6),
+                )
+            )
+            .cast("double")
+            .alias("top_drift_delta"),
+        )
+        .orderBy("source")
+    )

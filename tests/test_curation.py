@@ -295,3 +295,117 @@ def test_bpe_vocab_and_id_encoding_roundtrip(spark, sf_dir) -> None:
         assert -1 not in tids
         decoded = "".join(inv[t] for t in tids).replace(END, "")
         assert decoded == text.replace(" ", "")
+
+
+# ------------------------------------------------------------------
+# text_perplexity_buckets / training_split_leakproof /
+# corpus_drift_report (round-5 additions)
+# ------------------------------------------------------------------
+
+
+def test_perplexity_buckets_rank_predictable_docs_lower(
+    spark, inventory, tmp_path
+):
+    # even doc_ids train the LM; the held-out odd doc made of tokens
+    # the model never saw must score strictly worse than the docs
+    # that repeat the training pattern
+    pattern = ("spark scan filter join " * 10).strip()
+    weird = "zz qq vv kk ww rr tt uu yy xx"
+    rows = [pattern] * 6 + [weird]
+    _docs_df(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in inventory["text_perplexity_buckets"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(range(7))
+    pat_scores = {out[i].score for i in range(6)}
+    assert len(pat_scores) == 1  # identical docs -> identical score
+    assert out[6].score > out[6 - 1].score
+    assert all(out[i].bucket == "head" for i in range(6))
+    assert out[6].bucket == "tail"
+    assert out[0].n_bigrams == 39
+
+
+def test_perplexity_buckets_are_per_language_tertiles(spark, inventory):
+    rows = (
+        inventory["text_perplexity_buckets"]
+        .spark(spark, SF)
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        buckets = {b: [r.score for r in rs if r.bucket == b]
+                   for b in ("head", "middle", "tail")}
+        # tertiles are ordered by score and roughly balanced
+        if buckets["head"] and buckets["middle"]:
+            assert max(buckets["head"]) <= min(buckets["middle"])
+        if buckets["middle"] and buckets["tail"]:
+            assert max(buckets["middle"]) <= min(buckets["tail"])
+        n = len(rs)
+        assert len(buckets["head"]) >= n // 4
+
+
+def test_split_leakproof_duplicates_share_split(spark, inventory, tmp_path):
+    # byte-identical content under different doc_ids must co-split
+    dup = "the same exact document text repeated verbatim here"
+    rows = [dup, "first unique doc text", dup, "second unique doc text",
+            "  ".join(dup.split())]  # whitespace variant normalizes equal
+    _docs_df(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = (
+        inventory["training_split_leakproof"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    by_fp: dict[str, set] = {}
+    for r in out:
+        by_fp.setdefault(r.fingerprint, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_fp.values())
+    dup_groups = [r for r in out if r.n_group == 3]
+    assert len(dup_groups) == 3  # dup + dup + whitespace variant
+
+
+def test_split_leakproof_fractions_at_sf01(spark, inventory):
+    out = (
+        inventory["training_split_leakproof"]
+        .spark(spark, "/root/testdata/sf0.1")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r.split: r["count"] for r in out}
+    total = sum(counts.values())
+    assert total == 5000
+    assert 0.85 <= counts["train"] / total <= 0.95
+    assert 0.02 <= counts.get("val", 0) / total <= 0.08
+    assert 0.02 <= counts.get("test", 0) / total <= 0.08
+
+
+def test_drift_report_flags_skewed_source(spark, inventory, tmp_path):
+    balanced = "alpha beta gamma delta " * 5
+    skewed = "alpha alpha alpha alpha alpha alpha alpha alpha"
+    rows = []
+    for i in range(8):  # sources src0..src7 get balanced docs
+        rows.append(balanced.strip())
+    docs = [(i, t, "en", f"src{i}", len(t)) for i, t in enumerate(rows)]
+    docs.append((8, skewed, "en", "srcSKEW", len(skewed)))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in inventory["corpus_drift_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # PSI is non-negative by construction and maximal for the
+    # single-token source, whose top drifting token is its spam token
+    assert all(r.psi >= 0 for r in out.values())
+    assert out["srcSKEW"].psi == max(r.psi for r in out.values())
+    assert out["srcSKEW"].top_drift_token == "alpha"
+    assert out["srcSKEW"].top_drift_delta > 0
+    assert out["src0"].psi < out["srcSKEW"].psi

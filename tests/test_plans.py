@@ -307,3 +307,36 @@ def test_quantizer_assign_is_shuffle_free(spark, inv, sf_dir):
     assert "Exchange" not in plan, plan
     executed, _ = _plans(spark, inv, "dedup_semantic_quantized", sf_dir)
     assert executed.count("Exchange ") <= 1, executed
+
+
+def test_split_leakproof_single_shuffle_pruned_scan(spark, inv, sf_dir):
+    executed, formatted = _plans(
+        spark, inv, "training_split_leakproof", sf_dir
+    )
+    # only the group-size window shuffles (keyed by fingerprint);
+    # split assignment itself is map-only
+    assert executed.count("Exchange") == 1
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    assert sorted(c.split(":")[0] for c in schema.split(",")) == [
+        "doc_id", "source", "text",
+    ]
+
+
+def test_drift_report_topk_avoids_global_sort(spark, inv, sf_dir):
+    executed, _ = _plans(spark, inv, "corpus_drift_report", sf_dir)
+    # the top-K vocabulary cut lowers to TakeOrderedAndProject on the
+    # aggregated histogram — no full Sort over token rows
+    assert "TakeOrderedAndProject" in executed
+    # top-K vocab and the constants row reach the grid as broadcasts
+    assert executed.count("BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in executed
+
+
+def test_perplexity_model_joins_broadcast_at_test_scale(spark, inv, sf_dir):
+    executed, _ = _plans(spark, inv, "text_perplexity_buckets", sf_dir)
+    # vocab-bounded model tables broadcast at this corpus size (no
+    # forced hint on cb/cu: Catalyst must pick it from stats)
+    assert executed.count("BroadcastHashJoin") >= 3
+    # tertile thresholds come from the histogram, not a global sort
+    # of per-document scores
+    assert "TakeOrderedAndProject" not in executed
