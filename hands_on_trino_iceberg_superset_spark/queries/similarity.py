@@ -447,10 +447,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # scalar element cast, NOT element_at(as_double(arr)): the array
+    # transform is lambda-bearing so Spark's subexpression elimination
+    # (SPARK-35410) cannot share it, and the aggregate's input
+    # projection would re-cast the full 64-float array once PER
+    # DIMENSION (~4096 casts/row); float->double->decimal per scalar
+    # is bit-identical to the oracle's embedding[i]::DOUBLE path
     dims = [
         F.round(
             F.sum(
-                F.element_at(S.as_double(F.col("embedding")), i + 1)
+                F.element_at(F.col("embedding"), i + 1)
+                .cast("double")
                 .cast("decimal(27,12)")
             ).cast("double") / F.count(F.lit(1)),
             6,

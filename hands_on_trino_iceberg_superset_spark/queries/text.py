@@ -492,6 +492,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM uni WHERE doc_id % 2 = 0 GROUP BY 1
     ), term AS (
       SELECT b.doc_id, b.lang,
+             vocab.v IS NOT NULL AS modeled,
              round(-ln((coalesce(cb.c, 0) + 0.5)
                        / (coalesce(cu.c, 0)
                           + 0.5 * coalesce(vocab.v, 1))), 6) AS nll6
@@ -500,16 +501,19 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN cu ON cu.lang = b.lang AND cu.w = b.w1
       LEFT JOIN vocab ON vocab.lang = b.lang
     ), doc AS (
-      SELECT doc_id, lang, count(*) AS n_bigrams,
+      SELECT doc_id, lang, bool_or(modeled) AS modeled,
+             count(*) AS n_bigrams,
              sum(CAST(nll6 AS DECIMAL(18, 6))) AS nll
       FROM term GROUP BY 1, 2
     ), scored AS (
-      SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      SELECT doc_id, lang, modeled,
+             CAST(n_bigrams AS BIGINT) AS n_bigrams,
              CAST(nll AS DOUBLE) AS nll,
              round(CAST(nll AS DOUBLE) / n_bigrams, 4) AS score
       FROM doc
     ), hist AS (
-      SELECT lang, score, count(*) AS c FROM scored GROUP BY 1, 2
+      SELECT lang, score, count(*) AS c FROM scored
+      WHERE modeled GROUP BY 1, 2
     ), cum AS (
       SELECT lang, score,
              sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
@@ -523,10 +527,16 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id AS doc_id, s.lang AS lang, s.n_bigrams AS n_bigrams,
            s.nll AS nll, s.score AS score,
-           CASE WHEN s.score <= th.t1 THEN 'head'
+           CASE WHEN NOT s.modeled THEN 'unmodeled'
+                WHEN s.score <= th.t1 THEN 'head'
                 WHEN s.score <= th.t2 THEN 'middle'
                 ELSE 'tail' END AS bucket
-    FROM scored s JOIN th ON th.lang = s.lang
+    FROM scored s LEFT JOIN th ON th.lang = s.lang
+    UNION ALL
+    SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_bigrams,
+           CAST(NULL AS DOUBLE) AS nll, CAST(NULL AS DOUBLE) AS score,
+           'unscored' AS bucket
+    FROM toks WHERE coalesce(len(t), 0) < 2
     """,
     doc="CCNet-style statistical quality filtering (Wenzek et al. "
         "2020): train a per-language add-alpha bigram LM on a "
@@ -546,7 +556,14 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single-partition ntile over N documents. Determinism: "
         "each bigram's nll is rounded to 6 decimals (engine libm "
         "ULP differences cannot reach the grid) then DECIMAL-summed "
-        "so partial-aggregation order can never change the answer.",
+        "so partial-aggregation order can never change the answer. "
+        "Sentinel buckets keep the output total (one row per "
+        "document, never a silent drop): docs under 2 tokens emit "
+        "bucket 'unscored' (no bigram to score), and languages with "
+        "zero training-slice documents emit 'unmodeled' — without "
+        "it the smoothing degenerates to p=1/nll=0 and the filter "
+        "would rate exactly the languages the model knows nothing "
+        "about as best-quality.",
 )
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -597,18 +614,23 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
+            # no training slice for this lang -> sentinel bucket, not
+            # a degenerate p=1/nll=0 "best quality" score
+            F.col("v").isNotNull().alias("modeled"),
             F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll6"),
         )
     )
     scored = (
         term.groupBy("doc_id", "lang")
         .agg(
+            F.bool_or("modeled").alias("modeled"),
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("nll6").alias("nll_dec"),
         )
         .select(
             "doc_id",
             "lang",
+            "modeled",
             "n_bigrams",
             F.col("nll_dec").cast("double").alias("nll"),
             F.round(
@@ -619,7 +641,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tertile thresholds from the per-lang ROUNDED-SCORE histogram:
     # the windows below run over vocab-bounded aggregate rows, never
     # over the N-document corpus
-    hist = scored.groupBy("lang", "score").agg(
+    hist = scored.where("modeled").groupBy("lang", "score").agg(
         F.count(F.lit(1)).alias("c")
     )
     w_cum = (
@@ -644,17 +666,29 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t2"),
     )
-    return scored.join(F.broadcast(th), ["lang"]).select(
+    main = scored.join(F.broadcast(th), ["lang"], "left").select(
         "doc_id",
         "lang",
         "n_bigrams",
         "nll",
         "score",
-        F.when(F.col("score") <= F.col("t1"), F.lit("head"))
+        F.when(~F.col("modeled"), F.lit("unmodeled"))
+        .when(F.col("score") <= F.col("t1"), F.lit("head"))
         .when(F.col("score") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    # docs with <2 tokens have no bigram to score: keep them in the
+    # output with an explicit sentinel instead of silently dropping
+    short = toks.where(F.coalesce(F.size("t"), F.lit(0)) < 2).select(
+        "doc_id",
+        "lang",
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("nll"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return main.unionByName(short)
 
 
 @register(
@@ -673,7 +707,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY u.source, u.w
     ), grid AS (
       SELECT s.source, tk.w, tk.c_all, coalesce(cs.c_s, 0) AS c_s
-      FROM (SELECT DISTINCT source FROM u) s
+      FROM (SELECT DISTINCT source FROM documents) s
       CROSS JOIN tk
       LEFT JOIN cs ON cs.source = s.source AND cs.w = tk.w
     ), gs AS (
@@ -738,13 +772,19 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = tk.agg(
         F.count(F.lit(1)).alias("k"), F.sum("c_all").alias("n_all")
     )
+    # semi-join the 100-token broadcast BEFORE aggregating: the
+    # shuffle then carries sources x K rows, not sources x full-vocab
+    # (the discarded tail is the whole web vocabulary at real scale)
     cs = (
-        u.groupBy("source", "w")
+        u.join(F.broadcast(tk.select("w")), "w")
+        .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c_s"))
-        .join(F.broadcast(tk.select("w")), "w")
     )
+    # source names come from the documents table directly (single
+    # pruned column, no re-explode of every token); relies on the
+    # corpus contract that text is non-null, matching the oracle
     grid = (
-        u.select("source")
+        docs.select("source")
         .distinct()
         .crossJoin(F.broadcast(tk))
         .join(cs, ["source", "w"], "left")

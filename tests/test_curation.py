@@ -306,12 +306,13 @@ def test_bpe_vocab_and_id_encoding_roundtrip(spark, sf_dir) -> None:
 def test_perplexity_buckets_rank_predictable_docs_lower(
     spark, inventory, tmp_path
 ):
-    # even doc_ids train the LM; the held-out odd doc made of tokens
-    # the model never saw must score strictly worse than the docs
-    # that repeat the training pattern
+    # even doc_ids train the LM; the weird doc sits at the ODD id 5
+    # so it is genuinely held out — every one of its bigrams and
+    # unigrams misses the model, exercising the coalesce(cb,0)/
+    # coalesce(cu,0) left-join-null scoring path
     pattern = ("spark scan filter join " * 10).strip()
     weird = "zz qq vv kk ww rr tt uu yy xx"
-    rows = [pattern] * 6 + [weird]
+    rows = [pattern] * 5 + [weird]
     _docs_df(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
     out = {
         r.doc_id: r
@@ -319,13 +320,42 @@ def test_perplexity_buckets_rank_predictable_docs_lower(
         .spark(spark, str(tmp_path))
         .collect()
     }
-    assert set(out) == set(range(7))
-    pat_scores = {out[i].score for i in range(6)}
+    assert set(out) == set(range(6))
+    pat_scores = {out[i].score for i in range(5)}
     assert len(pat_scores) == 1  # identical docs -> identical score
-    assert out[6].score > out[6 - 1].score
-    assert all(out[i].bucket == "head" for i in range(6))
-    assert out[6].bucket == "tail"
+    assert out[5].score > out[0].score
+    assert all(out[i].bucket == "head" for i in range(5))
+    assert out[5].bucket == "tail"
     assert out[0].n_bigrams == 39
+
+
+def test_perplexity_sentinel_buckets(spark, inventory, tmp_path):
+    # lang 'rare' exists only at an odd doc_id (no training slice)
+    # -> 'unmodeled', never a degenerate nll=0 'head'; a one-token
+    # doc has no bigram to score -> 'unscored', never dropped
+    docs = [
+        (0, "alpha beta alpha beta alpha", "en", "src0", 27),
+        (1, "alpha beta alpha gamma", "en", "src1", 22),
+        (2, "alpha beta gamma delta", "en", "src2", 22),
+        (3, "some rare language words here", "rare", "src3", 29),
+        (4, "solo", "en", "src4", 4),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in inventory["text_perplexity_buckets"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(range(5))
+    assert out[3].bucket == "unmodeled"
+    assert out[3].score is not None  # scored, just not tertiled
+    assert out[4].bucket == "unscored"
+    assert out[4].n_bigrams == 0 and out[4].score is None
+    assert {out[i].bucket for i in (0, 1, 2)} <= {"head", "middle", "tail"}
 
 
 def test_perplexity_buckets_are_per_language_tertiles(spark, inventory):
