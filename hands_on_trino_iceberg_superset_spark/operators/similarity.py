@@ -559,15 +559,23 @@ def build_ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 5,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """One-off IVF index build: fit a k-means coarse quantizer, then
     persist the corpus CELL-PARTITIONED at ``path``:
 
-    - ``{path}/vectors`` — (id, v) parquet, ``partitionBy("cell")``,
-      so a probe of p cells is a partition-pruned read touching
-      ~p/n_centroids of the data files;
+    - ``{path}/vectors`` — (id, v[, meta...]) parquet,
+      ``partitionBy("cell")``, so a probe of p cells is a
+      partition-pruned read touching ~p/n_centroids of the data
+      files;
     - ``{path}/centroids`` — (cell, centroid) parquet, n_centroids
       rows of index metadata.
+
+    ``meta_cols`` denormalizes filterable attributes (tenant, label,
+    language) INTO the celled store so filtered probes
+    (:func:`ivf_probe` ``match_cols``) push the equality predicate
+    down to the pruned parquet scan instead of joining back to the
+    corpus — the standard vector-store layout for metadata filtering.
 
     At 100 TB this runs once (or incrementally on append) and is
     amortized over every subsequent probe; nothing query-sized or
@@ -576,15 +584,17 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    meta_cols = meta_cols or []
     feat = corpus.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
+        *meta_cols,
     ).withColumn("fv", array_to_vector(F.col("v")))
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter,
         featuresCol="fv", predictionCol="cell",
     ).fit(feat)
-    assigned = model.transform(feat).select("id", "v", "cell")
+    assigned = model.transform(feat).select("id", "v", *meta_cols, "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
@@ -600,6 +610,7 @@ def append_to_ivf_index(
     index_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Incremental IVF maintenance: fold NEW vectors into an existing
     index WITHOUT refitting the quantizer — assign each vector to its
@@ -631,8 +642,18 @@ def append_to_ivf_index(
     C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent])
     cnorm2 = (C * C).sum(axis=1)
 
+    meta_cols = meta_cols or []
     feat = new_vectors.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *meta_cols,
+    )
+    # appended rows must match the store's schema: carry the same
+    # denormalized meta columns the build wrote (or none)
+    meta_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in feat.schema.fields
+        if f.name in meta_cols
     )
 
     def assign(batches):
@@ -643,13 +664,15 @@ def append_to_ivf_index(
             # argmin ||v - c||^2 = argmin (-2 v.c + |c|^2): the |v|^2
             # term is constant per row and drops out
             d = -2.0 * (m @ C.T) + cnorm2[None, :]
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "v": pdf["v"],
-                "cell": cells[d.argmin(axis=1)],
-            })
+            out = {"id": pdf["id"], "v": pdf["v"]}
+            for c in meta_cols:
+                out[c] = pdf[c]
+            out["cell"] = cells[d.argmin(axis=1)]
+            yield pd.DataFrame(out)
 
-    assigned = feat.mapInPandas(assign, "id long, v array<double>, cell int")
+    assigned = feat.mapInPandas(
+        assign, f"id long, v array<double>{meta_schema}, cell int"
+    )
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{index_path}/vectors"
     )
@@ -662,6 +685,7 @@ def ivf_probe(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF index (see
     :func:`build_ivf_index`): each query ranks the centroids
@@ -675,11 +699,25 @@ def ivf_probe(
     physical plan is a PARTITION-PRUNED parquet read: only the
     probed cell directories are listed and scanned. Per-query scan
     cost ~ ``n_probe / n_centroids`` of the corpus.
+
+    ``match_cols`` composes FILTERED search with cell pruning: each
+    query only matches neighbors sharing its values in the listed
+    columns (which must have been denormalized into the store via
+    ``build_ivf_index(meta_cols=...)``). The filter is applied
+    filter-first, not post-hoc: the union of the queries' values
+    becomes a second static ``IN`` predicate PUSHED INTO the pruned
+    parquet scan (bounded by query count — batch queries are small
+    by contract), and the per-query equality rides the broadcast
+    hash-join key, so a selective filter SHRINKS the scan instead of
+    shortening the result list.
     """
     spark = queries.sparkSession
+    match_cols = match_cols or []
     cent = spark.read.parquet(f"{index_path}/centroids")
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        *match_cols,
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -694,7 +732,7 @@ def ivf_probe(
         .withColumn("d2", d2)
         .withColumn("cell_rank", F.row_number().over(wc))
         .where(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "cell", *match_cols)
     )
     # distinct probed cells: <= n_centroids values of index METADATA
     # (bounded by index width, not by corpus or query count) — turned
@@ -704,12 +742,22 @@ def ivf_probe(
         spark.read.parquet(f"{index_path}/vectors")
         .where(F.col("cell").isin(cells))
         .select(
-            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+            "cell", *match_cols,
         )
     )
+    if match_cols:
+        # the queries' filter values, pushed into the pruned scan as
+        # a static IN (bounded by the query batch, read driver-side
+        # from the small queries frame, never from the corpus)
+        for c in match_cols:
+            vals = sorted(
+                {r[c] for r in q.select(c).distinct().collect()}
+            )
+            vectors = vectors.where(F.col(c).isin(vals))
     sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     scored = (
-        vectors.join(F.broadcast(probes), "cell")
+        vectors.join(F.broadcast(probes), ["cell", *match_cols])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )

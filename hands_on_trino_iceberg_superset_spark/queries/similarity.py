@@ -288,6 +288,45 @@ def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_filtered_ivf",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label = c.label
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="FILTERED search composed WITH IVF cell pruning "
+        "(ivf_probe match_cols): the label predicate is pushed into "
+        "the cell-partition-pruned parquet scan (the store "
+        "denormalizes label via build_ivf_index meta_cols), so a "
+        "selective filter shrinks the probe scan instead of "
+        "shortening result lists — scan cost ~ selectivity x "
+        "n_probe/n_centroids of the corpus. Emits the exact "
+        "label-filtered top-10 gated on the filtered probe achieving "
+        ">= 6/10 per-query overlap and full result lists; the "
+        "oracle recomputes the exact filtered top-10 from scratch. "
+        "Plan gate (tests/test_plans.py) proves cell pruning AND "
+        "the pushed label filter coexist in the scan.",
+)
+def ann_cosine_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    ivf = S.ivf_probe(q, _ivf_index(spark, sf_dir), k=10, n_probe=8,
+                      match_cols=["label"])
+    exact = S.cosine_topk(emb, q, k=10, match_cols=["label"])
+    return _recall_gate(ivf, exact, min_overlap=6)
+
+
+@register(
     "ann_ivf_incremental",
     oracle="""
     WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -340,10 +379,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # label is denormalized into the celled store so filtered probes
+    # (ann_cosine_topk_filtered_ivf) push their predicate into the
+    # pruned scan; unfiltered probes simply never read the column
     return ensure_artifact(
         artifact_path(sf_dir, "ivf_index", "embeddings",
-                      params="n_centroids=16"),
-        lambda tmp: S.build_ivf_index(emb, tmp, n_centroids=16),
+                      params="n_centroids=16,meta=label"),
+        lambda tmp: S.build_ivf_index(
+            emb, tmp, n_centroids=16, meta_cols=["label"]
+        ),
     )
 
 

@@ -340,3 +340,32 @@ def test_perplexity_model_joins_broadcast_at_test_scale(spark, inv, sf_dir):
     # tertile thresholds come from the histogram, not a global sort
     # of per-document scores
     assert "TakeOrderedAndProject" not in executed
+
+
+def test_filtered_ivf_probe_prunes_and_pushes_filter(
+    spark, inv, sf_dir, tmp_path
+):
+    """Filtered IVF search must COMPOSE the two scan reductions: the
+    probed-cell partition filter AND the label equality pushed into
+    the same pruned parquet read (filter-first, not post-hoc)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import similarity as S
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, index_path, n_centroids=8, meta_cols=["label"])
+    queries = emb.orderBy("vec_id").limit(3)
+    probe = S.ivf_probe(queries, index_path, k=5, n_probe=2,
+                        match_cols=["label"])
+    qe = probe._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert m, formatted
+    assert "cell" in m.group(1) and "IN (" in m.group(1), m.group(1)
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    assert 0 < len(probed & set(range(8))) < 8
+    # the queries' label values reach the celled scan as a pushed
+    # data filter alongside the partition pruning
+    assert re.search(r"PushedFilters: \[[^\]]*In\(label", formatted), formatted

@@ -448,3 +448,55 @@ def test_embedding_outliers_finds_planted_outlier(spark, tmp_path):
     top_label0 = [r for r in out if r.label == 0 and r.rank == 1]
     assert top_label0[0].vec_id == 99
     assert all(r.rank <= 5 for r in out)
+
+
+def test_filtered_ivf_probe_matches_filtered_bruteforce(spark, sf_dir, tmp_path):
+    """ivf_probe(match_cols=['label']) returns only same-label
+    neighbors and, at wide probes, the exact filtered top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_meta")
+    S.build_ivf_index(emb, idx, n_centroids=8, meta_cols=["label"])
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+
+    probe = S.ivf_probe(q, idx, k=10, n_probe=4, match_cols=["label"]).collect()
+    assert all(lab[r.neighbor_id] == lab[r.query_id] for r in probe)
+
+    # probing ALL cells makes the filtered probe exact
+    full = S.ivf_probe(q, idx, k=10, n_probe=8, match_cols=["label"])
+    exact = S.cosine_topk(emb, q, k=10, match_cols=["label"])
+    got = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert got == want
+
+
+def test_ivf_append_carries_meta_cols(spark, tmp_path) -> None:
+    """append_to_ivf_index(meta_cols=...) keeps the denormalized
+    metadata schema so filtered probes see appended vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (rng.normal(0, 0.05, 4) + (5.0 if i % 2 else -5.0)).tolist(),
+         f"t{i % 2}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], t) for i, v, t in rows],
+        "vec_id long, embedding array<float>, label string",
+    )
+    idx = str(tmp_path / "ivf_meta_append")
+    S.build_ivf_index(df.where(F.col("vec_id") < 20), idx,
+                      n_centroids=2, meta_cols=["label"])
+    S.append_to_ivf_index(df.where(F.col("vec_id") >= 20), idx,
+                          meta_cols=["label"])
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == 40
+    assert "label" in stored.columns
+    # a filtered probe against an appended query returns only its
+    # tenant, including appended same-tenant vectors
+    q = df.where(F.col("vec_id") == 21)
+    out = S.ivf_probe(q, idx, k=5, n_probe=2, match_cols=["label"]).collect()
+    assert len(out) == 5
+    assert all(r.neighbor_id % 2 == 1 for r in out)
+    assert any(r.neighbor_id >= 20 for r in out)
