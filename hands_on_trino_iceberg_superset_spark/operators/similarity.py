@@ -19,7 +19,7 @@ match a double-precision oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 # -------------------------------------------------------- expressions
 
@@ -767,6 +767,86 @@ def ivf_probe(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_cell_counts(spark: SparkSession, index_path: str) -> DataFrame:
+    """Cell-size histogram of a persisted IVF index: (cell, n_vectors),
+    at most n_centroids rows. The aggregate reads ONLY the ``cell``
+    partition column of the store — column pruning means no vector
+    data pages are touched, so the health check is metadata-priced
+    even over a 100 TB index."""
+    return (
+        spark.read.parquet(f"{index_path}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def rebuild_if_skewed(
+    spark: SparkSession,
+    index_path: str,
+    skew_ratio: float = 2.0,
+    n_centroids: int | None = None,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> bool:
+    """Automated IVF drift maintenance: inspect the cell-size
+    histogram and, when the hottest cell exceeds ``skew_ratio`` times
+    the ideal mean cell size (total / n_centroids — the threshold is
+    RELATIVE, so it means the same thing at 8 cells or 8192;
+    incremental appends drifted away from the fitted quantizer, so
+    probes of the hot cell scan an unbounded slice of the corpus),
+    re-fit the quantizer over the CURRENT store contents and
+    atomically swap the rebuilt index in. Returns True iff a rebuild
+    happened.
+
+    Scale shape: the check is an n_centroids-row aggregate over the
+    partition column (no vector pages read); the rebuild is the same
+    one-off cost as :func:`build_ivf_index`, paid only when the
+    histogram says probes are degrading — the scheduled-maintenance
+    loop every production IVF deployment runs (FAISS recommends the
+    identical re-train trigger). Denormalized metadata columns
+    (``meta_cols`` at build time) are preserved through the rebuild.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    if "://" in index_path:
+        # the swap below is local-rename based; remote index homes
+        # need the Hadoop FS API — refuse rather than degrade
+        raise ValueError(
+            "rebuild_if_skewed supports local index paths only, got "
+            f"{index_path!r}"
+        )
+    counts = ivf_cell_counts(spark, index_path).collect()
+    total = sum(r.n_vectors for r in counts)
+    if total == 0:
+        return False
+    # n_cells comes from the CENTROIDS metadata, not from observed
+    # non-empty cells: a cell emptied by drift is itself skew evidence
+    n_cells = spark.read.parquet(f"{index_path}/centroids").count()
+    if max(r.n_vectors for r in counts) <= skew_ratio * total / n_cells:
+        return False
+    stored = spark.read.parquet(f"{index_path}/vectors")
+    meta = [c for c in stored.columns if c not in ("id", "v", "cell")]
+    if n_centroids is None:
+        n_centroids = n_cells
+    parent = os.path.dirname(index_path.rstrip("/")) or "."
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".ivf_rebuild_")
+    build_ivf_index(
+        stored, tmp, n_centroids=n_centroids, vec_col="v", id_col="id",
+        seed=seed, max_iter=max_iter, meta_cols=meta,
+    )
+    # atomic-ish swap: two renames; a reader races at most one of
+    # them and sees either the old or the new complete index
+    stale = index_path.rstrip("/") + ".stale"
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    os.rename(index_path, stale)
+    os.rename(tmp, index_path)
+    shutil.rmtree(stale)
+    return True
 
 
 def ivf_topk(

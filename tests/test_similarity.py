@@ -500,3 +500,58 @@ def test_ivf_append_carries_meta_cols(spark, tmp_path) -> None:
     assert len(out) == 5
     assert all(r.neighbor_id % 2 == 1 for r in out)
     assert any(r.neighbor_id >= 20 for r in out)
+
+
+def test_rebuild_if_skewed_triggers_and_recall_recovers(spark, tmp_path):
+    """Drift maintenance: appends that pile into one cell trip the
+    relative hot-cell threshold; rebuild_if_skewed re-fits the
+    quantizer over the current store and narrow probes find the
+    drifted vectors' true neighbors again."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def blob(center, id0):
+        return [(id0 + i, (rng.normal(0, 0.05, 4) + center).tolist())
+                for i in range(24)]
+
+    # fit-time corpus: a single tight blob; three drifted blobs the
+    # quantizer never saw arrive later as appends
+    base = blob(-10.0, 0)
+    drift = blob(0.0, 100) + blob(10.0, 200) + blob(20.0, 300)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df(base), idx, n_centroids=4)
+    S.append_to_ivf_index(df(drift), idx)
+
+    # all 72 drifted vectors cram into the nearest fitted cell(s):
+    # hottest cell far above the 2x-mean (= 2 * 96/4 = 48) trigger
+    counts = {r.cell: r.n_vectors for r in
+              S.ivf_cell_counts(spark, idx).collect()}
+    assert max(counts.values()) > 2.0 * 96 / 4
+
+    # a healthy index over the same data must NOT rebuild
+    idx2 = str(tmp_path / "ivf_healthy")
+    S.build_ivf_index(df(base + drift), idx2, n_centroids=4)
+    assert S.rebuild_if_skewed(spark, idx2) is False
+
+    assert S.rebuild_if_skewed(spark, idx) is True
+    # post-rebuild: same contents, balanced histogram (4 separated
+    # blobs of 24 -> no cell above the trigger), passes its own check
+    after = {r.cell: r.n_vectors for r in
+             S.ivf_cell_counts(spark, idx).collect()}
+    assert sum(after.values()) == 96
+    assert max(after.values()) <= 2.0 * 96 / 4
+    assert S.rebuild_if_skewed(spark, idx) is False
+
+    # narrow probe from a drifted query now sees its own blob only
+    q = df(drift).where(F.col("vec_id") == 300)
+    out = S.ivf_probe(q, idx, k=5, n_probe=1).collect()
+    assert len(out) == 5
+    assert all(300 <= r.neighbor_id < 324 for r in out)
