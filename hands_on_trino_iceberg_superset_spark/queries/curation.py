@@ -667,12 +667,63 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tokenizer_bpe_train",
-    oracle=None,  # iterative argmax loop: genuinely non-SQL-
-    # expressible (each round's merge depends on the previous
-    # round's argmax); the driver records a rows-only check, and the
-    # strict gate is tests/test_curation.py's differential against a
-    # pure-Python reference implementation of the algorithm (run on
-    # BOTH volume routes).
+    # FULL recursive-CTE reimplementation of BPE training in DuckDB:
+    # the word-frequency base case seeds per-word symbol state
+    # (chr(1)-delimited so multi-char symbols like '</w>' stay
+    # unambiguous), and each recursive step recounts weighted
+    # adjacent pairs, picks the argmax under the same
+    # (count desc, left asc, right asc) tie-break, and applies the
+    # merge via non-overlapping left-to-right replace() — the naive
+    # recount-per-round reference algorithm, independently derived.
+    # The driver's hash compare therefore gates the ENTIRE merge
+    # sequence, not just invariants; the cross join to an empty
+    # argmax row (no pair >= min_pair_count=2) ends recursion
+    # exactly like the reference's early stop.
+    oracle="""
+    WITH RECURSIVE
+    wf AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    state(iter, freq, enc, m_l, m_r, m_c) AS (
+      SELECT 0, freq,
+             array_to_string(list_transform(string_split(word, ''),
+                             c -> chr(1) || c || chr(1)), '')
+               || chr(1) || '</w>' || chr(1),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT)
+      FROM wf
+      UNION ALL
+      SELECT s.iter + 1, s.freq,
+             replace(s.enc,
+                     chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+                     chr(1) || b.l || b.r || chr(1)),
+             b.l, b.r, b.c
+      FROM state s CROSS JOIN (
+        SELECT l, r, c FROM (
+          SELECT p.sy[p.i] AS l, p.sy[p.i + 1] AS r,
+                 sum(p.freq)::BIGINT AS c
+          FROM (
+            SELECT freq, sy,
+                   unnest(generate_series(1, len(sy) - 1)) AS i
+            FROM (
+              SELECT freq,
+                     string_split(substr(enc, 2, length(enc) - 2),
+                                  chr(1) || chr(1)) AS sy
+              FROM state
+            )
+          ) p
+          GROUP BY 1, 2
+        ) WHERE c >= 2
+        ORDER BY c DESC, l, r LIMIT 1
+      ) b
+      WHERE s.iter < 16
+    )
+    SELECT DISTINCT iter AS rank, m_l AS left_sym, m_r AS right_sym,
+           m_l || m_r AS merged, m_c AS pair_count
+    FROM state WHERE iter >= 1 ORDER BY rank
+    """,
     doc="BPE tokenizer training (arXiv:1508.07909) over the corpus: "
         "collapse 100 TB of text to the word-frequency table once "
         "(the only corpus-sized shuffle), then VOLUME-ROUTE the "
