@@ -937,3 +937,78 @@ def training_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_group"),
     )
+
+
+@register(
+    "training_mixture_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), p AS (
+      SELECT source, n_tokens,
+             pow(n_tokens, 0.7) AS pw,
+             sum(pow(n_tokens, 0.7)) OVER () AS z,
+             sum(n_tokens) OVER () AS total
+      FROM c
+    )
+    SELECT source, n_tokens,
+           round(n_tokens / total, 6) AS raw_share,
+           round(pw / z, 6) AS weight,
+           round((pw / z) * total / n_tokens, 4) AS epochs
+    FROM p ORDER BY source
+    """,
+    doc="Temperature-based domain mixture weights — the sampling "
+        "schedule multilingual/multi-domain LM training uses "
+        "(alpha-sampling, alpha=0.7 as in XLM-R): per-source token "
+        "counts are raised to alpha and normalized, up-weighting "
+        "small domains relative to their raw share; 'epochs' is how "
+        "many passes each source effectively makes when the token "
+        "budget equals the corpus size (>1 for boosted small "
+        "domains — the oversampling knob). 100 TB design: ONE "
+        "map-side-combined shuffle produces the per-source token "
+        "counts; everything after runs on the sources-count-sized "
+        "aggregate (the unpartitioned windows touch ~tens of rows, "
+        "never documents). Determinism: counts are exact integers; "
+        "pow/divide happen once in IEEE double and round to a "
+        "6-decimal grid that engine libm ULP differences cannot "
+        "reach.",
+)
+def training_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    c = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    # unpartitioned windows over the per-source AGGREGATE (bounded
+    # by domain count, not corpus size)
+    w = Window.partitionBy()
+    pw = F.pow("n_tokens", F.lit(0.7))
+    p = c.select(
+        "source",
+        "n_tokens",
+        pw.alias("pw"),
+        F.sum(pw).over(w).alias("z"),
+        F.sum("n_tokens").over(w).alias("total"),
+    )
+    return p.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("raw_share"),
+        F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+        F.round(
+            (F.col("pw") / F.col("z")) * F.col("total") / F.col("n_tokens"),
+            4,
+        ).alias("epochs"),
+    ).orderBy("source")

@@ -641,3 +641,117 @@ def dedup_semantic_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = S.quantizer_assign(emb, cents)
     return S.semantic_dedup(assigned, threshold=0.4, cluster_col="cell")
+
+
+@register(
+    "dedup_lines",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(list_slice(t, (i - 1) * 16 + 1,
+                                        least(i * 16, len(t))), ' ')
+               AS line
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1,
+                 CAST(ceil(len(t) / 16.0) AS BIGINT))) AS i
+        FROM toks WHERE len(t) > 0
+      )
+    ), ranked AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_idx) AS rk
+      FROM ln
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             string_agg(line, ' ' ORDER BY line_idx)
+               FILTER (WHERE rk = 1) AS kept_text
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           coalesce(a.n_lines, 0) AS n_lines,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_lines - a.n_kept, 0) AS n_removed,
+           md5(coalesce(a.kept_text, '')) AS kept_fingerprint
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Sub-document LINE dedup applied as a corpus REWRITE — the "
+        "CCNet/C4 paragraph-dedup operator (Wenzek et al. 2020 "
+        "drop repeated paragraphs corpus-wide; this corpus has no "
+        "newlines, so 'lines' are fixed 16-token windows): every "
+        "line keeps only its globally FIRST occurrence "
+        "((doc_id, line_idx) order), later copies are cut from "
+        "their documents, and each doc emits its retained-text "
+        "fingerprint plus kept/removed accounting. Complements "
+        "text_duplicated_spans: that query REPORTS shared spans, "
+        "this one APPLIES the cut and proves the rewritten corpus "
+        "via content hash. 100 TB design: one shuffle keyed by the "
+        "line hash for the first-occurrence window (state bounded "
+        "by distinct lines, the same key class as dedup_exact), one "
+        "doc_id shuffle to reassemble documents; no pairwise "
+        "comparisons anywhere. Docs whose every line is a copy "
+        "emit n_kept=0 and the empty-text hash rather than "
+        "disappearing.",
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("t"),
+    )
+    n_lines = F.ceil(F.size("t") / F.lit(16.0)).cast("int")
+    ln = (
+        toks.where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_lines),
+                    lambda i: F.array_join(
+                        F.slice("t", (i - 1) * 16 + 1, 16), " "
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("line_idx"), "line")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_idx")
+    )
+    ranked = ln.select("doc_id", "line_idx", "line", rk.alias("rk"))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct("line_idx", "line")
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("rk") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            # collect_list drops the non-kept NULLs; array_sort on
+            # the (line_idx, line) struct restores document order
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("n_lines") - F.col("n_kept"), F.lit(0)).alias(
+            "n_removed"
+        ),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias(
+            "kept_fingerprint"
+        ),
+    )

@@ -439,3 +439,72 @@ def test_drift_report_flags_skewed_source(spark, inventory, tmp_path):
     assert out["srcSKEW"].top_drift_token == "alpha"
     assert out["srcSKEW"].top_drift_delta > 0
     assert out["src0"].psi < out["srcSKEW"].psi
+
+
+# ------------------------------------------------------------------
+# dedup_lines / training_mixture_weights (round-5 additions)
+# ------------------------------------------------------------------
+
+
+def test_dedup_lines_cuts_later_copies_only(spark, inventory, tmp_path):
+    import hashlib
+
+    # 16-token line A shared by docs 0 and 2; doc 2 is ONLY line A
+    # (all-duplicate doc); doc 1 is unique
+    line_a = " ".join(f"a{i}" for i in range(16))
+    line_b = " ".join(f"b{i}" for i in range(16))
+    rows = [line_a + " " + line_b, "unique words only here", line_a]
+    _docs_df(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in inventory["dedup_lines"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # doc 0 owns the first occurrence: nothing removed
+    assert out[0].n_lines == 2 and out[0].n_kept == 2
+    assert out[0].kept_fingerprint == hashlib.md5(
+        (line_a + " " + line_b).encode()
+    ).hexdigest()
+    # doc 1 untouched (3 tokens = 1 short line)
+    assert out[1].n_lines == 1 and out[1].n_removed == 0
+    # doc 2 loses its only line to doc 0 -> empty rewrite, still a row
+    assert out[2].n_lines == 1 and out[2].n_kept == 0
+    assert out[2].n_removed == 1
+    assert out[2].kept_fingerprint == hashlib.md5(b"").hexdigest()
+
+
+def test_dedup_lines_first_occurrence_is_positional(spark, inventory,
+                                                    tmp_path):
+    # inside ONE doc a repeated line keeps only its first position
+    line = " ".join(f"w{i}" for i in range(16))
+    rows = [line + " " + line]
+    _docs_df(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = inventory["dedup_lines"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_lines == 2 and out[0].n_kept == 1
+
+
+def test_mixture_weights_boost_small_domains(spark, inventory, tmp_path):
+    # src big: 10 docs x 40 tokens; src small: 1 doc x 40 tokens
+    big = " ".join(f"t{i}" for i in range(40))
+    docs = [(i, big, "en", "big", len(big)) for i in range(10)]
+    docs.append((10, big, "en", "small", len(big)))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in inventory["training_mixture_weights"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["big"].n_tokens == 400 and out["small"].n_tokens == 40
+    # alpha < 1 lifts the small domain above its raw share and the
+    # big domain below its raw share; weights still sum to 1
+    assert out["small"].weight > out["small"].raw_share
+    assert out["big"].weight < out["big"].raw_share
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-5
+    # boosted small domain repeats (>1 epoch); big trains <1 epoch
+    assert out["small"].epochs > 1.0
+    assert out["big"].epochs < 1.0

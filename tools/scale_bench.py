@@ -77,6 +77,16 @@ QUERIES = [
     # packing: the distributed prefix sum (3 cached passes) + one
     # token-stream shuffle — should scale ~linearly in tokens
     "training_packed_sequences",
+    # filtered IVF: label pushed into the cell-pruned scan; rep 1
+    # builds the per-corpus index, rep 2 reports the probe path
+    "ann_cosine_topk_filtered_ivf",
+    # content-keyed split: map-only hash + one fingerprint window
+    "training_split_leakproof",
+    # bigram LM scoring: model shuffles are vocab-bounded (salted
+    # tokens grow vocab 10x), scoring is join + per-doc aggregate
+    "text_perplexity_buckets",
+    # PSI drift: two vocab-bounded histograms + the sources-x-K grid
+    "corpus_drift_report",
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
