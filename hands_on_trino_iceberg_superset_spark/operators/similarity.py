@@ -642,14 +642,27 @@ def append_to_ivf_index(
     C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent])
     cnorm2 = (C * C).sum(axis=1)
 
-    meta_cols = meta_cols or []
+    # appended rows must match the store's schema: default to the
+    # meta columns the BUILD wrote (inferred from the store), and
+    # refuse an explicit mismatch — a silent schema fork would make
+    # filtered probes skip appended vectors
+    store_meta = [
+        c
+        for c in spark.read.parquet(f"{index_path}/vectors").columns
+        if c not in ("id", "v", "cell")
+    ]
+    if meta_cols is None:
+        meta_cols = store_meta
+    elif sorted(meta_cols) != sorted(store_meta):
+        raise ValueError(
+            f"append meta_cols {sorted(meta_cols)} != store meta "
+            f"columns {sorted(store_meta)} at {index_path!r}"
+        )
     feat = new_vectors.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         *meta_cols,
     )
-    # appended rows must match the store's schema: carry the same
-    # denormalized meta columns the build wrote (or none)
     meta_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in feat.schema.fields
@@ -749,11 +762,14 @@ def ivf_probe(
     if match_cols:
         # the queries' filter values, pushed into the pruned scan as
         # a static IN (bounded by the query batch, read driver-side
-        # from the small queries frame, never from the corpus)
+        # from the small queries frame, never from the corpus) — ONE
+        # collect for all match columns, not one Spark job per column
+        val_rows = q.select(*match_cols).distinct().collect()
         for c in match_cols:
-            vals = sorted(
-                {r[c] for r in q.select(c).distinct().collect()}
-            )
+            # NULLs are dropped: SQL equality never matches NULL, so
+            # a NULL-valued query matches nothing either way and the
+            # IN list stays sortable
+            vals = sorted({r[c] for r in val_rows if r[c] is not None})
             vectors = vectors.where(F.col(c).isin(vals))
     sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     scored = (
@@ -796,9 +812,9 @@ def rebuild_if_skewed(
     RELATIVE, so it means the same thing at 8 cells or 8192;
     incremental appends drifted away from the fitted quantizer, so
     probes of the hot cell scan an unbounded slice of the corpus),
-    re-fit the quantizer over the CURRENT store contents and
-    atomically swap the rebuilt index in. Returns True iff a rebuild
-    happened.
+    re-fit the quantizer over the CURRENT store contents and swap
+    the rebuilt index in (two renames with crash recovery; see the
+    inline notes). Returns True iff a rebuild happened.
 
     Scale shape: the check is an n_centroids-row aggregate over the
     partition column (no vector pages read); the rebuild is the same
@@ -819,6 +835,12 @@ def rebuild_if_skewed(
             "rebuild_if_skewed supports local index paths only, got "
             f"{index_path!r}"
         )
+    # crash recovery: a previous rebuild that died between its two
+    # renames parked the (complete, old) index at .stale — adopt it
+    # back rather than failing on the missing path forever
+    stale = index_path.rstrip("/") + ".stale"
+    if not os.path.exists(index_path) and os.path.exists(stale):
+        os.rename(stale, index_path)
     counts = ivf_cell_counts(spark, index_path).collect()
     total = sum(r.n_vectors for r in counts)
     if total == 0:
@@ -834,13 +856,19 @@ def rebuild_if_skewed(
         n_centroids = n_cells
     parent = os.path.dirname(index_path.rstrip("/")) or "."
     tmp = tempfile.mkdtemp(dir=parent, prefix=".ivf_rebuild_")
+    # mkdtemp forces 0700; keep the index's own access mode so
+    # readers that could open the old directory can open the new one
+    os.chmod(tmp, os.stat(index_path).st_mode & 0o777)
     build_ivf_index(
         stored, tmp, n_centroids=n_centroids, vec_col="v", id_col="id",
         seed=seed, max_iter=max_iter, meta_cols=meta,
     )
-    # atomic-ish swap: two renames; a reader races at most one of
-    # them and sees either the old or the new complete index
-    stale = index_path.rstrip("/") + ".stale"
+    # two-rename swap. NOT atomic: a crash between the renames
+    # leaves the index parked at .stale — which the recovery check
+    # at the top of this function renames back on the next call.
+    # Maintenance is single-writer by contract (same as every
+    # in-place IVF rebuild); probes racing the swap itself should be
+    # drained first.
     if os.path.exists(stale):
         shutil.rmtree(stale)
     os.rename(index_path, stale)

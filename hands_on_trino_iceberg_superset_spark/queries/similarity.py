@@ -47,12 +47,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_gate(
-    approx: DataFrame, exact: DataFrame, min_overlap: int, k: int = 10
+    approx: DataFrame, exact: DataFrame, min_overlap: int
 ) -> DataFrame:
     """Driver-hash-checkable gate for an approximate top-k: emit the
     EXACT top-k rows (query_id, neighbor_id, cos_sim, rank) only for
-    queries where the approximate index returned ``k`` results with
-    >= ``min_overlap`` of them in the exact top-k.
+    queries where the approximate index returned a full result list
+    with >= ``min_overlap`` of it in the exact top-k.
 
     The DuckDB oracle recomputes the exact top-k from scratch over
     the same corpus — every emitted value is independently derived,
@@ -61,7 +61,14 @@ def _recall_gate(
     (fixed hyperplanes / seeded k-means), so a broken or regressed
     index drops queries from the output and fails the driver's
     row-count and hash comparison. The numeric recall bounds live in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    The full-result requirement is relative to the EXACT result
+    size, not a bare ``k``: under a selective filter a query whose
+    candidate class has fewer than k members legitimately returns
+    fewer rows on both sides, and demanding k would drop it while
+    the oracle still emits its rows — a deterministic false
+    mismatch."""
     a = approx.select("query_id", "neighbor_id")
     hits = (
         a.join(exact.select("query_id", "neighbor_id"),
@@ -69,13 +76,20 @@ def _recall_gate(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     ok = (
         a.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(n_exact, "query_id")
         .join(hits, "query_id", "left")
         .where(
-            (F.col("n_results") == k)
-            & (F.coalesce(F.col("overlap"), F.lit(0)) >= min_overlap)
+            (F.col("n_results") == F.col("n_exact"))
+            & (
+                F.coalesce(F.col("overlap"), F.lit(0))
+                >= F.least(F.lit(min_overlap), F.col("n_exact"))
+            )
         )
         .select("query_id")
     )

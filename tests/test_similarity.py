@@ -555,3 +555,25 @@ def test_rebuild_if_skewed_triggers_and_recall_recovers(spark, tmp_path):
     out = S.ivf_probe(q, idx, k=5, n_probe=1).collect()
     assert len(out) == 5
     assert all(300 <= r.neighbor_id < 324 for r in out)
+
+
+def test_rebuild_recovers_parked_stale_index(spark, tmp_path):
+    """A rebuild that died between its two renames leaves the index
+    at .stale; the next maintenance call adopts it back."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=2)
+    os.rename(idx, idx + ".stale")  # simulate the crash window
+    assert S.rebuild_if_skewed(spark, idx) in (True, False)
+    assert os.path.exists(idx) and not os.path.exists(idx + ".stale")
+    assert S.ivf_cell_counts(spark, idx).agg(
+        F.sum("n_vectors")
+    ).collect()[0][0] == 30
