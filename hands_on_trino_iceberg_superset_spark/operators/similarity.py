@@ -99,6 +99,16 @@ def cosine_topk(
         as_double(F.col(vec_col)).alias("cv"),
         *match_cols,
     )
+    # Spark sizes scan partitions by BYTES, but this operator's cost
+    # is compute-dense: each corpus row does n_queries 64-dim HOF
+    # cosines, so a few-MB parquet (one scan partition) serializes
+    # the whole join onto one core (measured: 75 s single-task vs
+    # ~5 s parallel on a 20k x 200 case). Widen only when the scan
+    # under-partitions — at real scale file count >= cores and this
+    # is a no-op, so the corpus is never shuffled when it matters.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < min(par, 8):
+        c = c.repartition(par)
     sim = cosine(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)

@@ -845,3 +845,120 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH u AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS w
+      FROM documents
+    ), h AS (
+      SELECT lang, w, count(*) AS c FROM u GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM h GROUP BY lang
+    ), rk AS (
+      SELECT lang, w, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w) AS r
+      FROM h
+    ), pts AS (
+      SELECT lang, w, c, r,
+             CAST(round(ln(r), 6) AS DECIMAL(18, 6)) AS x,
+             CAST(round(ln(c), 6) AS DECIMAL(18, 6)) AS y
+      FROM rk WHERE r <= 1000
+    ), fit AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_pts,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x * y AS DECIMAL(24, 12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(24, 12))) AS sxx,
+             min(CASE WHEN r = 1 THEN w END) AS top_token,
+             CAST(min(CASE WHEN r = 1 THEN c END) AS BIGINT)
+               AS top_count
+      FROM pts GROUP BY lang
+    )
+    SELECT f.lang AS lang, t.n_tokens, t.vocab_size,
+           f.top_token, f.top_count,
+           round((f.n_pts * CAST(f.sxy AS DOUBLE)
+                  - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                 / (f.n_pts * CAST(f.sxx AS DOUBLE)
+                    - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)),
+                 4) AS zipf_slope
+    FROM fit f JOIN tot t ON t.lang = f.lang
+    ORDER BY lang
+    """,
+    doc="Zipf-law fit of the per-language vocabulary — the "
+        "heavy-tail diagnostic corpus intake dashboards report "
+        "(natural language fits ln(count) = a - s*ln(rank) with "
+        "s ~ 1; a slope far off flags templated/spam text or "
+        "tokenizer damage). Least squares over the top-1000 ranks "
+        "per language, computed CLOSED-FORM from decimal sums: "
+        "ln(rank)/ln(count) round to a 6-decimal grid and every "
+        "moment (Sx, Sy, Sxy, Sxx) is DECIMAL-summed, so the slope "
+        "is bit-identical across engines and partition orders — no "
+        "regr_slope() float-accumulation nondeterminism. 100 TB "
+        "design: ONE map-side-combined shuffle to the (lang, token) "
+        "histogram (vocab-bounded); ranking windows and the fit run "
+        "on aggregate rows only, and per-document data is never "
+        "re-shuffled.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("w"),
+    )
+    h = u.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = h.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    rk = h.select(
+        "lang", "w", "c",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w")))
+        .alias("r"),
+    )
+    pts = rk.where(F.col("r") <= 1000).select(
+        "lang", "w", "c", "r",
+        F.round(F.log("r"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("c"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    fit = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(24,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)")).alias("sxx"),
+        F.min(F.when(F.col("r") == 1, F.col("w"))).alias("top_token"),
+        F.min(F.when(F.col("r") == 1, F.col("c")))
+        .cast("bigint")
+        .alias("top_count"),
+    )
+    slope = F.round(
+        (
+            F.col("n_pts") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n_pts") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        4,
+    )
+    return (
+        fit.join(F.broadcast(tot), "lang")
+        .select(
+            "lang", "n_tokens", "vocab_size", "top_token", "top_count",
+            slope.alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )

@@ -508,3 +508,32 @@ def test_mixture_weights_boost_small_domains(spark, inventory, tmp_path):
     # boosted small domain repeats (>1 epoch); big trains <1 epoch
     assert out["small"].epochs > 1.0
     assert out["big"].epochs < 1.0
+
+
+def test_zipf_fit_planted_power_law(spark, inventory, tmp_path):
+    # token counts 8/4/2/1 (monotone heavy tail): slope must come
+    # out negative and the rank-1 token/count must be exact
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    _docs_df(spark, [text]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = inventory["text_zipf_fit"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lang == "en"
+    assert r.n_tokens == 15 and r.vocab_size == 4
+    assert r.top_token == "aa" and r.top_count == 8
+    assert r.zipf_slope < -1.0
+
+
+def test_zipf_fit_is_per_language(spark, inventory):
+    rows = (
+        inventory["text_zipf_fit"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    langs = {r.lang for r in rows}
+    assert len(langs) == len(rows) >= 2
+    # the synthetic corpus is heavy-tailed in every language
+    assert all(r.zipf_slope < 0 for r in rows)
+    assert all(r.vocab_size <= r.n_tokens for r in rows)
