@@ -1012,3 +1012,63 @@ def training_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("epochs"),
     ).orderBy("source")
+
+
+@register(
+    "eval_stratified_sample",
+    oracle="""
+    WITH n AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), h AS (
+      SELECT d.doc_id, d.lang, n.n_docs,
+             md5(CAST(d.doc_id AS VARCHAR)) AS pick_hash,
+             CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 8)) AS UBIGINT) AS DOUBLE)
+               / 4294967296.0 AS hash_frac
+      FROM documents d JOIN n USING (lang)
+    ), pre AS (
+      SELECT * FROM h
+      WHERE hash_frac < least(1.0, 500.0 / n_docs)
+    )
+    SELECT lang, doc_id, pick_hash, sample_rank FROM (
+      SELECT lang, doc_id, pick_hash,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY pick_hash, doc_id) AS sample_rank
+      FROM pre
+    ) WHERE sample_rank <= 5
+    """,
+    doc="Deterministic STRATIFIED eval-set sampling: 5 documents per "
+        "language, picked by md5(doc_id) order — the reproducible "
+        "zero-RNG held-out-set construction (same doc wins on every "
+        "engine/run/reshard). The 100 TB part is the SKEW-PROOF "
+        "two-phase shape: a hash-threshold prefilter keeps ~100x "
+        "the sample size per stratum (threshold = 500/n_docs from a "
+        "tiny per-stratum count agg), so the per-stratum ranking "
+        "window sees ~hundreds of rows regardless of stratum size — "
+        "never all billion docs of the dominant language on one "
+        "partition. Both engines implement the identical prefilter, "
+        "so results agree by construction even in the (vanishing) "
+        "case the threshold trims into the sample.",
+)
+def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    pick_hash = F.md5(F.col("doc_id").cast("string"))
+    hash_frac = (
+        F.conv(F.substring(pick_hash, 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    pre = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(n), "lang")
+        .where(hash_frac < F.least(F.lit(1.0), 500.0 / F.col("n_docs")))
+        .select("lang", "doc_id", pick_hash.alias("pick_hash"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy("pick_hash", "doc_id")
+    )
+    return pre.withColumn("sample_rank", rk).where(
+        F.col("sample_rank") <= 5
+    )

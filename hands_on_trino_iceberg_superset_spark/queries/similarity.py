@@ -544,3 +544,63 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .orderBy("label", "rank")
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label <> c.label
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="HARD-NEGATIVE mining for contrastive/embedding training: "
+        "for each anchor, the 5 most-similar vectors with a "
+        "DIFFERENT label — near the anchor in embedding space yet "
+        "semantically negative, the examples that actually move a "
+        "contrastive loss (random negatives are trivially easy). "
+        "Same broadcast-anchors + narrow-scan + per-anchor TopK "
+        "shape as cosine_topk with the label INEQUALITY in the join "
+        "condition; exact within the negative set. At IVF scale the "
+        "anchor probes widen cells and drop same-label rows "
+        "scan-side. Full oracle recomputes every similarity.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("_q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < min(par, 8):
+        c = c.repartition(par)
+    sim = F.round(S.cosine(F.col("qv"), F.col("cv")), 6)
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_q_label") != F.col("neg_label")),
+    ).select("query_id", "neighbor_id", "neg_label", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )

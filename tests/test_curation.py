@@ -537,3 +537,29 @@ def test_zipf_fit_is_per_language(spark, inventory):
     # the synthetic corpus is heavy-tailed in every language
     assert all(r.zipf_slope < 0 for r in rows)
     assert all(r.vocab_size <= r.n_tokens for r in rows)
+
+
+def test_stratified_sample_is_deterministic_and_per_stratum(
+    spark, inventory
+):
+    a = (
+        inventory["eval_stratified_sample"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    b = (
+        inventory["eval_stratified_sample"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert sorted(a) == sorted(b)  # zero RNG state
+    by_lang: dict[str, list] = {}
+    for r in a:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert all(len(v) == 5 for v in by_lang.values())
+    # ranks are 1..5 ordered by the pick hash
+    for rs in by_lang.values():
+        rs = sorted(rs, key=lambda r: r.sample_rank)
+        assert [r.sample_rank for r in rs] == [1, 2, 3, 4, 5]
+        hashes = [r.pick_hash for r in rs]
+        assert hashes == sorted(hashes)

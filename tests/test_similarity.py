@@ -577,3 +577,25 @@ def test_rebuild_recovers_parked_stale_index(spark, tmp_path):
     assert S.ivf_cell_counts(spark, idx).agg(
         F.sum("n_vectors")
     ).collect()[0][0] == 30
+
+
+def test_hard_negatives_exclude_anchor_label(spark, inventory=None):
+    from hands_on_trino_iceberg_superset_spark.queries import load_all
+
+    inv = load_all()
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    labels = {r.vec_id: r.label for r in
+              emb.select("vec_id", "label").collect()}
+    rows = inv["ann_hard_negatives"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neg_label == labels[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
