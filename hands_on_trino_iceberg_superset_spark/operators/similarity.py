@@ -48,6 +48,21 @@ def cosine(a: Column, b: Column) -> Column:
 # -------------------------------------------------------- brute force
 
 
+def widen_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """Spark sizes scan partitions by BYTES, but the broadcast-join
+    distance operators are compute-dense: each corpus row does
+    n_queries 64-dim HOF cosines, so a few-MB parquet (one scan
+    partition) serializes the whole join onto one core (measured:
+    75 s single-task vs ~5 s parallel on a 20k x 200 case). Widen
+    only when the scan under-partitions — at real scale file count
+    >= cores and this is a no-op, so the corpus is never shuffled
+    when it matters."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        return df.repartition(par)
+    return df
+
+
 def _round_half_up(x, digits: int):
     """Round half AWAY FROM ZERO at ``digits`` decimals — matching
     DuckDB's ``round`` (multiply-then-round on the binary double),
@@ -99,16 +114,7 @@ def cosine_topk(
         as_double(F.col(vec_col)).alias("cv"),
         *match_cols,
     )
-    # Spark sizes scan partitions by BYTES, but this operator's cost
-    # is compute-dense: each corpus row does n_queries 64-dim HOF
-    # cosines, so a few-MB parquet (one scan partition) serializes
-    # the whole join onto one core (measured: 75 s single-task vs
-    # ~5 s parallel on a 20k x 200 case). Widen only when the scan
-    # under-partitions — at real scale file count >= cores and this
-    # is a no-op, so the corpus is never shuffled when it matters.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < min(par, 8):
-        c = c.repartition(par)
+    c = widen_if_underpartitioned(c)
     sim = cosine(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -845,12 +851,27 @@ def rebuild_if_skewed(
             "rebuild_if_skewed supports local index paths only, got "
             f"{index_path!r}"
         )
-    # crash recovery: a previous rebuild that died between its two
-    # renames parked the (complete, old) index at .stale — adopt it
-    # back rather than failing on the missing path forever
+    import shutil as _shutil
+
+    # crash recovery, covering all three crash windows of the swap:
+    # (a) died between the two renames -> index parked at .stale:
+    #     adopt it back; (b) died after the swap but before cleanup
+    #     -> index present AND .stale present: delete the stale copy
+    #     (it would otherwise double disk usage forever); (c) died
+    #     before/during the build -> orphaned .<name>.rebuild_* temp
+    #     dirs: delete them (single-writer contract makes any temp
+    #     for THIS index dead; other indexes' temps are untouched
+    #     because the prefix embeds the index name)
     stale = index_path.rstrip("/") + ".stale"
     if not os.path.exists(index_path) and os.path.exists(stale):
         os.rename(stale, index_path)
+    elif os.path.exists(index_path) and os.path.exists(stale):
+        _shutil.rmtree(stale)
+    parent = os.path.dirname(index_path.rstrip("/")) or "."
+    tmp_prefix = f".{os.path.basename(index_path.rstrip('/'))}.rebuild_"
+    for entry in os.listdir(parent):
+        if entry.startswith(tmp_prefix):
+            _shutil.rmtree(os.path.join(parent, entry))
     counts = ivf_cell_counts(spark, index_path).collect()
     total = sum(r.n_vectors for r in counts)
     if total == 0:
@@ -864,8 +885,7 @@ def rebuild_if_skewed(
     meta = [c for c in stored.columns if c not in ("id", "v", "cell")]
     if n_centroids is None:
         n_centroids = n_cells
-    parent = os.path.dirname(index_path.rstrip("/")) or "."
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".ivf_rebuild_")
+    tmp = tempfile.mkdtemp(dir=parent, prefix=tmp_prefix)
     # mkdtemp forces 0700; keep the index's own access mode so
     # readers that could open the old directory can open the new one
     os.chmod(tmp, os.stat(index_path).st_mode & 0o777)

@@ -35,6 +35,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _md5_prefix_int(col: F.Column, n_hex: int) -> F.Column:
+    """First ``n_hex`` hex chars of md5(col) as a BIGINT — the one
+    deterministic-hash idiom behind every bucket/shard/sample site
+    in this module. The width is load-bearing (15 chars fits a
+    signed 64-bit int; 8 chars spans 2^32 for fraction thresholds)
+    and each oracle mirrors the same width in SQL — changing it
+    here without changing the oracles breaks the differential."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("bigint")
+
+
+
 # tokens of the whitespace-normalized text (same canon as text.py)
 _TOKS = "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
 
@@ -293,10 +304,7 @@ def training_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     grp = (F.substring("source", 4, 10).cast("int") % 3).alias("grp")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("bigint") % 1000
-    )
+    bucket = _md5_prefix_int(F.col("doc_id").cast("string"), 8) % 1000
     base = docs.select(
         "doc_id",
         "source",
@@ -487,9 +495,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    h60 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    h60 = _md5_prefix_int(F.col("doc_id").cast("string"), 15)
     sharded = (
         docs.select("source", "n_chars", h60.alias("h60"))
         .withColumn("shard", F.shiftright("h60", 57))
@@ -641,9 +647,7 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") < 450, 3)
         .otherwise(4)
     )
-    pos = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    pos = _md5_prefix_int(F.col("doc_id").cast("string"), 15)
     staged = (
         docs.select("doc_id", "source", "n_chars")
         .withColumn("stage", stage)
@@ -920,10 +924,7 @@ def training_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("fingerprint")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = _md5_prefix_int(F.col("fingerprint"), 8) % 100
     return fp.select(
         "doc_id",
         "source",
@@ -956,9 +957,10 @@ def training_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT source, n_tokens,
-           round(n_tokens / total, 6) AS raw_share,
-           round(pw / z, 6) AS weight,
-           round((pw / z) * total / n_tokens, 4) AS epochs
+           round(n_tokens / nullif(total, 0), 6) AS raw_share,
+           round(pw / nullif(z, 0.0), 6) AS weight,
+           round((pw / nullif(z, 0.0)) * total
+                 / nullif(n_tokens, 0), 4) AS epochs
     FROM p ORDER BY source
     """,
     doc="Temperature-based domain mixture weights — the sampling "
@@ -1002,13 +1004,21 @@ def training_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pw).over(w).alias("z"),
         F.sum("n_tokens").over(w).alias("total"),
     )
+    # nullif on every divisor: an all-empty-text source (n_tokens=0)
+    # must yield NULL on BOTH engines, never Spark-NULL vs DuckDB-NaN
     return p.select(
         "source",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("total"), 6).alias("raw_share"),
-        F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
         F.round(
-            (F.col("pw") / F.col("z")) * F.col("total") / F.col("n_tokens"),
+            F.col("n_tokens") / F.nullif("total", F.lit(0)), 6
+        ).alias("raw_share"),
+        F.round(
+            F.col("pw") / F.nullif("z", F.lit(0.0)), 6
+        ).alias("weight"),
+        F.round(
+            (F.col("pw") / F.nullif("z", F.lit(0.0)))
+            * F.col("total")
+            / F.nullif("n_tokens", F.lit(0)),
             4,
         ).alias("epochs"),
     ).orderBy("source")
@@ -1057,7 +1067,7 @@ def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     pick_hash = F.md5(F.col("doc_id").cast("string"))
     hash_frac = (
-        F.conv(F.substring(pick_hash, 1, 8), 16, 10).cast("double")
+        _md5_prefix_int(F.col("doc_id").cast("string"), 8).cast("double")
         / F.lit(4294967296.0)
     )
     pre = (

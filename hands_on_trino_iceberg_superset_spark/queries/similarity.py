@@ -589,9 +589,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.as_double(F.col("embedding")).alias("cv"),
         F.col("label").alias("neg_label"),
     )
-    par = spark.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < min(par, 8):
-        c = c.repartition(par)
+    c = S.widen_if_underpartitioned(c)
     sim = F.round(S.cosine(F.col("qv"), F.col("cv")), 6)
     scored = c.join(
         F.broadcast(q),

@@ -885,8 +885,9 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.top_token, f.top_count,
            round((f.n_pts * CAST(f.sxy AS DOUBLE)
                   - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
-                 / (f.n_pts * CAST(f.sxx AS DOUBLE)
-                    - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)),
+                 / nullif(f.n_pts * CAST(f.sxx AS DOUBLE)
+                          - CAST(f.sx AS DOUBLE)
+                            * CAST(f.sx AS DOUBLE), 0.0),
                  4) AS zipf_slope
     FROM fit f JOIN tot t ON t.lang = f.lang
     ORDER BY lang
@@ -943,14 +944,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_count"),
     )
+    # nullif keeps Spark and DuckDB agreeing on the degenerate
+    # one-distinct-token stratum: both emit NULL, never NULL-vs-NaN
     slope = F.round(
         (
             F.col("n_pts") * F.col("sxy").cast("double")
             - F.col("sx").cast("double") * F.col("sy").cast("double")
         )
-        / (
+        / F.nullif(
             F.col("n_pts") * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            F.lit(0.0),
         ),
         4,
     )

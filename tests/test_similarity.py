@@ -579,7 +579,7 @@ def test_rebuild_recovers_parked_stale_index(spark, tmp_path):
     ).collect()[0][0] == 30
 
 
-def test_hard_negatives_exclude_anchor_label(spark, inventory=None):
+def test_hard_negatives_exclude_anchor_label(spark):
     from hands_on_trino_iceberg_superset_spark.queries import load_all
 
     inv = load_all()
