@@ -568,6 +568,11 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
     u = urlparse(path)
     q = {k: v[0] for k, v in parse_qs(u.query).items()}
     parts = [p for p in u.path.split("/") if p]
+    if parts[:2] == ["q", "health"]:
+        # Quarkus SmallRye health surface — the exact endpoint the
+        # reference's compose healthcheck curls
+        # (compose/compose.yaml nessie healthcheck: /q/health)
+        return {"status": "UP", "checks": []}
     if parts[:2] != ["api", "v2"]:
         raise NessieError(404, f"unknown path {u.path}")
     rest = parts[2:]

@@ -400,3 +400,12 @@ def test_client_wraps_non_json_errors(srv):
     with pytest.raises(NessieError) as ei:
         dead.config()
     assert ei.value.status == 503
+
+
+def test_quarkus_health_endpoint(srv):
+    # the reference's compose healthcheck curls /q/health at the
+    # server root (compose/compose.yaml nessie service)
+    base = srv.url.rsplit("/api/v2", 1)[0]
+    with urllib.request.urlopen(f"{base}/q/health") as r:
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "UP"
