@@ -1,0 +1,453 @@
+package lakeshine;
+
+import java.io.ByteArrayInputStream;
+import java.io.ByteArrayOutputStream;
+import java.io.EOFException;
+import java.io.FileNotFoundException;
+import java.io.IOException;
+import java.io.InputStream;
+import java.io.OutputStream;
+import java.net.HttpURLConnection;
+import java.net.URI;
+import java.net.URL;
+import java.net.URLEncoder;
+import java.nio.charset.StandardCharsets;
+import java.util.ArrayList;
+import java.util.List;
+
+import javax.xml.parsers.DocumentBuilder;
+import javax.xml.parsers.DocumentBuilderFactory;
+
+import org.apache.hadoop.conf.Configuration;
+import org.apache.hadoop.fs.FSDataInputStream;
+import org.apache.hadoop.fs.FSDataOutputStream;
+import org.apache.hadoop.fs.FSInputStream;
+import org.apache.hadoop.fs.FileStatus;
+import org.apache.hadoop.fs.FileSystem;
+import org.apache.hadoop.fs.Path;
+import org.apache.hadoop.fs.permission.FsPermission;
+import org.apache.hadoop.util.Progressable;
+import org.w3c.dom.Document;
+import org.w3c.dom.NodeList;
+
+/**
+ * Minimal Hadoop FileSystem for the {@code s3a://} scheme speaking
+ * the S3 REST protocol (path-style) over plain HTTP — PUT/GET/HEAD/
+ * DELETE objects, server-side copy via {@code x-amz-copy-source},
+ * and ListObjectsV2 with delimiter grouping. It executes the same
+ * wire protocol the reference stack's MinIO warehouse serves
+ * (compose/compose.yaml; trino/catalog/iceberg.properties points
+ * s3a at http://minio:9000), against any S3-compatible endpoint —
+ * the in-process MiniS3Server in tests, or a real MinIO.
+ *
+ * Scope (deliberate): unauthenticated dev-credential endpoints,
+ * whole-object buffering on read and write (lakehouse test files;
+ * ranged GET exists server-side for a future streaming read), and
+ * directory markers (zero-byte {@code key/} objects) so empty
+ * directories created by commit protocols exist before their first
+ * file lands. Register with
+ * {@code fs.s3a.impl=lakeshine.S3aLiteFileSystem} and
+ * {@code fs.s3a.endpoint=http://...}.
+ */
+public class S3aLiteFileSystem extends FileSystem {
+
+  private URI uri;
+  private String endpoint;
+  private String bucket;
+  private Path workingDir = new Path("/");
+
+  @Override
+  public void initialize(URI name, Configuration conf) throws IOException {
+    super.initialize(name, conf);
+    setConf(conf);
+    this.uri = URI.create(name.getScheme() + "://" + name.getAuthority());
+    this.bucket = name.getAuthority();
+    this.endpoint = conf.getTrimmed("fs.s3a.endpoint", "");
+    if (endpoint.isEmpty()) {
+      throw new IOException("fs.s3a.endpoint is required");
+    }
+  }
+
+  @Override
+  public String getScheme() {
+    return "s3a";
+  }
+
+  @Override
+  public URI getUri() {
+    return uri;
+  }
+
+  // ------------------------------------------------------ key math
+
+  private String key(Path p) {
+    String s = makeQualified(p).toUri().getPath();
+    while (s.startsWith("/")) {
+      s = s.substring(1);
+    }
+    return s;
+  }
+
+  private URL objectUrl(String k) throws IOException {
+    StringBuilder enc = new StringBuilder();
+    for (String part : k.split("/", -1)) {
+      if (enc.length() > 0) {
+        enc.append('/');
+      }
+      enc.append(URLEncoder.encode(part, StandardCharsets.UTF_8)
+          .replace("+", "%20"));
+    }
+    return new URL(endpoint + "/" + bucket + "/" + enc);
+  }
+
+  private HttpURLConnection conn(String method, URL u) throws IOException {
+    HttpURLConnection c = (HttpURLConnection) u.openConnection();
+    c.setRequestMethod(method);
+    return c;
+  }
+
+  // ---------------------------------------------------- primitives
+
+  private long headLength(String k) throws IOException {
+    HttpURLConnection c = conn("HEAD", objectUrl(k));
+    int code = c.getResponseCode();
+    long len = c.getContentLengthLong();
+    c.disconnect();
+    if (code == 200) {
+      return len < 0 ? 0 : len;
+    }
+    return -1;
+  }
+
+  private byte[] getObject(String k) throws IOException {
+    HttpURLConnection c = conn("GET", objectUrl(k));
+    int code = c.getResponseCode();
+    if (code != 200) {
+      c.disconnect();
+      throw new FileNotFoundException("s3a://" + bucket + "/" + k);
+    }
+    try (InputStream in = c.getInputStream();
+         ByteArrayOutputStream out = new ByteArrayOutputStream()) {
+      byte[] buf = new byte[65536];
+      int n;
+      while ((n = in.read(buf)) > 0) {
+        out.write(buf, 0, n);
+      }
+      return out.toByteArray();
+    } finally {
+      c.disconnect();
+    }
+  }
+
+  private void putObject(String k, byte[] data) throws IOException {
+    HttpURLConnection c = conn("PUT", objectUrl(k));
+    c.setDoOutput(true);
+    c.setFixedLengthStreamingMode(data.length);
+    try (OutputStream out = c.getOutputStream()) {
+      out.write(data);
+    }
+    int code = c.getResponseCode();
+    c.disconnect();
+    if (code != 200) {
+      throw new IOException("PUT " + k + " -> " + code);
+    }
+  }
+
+  private void copyObject(String src, String dst) throws IOException {
+    HttpURLConnection c = conn("PUT", objectUrl(dst));
+    c.setRequestProperty("x-amz-copy-source", "/" + bucket + "/" + src);
+    int code = c.getResponseCode();
+    c.disconnect();
+    if (code != 200) {
+      throw new IOException("COPY " + src + " -> " + dst + ": " + code);
+    }
+  }
+
+  private void deleteObject(String k) throws IOException {
+    HttpURLConnection c = conn("DELETE", objectUrl(k));
+    c.getResponseCode();
+    c.disconnect();
+  }
+
+  /** ListObjectsV2; delimiter may be empty for a deep listing. */
+  private Document list(String prefix, String delimiter)
+      throws IOException {
+    String q = "?list-type=2&prefix="
+        + URLEncoder.encode(prefix, StandardCharsets.UTF_8)
+        + (delimiter.isEmpty() ? ""
+           : "&delimiter="
+             + URLEncoder.encode(delimiter, StandardCharsets.UTF_8));
+    URL u = new URL(endpoint + "/" + bucket + q);
+    HttpURLConnection c = conn("GET", u);
+    if (c.getResponseCode() != 200) {
+      c.disconnect();
+      throw new IOException("LIST " + prefix + " failed");
+    }
+    try (InputStream in = c.getInputStream()) {
+      DocumentBuilder b =
+          DocumentBuilderFactory.newInstance().newDocumentBuilder();
+      return b.parse(in);
+    } catch (Exception e) {
+      throw new IOException("bad list response", e);
+    } finally {
+      c.disconnect();
+    }
+  }
+
+  private static List<String> texts(Document d, String parent,
+                                    String child) {
+    List<String> out = new ArrayList<>();
+    NodeList nodes = d.getElementsByTagName(parent);
+    for (int i = 0; i < nodes.getLength(); i++) {
+      NodeList kids =
+          ((org.w3c.dom.Element) nodes.item(i))
+              .getElementsByTagName(child);
+      if (kids.getLength() > 0) {
+        out.add(kids.item(0).getTextContent());
+      }
+    }
+    return out;
+  }
+
+  // ------------------------------------------------------- statuses
+
+  private Path qualify(String k, boolean dir) {
+    String tail = dir && k.endsWith("/")
+        ? k.substring(0, k.length() - 1) : k;
+    return new Path(uri.toString() + "/" + tail);
+  }
+
+  @Override
+  public FileStatus getFileStatus(Path f) throws IOException {
+    String k = key(f);
+    if (k.isEmpty()) {
+      return new FileStatus(0, true, 1, blockSize(), 0,
+          makeQualified(f));
+    }
+    long len = headLength(k);
+    if (len >= 0) {
+      return new FileStatus(len, false, 1, blockSize(), 0,
+          makeQualified(f));
+    }
+    if (headLength(k + "/") >= 0) {
+      return new FileStatus(0, true, 1, blockSize(), 0,
+          makeQualified(f));
+    }
+    Document d = list(k + "/", "");
+    if (!texts(d, "Contents", "Key").isEmpty()) {
+      return new FileStatus(0, true, 1, blockSize(), 0,
+          makeQualified(f));
+    }
+    throw new FileNotFoundException("s3a://" + bucket + "/" + k);
+  }
+
+  @Override
+  public FileStatus[] listStatus(Path f) throws IOException {
+    FileStatus st = getFileStatus(f);
+    if (!st.isDirectory()) {
+      return new FileStatus[] {st};
+    }
+    String k = key(f);
+    String prefix = k.isEmpty() ? "" : k + "/";
+    Document d = list(prefix, "/");
+    List<FileStatus> out = new ArrayList<>();
+    List<String> keys = texts(d, "Contents", "Key");
+    List<String> sizes = texts(d, "Contents", "Size");
+    for (int i = 0; i < keys.size(); i++) {
+      String ck = keys.get(i);
+      if (ck.equals(prefix)) {
+        continue; // the directory's own marker object
+      }
+      long len = Long.parseLong(sizes.get(i));
+      out.add(new FileStatus(len, false, 1, blockSize(), 0,
+          qualify(ck, false)));
+    }
+    for (String p : texts(d, "CommonPrefixes", "Prefix")) {
+      out.add(new FileStatus(0, true, 1, blockSize(), 0,
+          qualify(p, true)));
+    }
+    return out.toArray(new FileStatus[0]);
+  }
+
+  // ----------------------------------------------------------- read
+
+  private static final class BytesIn extends FSInputStream {
+    private final byte[] data;
+    private int pos;
+
+    BytesIn(byte[] data) {
+      this.data = data;
+    }
+
+    @Override
+    public synchronized void seek(long p) throws IOException {
+      if (p < 0 || p > data.length) {
+        throw new EOFException("seek " + p + " of " + data.length);
+      }
+      pos = (int) p;
+    }
+
+    @Override
+    public synchronized long getPos() {
+      return pos;
+    }
+
+    @Override
+    public boolean seekToNewSource(long targetPos) {
+      return false;
+    }
+
+    @Override
+    public synchronized int read() {
+      return pos < data.length ? (data[pos++] & 0xff) : -1;
+    }
+
+    @Override
+    public synchronized int read(byte[] b, int off, int len) {
+      if (pos >= data.length) {
+        return -1;
+      }
+      int n = Math.min(len, data.length - pos);
+      System.arraycopy(data, pos, b, off, n);
+      pos += n;
+      return n;
+    }
+  }
+
+  @Override
+  public FSDataInputStream open(Path f, int bufferSize)
+      throws IOException {
+    return new FSDataInputStream(new BytesIn(getObject(key(f))));
+  }
+
+  // ---------------------------------------------------------- write
+
+  private final class BytesOut extends ByteArrayOutputStream {
+    private final String k;
+    private boolean closed;
+
+    BytesOut(String k) {
+      this.k = k;
+    }
+
+    @Override
+    public void close() throws IOException {
+      if (closed) {
+        return;
+      }
+      closed = true;
+      putObject(k, toByteArray());
+    }
+  }
+
+  @Override
+  public FSDataOutputStream create(Path f, FsPermission permission,
+      boolean overwrite, int bufferSize, short replication,
+      long blockSize, Progressable progress) throws IOException {
+    if (!overwrite && headLength(key(f)) >= 0) {
+      throw new IOException("already exists: " + f);
+    }
+    return new FSDataOutputStream(new BytesOut(key(f)), statistics);
+  }
+
+  @Override
+  public FSDataOutputStream append(Path f, int bufferSize,
+      Progressable progress) throws IOException {
+    throw new UnsupportedOperationException("append");
+  }
+
+  // ----------------------------------------------------- namespace
+
+  @Override
+  public boolean rename(Path src, Path dst) throws IOException {
+    FileStatus s;
+    try {
+      s = getFileStatus(src);
+    } catch (FileNotFoundException e) {
+      return false;
+    }
+    try {
+      FileStatus d = getFileStatus(dst);
+      if (d.isDirectory()) {
+        dst = new Path(dst, src.getName());
+      } else {
+        return false;
+      }
+    } catch (FileNotFoundException ignored) {
+      // plain move to dst
+    }
+    String sk = key(src);
+    String dk = key(dst);
+    if (!s.isDirectory()) {
+      copyObject(sk, dk);
+      deleteObject(sk);
+      return true;
+    }
+    Document all = list(sk + "/", "");
+    List<String> keys = texts(all, "Contents", "Key");
+    for (String k : keys) {
+      copyObject(k, dk + "/" + k.substring(sk.length() + 1));
+    }
+    for (String k : keys) {
+      deleteObject(k);
+    }
+    deleteObject(sk + "/");
+    return true;
+  }
+
+  @Override
+  public boolean delete(Path f, boolean recursive) throws IOException {
+    FileStatus s;
+    try {
+      s = getFileStatus(f);
+    } catch (FileNotFoundException e) {
+      return false;
+    }
+    String k = key(f);
+    if (!s.isDirectory()) {
+      deleteObject(k);
+      return true;
+    }
+    Document all = list(k + "/", "");
+    List<String> keys = texts(all, "Contents", "Key");
+    if (!recursive && !keys.isEmpty()) {
+      throw new IOException("directory not empty: " + f);
+    }
+    for (String ck : keys) {
+      deleteObject(ck);
+    }
+    deleteObject(k + "/");
+    return true;
+  }
+
+  @Override
+  public boolean mkdirs(Path f, FsPermission permission)
+      throws IOException {
+    String k = key(f);
+    if (k.isEmpty()) {
+      return true;
+    }
+    // marker objects for every level so commit protocols see their
+    // freshly-created (still empty) directories
+    Path p = f;
+    while (p != null && !key(p).isEmpty()) {
+      putObject(key(p) + "/", new byte[0]);
+      p = p.getParent();
+    }
+    return true;
+  }
+
+  @Override
+  public void setWorkingDirectory(Path dir) {
+    workingDir = dir;
+  }
+
+  @Override
+  public Path getWorkingDirectory() {
+    return workingDir;
+  }
+
+  private long blockSize() {
+    return 32 * 1024 * 1024;
+  }
+}

@@ -1082,3 +1082,69 @@ def eval_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.withColumn("sample_rank", rk).where(
         F.col("sample_rank") <= 5
     )
+
+
+@register(
+    "corpus_embedding_coverage",
+    oracle="""
+    WITH j AS (
+      SELECT d.source, d.doc_id, e.vec_id,
+             CASE WHEN e.vec_id IS NULL THEN NULL ELSE
+               round(sqrt(list_aggregate(
+                 list_transform(e.embedding::DOUBLE[], x -> x * x),
+                 'sum')), 6)
+             END AS nrm
+      FROM documents d
+      LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(vec_id) AS BIGINT) AS n_embedded,
+           CAST(count(*) - count(vec_id) AS BIGINT) AS n_missing,
+           round(CAST(sum(CAST(nrm AS DECIMAL(27,6))) AS DOUBLE)
+                 / nullif(count(vec_id), 0), 6) AS avg_norm
+    FROM j GROUP BY source ORDER BY source
+    """,
+    doc="Doc-to-embedding ALIGNMENT audit — the join-health check a "
+        "pipeline runs before any embedding-dependent stage (dedup, "
+        "ANN, SemDeDup): per source, how many documents actually "
+        "have an embedding row (vec_id = doc_id), how many are "
+        "missing (an upstream embedder failure mode that otherwise "
+        "surfaces as silently-shrunken dedup output), and the mean "
+        "L2 norm of the present vectors (norm collapse = embedder "
+        "numerical trouble). 100 TB design: one co-keyed equi-join "
+        "(both sides shuffle on the shared id — or zero shuffle "
+        "when both tables are bucketed by id) + one "
+        "map-side-combined aggregate; per-row norms round to the "
+        "6-decimal grid then DECIMAL-sum, the repo's standard "
+        "cross-engine float contract.",
+)
+def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(S.l2_norm(S.as_double(F.col("embedding"))), 6)
+    j = docs.select("source", "doc_id").join(
+        emb.select("vec_id", nrm.alias("nrm")),
+        F.col("vec_id") == F.col("doc_id"),
+        "left",
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("vec_id").cast("bigint").alias("n_embedded"),
+            (F.count(F.lit(1)) - F.count("vec_id"))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(27,6)")).cast("double")
+                / F.nullif(F.count("vec_id"), F.lit(0)),
+                6,
+            ).alias("avg_norm"),
+        )
+        .orderBy("source")
+    )

@@ -6,14 +6,19 @@ endpoint, path-style access, credentials; bucket created at
 ``compose.yaml:89``). Spark reaches the same storage through the
 Hadoop S3A connector; this module owns that configuration seam.
 
-The container for this repo ships no ``hadoop-aws`` jar and no S3
-stand-in, so the S3A path cannot execute here; what IS testable —
-and tested in ``tests/test_object_store.py`` — is the contract
-around it: the profile lands in the live session's Hadoop
-configuration (the exact mechanism S3A reads), and reads/writes
-through explicitly-schemed ``file://`` URIs exercise the same
-``FileSystem.get(uri)`` dispatch that routes ``s3a://`` to
-``S3AFileSystem`` in a real deployment.
+The container ships no ``hadoop-aws`` jar, so the AWS-SDK
+``S3AFileSystem`` cannot load — but the ``s3a://`` scheme EXECUTES
+anyway: ``jvm/src/lakeshine/S3aLiteFileSystem.java`` (compiled into
+the repo's plugin jar) implements the Hadoop FileSystem contract
+over the raw S3 REST protocol (PUT/GET/HEAD/DELETE, server-side
+copy, ListObjectsV2), and ``sources/s3_server.py`` provides the
+in-process MinIO stand-in. ``tests/test_object_store.py`` runs
+parquet write -> commit-protocol rename -> partitioned read and a
+full inventory query end-to-end under ``s3a://`` URIs; the same
+profile pointed at a real MinIO endpoint (with
+``impl=None`` to fall back to the stock S3AFileSystem) is the
+production configuration the reference stack uses
+(``iceberg.properties:10-15``).
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from pyspark.sql import SparkSession
 
 #: hadoop-side keys, mirroring iceberg.properties:10-15
 _S3A_KEYS = (
+    "fs.s3a.impl",
     "fs.s3a.endpoint",
     "fs.s3a.access.key",
     "fs.s3a.secret.key",
@@ -36,18 +42,30 @@ def s3a_profile(
     secret_key: str,
     path_style: bool = True,
     ssl: bool = False,
+    impl: str | None = "lakeshine.S3aLiteFileSystem",
 ) -> dict[str, str]:
     """Spark conf dict for an S3-compatible object store (MinIO
     shape). Pass to ``get_spark(extra_conf=...)`` at startup, or
     apply to a live session with :func:`apply_object_store_profile`.
-    """
-    return {
+
+    ``impl`` defaults to the repo's REST-protocol filesystem (no
+    hadoop-aws jar needed); pass ``None`` to use whatever
+    ``fs.s3a.impl`` the deployment provides (the stock
+    S3AFileSystem when hadoop-aws is on the classpath)."""
+    out = {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,
         "spark.hadoop.fs.s3a.secret.key": secret_key,
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
         "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
     }
+    if impl is not None:
+        out["spark.hadoop.fs.s3a.impl"] = impl
+        # FileSystem instances cache per (scheme, authority); tests
+        # swap endpoints between sessions, so disable the cache for
+        # the lite impl (a real deployment keeps it)
+        out["spark.hadoop.fs.s3a.impl.disable.cache"] = "true"
+    return out
 
 
 def apply_object_store_profile(

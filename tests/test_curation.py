@@ -563,3 +563,30 @@ def test_stratified_sample_is_deterministic_and_per_stratum(
         assert [r.sample_rank for r in rs] == [1, 2, 3, 4, 5]
         hashes = [r.pick_hash for r in rs]
         assert hashes == sorted(hashes)
+
+
+def test_embedding_coverage_counts_missing(spark, inventory, tmp_path):
+    docs = [(i, f"text {i}", "en", f"src{i % 2}", 7) for i in range(6)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    # embeddings exist only for even doc_ids (unit-norm 2-vector
+    # padded to float list)
+    emb = [(i, [1.0, 0.0, 0.0, 0.0], "l0") for i in range(0, 6, 2)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.source: r
+        for r in inventory["corpus_embedding_coverage"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # src0 holds the even doc_ids -> fully embedded; src1 none
+    assert out["src0"].n_docs == 3 and out["src0"].n_embedded == 3
+    assert out["src0"].n_missing == 0
+    assert out["src0"].avg_norm == 1.0
+    assert out["src1"].n_docs == 3 and out["src1"].n_embedded == 0
+    assert out["src1"].n_missing == 3
+    assert out["src1"].avg_norm is None

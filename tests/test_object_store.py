@@ -63,3 +63,71 @@ def test_engine_seed_against_uri_warehouse(spark, tmp_path):
         "events": 200, "users": 50, "orders": 150,
         "products": 20, "transactions": 300,
     }
+
+
+def _srv():
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    s = MiniS3Server()
+    s.start()
+    s.create_bucket("warehouse")
+    return s
+
+
+def test_s3a_parquet_roundtrip_over_rest(spark):
+    """The s3a:// scheme EXECUTING end to end: Spark's parquet
+    writer (commit-protocol mkdirs/renames included) and partitioned
+    reader run against the S3 REST protocol served in-process —
+    closing the 'config seam only' gap."""
+    srv = _srv()
+    try:
+        apply_object_store_profile(
+            spark, s3a_profile(srv.url, "admin", "admin12345")
+        )
+        uri = "s3a://warehouse/t1"
+        df = spark.range(1, 101).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+        df.write.mode("overwrite").partitionBy("g").parquet(uri)
+        back = spark.read.parquet(uri)
+        assert back.count() == 100
+        assert back.where("g = 3").count() == 14
+        assert {r.g for r in back.select("g").distinct().collect()} \
+            == set(range(7))
+        # overwrite exercises recursive delete + rewrite
+        df.where("id <= 10").write.mode("overwrite").parquet(uri)
+        assert spark.read.parquet(uri).count() == 10
+    finally:
+        srv.stop()
+
+
+def test_s3a_inventory_query_end_to_end(spark):
+    """A real inventory query (TPC-H Q1) computed FROM s3a:// —
+    lineitem uploaded through the filesystem, the query pointed at
+    the bucket, results equal to the local-parquet run."""
+    from hands_on_trino_iceberg_superset_spark.queries import load_all
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    srv = _srv()
+    try:
+        apply_object_store_profile(
+            spark, s3a_profile(srv.url, "admin", "admin12345")
+        )
+        sf = "/root/testdata/sf0.001"
+        load_table(spark, sf, "lineitem").write.mode(
+            "overwrite"
+        ).parquet("s3a://warehouse/sf/lineitem.parquet")
+        inv = load_all()
+        got = sorted(
+            inv["q1_pricing_summary"].spark(
+                spark, "s3a://warehouse/sf"
+            ).collect()
+        )
+        want = sorted(
+            inv["q1_pricing_summary"].spark(spark, sf).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        srv.stop()
