@@ -89,6 +89,22 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   private URL objectUrl(String k) throws IOException {
+    return new URL(endpoint + "/" + bucket + "/" + encodeKey(k));
+  }
+
+  private HttpURLConnection conn(String method, URL u) throws IOException {
+    HttpURLConnection c = (HttpURLConnection) u.openConnection();
+    c.setRequestMethod(method);
+    // a wedged endpoint must fail the task, not hang it forever
+    c.setConnectTimeout(10_000);
+    c.setReadTimeout(60_000);
+    return c;
+  }
+
+  /** Percent-encode a key per path segment (shared by object URLs
+   * and the x-amz-copy-source header, which real S3 requires
+   * encoded the same way). */
+  private static String encodeKey(String k) {
     StringBuilder enc = new StringBuilder();
     for (String part : k.split("/", -1)) {
       if (enc.length() > 0) {
@@ -97,13 +113,7 @@ public class S3aLiteFileSystem extends FileSystem {
       enc.append(URLEncoder.encode(part, StandardCharsets.UTF_8)
           .replace("+", "%20"));
     }
-    return new URL(endpoint + "/" + bucket + "/" + enc);
-  }
-
-  private HttpURLConnection conn(String method, URL u) throws IOException {
-    HttpURLConnection c = (HttpURLConnection) u.openConnection();
-    c.setRequestMethod(method);
-    return c;
+    return enc.toString();
   }
 
   // ---------------------------------------------------- primitives
@@ -116,7 +126,12 @@ public class S3aLiteFileSystem extends FileSystem {
     if (code == 200) {
       return len < 0 ? 0 : len;
     }
-    return -1;
+    if (code == 404) {
+      return -1;
+    }
+    // a transient 5xx must NOT read as "absent": that would turn
+    // server trouble into FileNotFound (and bypass overwrite checks)
+    throw new IOException("HEAD " + k + " -> " + code);
   }
 
   private byte[] getObject(String k) throws IOException {
@@ -155,7 +170,8 @@ public class S3aLiteFileSystem extends FileSystem {
 
   private void copyObject(String src, String dst) throws IOException {
     HttpURLConnection c = conn("PUT", objectUrl(dst));
-    c.setRequestProperty("x-amz-copy-source", "/" + bucket + "/" + src);
+    c.setRequestProperty(
+        "x-amz-copy-source", "/" + bucket + "/" + encodeKey(src));
     int code = c.getResponseCode();
     c.disconnect();
     if (code != 200) {
@@ -169,28 +185,66 @@ public class S3aLiteFileSystem extends FileSystem {
     c.disconnect();
   }
 
-  /** ListObjectsV2; delimiter may be empty for a deep listing. */
-  private Document list(String prefix, String delimiter)
+  /** Aggregated (all pages) ListObjectsV2 result. */
+  private static final class Listing {
+    final List<String> keys = new ArrayList<>();
+    final List<Long> sizes = new ArrayList<>();
+    final List<String> prefixes = new ArrayList<>();
+  }
+
+  /** ListObjectsV2 with the IsTruncated/NextContinuationToken loop
+   * — real S3/MinIO cap pages at 1000 keys, and a truncated listing
+   * read as complete would silently lose data in rename/delete.
+   * Delimiter may be empty for a deep listing. */
+  private Listing list(String prefix, String delimiter)
       throws IOException {
-    String q = "?list-type=2&prefix="
-        + URLEncoder.encode(prefix, StandardCharsets.UTF_8)
-        + (delimiter.isEmpty() ? ""
-           : "&delimiter="
-             + URLEncoder.encode(delimiter, StandardCharsets.UTF_8));
-    URL u = new URL(endpoint + "/" + bucket + q);
-    HttpURLConnection c = conn("GET", u);
-    if (c.getResponseCode() != 200) {
-      c.disconnect();
-      throw new IOException("LIST " + prefix + " failed");
-    }
-    try (InputStream in = c.getInputStream()) {
-      DocumentBuilder b =
-          DocumentBuilderFactory.newInstance().newDocumentBuilder();
-      return b.parse(in);
-    } catch (Exception e) {
-      throw new IOException("bad list response", e);
-    } finally {
-      c.disconnect();
+    Listing out = new Listing();
+    String token = null;
+    while (true) {
+      StringBuilder q = new StringBuilder("?list-type=2&prefix=")
+          .append(URLEncoder.encode(prefix, StandardCharsets.UTF_8));
+      if (!delimiter.isEmpty()) {
+        q.append("&delimiter=")
+            .append(URLEncoder.encode(delimiter,
+                StandardCharsets.UTF_8));
+      }
+      if (token != null) {
+        q.append("&continuation-token=")
+            .append(URLEncoder.encode(token, StandardCharsets.UTF_8));
+      }
+      URL u = new URL(endpoint + "/" + bucket + q);
+      HttpURLConnection c = conn("GET", u);
+      if (c.getResponseCode() != 200) {
+        c.disconnect();
+        throw new IOException("LIST " + prefix + " failed");
+      }
+      Document d;
+      try (InputStream in = c.getInputStream()) {
+        DocumentBuilder b =
+            DocumentBuilderFactory.newInstance().newDocumentBuilder();
+        d = b.parse(in);
+      } catch (Exception e) {
+        throw new IOException("bad list response", e);
+      } finally {
+        c.disconnect();
+      }
+      List<String> keys = texts(d, "Contents", "Key");
+      List<String> sizes = texts(d, "Contents", "Size");
+      for (int i = 0; i < keys.size(); i++) {
+        out.keys.add(keys.get(i));
+        out.sizes.add(Long.parseLong(sizes.get(i)));
+      }
+      out.prefixes.addAll(texts(d, "CommonPrefixes", "Prefix"));
+      List<String> trunc = texts(d, "ListBucketResult", "IsTruncated");
+      if (trunc.isEmpty() || !"true".equals(trunc.get(0))) {
+        return out;
+      }
+      List<String> next =
+          texts(d, "ListBucketResult", "NextContinuationToken");
+      if (next.isEmpty()) {
+        throw new IOException("truncated list without token");
+      }
+      token = next.get(0);
     }
   }
 
@@ -233,8 +287,7 @@ public class S3aLiteFileSystem extends FileSystem {
       return new FileStatus(0, true, 1, blockSize(), 0,
           makeQualified(f));
     }
-    Document d = list(k + "/", "");
-    if (!texts(d, "Contents", "Key").isEmpty()) {
+    if (!list(k + "/", "").keys.isEmpty()) {
       return new FileStatus(0, true, 1, blockSize(), 0,
           makeQualified(f));
     }
@@ -249,20 +302,17 @@ public class S3aLiteFileSystem extends FileSystem {
     }
     String k = key(f);
     String prefix = k.isEmpty() ? "" : k + "/";
-    Document d = list(prefix, "/");
+    Listing d = list(prefix, "/");
     List<FileStatus> out = new ArrayList<>();
-    List<String> keys = texts(d, "Contents", "Key");
-    List<String> sizes = texts(d, "Contents", "Size");
-    for (int i = 0; i < keys.size(); i++) {
-      String ck = keys.get(i);
+    for (int i = 0; i < d.keys.size(); i++) {
+      String ck = d.keys.get(i);
       if (ck.equals(prefix)) {
         continue; // the directory's own marker object
       }
-      long len = Long.parseLong(sizes.get(i));
-      out.add(new FileStatus(len, false, 1, blockSize(), 0,
+      out.add(new FileStatus(d.sizes.get(i), false, 1, blockSize(), 0,
           qualify(ck, false)));
     }
-    for (String p : texts(d, "CommonPrefixes", "Prefix")) {
+    for (String p : d.prefixes) {
       out.add(new FileStatus(0, true, 1, blockSize(), 0,
           qualify(p, true)));
     }
@@ -304,6 +354,9 @@ public class S3aLiteFileSystem extends FileSystem {
 
     @Override
     public synchronized int read(byte[] b, int off, int len) {
+      if (len == 0) {
+        return 0; // InputStream contract: zero-length read is not EOF
+      }
       if (pos >= data.length) {
         return -1;
       }
@@ -383,12 +436,11 @@ public class S3aLiteFileSystem extends FileSystem {
       deleteObject(sk);
       return true;
     }
-    Document all = list(sk + "/", "");
-    List<String> keys = texts(all, "Contents", "Key");
-    for (String k : keys) {
+    Listing all = list(sk + "/", "");
+    for (String k : all.keys) {
       copyObject(k, dk + "/" + k.substring(sk.length() + 1));
     }
-    for (String k : keys) {
+    for (String k : all.keys) {
       deleteObject(k);
     }
     deleteObject(sk + "/");
@@ -408,8 +460,10 @@ public class S3aLiteFileSystem extends FileSystem {
       deleteObject(k);
       return true;
     }
-    Document all = list(k + "/", "");
-    List<String> keys = texts(all, "Contents", "Key");
+    Listing all = list(k + "/", "");
+    // the directory's own marker object does not make it non-empty
+    List<String> keys = new ArrayList<>(all.keys);
+    keys.remove(k + "/");
     if (!recursive && !keys.isEmpty()) {
       throw new IOException("directory not empty: " + f);
     }
@@ -427,11 +481,16 @@ public class S3aLiteFileSystem extends FileSystem {
     if (k.isEmpty()) {
       return true;
     }
-    // marker objects for every level so commit protocols see their
-    // freshly-created (still empty) directories
+    // marker objects up the tree so commit protocols see their
+    // freshly-created (still empty) directories; stop at the first
+    // level that already exists instead of re-PUTting to the root
     Path p = f;
     while (p != null && !key(p).isEmpty()) {
-      putObject(key(p) + "/", new byte[0]);
+      String marker = key(p) + "/";
+      if (headLength(marker) >= 0) {
+        break;
+      }
+      putObject(marker, new byte[0]);
       p = p.getParent();
     }
     return true;

@@ -15,15 +15,21 @@ copy, ListObjectsV2), and ``sources/s3_server.py`` provides the
 in-process MinIO stand-in. ``tests/test_object_store.py`` runs
 parquet write -> commit-protocol rename -> partitioned read and a
 full inventory query end-to-end under ``s3a://`` URIs; the same
-profile pointed at a real MinIO endpoint (with
-``impl=None`` to fall back to the stock S3AFileSystem) is the
-production configuration the reference stack uses
-(``iceberg.properties:10-15``).
+profile pointed at a real MinIO endpoint (default ``impl=None``,
+i.e. the stock authenticated S3AFileSystem) is the production
+configuration the reference stack uses
+(``iceberg.properties:10-15``); the lite impl is an explicit
+``impl=LITE_IMPL`` opt-in because it ignores credentials.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+
+#: the repo's compiled REST-protocol s3a filesystem (see
+#: jvm/src/lakeshine/S3aLiteFileSystem.java) — opt-in via
+#: ``s3a_profile(..., impl=LITE_IMPL)``
+LITE_IMPL = "lakeshine.S3aLiteFileSystem"
 
 #: hadoop-side keys, mirroring iceberg.properties:10-15
 _S3A_KEYS = (
@@ -42,16 +48,20 @@ def s3a_profile(
     secret_key: str,
     path_style: bool = True,
     ssl: bool = False,
-    impl: str | None = "lakeshine.S3aLiteFileSystem",
+    impl: str | None = None,
 ) -> dict[str, str]:
     """Spark conf dict for an S3-compatible object store (MinIO
     shape). Pass to ``get_spark(extra_conf=...)`` at startup, or
     apply to a live session with :func:`apply_object_store_profile`.
 
-    ``impl`` defaults to the repo's REST-protocol filesystem (no
-    hadoop-aws jar needed); pass ``None`` to use whatever
-    ``fs.s3a.impl`` the deployment provides (the stock
-    S3AFileSystem when hadoop-aws is on the classpath)."""
+    ``impl=None`` (default) keeps whatever ``fs.s3a.impl`` the
+    deployment provides — the stock AUTHENTICATED S3AFileSystem
+    when hadoop-aws is on the classpath, which is what the
+    credential arguments configure. Pass ``LITE_IMPL`` to opt into
+    the repo's compiled REST filesystem (no hadoop-aws jar needed;
+    it targets unauthenticated dev endpoints and IGNORES the
+    credential keys — never silently, only by this explicit
+    opt-in)."""
     out = {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,

@@ -25,10 +25,16 @@ from xml.sax.saxutils import escape
 
 
 class MiniS3Server:
-    """``server.url`` is the endpoint (http://127.0.0.1:<port>)."""
+    """``server.url`` is the endpoint (http://127.0.0.1:<port>).
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    ``page_size`` caps ListObjectsV2 pages like real S3/MinIO cap at
+    1000 keys — set it low in tests to force clients through the
+    IsTruncated/NextContinuationToken loop."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 page_size: int = 1000) -> None:
         store = self
+        self._page_size = page_size
 
         self._lock = threading.Lock()
         #: bucket -> {key -> bytes}
@@ -159,9 +165,14 @@ class MiniS3Server:
                   q: dict) -> bytes:
         prefix = q.get("prefix", "")
         delim = q.get("delimiter", "")
+        after = q.get("continuation-token", "")
+        limit = min(int(q.get("max-keys", self._page_size)),
+                    self._page_size)
         keys = sorted(k for k in objects if k.startswith(prefix))
-        contents: list[str] = []
-        prefixes: list[str] = []
+        # entries in S3 list order: grouped prefixes sort among the
+        # contents by their full string; emulate by walking sorted
+        # keys and emitting each group at its first member
+        entries: list[tuple[str, str]] = []  # (sort_key, kind)
         seen: set[str] = set()
         for k in keys:
             rest = k[len(prefix):]
@@ -169,30 +180,42 @@ class MiniS3Server:
                 p = prefix + rest.split(delim, 1)[0] + delim
                 if p not in seen:
                     seen.add(p)
-                    prefixes.append(p)
+                    entries.append((p, "prefix"))
                 continue
-            contents.append(k)
+            entries.append((k, "key"))
+        if after:
+            entries = [e for e in entries if e[0] > after]
+        page = entries[:limit]
+        truncated = len(entries) > limit
         parts = [
             "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
             "<ListBucketResult>",
             f"<Name>{escape(bucket)}</Name>",
             f"<Prefix>{escape(prefix)}</Prefix>",
-            f"<KeyCount>{len(contents) + len(prefixes)}</KeyCount>",
-            "<IsTruncated>false</IsTruncated>",
+            f"<KeyCount>{len(page)}</KeyCount>",
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
         ]
-        for k in contents:
+        if truncated:
             parts.append(
-                "<Contents>"
-                f"<Key>{escape(k)}</Key>"
-                f"<Size>{len(objects[k])}</Size>"
-                "<LastModified>2026-01-01T00:00:00.000Z</LastModified>"
-                "</Contents>"
+                "<NextContinuationToken>"
+                f"{escape(page[-1][0])}"
+                "</NextContinuationToken>"
             )
-        for p in prefixes:
-            parts.append(
-                f"<CommonPrefixes><Prefix>{escape(p)}</Prefix>"
-                "</CommonPrefixes>"
-            )
+        for k, kind in page:
+            if kind == "key":
+                parts.append(
+                    "<Contents>"
+                    f"<Key>{escape(k)}</Key>"
+                    f"<Size>{len(objects[k])}</Size>"
+                    "<LastModified>2026-01-01T00:00:00.000Z"
+                    "</LastModified>"
+                    "</Contents>"
+                )
+            else:
+                parts.append(
+                    f"<CommonPrefixes><Prefix>{escape(k)}</Prefix>"
+                    "</CommonPrefixes>"
+                )
         parts.append("</ListBucketResult>")
         return "".join(parts).encode()
 

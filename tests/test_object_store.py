@@ -8,6 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from hands_on_trino_iceberg_superset_spark.sources.object_store import (
+    LITE_IMPL,
     apply_object_store_profile,
     read_object_store_profile,
     s3a_profile,
@@ -84,7 +85,8 @@ def test_s3a_parquet_roundtrip_over_rest(spark):
     srv = _srv()
     try:
         apply_object_store_profile(
-            spark, s3a_profile(srv.url, "admin", "admin12345")
+            spark,
+            s3a_profile(srv.url, "admin", "admin12345", impl=LITE_IMPL),
         )
         uri = "s3a://warehouse/t1"
         df = spark.range(1, 101).select(
@@ -113,7 +115,8 @@ def test_s3a_inventory_query_end_to_end(spark):
     srv = _srv()
     try:
         apply_object_store_profile(
-            spark, s3a_profile(srv.url, "admin", "admin12345")
+            spark,
+            s3a_profile(srv.url, "admin", "admin12345", impl=LITE_IMPL),
         )
         sf = "/root/testdata/sf0.001"
         load_table(spark, sf, "lineitem").write.mode(
@@ -129,5 +132,56 @@ def test_s3a_inventory_query_end_to_end(spark):
             inv["q1_pricing_summary"].spark(spark, sf).collect()
         )
         assert got == want and len(got) > 0
+    finally:
+        srv.stop()
+
+
+def test_s3a_survives_truncated_listings(spark):
+    """Real S3/MinIO cap ListObjectsV2 pages at 1000 keys; with the
+    server page size forced to 7, a 25-file directory exercises the
+    IsTruncated/NextContinuationToken loop through listStatus,
+    rename, and recursive delete — a truncated listing read as
+    complete would lose files silently."""
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    srv = MiniS3Server(page_size=7)
+    srv.start()
+    srv.create_bucket("warehouse")
+    try:
+        apply_object_store_profile(
+            spark,
+            s3a_profile(srv.url, "admin", "admin12345", impl=LITE_IMPL),
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create("s3a://warehouse/"), hconf
+        )
+
+        def path(p):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        for i in range(25):
+            out = fs.create(path(f"s3a://warehouse/d1/f{i:03d}"))
+            out.write(bytearray(b"x" * (i + 1)))
+            out.close()
+        assert len(fs.listStatus(path("s3a://warehouse/d1"))) == 25
+        # empty directory deletes non-recursively despite its marker
+        fs.mkdirs(path("s3a://warehouse/empty"))
+        assert fs.delete(path("s3a://warehouse/empty"), False)
+        # prefix rename moves every page
+        assert fs.rename(path("s3a://warehouse/d1"),
+                         path("s3a://warehouse/d2"))
+        assert not fs.exists(path("s3a://warehouse/d1"))
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(path("s3a://warehouse/d2"))
+        )
+        assert names == [f"f{i:03d}" for i in range(25)]
+        # recursive delete clears every page
+        assert fs.delete(path("s3a://warehouse/d2"), True)
+        assert not fs.exists(path("s3a://warehouse/d2"))
     finally:
         srv.stop()
