@@ -22,6 +22,12 @@ from hands_on_trino_iceberg_superset_spark.streaming import (
 )
 
 _SIX_H_US = 6 * 3600 * 1_000_000
+
+# the text-quality stopword list, shared with queries/text.py so the
+# streaming gate and the batch quality score can never drift
+from hands_on_trino_iceberg_superset_spark.queries.text import (  # noqa: E402
+    _SW_SQL,
+)
 _GAP_US = 30 * 60 * 1_000_000
 
 
@@ -277,3 +283,49 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MERGE_CACHE: dict = {}
+
+
+@register(
+    "stream_document_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {_SW_SQL})) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens >= 20 AND n_types * 2 >= n_tokens
+                          AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(count(*) - sum(CASE WHEN n_tokens >= 20
+                                     AND n_types * 2 >= n_tokens
+                                     AND n_stop > 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail,
+           round(sum(CASE WHEN n_tokens >= 20 AND n_types * 2 >= n_tokens
+                           AND n_stop > 0 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS pass_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY source
+    """,
+    doc="Streaming corpus-intake quality gate "
+        "(streaming/pipeline.py document_quality_stats): per-source "
+        "pass/fail counts under the text-quality cut, written once "
+        "for batch AND streaming (unified API) — the stream version "
+        "runs the identical transform over a file-source of arriving "
+        "document dumps with state bounded by the domain count (no "
+        "watermark needed for a stateless-score + small-key "
+        "aggregate), parity-tested in tests/test_streaming.py. The "
+        "inventory entry evaluates the batch side; the oracle "
+        "recomputes the gate from scratch.",
+)
+def stream_document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.streaming import (
+        document_quality_stats,
+    )
+
+    return document_quality_stats(load_table(spark, sf_dir, "documents"))

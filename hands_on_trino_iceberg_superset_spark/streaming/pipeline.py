@@ -468,3 +468,75 @@ def dedup_event_stream(
         # original type (the corpus is TIMESTAMP_NTZ)
         return out.withColumn("ts", F.col("ts").cast(orig_ts))
     return df.dropDuplicates([id_col])
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-source stream of the documents table — the corpus-intake
+    seam: new crawl/dump parquet files land in a directory and flow
+    through the same curation transforms batch uses."""
+    static = spark.read.parquet(f"{source_dir}/documents.parquet")
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("recursiveFileLookup", "true").parquet(
+        f"{source_dir}/documents.parquet"
+    )
+
+
+def document_quality_stats(docs: DataFrame) -> DataFrame:
+    """Streaming corpus-intake quality gate, written ONCE for batch
+    and streaming (unified API; parity-tested): per source, how many
+    arriving documents pass the text-quality cut
+    (queries/text.py's gate — length, type/token ratio, stopword
+    presence) and the running token volume.
+
+    Streaming shape: stateless per-row scoring (pure codegen
+    expressions), then one aggregation keyed by ``source`` — state
+    is bounded by the number of distinct sources (domains), not by
+    stream length, so no watermark is needed; output mode
+    ``complete`` re-emits the small per-source table each
+    micro-batch. This is the gate a 100 TB intake pipeline puts in
+    front of the corpus: reject a dump whose pass rate collapses
+    BEFORE it lands in the training mix.
+    """
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        STOPWORDS,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias(
+            "n_stop"
+        ),
+    )
+    passes = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_types") * 2 >= F.col("n_tokens"))
+        & (F.col("n_stop") > 0)
+    )
+    return (
+        scored.withColumn("ok", passes)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_pass"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            (F.col("n_docs") - F.col("n_pass")).alias("n_fail"),
+            F.round(F.col("n_pass") / F.col("n_docs"), 6).alias(
+                "pass_rate"
+            ),
+            "total_tokens",
+        )
+    )

@@ -369,3 +369,36 @@ def test_filtered_ivf_probe_prunes_and_pushes_filter(
     # the queries' label values reach the celled scan as a pushed
     # data filter alongside the partition pruning
     assert re.search(r"PushedFilters: \[[^\]]*In\(label", formatted), formatted
+
+
+def test_dedup_lines_two_data_shuffles_pruned_scan(spark, inv, sf_dir):
+    executed, formatted = _plans(spark, inv, "dedup_lines", sf_dir)
+    # line-hash window + doc reassembly (+ the doc_id join); no
+    # extra shuffle sneaks in, and across BOTH scans (line side and
+    # the all-docs join side) only (doc_id, text) is ever read
+    assert executed.count("Exchange") <= 4, executed
+    cols = set()
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", formatted):
+        cols |= {c.split(":")[0] for c in schema.split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_zipf_fit_windows_run_on_histogram_only(spark, inv, sf_dir):
+    executed, _ = _plans(spark, inv, "text_zipf_fit", sf_dir)
+    # the ranking window keys on the (lang, token) histogram, never
+    # the exploded token stream: exactly one aggregate feeds it
+    assert "SortMergeJoin" not in executed
+    assert executed.count("BroadcastHashJoin") >= 1
+
+
+def test_mixture_weights_single_corpus_shuffle(spark, inv, sf_dir):
+    executed, formatted = _plans(
+        spark, inv, "training_mixture_weights", sf_dir
+    )
+    # one map-side-combined token-count shuffle; the windows run on
+    # the per-source aggregate (single-partition exchange of ~20 rows)
+    assert "partial_sum" in executed or "partial" in executed.lower()
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    assert sorted(c.split(":")[0] for c in schema.split(",")) == [
+        "source", "text",
+    ]

@@ -366,3 +366,30 @@ def test_stream_upsert_iceberg_cdc(spark, tmp_path):
     # a foreign adoption of the on-disk metadata agrees
     fresh = IcebergTable.load(spark, str(tmp_path / "ice"))
     assert {r.k: r.v for r in fresh.read().collect()} == got2
+
+
+def test_document_quality_stream_equals_batch(spark, sf_dir):
+    """The corpus-intake quality gate is one transform for batch and
+    streaming; draining the file-source stream must produce exactly
+    the batch table (per-source counts, pass rate, token volume)."""
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+    from hands_on_trino_iceberg_superset_spark.streaming import (
+        document_quality_stats,
+        read_documents_stream,
+    )
+
+    batch = sorted(
+        document_quality_stats(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    )
+    stream = document_quality_stats(
+        read_documents_stream(spark, sf_dir)
+    )
+    got = sorted(
+        run_available_now_to_memory(
+            stream, "t_doc_quality", output_mode="complete"
+        ).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
