@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.text import _SW_SQL
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 from hands_on_trino_iceberg_superset_spark.streaming import (
     sessionize,
@@ -22,12 +23,6 @@ from hands_on_trino_iceberg_superset_spark.streaming import (
 )
 
 _SIX_H_US = 6 * 3600 * 1_000_000
-
-# the text-quality stopword list, shared with queries/text.py so the
-# streaming gate and the batch quality score can never drift
-from hands_on_trino_iceberg_superset_spark.queries.text import (  # noqa: E402
-    _SW_SQL,
-)
 _GAP_US = 30 * 60 * 1_000_000
 
 
@@ -289,26 +284,23 @@ _MERGE_CACHE: dict = {}
     "stream_document_quality",
     oracle=f"""
     WITH s AS (
-      SELECT source,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_distinct(string_split(text, ' '))) AS n_types,
-             len(list_filter(string_split(text, ' '),
-                             t -> t IN {_SW_SQL})) AS n_stop
-      FROM documents
+      SELECT source, n_tokens,
+             CASE WHEN n_tokens >= 20 AND n_types * 2 >= n_tokens
+                   AND n_stop > 0 THEN 1 ELSE 0 END AS ok
+      FROM (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_types,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {_SW_SQL})) AS n_stop
+        FROM documents
+      )
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN n_tokens >= 20 AND n_types * 2 >= n_tokens
-                          AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_pass,
-           CAST(count(*) - sum(CASE WHEN n_tokens >= 20
-                                     AND n_types * 2 >= n_tokens
-                                     AND n_stop > 0
-                                    THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_fail,
-           round(sum(CASE WHEN n_tokens >= 20 AND n_types * 2 >= n_tokens
-                           AND n_stop > 0 THEN 1 ELSE 0 END)
-                 / count(*), 6) AS pass_rate,
+           CAST(sum(ok) AS BIGINT) AS n_pass,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_fail,
+           round(sum(ok) / count(*), 6) AS pass_rate,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM s GROUP BY source
     """,

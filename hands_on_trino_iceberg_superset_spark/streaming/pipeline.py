@@ -475,16 +475,26 @@ def read_documents_stream(
     source_dir: str,
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """File-source stream of the documents table — the corpus-intake
-    seam: new crawl/dump parquet files land in a directory and flow
-    through the same curation transforms batch uses."""
-    static = spark.read.parquet(f"{source_dir}/documents.parquet")
-    reader = spark.readStream.schema(static.schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.option("recursiveFileLookup", "true").parquet(
-        f"{source_dir}/documents.parquet"
+    """File-source stream of document dump files dropped into
+    ``source_dir`` — the corpus-intake seam: each new crawl/dump
+    parquet landing in the directory flows through the same curation
+    transforms batch uses (same reader shape as
+    :func:`read_events_stream`; at scale the file source becomes
+    Kafka with everything downstream unchanged)."""
+    from hands_on_trino_iceberg_superset_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .schema
     )
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def document_quality_stats(docs: DataFrame) -> DataFrame:
@@ -505,6 +515,7 @@ def document_quality_stats(docs: DataFrame) -> DataFrame:
     """
     from hands_on_trino_iceberg_superset_spark.queries.text import (
         STOPWORDS,
+        _quality_gate,
     )
 
     toks = F.split(F.col("text"), " ")
@@ -516,13 +527,10 @@ def document_quality_stats(docs: DataFrame) -> DataFrame:
             "n_stop"
         ),
     )
-    passes = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("n_types") * 2 >= F.col("n_tokens"))
-        & (F.col("n_stop") > 0)
-    )
+    # the ONE definition of the quality cut (queries/text.py): the
+    # streaming gate and the batch quality score cannot drift
     return (
-        scored.withColumn("ok", passes)
+        scored.withColumn("ok", _quality_gate())
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

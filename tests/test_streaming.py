@@ -384,7 +384,7 @@ def test_document_quality_stream_equals_batch(spark, sf_dir):
         ).collect()
     )
     stream = document_quality_stats(
-        read_documents_stream(spark, sf_dir)
+        read_documents_stream(spark, f"{sf_dir}/documents.parquet")
     )
     got = sorted(
         run_available_now_to_memory(
