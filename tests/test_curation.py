@@ -590,3 +590,83 @@ def test_embedding_coverage_counts_missing(spark, inventory, tmp_path):
     assert out["src1"].n_docs == 3 and out["src1"].n_embedded == 0
     assert out["src1"].n_missing == 3
     assert out["src1"].avg_norm is None
+
+
+def test_inference_batch_plan_sorted_beats_hashed(spark, inventory):
+    rows = (
+        inventory["inference_batch_plan"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.strategy, []).append(r)
+    assert set(by) == {"sorted", "hashed"}
+    # both strategies cover every document exactly once
+    assert sum(r.n_docs for r in by["sorted"]) == 500
+    assert sum(r.n_docs for r in by["hashed"]) == 500
+    # invariants per batch: waste = 1 - sum/padded, padded >= sum
+    for r in rows:
+        assert r.padded_tokens >= r.sum_len
+        assert 0.0 <= r.waste_frac < 1.0
+    # the measured claim: length-sorted batching wastes far fewer
+    # pad tokens than hash-assigned batching, corpus-wide
+    def waste(rs):
+        padded = sum(r.padded_tokens for r in rs)
+        real = sum(r.sum_len for r in rs)
+        return (padded - real) / padded
+
+    assert waste(by["sorted"]) < 0.5 * waste(by["hashed"])
+
+
+def test_dedup_lines_matches_python_reference_on_random_corpora(
+    spark, inventory, tmp_path
+):
+    """Property test: on randomized small corpora (skewed token
+    alphabet to force cross- and intra-doc line collisions), the
+    distributed rewrite must equal an independent first-occurrence
+    reference computed in plain Python."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "c"]
+    for case in range(5):
+        rows = []
+        for _ in range(rng.randint(3, 12)):
+            n = rng.choice([0, 1, 15, 16, 17, 32, 40])
+            rows.append(" ".join(rng.choice(alphabet) for _ in range(n)))
+        out_dir = tmp_path / f"case{case}"
+        _docs_df(spark, rows).write.parquet(
+            str(out_dir / "documents.parquet")
+        )
+
+        # python reference: first occurrence in (doc_id, line_idx)
+        seen: set[str] = set()
+        expect = {}
+        for doc_id, text in enumerate(rows):
+            toks = [w for w in text.split(" ") if w]
+            lines = [
+                " ".join(toks[i : i + 16])
+                for i in range(0, len(toks), 16)
+            ]
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            expect[doc_id] = (
+                len(lines),
+                len(kept),
+                len(lines) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+
+        got = {
+            r.doc_id: (r.n_lines, r.n_kept, r.n_removed,
+                       r.kept_fingerprint)
+            for r in inventory["dedup_lines"]
+            .spark(spark, str(out_dir))
+            .collect()
+        }
+        assert got == expect, f"case {case}"
