@@ -1198,7 +1198,9 @@ def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "portable md5-prefix idiom.",
 )
 def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from hands_on_trino_iceberg_superset_spark.operators.packing import (
+        prefix_sum,
+    )
 
     docs = _docs(spark, sf_dir)
     d = docs.select(
@@ -1209,14 +1211,29 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_batches = F.ceil(F.count(F.lit(1)) / F.lit(32.0)).cast("bigint")
     consts = d.agg(n_batches.alias("n_batches"))
-    rank = F.row_number().over(
-        Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    # distributed global rank, NEVER a single-partition window: the
+    # (n_tokens desc, doc_id asc) total order encodes into one
+    # monotone string key (documents are < 10^8 tokens by far) and
+    # operators/packing.py's two-phase prefix sum of 1s yields the
+    # exclusive rank with only bounded per-bucket metadata on the
+    # driver
+    key = F.format_string(
+        "%08d-%012d",
+        F.lit(99_999_999) - F.col("n_tokens"),
+        F.col("doc_id"),
     )
-    sorted_plan = d.select(
+    ranked = prefix_sum(
+        d.select("doc_id", "n_tokens", key.alias("_ord"),
+                 F.lit(1).alias("_one")),
+        "_ord",
+        "_one",
+        out_col="_rank0",
+    )
+    sorted_plan = ranked.select(
         F.lit("sorted").alias("strategy"),
         "doc_id",
         "n_tokens",
-        ((rank - 1) / 32).cast("bigint").alias("batch_id"),
+        F.floor(F.col("_rank0") / 32).cast("bigint").alias("batch_id"),
     )
     hashed_plan = d.crossJoin(F.broadcast(consts)).select(
         F.lit("hashed").alias("strategy"),
