@@ -1178,7 +1178,8 @@ def corpus_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tokens) AS BIGINT) AS sum_len,
            CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
            round(1.0 - sum(n_tokens)
-                 / (count(*) * max(n_tokens)), 6) AS waste_frac
+                 / nullif(count(*) * max(n_tokens), 0), 6)
+             AS waste_frac
     FROM plans GROUP BY strategy, batch_id
     """,
     doc="Padding-aware INFERENCE batch planning — the serving-side "
@@ -1217,10 +1218,22 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/packing.py's two-phase prefix sum of 1s yields the
     # exclusive rank with only bounded per-bucket metadata on the
     # driver
-    key = F.format_string(
-        "%08d-%012d",
-        F.lit(99_999_999) - F.col("n_tokens"),
-        F.col("doc_id"),
+    key = F.when(
+        (F.col("n_tokens") < F.lit(100_000_000))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1_000_000_000_000)),
+        F.format_string(
+            "%08d-%012d",
+            F.lit(99_999_999) - F.col("n_tokens"),
+            F.col("doc_id"),
+        ),
+    ).otherwise(
+        # loud failure beats silent mis-batching if the encoding
+        # bounds are ever exceeded
+        F.raise_error(
+            F.lit("inference_batch_plan: sort-key encoding bounds "
+                  "exceeded (n_tokens < 1e8, 0 <= doc_id < 1e12)")
+        )
     )
     ranked = prefix_sum(
         d.select("doc_id", "n_tokens", key.alias("_ord"),
@@ -1235,7 +1248,10 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("_rank0") / 32).cast("bigint").alias("batch_id"),
     )
-    hashed_plan = d.crossJoin(F.broadcast(consts)).select(
+    # the hashed baseline reuses the already-tokenized narrow rows
+    # (ranked is built on prefix_sum's persisted input) instead of
+    # re-scanning and re-tokenizing the full text a second time
+    hashed_plan = ranked.crossJoin(F.broadcast(consts)).select(
         F.lit("hashed").alias("strategy"),
         "doc_id",
         "n_tokens",
@@ -1255,7 +1271,9 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1.0)
             - F.sum("n_tokens")
-            / (F.count(F.lit(1)) * F.max("n_tokens")),
+            / F.nullif(
+                F.count(F.lit(1)) * F.max("n_tokens"), F.lit(0)
+            ),
             6,
         ).alias("waste_frac"),
     )

@@ -606,9 +606,10 @@ def test_inference_batch_plan_sorted_beats_hashed(spark, inventory):
     assert sum(r.n_docs for r in by["sorted"]) == 500
     assert sum(r.n_docs for r in by["hashed"]) == 500
     # invariants per batch: waste = 1 - sum/padded, padded >= sum
+    # (an all-empty batch legitimately has padded=0 -> NULL waste)
     for r in rows:
         assert r.padded_tokens >= r.sum_len
-        assert 0.0 <= r.waste_frac < 1.0
+        assert r.waste_frac is None or 0.0 <= r.waste_frac < 1.0
     # the measured claim: length-sorted batching wastes far fewer
     # pad tokens than hash-assigned batching, corpus-wide
     def waste(rs):
