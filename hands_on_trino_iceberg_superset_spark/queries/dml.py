@@ -318,3 +318,89 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
         "AS total_price FROM orders_vt GROUP BY o_orderstatus"
     )
+
+
+@register(
+    "scd2_customer_segment_history",
+    oracle="""
+    WITH snaps AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1992-01-01 00:00:00' AS ts
+      FROM customer
+      UNION ALL
+      SELECT c.c_custkey,
+             CASE WHEN max(o.o_totalprice) > 150000
+                  THEN 'BIG-SPENDER' ELSE c.c_mktsegment END AS segment,
+             o.o_orderdate AS ts
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, o.o_orderdate
+    ), changed AS (
+      SELECT c_custkey, segment, ts FROM (
+        SELECT s.*,
+               lag(segment) OVER (PARTITION BY c_custkey
+                                  ORDER BY ts) AS prev
+        FROM snaps s
+      ) WHERE prev IS NULL OR prev <> segment
+    )
+    SELECT c_custkey, segment,
+           CAST(ts AS VARCHAR) AS valid_from,
+           CAST(lead(ts) OVER w AS VARCHAR) AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changed
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)
+    """,
+    doc="Slowly-changing-dimension TYPE 2 history "
+        "(lakehouse/scd.py scd2_history): the customer dimension's "
+        "segment attribute tracked through time — base state at the "
+        "epoch, then one deterministic snapshot per order date "
+        "(customers whose day's biggest order tops 150k flip to "
+        "'BIG-SPENDER'); consecutive no-change snapshots compress "
+        "away and lead() stitches half-open validity ranges with "
+        "is_current on the open row. This is how facts join a "
+        "dimension AS-OF event time in every BI lakehouse. 100 TB "
+        "shape: one shuffle keyed by the dimension key carries both "
+        "windows (change filter + range stitching) AND the "
+        "per-(customer, day) snapshot aggregate; keys are "
+        "high-cardinality so it balances. Oracle rebuilds the "
+        "entire history declaratively.",
+)
+def scd2_customer_segment_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
+        scd2_history,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ts_type = orders.schema["o_orderdate"].dataType
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast(ts_type).alias("ts"),
+    )
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("top"))
+        .select(
+            "c_custkey",
+            F.when(F.col("top") > 150000, F.lit("BIG-SPENDER"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    hist = scd2_history(
+        base.unionByName(daily), ["c_custkey"], ["segment"], "ts"
+    )
+    return hist.select(
+        "c_custkey",
+        "segment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )

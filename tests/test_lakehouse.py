@@ -697,3 +697,43 @@ def test_recreate_reclaims_old_data_dirs(spark, tmp_path):
     VersionedTable.create(spark, path, df)
     new_dirs = set(os.listdir(os.path.join(path, "data")))
     assert old_dirs.isdisjoint(new_dirs), "old data dirs must be gone"
+
+
+def test_scd2_history_compresses_and_stitches(spark):
+    """SCD-2 construction: no-change snapshots vanish, validity
+    ranges are half-open and contiguous, exactly one current row
+    per key."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
+        scd2_history,
+    )
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01"),
+            (1, "A", "2020-02-01"),  # heartbeat: compressed away
+            (1, "B", "2020-03-01"),
+            (1, "B", "2020-04-01"),  # heartbeat
+            (1, "A", "2020-05-01"),  # flips back: a NEW row
+            (2, "X", "2020-01-15"),
+        ],
+        "k int, attr string, ts string",
+    )
+    rows = sorted(
+        scd2_history(snaps, ["k"], ["attr"], "ts").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    k1 = [r for r in rows if r.k == 1]
+    assert [(r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in k1] == [
+        ("A", "2020-01-01", "2020-03-01", False),
+        ("B", "2020-03-01", "2020-05-01", False),
+        ("A", "2020-05-01", None, True),
+    ]
+    k2 = [r for r in rows if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
+    # plan: one Exchange carries both windows
+    plan = (
+        scd2_history(snaps, ["k"], ["attr"], "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
