@@ -404,3 +404,105 @@ def scd2_customer_segment_history(
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "scd2_asof_revenue_by_segment",
+    oracle="""
+    WITH snaps AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1992-01-01 00:00:00' AS ts
+      FROM customer
+      UNION ALL
+      SELECT c.c_custkey,
+             CASE WHEN max(o.o_totalprice) > 150000
+                  THEN 'BIG-SPENDER' ELSE c.c_mktsegment END AS segment,
+             o.o_orderdate AS ts
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, o.o_orderdate
+    ), changed AS (
+      SELECT c_custkey, segment, ts FROM (
+        SELECT s.*,
+               lag(segment) OVER (PARTITION BY c_custkey
+                                  ORDER BY ts) AS prev
+        FROM snaps s
+      ) WHERE prev IS NULL OR prev <> segment
+    ), hist AS (
+      SELECT c_custkey, segment, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+               AS valid_to
+      FROM changed
+    )
+    SELECT h.segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN hist h
+      ON h.c_custkey = o.o_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY h.segment
+    ORDER BY h.segment
+    """,
+    doc="The SCD-2 payoff query: facts joined to the dimension "
+        "AS-OF event time — every order lands in the segment its "
+        "customer belonged to ON THAT DATE (a customer who flips to "
+        "BIG-SPENDER attributes later orders there, earlier orders "
+        "to the original segment), which is the temporally-correct "
+        "revenue attribution a current-state join silently gets "
+        "wrong. Plan shape: the validity-range predicate rides ON "
+        "TOP of the c_custkey equi-join, so this is a hash join "
+        "plus a residual filter — never a cross/range explosion — "
+        "and history rows per key are bounded by change count. "
+        "Oracle rebuilds history and attribution declaratively.",
+)
+def scd2_asof_revenue_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
+        scd2_history,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ts_type = orders.schema["o_orderdate"].dataType
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast(ts_type).alias("ts"),
+    )
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("top"))
+        .select(
+            "c_custkey",
+            F.when(F.col("top") > 150000, F.lit("BIG-SPENDER"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    hist = scd2_history(
+        base.unionByName(daily), ["c_custkey"], ["segment"], "ts"
+    )
+    joined = orders.join(
+        hist,
+        (hist.c_custkey == orders.o_custkey)
+        & (orders.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (orders.o_orderdate < hist.valid_to)),
+    )
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )

@@ -737,3 +737,57 @@ def test_scd2_history_compresses_and_stitches(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_scd2_asof_join_attributes_temporally(spark, tmp_path):
+    """An order placed BEFORE a segment flip lands in the old
+    segment, after in the new — the current-state join would put
+    both in the new segment."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.queries import load_all
+
+    spark.createDataFrame(
+        [(1, "n1", "BUILDING", 0.0, "1-111", "a", "c")],
+        "c_custkey long, c_name string, c_mktsegment string, "
+        "c_acctbal double, c_phone string, c_address string, "
+        "c_comment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    rows = [
+        # early cheap order -> stays BUILDING
+        (10, 1, "O", 100.0, "1995-01-01 00:00:00", "1-URGENT"),
+        # big order flips the customer that day
+        (11, 1, "O", 200000.0, "1996-01-01 00:00:00", "1-URGENT"),
+        # later cheap order -> attributed to BIG-SPENDER era? no:
+        # the cheap day snapshot flips the segment BACK, so the
+        # as-of join lands it in BUILDING again
+        (12, 1, "O", 50.0, "1997-01-01 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority "
+        "string",
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    inv = load_all()
+    out = {
+        r.segment: r
+        for r in inv["scd2_asof_revenue_by_segment"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["BUILDING"].n_orders == 2
+    assert out["BUILDING"].revenue == 150.0
+    assert out["BIG-SPENDER"].n_orders == 1
+    assert out["BIG-SPENDER"].revenue == 200000.0
+    # the range predicate rides a HASH join on the key, never a
+    # nested-loop range explosion
+    plan = (
+        inv["scd2_asof_revenue_by_segment"]
+        .spark(spark, str(tmp_path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan
