@@ -14,6 +14,12 @@ Determinism notes: updates are ADDITIVE on money columns (keeps the
 2-decimal scale exact; multiplicative updates create .xx5 rounding
 ties where Spark and DuckDB disagree), and aggregates follow the
 DECIMAL-exact contract from queries/base.py.
+
+The scd2_* entries at the end are the DIMENSION-HISTORY tier of the
+same lakehouse surface (lakehouse/scd.py): pure window/join
+analytics building and consuming type-2 validity ranges — no
+versioned-table materialization, but they live here because SCD is
+how a lakehouse's DML history becomes queryable time.
 """
 
 from __future__ import annotations
@@ -320,12 +326,51 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_segment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE customer-segment SCD-2 history both scd2_* queries
+    consume (the as-of join's premise is that it reads the same
+    dimension history the history query emits — sharing the builder
+    enforces it). Epoch '1900-01-01' is strictly before any
+    plausible order date so the base snapshot can never tie with a
+    real event (scd2_history requires unique (key, ts))."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
+        scd2_history,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ts_type = orders.schema["o_orderdate"].dataType
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1900-01-01 00:00:00").cast(ts_type).alias("ts"),
+    )
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("top"))
+        .select(
+            "c_custkey",
+            F.when(F.col("top") > 150000, F.lit("BIG-SPENDER"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    return scd2_history(
+        base.unionByName(daily), ["c_custkey"], ["segment"], "ts"
+    )
+
+
 @register(
     "scd2_customer_segment_history",
     oracle="""
     WITH snaps AS (
       SELECT c_custkey, c_mktsegment AS segment,
-             TIMESTAMP '1992-01-01 00:00:00' AS ts
+             TIMESTAMP '1900-01-01 00:00:00' AS ts
       FROM customer
       UNION ALL
       SELECT c.c_custkey,
@@ -367,36 +412,7 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_customer_segment_history(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
-        scd2_history,
-    )
-
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    ts_type = orders.schema["o_orderdate"].dataType
-    base = cust.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1992-01-01 00:00:00").cast(ts_type).alias("ts"),
-    )
-    daily = (
-        orders.join(
-            cust.select("c_custkey", "c_mktsegment"),
-            orders.o_custkey == cust.c_custkey,
-        )
-        .groupBy("c_custkey", "c_mktsegment", "o_orderdate")
-        .agg(F.max("o_totalprice").alias("top"))
-        .select(
-            "c_custkey",
-            F.when(F.col("top") > 150000, F.lit("BIG-SPENDER"))
-            .otherwise(F.col("c_mktsegment"))
-            .alias("segment"),
-            F.col("o_orderdate").alias("ts"),
-        )
-    )
-    hist = scd2_history(
-        base.unionByName(daily), ["c_custkey"], ["segment"], "ts"
-    )
+    hist = _customer_segment_hist(spark, sf_dir)
     return hist.select(
         "c_custkey",
         "segment",
@@ -411,7 +427,7 @@ def scd2_customer_segment_history(
     oracle="""
     WITH snaps AS (
       SELECT c_custkey, c_mktsegment AS segment,
-             TIMESTAMP '1992-01-01 00:00:00' AS ts
+             TIMESTAMP '1900-01-01 00:00:00' AS ts
       FROM customer
       UNION ALL
       SELECT c.c_custkey,
@@ -460,36 +476,8 @@ def scd2_customer_segment_history(
 def scd2_asof_revenue_by_segment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from hands_on_trino_iceberg_superset_spark.lakehouse.scd import (
-        scd2_history,
-    )
-
-    cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    ts_type = orders.schema["o_orderdate"].dataType
-    base = cust.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1992-01-01 00:00:00").cast(ts_type).alias("ts"),
-    )
-    daily = (
-        orders.join(
-            cust.select("c_custkey", "c_mktsegment"),
-            orders.o_custkey == cust.c_custkey,
-        )
-        .groupBy("c_custkey", "c_mktsegment", "o_orderdate")
-        .agg(F.max("o_totalprice").alias("top"))
-        .select(
-            "c_custkey",
-            F.when(F.col("top") > 150000, F.lit("BIG-SPENDER"))
-            .otherwise(F.col("c_mktsegment"))
-            .alias("segment"),
-            F.col("o_orderdate").alias("ts"),
-        )
-    )
-    hist = scd2_history(
-        base.unionByName(daily), ["c_custkey"], ["segment"], "ts"
-    )
+    hist = _customer_segment_hist(spark, sf_dir)
     joined = orders.join(
         hist,
         (hist.c_custkey == orders.o_custkey)

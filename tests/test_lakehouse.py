@@ -718,10 +718,12 @@ def test_scd2_history_compresses_and_stitches(spark):
         ],
         "k int, attr string, ts string",
     )
-    rows = sorted(
-        scd2_history(snaps, ["k"], ["attr"], "ts").collect(),
-        key=lambda r: (r.k, r.valid_from),
-    )
+    hist = scd2_history(snaps, ["k"], ["attr"], "ts")
+    # capture the plan BEFORE the action: the post-execution AQE
+    # final-plan string prints the exchange once as the node and
+    # once inside its ShuffleQueryStage wrapper
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    rows = sorted(hist.collect(), key=lambda r: (r.k, r.valid_from))
     k1 = [r for r in rows if r.k == 1]
     assert [(r.attr, r.valid_from, r.valid_to, r.is_current)
             for r in k1] == [
@@ -732,10 +734,6 @@ def test_scd2_history_compresses_and_stitches(spark):
     k2 = [r for r in rows if r.k == 2]
     assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
     # plan: one Exchange carries both windows
-    plan = (
-        scd2_history(snaps, ["k"], ["attr"], "ts")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
     assert plan.count("Exchange") <= 1, plan
 
 
@@ -773,21 +771,13 @@ def test_scd2_asof_join_attributes_temporally(spark, tmp_path):
     ).write.parquet(str(tmp_path / "orders.parquet"))
 
     inv = load_all()
-    out = {
-        r.segment: r
-        for r in inv["scd2_asof_revenue_by_segment"]
-        .spark(spark, str(tmp_path))
-        .collect()
-    }
+    df = inv["scd2_asof_revenue_by_segment"].spark(spark, str(tmp_path))
+    out = {r.segment: r for r in df.collect()}
     assert out["BUILDING"].n_orders == 2
     assert out["BUILDING"].revenue == 150.0
     assert out["BIG-SPENDER"].n_orders == 1
     assert out["BIG-SPENDER"].revenue == 200000.0
     # the range predicate rides a HASH join on the key, never a
     # nested-loop range explosion
-    plan = (
-        inv["scd2_asof_revenue_by_segment"]
-        .spark(spark, str(tmp_path))
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
