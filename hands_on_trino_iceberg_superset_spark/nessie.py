@@ -108,6 +108,15 @@ class _Store:
         if h:
             if h != head and h not in self.commits:
                 raise NessieError(404, f"hash '{h}' not found")
+            # real Nessie rejects an off-branch hash: a detached read
+            # of branch A at branch B's hash must not serve B's
+            # contents under A's name
+            if h not in self._ancestor_hashes(head):
+                raise NessieError(
+                    400,
+                    f"hash '{h}' is not an ancestor of "
+                    f"reference '{name}'",
+                )
             return name, h
         return name, head
 
@@ -597,6 +606,16 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
             if not q.get("name"):
                 raise NessieError(
                     400, "POST /trees requires a 'name' query param"
+                )
+            # only mutable branches are implemented; silently
+            # downgrading a type=TAG request to a BRANCH would hand
+            # the client a mutable ref it believes is immutable
+            ref_type = q.get("type", "BRANCH").upper()
+            if ref_type != "BRANCH":
+                raise NessieError(
+                    400,
+                    f"reference type '{ref_type}' not supported "
+                    "(only BRANCH)",
                 )
             src = body.get("name", store.default_branch)
             return store.create_reference(

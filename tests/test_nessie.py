@@ -158,6 +158,37 @@ def test_branch_create_merge_and_conflict(srv):
     assert st == 409 and "d.t" in err["message"]
 
 
+def test_detached_read_rejects_off_branch_hash(srv):
+    """'name@hash' must only serve hashes in that branch's ancestry:
+    reading branch A at branch B's hash would silently serve B's
+    contents under A's name (real Nessie answers 400)."""
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    # fork BEFORE main advances, then advance each side separately
+    _call(srv, "POST", "/trees?name=side", {"name": "main", "hash": h1})
+    _, rs = _commit(srv, "side", h1,
+                    [_put("d.t", "/w/t/side.metadata.json")])
+    side_head = rs["reference"]["hash"]
+    # main at side's head: off-ancestry -> 400, not side's contents
+    st, err = _call(srv, "GET", f"/trees/main@{side_head}/contents/d.t")
+    assert st == 400 and "ancestor" in err["message"]
+    # while main at its own commit stays readable
+    st, got = _call(srv, "GET", f"/trees/main@{h1}/contents/d.t")
+    assert st == 200
+    assert got["content"]["metadataLocation"].endswith("v1.metadata.json")
+
+
+def test_create_reference_rejects_tag_type(srv):
+    """type=TAG must not silently create a mutable BRANCH — the
+    client would treat the result as immutable."""
+    st, err = _call(srv, "POST", "/trees?name=rel&type=TAG",
+                    {"name": "main"})
+    assert st == 400 and "TAG" in err["message"]
+    st, _ = _call(srv, "GET", "/trees/rel")
+    assert st == 404  # nothing was created
+
+
 def test_branch_delete_cas(srv):
     _, b = _call(srv, "POST", "/trees?name=tmp", {"name": "main"})
     st, err = _call(srv, "DELETE", "/trees/tmp@" + "0" * 64)
