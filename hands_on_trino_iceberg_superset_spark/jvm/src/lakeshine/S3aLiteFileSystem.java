@@ -12,8 +12,18 @@ import java.net.URI;
 import java.net.URL;
 import java.net.URLEncoder;
 import java.nio.charset.StandardCharsets;
+import java.security.MessageDigest;
+import java.time.Instant;
+import java.time.ZoneOffset;
+import java.time.format.DateTimeFormatter;
 import java.util.ArrayList;
 import java.util.List;
+import java.util.Locale;
+import java.util.Map;
+import java.util.TreeMap;
+
+import javax.crypto.Mac;
+import javax.crypto.spec.SecretKeySpec;
 
 import javax.xml.parsers.DocumentBuilder;
 import javax.xml.parsers.DocumentBuilderFactory;
@@ -40,12 +50,22 @@ import org.w3c.dom.NodeList;
  * s3a at http://minio:9000), against any S3-compatible endpoint —
  * the in-process MiniS3Server in tests, or a real MinIO.
  *
- * Scope (deliberate): unauthenticated dev-credential endpoints,
- * whole-object buffering on read and write (lakehouse test files;
- * ranged GET exists server-side for a future streaming read), and
- * directory markers (zero-byte {@code key/} objects) so empty
- * directories created by commit protocols exist before their first
- * file lands. Register with
+ * Authentication: when {@code fs.s3a.access.key} and
+ * {@code fs.s3a.secret.key} are configured (the same keys the stock
+ * S3AFileSystem reads; the reference wires static credentials at
+ * iceberg.properties:13-14), every request is signed with AWS
+ * Signature Version 4 (region {@code fs.s3a.endpoint.region},
+ * default us-east-1) — signed headers host, x-amz-date,
+ * x-amz-content-sha256 (real payload hash; we buffer whole objects
+ * anyway) plus x-amz-copy-source on server-side copies. With no
+ * credentials configured, requests go out unsigned (dev endpoints
+ * with auth disabled).
+ *
+ * Scope (deliberate): whole-object buffering on read and write
+ * (lakehouse test files; ranged GET exists server-side for a future
+ * streaming read), and directory markers (zero-byte {@code key/}
+ * objects) so empty directories created by commit protocols exist
+ * before their first file lands. Register with
  * {@code fs.s3a.impl=lakeshine.S3aLiteFileSystem} and
  * {@code fs.s3a.endpoint=http://...}.
  */
@@ -54,6 +74,10 @@ public class S3aLiteFileSystem extends FileSystem {
   private URI uri;
   private String endpoint;
   private String bucket;
+  private String accessKey;
+  private String secretKey;
+  private String region;
+  private boolean signRequests;
   private Path workingDir = new Path("/");
 
   @Override
@@ -66,6 +90,10 @@ public class S3aLiteFileSystem extends FileSystem {
     if (endpoint.isEmpty()) {
       throw new IOException("fs.s3a.endpoint is required");
     }
+    this.accessKey = conf.getTrimmed("fs.s3a.access.key", "");
+    this.secretKey = conf.getTrimmed("fs.s3a.secret.key", "");
+    this.region = conf.getTrimmed("fs.s3a.endpoint.region", "us-east-1");
+    this.signRequests = !accessKey.isEmpty() && !secretKey.isEmpty();
   }
 
   @Override
@@ -116,10 +144,128 @@ public class S3aLiteFileSystem extends FileSystem {
     return enc.toString();
   }
 
+  // ------------------------------------------------------- signing
+
+  private static final DateTimeFormatter AMZ_DATE =
+      DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+          .withZone(ZoneOffset.UTC);
+
+  private static String hex(byte[] b) {
+    StringBuilder s = new StringBuilder(b.length * 2);
+    for (byte x : b) {
+      s.append(Character.forDigit((x >> 4) & 0xf, 16))
+          .append(Character.forDigit(x & 0xf, 16));
+    }
+    return s.toString();
+  }
+
+  private static String sha256Hex(byte[] data) throws IOException {
+    try {
+      return hex(MessageDigest.getInstance("SHA-256").digest(data));
+    } catch (Exception e) {
+      throw new IOException("sha256 unavailable", e);
+    }
+  }
+
+  private static byte[] hmac(byte[] key, String data) throws IOException {
+    try {
+      Mac m = Mac.getInstance("HmacSHA256");
+      m.init(new SecretKeySpec(key, "HmacSHA256"));
+      return m.doFinal(data.getBytes(StandardCharsets.UTF_8));
+    } catch (Exception e) {
+      throw new IOException("hmac unavailable", e);
+    }
+  }
+
+  /** Canonical query string: the RAW (wire-encoded) key=value pairs
+   * sorted by key then value — the server canonicalizes the raw
+   * query the same way, so both sides hash identical bytes. */
+  private static String canonicalQuery(String rawQuery) {
+    if (rawQuery == null || rawQuery.isEmpty()) {
+      return "";
+    }
+    List<String[]> pairs = new ArrayList<>();
+    for (String tok : rawQuery.split("&")) {
+      int i = tok.indexOf('=');
+      pairs.add(i < 0 ? new String[] {tok, ""}
+          : new String[] {tok.substring(0, i), tok.substring(i + 1)});
+    }
+    pairs.sort((a, b) -> a[0].equals(b[0])
+        ? a[1].compareTo(b[1]) : a[0].compareTo(b[0]));
+    StringBuilder out = new StringBuilder();
+    for (String[] p : pairs) {
+      if (out.length() > 0) {
+        out.append('&');
+      }
+      out.append(p[0]).append('=').append(p[1]);
+    }
+    return out.toString();
+  }
+
+  /** AWS Signature Version 4 (the scheme MinIO and S3 require; see
+   * the public SigV4 spec). Sets the x-amz headers in {@code extra},
+   * then — when credentials are configured — x-amz-date,
+   * x-amz-content-sha256 and Authorization. Must run before the
+   * request body is written. */
+  private void sign(HttpURLConnection c, String method, URL u,
+      byte[] payload, Map<String, String> extra) throws IOException {
+    for (Map.Entry<String, String> e : extra.entrySet()) {
+      c.setRequestProperty(e.getKey(), e.getValue());
+    }
+    if (!signRequests) {
+      return;
+    }
+    String amzDate = AMZ_DATE.format(Instant.now());
+    String date = amzDate.substring(0, 8);
+    String payloadHash =
+        sha256Hex(payload == null ? new byte[0] : payload);
+    c.setRequestProperty("x-amz-date", amzDate);
+    c.setRequestProperty("x-amz-content-sha256", payloadHash);
+    String host = u.getPort() == -1
+        ? u.getHost() : u.getHost() + ":" + u.getPort();
+    TreeMap<String, String> hdrs = new TreeMap<>();
+    hdrs.put("host", host);
+    hdrs.put("x-amz-content-sha256", payloadHash);
+    hdrs.put("x-amz-date", amzDate);
+    for (Map.Entry<String, String> e : extra.entrySet()) {
+      hdrs.put(e.getKey().toLowerCase(Locale.ROOT), e.getValue().trim());
+    }
+    StringBuilder canonHdrs = new StringBuilder();
+    StringBuilder signedHdrs = new StringBuilder();
+    for (Map.Entry<String, String> e : hdrs.entrySet()) {
+      canonHdrs.append(e.getKey()).append(':')
+          .append(e.getValue()).append('\n');
+      if (signedHdrs.length() > 0) {
+        signedHdrs.append(';');
+      }
+      signedHdrs.append(e.getKey());
+    }
+    String path = u.getPath().isEmpty() ? "/" : u.getPath();
+    String canonicalRequest = method + "\n" + path + "\n"
+        + canonicalQuery(u.getQuery()) + "\n" + canonHdrs + "\n"
+        + signedHdrs + "\n" + payloadHash;
+    String scope = date + "/" + region + "/s3/aws4_request";
+    String stringToSign = "AWS4-HMAC-SHA256\n" + amzDate + "\n" + scope
+        + "\n"
+        + sha256Hex(canonicalRequest.getBytes(StandardCharsets.UTF_8));
+    byte[] k =
+        ("AWS4" + secretKey).getBytes(StandardCharsets.UTF_8);
+    k = hmac(k, date);
+    k = hmac(k, region);
+    k = hmac(k, "s3");
+    k = hmac(k, "aws4_request");
+    c.setRequestProperty("Authorization",
+        "AWS4-HMAC-SHA256 Credential=" + accessKey + "/" + scope
+            + ", SignedHeaders=" + signedHdrs
+            + ", Signature=" + hex(hmac(k, stringToSign)));
+  }
+
   // ---------------------------------------------------- primitives
 
   private long headLength(String k) throws IOException {
-    HttpURLConnection c = conn("HEAD", objectUrl(k));
+    URL u = objectUrl(k);
+    HttpURLConnection c = conn("HEAD", u);
+    sign(c, "HEAD", u, null, Map.of());
     int code = c.getResponseCode();
     long len = c.getContentLengthLong();
     c.disconnect();
@@ -135,11 +281,20 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   private byte[] getObject(String k) throws IOException {
-    HttpURLConnection c = conn("GET", objectUrl(k));
+    URL u = objectUrl(k);
+    HttpURLConnection c = conn("GET", u);
+    sign(c, "GET", u, null, Map.of());
     int code = c.getResponseCode();
-    if (code != 200) {
+    if (code == 404) {
       c.disconnect();
       throw new FileNotFoundException("s3a://" + bucket + "/" + k);
+    }
+    if (code != 200) {
+      // a transient 5xx must NOT read as "absent" (same rule as
+      // headLength): server trouble is an IO error, not a missing
+      // file
+      c.disconnect();
+      throw new IOException("GET " + k + " -> " + code);
     }
     try (InputStream in = c.getInputStream();
          ByteArrayOutputStream out = new ByteArrayOutputStream()) {
@@ -155,8 +310,10 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   private void putObject(String k, byte[] data) throws IOException {
-    HttpURLConnection c = conn("PUT", objectUrl(k));
+    URL u = objectUrl(k);
+    HttpURLConnection c = conn("PUT", u);
     c.setDoOutput(true);
+    sign(c, "PUT", u, data, Map.of());
     c.setFixedLengthStreamingMode(data.length);
     try (OutputStream out = c.getOutputStream()) {
       out.write(data);
@@ -169,9 +326,10 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   private void copyObject(String src, String dst) throws IOException {
-    HttpURLConnection c = conn("PUT", objectUrl(dst));
-    c.setRequestProperty(
-        "x-amz-copy-source", "/" + bucket + "/" + encodeKey(src));
+    URL u = objectUrl(dst);
+    HttpURLConnection c = conn("PUT", u);
+    sign(c, "PUT", u, null, Map.of(
+        "x-amz-copy-source", "/" + bucket + "/" + encodeKey(src)));
     int code = c.getResponseCode();
     c.disconnect();
     if (code != 200) {
@@ -180,9 +338,18 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   private void deleteObject(String k) throws IOException {
-    HttpURLConnection c = conn("DELETE", objectUrl(k));
-    c.getResponseCode();
+    URL u = objectUrl(k);
+    HttpURLConnection c = conn("DELETE", u);
+    sign(c, "DELETE", u, null, Map.of());
+    int code = c.getResponseCode();
     c.disconnect();
+    // a failed DELETE treated as success would let rename() report
+    // true with the source object still present (duplicate data
+    // under rename-based commit protocols); 404 is fine — the
+    // object is already gone, which is the goal state
+    if (code != 200 && code != 204 && code != 404) {
+      throw new IOException("DELETE " + k + " -> " + code);
+    }
   }
 
   /** Aggregated (all pages) ListObjectsV2 result. */
@@ -214,6 +381,7 @@ public class S3aLiteFileSystem extends FileSystem {
       }
       URL u = new URL(endpoint + "/" + bucket + q);
       HttpURLConnection c = conn("GET", u);
+      sign(c, "GET", u, null, Map.of());
       if (c.getResponseCode() != 200) {
         c.disconnect();
         throw new IOException("LIST " + prefix + " failed");

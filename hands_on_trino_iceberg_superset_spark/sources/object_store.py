@@ -11,15 +11,16 @@ The container ships no ``hadoop-aws`` jar, so the AWS-SDK
 anyway: ``jvm/src/lakeshine/S3aLiteFileSystem.java`` (compiled into
 the repo's plugin jar) implements the Hadoop FileSystem contract
 over the raw S3 REST protocol (PUT/GET/HEAD/DELETE, server-side
-copy, ListObjectsV2), and ``sources/s3_server.py`` provides the
-in-process MinIO stand-in. ``tests/test_object_store.py`` runs
+copy, ListObjectsV2, SigV4 request signing), and
+``sources/s3_server.py`` provides the in-process MinIO stand-in
+with signature VERIFICATION. ``tests/test_object_store.py`` runs
 parquet write -> commit-protocol rename -> partitioned read and a
-full inventory query end-to-end under ``s3a://`` URIs; the same
+full inventory query end-to-end under ``s3a://`` URIs with
+verification on (unsigned or mis-keyed requests 403); the same
 profile pointed at a real MinIO endpoint (default ``impl=None``,
-i.e. the stock authenticated S3AFileSystem) is the production
-configuration the reference stack uses
-(``iceberg.properties:10-15``); the lite impl is an explicit
-``impl=LITE_IMPL`` opt-in because it ignores credentials.
+i.e. the stock S3AFileSystem) is the production configuration the
+reference stack uses (``iceberg.properties:10-15``); the lite impl
+stays an explicit ``impl=LITE_IMPL`` opt-in.
 """
 
 from __future__ import annotations
@@ -55,13 +56,13 @@ def s3a_profile(
     apply to a live session with :func:`apply_object_store_profile`.
 
     ``impl=None`` (default) keeps whatever ``fs.s3a.impl`` the
-    deployment provides — the stock AUTHENTICATED S3AFileSystem
-    when hadoop-aws is on the classpath, which is what the
-    credential arguments configure. Pass ``LITE_IMPL`` to opt into
-    the repo's compiled REST filesystem (no hadoop-aws jar needed;
-    it targets unauthenticated dev endpoints and IGNORES the
-    credential keys — never silently, only by this explicit
-    opt-in)."""
+    deployment provides — the stock S3AFileSystem when hadoop-aws is
+    on the classpath. Pass ``LITE_IMPL`` to opt into the repo's
+    compiled REST filesystem (no hadoop-aws jar needed); it signs
+    every request with SigV4 from the same ``fs.s3a.access.key`` /
+    ``fs.s3a.secret.key`` the stock filesystem reads, so it works
+    against a credentialed MinIO — requests go unsigned only when
+    both keys are empty."""
     out = {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,

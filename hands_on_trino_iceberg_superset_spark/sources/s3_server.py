@@ -9,15 +9,24 @@ ranged GET, bucket creation, and ListObjectsV2 with delimiter
 grouping — on the stdlib HTTP server, so the s3a read/write path
 can EXECUTE in tests instead of remaining a config seam.
 
-Deliberately unauthenticated (the reference's MinIO runs with
-static dev credentials; auth headers are accepted and ignored) and
-memory-backed: this is test scaffolding for protocol execution, not
-a storage engine. Thread-safe via a single lock around the object
-map — correctness over throughput, exactly what a test double wants.
+Authentication matches the reference deployment: MinIO runs with
+static credentials (``iceberg.properties:13-14``) and rejects
+unsigned requests, so when the server is constructed with
+``access_key``/``secret_key`` it verifies AWS Signature Version 4 on
+EVERY request — recomputing the signature from the raw request line,
+the signed headers, and the secret, and checking the declared
+payload hash against the actual body — answering 403
+``SignatureDoesNotMatch`` otherwise. With no credentials it stays an
+open dev endpoint. Memory-backed: this is test scaffolding for
+protocol execution, not a storage engine. Thread-safe via a single
+lock around the object map — correctness over throughput, exactly
+what a test double wants.
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac as hmac_mod
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -29,12 +38,21 @@ class MiniS3Server:
 
     ``page_size`` caps ListObjectsV2 pages like real S3/MinIO cap at
     1000 keys — set it low in tests to force clients through the
-    IsTruncated/NextContinuationToken loop."""
+    IsTruncated/NextContinuationToken loop.
+
+    ``access_key``/``secret_key`` turn on SigV4 verification: every
+    request must carry a valid AWS4-HMAC-SHA256 Authorization header
+    or the server answers 403 — the behavior a real MinIO with
+    static credentials has."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 page_size: int = 1000) -> None:
+                 page_size: int = 1000,
+                 access_key: str | None = None,
+                 secret_key: str | None = None) -> None:
         store = self
         self._page_size = page_size
+        self._access_key = access_key
+        self._secret_key = secret_key
 
         self._lock = threading.Lock()
         #: bucket -> {key -> bytes}
@@ -71,12 +89,40 @@ class MiniS3Server:
             def _404(self) -> None:
                 self._send(404, b"<Error><Code>NoSuchKey</Code></Error>")
 
+            def _auth(self, body: bytes = b"") -> bool:
+                """Verify SigV4 when credentials are configured;
+                send the 403 and return False on failure."""
+                if store._access_key is None:
+                    return True
+                try:
+                    err = store._sigv4_error(self, body)
+                except Exception as exc:  # noqa: BLE001 — malformed auth
+                    err = f"malformed authorization: {exc}"
+                if err is None:
+                    return True
+                if self.command == "HEAD":
+                    # HEAD responses must not carry a body (a body
+                    # here would desync HTTP/1.1 keep-alive framing)
+                    self.send_response(403)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return False
+                self._send(
+                    403,
+                    ("<Error><Code>SignatureDoesNotMatch</Code>"
+                     f"<Message>{escape(err)}</Message>"
+                     "</Error>").encode(),
+                )
+                return False
+
             # -------------------------------------------- methods
 
             def do_PUT(self) -> None:  # noqa: N802
                 bucket, key, _ = self._split()
                 n = int(self.headers.get("Content-Length") or 0)
                 data = self.rfile.read(n) if n else b""
+                if not self._auth(data):
+                    return
                 src = self.headers.get("x-amz-copy-source")
                 with store._lock:
                     if not key:  # create bucket
@@ -102,6 +148,8 @@ class MiniS3Server:
 
             def do_GET(self) -> None:  # noqa: N802
                 bucket, key, q = self._split()
+                if not self._auth():
+                    return
                 with store._lock:
                     b = store._buckets.get(bucket)
                     if b is None:
@@ -136,6 +184,8 @@ class MiniS3Server:
 
             def do_HEAD(self) -> None:  # noqa: N802
                 bucket, key, _ = self._split()
+                if not self._auth():
+                    return
                 with store._lock:
                     blob = store._buckets.get(bucket, {}).get(key)
                 if blob is None:
@@ -152,6 +202,8 @@ class MiniS3Server:
 
             def do_DELETE(self) -> None:  # noqa: N802
                 bucket, key, _ = self._split()
+                if not self._auth():
+                    return
                 with store._lock:
                     store._buckets.get(bucket, {}).pop(key, None)
                 self._send(204)
@@ -218,6 +270,73 @@ class MiniS3Server:
                 )
         parts.append("</ListBucketResult>")
         return "".join(parts).encode()
+
+    # --------------------------------------------------------- auth
+
+    def _sigv4_error(self, handler, body: bytes) -> str | None:
+        """Recompute the AWS Signature Version 4 for the request and
+        compare; None when valid, else a diagnostic message. The
+        canonical query is the RAW wire query's key=value pairs
+        sorted by key then value — the client canonicalizes the same
+        raw bytes, so both sides hash identical strings."""
+        auth = handler.headers.get("Authorization", "")
+        prefix = "AWS4-HMAC-SHA256 "
+        if not auth.startswith(prefix):
+            return "missing or non-SigV4 Authorization header"
+        fields: dict[str, str] = {}
+        for part in auth[len(prefix):].split(","):
+            k, _, v = part.strip().partition("=")
+            fields[k] = v
+        cred = fields.get("Credential", "").split("/")
+        if len(cred) != 5 or cred[3] != "s3" or cred[4] != "aws4_request":
+            return "malformed Credential scope"
+        access_key, date, region = cred[0], cred[1], cred[2]
+        if access_key != self._access_key:
+            return "unknown access key"
+        amz_date = handler.headers.get("x-amz-date", "")
+        if not amz_date.startswith(date):
+            return "x-amz-date does not match credential scope date"
+        payload_hash = handler.headers.get("x-amz-content-sha256", "")
+        if not payload_hash:
+            return "missing x-amz-content-sha256"
+        if payload_hash != "UNSIGNED-PAYLOAD" and \
+                payload_hash != hashlib.sha256(body).hexdigest():
+            return "payload hash does not match request body"
+        signed = fields.get("SignedHeaders", "")
+        if not signed:
+            return "missing SignedHeaders"
+        canon_hdrs = []
+        for name in signed.split(";"):
+            val = handler.headers.get(name)
+            if val is None:
+                return f"signed header '{name}' absent from request"
+            canon_hdrs.append(f"{name}:{val.strip()}\n")
+        raw_path, _, raw_query = handler.path.partition("?")
+        pairs = []
+        if raw_query:
+            for tok in raw_query.split("&"):
+                k, _, v = tok.partition("=")
+                pairs.append((k, v))
+        canon_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
+        canonical_request = "\n".join([
+            handler.command, raw_path or "/", canon_query,
+            "".join(canon_hdrs), signed, payload_hash,
+        ])
+        scope = f"{date}/{region}/s3/aws4_request"
+        string_to_sign = "\n".join([
+            "AWS4-HMAC-SHA256", amz_date, scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ])
+        key = f"AWS4{self._secret_key}".encode()
+        for step in (date, region, "s3", "aws4_request"):
+            key = hmac_mod.new(key, step.encode(),
+                               hashlib.sha256).digest()
+        want = hmac_mod.new(key, string_to_sign.encode(),
+                            hashlib.sha256).hexdigest()
+        if not hmac_mod.compare_digest(want,
+                                       fields.get("Signature", "")):
+            return "signature mismatch"
+        return None
 
     # ------------------------------------------------------ control
 

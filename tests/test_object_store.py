@@ -71,7 +71,10 @@ def _srv():
         MiniS3Server,
     )
 
-    s = MiniS3Server()
+    # signature verification ON: every e2e test below only passes if
+    # the client signs each request with valid SigV4 (the behavior a
+    # real credentialed MinIO has; iceberg.properties:13-14)
+    s = MiniS3Server(access_key="admin", secret_key="admin12345")
     s.start()
     s.create_bucket("warehouse")
     return s
@@ -136,6 +139,57 @@ def test_s3a_inventory_query_end_to_end(spark):
         srv.stop()
 
 
+def test_s3a_rejects_bad_credentials(spark):
+    """Signature verification has teeth: a wrong secret key (and an
+    unsigned raw request) both answer 403, so the green e2e tests
+    above prove real signing, not a server that waves auth through."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    srv = _srv()
+    try:
+        # unsigned raw request -> 403 SignatureDoesNotMatch
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"{srv.url}/warehouse/?list-type=2")
+        assert exc_info.value.code == 403
+        assert b"SignatureDoesNotMatch" in exc_info.value.read()
+
+        # signed with the WRONG secret -> every filesystem op fails
+        apply_object_store_profile(
+            spark,
+            s3a_profile(srv.url, "admin", "wrong-secret",
+                        impl=LITE_IMPL),
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create("s3a://warehouse/"), hconf
+        )
+        p = jvm.org.apache.hadoop.fs.Path("s3a://warehouse/x")
+        with pytest.raises(Exception) as fs_exc:
+            fs.getFileStatus(p)
+        assert "403" in str(fs_exc.value)
+
+        # and with the RIGHT secret the same op works (writes, then
+        # stats, through the same FileSystem entry points)
+        apply_object_store_profile(
+            spark,
+            s3a_profile(srv.url, "admin", "admin12345",
+                        impl=LITE_IMPL),
+        )
+        fs2 = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create("s3a://warehouse/"), hconf
+        )
+        out = fs2.create(p)
+        out.write(bytearray(b"ok"))
+        out.close()
+        assert fs2.getFileStatus(p).getLen() == 2
+    finally:
+        srv.stop()
+
+
 def test_s3a_survives_truncated_listings(spark):
     """Real S3/MinIO cap ListObjectsV2 pages at 1000 keys; with the
     server page size forced to 7, a 25-file directory exercises the
@@ -146,7 +200,8 @@ def test_s3a_survives_truncated_listings(spark):
         MiniS3Server,
     )
 
-    srv = MiniS3Server(page_size=7)
+    srv = MiniS3Server(page_size=7, access_key="admin",
+                       secret_key="admin12345")
     srv.start()
     srv.create_bucket("warehouse")
     try:
