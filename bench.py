@@ -4,9 +4,18 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (count of the result) after a
-warm-up of the session; per-query wall time includes planning +
-execution, not session startup.
+Each query is executed to completion through a NOOP SINK (every
+column of every row evaluated) after a warm-up of the session;
+per-query wall time includes planning + execution, not session
+startup.
+
+Basis note (round 6): earlier rounds timed via ``.count()``, which
+lets Catalyst eliminate left joins against unique-keyed aggregates
+and prune expensive output columns — PERF.md measured up to 30x
+under-timing on ``dedup_lines``. The headline basis is now the noop
+write (same as ``tools/scale_bench.py``); BENCH_r06 onward is NOT
+directly comparable to BENCH_r01–r05 totals. The JSON carries
+``"basis": "noop"`` to mark the change.
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ from hands_on_trino_iceberg_superset_spark.session import get_spark
 
 # queries whose runtime is dominated by toPandas/driver collect or that
 # are streaming-shaped are still included: bench measures end-to-end
-# materialization via .count() only.
+# materialization via the noop sink only.
 
 
 def main() -> None:
@@ -65,7 +74,12 @@ def main() -> None:
     for name, spec in inventory.items():
         t0 = time.perf_counter()
         try:
-            spec.spark(spark, sf_dir).count()
+            # noop sink, NOT count(): count() lets Catalyst eliminate
+            # joins/columns the row count doesn't need (PERF.md:
+            # measured 30x under-timing); the noop write evaluates
+            # every column of every row
+            spec.spark(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
             per_query[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             per_query[name] = -1.0
@@ -84,6 +98,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf),
+        "basis": "noop",
     }
     # full per-query map: to a file + stderr (the driver keeps only a
     # ~2000-char stdout tail, which silently truncated the one big
@@ -108,6 +123,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "sf": float(sf),
+        "basis": "noop",
         "n_queries": len(per_query),
         "queries_file": detail_path.name,
     }
