@@ -715,6 +715,7 @@ def ivf_probe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     match_cols: list[str] | None = None,
+    exclude_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF index (see
     :func:`build_ivf_index`): each query ranks the centroids
@@ -739,14 +740,33 @@ def ivf_probe(
     by contract), and the per-query equality rides the broadcast
     hash-join key, so a selective filter SHRINKS the scan instead of
     shortening the result list.
+
+    ``exclude_cols`` is the INEQUALITY counterpart (hard-negative
+    mining: neighbors with a DIFFERENT label than the query). A
+    per-query inequality can't be a static scan predicate, so it is
+    applied in the broadcast probe join itself — same stage as the
+    pruned scan, before the candidate rows reach the top-k shuffle —
+    and the candidate set stays bounded by the probed cells instead
+    of the whole corpus (the all-pairs form is quadratic because
+    anchors scale with the corpus; this keeps per-anchor work at
+    ``n_probe / n_centroids`` of the data).
     """
     spark = queries.sparkSession
     match_cols = match_cols or []
+    exclude_cols = exclude_cols or []
+    overlap = set(match_cols) & set(exclude_cols)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} in both match_cols and "
+            "exclude_cols — equality and inequality on the same "
+            "column match nothing"
+        )
     cent = spark.read.parquet(f"{index_path}/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         *match_cols,
+        *[F.col(c).alias(f"_q_{c}") for c in exclude_cols],
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -761,7 +781,8 @@ def ivf_probe(
         .withColumn("d2", d2)
         .withColumn("cell_rank", F.row_number().over(wc))
         .where(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qv", "cell", *match_cols)
+        .select("query_id", "qv", "cell", *match_cols,
+                *[f"_q_{c}" for c in exclude_cols])
     )
     # distinct probed cells: <= n_centroids values of index METADATA
     # (bounded by index width, not by corpus or query count) — turned
@@ -772,7 +793,7 @@ def ivf_probe(
         .where(F.col("cell").isin(cells))
         .select(
             F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-            "cell", *match_cols,
+            "cell", *match_cols, *exclude_cols,
         )
     )
     if match_cols:
@@ -788,10 +809,18 @@ def ivf_probe(
             vals = sorted({r[c] for r in val_rows if r[c] is not None})
             vectors = vectors.where(F.col(c).isin(vals))
     sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        vectors.join(F.broadcast(probes), ["cell", *match_cols])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    scored = vectors.join(
+        F.broadcast(probes), ["cell", *match_cols]
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    for c in exclude_cols:
+        # per-query inequality, dropped in the probe-join stage (no
+        # candidate survives to the top-k shuffle); SQL semantics:
+        # NULL on either side never satisfies != and is excluded
+        scored = scored.where(F.col(f"_q_{c}") != F.col(c))
+    scored = scored.select(
+        "query_id", "neighbor_id",
+        *[F.col(c).alias(f"neg_{c}") for c in exclude_cols],
+        sim.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

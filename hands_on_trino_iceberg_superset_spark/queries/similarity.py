@@ -47,7 +47,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_gate(
-    approx: DataFrame, exact: DataFrame, min_overlap: int
+    approx: DataFrame, exact: DataFrame, min_overlap: int,
+    out_cols: tuple[str, ...] = ("query_id", "neighbor_id",
+                                 "cos_sim", "rank"),
 ) -> DataFrame:
     """Driver-hash-checkable gate for an approximate top-k: emit the
     EXACT top-k rows (query_id, neighbor_id, cos_sim, rank) only for
@@ -93,9 +95,7 @@ def _recall_gate(
         )
         .select("query_id")
     )
-    return exact.join(ok, "query_id").select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
-    )
+    return exact.join(ok, "query_id").select(*out_cols)
 
 
 @register(
@@ -576,9 +576,20 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scan-side. Full oracle recomputes every similarity.",
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _exact_hard_negatives(emb)
+
+
+def _exact_hard_negatives(emb: DataFrame) -> DataFrame:
+    """All-pairs exact hard negatives (broadcast anchors x corpus
+    scan): top-5 most-similar different-label vectors per anchor.
+    Exact by construction — the oracle for the IVF-routed form below
+    — but quadratic at scale: anchors grow with the corpus, so 100x
+    data is ~10,000x pair work (measured 521x time at 100x,
+    PERF.md). Production mining goes through
+    ``ann_hard_negatives_ivf``."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
     q = _queries(emb).select(
         F.col("vec_id").alias("query_id"),
         S.as_double(F.col("embedding")).alias("qv"),
@@ -601,4 +612,49 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= 5
+    )
+
+
+@register(
+    "ann_hard_negatives_ivf",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label <> c.label
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Hard-negative mining routed through the IVF index — the "
+        "SCALE path (ann_hard_negatives is the exact all-pairs "
+        "oracle twin, quadratic because anchors grow with the "
+        "corpus: 521x time at 100x data, PERF.md). ivf_probe("
+        "exclude_cols=['label']) probes widened cells "
+        "(partition-pruned scan, n_probe/n_centroids of the corpus "
+        "per anchor) and drops same-label candidates in the "
+        "broadcast probe join — before any top-k shuffle. Emits the "
+        "exact top-5 negatives gated on the IVF route achieving "
+        ">= 3/5 per-anchor overlap with full result lists; the "
+        "DuckDB oracle recomputes the exact negatives from scratch. "
+        "Plan gate (tests/test_plans.py) proves cell pruning "
+        "survives the inequality.",
+)
+def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    ivf = S.ivf_probe(q, _ivf_index(spark, sf_dir), k=5, n_probe=8,
+                      exclude_cols=["label"])
+    exact = _exact_hard_negatives(emb)
+    return _recall_gate(
+        ivf, exact, min_overlap=3,
+        out_cols=("query_id", "neighbor_id", "neg_label",
+                  "cos_sim", "rank"),
     )

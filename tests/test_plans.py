@@ -371,6 +371,42 @@ def test_filtered_ivf_probe_prunes_and_pushes_filter(
     assert re.search(r"PushedFilters: \[[^\]]*In\(label", formatted), formatted
 
 
+def test_hard_negative_ivf_probe_prunes_despite_inequality(
+    spark, sf_dir, tmp_path
+):
+    """The hard-negative route must keep the probed-cell partition
+    pruning with the label INEQUALITY applied in the probe join —
+    a per-query != can't be a static pushdown, but it must not cost
+    the pruned scan either."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from hands_on_trino_iceberg_superset_spark.operators import similarity as S
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, index_path, n_centroids=8, meta_cols=["label"])
+    queries = emb.orderBy("vec_id").limit(3)
+    probe = S.ivf_probe(queries, index_path, k=5, n_probe=2,
+                        exclude_cols=["label"])
+    qe = probe._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert m, formatted
+    assert "cell" in m.group(1) and "IN (" in m.group(1), m.group(1)
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    assert 0 < len(probed & set(range(8))) < 8
+    # the inequality rides the broadcast probe join, never a
+    # sort-merge or a corpus-wide nested loop
+    executed = str(qe.executedPlan())
+    assert "SortMergeJoin" not in executed
+    # and the emitted rows really exclude the query's own label
+    rows = probe.collect()
+    assert rows, "probe returned nothing"
+    qlab = {r.vec_id: r.label for r in queries.collect()}
+    assert all(r.neg_label != qlab[r.query_id] for r in rows)
+
+
 def test_dedup_lines_two_data_shuffles_pruned_scan(spark, inv, sf_dir):
     executed, formatted = _plans(spark, inv, "dedup_lines", sf_dir)
     # line-hash window + doc reassembly (+ the doc_id join); no
