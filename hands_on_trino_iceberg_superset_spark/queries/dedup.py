@@ -592,10 +592,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_semantic_quantized",
     oracle="""
-    WITH cent AS (
-      SELECT vec_id AS cell, embedding::DOUBLE[] AS c
-      FROM embeddings ORDER BY vec_id LIMIT 8
+    WITH k AS (
+      SELECT GREATEST(2, LEAST(65536,
+             CAST(CEIL(COUNT(*) / 64.0) AS INT))) AS n_cells
+      FROM embeddings
     ),
+    ranked AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS c,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings
+    ),
+    cent AS (SELECT cell, c FROM ranked, k WHERE rn <= k.n_cells),
     assigned AS (
       SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
              (SELECT c.cell FROM cent c
@@ -622,20 +629,30 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(operators/similarity.py quantizer_assign — the k-means "
         "E-step as one Arrow-batched map, centroids broadcast, no "
         "shuffle), then the per-cell greedy-prefix GEMM dedup. The "
-        "centroid set here is the 8 lowest-id vectors (a "
-        "deterministic depth-0 quantizer) so the DuckDB oracle can "
-        "recompute the ENTIRE pipeline — assignment argmin included "
-        "— in SQL; the same operator consumes the persisted IVF "
-        "index's k-means centroids (Lloyd-refined, non-SQL), which "
-        "tests/test_similarity.py exercises end-to-end against the "
-        "exact SemDeDup property. At 100 TB: one broadcast map for "
-        "assignment + one cluster-keyed shuffle, sum(|cell|^2) "
-        "pair-work, never N^2.",
+        "centroid COUNT is corpus-sized via auto_centroids "
+        "(operators/similarity.py — a fixed cell count makes the "
+        "per-cell quadratic grow with the corpus: measured ~100x "
+        "pair work at 10x rows in PERF.md; sizing cells to a "
+        "constant target keeps sum(|cell|^2) linear in N), and the "
+        "centroid SET is the n_cells lowest-id vectors (a "
+        "deterministic depth-0 quantizer) so the DuckDB oracle "
+        "recomputes the ENTIRE pipeline — the sizing rule and the "
+        "assignment argmin included — in SQL; the same operator "
+        "consumes the persisted IVF index's k-means centroids "
+        "(Lloyd-refined, non-SQL), which tests/test_similarity.py "
+        "exercises end-to-end against the exact SemDeDup property "
+        "plus a max-cell-stays-bounded-at-10x histogram gate. At "
+        "100 TB: one broadcast map for assignment + one "
+        "cluster-keyed shuffle, sum(|cell|^2) pair-work, never N^2.",
 )
 def dedup_semantic_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # target_cell_size=64 (not the 50k production default) so the
+    # sizing rule is actually exercised across the test SFs: 500
+    # vectors -> 8 cells, 5k -> 79, instead of always the lo-clamp
+    n_cells = S.auto_centroids(emb.count(), target_cell_size=64)
     cents = (
-        emb.orderBy("vec_id").limit(8)
+        emb.orderBy("vec_id").limit(n_cells)
         .select(F.col("vec_id").alias("cell"),
                 F.col("embedding").alias("centroid"))
     )

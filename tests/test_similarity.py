@@ -599,3 +599,46 @@ def test_hard_negatives_exclude_anchor_label(spark):
         assert len(rs) == 5
         sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_quantizer_max_cell_stays_bounded_at_10x(spark):
+    """The histogram gate behind dedup_semantic_quantized's
+    auto-sizing: grow the corpus 10x (id offset + one-coordinate
+    perturbation, the scale_bench recipe) and the LARGEST cell must
+    stay ~flat, because auto_centroids grows the cell COUNT with the
+    corpus. A fixed cell count fails this immediately (10x rows ->
+    10x max cell -> 100x per-cell GEMM pair work)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def max_cell(df):
+        n_cells = S.auto_centroids(df.count(), target_cell_size=64)
+        cents = (
+            df.orderBy("vec_id").limit(n_cells)
+            .select(F.col("vec_id").alias("cell"),
+                    F.col("embedding").alias("centroid"))
+        )
+        assigned = S.quantizer_assign(df, cents)
+        hist = assigned.groupBy("cell").count().collect()
+        return n_cells, max(r["count"] for r in hist)
+
+    reps = [
+        emb.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            F.when(F.lit(i == 0), F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), 1, 63),
+                    F.array(F.element_at(F.col("embedding"), 64)
+                            + F.lit(0.001) * i),
+                )
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(10)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    k1, m1 = max_cell(emb)
+    k10, m10 = max_cell(big)
+    assert k10 >= 8 * k1                 # cell count actually scales
+    assert m10 <= 3 * m1, (m1, m10)     # max cell ~flat, not 10x
