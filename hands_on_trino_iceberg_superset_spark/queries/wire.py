@@ -74,3 +74,76 @@ def sql_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r[0], int(r[1])) for r in rows], "status string, n_orders long"
     )
+
+
+@register(
+    "catalog_over_http",
+    oracle="""
+    WITH ice AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM ice
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Catalog-over-HTTP round trip through the Nessie REST wire "
+        "protocol (nessie.py; the role iceberg.nessie-catalog.uri "
+        "plays in the reference's Trino conf): start "
+        "NessieCatalogServer on an ephemeral port, drive "
+        "config -> create branch -> commit the orders Iceberg "
+        "table's metadataLocation pointer -> three-way merge to "
+        "main -> resolve the pointer through NessieClient.load_table "
+        "over real HTTP, then scan the resolved table and aggregate. "
+        "The DuckDB oracle recomputes the aggregate from the same "
+        "parquet — a hash match proves the whole chain: reference "
+        "CRUD, optimistic commit, merge, pointer resolution, and the "
+        "catalog-consistent Iceberg read. The sql_over_http "
+        "treatment, applied to the catalog wire (reference S10).",
+)
+def catalog_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieCatalogServer,
+        NessieClient,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+    from hands_on_trino_iceberg_superset_spark.queries.iceberg import (
+        _orders_iceberg,
+    )
+
+    t = _orders_iceberg(spark, sf_dir)
+    srv = NessieCatalogServer()
+    srv.start()
+    try:
+        cli = NessieClient(srv.url)
+        if cli.config()["defaultBranch"] != "main":
+            raise RuntimeError("catalog config did not resolve")
+        # publish on a branch, then merge to main — the reference's
+        # promotion flow, all over the wire
+        cli.create_branch("publish")
+        cli.put("publish", "demo.orders", t.metadata_location,
+                "register orders")
+        cli.merge("main", "publish")
+        adopted = cli.load_table(spark, "demo.orders", ref="main")
+        df = adopted.read()
+    finally:
+        # resolution happened over HTTP above; the returned plan
+        # reads the (local) warehouse files, not the catalog
+        srv.stop()
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
