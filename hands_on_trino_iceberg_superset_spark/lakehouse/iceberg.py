@@ -1612,6 +1612,53 @@ class IcebergTable:
         self._commit_file_rewrite(full, [], plan.files, "rewrite",
                                   carry_deletes=False)
 
+    def compact_if_delete_heavy(
+        self,
+        max_delete_ratio: float = 0.05,
+        sort_by: list[str] | None = None,
+    ) -> bool:
+        """Automated merge-on-read maintenance (the compaction twin
+        of ``operators/similarity.py rebuild_if_skewed``): when the
+        accumulated delete-file rows exceed ``max_delete_ratio`` of
+        the live data rows, run :meth:`rewrite_data_files` to
+        materialize the deletes away; otherwise do nothing. Returns
+        True iff compaction happened.
+
+        The check is METADATA-ONLY — record counts come from the
+        manifest entries the scan planner already parses, no data or
+        delete pages are read — so the trigger is manifest-priced
+        even over a 100 TB table. The threshold is RELATIVE (delete
+        rows / data rows), meaning the same thing at any table size:
+        every MOR read pays an anti-join against the delete set, and
+        PERF.md measures that read tax (2.3 s vs 0.19 s
+        post-compaction at test scale), so the scheduled-maintenance
+        loop every production Iceberg deployment runs
+        (``rewrite_data_files`` + ``rewrite_position_delete_files``)
+        fires exactly when the tax passes the budget. Atomicity
+        comes from the snapshot commit itself: readers see either
+        the pre-compaction snapshot (deletes applied row-wise) or
+        the rewritten one, never a half-state, and time travel to
+        pre-compaction snapshots keeps working.
+        """
+        if not 0 < max_delete_ratio:
+            raise ValueError("max_delete_ratio must be positive")
+        plan = self.plan_scan()
+        if not plan.deletes:
+            return False
+        # record_count may be -1 on foreign delete files with no
+        # count stat; treat unknown as heavy (compacting is safe,
+        # silently skipping is not)
+        unknown = any(d.record_count < 0 for d in plan.deletes)
+        del_rows = sum(max(0, d.record_count) for d in plan.deletes)
+        data_rows = sum(max(0, f.record_count) for f in plan.files)
+        if not unknown and (
+            data_rows <= 0
+            or del_rows / data_rows < max_delete_ratio
+        ):
+            return False
+        self.rewrite_data_files(sort_by=sort_by)
+        return True
+
     def _record_sort_order(self, sort_by: list[str]) -> None:
         """Append an Iceberg sort-order entry and make it default
         (metadata-only; committed together with the rewrite that

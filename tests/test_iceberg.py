@@ -1673,3 +1673,39 @@ def test_add_files_rejects_timestamp_tz_mismatch(spark, tmp_root):
     ).coalesce(1).write.parquet(naive_file)
     with pytest.raises(ValueError, match="incompatible column types"):
         t2.add_files(naive_file)
+
+
+def test_compact_if_delete_heavy_trigger(spark, tmp_root):
+    """Automated MOR compaction: delete-file buildup past the ratio
+    threshold triggers rewrite_data_files (read tax disappears:
+    plan carries zero delete files), below-threshold tables are left
+    alone, and the visible rows never change through the swap."""
+    path = os.path.join(tmp_root, "mor_auto")
+    df = spark.range(200).selectExpr("id", "id % 7 as grp")
+    t = IcebergTable.create(spark, path, df)
+
+    # below threshold: 2/200 = 1% < 5% -> no-op, deletes remain
+    t.delete("id IN (3, 13)", mode="merge-on-read")
+    n_snaps = len(t.snapshots())
+    assert t.compact_if_delete_heavy(max_delete_ratio=0.05) is False
+    assert len(t.snapshots()) == n_snaps
+    assert len(t.plan_scan().deletes) >= 1
+
+    # plant the degraded state: 20 more deleted rows -> 22/200 = 11%
+    t.delete("id % 10 = 7", mode="merge-on-read")
+    expect = t.read().count()
+    assert t.compact_if_delete_heavy(max_delete_ratio=0.05) is True
+    reloaded = IcebergTable.load(spark, path)
+    assert reloaded.plan_scan().deletes == []      # read tax gone
+    assert reloaded.read().count() == expect       # rows unchanged
+    assert reloaded.read().where("id = 3").count() == 0
+
+    # re-run on the clean table: nothing to do
+    assert reloaded.compact_if_delete_heavy(max_delete_ratio=0.05) \
+        is False
+
+    # misuse guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.compact_if_delete_heavy(max_delete_ratio=0)
