@@ -131,3 +131,97 @@ def compile_form_data(
     if row_limit:
         out = out.limit(int(row_limit))
     return out
+
+
+def _sql_ident(name: str) -> str:
+    """Identifier for emitted SQL text. Simple lowercase names only —
+    this compiler targets the engine's own wire surface, and a quoted
+    exotic identifier would need per-dialect quoting rules."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"unsupported identifier for SQL text: {name!r}")
+    return name
+
+
+def _metric_sql(metric: str | Mapping[str, Any]) -> tuple[str, str]:
+    """One Superset metric -> (select expression, label)."""
+    if isinstance(metric, str):
+        if metric != "count":
+            raise ValueError(f"unknown builtin metric: {metric}")
+        return "count(*) AS count", "count"
+    agg = metric["aggregate"].upper()
+    if agg not in _AGGS:
+        raise ValueError(f"unknown aggregate: {agg}")
+    col = _sql_ident(metric["column"])
+    label = _sql_ident(
+        metric.get("label") or f"{agg.lower()}_{metric['column']}"
+    )
+    inner = f"DISTINCT {col}" if agg == "COUNT_DISTINCT" else col
+    fn = "count" if agg == "COUNT_DISTINCT" else agg.lower()
+    return f"{fn}({inner}) AS {label}", label
+
+
+def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
+    """The same chart compilation targeting SQL TEXT — what the
+    reference's Superset actually sends its Trino database at view
+    time (init_db.py stores the form_data blob; Superset compiles it
+    through SQLAlchemy and POSTs the SQL over the Trino REST
+    protocol). ``compile_form_data`` is the Catalyst-native path;
+    this one exists so the wire query (queries/wire.py
+    bi_chart_over_http) can close the full loop: form_data -> SQL ->
+    HTTP -> result grid."""
+    mode = form_data.get("query_mode", "raw")
+    where = ""
+    rng = form_data.get("time_range", "No filter")
+    time_col = form_data.get("granularity_sqla")
+    if rng not in (None, "No filter") and time_col:
+        start, sep, end = (p.strip() for p in rng.partition(" : "))
+        if not sep:
+            raise ValueError(
+                f"unsupported time_range {rng!r}: use 'No filter' "
+                "or explicit '<start> : <end>' ISO bounds"
+            )
+        conds = []
+        if start:
+            conds.append(
+                f"{_sql_ident(time_col)} >= TIMESTAMP '{start}'"
+            )
+        if end:
+            conds.append(f"{_sql_ident(time_col)} < TIMESTAMP '{end}'")
+        if conds:
+            where = " WHERE " + " AND ".join(conds)
+
+    order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
+    if mode == "raw":
+        cols = form_data.get("all_columns")
+        select = ", ".join(_sql_ident(c) for c in cols) if cols else "*"
+        out_cols = set(cols or [])
+        group = ""
+        order_by = [
+            ob for ob in order_by
+            if isinstance(ob[0], str) and (not cols or ob[0] in out_cols)
+        ]
+    elif mode == "aggregate":
+        groupby = [_sql_ident(c) for c in form_data.get("groupby") or []]
+        metric_sqls = [
+            _metric_sql(m) for m in form_data.get("metrics") or ["count"]
+        ]
+        select = ", ".join(groupby + [s for s, _ in metric_sqls])
+        group = (
+            " GROUP BY " + ", ".join(groupby) if groupby else ""
+        )
+    else:
+        raise ValueError(f"unknown query_mode: {mode}")
+
+    sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
+    if order_by:
+        terms = []
+        for c, asc in order_by:
+            label = _metric_label(c) if not isinstance(c, str) else c
+            terms.append(f"{_sql_ident(label)}{'' if asc else ' DESC'}")
+        sql += " ORDER BY " + ", ".join(terms)
+    row_limit = form_data.get("row_limit")
+    if row_limit:
+        sql += f" LIMIT {int(row_limit)}"
+    return sql

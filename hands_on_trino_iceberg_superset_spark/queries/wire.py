@@ -19,12 +19,40 @@ import urllib.request
 from pyspark.sql import DataFrame, SparkSession
 
 from hands_on_trino_iceberg_superset_spark.queries.base import register
+from hands_on_trino_iceberg_superset_spark.queries.reference import SEED_CTE
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 
 WIRE_SQL = (
     "SELECT o_orderstatus AS status, count(*) AS n_orders "
     "FROM orders GROUP BY o_orderstatus"
 )
+
+
+def _drain_statement(base_url: str, sql: str) -> list[list]:
+    """POST one statement and drain the paged Trino protocol with a
+    stdlib client that knows nothing about Spark; returns the raw
+    JSON rows that crossed the wire."""
+    req = urllib.request.Request(
+        f"{base_url}/v1/statement",
+        data=sql.encode(),
+        method="POST",
+        headers={"X-Trino-User": "driver"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        payload = json.load(resp)
+    if "error" in payload:
+        raise RuntimeError(payload["error"]["message"])
+    rows = list(payload.get("data", []))
+    while "nextUri" in payload:
+        with urllib.request.urlopen(payload["nextUri"]) as resp:
+            payload = json.load(resp)
+        # a page-fetch failure (cancelled/evicted query) arrives as
+        # an error payload with no nextUri — returning the truncated
+        # rows as a normal result would be a silent wrong answer
+        if "error" in payload:
+            raise RuntimeError(payload["error"]["message"])
+        rows.extend(payload.get("data", []))
+    return rows
 
 
 @register(
@@ -48,27 +76,7 @@ def sql_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = TrinoWireServer(Engine(spark), port=0)
     srv.start()
     try:
-        req = urllib.request.Request(
-            f"{srv.url}/v1/statement",
-            data=WIRE_SQL.encode(),
-            method="POST",
-            headers={"X-Trino-User": "driver"},
-        )
-        with urllib.request.urlopen(req) as resp:
-            payload = json.load(resp)
-        if "error" in payload:
-            raise RuntimeError(payload["error"]["message"])
-        rows = list(payload.get("data", []))
-        while "nextUri" in payload:
-            with urllib.request.urlopen(payload["nextUri"]) as resp:
-                payload = json.load(resp)
-            # a page-fetch failure (cancelled/evicted query) arrives
-            # as an error payload with no nextUri — returning the
-            # truncated rows as a normal result would be a silent
-            # wrong answer
-            if "error" in payload:
-                raise RuntimeError(payload["error"]["message"])
-            rows.extend(payload.get("data", []))
+        rows = _drain_statement(srv.url, WIRE_SQL)
     finally:
         srv.stop()
     return spark.createDataFrame(
@@ -146,4 +154,73 @@ def catalog_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "bi_chart_over_http",
+    oracle=SEED_CTE
+    + """
+    SELECT currency, transaction_type,
+           count(*) AS count,
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+    FROM seed_transactions
+    GROUP BY currency, transaction_type
+    ORDER BY count DESC, currency, transaction_type
+    """,
+    doc="The reference's entry point B closed end to end (SURVEY "
+        "§3.2): a Superset chart's form_data blob compiled to SQL "
+        "TEXT (bi/compiler.py form_data_to_sql — what Superset sends "
+        "its Trino database at view time), POSTed through the Trino "
+        "REST wire server, paged back as a JSON result grid, and "
+        "re-stated as a DataFrame. Same chart and oracle as "
+        "bi_chart_agg_transactions, so a hash match proves the SQL "
+        "emission, the wire round trip, and the JSON decimal "
+        "encoding all preserve the chart's values.",
+)
+def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+    from hands_on_trino_iceberg_superset_spark.seed import seed_frames
+    from hands_on_trino_iceberg_superset_spark.server import TrinoWireServer
+
+    tx = seed_frames(spark)["transactions"].withColumn(
+        "amount_dec", dec("amount")
+    )
+    tx.createOrReplaceTempView("seed_transactions_wire")
+    sql = form_data_to_sql(
+        "seed_transactions_wire",
+        {
+            "query_mode": "aggregate",
+            "groupby": ["currency", "transaction_type"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "sum_amount"},
+            ],
+            "order_by": [["count", False], ["currency", True],
+                         ["transaction_type", True]],
+        },
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(srv.url, sql)
+    finally:
+        srv.stop()
+    # decimals cross the wire as strings (Trino client shape);
+    # restate them at the declared type before the double cast so
+    # the result is bit-identical to the Catalyst-native chart
+    out = spark.createDataFrame(
+        [(r[0], r[1], int(r[2]), r[3]) for r in rows],
+        "currency string, transaction_type string, "
+        "count long, sum_amount string",
+    )
+    return out.withColumn(
+        "sum_amount", dbl(F.col("sum_amount").cast("decimal(18,2)"))
     )

@@ -136,3 +136,56 @@ def test_dashboard_position_has_root(spark):
     pos = d.position_json()
     assert pos["ROOT_ID"]["children"] == ["GRID_ID"]
     assert pos["GRID_ID"]["parents"] == ["ROOT_ID"]
+
+
+def test_form_data_to_sql_shapes(spark):
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+
+    # aggregate mode with builtin + adhoc metrics
+    sql = form_data_to_sql("t", {
+        "query_mode": "aggregate",
+        "groupby": ["a", "b"],
+        "metrics": ["count",
+                    {"aggregate": "SUM", "column": "x", "label": "sx"}],
+        "order_by": [["count", False], ["a", True]],
+        "row_limit": 10,
+    })
+    assert sql == ("SELECT a, b, count(*) AS count, sum(x) AS sx "
+                   "FROM t GROUP BY a, b ORDER BY count DESC, a "
+                   "LIMIT 10")
+
+    # raw mode + explicit time range; metric-shaped order_by dropped
+    sql = form_data_to_sql("t", {
+        "query_mode": "raw",
+        "all_columns": ["a"],
+        "granularity_sqla": "ts",
+        "time_range": "2025-01-01 00:00:00 : 2025-02-01 00:00:00",
+        "order_by": [["count", False], ["a", True]],
+    })
+    assert sql == ("SELECT a FROM t"
+                   " WHERE ts >= TIMESTAMP '2025-01-01 00:00:00'"
+                   " AND ts < TIMESTAMP '2025-02-01 00:00:00'"
+                   " ORDER BY a")
+
+    # the emitted SQL actually runs on the engine
+    spark.createDataFrame(
+        [("u", 1.0), ("u", 2.0), ("v", 3.0)], "a string, x double"
+    ).createOrReplaceTempView("t")
+    got = spark.sql(form_data_to_sql("t", {
+        "query_mode": "aggregate", "groupby": ["a"],
+        "metrics": [{"aggregate": "SUM", "column": "x", "label": "sx"}],
+        "order_by": [["a", True]],
+    })).collect()
+    assert [(r.a, r.sx) for r in got] == [("u", 3.0), ("v", 3.0)]
+
+    # injection-shaped identifiers are rejected, not quoted
+    import pytest
+
+    for bad in ("a;drop", 'a"b', "a b", "a-b"):
+        with pytest.raises(ValueError):
+            form_data_to_sql("t", {"query_mode": "raw",
+                                   "all_columns": [bad]})
+    with pytest.raises(ValueError):
+        form_data_to_sql("t; --", {"query_mode": "raw"})
