@@ -31,6 +31,14 @@ read, and merge):
 - ``POST   /api/v2/trees/{branch}@{hash}/history/commit``
 - ``POST   /api/v2/trees/{branch}@{hash}/history/merge``
 
+Stated subset limits (vs the full Nessie API v2): only
+``ICEBERG_TABLE`` content is modeled — no ``NAMESPACE`` content
+objects (namespaces exist implicitly through dotted keys, which is
+all the reference stack uses on its single ``main`` branch), no TAG
+references (``type=TAG`` is rejected with 400 rather than silently
+downgraded), and conflicts surface as one 409 class with the
+offending keys rather than Nessie's detailed conflict taxonomy.
+
 Scale note: a Nessie catalog is control-plane metadata — commits are
 key->pointer maps (bytes per table, not per row), so the in-memory
 commit DAG + a global lock is the right shape at any data scale; the

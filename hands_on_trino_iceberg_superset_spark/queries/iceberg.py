@@ -415,3 +415,66 @@ def iceberg_continuous_aggregate(spark: SparkSession,
         F.col("n_events").cast("long").alias("n_events"),
         dbl(F.col("total_value")).alias("total_value"),
     )
+
+
+def _compacted_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """MOR table driven past the delete-ratio threshold, then
+    auto-compacted: delete-heavy state planted (12.5% of rows as
+    positional deletes), compact_if_delete_heavy fires, and the
+    fixture FAILS LOUDLY if the trigger doesn't fire or leaves
+    delete files behind — the maintenance loop itself is under the
+    oracle gate, not just the final values."""
+    key = (spark.sparkContext.applicationId, sf_dir, "orders_compacted")
+    hit = _CACHE.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="iceberg_autocompact_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders,
+                            partition_by="o_orderstatus")
+    t.delete("o_orderkey % 8 = 1", mode="merge-on-read")
+    if not t.compact_if_delete_heavy(max_delete_ratio=0.05):
+        raise RuntimeError("delete-heavy table did not trigger "
+                           "compaction")
+    _CACHE[key] = t
+    return t
+
+
+@register(
+    "iceberg_auto_compaction",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 8 <> 1
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Automated MOR maintenance in the inventory "
+        "(compact_if_delete_heavy, lakehouse/iceberg.py): a "
+        "merge-on-read DELETE plants 12.5% delete rows, the "
+        "metadata-only ratio trigger fires rewrite_data_files, and "
+        "the query reads the compacted table through a FRESH "
+        "metadata adoption, raising if any delete file survives — "
+        "so the driver hash gates both the trigger and the "
+        "rewritten values. The read tax this removes is measured in "
+        "PERF.md (2.3 s MOR read vs 0.19 s post-compaction).",
+)
+def iceberg_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _compacted_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    if adopted.plan_scan().deletes:
+        raise RuntimeError("compaction left delete files behind")
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -87,6 +87,24 @@ QUERIES = [
     "text_perplexity_buckets",
     # PSI drift: two vocab-bounded histograms + the sources-x-K grid
     "corpus_drift_report",
+    # SCD-2: ONE shuffle on the dimension key for history build;
+    # as-of attribution is an equi join + residual range predicate
+    "scd2_customer_segment_history",
+    "scd2_asof_revenue_by_segment",
+    # prefix-sum batch planning over narrow (doc_id, n_tokens) rows
+    "inference_batch_plan",
+    # line dedup: explode -> md5(line) window -> doc regroup (noop
+    # basis; count() under-timed this 30x before the basis fix)
+    "dedup_lines",
+    # streaming intake gate: map-only scoring + bounded aggregate
+    "stream_document_quality",
+    # IVF-routed hard negatives, PROBE PATH ONLY (pseudo-query,
+    # special-cased in measure_one): anchors scale with the corpus,
+    # so the exact all-pairs form measured 521x at 100x — this row
+    # is the sublinear replacement (n_probe/n_centroids of the
+    # corpus per anchor). The inventory query additionally pays the
+    # exact side as its recall gate; production mining runs this.
+    "hard_negatives_ivf_probe_only",
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
@@ -172,6 +190,9 @@ def measure_one(name: str, dirs: list[str]) -> None:
     spark = get_spark("scale-bench-one")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(10).mapInPandas(lambda it: it, "id long").count()
+    if name == "hard_negatives_ivf_probe_only":
+        _measure_hard_negative_probe(spark, dirs)
+        return
     spec = load_all()[name]
     for d in dirs:
         best, rows = None, None
@@ -189,6 +210,41 @@ def measure_one(name: str, dirs: list[str]) -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         rows = spec.spark(spark, d).count()
+        print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_hard_negative_probe(spark, dirs: list[str]) -> None:
+    """The ann_hard_negatives_ivf PROBE path in isolation (the
+    inventory query also recomputes the exact all-pairs form as its
+    recall gate, which is the measured 521x-at-100x quadratic).
+    Index build is the amortized ingest product — untimed, like the
+    bench prewarm; the timed part is anchors (every 100th vector,
+    scaling WITH the corpus) probing the celled store with the
+    same-label drop in the probe join."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.similarity import (
+        _ivf_index,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings")
+        idx = _ivf_index(spark, d)  # per-sf_dir artifact, cached
+        anchors = emb.where(F.col("vec_id") % 100 == 0)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            probe = S.ivf_probe(anchors, idx, k=5, n_probe=8,
+                                exclude_cols=["label"])
+            probe.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows = S.ivf_probe(anchors, idx, k=5, n_probe=8,
+                           exclude_cols=["label"]).count()
         print(f"RESULT {rows},{best:.4f}", flush=True)
 
 
