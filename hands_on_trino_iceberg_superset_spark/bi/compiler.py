@@ -171,6 +171,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     this one exists so the wire query (queries/wire.py
     bi_chart_over_http) can close the full loop: form_data -> SQL ->
     HTTP -> result grid."""
+    import re
+
     mode = form_data.get("query_mode", "raw")
     where = ""
     rng = form_data.get("time_range", "No filter")
@@ -182,13 +184,25 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
                 f"unsupported time_range {rng!r}: use 'No filter' "
                 "or explicit '<start> : <end>' ISO bounds"
             )
+        # the bounds land inside TIMESTAMP '...' literals: validate
+        # the full ISO shape so a quote smuggled into the form_data
+        # blob can't escape the literal and rewrite the predicate —
+        # same injection posture as _sql_ident
+        ts = re.compile(
+            r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?"
+        )
         conds = []
-        if start:
+        for bound, op in ((start, ">="), (end, "<")):
+            if not bound:
+                continue
+            if not ts.fullmatch(bound):
+                raise ValueError(
+                    f"time_range bound {bound!r} is not an ISO "
+                    "timestamp"
+                )
             conds.append(
-                f"{_sql_ident(time_col)} >= TIMESTAMP '{start}'"
+                f"{_sql_ident(time_col)} {op} TIMESTAMP '{bound}'"
             )
-        if end:
-            conds.append(f"{_sql_ident(time_col)} < TIMESTAMP '{end}'")
         if conds:
             where = " WHERE " + " AND ".join(conds)
 
@@ -196,11 +210,19 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     if mode == "raw":
         cols = form_data.get("all_columns")
         select = ", ".join(_sql_ident(c) for c in cols) if cols else "*"
-        out_cols = set(cols or [])
         group = ""
+        # Superset ignores metric-shaped order_by in raw mode (the
+        # reference's raw blob carries order_by [["count", false]]);
+        # the Catalyst twin filters against the dataset's columns,
+        # but SQL-text compilation has no schema — so only entries
+        # provably in all_columns survive, and with no all_columns
+        # every entry is dropped rather than emitted unverified
+        # (SELECT * ... ORDER BY count would fail at execution on
+        # the documented reference input)
+        out_cols = set(cols or [])
         order_by = [
             ob for ob in order_by
-            if isinstance(ob[0], str) and (not cols or ob[0] in out_cols)
+            if isinstance(ob[0], str) and ob[0] in out_cols
         ]
     elif mode == "aggregate":
         groupby = [_sql_ident(c) for c in form_data.get("groupby") or []]

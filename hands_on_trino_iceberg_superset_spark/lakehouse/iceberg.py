@@ -1645,10 +1645,11 @@ class IcebergTable:
         plan = self.plan_scan()
         if not plan.deletes:
             return False
-        # record_count may be -1 on foreign delete files with no
-        # count stat; treat unknown as heavy (compacting is safe,
-        # silently skipping is not)
-        unknown = any(d.record_count < 0 for d in plan.deletes)
+        # record_count may be -1 on foreign metadata with no count
+        # stat — on either side of the ratio; treat unknown as heavy
+        # (compacting is safe, silently skipping is not)
+        unknown = any(d.record_count < 0 for d in plan.deletes) or \
+            any(f.record_count < 0 for f in plan.files)
         del_rows = sum(max(0, d.record_count) for d in plan.deletes)
         data_rows = sum(max(0, f.record_count) for f in plan.files)
         if not unknown and (

@@ -189,3 +189,39 @@ def test_form_data_to_sql_shapes(spark):
                                    "all_columns": [bad]})
     with pytest.raises(ValueError):
         form_data_to_sql("t; --", {"query_mode": "raw"})
+
+
+def test_form_data_to_sql_time_bounds_are_injection_hardened():
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+
+    # a quote smuggled into a time bound must not escape the literal
+    for rng in ("2020-01-01' OR '1'='1 : ",
+                " : 2020-01-01'; DROP TABLE t --",
+                "now : ", "Last week : tomorrow"):
+        with pytest.raises(ValueError):
+            form_data_to_sql("t", {
+                "query_mode": "raw",
+                "granularity_sqla": "ts",
+                "time_range": rng,
+            })
+    # legit shapes still compile: date-only and fractional seconds
+    sql = form_data_to_sql("t", {
+        "query_mode": "raw",
+        "granularity_sqla": "ts",
+        "time_range": "2020-01-01 : 2020-02-01 12:30:00.5",
+    })
+    assert "ts >= TIMESTAMP '2020-01-01'" in sql
+    assert "ts < TIMESTAMP '2020-02-01 12:30:00.5'" in sql
+
+    # raw mode without all_columns drops ALL order_by entries (the
+    # reference's raw blob carries [["count", false]]; SELECT * ...
+    # ORDER BY count would fail at execution)
+    sql = form_data_to_sql("t", {
+        "query_mode": "raw",
+        "order_by": [["count", False], ["a", True]],
+    })
+    assert sql == "SELECT * FROM t"

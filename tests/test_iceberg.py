@@ -1709,3 +1709,32 @@ def test_compact_if_delete_heavy_trigger(spark, tmp_root):
 
     with pytest.raises(ValueError):
         t.compact_if_delete_heavy(max_delete_ratio=0)
+
+
+def test_compact_if_delete_heavy_unknown_counts_compact(
+    spark, tmp_root, monkeypatch
+):
+    """Foreign metadata may omit record_count (plan_scan yields -1);
+    unknown stats on EITHER side of the ratio must compact rather
+    than silently skip — max(0,-1) on the data side would otherwise
+    zero the denominator and the guard would never fire."""
+    import dataclasses
+
+    path = os.path.join(tmp_root, "mor_unknown")
+    t = IcebergTable.create(
+        spark, path, spark.range(100).selectExpr("id")
+    )
+    t.delete("id = 1", mode="merge-on-read")  # 1% — below threshold
+
+    real_plan = t.plan_scan()
+
+    def doctored(*a, **k):
+        files = [dataclasses.replace(f, record_count=-1)
+                 for f in real_plan.files]
+        return dataclasses.replace(real_plan, files=files)
+
+    monkeypatch.setattr(t, "plan_scan", doctored)
+    assert t.compact_if_delete_heavy(max_delete_ratio=0.05) is True
+    monkeypatch.undo()
+    assert t.plan_scan().deletes == []
+    assert t.read().count() == 99

@@ -70,9 +70,10 @@ QUERIES = [
     # measures the one corpus-sized shuffle + the driver-routed loop
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
-    # quantized SemDeDup: fixed 8-cell quantizer, so per-cell pair
-    # work grows ~100x at 10x rows — the measured reminder that the
-    # quantizer's cell count must scale with the corpus
+    # quantized SemDeDup: cells sized via auto_centroids since r6
+    # (the r5 row measured the fixed-8-cell failure mode at ~100x
+    # pair work per 10x rows; cell count now grows with the corpus
+    # and the max cell stays bounded — see the histogram gate test)
     "dedup_semantic_quantized",
     # packing: the distributed prefix sum (3 cached passes) + one
     # token-stream shuffle — should scale ~linearly in tokens
