@@ -85,10 +85,35 @@ _TOKS = "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
     doc="Gopher-style repetition rules: most-frequent-token fraction "
         "and most-frequent-bigram coverage per document, with the "
         "composite keep/drop gate. Pure higher-order array "
-        "expressions — zero shuffles, fully codegen'd, O(distinct "
-        "tokens x tokens) per row on ~100-token documents.",
+        "expressions — zero shuffles. Max multiplicity is computed "
+        "as the longest equal-run of the SORTED array (one "
+        "aggregate() pass), O(n log n) per row instead of the "
+        "O(distinct x n) nested filter that rebuilt the bigram "
+        "array per distinct bigram (measured 16.9 s -> ~1 s at "
+        "sf0.1 on the noop basis).",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def max_run(arr_sql: str) -> str:
+        # longest run of equal adjacent elements in a sorted array
+        # == max multiplicity; one linear aggregate() pass, null-safe
+        # prev so the first element starts a run of 1
+        return (
+            f"aggregate(array_sort({arr_sql}), "
+            "named_struct('best', 0, 'cur', 0, "
+            "             'prev', cast(null as string)), "
+            "(acc, x) -> named_struct("
+            "  'best', greatest(acc.best, "
+            "                   if(x <=> acc.prev, acc.cur + 1, 1)), "
+            "  'cur', if(x <=> acc.prev, acc.cur + 1, 1), "
+            "  'prev', x), "
+            "acc -> acc.best)"
+        )
+
+    bigrams = (
+        "transform(sequence(1, size(toks) - 1), "
+        "  i -> concat(element_at(toks, i), ' ', "
+        "              element_at(toks, i + 1)))"
+    )
     docs = _docs(spark, sf_dir)
     base = docs.select(
         "doc_id",
@@ -96,19 +121,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.expr(
-            "array_max(transform(array_distinct(toks), "
-            "x -> size(filter(toks, y -> y = x))))"
-        ).alias("top_tok"),
-        F.expr(
-            "array_max(transform("
-            "  array_distinct(transform(sequence(1, size(toks) - 1), "
-            "    i -> concat(element_at(toks, i), ' ', "
-            "                element_at(toks, i + 1)))), "
-            "  x -> size(filter(transform(sequence(1, size(toks) - 1), "
-            "    i -> concat(element_at(toks, i), ' ', "
-            "                element_at(toks, i + 1))), y -> y = x))))"
-        ).alias("top_bg"),
+        F.expr(max_run("toks")).alias("top_tok"),
+        F.expr(max_run(bigrams)).alias("top_bg"),
     )
     top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
     top_bg_frac = (2 * F.col("top_bg")).cast("double") / F.col("n_tokens")
