@@ -56,16 +56,21 @@ import org.w3c.dom.NodeList;
  * iceberg.properties:13-14), every request is signed with AWS
  * Signature Version 4 (region {@code fs.s3a.endpoint.region},
  * default us-east-1) — signed headers host, x-amz-date,
- * x-amz-content-sha256 (real payload hash; we buffer whole objects
- * anyway) plus x-amz-copy-source on server-side copies. With no
- * credentials configured, requests go out unsigned (dev endpoints
- * with auth disabled).
+ * x-amz-content-sha256 (real payload hash; writes buffer the whole
+ * object) plus x-amz-copy-source on copies and Range on windowed
+ * reads. With no credentials configured, requests go out unsigned
+ * (dev endpoints with auth disabled).
  *
- * Scope (deliberate): whole-object buffering on read and write
- * (lakehouse test files; ranged GET exists server-side for a future
- * streaming read), and directory markers (zero-byte {@code key/}
- * objects) so empty directories created by commit protocols exist
- * before their first file lands. Register with
+ * Reads are RANGED: {@code open()} serves a lazy windowed stream
+ * (HTTP Range GETs of {@code fs.s3a.lite.readahead} bytes, default
+ * 1 MiB) — the access pattern a parquet reader needs at scale
+ * (footer, then column chunks; a whole-object buffer of a 1 GB file
+ * to read its 8-byte footer length would be the classic S3 parquet
+ * anti-pattern). Writes buffer whole objects (lakehouse commit
+ * files are small; multipart upload is the production path for
+ * large writes). Directory markers (zero-byte {@code key/} objects)
+ * make empty directories created by commit protocols exist before
+ * their first file lands. Register with
  * {@code fs.s3a.impl=lakeshine.S3aLiteFileSystem} and
  * {@code fs.s3a.endpoint=http://...}.
  */
@@ -78,6 +83,7 @@ public class S3aLiteFileSystem extends FileSystem {
   private String secretKey;
   private String region;
   private boolean signRequests;
+  private int readahead;
   private Path workingDir = new Path("/");
 
   @Override
@@ -94,6 +100,8 @@ public class S3aLiteFileSystem extends FileSystem {
     this.secretKey = conf.getTrimmed("fs.s3a.secret.key", "");
     this.region = conf.getTrimmed("fs.s3a.endpoint.region", "us-east-1");
     this.signRequests = !accessKey.isEmpty() && !secretKey.isEmpty();
+    this.readahead = (int) Math.max(
+        1, conf.getLong("fs.s3a.lite.readahead", 1 << 20));
   }
 
   @Override
@@ -280,21 +288,23 @@ public class S3aLiteFileSystem extends FileSystem {
     throw new IOException("HEAD " + k + " -> " + code);
   }
 
-  private byte[] getObject(String k) throws IOException {
+  /** Ranged GET of [lo, hi] inclusive. Accepts 206 (the ranged
+   * reply) and 200 (a server that ignores Range and returns the
+   * whole object — sliced locally so callers always get exactly the
+   * requested window). */
+  private byte[] getRange(String k, long lo, long hi) throws IOException {
     URL u = objectUrl(k);
     HttpURLConnection c = conn("GET", u);
-    sign(c, "GET", u, null, Map.of());
+    sign(c, "GET", u, null,
+        Map.of("Range", "bytes=" + lo + "-" + hi));
     int code = c.getResponseCode();
     if (code == 404) {
       c.disconnect();
       throw new FileNotFoundException("s3a://" + bucket + "/" + k);
     }
-    if (code != 200) {
-      // a transient 5xx must NOT read as "absent" (same rule as
-      // headLength): server trouble is an IO error, not a missing
-      // file
+    if (code != 206 && code != 200) {
       c.disconnect();
-      throw new IOException("GET " + k + " -> " + code);
+      throw new IOException("GET range " + k + " -> " + code);
     }
     try (InputStream in = c.getInputStream();
          ByteArrayOutputStream out = new ByteArrayOutputStream()) {
@@ -303,7 +313,15 @@ public class S3aLiteFileSystem extends FileSystem {
       while ((n = in.read(buf)) > 0) {
         out.write(buf, 0, n);
       }
-      return out.toByteArray();
+      byte[] body = out.toByteArray();
+      if (code == 200) {
+        int from = (int) Math.min(lo, body.length);
+        int to = (int) Math.min(hi + 1, body.length);
+        byte[] slice = new byte[Math.max(0, to - from)];
+        System.arraycopy(body, from, slice, 0, slice.length);
+        return slice;
+      }
+      return body;
     } finally {
       c.disconnect();
     }
@@ -489,20 +507,29 @@ public class S3aLiteFileSystem extends FileSystem {
 
   // ----------------------------------------------------------- read
 
-  private static final class BytesIn extends FSInputStream {
-    private final byte[] data;
-    private int pos;
+  /** Lazy windowed reader over ranged GETs: seeks are free (no
+   * fetch until the next read), each miss pulls one readahead-sized
+   * window starting at the current position — the parquet access
+   * pattern (footer at the tail, then per-column chunk ranges)
+   * costs O(ranges touched), never O(object size). */
+  private final class RangedIn extends FSInputStream {
+    private final String k;
+    private final long length;
+    private long pos;
+    private byte[] window = new byte[0];
+    private long windowStart;
 
-    BytesIn(byte[] data) {
-      this.data = data;
+    RangedIn(String k, long length) {
+      this.k = k;
+      this.length = length;
     }
 
     @Override
     public synchronized void seek(long p) throws IOException {
-      if (p < 0 || p > data.length) {
-        throw new EOFException("seek " + p + " of " + data.length);
+      if (p < 0 || p > length) {
+        throw new EOFException("seek " + p + " of " + length);
       }
-      pos = (int) p;
+      pos = p;
     }
 
     @Override
@@ -515,21 +542,41 @@ public class S3aLiteFileSystem extends FileSystem {
       return false;
     }
 
-    @Override
-    public synchronized int read() {
-      return pos < data.length ? (data[pos++] & 0xff) : -1;
+    private void ensureWindow() throws IOException {
+      if (pos >= windowStart && pos < windowStart + window.length) {
+        return;
+      }
+      long hi = Math.min(length, pos + readahead) - 1;
+      window = getRange(k, pos, hi);
+      windowStart = pos;
+      if (window.length == 0) {
+        throw new IOException(
+            "empty range reply at " + pos + " of " + k);
+      }
     }
 
     @Override
-    public synchronized int read(byte[] b, int off, int len) {
+    public synchronized int read() throws IOException {
+      if (pos >= length) {
+        return -1;
+      }
+      ensureWindow();
+      return window[(int) (pos++ - windowStart)] & 0xff;
+    }
+
+    @Override
+    public synchronized int read(byte[] b, int off, int len)
+        throws IOException {
       if (len == 0) {
         return 0; // InputStream contract: zero-length read is not EOF
       }
-      if (pos >= data.length) {
+      if (pos >= length) {
         return -1;
       }
-      int n = Math.min(len, data.length - pos);
-      System.arraycopy(data, pos, b, off, n);
+      ensureWindow();
+      int avail = (int) (windowStart + window.length - pos);
+      int n = Math.min(len, avail);
+      System.arraycopy(window, (int) (pos - windowStart), b, off, n);
       pos += n;
       return n;
     }
@@ -538,7 +585,12 @@ public class S3aLiteFileSystem extends FileSystem {
   @Override
   public FSDataInputStream open(Path f, int bufferSize)
       throws IOException {
-    return new FSDataInputStream(new BytesIn(getObject(key(f))));
+    String k = key(f);
+    long len = headLength(k);
+    if (len < 0) {
+      throw new FileNotFoundException("s3a://" + bucket + "/" + k);
+    }
+    return new FSDataInputStream(new RangedIn(k, len));
   }
 
   // ---------------------------------------------------------- write

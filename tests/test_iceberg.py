@@ -1720,7 +1720,7 @@ def test_compact_if_delete_heavy_unknown_counts_compact(
     zero the denominator and the guard would never fire."""
     import dataclasses
 
-    path = os.path.join(tmp_root, "mor_unknown")
+    path = os.path.join(tmp_root, "mor_unknown_counts")
     t = IcebergTable.create(
         spark, path, spark.range(100).selectExpr("id")
     )
