@@ -66,9 +66,12 @@ import org.w3c.dom.NodeList;
  * 1 MiB) — the access pattern a parquet reader needs at scale
  * (footer, then column chunks; a whole-object buffer of a 1 GB file
  * to read its 8-byte footer length would be the classic S3 parquet
- * anti-pattern). Writes buffer whole objects (lakehouse commit
- * files are small; multipart upload is the production path for
- * large writes). Directory markers (zero-byte {@code key/} objects)
+ * anti-pattern). Writes are PART-BUFFERED: objects under one
+ * {@code fs.s3a.lite.part.size} (default 32 MiB) go as a single
+ * PUT; larger objects stream through the multipart protocol
+ * (initiate / UploadPart / complete — S3's required path past 5 GB),
+ * so writer memory is bounded by one part, never the object.
+ * Directory markers (zero-byte {@code key/} objects)
  * make empty directories created by commit protocols exist before
  * their first file lands. Register with
  * {@code fs.s3a.impl=lakeshine.S3aLiteFileSystem} and
@@ -84,6 +87,7 @@ public class S3aLiteFileSystem extends FileSystem {
   private String region;
   private boolean signRequests;
   private int readahead;
+  private int partSize;
   private Path workingDir = new Path("/");
 
   @Override
@@ -102,6 +106,8 @@ public class S3aLiteFileSystem extends FileSystem {
     this.signRequests = !accessKey.isEmpty() && !secretKey.isEmpty();
     this.readahead = (int) Math.max(
         1, conf.getLong("fs.s3a.lite.readahead", 1 << 20));
+    this.partSize = (int) Math.max(
+        1, conf.getLong("fs.s3a.lite.part.size", 32L << 20));
   }
 
   @Override
@@ -595,12 +601,131 @@ public class S3aLiteFileSystem extends FileSystem {
 
   // ---------------------------------------------------------- write
 
-  private final class BytesOut extends ByteArrayOutputStream {
+  private String initiateMultipart(String k) throws IOException {
+    URL u = new URL(objectUrl(k) + "?uploads=");
+    HttpURLConnection c = conn("POST", u);
+    sign(c, "POST", u, null, Map.of());
+    int code = c.getResponseCode();
+    if (code != 200) {
+      c.disconnect();
+      throw new IOException("initiate multipart " + k + " -> " + code);
+    }
+    try (InputStream in = c.getInputStream()) {
+      DocumentBuilder b =
+          DocumentBuilderFactory.newInstance().newDocumentBuilder();
+      Document d = b.parse(in);
+      NodeList ids = d.getElementsByTagName("UploadId");
+      if (ids.getLength() == 0) {
+        throw new IOException("initiate reply carried no UploadId");
+      }
+      return ids.item(0).getTextContent();
+    } catch (IOException e) {
+      throw e;
+    } catch (Exception e) {
+      throw new IOException("bad initiate reply", e);
+    } finally {
+      c.disconnect();
+    }
+  }
+
+  private String uploadPart(String k, String uploadId, int partNumber,
+      byte[] data) throws IOException {
+    URL u = new URL(objectUrl(k) + "?partNumber=" + partNumber
+        + "&uploadId=" + URLEncoder.encode(uploadId,
+            StandardCharsets.UTF_8));
+    HttpURLConnection c = conn("PUT", u);
+    c.setDoOutput(true);
+    sign(c, "PUT", u, data, Map.of());
+    c.setFixedLengthStreamingMode(data.length);
+    try (OutputStream out = c.getOutputStream()) {
+      out.write(data);
+    }
+    int code = c.getResponseCode();
+    String etag = c.getHeaderField("ETag");
+    c.disconnect();
+    if (code != 200) {
+      throw new IOException(
+          "upload part " + partNumber + " of " + k + " -> " + code);
+    }
+    return etag == null ? "\"\"" : etag;
+  }
+
+  private void completeMultipart(String k, String uploadId,
+      List<String> etags) throws IOException {
+    StringBuilder xml =
+        new StringBuilder("<CompleteMultipartUpload>");
+    for (int i = 0; i < etags.size(); i++) {
+      xml.append("<Part><PartNumber>").append(i + 1)
+          .append("</PartNumber><ETag>").append(etags.get(i))
+          .append("</ETag></Part>");
+    }
+    xml.append("</CompleteMultipartUpload>");
+    byte[] body = xml.toString().getBytes(StandardCharsets.UTF_8);
+    URL u = new URL(objectUrl(k) + "?uploadId="
+        + URLEncoder.encode(uploadId, StandardCharsets.UTF_8));
+    HttpURLConnection c = conn("POST", u);
+    c.setDoOutput(true);
+    sign(c, "POST", u, body, Map.of());
+    c.setFixedLengthStreamingMode(body.length);
+    try (OutputStream out = c.getOutputStream()) {
+      out.write(body);
+    }
+    int code = c.getResponseCode();
+    c.disconnect();
+    if (code != 200) {
+      throw new IOException("complete multipart " + k + " -> " + code);
+    }
+  }
+
+  /** Part-buffered writer: objects under one part size go out as a
+   * single PUT (the lakehouse-commit-file case); anything larger
+   * streams through the multipart protocol (initiate, one PUT per
+   * {@code fs.s3a.lite.part.size} bytes, complete) — S3's required
+   * path past 5 GB and the production path for large task outputs,
+   * with all-or-nothing visibility (staged parts are invisible
+   * until complete). Memory stays bounded by ONE part, never the
+   * whole object. */
+  private final class PartedOut extends OutputStream {
     private final String k;
+    private ByteArrayOutputStream buf = new ByteArrayOutputStream();
+    private String uploadId;
+    private final List<String> etags = new ArrayList<>();
     private boolean closed;
 
-    BytesOut(String k) {
+    PartedOut(String k) {
       this.k = k;
+    }
+
+    @Override
+    public void write(int b) throws IOException {
+      buf.write(b);
+      if (buf.size() >= partSize) {
+        flushPart();
+      }
+    }
+
+    @Override
+    public void write(byte[] b, int off, int len) throws IOException {
+      // fill to part boundaries so parts are exactly partSize
+      while (len > 0) {
+        int room = partSize - buf.size();
+        int n = Math.min(room, len);
+        buf.write(b, off, n);
+        off += n;
+        len -= n;
+        if (buf.size() >= partSize) {
+          flushPart();
+        }
+      }
+    }
+
+    private void flushPart() throws IOException {
+      if (uploadId == null) {
+        uploadId = initiateMultipart(k);
+      }
+      etags.add(uploadPart(k, uploadId, etags.size() + 1,
+          buf.toByteArray()));
+      buf = new ByteArrayOutputStream();
     }
 
     @Override
@@ -609,7 +734,14 @@ public class S3aLiteFileSystem extends FileSystem {
         return;
       }
       closed = true;
-      putObject(k, toByteArray());
+      if (uploadId == null) {
+        putObject(k, buf.toByteArray());
+        return;
+      }
+      if (buf.size() > 0) {
+        flushPart();
+      }
+      completeMultipart(k, uploadId, etags);
     }
   }
 
@@ -620,7 +752,7 @@ public class S3aLiteFileSystem extends FileSystem {
     if (!overwrite && headLength(key(f)) >= 0) {
       throw new IOException("already exists: " + f);
     }
-    return new FSDataOutputStream(new BytesOut(key(f)), statistics);
+    return new FSDataOutputStream(new PartedOut(key(f)), statistics);
   }
 
   @Override

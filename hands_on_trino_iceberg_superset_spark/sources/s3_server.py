@@ -57,6 +57,9 @@ class MiniS3Server:
         self._lock = threading.Lock()
         #: bucket -> {key -> bytes}
         self._buckets: dict[str, dict[str, bytes]] = {}
+        #: (bucket, key, upload_id) -> {part_number -> bytes}
+        self._uploads: dict[tuple, dict[int, bytes]] = {}
+        self._upload_seq = 0
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -71,7 +74,10 @@ class MiniS3Server:
                 parts = u.path.lstrip("/").split("/", 1)
                 bucket = unquote(parts[0]) if parts[0] else ""
                 key = unquote(parts[1]) if len(parts) > 1 else ""
-                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                # keep_blank_values: multipart markers travel as
+                # bare '?uploads=' / '?uploadId=...' params
+                q = {k: v[0] for k, v in
+                     parse_qs(u.query, keep_blank_values=True).items()}
                 return bucket, key, q
 
             def _send(self, code: int, body: bytes = b"",
@@ -118,10 +124,21 @@ class MiniS3Server:
             # -------------------------------------------- methods
 
             def do_PUT(self) -> None:  # noqa: N802
-                bucket, key, _ = self._split()
+                bucket, key, q = self._split()
                 n = int(self.headers.get("Content-Length") or 0)
                 data = self.rfile.read(n) if n else b""
                 if not self._auth(data):
+                    return
+                if "uploadId" in q and "partNumber" in q:
+                    # UploadPart: stage the part under its upload id
+                    with store._lock:
+                        up = store._uploads.get((bucket, key,
+                                                 q["uploadId"]))
+                        if up is None:
+                            self._404()
+                            return
+                        up[int(q["partNumber"])] = data
+                    self._send(200, extra={"ETag": '"0"'})
                     return
                 src = self.headers.get("x-amz-copy-source")
                 with store._lock:
@@ -200,9 +217,60 @@ class MiniS3Server:
                                  "application/octet-stream")
                 self.end_headers()
 
+            def do_POST(self) -> None:  # noqa: N802
+                """Multipart upload control plane: ``?uploads``
+                initiates, ``?uploadId=`` completes (parts are
+                assembled in part-number order; the staged parts are
+                invisible to GET/LIST until completion, matching
+                S3's all-or-nothing multipart semantics)."""
+                bucket, key, q = self._split()
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                if not self._auth(body):
+                    return
+                if "uploads" in q:
+                    with store._lock:
+                        store._upload_seq += 1
+                        uid = f"up-{store._upload_seq}"
+                        store._uploads[(bucket, key, uid)] = {}
+                    self._send(200, (
+                        "<InitiateMultipartUploadResult>"
+                        f"<Bucket>{escape(bucket)}</Bucket>"
+                        f"<Key>{escape(key)}</Key>"
+                        f"<UploadId>{uid}</UploadId>"
+                        "</InitiateMultipartUploadResult>"
+                    ).encode())
+                    return
+                if "uploadId" in q:
+                    with store._lock:
+                        up = store._uploads.pop(
+                            (bucket, key, q["uploadId"]), None)
+                        if up is None:
+                            self._404()
+                            return
+                        blob = b"".join(
+                            up[i] for i in sorted(up)
+                        )
+                        store._buckets.setdefault(bucket, {})[key] = blob
+                    self._send(200, (
+                        "<CompleteMultipartUploadResult>"
+                        f"<Key>{escape(key)}</Key>"
+                        "<ETag>\"0\"</ETag>"
+                        "</CompleteMultipartUploadResult>"
+                    ).encode())
+                    return
+                self._send(400, b"<Error><Code>InvalidRequest</Code>"
+                                b"</Error>")
+
             def do_DELETE(self) -> None:  # noqa: N802
-                bucket, key, _ = self._split()
+                bucket, key, q = self._split()
                 if not self._auth():
+                    return
+                if "uploadId" in q:  # AbortMultipartUpload
+                    with store._lock:
+                        store._uploads.pop(
+                            (bucket, key, q["uploadId"]), None)
+                    self._send(204)
                     return
                 with store._lock:
                     store._buckets.get(bucket, {}).pop(key, None)

@@ -240,3 +240,56 @@ def test_s3a_survives_truncated_listings(spark):
         assert not fs.exists(path("s3a://warehouse/d2"))
     finally:
         srv.stop()
+
+
+def test_s3a_multipart_upload_for_large_objects(spark):
+    """Writes past one part size stream through the multipart
+    protocol (initiate / UploadPart / complete) — signed like every
+    other request, memory bounded by ONE part, staged parts
+    invisible until complete. A 1 KiB part size forces a parquet
+    write through many parts; the file must read back identically."""
+    srv = _srv()
+    try:
+        profile = s3a_profile(srv.url, "admin", "admin12345",
+                              impl=LITE_IMPL)
+        profile["spark.hadoop.fs.s3a.lite.part.size"] = "1024"
+        apply_object_store_profile(spark, profile)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create("s3a://warehouse/"), hconf
+        )
+        p = jvm.org.apache.hadoop.fs.Path("s3a://warehouse/bigblob")
+        payload = bytes((i * 7 + i // 251) % 256
+                        for i in range(10_000))  # ~10 parts
+        out = fs.create(p)
+        # two writes straddling part boundaries + a single-byte tail
+        out.write(bytearray(payload[:3000]))
+        out.write(bytearray(payload[3000:9999]))
+        out.write(payload[9999])
+        out.close()
+        assert fs.getFileStatus(p).getLen() == len(payload)
+        st = fs.open(p)
+        got = bytearray()
+        while True:
+            b = st.read()
+            if b == -1:
+                break
+            got.append(b)
+        st.close()
+        assert bytes(got) == payload
+        # a full parquet table through the multipart path
+        uri = "s3a://warehouse/mp"
+        df = spark.range(1, 3001).selectExpr(
+            "id", "repeat('y', 64) as pad"
+        )
+        df.write.mode("overwrite").parquet(uri)
+        back = spark.read.parquet(uri)
+        assert back.count() == 3000
+        assert back.selectExpr("sum(id) as s").collect()[0].s == \
+            sum(range(1, 3001))
+        # small objects still go as one simple PUT (no upload id
+        # left behind either way)
+        assert not srv._uploads
+    finally:
+        srv.stop()
