@@ -246,6 +246,20 @@ class _Store:
                     # never mutates
                 if kind == "Put":
                     content = dict(body["content"])
+                    ctype = content.get("type", "ICEBERG_TABLE")
+                    if ctype not in ("ICEBERG_TABLE", "NAMESPACE"):
+                        raise NessieError(
+                            400,
+                            f"unsupported content type {ctype!r} "
+                            "(ICEBERG_TABLE or NAMESPACE)",
+                        )
+                    if ctype == "ICEBERG_TABLE" and \
+                            not content.get("metadataLocation"):
+                        raise NessieError(
+                            400,
+                            f"ICEBERG_TABLE content for '{k}' "
+                            "requires metadataLocation",
+                        )
                     prev = contents.get(k)
                     if prev is not None and "id" in prev:
                         if content.get("id", prev["id"]) != prev["id"]:
@@ -557,6 +571,39 @@ class NessieClient:
                 }],
             },
         )["reference"]
+
+    def create_namespace(self, branch: str, name: str,
+                         expected_hash: str | None = None) -> dict:
+        """Publish a NAMESPACE content object at ``name`` (dotted
+        elements) — the explicit-namespace surface real Nessie
+        exposes; tables under the namespace are plain dotted keys
+        either way."""
+        if expected_hash is None:
+            expected_hash = self.reference(branch)["hash"]
+        return self._call(
+            "POST",
+            f"/trees/{self._q(branch)}@{expected_hash}/history/commit",
+            {
+                "commitMeta": {"message": f"create namespace {name}"},
+                "operations": [{
+                    "Put": {
+                        "key": _key_json(name),
+                        "content": {
+                            "type": "NAMESPACE",
+                            "elements": name.split("."),
+                        },
+                    }
+                }],
+            },
+        )["reference"]
+
+    def namespaces(self, ref: str = "main") -> list[str]:
+        """Dotted names of NAMESPACE entries at ``ref``."""
+        return sorted(
+            ".".join(e["key"]["elements"])
+            for e in self.entries(ref)
+            if e.get("type") == "NAMESPACE"
+        )
 
     def delete_key(self, branch: str, key: str,
                    expected_hash: str | None = None) -> dict:

@@ -440,3 +440,59 @@ def test_quarkus_health_endpoint(srv):
     with urllib.request.urlopen(f"{base}/q/health") as r:
         assert r.status == 200
         assert json.loads(r.read())["status"] == "UP"
+
+
+def test_namespace_content_roundtrip(srv):
+    """NAMESPACE content objects (the explicit-namespace surface):
+    created via the client, visible in entries with their type,
+    coexisting with a table under the namespace; junk content types
+    and tables without a metadataLocation are 400s."""
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieClient,
+        NessieError,
+    )
+
+    c = NessieClient(srv.url)
+    c.create_namespace("main", "demo")
+    c.put("main", "demo.t", "/w/t/v1.metadata.json")
+    assert c.namespaces() == ["demo"]
+    got = c.content("demo")
+    assert got["type"] == "NAMESPACE" and got["elements"] == ["demo"]
+    kinds = {".".join(e["key"]["elements"]): e["type"]
+             for e in c.entries()}
+    assert kinds == {"demo": "NAMESPACE", "demo.t": "ICEBERG_TABLE"}
+
+    # junk content type -> 400, not silently stored
+    st, err = _commit(srv, "main", c.reference("main")["hash"], [{
+        "Put": {"key": {"elements": ["x"]},
+                "content": {"type": "DELTA_LAKE_TABLE"}}
+    }])
+    assert st == 400 and "DELTA_LAKE_TABLE" in err["message"]
+    # table content without a metadataLocation -> 400
+    st, err = _commit(srv, "main", c.reference("main")["hash"], [{
+        "Put": {"key": {"elements": ["y"]},
+                "content": {"type": "ICEBERG_TABLE"}}
+    }])
+    assert st == 400 and "metadataLocation" in err["message"]
+
+
+def test_detached_read_allows_merged_ancestors(srv):
+    """Ancestry is merge-aware: after merging a side branch into
+    main, the side branch's commits ARE main's ancestors and detached
+    reads at them must serve (the off-branch guard rejects only
+    genuinely foreign hashes)."""
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    _call(srv, "POST", "/trees?name=side", {"name": "main", "hash": h1})
+    _, rs = _commit(srv, "side", h1,
+                    [_put("d.u", "/w/u/v1.metadata.json")])
+    side_head = rs["reference"]["hash"]
+    st, _ = _call(srv, "POST", "/trees/main/history/merge",
+                  {"fromRefName": "side"})
+    assert st == 200
+    # the pre-merge side commit is now in main's ancestry
+    st, got = _call(srv, "GET",
+                    f"/trees/main@{side_head}/contents/d.u")
+    assert st == 200
+    assert got["content"]["metadataLocation"].endswith("v1.metadata.json")
