@@ -224,3 +224,75 @@ def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "sum_amount", dbl(F.col("sum_amount").cast("decimal(18,2)"))
     )
+
+
+@register(
+    "warehouse_over_s3",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="The object-store warehouse loop in a driver-green row "
+        "(reference S9; iceberg.properties:10-15 + compose.yaml's "
+        "MinIO): start the in-process S3 server with SigV4 "
+        "verification ON, write orders through the s3a:// filesystem "
+        "(signed requests; a small part size forces the MULTIPART "
+        "path), read it back through ranged GETs, and aggregate. "
+        "The DuckDB oracle recomputes the aggregate from the local "
+        "parquet, so a hash match proves the whole wire stack — "
+        "signing, multipart assembly, windowed reads, ListObjectsV2 "
+        "pagination — preserved every row. Rows are materialized "
+        "before the endpoint stops (the result is control-plane "
+        "sized; the data plane lived on the wire).",
+)
+def warehouse_over_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+    from hands_on_trino_iceberg_superset_spark.sources.object_store import (
+        LITE_IMPL,
+        apply_object_store_profile,
+        ensure_lite_fs,
+        s3a_profile,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    ensure_lite_fs(spark)
+    srv = MiniS3Server(access_key="admin", secret_key="admin12345",
+                       page_size=7)
+    srv.start()
+    srv.create_bucket("warehouse")
+    try:
+        profile = s3a_profile(srv.url, "admin", "admin12345",
+                              impl=LITE_IMPL)
+        # force the multipart write path and several ranged reads
+        profile["spark.hadoop.fs.s3a.lite.part.size"] = str(256 * 1024)
+        profile["spark.hadoop.fs.s3a.lite.readahead"] = str(256 * 1024)
+        apply_object_store_profile(spark, profile)
+        uri = "s3a://warehouse/orders.parquet"
+        load_table(spark, sf_dir, "orders").write.mode(
+            "overwrite"
+        ).parquet(uri)
+        rows = (
+            spark.read.parquet(uri)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_orders long, total_price double",
+    )

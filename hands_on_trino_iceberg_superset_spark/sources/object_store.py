@@ -102,3 +102,31 @@ def read_object_store_profile(spark: SparkSession) -> dict[str, str]:
         if val is not None:
             out[key] = val
     return out
+
+
+def ensure_lite_fs(spark: SparkSession) -> None:
+    """Make ``LITE_IMPL`` loadable in THIS session, whatever conf it
+    was started with (the driver's correctness harness uses a
+    vanilla session — loaders must self-configure). Idempotent: if
+    the class already resolves (session started with the plugin jar
+    on ``spark.jars``), this is a no-op; otherwise the repo's jar is
+    added to the driver's MutableURLClassLoader, which Spark
+    installs as the context classloader and Hadoop's Configuration
+    consults for ``fs.*.impl`` lookups. Local-mode scope: on a real
+    cluster, ship the jar via ``spark.jars`` at startup instead (the
+    executor side of a distributed scan needs it on every node)."""
+    import os
+
+    jvm = spark.sparkContext._jvm
+    loader = jvm.Thread.currentThread().getContextClassLoader()
+    try:
+        jvm.java.lang.Class.forName(LITE_IMPL, False, loader)
+        return
+    except Exception:  # noqa: BLE001 — not loadable yet
+        pass
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jvm", "session-alias-catalog.jar",
+    )
+    loader.addURL(jvm.java.io.File(jar).toURI().toURL())
+    jvm.java.lang.Class.forName(LITE_IMPL, True, loader)
