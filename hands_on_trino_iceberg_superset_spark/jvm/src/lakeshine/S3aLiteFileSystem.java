@@ -104,10 +104,12 @@ public class S3aLiteFileSystem extends FileSystem {
     this.secretKey = conf.getTrimmed("fs.s3a.secret.key", "");
     this.region = conf.getTrimmed("fs.s3a.endpoint.region", "us-east-1");
     this.signRequests = !accessKey.isEmpty() && !secretKey.isEmpty();
-    this.readahead = (int) Math.max(
-        1, conf.getLong("fs.s3a.lite.readahead", 1 << 20));
-    this.partSize = (int) Math.max(
-        1, conf.getLong("fs.s3a.lite.part.size", 32L << 20));
+    // clamp BEFORE the int cast: a >= 2 GiB value would truncate
+    // (4 GiB -> 0 -> infinite empty-part loop; 3 GiB -> negative)
+    this.readahead = (int) Math.min(Integer.MAX_VALUE,
+        Math.max(1, conf.getLong("fs.s3a.lite.readahead", 1 << 20)));
+    this.partSize = (int) Math.min(Integer.MAX_VALUE,
+        Math.max(1, conf.getLong("fs.s3a.lite.part.size", 32L << 20)));
   }
 
   @Override
@@ -296,9 +298,12 @@ public class S3aLiteFileSystem extends FileSystem {
 
   /** Ranged GET of [lo, hi] inclusive. Accepts 206 (the ranged
    * reply) and 200 (a server that ignores Range and returns the
-   * whole object — sliced locally so callers always get exactly the
-   * requested window). */
-  private byte[] getRange(String k, long lo, long hi) throws IOException {
+   * whole object). On 200, {@code fullObject[0]} is set true and
+   * the WHOLE body returned — the caller keeps it as its window,
+   * because slicing it away would re-download the entire object on
+   * every subsequent window miss. */
+  private byte[] getRange(String k, long lo, long hi,
+      boolean[] fullObject) throws IOException {
     URL u = objectUrl(k);
     HttpURLConnection c = conn("GET", u);
     sign(c, "GET", u, null,
@@ -312,6 +317,7 @@ public class S3aLiteFileSystem extends FileSystem {
       c.disconnect();
       throw new IOException("GET range " + k + " -> " + code);
     }
+    fullObject[0] = code == 200;
     try (InputStream in = c.getInputStream();
          ByteArrayOutputStream out = new ByteArrayOutputStream()) {
       byte[] buf = new byte[65536];
@@ -319,15 +325,7 @@ public class S3aLiteFileSystem extends FileSystem {
       while ((n = in.read(buf)) > 0) {
         out.write(buf, 0, n);
       }
-      byte[] body = out.toByteArray();
-      if (code == 200) {
-        int from = (int) Math.min(lo, body.length);
-        int to = (int) Math.min(hi + 1, body.length);
-        byte[] slice = new byte[Math.max(0, to - from)];
-        System.arraycopy(body, from, slice, 0, slice.length);
-        return slice;
-      }
-      return body;
+      return out.toByteArray();
     } finally {
       c.disconnect();
     }
@@ -553,9 +551,13 @@ public class S3aLiteFileSystem extends FileSystem {
         return;
       }
       long hi = Math.min(length, pos + readahead) - 1;
-      window = getRange(k, pos, hi);
-      windowStart = pos;
-      if (window.length == 0) {
+      boolean[] fullObject = new boolean[1];
+      window = getRange(k, pos, hi, fullObject);
+      // a Range-ignoring endpoint returned the whole object: keep
+      // ALL of it as the window (re-slicing per miss would download
+      // the full object once per window)
+      windowStart = fullObject[0] ? 0 : pos;
+      if (pos >= windowStart + window.length) {
         throw new IOException(
             "empty range reply at " + pos + " of " + k);
       }
@@ -671,9 +673,46 @@ public class S3aLiteFileSystem extends FileSystem {
       out.write(body);
     }
     int code = c.getResponseCode();
-    c.disconnect();
     if (code != 200) {
+      c.disconnect();
       throw new IOException("complete multipart " + k + " -> " + code);
+    }
+    // the well-known S3 pitfall: CompleteMultipartUpload can answer
+    // 200 OK carrying an <Error> document — a 200 without the
+    // success element means the object was NOT materialized
+    try (InputStream in = c.getInputStream()) {
+      DocumentBuilder b =
+          DocumentBuilderFactory.newInstance().newDocumentBuilder();
+      Document d = b.parse(in);
+      if (d.getElementsByTagName("Error").getLength() > 0
+          || d.getElementsByTagName(
+              "CompleteMultipartUploadResult").getLength() == 0) {
+        throw new IOException(
+            "complete multipart " + k + " returned 200 with an "
+            + "error body");
+      }
+    } catch (IOException e) {
+      throw e;
+    } catch (Exception e) {
+      throw new IOException("bad complete reply for " + k, e);
+    } finally {
+      c.disconnect();
+    }
+  }
+
+  /** Best-effort AbortMultipartUpload: staged parts of a failed
+   * write must not linger (billed storage on real S3; memory in the
+   * test server). Never masks the original failure. */
+  private void abortMultipart(String k, String uploadId) {
+    try {
+      URL u = new URL(objectUrl(k) + "?uploadId="
+          + URLEncoder.encode(uploadId, StandardCharsets.UTF_8));
+      HttpURLConnection c = conn("DELETE", u);
+      sign(c, "DELETE", u, null, Map.of());
+      c.getResponseCode();
+      c.disconnect();
+    } catch (IOException ignored) {
+      // abort is cleanup on an already-failing path
     }
   }
 
@@ -698,6 +737,9 @@ public class S3aLiteFileSystem extends FileSystem {
 
     @Override
     public void write(int b) throws IOException {
+      if (closed) {
+        throw new IOException("stream closed: " + k);
+      }
       buf.write(b);
       if (buf.size() >= partSize) {
         flushPart();
@@ -706,6 +748,9 @@ public class S3aLiteFileSystem extends FileSystem {
 
     @Override
     public void write(byte[] b, int off, int len) throws IOException {
+      if (closed) {
+        throw new IOException("stream closed: " + k);
+      }
       // fill to part boundaries so parts are exactly partSize
       while (len > 0) {
         int room = partSize - buf.size();
@@ -720,12 +765,29 @@ public class S3aLiteFileSystem extends FileSystem {
     }
 
     private void flushPart() throws IOException {
-      if (uploadId == null) {
-        uploadId = initiateMultipart(k);
+      try {
+        if (uploadId == null) {
+          uploadId = initiateMultipart(k);
+        }
+        etags.add(uploadPart(k, uploadId, etags.size() + 1,
+            buf.toByteArray()));
+        buf = new ByteArrayOutputStream();
+      } catch (IOException e) {
+        failAborting(e);
       }
-      etags.add(uploadPart(k, uploadId, etags.size() + 1,
-          buf.toByteArray()));
-      buf = new ByteArrayOutputStream();
+    }
+
+    /** A failed multipart write must abort the upload (staged parts
+     * otherwise linger — billed storage on real S3) and stay failed:
+     * later writes/closes on this stream re-throw instead of
+     * silently continuing a broken part sequence. */
+    private void failAborting(IOException e) throws IOException {
+      closed = true;
+      if (uploadId != null) {
+        abortMultipart(k, uploadId);
+        uploadId = null;
+      }
+      throw e;
     }
 
     @Override
@@ -738,10 +800,16 @@ public class S3aLiteFileSystem extends FileSystem {
         putObject(k, buf.toByteArray());
         return;
       }
-      if (buf.size() > 0) {
-        flushPart();
+      try {
+        if (buf.size() > 0) {
+          etags.add(uploadPart(k, uploadId, etags.size() + 1,
+              buf.toByteArray()));
+        }
+        completeMultipart(k, uploadId, etags);
+      } catch (IOException e) {
+        abortMultipart(k, uploadId);
+        throw e;
       }
-      completeMultipart(k, uploadId, etags);
     }
   }
 

@@ -96,9 +96,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def max_run(arr_sql: str) -> str:
         # longest run of equal adjacent elements in a sorted array
         # == max multiplicity; one linear aggregate() pass, null-safe
-        # prev so the first element starts a run of 1
+        # prev so the first element starts a run of 1. nullif: any
+        # non-empty array has a run >= 1, so 0 <=> empty input, and
+        # NULL matches the oracle's list_max-over-empty semantics
         return (
-            f"aggregate(array_sort({arr_sql}), "
+            f"nullif(aggregate(array_sort({arr_sql}), "
             "named_struct('best', 0, 'cur', 0, "
             "             'prev', cast(null as string)), "
             "(acc, x) -> named_struct("
@@ -106,13 +108,18 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                   if(x <=> acc.prev, acc.cur + 1, 1)), "
             "  'cur', if(x <=> acc.prev, acc.cur + 1, 1), "
             "  'prev', x), "
-            "acc -> acc.best)"
+            "acc -> acc.best), 0)"
         )
 
+    # size guard: sequence(1, 0) in Spark DESCENDS to [1, 0] and
+    # element_at(toks, 0) is a runtime error, so a single-token
+    # document must yield an empty bigram array (-> NULL top_bg,
+    # matching the oracle's range(1, 1) = [])
     bigrams = (
-        "transform(sequence(1, size(toks) - 1), "
-        "  i -> concat(element_at(toks, i), ' ', "
-        "              element_at(toks, i + 1)))"
+        "if(size(toks) < 2, array(), "
+        "   transform(sequence(1, size(toks) - 1), "
+        "     i -> concat(element_at(toks, i), ' ', "
+        "                 element_at(toks, i + 1))))"
     )
     docs = _docs(spark, sf_dir)
     base = docs.select(

@@ -269,12 +269,22 @@ def warehouse_over_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
                        page_size=7)
     srv.start()
     srv.create_bucket("warehouse")
+    profile = s3a_profile(srv.url, "admin", "admin12345",
+                          impl=LITE_IMPL)
+    # force the multipart write path and several ranged reads
+    profile["spark.hadoop.fs.s3a.lite.part.size"] = str(256 * 1024)
+    profile["spark.hadoop.fs.s3a.lite.readahead"] = str(256 * 1024)
+    # the session's Hadoop conf is SHARED with every other query in
+    # the run: snapshot what this query overrides and restore it, so
+    # a later s3a user doesn't inherit a dead endpoint or the tiny
+    # test part size
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prior = {
+        key[len("spark.hadoop."):]:
+            hconf.get(key[len("spark.hadoop."):])
+        for key in profile
+    }
     try:
-        profile = s3a_profile(srv.url, "admin", "admin12345",
-                              impl=LITE_IMPL)
-        # force the multipart write path and several ranged reads
-        profile["spark.hadoop.fs.s3a.lite.part.size"] = str(256 * 1024)
-        profile["spark.hadoop.fs.s3a.lite.readahead"] = str(256 * 1024)
         apply_object_store_profile(spark, profile)
         uri = "s3a://warehouse/orders.parquet"
         load_table(spark, sf_dir, "orders").write.mode(
@@ -291,6 +301,11 @@ def warehouse_over_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
+        for k, v in prior.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
         srv.stop()
     return spark.createDataFrame(
         rows,

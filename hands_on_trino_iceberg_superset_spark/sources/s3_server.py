@@ -242,15 +242,33 @@ class MiniS3Server:
                     ).encode())
                     return
                 if "uploadId" in q:
+                    # assemble EXACTLY the parts the client's
+                    # manifest names (real S3 semantics: a re-upload
+                    # under a new number or a part omitted from the
+                    # Complete body must not be concatenated in)
+                    import re as _re
+
+                    wanted = [int(m) for m in _re.findall(
+                        rb"<PartNumber>\s*(\d+)\s*</PartNumber>", body
+                    )]
                     with store._lock:
-                        up = store._uploads.pop(
-                            (bucket, key, q["uploadId"]), None)
+                        up = store._uploads.get(
+                            (bucket, key, q["uploadId"]))
                         if up is None:
                             self._404()
                             return
-                        blob = b"".join(
-                            up[i] for i in sorted(up)
-                        )
+                        if not wanted:
+                            wanted = sorted(up)
+                        missing = [i for i in wanted if i not in up]
+                        if missing:
+                            self._send(400, (
+                                "<Error><Code>InvalidPart</Code>"
+                                f"<Message>missing parts {missing}"
+                                "</Message></Error>"
+                            ).encode())
+                            return
+                        store._uploads.pop((bucket, key, q["uploadId"]))
+                        blob = b"".join(up[i] for i in wanted)
                         store._buckets.setdefault(bucket, {})[key] = blob
                     self._send(200, (
                         "<CompleteMultipartUploadResult>"
