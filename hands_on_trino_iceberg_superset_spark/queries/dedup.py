@@ -772,3 +772,90 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_fingerprint"
         ),
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH v AS (
+      SELECT p_partkey + 10000000 AS cand_key,
+             concat(substring(p_name, 1,
+                      greatest(len(p_name) - (p_partkey % 3),
+                               instr(p_name, ' ') + 2) - 1),
+                    substring(p_name,
+                      greatest(len(p_name) - (p_partkey % 3),
+                               instr(p_name, ' ') + 2) + 1))
+               AS cand_name,
+             string_split(p_name, ' ')[1] AS block
+      FROM part WHERE p_partkey % 50 = 0
+    ), b AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS block
+      FROM part
+    ), scored AS (
+      SELECT v.cand_key, v.cand_name, b.p_partkey, b.p_name,
+             levenshtein(b.p_name, v.cand_name) AS dist
+      FROM b JOIN v USING (block)
+      WHERE levenshtein(b.p_name, v.cand_name) <= 2
+    )
+    SELECT cand_key, cand_name, p_partkey AS matched_key,
+           p_name AS matched_name, dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cand_key
+                                   ORDER BY dist, p_partkey) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Blocked fuzzy entity matching (typo-tolerant name "
+        "resolution — the catalog/entity-dedup step of a "
+        "training-data pipeline): deterministic one-char-dropped "
+        "typo variants of every 50th part name resolve back to the "
+        "catalog via Levenshtein <= 2, candidates bounded by a "
+        "BLOCKING key (first name token) so the edit-distance "
+        "quadratic runs within blocks, never all-pairs. Spark side: "
+        "broadcast the (tiny) variant side into the block join, "
+        "built-in levenshtein (JVM codegen, no UDF), per-candidate "
+        "top-1 via row_number. At 100 TB: block keys bound candidate "
+        "growth (compose more keys — token + length band + soundex — "
+        "as blocks grow); the shuffle is one broadcast join + one "
+        "candidate-keyed window. Oracle recomputes the whole "
+        "pipeline, typo generation included, in SQL.",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        "greatest(length(p_name) - pmod(p_partkey, 3), "
+        "         instr(p_name, ' ') + 2)"
+    )
+    variants = part.where((F.col("p_partkey") % 50) == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("cand_key"),
+        F.expr(
+            f"concat(substring(p_name, 1, {pos} - 1), "
+            f"       substring(p_name, {pos} + 1))"
+        ).alias("cand_name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    base = part.select(
+        "p_partkey", "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    dist = F.levenshtein(F.col("p_name"), F.col("cand_name"))
+    scored = (
+        base.join(F.broadcast(variants), "block")
+        .select("cand_key", "cand_name", "p_partkey", "p_name",
+                dist.alias("dist"))
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("cand_key").orderBy("dist", "p_partkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cand_key", "cand_name",
+            F.col("p_partkey").alias("matched_key"),
+            F.col("p_name").alias("matched_name"),
+            "dist",
+        )
+    )
