@@ -97,6 +97,7 @@ def load_all() -> dict[str, QuerySpec]:
         iceberg,
         multimodal,
         reference,
+        scale,
         similarity,
         sketches,
         sourcefmt,
@@ -109,7 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
 
     family_order = ["tpch_global", "iceberg", "curation", "sourcefmt", "text",
                     "streaming", "tpch_extra",
-                    "sketches", "wire", "dedup", "dml", "similarity",
+                    "sketches", "wire", "scale", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
     module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]
                  for name, spec in REGISTRY.items()}

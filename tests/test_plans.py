@@ -438,3 +438,24 @@ def test_mixture_weights_single_corpus_shuffle(spark, inv, sf_dir):
     assert sorted(c.split(":")[0] for c in schema.split(",")) == [
         "source", "text",
     ]
+
+
+def test_bucketed_inventory_join_is_exchange_free(spark, inv, sf_dir):
+    """join_bucketed_colocated's JOIN must ride the bucket layout:
+    sort-merge with ZERO exchanges beneath it (the only exchanges in
+    the plan belong to the final aggregate/sort)."""
+    df = inv["join_bucketed_colocated"].spark(spark, sf_dir)
+    executed = str(df._jdf.queryExecution().executedPlan())
+    assert executed.count("SortMergeJoin") == 1
+    below_join = executed.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, below_join
+
+
+def test_salted_inventory_join_spreads_hot_key(spark, inv, sf_dir):
+    """join_skew_salted must actually salt: the join key carries the
+    _salt derivation (xxhash64 content salt) and the build side is
+    replicated across salts (explode of the salt sequence)."""
+    df = inv["join_skew_salted"].spark(spark, sf_dir)
+    executed = str(df._jdf.queryExecution().executedPlan())
+    assert "xxhash64" in executed
+    assert "explode" in executed.lower()
