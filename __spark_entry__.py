@@ -28,30 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return inventory["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
-def _staleness_order(names) -> list[str]:
-    """Order queries by driver-check staleness: never-checked first,
-    then oldest last-checked round, ties by name. The driver's
-    per-round correctness window covers a prefix of this dict, so
-    putting the stalest rows first keeps every query's latest driver
-    check within ~2 rounds instead of letting old rows age out."""
-    import json
-
-    latest: dict[str, int] = {}
-    for path in sorted(Path(__file__).resolve().parent.glob(
-            "CORRECTNESS_r*.json")):
-        try:
-            rnd = int(path.stem.split("_r")[-1])
-            for q in json.loads(path.read_text()):
-                latest[q] = max(latest.get(q, 0), rnd)
-        except (ValueError, OSError):
-            continue
-    return sorted(names, key=lambda q: (latest.get(q, 0), q))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Dict order IS the driver's per-round check window (a ~50-entry
+    prefix): ``load_all`` orders by re-check priority — failed or
+    never-oracle-verified driver records first, then never-checked,
+    then green-but-code-changed-since (import-closure vs the round
+    marker commits), then oldest green round first."""
     inv = load_all()
-    return {name: inv[name].spark for name in _staleness_order(inv)}
+    return {name: spec.spark for name, spec in inv.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -59,7 +45,7 @@ def oracle_sql() -> dict[str, str]:
     genuinely non-SQL-expressible ops → rows-only check)."""
     inv = load_all()
     return {
-        name: inv[name].oracle
-        for name in _staleness_order(inv)
-        if inv[name].oracle is not None
+        name: spec.oracle
+        for name, spec in inv.items()
+        if spec.oracle is not None
     }

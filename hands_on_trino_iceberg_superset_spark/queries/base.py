@@ -51,15 +51,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def _last_driver_check() -> dict[str, int]:
-    """query name -> last round it appeared in a driver CORRECTNESS
-    snapshot (0 = never), read from the ``CORRECTNESS_r*.json`` files
-    the driver leaves at the repo root. Missing/any-error -> {}."""
+def _last_driver_check() -> dict[str, tuple[int, dict]]:
+    """query name -> (last round it appeared in a driver CORRECTNESS
+    snapshot, that round's record), read from the
+    ``CORRECTNESS_r*.json`` files the driver leaves at the repo root.
+    Missing/any-error -> {}."""
     import json
     import re
     from pathlib import Path
 
-    seen: dict[str, int] = {}
+    seen: dict[str, tuple[int, dict]] = {}
     root = Path(__file__).resolve().parents[2]
     try:
         for f in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -67,11 +68,153 @@ def _last_driver_check() -> dict[str, int]:
             if not m:
                 continue
             rnd = int(m.group(1))
-            for name in json.loads(f.read_text()):
-                seen[name] = max(seen.get(name, 0), rnd)
+            for name, rec in json.loads(f.read_text()).items():
+                if name not in seen or rnd > seen[name][0]:
+                    seen[name] = (rnd, rec if isinstance(rec, dict) else {})
     except Exception:
         return {}
     return seen
+
+
+def _check_failed(rec: dict, has_oracle: bool) -> bool:
+    """True when a driver CORRECTNESS record is anything short of a
+    full pass for the query's CURRENT oracle contract: any match flag
+    explicitly False, any err — including ``no_oracle`` for a query
+    that HAS an oracle now (it was rows-only checked before the oracle
+    landed, so the oracle has never been driver-verified)."""
+    if any(rec.get(k) is False
+           for k in ("rows_match", "schema_match", "hash_match")):
+        return True
+    err = rec.get("err")
+    if err is None:
+        return False
+    if err == "no_oracle" and not has_oracle:
+        # legit rows-only check of a no-oracle query: pass iff rows ran
+        return rec.get("spark_rows") is None
+    return True
+
+
+def _module_closure() -> dict[str, set]:
+    """module basename -> set of package source Paths it transitively
+    imports (including itself), resolved by regexing each module's
+    source for intra-package imports. Used to decide whether a query's
+    code changed since its last driver check."""
+    import re
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parents[1]
+    pkg = pkg_root.name
+    srcs = {p for p in pkg_root.rglob("*.py")}
+    by_mod: dict[str, Path] = {}
+    for p in srcs:
+        rel = p.relative_to(pkg_root).with_suffix("")
+        mod = ".".join(rel.parts)
+        by_mod[mod] = p
+        if rel.name == "__init__":
+            by_mod[".".join(rel.parts[:-1])] = p
+
+    # `from pkg.a.b import c, d` — capture the module path and the
+    # imported names (each name may itself be a submodule of a.b)
+    imp_re = re.compile(
+        rf"^\s*from\s+{re.escape(pkg)}\.([\w.]+)\s+import\s+"
+        rf"\(?\s*([\w,\s]+)",
+        re.M,
+    )
+    imp2_re = re.compile(
+        rf"^\s*import\s+{re.escape(pkg)}\.([\w.]+)", re.M)
+    # registry/ordering machinery is imported by EVERY query module;
+    # an edit to it doesn't change query semantics, so keep it out of
+    # dependency edges or one ordering tweak marks all 143 queries
+    # "changed"
+    here = Path(__file__).resolve()
+    infra = {here, here.parent / "__init__.py"}
+    direct: dict[Path, set] = {}
+    for p in srcs:
+        deps = set()
+        try:
+            text = p.read_text()
+        except OSError:
+            text = ""
+        for m in imp_re.finditer(text):
+            base = m.group(1)
+            if base in by_mod:
+                deps.add(by_mod[base])
+            for name in re.split(r"[,\s]+", m.group(2)):
+                if name and f"{base}.{name}" in by_mod:
+                    deps.add(by_mod[f"{base}.{name}"])
+        for m in imp2_re.finditer(text):
+            if m.group(1) in by_mod:
+                deps.add(by_mod[m.group(1)])
+        direct[p] = deps - infra
+
+    closure: dict[Path, set] = {}
+
+    def close(p: Path, seen: frozenset) -> set:
+        if p in closure:
+            return closure[p]
+        out = {p}
+        for d in direct.get(p, ()):
+            if d not in seen:
+                out |= close(d, seen | {p})
+        closure[p] = out
+        return out
+
+    return {mod: close(path, frozenset()) for mod, path in by_mod.items()}
+
+
+def _changed_since_round() -> "Callable[[str, int], bool]":
+    """Return ``changed(module_name, round) -> bool``: did any package
+    file in the query module's import closure change after the driver
+    commit that recorded round N's CORRECTNESS snapshot? Falls back to
+    "not changed" when git/markers are unavailable (ordering then
+    degrades to pure staleness, never crashes the driver)."""
+    import re
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    markers: dict[int, str] = {}
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"], cwd=root,
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        for line in log.splitlines():  # newest first; keep newest
+            m = re.match(r"([0-9a-f]+) round (\d+):", line)
+            if m and int(m.group(2)) not in markers:
+                markers[int(m.group(2))] = m.group(1)
+    except Exception:
+        markers = {}
+
+    closure = _module_closure()
+    pkg_name = Path(__file__).resolve().parents[1].name
+    changed_files: dict[int, set] = {}
+
+    def files_changed_after(rnd: int) -> set:
+        if rnd not in changed_files:
+            try:
+                out = subprocess.run(
+                    ["git", "diff", "--name-only", markers[rnd],
+                     "HEAD", "--", pkg_name],
+                    cwd=root, capture_output=True, text=True,
+                    timeout=30, check=True,
+                ).stdout
+                changed_files[rnd] = {
+                    (root / f).resolve() for f in out.splitlines() if f
+                }
+            except Exception:
+                changed_files[rnd] = set()
+        return changed_files[rnd]
+
+    def changed(module_name: str, rnd: int) -> bool:
+        if rnd not in markers:
+            return False
+        deps = closure.get(module_name)
+        if not deps:
+            return False
+        return bool(deps & files_changed_after(rnd))
+
+    return changed
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -80,12 +223,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     Ordering is DELIBERATE, not alphabetical: the driver's
     CORRECTNESS snapshot records at most the first ~50 inventory
-    entries, so queries rotate by least-recently-driver-checked —
-    never-checked queries first, then oldest snapshot round first
-    (ties keep a stable family grouping). Every round this cycles the
-    unchecked tail into the driver's window; the full inventory is
-    always covered by the local DuckDB differential
-    (tools/check_correctness.py) regardless.
+    entries, so queries rotate by re-check priority:
+
+    1. latest driver record was anything short of a full pass (err,
+       a False match flag, or a rows-only ``no_oracle`` check of a
+       query that has an oracle now);
+    2. never driver-checked;
+    3. the query's code (its module's transitive intra-package import
+       closure) changed after the driver commit that recorded its
+       last check — green-on-old-code is not green;
+    4. everything else, oldest snapshot round first (ties keep a
+       stable family grouping).
+
+    Every round this cycles the stalest tail into the driver's
+    window; the full inventory is always covered by the local DuckDB
+    differential (tools/check_correctness.py) regardless.
     """
     from hands_on_trino_iceberg_superset_spark.queries import (  # noqa: F401
         bi,
@@ -112,15 +264,29 @@ def load_all() -> dict[str, QuerySpec]:
                     "streaming", "tpch_extra",
                     "sketches", "wire", "scale", "dedup", "dml", "similarity",
                     "multimodal", "events", "core", "reference", "bi"]
-    module_of = {name: spec.spark.__module__.rsplit(".", 1)[-1]
+    pkg = __name__.split(".", 1)[0]
+    module_of = {name: spec.spark.__module__.split(pkg + ".", 1)[-1]
                  for name, spec in REGISTRY.items()}
     rank = {m: i for i, m in enumerate(family_order)}
     last_seen = _last_driver_check()
+    changed = _changed_since_round()
+
+    def priority(name: str) -> tuple[int, int]:
+        if name not in last_seen:
+            return (1, 0)  # never driver-checked
+        rnd, rec = last_seen[name]
+        if _check_failed(rec, REGISTRY[name].oracle is not None):
+            return (0, rnd)  # failed / oracle never driver-verified
+        if changed(module_of[name], rnd):
+            return (2, rnd)  # green, but on code older than HEAD
+        return (3, rnd)  # green on current code, oldest round first
+
     ordered = sorted(
         REGISTRY,
         key=lambda name: (
-            last_seen.get(name, 0),
-            rank.get(module_of[name], 99),
+            *priority(name),
+            rank.get(module_of[name].rsplit(".", 1)[-1], 99),
+            name,
         ),
     )
     return {name: REGISTRY[name] for name in ordered}
