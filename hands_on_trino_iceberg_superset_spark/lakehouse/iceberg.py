@@ -67,6 +67,54 @@ from hands_on_trino_iceberg_superset_spark.lakehouse.transforms import (
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# ---------------------------------------------------------------- io
+# Metadata IO is scheme-aware: local paths use plain file IO (the
+# write path is local-only by design — commits need atomic rename);
+# URIs with a non-file scheme (s3a://…) route through the session's
+# Hadoop FileSystem via py4j, i.e. the SAME client Spark's data scan
+# uses (for s3a the SigV4-signing lite filesystem). That makes a
+# table whose metadataLocation lives on the object store readable end
+# to end — the iceberg.properties wiring (Nessie URI + S3 endpoint in
+# one catalog config) — without a second, Python-side S3 client.
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _has_scheme(p: str) -> bool:
+    """True for non-file URIs (s3a://…) that must go through Hadoop."""
+    return bool(_SCHEME_RE.match(p)) and not p.startswith("file:")
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(uri),
+        spark.sparkContext._jsc.hadoopConfiguration(),
+    )
+
+
+def _io_exists(spark: SparkSession, p: str) -> bool:
+    if not _has_scheme(p):
+        return os.path.exists(p)
+    return _hadoop_fs(spark, p).exists(
+        spark._jvm.org.apache.hadoop.fs.Path(p)
+    )
+
+
+def _io_read_bytes(spark: SparkSession, p: str) -> bytes:
+    """Read a whole metadata-sized file (JSON / Avro manifest)."""
+    if not _has_scheme(p):
+        with open(p, "rb") as fh:
+            return fh.read()
+    jvm = spark._jvm
+    ins = _hadoop_fs(spark, p).open(jvm.org.apache.hadoop.fs.Path(p))
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, out, 65536, False)
+        return bytes(out.toByteArray())
+    finally:
+        ins.close()
+
 
 class CommitConflict(RuntimeError):
     """A concurrent writer published the metadata version this commit
@@ -450,16 +498,23 @@ class IcebergTable:
         catalog-pointer contract (Nessie/REST catalogs store a
         metadataLocation per ref, not "whatever is newest on disk"):
         two branches of one table resolve to different metadata
-        files under the same table root."""
-        metadata_file = os.path.abspath(metadata_file)
-        with open(metadata_file) as fh:
-            meta = json.load(fh)
+        files under the same table root. ``metadata_file`` may be a
+        non-file URI (s3a://…): the JSON then loads through the
+        session's Hadoop filesystem and every subsequent manifest /
+        data read stays on that scheme."""
+        if _has_scheme(metadata_file):
+            meta = json.loads(_io_read_bytes(spark, metadata_file))
+            path = metadata_file.rsplit("/", 2)[0]
+        else:
+            metadata_file = os.path.abspath(metadata_file)
+            with open(metadata_file) as fh:
+                meta = json.load(fh)
+            path = os.path.dirname(os.path.dirname(metadata_file))
         m = re.match(
             r"v?(\d+)[^/]*\.metadata\.json$",
-            os.path.basename(metadata_file),
+            metadata_file.rsplit("/", 1)[-1],
         )
         version = int(m.group(1)) if m else 0
-        path = os.path.dirname(os.path.dirname(metadata_file))
         t = cls(spark, path, meta, version=version)
         # remember the exact file: metadata_location must round-trip
         # through a pointer catalog even for foreign naming schemes
@@ -565,8 +620,7 @@ class IcebergTable:
         by :meth:`read`, so pruning here only ever *skips* files that
         provably contain no matching rows."""
         snap = self._snapshot(snapshot_id, as_of_ms, ref=ref)
-        ml_path = self._resolve(snap["manifest-list"])
-        _, _, manifests = read_ocf(ml_path)
+        _, _, manifests = self._read_ocf_at(snap["manifest-list"])
 
         schema_fields = {
             f["name"]: f for f in self.current_schema()["fields"]
@@ -612,8 +666,7 @@ class IcebergTable:
         total = 0
         for m in scanned:
             pfs = pfs_of(m)
-            mpath = self._resolve(m["manifest_path"])
-            _, mmeta, entries = read_ocf(mpath)
+            _, mmeta, entries = self._read_ocf_at(m["manifest_path"])
             for e in entries:
                 if e.get("status") == 2:  # deleted
                     continue
@@ -866,8 +919,12 @@ class IcebergTable:
         rows = []
         for f in plan.files:
             resolved = self._resolve(f.path)
-            for v in {os.path.abspath(resolved),
-                      os.path.realpath(resolved)}:
+            variants = (
+                {resolved} if _has_scheme(resolved)
+                else {os.path.abspath(resolved),
+                      os.path.realpath(resolved)}
+            )
+            for v in variants:
                 rows.append((v, f.path, f.sequence_number))
         return self.spark.createDataFrame(
             rows, "fp string, mpath string, data_seq long"
@@ -879,8 +936,11 @@ class IcebergTable:
         out: dict[str, DataFileInfo] = {}
         for f in plan.files:
             resolved = self._resolve(f.path)
-            out[os.path.abspath(resolved)] = f
-            out[os.path.realpath(resolved)] = f
+            if _has_scheme(resolved):
+                out[resolved] = f
+            else:
+                out[os.path.abspath(resolved)] = f
+                out[os.path.realpath(resolved)] = f
         return out
 
     def _subtract_deletes(self, df: DataFrame, plan: ScanPlan) -> DataFrame:
@@ -1025,16 +1085,40 @@ class IcebergTable:
         if p.startswith("file:"):
             p = re.sub(r"^file:(//)?", "", p)
         if not p.startswith("/") and "://" not in p:
+            if _has_scheme(self.path):
+                return f"{self.path.rstrip('/')}/{p}"
             return os.path.join(self.path, p)
+        if _has_scheme(p):
+            return p  # already a full URI; the filesystem errors if gone
+        m = re.search(r"/(data|metadata)/(.*)$", p)
+        if _has_scheme(self.path):
+            # a scheme'd table root means this handle reads the
+            # object-store copy: re-root FIRST so a still-present
+            # local original can't silently serve the scan
+            if m:
+                cand = f"{self.path.rstrip('/')}/{m.group(1)}/{m.group(2)}"
+                if _io_exists(self.spark, cand):
+                    return cand
+            raise FileNotFoundError(
+                f"cannot resolve Iceberg file path {p!r} under "
+                f"{self.path!r}")
         if os.path.exists(p):
             return p
         # re-root: .../<table-dir>/(data|metadata)/... under self.path
-        m = re.search(r"/(data|metadata)/(.*)$", p)
         if m:
             cand = os.path.join(self.path, m.group(1), m.group(2))
             if os.path.exists(cand):
                 return cand
         raise FileNotFoundError(f"cannot resolve Iceberg file path {p!r}")
+
+    def _read_ocf_at(self, p: str):
+        """Resolve + read an Avro metadata file, scheme-aware: local
+        paths stream from disk, object-store URIs fetch through the
+        session's Hadoop filesystem (signed GETs for s3a)."""
+        rp = self._resolve(p)
+        if _has_scheme(rp):
+            return read_ocf(_io_read_bytes(self.spark, rp))
+        return read_ocf(rp)
 
     # -------------------------------------------------------- writing
 
@@ -1490,8 +1574,7 @@ class IcebergTable:
         if hi <= lo:
             return self.spark.createDataFrame([], self.spark_schema())
 
-        ml_path = self._resolve(snaps[head]["manifest-list"])
-        _, _, manifests = read_ocf(ml_path)
+        _, _, manifests = self._read_ocf_at(snaps[head]["manifest-list"])
         paths: list[str] = []
         for m in manifests:
             m_seq = m.get("sequence_number", 0)
@@ -1499,7 +1582,7 @@ class IcebergTable:
                 continue
             if (m.get("content", 0) or 0) != 0:
                 continue  # delete manifests add no rows
-            _, _, entries = read_ocf(self._resolve(m["manifest_path"]))
+            _, _, entries = self._read_ocf_at(m["manifest_path"])
             for e in entries:
                 if e.get("status") == 2:  # deleted
                     continue
@@ -2019,9 +2102,7 @@ class IcebergTable:
             )
         if kind == "manifests":
             snap = self._snapshot(None, None)
-            _, _, manifests = read_ocf(
-                self._resolve(snap["manifest-list"])
-            )
+            _, _, manifests = self._read_ocf_at(snap["manifest-list"])
             rows = [
                 (m["manifest_path"], m.get("manifest_length", -1),
                  m.get("partition_spec_id", 0),

@@ -227,6 +227,123 @@ def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_full_stack",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="The reference's FULL topology in one row — the exact wiring "
+        "of iceberg.properties:4-15 (Nessie catalog URI + S3 "
+        "endpoint in one config): an Iceberg v2 table is committed "
+        "locally, its immutable tree ships to the warehouse bucket "
+        "through the SigV4-signing s3a filesystem, the catalog "
+        "pointer (metadataLocation on s3a://) is committed to the "
+        "Nessie wire server on a branch and merged to main, then "
+        "NessieClient.load_table resolves the pointer over HTTP, the "
+        "metadata JSON and Avro manifests are fetched through the "
+        "same signed filesystem, the scan plan prunes partitions, "
+        "and the surviving parquet is read via signed ranged GETs. "
+        "The local table tree is DELETED before the read — every "
+        "byte of the answer must cross both wires. The DuckDB oracle "
+        "recomputes the aggregate from the source parquet.",
+)
+def lakehouse_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieCatalogServer,
+        NessieClient,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+    from hands_on_trino_iceberg_superset_spark.sources.object_store import (
+        LITE_IMPL,
+        apply_object_store_profile,
+        ensure_lite_fs,
+        mirror_to_object_store,
+        s3a_profile,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    ensure_lite_fs(spark)
+    s3 = MiniS3Server(access_key="admin", secret_key="admin12345",
+                      page_size=7)
+    s3.start()
+    s3.create_bucket("lakehouse")
+    nessie = NessieCatalogServer()
+    nessie.start()
+    profile = s3a_profile(s3.url, "admin", "admin12345", impl=LITE_IMPL)
+    profile["spark.hadoop.fs.s3a.lite.readahead"] = str(256 * 1024)
+    # shared session Hadoop conf: snapshot + restore (same discipline
+    # as warehouse_over_s3)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prior = {
+        key[len("spark.hadoop."):]:
+            hconf.get(key[len("spark.hadoop."):])
+        for key in profile
+    }
+    try:
+        apply_object_store_profile(spark, profile)
+        tmp = tempfile.mkdtemp(prefix="lakehouse_full_stack_")
+        try:
+            local = os.path.join(tmp, "orders")
+            t = IcebergTable.create(
+                spark, local, load_table(spark, sf_dir, "orders"),
+                partition_by="o_orderstatus",
+            )
+            meta_name = os.path.basename(t.metadata_location)
+            mirror_to_object_store(spark, local, "s3a://lakehouse/orders")
+        finally:
+            # the local tree is gone BEFORE the read: a resolve that
+            # fell back to local files would FileNotFoundError, so a
+            # hash match proves the bytes crossed the wire
+            shutil.rmtree(tmp, ignore_errors=True)
+        cli = NessieClient(nessie.url)
+        cli.create_branch("etl")
+        cli.put("etl", "demo.orders_s3",
+                f"s3a://lakehouse/orders/metadata/{meta_name}",
+                "publish orders on the warehouse bucket")
+        cli.merge("main", "etl")
+        adopted = cli.load_table(spark, "demo.orders_s3", ref="main")
+        rows = (
+            adopted.read(filter={"o_orderstatus": "F"})
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
+        s3.stop()
+        nessie.stop()
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_orders long, total_price double",
+    )
+
+
+@register(
     "warehouse_over_s3",
     oracle="""
     SELECT o_orderpriority,

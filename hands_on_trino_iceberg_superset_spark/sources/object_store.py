@@ -104,6 +104,41 @@ def read_object_store_profile(spark: SparkSession) -> dict[str, str]:
     return out
 
 
+def mirror_to_object_store(
+    spark: SparkSession, local_dir: str, dest_uri: str
+) -> int:
+    """Upload a local directory tree to an object-store URI THROUGH
+    the configured Hadoop filesystem (for ``s3a://`` the signing
+    client — every byte crosses the wire as signed PUTs / multipart
+    uploads). Returns the number of files copied.
+
+    This is the publish half of the lakehouse loop: Iceberg commits
+    are written locally (atomic rename), then the immutable table
+    tree ships to the warehouse bucket and the catalog pointer is
+    what makes it live — readers resolve metadataLocation and never
+    see a partial upload."""
+    import os
+
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst_fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(dest_uri), conf
+    )
+    n = 0
+    for root, _dirs, names in os.walk(local_dir):
+        for name in sorted(names):
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, local_dir)
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{dest_uri.rstrip('/')}/{rel}"
+            )
+            dst_fs.copyFromLocalFile(
+                False, True, jvm.org.apache.hadoop.fs.Path(full), dst
+            )
+            n += 1
+    return n
+
+
 def ensure_lite_fs(spark: SparkSession) -> None:
     """Make ``LITE_IMPL`` loadable in THIS session, whatever conf it
     was started with (the driver's correctness harness uses a
