@@ -31,13 +31,13 @@ read, and merge):
 - ``POST   /api/v2/trees/{branch}@{hash}/history/commit``
 - ``POST   /api/v2/trees/{branch}@{hash}/history/merge``
 
-Stated subset limits (vs the full Nessie API v2): only
-``ICEBERG_TABLE`` content is modeled — no ``NAMESPACE`` content
-objects (namespaces exist implicitly through dotted keys, which is
-all the reference stack uses on its single ``main`` branch), no TAG
-references (``type=TAG`` is rejected with 400 rather than silently
-downgraded), and conflicts surface as one 409 class with the
-offending keys rather than Nessie's detailed conflict taxonomy.
+Stated subset limits (vs the full Nessie API v2): content types are
+``ICEBERG_TABLE`` and ``NAMESPACE`` (anything else is a 400, never a
+silent downgrade); references are BRANCH and TAG — tags are created
+at a hash and immutable (a commit or merge targeting a tag is a 400,
+matching real Nessie's refusal), reads AT a tag resolve normally;
+and conflicts surface as one 409 class with the offending keys
+rather than Nessie's detailed conflict taxonomy.
 
 Scale note: a Nessie catalog is control-plane metadata — commits are
 key->pointer maps (bytes per table, not per row), so the in-memory
@@ -104,15 +104,23 @@ class _Store:
         self.default_branch = default_branch
         self.commits: dict[str, _Commit] = {}
         self.branches: dict[str, str] = {default_branch: NO_ANCESTOR}
+        #: immutable references: created at a hash, never advanced —
+        #: a commit/merge targeting one is rejected, reads resolve
+        self.tags: dict[str, str] = {}
 
     # ------------------------------------------------------ resolve
+
+    def _head_of(self, name: str) -> str:
+        if name in self.branches:
+            return self.branches[name]
+        if name in self.tags:
+            return self.tags[name]
+        raise NessieError(404, f"reference '{name}' not found")
 
     def _resolve(self, ref: str) -> tuple[str, str]:
         """``name`` or ``name@hash`` -> (name, commit hash)."""
         name, _, h = unquote(ref).partition("@")
-        if name not in self.branches:
-            raise NessieError(404, f"reference '{name}' not found")
-        head = self.branches[name]
+        head = self._head_of(name)
         if h:
             if h != head and h not in self.commits:
                 raise NessieError(404, f"hash '{h}' not found")
@@ -187,10 +195,11 @@ class _Store:
     # ------------------------------------------------------ mutators
 
     def create_reference(
-        self, name: str, source_name: str, source_hash: str | None
+        self, name: str, source_name: str, source_hash: str | None,
+        ref_type: str = "BRANCH",
     ) -> dict:
         with self.lock:
-            if name in self.branches:
+            if name in self.branches or name in self.tags:
                 raise NessieError(
                     409, f"reference '{name}' already exists"
                 )
@@ -198,7 +207,10 @@ class _Store:
                 f"{source_name}@{source_hash}" if source_hash
                 else source_name
             )
-            self.branches[name] = head
+            if ref_type == "TAG":
+                self.tags[name] = head
+            else:
+                self.branches[name] = head
             return self._ref_json(name)
 
     def delete_reference(self, name: str, expected: str) -> dict:
@@ -215,8 +227,19 @@ class _Store:
                     f"{head}",
                 )
             ref = self._ref_json(name)
-            del self.branches[name]
+            self.branches.pop(name, None)
+            self.tags.pop(name, None)
             return ref
+
+    def _require_branch(self, name: str, action: str) -> None:
+        """Tags are immutable: real Nessie refuses a commit/merge
+        whose target is a TAG rather than advancing it."""
+        if name in self.tags:
+            raise NessieError(
+                400,
+                f"reference '{name}' is a TAG — {action} requires a "
+                "BRANCH (tags are immutable)",
+            )
 
     def commit(
         self, branch: str, expected: str, ops: list, meta: dict
@@ -226,6 +249,7 @@ class _Store:
         commit's keys — Nessie's per-key conflict rule, not a bare
         head CAS."""
         with self.lock:
+            self._require_branch(branch, "a commit")
             _, head = self._resolve(branch)
             if not expected:
                 raise NessieError(400, "expectedHash is required")
@@ -304,6 +328,7 @@ class _Store:
         both sides since the merge base conflict unless both sides
         landed on the same content."""
         with self.lock:
+            self._require_branch(branch, "a merge")
             _, head = self._resolve(branch)
             if expected and expected != head:
                 raise NessieError(
@@ -371,9 +396,9 @@ class _Store:
     def _ref_json(self, name: str) -> dict:
         return {
             "reference": {
-                "type": "BRANCH",
+                "type": "TAG" if name in self.tags else "BRANCH",
                 "name": name,
-                "hash": self.branches[name],
+                "hash": self._head_of(name),
             }
         }
 
@@ -545,6 +570,24 @@ class NessieClient:
             "DELETE", f"/trees/{self._q(name)}@{expected_hash}"
         )["reference"]
 
+    def create_tag(self, name: str, source: str = "main",
+                   at_hash: str | None = None) -> dict:
+        """Create an IMMUTABLE reference at ``source`` (optionally a
+        specific ancestor hash) — the release-pinning surface: reads
+        AT the tag resolve that commit forever; commits targeting it
+        are refused by the server."""
+        body = {"name": source}
+        if at_hash:
+            body["hash"] = at_hash
+        return self._call(
+            "POST", f"/trees?name={self._q(name)}&type=TAG", body
+        )["reference"]
+
+    def delete_tag(self, name: str, expected_hash: str) -> dict:
+        return self._call(
+            "DELETE", f"/trees/{self._q(name)}@{expected_hash}"
+        )["reference"]
+
     def put(self, branch: str, key: str, metadata_location: str,
             message: str = "", expected_hash: str | None = None,
             content_id: str | None = None) -> dict:
@@ -655,26 +698,23 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
             with store.lock:
                 return {"references": [
                     store._ref_json(n)["reference"]
-                    for n in sorted(store.branches)
+                    for n in sorted({*store.branches, *store.tags})
                 ]}
         if method == "POST":
             if not q.get("name"):
                 raise NessieError(
                     400, "POST /trees requires a 'name' query param"
                 )
-            # only mutable branches are implemented; silently
-            # downgrading a type=TAG request to a BRANCH would hand
-            # the client a mutable ref it believes is immutable
             ref_type = q.get("type", "BRANCH").upper()
-            if ref_type != "BRANCH":
+            if ref_type not in ("BRANCH", "TAG"):
                 raise NessieError(
                     400,
                     f"reference type '{ref_type}' not supported "
-                    "(only BRANCH)",
+                    "(BRANCH or TAG)",
                 )
             src = body.get("name", store.default_branch)
             return store.create_reference(
-                q["name"], src, body.get("hash")
+                q["name"], src, body.get("hash"), ref_type=ref_type
             )
         raise NessieError(405, f"{method} not supported on /trees")
     ref = rest[0]
@@ -683,8 +723,9 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
         if method == "GET":
             with store.lock:
                 name, h = store._resolve(ref)
+                rtype = "TAG" if name in store.tags else "BRANCH"
             return {"reference":
-                    {"type": "BRANCH", "name": name, "hash": h}}
+                    {"type": rtype, "name": name, "hash": h}}
         if method == "DELETE":
             name, _, expected = unquote(ref).partition("@")
             if not expected:
@@ -704,6 +745,7 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
     if len(tail) == 2 and tail[0] == "contents" and method == "GET":
         with store.lock:
             name, h = store._resolve(ref)
+            rtype = "TAG" if name in store.tags else "BRANCH"
             contents = store._contents_at(h)
         k = unquote(tail[1])
         if k not in contents:
@@ -711,7 +753,7 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
         return {
             "content": contents[k],
             "effectiveReference":
-                {"type": "BRANCH", "name": name, "hash": h},
+                {"type": rtype, "name": name, "hash": h},
         }
     if tail == ["history", "commit"] and method == "POST":
         name, _, expected = unquote(ref).partition("@")

@@ -227,6 +227,97 @@ def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_tag_pinned_read",
+    oracle="""
+    WITH ice AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT 'main' AS ref, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM ice
+    UNION ALL
+    SELECT 'release-v1' AS ref, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    ORDER BY ref
+    """,
+    doc="Wire-level TAG references (Nessie 0.105.6 capability, "
+        "compose.yaml:94): publish snapshot-1's metadataLocation on "
+        "main, create TAG release-v1 at that head over HTTP, then "
+        "advance main to snapshot-2's metadataLocation. A read AT "
+        "the tag resolves the pinned pre-append state while main "
+        "serves the appended table — both aggregated in one result "
+        "keyed by ref. The DuckDB oracle recomputes both states from "
+        "the source parquet, so a hash match proves tag creation, "
+        "immutable pinning, and catalog-consistent resolution of "
+        "BOTH refs. Tag immutability (commit to a tag -> 400) is "
+        "gated in tests/test_nessie.py.",
+)
+def catalog_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieCatalogServer,
+        NessieClient,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="catalog_tag_"), "orders"
+    )
+    t = IcebergTable.create(spark, path, orders)
+    v1_location = t.metadata_location
+    late = (
+        orders.where((F.col("o_orderkey") % 100) == 0)
+        .withColumn("o_orderkey",
+                    F.col("o_orderkey") + F.lit(10_000_000))
+    ).select(*orders.columns)
+    t.append(late)
+    v2_location = t.metadata_location
+
+    srv = NessieCatalogServer()
+    srv.start()
+    try:
+        cli = NessieClient(srv.url)
+        cli.put("main", "demo.orders", v1_location, "publish v1")
+        tag = cli.create_tag("release-v1", source="main")
+        if tag["type"] != "TAG":
+            raise RuntimeError(f"expected a TAG reference, got {tag}")
+        cli.put("main", "demo.orders", v2_location, "advance to v2")
+
+        def agg(ref: str) -> DataFrame:
+            df = cli.load_table(spark, "demo.orders", ref=ref).read()
+            return df.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+            ).select(F.lit(ref).alias("ref"), "n_orders", "total_price")
+
+        out = agg("main").unionByName(agg("release-v1")).orderBy("ref")
+        # resolution happened over HTTP above; the plan reads the
+        # (local) warehouse files, so the servers can stop
+        out = spark.createDataFrame(
+            out.collect(),
+            "ref string, n_orders long, total_price double",
+        )
+    finally:
+        srv.stop()
+    return out
+
+
+@register(
     "lakehouse_full_stack",
     oracle="""
     SELECT o_orderpriority,

@@ -179,14 +179,94 @@ def test_detached_read_rejects_off_branch_hash(srv):
     assert got["content"]["metadataLocation"].endswith("v1.metadata.json")
 
 
-def test_create_reference_rejects_tag_type(srv):
-    """type=TAG must not silently create a mutable BRANCH — the
-    client would treat the result as immutable."""
-    st, err = _call(srv, "POST", "/trees?name=rel&type=TAG",
-                    {"name": "main"})
+def test_tag_lifecycle_pinned_and_immutable(srv):
+    """TAG references, wire level: create at a hash, reads AT the
+    tag resolve the pinned state forever, commits/merges targeting
+    the tag are 400 (never a silent advance), CAS delete works,
+    unknown types still 400."""
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.t", "/w/t/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    # create at the explicit hash
+    st, tag = _call(srv, "POST", "/trees?name=rel&type=TAG",
+                    {"name": "main", "hash": h1})
+    assert st == 200 and tag["reference"]["type"] == "TAG"
+    assert tag["reference"]["hash"] == h1
+    # main advances; the tag stays pinned
+    _, r2 = _commit(srv, "main", h1,
+                    [_put("d.t", "/w/t/v2.metadata.json")])
+    assert r2["reference"]["hash"] != h1
+    st, got = _call(srv, "GET", "/trees/rel/contents/d.t")
+    assert st == 200
+    assert got["content"]["metadataLocation"].endswith(
+        "v1.metadata.json")
+    assert got["effectiveReference"]["type"] == "TAG"
+    st, main_got = _call(srv, "GET", "/trees/main/contents/d.t")
+    assert main_got["content"]["metadataLocation"].endswith(
+        "v2.metadata.json")
+    # a commit targeting the tag is refused, state unchanged
+    st, err = _commit(srv, "rel", h1,
+                      [_put("d.t", "/w/t/v3.metadata.json")])
     assert st == 400 and "TAG" in err["message"]
+    st, still = _call(srv, "GET", "/trees/rel")
+    assert still["reference"]["hash"] == h1
+    # ...and so is a merge into the tag
+    st, err = _call(srv, "POST", "/trees/rel/history/merge",
+                    {"fromRefName": "main"})
+    assert st == 400 and "TAG" in err["message"]
+    # listing shows both reference types
+    st, refs = _call(srv, "GET", "/trees")
+    types = {r["name"]: r["type"] for r in refs["references"]}
+    assert types == {"main": "BRANCH", "rel": "TAG"}
+    # name collision across the two namespaces is a 409
+    st, _ = _call(srv, "POST", "/trees?name=rel", {"name": "main"})
+    assert st == 409
+    # CAS delete
+    st, _ = _call(srv, "DELETE", "/trees/rel@deadbeef")
+    assert st == 409
+    st, _ = _call(srv, "DELETE", f"/trees/rel@{h1}")
+    assert st == 200
     st, _ = _call(srv, "GET", "/trees/rel")
-    assert st == 404  # nothing was created
+    assert st == 404
+    # unsupported reference types still refuse loudly
+    st, err = _call(srv, "POST", "/trees?name=x&type=DETACHED",
+                    {"name": "main"})
+    assert st == 400 and "DETACHED" in err["message"]
+
+
+def test_client_tag_surface(srv, spark, tmp_path):
+    """NessieClient.create_tag/delete_tag round-trip, including a
+    pinned load_table read at the tag."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieClient,
+        NessieError,
+    )
+
+    cli = NessieClient(srv.url)
+    t = IcebergTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(1, 11).select(F.col("id")),
+    )
+    v1 = t.metadata_location
+    cli.put("main", "d.t", v1, "v1")
+    tag = cli.create_tag("rel-1", source="main")
+    assert tag["type"] == "TAG"
+    t.append(spark.range(11, 21).select(F.col("id")))
+    cli.put("main", "d.t", t.metadata_location, "v2")
+    assert cli.load_table(spark, "d.t", ref="rel-1").read().count() == 10
+    assert cli.load_table(spark, "d.t", ref="main").read().count() == 20
+    with pytest.raises(NessieError) as e:
+        cli.put("rel-1", "d.t", v1, "must not land")
+    assert e.value.status == 400
+    cli.delete_tag("rel-1", tag["hash"])
+    with pytest.raises(NessieError):
+        cli.reference("rel-1")
 
 
 def test_branch_delete_cas(srv):
