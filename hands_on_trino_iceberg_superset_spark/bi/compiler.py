@@ -233,6 +233,16 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
         )
+        # mirror the raw-mode filter: only order_by entries naming an
+        # emitted label (a groupby ident or a metric label) survive —
+        # an unchecked entry compiles to SQL that fails only at
+        # execution time on the wire path
+        emitted = set(groupby) | {label for _, label in metric_sqls}
+        order_by = [
+            ob for ob in order_by
+            if (_metric_label(ob[0]) if not isinstance(ob[0], str)
+                else ob[0]) in emitted
+        ]
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 

@@ -10,7 +10,6 @@ import java.io.OutputStream;
 import java.net.HttpURLConnection;
 import java.net.URI;
 import java.net.URL;
-import java.net.URLEncoder;
 import java.nio.charset.StandardCharsets;
 import java.security.MessageDigest;
 import java.time.Instant;
@@ -145,6 +144,33 @@ public class S3aLiteFileSystem extends FileSystem {
     return c;
   }
 
+  /** SigV4-spec percent-encoding (AWS "UriEncode"): unreserved
+   * characters A-Za-z0-9 - _ . ~ pass through, everything else is
+   * %XX (uppercase hex) per UTF-8 byte. Used for BOTH path segments
+   * and query parameter values, so the raw wire bytes ARE the
+   * canonical form — what real S3/MinIO hash during verification
+   * (java.net.URLEncoder is NOT this encoding: it emits '+' for
+   * space and leaves '*' bare, which a spec-canonicalizing server
+   * rejects with SignatureDoesNotMatch). */
+  private static String awsEncode(String s) {
+    StringBuilder out = new StringBuilder();
+    for (byte raw : s.getBytes(StandardCharsets.UTF_8)) {
+      int b = raw & 0xff;
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+          || (b >= '0' && b <= '9') || b == '-' || b == '_'
+          || b == '.' || b == '~') {
+        out.append((char) b);
+      } else {
+        out.append('%')
+            .append(Character.toUpperCase(Character.forDigit(
+                (b >> 4) & 0xf, 16)))
+            .append(Character.toUpperCase(Character.forDigit(
+                b & 0xf, 16)));
+      }
+    }
+    return out.toString();
+  }
+
   /** Percent-encode a key per path segment (shared by object URLs
    * and the x-amz-copy-source header, which real S3 requires
    * encoded the same way). */
@@ -154,8 +180,7 @@ public class S3aLiteFileSystem extends FileSystem {
       if (enc.length() > 0) {
         enc.append('/');
       }
-      enc.append(URLEncoder.encode(part, StandardCharsets.UTF_8)
-          .replace("+", "%20"));
+      enc.append(awsEncode(part));
     }
     return enc.toString();
   }
@@ -194,8 +219,11 @@ public class S3aLiteFileSystem extends FileSystem {
   }
 
   /** Canonical query string: the RAW (wire-encoded) key=value pairs
-   * sorted by key then value — the server canonicalizes the raw
-   * query the same way, so both sides hash identical bytes. */
+   * sorted by key then value. Every query value this client emits is
+   * {@link #awsEncode} (SigV4 UriEncode) encoded, so the raw wire
+   * bytes already ARE the spec's canonical form — a
+   * spec-canonicalizing verifier (real S3/MinIO) and a raw-byte
+   * verifier (MiniS3Server) both hash the same string. */
   private static String canonicalQuery(String rawQuery) {
     if (rawQuery == null || rawQuery.isEmpty()) {
       return "";
@@ -391,15 +419,14 @@ public class S3aLiteFileSystem extends FileSystem {
     String token = null;
     while (true) {
       StringBuilder q = new StringBuilder("?list-type=2&prefix=")
-          .append(URLEncoder.encode(prefix, StandardCharsets.UTF_8));
+          .append(awsEncode(prefix));
       if (!delimiter.isEmpty()) {
         q.append("&delimiter=")
-            .append(URLEncoder.encode(delimiter,
-                StandardCharsets.UTF_8));
+            .append(awsEncode(delimiter));
       }
       if (token != null) {
         q.append("&continuation-token=")
-            .append(URLEncoder.encode(token, StandardCharsets.UTF_8));
+            .append(awsEncode(token));
       }
       URL u = new URL(endpoint + "/" + bucket + q);
       HttpURLConnection c = conn("GET", u);
@@ -633,8 +660,7 @@ public class S3aLiteFileSystem extends FileSystem {
   private String uploadPart(String k, String uploadId, int partNumber,
       byte[] data) throws IOException {
     URL u = new URL(objectUrl(k) + "?partNumber=" + partNumber
-        + "&uploadId=" + URLEncoder.encode(uploadId,
-            StandardCharsets.UTF_8));
+        + "&uploadId=" + awsEncode(uploadId));
     HttpURLConnection c = conn("PUT", u);
     c.setDoOutput(true);
     sign(c, "PUT", u, data, Map.of());
@@ -664,7 +690,7 @@ public class S3aLiteFileSystem extends FileSystem {
     xml.append("</CompleteMultipartUpload>");
     byte[] body = xml.toString().getBytes(StandardCharsets.UTF_8);
     URL u = new URL(objectUrl(k) + "?uploadId="
-        + URLEncoder.encode(uploadId, StandardCharsets.UTF_8));
+        + awsEncode(uploadId));
     HttpURLConnection c = conn("POST", u);
     c.setDoOutput(true);
     sign(c, "POST", u, body, Map.of());
@@ -706,7 +732,7 @@ public class S3aLiteFileSystem extends FileSystem {
   private void abortMultipart(String k, String uploadId) {
     try {
       URL u = new URL(objectUrl(k) + "?uploadId="
-          + URLEncoder.encode(uploadId, StandardCharsets.UTF_8));
+          + awsEncode(uploadId));
       HttpURLConnection c = conn("DELETE", u);
       sign(c, "DELETE", u, null, Map.of());
       c.getResponseCode();

@@ -259,6 +259,19 @@ class MiniS3Server:
                             return
                         if not wanted:
                             wanted = sorted(up)
+                        if wanted != sorted(wanted):
+                            # real S3 rejects a manifest whose part
+                            # numbers are not ascending — silently
+                            # concatenating in manifest order would
+                            # let a buggy client assemble a
+                            # scrambled object this double accepts
+                            self._send(400, (
+                                "<Error><Code>InvalidPartOrder"
+                                "</Code><Message>part numbers must "
+                                "be in ascending order</Message>"
+                                "</Error>"
+                            ).encode())
+                            return
                         missing = [i for i in wanted if i not in up]
                         if missing:
                             self._send(400, (

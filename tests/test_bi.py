@@ -180,6 +180,21 @@ def test_form_data_to_sql_shapes(spark):
     })).collect()
     assert [(r.a, r.sx) for r in got] == [("u", 3.0), ("v", 3.0)]
 
+    # aggregate mode drops order_by entries naming nothing emitted
+    # (mirrors the raw-mode filter): an unchecked label compiles to
+    # SQL that fails only at execution time on the wire path
+    sql = form_data_to_sql("t", {
+        "query_mode": "aggregate",
+        "groupby": ["a"],
+        "metrics": [{"aggregate": "SUM", "column": "x", "label": "sx"}],
+        "order_by": [["ghost", False], ["sx", False],
+                     [{"aggregate": "SUM", "column": "x",
+                       "label": "sx"}, True],
+                     [{"aggregate": "AVG", "column": "y"}, True]],
+    })
+    assert sql == ("SELECT a, sum(x) AS sx FROM t GROUP BY a "
+                   "ORDER BY sx DESC, sx")
+
     # injection-shaped identifiers are rejected, not quoted
     import pytest
 

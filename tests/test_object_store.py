@@ -349,3 +349,102 @@ def test_iceberg_table_reads_from_s3a_metadata_location(spark):
             adopted._resolve("/nowhere/data/ghost.parquet")
     finally:
         srv.stop()
+
+def test_multipart_complete_rejects_out_of_order_manifest():
+    """Real S3 answers InvalidPartOrder when the Complete manifest's
+    part numbers are not ascending; the double must refuse too, or a
+    buggy client could assemble a scrambled object silently."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    srv = MiniS3Server()  # unauthenticated: raw-wire protocol test
+    srv.start()
+    srv.create_bucket("b")
+    try:
+        def call(method, path, data=None):
+            req = urllib.request.Request(
+                f"{srv.url}{path}", method=method, data=data)
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        out = call("POST", "/b/obj?uploads")
+        uid = out.split(b"<UploadId>")[1].split(b"</UploadId>")[0]
+        uid = uid.decode()
+        call("PUT", f"/b/obj?uploadId={uid}&partNumber=1", b"AAA")
+        call("PUT", f"/b/obj?uploadId={uid}&partNumber=2", b"BBB")
+        manifest = (
+            "<CompleteMultipartUpload>"
+            "<Part><PartNumber>2</PartNumber></Part>"
+            "<Part><PartNumber>1</PartNumber></Part>"
+            "</CompleteMultipartUpload>"
+        ).encode()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            call("POST", f"/b/obj?uploadId={uid}", manifest)
+        assert e.value.code == 400
+        assert b"InvalidPartOrder" in e.value.read()
+        # ascending manifest still assembles correctly
+        good = (
+            "<CompleteMultipartUpload>"
+            "<Part><PartNumber>1</PartNumber></Part>"
+            "<Part><PartNumber>2</PartNumber></Part>"
+            "</CompleteMultipartUpload>"
+        ).encode()
+        call("POST", f"/b/obj?uploadId={uid}", good)
+        assert call("GET", "/b/obj") == b"AAABBB"
+    finally:
+        srv.stop()
+
+def test_s3a_signed_keys_with_spaces_and_plus(spark):
+    """Keys and listing prefixes containing spaces, '+', and other
+    query-hostile characters must survive SIGNED mode: the client's
+    SigV4 UriEncode makes the raw wire bytes the canonical form, so
+    a spec-canonicalizing verifier accepts them (the URLEncoder '+'
+    form used to sign cleanly against the in-repo server but 403 on
+    real MinIO)."""
+    srv = _srv()
+    try:
+        apply_object_store_profile(
+            spark,
+            s3a_profile(srv.url, "admin", "admin12345", impl=LITE_IMPL),
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create("s3a://warehouse/"), hconf
+        )
+
+        def path(p):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        names = ["a b/c+d.txt", "a b/e f*.txt", "a b/g~h.txt"]
+        for i, name in enumerate(names):
+            out = fs.create(path(f"s3a://warehouse/{name}"))
+            out.write(bytearray(b"v" * (i + 1)))
+            out.close()
+        # listing under the space-bearing prefix signs and pages
+        got = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(path("s3a://warehouse/a b"))
+        )
+        assert got == sorted(n.split("/")[1] for n in names)
+        # ranged read + status on the '+' key
+        st = fs.getFileStatus(path("s3a://warehouse/a b/c+d.txt"))
+        assert st.getLen() == 1
+        ins = fs.open(path("s3a://warehouse/a b/e f*.txt"))
+        assert ins.read() == ord("v")
+        ins.close()
+        # rename across space-bearing prefixes (server-side copy
+        # signs x-amz-copy-source too), then recursive delete
+        assert fs.rename(path("s3a://warehouse/a b"),
+                         path("s3a://warehouse/x y"))
+        assert fs.getFileStatus(
+            path("s3a://warehouse/x y/c+d.txt")).getLen() == 1
+        assert fs.delete(path("s3a://warehouse/x y"), True)
+    finally:
+        srv.stop()
