@@ -60,6 +60,39 @@ def _metric_label(metric: str | Mapping[str, Any]) -> str:
     )
 
 
+#: Superset time_grain_sqla (ISO-8601 duration) -> date_trunc unit —
+#: the same unit vocabulary Spark SQL and DuckDB/Trino share, so one
+#: mapping serves the Catalyst path and the SQL-text path
+_GRAINS = {
+    "PT1S": "second",
+    "PT1M": "minute",
+    "PT1H": "hour",
+    "P1D": "day",
+    "P1W": "week",
+    "P1M": "month",
+    "P3M": "quarter",
+    "P1Y": "year",
+}
+
+#: Superset's reserved label for the truncated time dimension
+TIME_LABEL = "__timestamp"
+
+
+def _grain_unit(form_data: Mapping[str, Any]) -> str | None:
+    """date_trunc unit when the chart sets BOTH granularity_sqla and
+    time_grain_sqla (the first thing a real Superset user configures
+    on a timeseries chart; null in all five reference charts,
+    init_db.py:145-146). Unknown grains raise rather than silently
+    dropping the time dimension."""
+    grain = form_data.get("time_grain_sqla")
+    if not grain or not form_data.get("granularity_sqla"):
+        return None
+    unit = _GRAINS.get(grain)
+    if unit is None:
+        raise ValueError(f"unsupported time_grain_sqla: {grain!r}")
+    return unit
+
+
 def _apply_time_range(
     df: DataFrame, form_data: Mapping[str, Any]
 ) -> DataFrame:
@@ -109,7 +142,18 @@ def compile_form_data(
             if isinstance(ob[0], str) and ob[0] in out.columns
         ]
     elif mode == "aggregate":
-        groupby = form_data.get("groupby") or []
+        groupby = list(form_data.get("groupby") or [])
+        unit = _grain_unit(form_data)
+        if unit:
+            # the truncated time dimension leads the group keys under
+            # Superset's reserved label — a timeseries chart is just
+            # an aggregate chart grouped by date_trunc(grain, ts)
+            df = df.withColumn(
+                TIME_LABEL,
+                F.date_trunc(unit,
+                             F.col(form_data["granularity_sqla"])),
+            )
+            groupby = [TIME_LABEL, *groupby]
         metrics = form_data.get("metrics") or ["count"]
         aggs = [_metric_column(m) for m in metrics]
         out = (
@@ -226,18 +270,29 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         ]
     elif mode == "aggregate":
         groupby = [_sql_ident(c) for c in form_data.get("groupby") or []]
+        select_keys = list(groupby)
+        unit = _grain_unit(form_data)
+        if unit:
+            trunc = (f"date_trunc('{unit}', "
+                     f"{_sql_ident(form_data['granularity_sqla'])})")
+            select_keys = [f"{trunc} AS {TIME_LABEL}", *select_keys]
+            groupby = [trunc, *groupby]
         metric_sqls = [
             _metric_sql(m) for m in form_data.get("metrics") or ["count"]
         ]
-        select = ", ".join(groupby + [s for s, _ in metric_sqls])
+        select = ", ".join(select_keys + [s for s, _ in metric_sqls])
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
         )
         # mirror the raw-mode filter: only order_by entries naming an
-        # emitted label (a groupby ident or a metric label) survive —
-        # an unchecked entry compiles to SQL that fails only at
-        # execution time on the wire path
-        emitted = set(groupby) | {label for _, label in metric_sqls}
+        # emitted label (a groupby ident, the time label, or a metric
+        # label) survive — an unchecked entry compiles to SQL that
+        # fails only at execution time on the wire path
+        emitted = (
+            set(form_data.get("groupby") or [])
+            | ({TIME_LABEL} if unit else set())
+            | {label for _, label in metric_sqls}
+        )
         order_by = [
             ob for ob in order_by
             if (_metric_label(ob[0]) if not isinstance(ob[0], str)

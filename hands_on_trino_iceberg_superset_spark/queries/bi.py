@@ -110,3 +110,58 @@ def bi_chart_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_by": [["count", False], ["event_type", True]],
         },
     )
+
+
+@register(
+    "bi_chart_timeseries_events",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR)
+             AS __timestamp,
+           event_type,
+           count(*) AS count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY date_trunc('week', ts), event_type
+    ORDER BY __timestamp, event_type
+    """,
+    doc="Timeseries chart with a non-null time grain — the first "
+        "thing a real Superset user sets (granularity_sqla/"
+        "time_grain_sqla, null in all five reference charts, "
+        "init_db.py:145-146): P1W compiles to a leading "
+        "date_trunc('week', ts) group key under Superset's reserved "
+        "__timestamp label, on the driver events corpus. The SQL-"
+        "text twin of the same compilation is unit-gated in "
+        "tests/test_bi.py.",
+)
+def bi_chart_timeseries_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", dec("value")
+    )
+    out = compile_form_data(
+        ev,
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_grain_sqla": "P1W",
+            "groupby": ["event_type"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "value_dec",
+                 "label": "total_value"},
+            ],
+            "time_range": "No filter",
+        },
+    )
+    return (
+        out.select(
+            F.col("__timestamp").cast("string").alias("__timestamp"),
+            "event_type",
+            "count",
+            dbl(F.col("total_value")).alias("total_value"),
+        )
+        .orderBy("__timestamp", "event_type")
+    )

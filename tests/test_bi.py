@@ -195,6 +195,22 @@ def test_form_data_to_sql_shapes(spark):
     assert sql == ("SELECT a, sum(x) AS sx FROM t GROUP BY a "
                    "ORDER BY sx DESC, sx")
 
+    # a non-null time grain compiles to a leading date_trunc group
+    # key under Superset's reserved __timestamp label, orderable by
+    # that label; unknown grains raise
+    sql = form_data_to_sql("t", {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["a"],
+        "metrics": ["count"],
+        "order_by": [["__timestamp", True], ["count", False]],
+    })
+    assert sql == ("SELECT date_trunc('day', ts) AS __timestamp, a, "
+                   "count(*) AS count FROM t "
+                   "GROUP BY date_trunc('day', ts), a "
+                   "ORDER BY __timestamp, count DESC")
+
     # injection-shaped identifiers are rejected, not quoted
     import pytest
 
@@ -240,3 +256,43 @@ def test_form_data_to_sql_time_bounds_are_injection_hardened():
         "order_by": [["count", False], ["a", True]],
     })
     assert sql == "SELECT * FROM t"
+
+
+def test_time_grain_catalyst_and_sql_paths_agree(spark):
+    """The Catalyst compilation and the SQL-text compilation of the
+    same time-grained chart produce identical rows (executed on the
+    engine), and bad grains raise on both paths."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a", 1.0),
+         ("2024-01-01 23:00:00", "a", 2.0),
+         ("2024-01-02 01:00:00", "b", 3.0)],
+        "ts_raw string, g string, v double",
+    ).selectExpr("cast(ts_raw as timestamp) as ts", "g", "v")
+    df.createOrReplaceTempView("grain_t")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["g"],
+        "metrics": [{"aggregate": "SUM", "column": "v", "label": "sv"}],
+        "order_by": [["__timestamp", True], ["g", True]],
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("grain_t", fd)).collect()]
+    assert native == wire
+    assert [(str(t), g, v) for t, g, v in native] == [
+        ("2024-01-01 00:00:00", "a", 3.0),
+        ("2024-01-02 00:00:00", "b", 3.0),
+    ]
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("grain_t", f)):
+        with pytest.raises(ValueError):
+            compiler({**fd, "time_grain_sqla": "P42X"})
