@@ -194,6 +194,15 @@ def measure_one(name: str, dirs: list[str]) -> None:
     if name == "hard_negatives_ivf_probe_only":
         _measure_hard_negative_probe(spark, dirs)
         return
+    if name == "skew_salted_wallclock":
+        _measure_skew_salted_wallclock(spark, dirs)
+        return
+    if name == "warehouse_s3_multipart":
+        _measure_warehouse_s3_multipart(spark, dirs)
+        return
+    if name == "fuzzy_names_blocked_scaling":
+        _measure_fuzzy_names_blocked_scaling(spark, dirs)
+        return
     spec = load_all()[name]
     for d in dirs:
         best, rows = None, None
@@ -247,6 +256,209 @@ def _measure_hard_negative_probe(spark, dirs: list[str]) -> None:
         rows = S.ivf_probe(anchors, idx, k=5, n_probe=8,
                            exclude_cols=["label"]).count()
         print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_skew_salted_wallclock(spark, dirs: list[str]) -> None:
+    """Does salting actually BEAT the plain shuffled join under the
+    planted 70%-hot-key skew (join_skew_salted's fixture), not just
+    hash-equal it? Three variants per dir, broadcast disabled for
+    all (salting targets the broadcast-ineligible case — a tiny dim
+    would otherwise broadcast and hide the skew entirely):
+
+    - plain SMJ with AQE skew-join OFF — the unmitigated wedge;
+    - plain SMJ with AQE skew-join ON — Spark's runtime mitigation;
+    - salted_join (8 content-hash salts) — the explicit strategy.
+
+    Prints one labeled line per (dir, variant)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        scale as SC,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    def fixture(d: str):
+        li = load_table(spark, d, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+            .otherwise(F.col("l_suppkey"))
+            .cast("long")
+            .alias("k"),
+            "l_quantity",
+        )
+        sup = load_table(spark, d, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("k"),
+            F.col("s_nationkey").cast("long").alias("nation_key"),
+        )
+        extra = spark.range(1).select(
+            F.lit(0).cast("long").alias("k"),
+            F.lit(-1).cast("long").alias("nation_key"),
+        )
+        return li, sup.unionByName(extra)
+
+    def agg(joined):
+        return joined.groupBy("nation_key").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+
+    conf = spark.conf
+    prior_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for d in dirs:
+            li, dim = fixture(d)
+            variants = [
+                ("plain_smj_noaqe", "false",
+                 lambda: li.join(dim, "k")),
+                ("plain_smj_aqe_skew", "true",
+                 lambda: li.join(dim, "k")),
+                ("salted_8", "true",
+                 lambda: SC.salted_join(li, dim, "k", "k", n_salts=8)),
+            ]
+            for label, skew_flag, make in variants:
+                conf.set("spark.sql.adaptive.skewJoin.enabled",
+                         skew_flag)
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    agg(make()).write.format("noop") \
+                        .mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                print(f"VARIANT {d} {label} {best:.4f}", flush=True)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bcast)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prior_skew)
+
+
+def _measure_warehouse_s3_multipart(spark, dirs: list[str]) -> None:
+    """warehouse_over_s3's wire stack at scale: write the dir's
+    orders through the signing s3a filesystem with a 4 MiB part size
+    (sf0.1 orders ≈ 9 MiB parquet -> multipart; 10x crosses many
+    more part boundaries), then read it back and aggregate through
+    ranged GETs. Times one write+read round trip per dir."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+    from hands_on_trino_iceberg_superset_spark.sources.object_store import (
+        LITE_IMPL,
+        apply_object_store_profile,
+        ensure_lite_fs,
+        s3a_profile,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources.s3_server import (
+        MiniS3Server,
+    )
+
+    ensure_lite_fs(spark)
+    for d in dirs:
+        srv = MiniS3Server(access_key="admin", secret_key="admin12345")
+        srv.start()
+        srv.create_bucket("wh")
+        profile = s3a_profile(srv.url, "admin", "admin12345",
+                              impl=LITE_IMPL)
+        profile["spark.hadoop.fs.s3a.lite.part.size"] = str(4 << 20)
+        apply_object_store_profile(spark, profile)
+        try:
+            orders = load_table(spark, d, "orders")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                orders.write.mode("overwrite").parquet("s3a://wh/o")
+                n = (
+                    spark.read.parquet("s3a://wh/o")
+                    .groupBy("o_orderpriority")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .count()
+                )
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"RESULT {n},{best:.4f}", flush=True)
+        finally:
+            srv.stop()
+
+
+def _measure_fuzzy_names_blocked_scaling(spark, dirs: list[str]) -> None:
+    """dedup_fuzzy_names reads `part`, which the scaled corpus keeps
+    as an unscaled dim — so this pseudo-query scales part itself 10x
+    in BOTH regimes the blocked-Levenshtein risk analysis needs:
+
+    - ``salted``: the block token (first name word) is suffixed per
+      replica — block spaces disjoint, Σ|block|² grows LINEARLY (the
+      faithful more-entities corpus);
+    - ``shared``: names get a per-replica tail suffix but keep the
+      block token — every block grows 10x, Σ|block|² grows ~100x
+      (the adversarial regime where a single block key stops being
+      enough and composed keys — token+length band+soundex — are
+      required).
+
+    Prints wall time AND Σ|block|² per (dir, regime); dirs[0] is the
+    1x base (its part is used at every scale)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    def scaled_part(base, reps: int, regime: str):
+        if reps == 1:
+            return base.select(
+                "p_partkey",
+                F.col("p_name").alias("name"),
+                F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+            )
+        rep = F.explode(
+            F.array(*[F.lit(i) for i in range(reps)])).alias("rep")
+        out = base.select("*", rep).select(
+            (F.col("p_partkey") + F.col("rep") * 10_000_000)
+            .alias("p_partkey"),
+            F.col("rep"),
+            F.concat(F.col("p_name"), F.lit(" r"),
+                     F.col("rep").cast("string")).alias("name"),
+        )
+        first = F.split(F.col("name"), " ").getItem(0)
+        if regime == "salted":
+            block = F.concat(first, F.lit("_r"),
+                             F.col("rep").cast("string"))
+        else:
+            block = first
+        return out.select("p_partkey", "name", block.alias("block"))
+
+    def pipeline(part):
+        variants = part.where((F.col("p_partkey") % 50) == 0).select(
+            (F.col("p_partkey") + 100_000_000).alias("cand_key"),
+            F.expr("concat(substring(name, 1, length(name) - 2), "
+                   "substring(name, length(name)))").alias("cand_name"),
+            "block",
+        )
+        scored = (
+            part.join(F.broadcast(variants), "block")
+            .select("cand_key", "cand_name", "p_partkey", "name",
+                    F.levenshtein("name", "cand_name").alias("dist"))
+            .where(F.col("dist") <= 2)
+        )
+        w = Window.partitionBy("cand_key").orderBy("dist", "p_partkey")
+        return scored.withColumn(
+            "rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    base = load_table(spark, dirs[0], "part")
+    for reps, regime in ((1, "base"), (10, "salted"), (10, "shared")):
+        part = scaled_part(base, reps, regime).cache()
+        part.count()
+        blocks = part.groupBy("block").count()
+        pair_work = blocks.agg(
+            F.sum(F.col("count") * F.col("count")).alias("p")
+        ).collect()[0].p
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pipeline(part).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows = pipeline(part).count()
+        part.unpersist()
+        print(f"VARIANT {reps}x_{regime} rows={rows} "
+              f"sum_block_sq={pair_work} {best:.4f}", flush=True)
 
 
 def main() -> int:
