@@ -161,6 +161,16 @@ def compile_form_data(
             if groupby
             else df.agg(*aggs)
         )
+        # mirror form_data_to_sql: order_by entries naming nothing
+        # emitted are dropped, keeping the two compilation paths'
+        # results identical (applying them here would crash on
+        # UNRESOLVED_COLUMN where the SQL path silently filters)
+        emitted = set(groupby) | {_metric_label(m) for m in metrics}
+        order_by = [
+            ob for ob in order_by
+            if (_metric_label(ob[0]) if not isinstance(ob[0], str)
+                else ob[0]) in emitted
+        ]
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 

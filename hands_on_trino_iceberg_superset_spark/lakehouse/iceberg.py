@@ -93,21 +93,21 @@ def _hadoop_fs(spark: SparkSession, uri: str):
     )
 
 
-def _io_exists(spark: SparkSession, p: str) -> bool:
+def _io_exists(spark: SparkSession, p: str, fs=None) -> bool:
     if not _has_scheme(p):
         return os.path.exists(p)
-    return _hadoop_fs(spark, p).exists(
-        spark._jvm.org.apache.hadoop.fs.Path(p)
-    )
+    fs = fs if fs is not None else _hadoop_fs(spark, p)
+    return fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p))
 
 
-def _io_read_bytes(spark: SparkSession, p: str) -> bytes:
+def _io_read_bytes(spark: SparkSession, p: str, fs=None) -> bytes:
     """Read a whole metadata-sized file (JSON / Avro manifest)."""
     if not _has_scheme(p):
         with open(p, "rb") as fh:
             return fh.read()
     jvm = spark._jvm
-    ins = _hadoop_fs(spark, p).open(jvm.org.apache.hadoop.fs.Path(p))
+    fs = fs if fs is not None else _hadoop_fs(spark, p)
+    ins = fs.open(jvm.org.apache.hadoop.fs.Path(p))
     try:
         out = jvm.java.io.ByteArrayOutputStream()
         jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, out, 65536, False)
@@ -1082,6 +1082,14 @@ class IcebergTable:
         (our writer) resolve against the table root; foreign
         absolute paths fall back to re-rooting at the last path
         segment that exists under this table's directory."""
+        cache = self.__dict__.setdefault("_resolve_cache", {})
+        hit = cache.get(p)
+        if hit is not None:
+            return hit
+        cache[p] = resolved = self._resolve_uncached(p)
+        return resolved
+
+    def _resolve_uncached(self, p: str) -> str:
         if p.startswith("file:"):
             p = re.sub(r"^file:(//)?", "", p)
         if not p.startswith("/") and "://" not in p:
@@ -1097,7 +1105,7 @@ class IcebergTable:
             # local original can't silently serve the scan
             if m:
                 cand = f"{self.path.rstrip('/')}/{m.group(1)}/{m.group(2)}"
-                if _io_exists(self.spark, cand):
+                if _io_exists(self.spark, cand, fs=self._fs_for(cand)):
                     return cand
             raise FileNotFoundError(
                 f"cannot resolve Iceberg file path {p!r} under "
@@ -1111,13 +1119,30 @@ class IcebergTable:
                 return cand
         raise FileNotFoundError(f"cannot resolve Iceberg file path {p!r}")
 
+    def _fs_for(self, p: str):
+        """Hadoop FileSystem for a scheme'd path, cached PER HANDLE
+        (scheme, authority): the lite s3a impl disables Hadoop's own
+        FS cache (tests swap endpoints between sessions), so without
+        this every existence probe / metadata fetch would construct a
+        fresh FileSystem — O(files) config parses on the scan path."""
+        if not _has_scheme(p):
+            return None
+        scheme, rest = p.split("://", 1)
+        key = (scheme, rest.split("/", 1)[0])
+        cache = self.__dict__.setdefault("_fs_cache", {})
+        if key not in cache:
+            cache[key] = _hadoop_fs(self.spark, p)
+        return cache[key]
+
     def _read_ocf_at(self, p: str):
         """Resolve + read an Avro metadata file, scheme-aware: local
         paths stream from disk, object-store URIs fetch through the
         session's Hadoop filesystem (signed GETs for s3a)."""
         rp = self._resolve(p)
         if _has_scheme(rp):
-            return read_ocf(_io_read_bytes(self.spark, rp))
+            return read_ocf(
+                _io_read_bytes(self.spark, rp, fs=self._fs_for(rp))
+            )
         return read_ocf(rp)
 
     # -------------------------------------------------------- writing

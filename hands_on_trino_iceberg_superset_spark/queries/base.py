@@ -95,12 +95,19 @@ def _check_failed(rec: dict, has_oracle: bool) -> bool:
 
 
 def _module_closure() -> dict[str, set]:
-    """module basename -> set of package source Paths it transitively
-    imports (including itself), resolved by regexing each module's
-    source for intra-package imports. Used to decide whether a query's
-    code changed since its last driver check."""
-    import re
+    """module name -> set of package source Paths it transitively
+    imports (including itself), resolved by ast-parsing each module's
+    imports (a regex scan proved fragile: a pattern whose name class
+    crossed newlines swallowed the NEXT import statement and silently
+    dropped dependency edges). Used to decide whether a query's code
+    changed since its last driver check. Memoized per process — the
+    working tree is fixed for a process lifetime."""
+    import ast
     from pathlib import Path
+
+    cached = getattr(_module_closure, "_cache", None)
+    if cached is not None:
+        return cached
 
     pkg_root = Path(__file__).resolve().parents[1]
     pkg = pkg_root.name
@@ -113,15 +120,6 @@ def _module_closure() -> dict[str, set]:
         if rel.name == "__init__":
             by_mod[".".join(rel.parts[:-1])] = p
 
-    # `from pkg.a.b import c, d` — capture the module path and the
-    # imported names (each name may itself be a submodule of a.b)
-    imp_re = re.compile(
-        rf"^\s*from\s+{re.escape(pkg)}\.([\w.]+)\s+import\s+"
-        rf"\(?\s*([\w,\s]+)",
-        re.M,
-    )
-    imp2_re = re.compile(
-        rf"^\s*import\s+{re.escape(pkg)}\.([\w.]+)", re.M)
     # registry/ordering machinery is imported by EVERY query module;
     # an edit to it doesn't change query semantics, so keep it out of
     # dependency edges or one ordering tweak marks all 143 queries
@@ -132,19 +130,37 @@ def _module_closure() -> dict[str, set]:
     for p in srcs:
         deps = set()
         try:
-            text = p.read_text()
-        except OSError:
-            text = ""
-        for m in imp_re.finditer(text):
-            base = m.group(1)
-            if base in by_mod:
-                deps.add(by_mod[base])
-            for name in re.split(r"[,\s]+", m.group(2)):
-                if name and f"{base}.{name}" in by_mod:
-                    deps.add(by_mod[f"{base}.{name}"])
-        for m in imp2_re.finditer(text):
-            if m.group(1) in by_mod:
-                deps.add(by_mod[m.group(1)])
+            tree = ast.parse(p.read_text())
+        except (OSError, SyntaxError):
+            tree = ast.Module(body=[], type_ignores=[])
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                mod = node.module
+                if node.level:
+                    # relative import: resolve against this file's
+                    # package path
+                    rel_pkg = p.relative_to(pkg_root).parts[
+                        : -(node.level)
+                    ]
+                    mod = ".".join([*rel_pkg, mod])
+                elif mod == pkg:
+                    mod = ""
+                elif mod.startswith(pkg + "."):
+                    mod = mod[len(pkg) + 1:]
+                else:
+                    continue
+                if mod in by_mod:
+                    deps.add(by_mod[mod])
+                for alias in node.names:
+                    sub = f"{mod}.{alias.name}" if mod else alias.name
+                    if sub in by_mod:
+                        deps.add(by_mod[sub])
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(pkg + "."):
+                        sub = alias.name[len(pkg) + 1:]
+                        if sub in by_mod:
+                            deps.add(by_mod[sub])
         direct[p] = deps - infra
 
     closure: dict[Path, set] = {}
@@ -159,7 +175,10 @@ def _module_closure() -> dict[str, set]:
         closure[p] = out
         return out
 
-    return {mod: close(path, frozenset()) for mod, path in by_mod.items()}
+    result = {mod: close(path, frozenset())
+              for mod, path in by_mod.items()}
+    _module_closure._cache = result
+    return result
 
 
 def _changed_since_round() -> "Callable[[str, int], bool]":
@@ -167,10 +186,17 @@ def _changed_since_round() -> "Callable[[str, int], bool]":
     file in the query module's import closure change after the driver
     commit that recorded round N's CORRECTNESS snapshot? Falls back to
     "not changed" when git/markers are unavailable (ordering then
-    degrades to pure staleness, never crashes the driver)."""
+    degrades to pure staleness, never crashes the driver). Memoized
+    per process — load_all() is called repeatedly (queries() +
+    oracle_sql() at driver startup, per-test imports) and the git
+    subprocess + full-package scan must run once, not per call."""
     import re
     import subprocess
     from pathlib import Path
+
+    cached = getattr(_changed_since_round, "_cache", None)
+    if cached is not None:
+        return cached
 
     root = Path(__file__).resolve().parents[2]
     markers: dict[int, str] = {}
@@ -214,6 +240,7 @@ def _changed_since_round() -> "Callable[[str, int], bool]":
             return False
         return bool(deps & files_changed_after(rnd))
 
+    _changed_since_round._cache = changed
     return changed
 
 

@@ -259,16 +259,17 @@ class MiniS3Server:
                             return
                         if not wanted:
                             wanted = sorted(up)
-                        if wanted != sorted(wanted):
-                            # real S3 rejects a manifest whose part
-                            # numbers are not ascending — silently
+                        if wanted != sorted(set(wanted)):
+                            # real S3 requires STRICTLY ascending
+                            # part numbers (no duplicates) — silently
                             # concatenating in manifest order would
-                            # let a buggy client assemble a
-                            # scrambled object this double accepts
+                            # let a buggy client assemble a scrambled
+                            # or double-spliced object this double
+                            # accepts
                             self._send(400, (
                                 "<Error><Code>InvalidPartOrder"
                                 "</Code><Message>part numbers must "
-                                "be in ascending order</Message>"
+                                "be strictly ascending</Message>"
                                 "</Error>"
                             ).encode())
                             return

@@ -296,3 +296,22 @@ def test_time_grain_catalyst_and_sql_paths_agree(spark):
                      lambda f: form_data_to_sql("grain_t", f)):
         with pytest.raises(ValueError):
             compiler({**fd, "time_grain_sqla": "P42X"})
+
+
+def test_aggregate_order_by_filter_on_catalyst_path(spark):
+    """Ghost order_by entries are dropped on the Catalyst path too —
+    both compilation paths must produce the same result, not one
+    filtering and the other crashing on UNRESOLVED_COLUMN."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1.0), ("v", 2.0)], "a string, x double")
+    out = compile_form_data(df, {
+        "query_mode": "aggregate",
+        "groupby": ["a"],
+        "metrics": [{"aggregate": "SUM", "column": "x", "label": "sx"}],
+        "order_by": [["ghost", False], ["a", True]],
+    })
+    assert [(r.a, r.sx) for r in out.collect()] == [("u", 1.0), ("v", 2.0)]

@@ -388,6 +388,18 @@ def test_multipart_complete_rejects_out_of_order_manifest():
             call("POST", f"/b/obj?uploadId={uid}", manifest)
         assert e.value.code == 400
         assert b"InvalidPartOrder" in e.value.read()
+        # duplicates are rejected too (strictly ascending, like S3)
+        dup = (
+            "<CompleteMultipartUpload>"
+            "<Part><PartNumber>1</PartNumber></Part>"
+            "<Part><PartNumber>1</PartNumber></Part>"
+            "<Part><PartNumber>2</PartNumber></Part>"
+            "</CompleteMultipartUpload>"
+        ).encode()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            call("POST", f"/b/obj?uploadId={uid}", dup)
+        assert e.value.code == 400
+        assert b"InvalidPartOrder" in e.value.read()
         # ascending manifest still assembles correctly
         good = (
             "<CompleteMultipartUpload>"
