@@ -226,6 +226,51 @@ def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_two_snapshots_path(spark: SparkSession, sf_dir: str) -> str:
+    """Two-snapshot orders Iceberg table (full load, then the
+    deterministic late-batch append) as a persisted per-corpus
+    artifact: the table tree is immutable once written, so the build
+    runs once per corpus content-token and every invocation reads
+    the published v1/v2 metadata files — same prewarm economics as
+    the ANN indexes and the compacted table."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    def build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        t = IcebergTable.create(spark, tmp, orders)
+        late = (
+            orders.where((F.col("o_orderkey") % 100) == 0)
+            .withColumn("o_orderkey",
+                        F.col("o_orderkey") + F.lit(10_000_000))
+        ).select(*orders.columns)
+        t.append(late)
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "orders_two_snaps", "orders",
+                      params="late=mod100,off=1e7"),
+        build,
+    )
+
+
+def _register_prewarmers() -> None:
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        register_prewarmer,
+    )
+
+    register_prewarmer("orders_two_snaps", _orders_two_snapshots_path)
+
+
+_register_prewarmers()
+
+
 @register(
     "catalog_tag_pinned_read",
     oracle="""
@@ -261,32 +306,18 @@ def bi_chart_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def catalog_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     import pyspark.sql.functions as F
 
-    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
-        IcebergTable,
-    )
     from hands_on_trino_iceberg_superset_spark.nessie import (
         NessieCatalogServer,
         NessieClient,
     )
     from hands_on_trino_iceberg_superset_spark.queries.core import dbl, dec
 
-    orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="catalog_tag_"), "orders"
-    )
-    t = IcebergTable.create(spark, path, orders)
-    v1_location = t.metadata_location
-    late = (
-        orders.where((F.col("o_orderkey") % 100) == 0)
-        .withColumn("o_orderkey",
-                    F.col("o_orderkey") + F.lit(10_000_000))
-    ).select(*orders.columns)
-    t.append(late)
-    v2_location = t.metadata_location
+    path = _orders_two_snapshots_path(spark, sf_dir)
+    v1_location = os.path.join(path, "metadata", "v1.metadata.json")
+    v2_location = os.path.join(path, "metadata", "v2.metadata.json")
 
     srv = NessieCatalogServer()
     srv.start()
