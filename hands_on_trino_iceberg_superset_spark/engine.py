@@ -242,6 +242,7 @@ class Engine:
         - ``add_files(table => 't', location => p)``
         - ``expire_snapshots(table => 't'[, retain_last => n])``
         - ``rewrite_data_files(table => 't')``
+        - ``rewrite_manifests(table => 't')``
         - ``remove_orphan_files(table => 't'[, dry_run => true])``
         - ``cherrypick_snapshot(table => 't', snapshot_id => n)``
 
@@ -327,6 +328,13 @@ class Engine:
             t.rewrite_data_files()
             self.register_iceberg_table(str(name), t)
             return status("rewritten")
+        if proc == "rewrite_manifests":
+            name = arg("table", 0)
+            t = ice_of(name)
+            did = t.rewrite_manifests()
+            self.register_iceberg_table(str(name), t)
+            return status("manifests rewritten" if did
+                          else "no-op (single manifest)")
         if proc == "remove_orphan_files":
             t = ice_of(arg("table", 0))
             dry = bool(arg("dry_run", 1, default=True, required=False))

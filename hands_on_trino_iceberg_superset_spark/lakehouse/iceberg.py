@@ -1720,6 +1720,120 @@ class IcebergTable:
         self._commit_file_rewrite(full, [], plan.files, "rewrite",
                                   carry_deletes=False)
 
+    def rewrite_manifests(self, min_manifests: int = 2) -> bool:
+        """Manifest compaction (the ``rewrite_manifests`` procedure):
+        fold the current snapshot's DATA manifests into one manifest
+        per partition spec, carrying every live file as an EXISTING
+        entry with its ORIGINAL sequence number — data files are not
+        touched, only the metadata tree is reshaped. Delete manifests
+        are carried through unchanged (their rows still apply by
+        sequence-number comparison).
+
+        Why it matters at 100 TB: every appender adds a manifest, so
+        a table with 10k commits plans scans by opening 10k small
+        Avro files — metadata, but O(commits) of it on the DRIVER per
+        query. After the rewrite, planning opens one manifest per
+        spec. This is the metadata-side twin of
+        :meth:`rewrite_data_files` (which reshapes the data tier),
+        and the same nightly-maintenance loop runs both.
+
+        Returns True iff a rewrite happened (no-op below
+        ``min_manifests`` data manifests — rewriting one manifest
+        into one manifest is pure churn). Time travel to prior
+        snapshots keeps working: their manifest lists still name the
+        old manifests, which are never deleted here."""
+        snap = self._snapshot(None, None)
+        _, _, manifests = self._read_ocf_at(snap["manifest-list"])
+        data_manifests = [
+            m for m in manifests if (m.get("content", 0) or 0) == 0
+        ]
+        delete_manifests = [
+            m for m in manifests if (m.get("content", 0) or 0) != 0
+        ]
+        if len(data_manifests) < min_manifests:
+            return False
+        plan = self.plan_scan()
+        seq = self.meta["last-sequence-number"] + 1
+        snap_id = seq
+        version = len(self.meta.get("metadata-log", [])) + 1
+
+        by_spec: dict[int, list] = {}
+        for f in plan.files:
+            by_spec.setdefault(f.spec_id, []).append(f)
+        specs = {
+            s.get("spec-id", 0): s["fields"]
+            for s in self.meta.get(
+                "partition-specs",
+                [{"spec-id": 0, "fields": self.partition_spec()}],
+            )
+        }
+        new_manifests = []
+        for spec_id, files in sorted(by_spec.items()):
+            spec_fields = specs.get(spec_id, [])
+            pfs = self._partition_fields(spec_fields)
+            entry_schema = manifest_entry_schema([
+                {"name": pf["pname"], "field-id": sf["field-id"],
+                 "type": pf["result_type"]}
+                for pf, sf in zip(pfs, spec_fields) if pf
+            ])
+            entries = [
+                {
+                    "status": 0,  # EXISTING: carried, not added
+                    "snapshot_id": snap_id,
+                    # explicit (non-inherited) sequence numbers:
+                    # the folded manifest spans commits, so
+                    # inheritance from the manifest-list row would
+                    # rewrite history and break MOR delete ordering
+                    "sequence_number": f.sequence_number,
+                    "file_sequence_number": f.sequence_number,
+                    "data_file": f.raw,
+                }
+                for f in sorted(files, key=lambda x: x.path)
+            ]
+            mname = f"metadata/{uuid.uuid4().hex}-rm.avro"
+            mpath = os.path.join(self.path, mname)
+            write_ocf(
+                mpath, entry_schema, entries,
+                metadata={
+                    "schema": json.dumps(self.current_schema()),
+                    "schema-id": str(
+                        self.current_schema().get("schema-id", 0)),
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": str(spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            rows = sum(max(0, f.record_count) for f in files)
+            new_manifests.append({
+                "manifest_path": mname,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    f.sequence_number for f in files),
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(files),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": rows,
+                "deleted_rows_count": 0,
+                "partitions": self._partition_summaries(
+                    [f.raw for f in files], pfs),
+                "key_metadata": None,
+            })
+        self._publish_snapshot(
+            seq, snap_id, [*new_manifests, *delete_manifests], version,
+            summary={
+                "operation": "replace",
+                "manifests-replaced": str(len(data_manifests)),
+                "manifests-created": str(len(new_manifests)),
+            },
+        )
+        return True
+
     def compact_if_delete_heavy(
         self,
         max_delete_ratio: float = 0.05,

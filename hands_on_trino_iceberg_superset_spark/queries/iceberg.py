@@ -497,3 +497,90 @@ def _register_prewarmers() -> None:
 
 
 _register_prewarmers()
+
+
+def _manifest_rewritten_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders loaded in four commits (four data manifests), then
+    manifest-compacted — persisted per-corpus artifact. The builder
+    FAILS LOUDLY if the fold doesn't happen or planning still opens
+    more than one manifest, so the maintenance loop itself sits
+    under the oracle gate of the query that reads this."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    def build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        part = F.pmod(F.col("o_orderkey"), F.lit(4))
+        t = IcebergTable.create(spark, tmp, orders.where(part == 0))
+        for i in (1, 2, 3):
+            t.append(orders.where(part == i).select(*orders.columns))
+        if not t.rewrite_manifests():
+            raise RuntimeError("manifest rewrite did not trigger")
+        if IcebergTable.load(spark, tmp).plan_scan().manifests_total != 1:
+            raise RuntimeError("manifest fold left extra manifests")
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "orders_manifest_rewrite", "orders",
+                      params="commits=mod4,fold=1"),
+        build,
+    )
+
+
+@register(
+    "iceberg_manifest_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Manifest compaction (the rewrite_manifests procedure — the "
+        "metadata-side twin of rewrite_data_files): orders ingested "
+        "in four commits leaves four data manifests, so every scan "
+        "plans by opening four Avro files — O(commits) driver "
+        "metadata work at 100 TB (10k commits = 10k manifest opens "
+        "per query). The fold rewrites them into ONE manifest of "
+        "EXISTING entries carrying their original sequence numbers; "
+        "data files untouched, time travel intact (gated in "
+        "tests/test_iceberg.py with a live MOR delete). This row "
+        "reads the folded table through a fresh metadata adoption, "
+        "raises if planning opens more than one manifest, and the "
+        "oracle recomputes the aggregate from the source parquet — "
+        "a hash match proves the fold changed the metadata tree and "
+        "nothing else.",
+)
+def iceberg_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adopted = IcebergTable.load(
+        spark, _manifest_rewritten_path(spark, sf_dir)
+    )
+    plan = adopted.plan_scan()
+    if plan.manifests_total != 1:
+        raise RuntimeError(
+            f"expected one folded manifest, planning opened "
+            f"{plan.manifests_total}")
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _register_prewarmers_r7() -> None:
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        register_prewarmer,
+    )
+
+    register_prewarmer("orders_manifest_rewrite",
+                       _manifest_rewritten_path)
+
+
+_register_prewarmers_r7()

@@ -696,3 +696,65 @@ def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols=("query_id", "neighbor_id", "neg_label",
                   "cos_sim", "rank"),
     )
+
+
+@register(
+    "ann_range_search",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 6) >= 0.28
+    """,
+    doc="Cosine RANGE search (radius retrieval): all corpus vectors "
+        "with similarity >= 0.28 of each anchor — top-k caps the "
+        "result count, range search caps the DISTANCE, the primitive "
+        "behind recall-guaranteed retrieval and near-dup harvesting. "
+        "Scale shape: broadcast anchors, one narrow corpus scan, "
+        "ZERO shuffles (no per-query window — the threshold lands in "
+        "the join condition and non-matching pairs die map-side; "
+        "plan-gated in tests/test_plans.py). Oracle recomputes every "
+        "surviving similarity.",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_range_search(emb, _queries(emb), threshold=0.28)
+
+
+@register(
+    "ann_cosine_topk_sq8",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Scalar-quantized (int8) approximate top-10 with exact "
+        "re-rank: per-vector scale max|x|/127 + int8 codes cut scan "
+        "bandwidth 4x vs float32 with NO codebook training (the "
+        "cheapest standard ANN compression; PQ's 32x sits at the "
+        "other end of the accuracy/compression trade). Candidate "
+        "scan ranks by code-space cosine (the scales cancel), then "
+        "only n_candidates=30 per query touch the float vectors. "
+        "Emits the exact top-10 gated on the SQ8 route achieving "
+        ">= 8/10 per-query overlap (tighter than LSH's 5 — int8 "
+        "direction error is tiny); the oracle recomputes the exact "
+        "top-10 from scratch.",
+)
+def ann_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    sq8 = S.sq8_topk(emb, q, k=10, n_candidates=30)
+    exact = S.cosine_topk(emb, q, k=10)
+    return _recall_gate(sq8, exact, min_overlap=8)

@@ -1606,6 +1606,18 @@ def test_call_procedures_sql_surface(spark, tmp_root):
         "CALL iceberg.system.remove_orphan_files(table => 'call_t')"
     ).collect()
     assert "dry run" in out[0].result
+    # manifest compaction over SQL: add_files + cherrypick left
+    # several manifests; after the fold, counts are unchanged and a
+    # repeat call is a no-op
+    out = eng.sql(
+        "CALL iceberg.system.rewrite_manifests(table => 'call_t')"
+    ).collect()
+    assert "manifests rewritten" in out[0].result
+    assert eng.sql("SELECT count(*) AS n FROM call_t").collect()[0].n == 52
+    out = eng.sql(
+        "CALL iceberg.system.rewrite_manifests(table => 'call_t')"
+    ).collect()
+    assert "no-op" in out[0].result
     # unknown procedure fails loudly
     with pytest.raises(ValueError, match="unknown procedure"):
         eng.sql("CALL iceberg.system.nope('x')")
@@ -1738,3 +1750,54 @@ def test_compact_if_delete_heavy_unknown_counts_compact(
     monkeypatch.undo()
     assert t.plan_scan().deletes == []
     assert t.read().count() == 99
+
+
+def test_rewrite_manifests_folds_metadata_tree(spark, tmp_root):
+    """rewrite_manifests folds N data manifests into one per spec
+    with EXISTING entries and original sequence numbers: values and
+    MOR delete ordering unchanged, planning opens one manifest, time
+    travel to pre-rewrite snapshots still works, and a fresh
+    adoption sees the same table."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (
+        IcebergTable,
+    )
+
+    import os as _os
+    path = _os.path.join(str(tmp_root), "rm")
+    t = IcebergTable.create(
+        spark, path,
+        spark.range(0, 100).select(
+            "id", (F.col("id") % 4).alias("g")),
+    )
+    for lo in (100, 200, 300):
+        t.append(spark.range(lo, lo + 100).select(
+            "id", (F.col("id") % 4).alias("g")))
+    # a MOR delete adds a delete manifest whose rows must keep
+    # applying after the fold (sequence ordering preserved)
+    t.delete("id % 10 = 7", mode="merge-on-read")
+    before = t.plan_scan()
+    assert before.manifests_total >= 5  # 4 data + 1 delete
+    pre_snapshots = len(t.snapshots())
+    want = sorted(r.id for r in t.read().collect())
+
+    assert t.rewrite_manifests() is True
+    after = t.plan_scan()
+    # one folded data manifest + the carried delete manifest
+    assert after.manifests_total == 2
+    assert sorted(r.id for r in t.read().collect()) == want
+    assert len(t.snapshots()) == pre_snapshots + 1
+    # sequence numbers carried: the folded entries are EXISTING with
+    # their ORIGINAL data sequence numbers, so the delete (seq 5)
+    # still applies to all four original batches
+    assert t.read().where("id % 10 = 7").count() == 0
+    # time travel to the pre-rewrite snapshot still plans on the old
+    # manifest tree
+    first = sorted(s["snapshot-id"] for s in t.snapshots())[0]
+    assert t.read(snapshot_id=first).count() == 100
+    # fresh adoption through metadata on disk sees the same state
+    adopted = IcebergTable.load(spark, path)
+    assert sorted(r.id for r in adopted.read().collect()) == want
+    # idempotence guard: a single data manifest is not re-folded
+    assert t.rewrite_manifests() is False

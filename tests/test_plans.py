@@ -459,3 +459,47 @@ def test_salted_inventory_join_spreads_hot_key(spark, inv, sf_dir):
     executed = str(df._jdf.queryExecution().executedPlan())
     assert "xxhash64" in executed
     assert "explode" in executed.lower()
+
+
+def test_range_search_has_zero_shuffles(spark, inv, sf_dir):
+    """Cosine range search is broadcast + map: no per-query window,
+    so the whole plan must contain NO shuffle exchange — the property
+    that makes it a pure corpus map at 100 TB."""
+    executed, _ = _plans(spark, inv, "ann_range_search", sf_dir)
+    import re as _re
+
+    # broadcast exchanges are fine (the anchors); shuffle exchanges
+    # are not. Spark prints shuffles as 'Exchange hashpartitioning/
+    # rangepartitioning/SinglePartition' and broadcasts as
+    # 'BroadcastExchange'.
+    shuffles = _re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)",
+                           executed)
+    assert not shuffles, executed
+
+
+def test_sq8_candidates_bound_float_reads(spark, sf_dir):
+    """SQ8 recall on the driver corpus: the int8 candidate scan must
+    hand the exact re-rank enough to recover >= 8/10 of the true
+    top-10 for every anchor (the gate the inventory query enforces
+    per query)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    sq8 = S.sq8_topk(emb, q, k=10, n_candidates=30)
+    exact = S.cosine_topk(emb, q, k=10)
+    overlap = (
+        sq8.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id").count()
+    )
+    counts = {r.query_id: r["count"] for r in overlap.collect()}
+    n_anchor = q.count()
+    assert len(counts) == n_anchor
+    assert min(counts.values()) >= 8
