@@ -161,11 +161,40 @@ def compile_form_data(
             if groupby
             else df.agg(*aggs)
         )
+        pct = form_data.get("percent_metrics") or []
+        pct_labels = [f"pct_{_metric_label(m)}" for m in pct]
+        if pct:
+            # each percent metric = this group's value / the total
+            # across the RESULT's groups (Superset's table-chart
+            # semantics). The denominator is one scalar per metric:
+            # a broadcast cross-join of a 1-row aggregate — never a
+            # global single-partition window, which would serialize
+            # the whole result through one task at scale
+            for m in pct:
+                if _metric_label(m) not in {_metric_label(x)
+                                            for x in metrics}:
+                    raise ValueError(
+                        f"percent metric {_metric_label(m)!r} must "
+                        "also appear in metrics")
+            totals = out.agg(*[
+                F.sum(_metric_label(m)).alias(f"__t_{_metric_label(m)}")
+                for m in pct
+            ])
+            out = out.crossJoin(F.broadcast(totals))
+            for m in pct:
+                lab = _metric_label(m)
+                out = out.withColumn(
+                    f"pct_{lab}",
+                    F.col(lab).cast("double")
+                    / F.col(f"__t_{lab}").cast("double"),
+                )
+            out = out.drop(*[f"__t_{_metric_label(m)}" for m in pct])
         # mirror form_data_to_sql: order_by entries naming nothing
         # emitted are dropped, keeping the two compilation paths'
         # results identical (applying them here would crash on
         # UNRESOLVED_COLUMN where the SQL path silently filters)
-        emitted = set(groupby) | {_metric_label(m) for m in metrics}
+        emitted = (set(groupby) | {_metric_label(m) for m in metrics}
+                   | set(pct_labels))
         order_by = [
             ob for ob in order_by
             if (_metric_label(ob[0]) if not isinstance(ob[0], str)
@@ -287,10 +316,29 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
                      f"{_sql_ident(form_data['granularity_sqla'])})")
             select_keys = [f"{trunc} AS {TIME_LABEL}", *select_keys]
             groupby = [trunc, *groupby]
-        metric_sqls = [
-            _metric_sql(m) for m in form_data.get("metrics") or ["count"]
-        ]
-        select = ", ".join(select_keys + [s for s, _ in metric_sqls])
+        metrics = form_data.get("metrics") or ["count"]
+        metric_sqls = [_metric_sql(m) for m in metrics]
+        pct = form_data.get("percent_metrics") or []
+        pct_sqls = []
+        for m in pct:
+            lab = _metric_label(m)
+            if lab not in {label for _, label in metric_sqls}:
+                raise ValueError(
+                    f"percent metric {lab!r} must also appear in "
+                    "metrics")
+            expr = next(s for s, label in metric_sqls if label == lab)
+            expr = expr.split(" AS ")[0]
+            # SQL text states the scalar denominator as a global
+            # window — the engine's planner turns the broadcastable
+            # 1-row aggregate shape out of it; the Catalyst path
+            # builds that shape directly
+            pct_sqls.append(
+                f"CAST({expr} AS DOUBLE) / CAST(sum({expr}) OVER () "
+                f"AS DOUBLE) AS pct_{lab}"
+            )
+        select = ", ".join(
+            select_keys + [s for s, _ in metric_sqls] + pct_sqls
+        )
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
         )
@@ -302,6 +350,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             set(form_data.get("groupby") or [])
             | ({TIME_LABEL} if unit else set())
             | {label for _, label in metric_sqls}
+            | {f"pct_{_metric_label(m)}" for m in pct}
         )
         order_by = [
             ob for ob in order_by

@@ -165,3 +165,41 @@ def bi_chart_timeseries_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("__timestamp", "event_type")
     )
+
+
+@register(
+    "bi_chart_percent_metrics",
+    oracle=SEED_CTE
+    + """
+    SELECT currency,
+           count(*) AS count,
+           CAST(count(*) AS DOUBLE) /
+             CAST(sum(count(*)) OVER () AS DOUBLE) AS pct_count
+    FROM seed_transactions
+    GROUP BY currency
+    ORDER BY currency
+    """,
+    doc="Table chart with percent_metrics — the other form_data "
+        "field every reference chart carries empty (init_db.py:152) "
+        "that a real Superset user fills: each listed metric also "
+        "emits its share of the RESULT total (pct_<label>). Scale "
+        "shape: the denominator is one scalar per metric, computed "
+        "as a broadcast cross-join of a 1-row aggregate — never a "
+        "global single-partition window. The oracle restates the "
+        "same chart in SQL (count-based percent: integer totals, so "
+        "the double division is bit-identical on both engines).",
+)
+def bi_chart_percent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = seed_frames(spark)["transactions"]
+    return compile_form_data(
+        tx,
+        {
+            "viz_type": "table",
+            "query_mode": "aggregate",
+            "groupby": ["currency"],
+            "metrics": ["count"],
+            "percent_metrics": ["count"],
+            "order_by": [["currency", True]],
+            "time_range": "No filter",
+        },
+    )

@@ -315,3 +315,36 @@ def test_aggregate_order_by_filter_on_catalyst_path(spark):
         "order_by": [["ghost", False], ["a", True]],
     })
     assert [(r.a, r.sx) for r in out.collect()] == [("u", 1.0), ("v", 2.0)]
+
+
+def test_percent_metrics_paths_agree(spark):
+    """percent_metrics on both compiler paths: identical rows on the
+    engine, shares summing to 1, and a percent metric not in metrics
+    raising on both paths."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], "g string")
+    df.createOrReplaceTempView("pct_t")
+    fd = {
+        "query_mode": "aggregate",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "percent_metrics": ["count"],
+        "order_by": [["g", True], ["pct_count", False]],
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("pct_t", fd)).collect()]
+    assert native == wire == [("a", 3, 0.75), ("b", 1, 0.25)]
+    bad = {**fd, "percent_metrics": [
+        {"aggregate": "SUM", "column": "x", "label": "sx"}]}
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("pct_t", f)):
+        with pytest.raises(ValueError, match="percent metric"):
+            compiler(bad)
