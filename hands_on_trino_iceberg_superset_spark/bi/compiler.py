@@ -121,11 +121,105 @@ def _apply_time_range(
     return df
 
 
+#: Superset SIMPLE adhoc-filter operators -> (arity kind)
+_FILTER_OPS = {
+    "==": "binary", "!=": "binary", ">": "binary", ">=": "binary",
+    "<": "binary", "<=": "binary",
+    "IN": "list", "NOT IN": "list",
+    "LIKE": "binary",
+    "IS NULL": "unary", "IS NOT NULL": "unary",
+}
+
+
+def _adhoc_filters(form_data: Mapping[str, Any]) -> list[dict]:
+    """Validated SIMPLE adhoc filters (the Superset filter-bar field;
+    absent from the reference's five charts but the most-used chart
+    control in practice). SQL-expression filters are refused — free
+    SQL from a stored blob is an injection channel, exactly what the
+    SIMPLE shape exists to avoid."""
+    out = []
+    for f in form_data.get("adhoc_filters") or []:
+        if f.get("expressionType", "SIMPLE") != "SIMPLE":
+            raise ValueError(
+                "only SIMPLE adhoc filters are supported (SQL "
+                "expressionType is an injection channel)")
+        op = (f.get("operator") or "").upper()
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter operator {op!r}")
+        out.append({"subject": f["subject"], "operator": op,
+                    "comparator": f.get("comparator")})
+    return out
+
+
+def _apply_adhoc_filters(
+    df: DataFrame, form_data: Mapping[str, Any]
+) -> DataFrame:
+    for f in _adhoc_filters(form_data):
+        col = F.col(f["subject"])
+        op, cmp_ = f["operator"], f["comparator"]
+        if op == "==":
+            pred = col == F.lit(cmp_)
+        elif op == "!=":
+            pred = col != F.lit(cmp_)
+        elif op == ">":
+            pred = col > F.lit(cmp_)
+        elif op == ">=":
+            pred = col >= F.lit(cmp_)
+        elif op == "<":
+            pred = col < F.lit(cmp_)
+        elif op == "<=":
+            pred = col <= F.lit(cmp_)
+        elif op == "IN":
+            pred = col.isin(list(cmp_))
+        elif op == "NOT IN":
+            pred = ~col.isin(list(cmp_))
+        elif op == "LIKE":
+            pred = col.like(str(cmp_))
+        elif op == "IS NULL":
+            pred = col.isNull()
+        else:  # IS NOT NULL
+            pred = col.isNotNull()
+        df = df.filter(pred)
+    return df
+
+
+def _sql_literal(v) -> str:
+    """One filter comparator as SQL text: numbers pass through,
+    booleans lower, strings single-quoted with quote doubling — the
+    stored blob can never break out of the literal."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _adhoc_filter_sql(form_data: Mapping[str, Any]) -> list[str]:
+    conds = []
+    for f in _adhoc_filters(form_data):
+        subj = _sql_ident(f["subject"])
+        op, cmp_ = f["operator"], f["comparator"]
+        if op in ("IS NULL", "IS NOT NULL"):
+            conds.append(f"{subj} {op}")
+        elif op in ("IN", "NOT IN"):
+            vals = ", ".join(_sql_literal(v) for v in cmp_)
+            conds.append(f"{subj} {op} ({vals})")
+        elif op == "==":
+            conds.append(f"{subj} = {_sql_literal(cmp_)}")
+        elif op == "!=":
+            conds.append(f"{subj} <> {_sql_literal(cmp_)}")
+        else:
+            conds.append(f"{subj} {op} {_sql_literal(cmp_)}")
+    return conds
+
+
 def compile_form_data(
     df: DataFrame, form_data: Mapping[str, Any]
 ) -> DataFrame:
     """Compile one chart's form_data against its dataset DataFrame."""
     df = _apply_time_range(df, form_data)
+    df = _apply_adhoc_filters(df, form_data)
     mode = form_data.get("query_mode", "raw")
     row_limit = form_data.get("row_limit")
     order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
@@ -257,7 +351,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     import re
 
     mode = form_data.get("query_mode", "raw")
-    where = ""
+    where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
     if rng not in (None, "No filter") and time_col:
@@ -286,8 +380,10 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             conds.append(
                 f"{_sql_ident(time_col)} {op} TIMESTAMP '{bound}'"
             )
-        if conds:
-            where = " WHERE " + " AND ".join(conds)
+        where_conds = conds + where_conds
+    where = (
+        " WHERE " + " AND ".join(where_conds) if where_conds else ""
+    )
 
     order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
     if mode == "raw":

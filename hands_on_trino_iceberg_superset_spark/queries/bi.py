@@ -203,3 +203,54 @@ def bi_chart_percent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_range": "No filter",
         },
     )
+
+
+@register(
+    "bi_chart_adhoc_filters",
+    oracle=SEED_CTE
+    + """
+    SELECT status,
+           count(*) AS count,
+           CAST(sum(CAST(price AS DECIMAL(18,2)) * quantity) AS DOUBLE)
+             AS revenue
+    FROM seed_orders
+    WHERE status IN ('pending', 'shipped') AND quantity >= 2
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="Aggregate chart with SIMPLE adhoc_filters — the Superset "
+        "filter-bar field (IN + >= here), compiled to pre-aggregate "
+        "predicates on both paths: Catalyst Column filters natively, "
+        "and SQL text with quote-doubled literals so a stored blob "
+        "can never break out of the WHERE (SQL-expressionType "
+        "filters are refused outright as an injection channel — "
+        "gated in tests/test_bi.py). The oracle restates the "
+        "filtered aggregate from the regenerated seed.",
+)
+def bi_chart_adhoc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = seed_frames(spark)["orders"].withColumn(
+        "rev", dec("price") * F.col("quantity")
+    )
+    out = compile_form_data(
+        orders,
+        {
+            "viz_type": "table",
+            "query_mode": "aggregate",
+            "adhoc_filters": [
+                {"expressionType": "SIMPLE", "subject": "status",
+                 "operator": "IN",
+                 "comparator": ["pending", "shipped"]},
+                {"expressionType": "SIMPLE", "subject": "quantity",
+                 "operator": ">=", "comparator": 2},
+            ],
+            "groupby": ["status"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "rev",
+                 "label": "revenue"},
+            ],
+            "order_by": [["status", True]],
+            "time_range": "No filter",
+        },
+    )
+    return out.withColumn("revenue", dbl(F.col("revenue")))

@@ -348,3 +348,70 @@ def test_percent_metrics_paths_agree(spark):
                      lambda f: form_data_to_sql("pct_t", f)):
         with pytest.raises(ValueError, match="percent metric"):
             compiler(bad)
+
+
+def test_adhoc_filters_paths_agree_and_reject_sql_type(spark):
+    """SIMPLE adhoc filters: identical rows on both compiler paths
+    (incl. LIKE / IS NULL / quote-bearing literals), and the SQL
+    expressionType refused on both — a stored blob must never reach
+    the WHERE as free SQL."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("ann", 1, "x'y"), ("bob", 2, None),
+         ("bea", 3, "z"), ("cal", 4, "x'y")],
+        "name string, n long, tag string",
+    )
+    df.createOrReplaceTempView("adhoc_t")
+    fd = {
+        "query_mode": "raw",
+        "all_columns": ["name", "n", "tag"],
+        "adhoc_filters": [
+            {"expressionType": "SIMPLE", "subject": "name",
+             "operator": "LIKE", "comparator": "b%"},
+            {"expressionType": "SIMPLE", "subject": "tag",
+             "operator": "IS NOT NULL", "comparator": None},
+        ],
+        "order_by": [["name", True]],
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("adhoc_t", fd)).collect()]
+    assert native == wire == [("bea", 3, "z")]
+    # a single-quote in the comparator stays INSIDE the literal
+    fd_quote = {
+        "query_mode": "raw", "all_columns": ["name"],
+        "adhoc_filters": [
+            {"expressionType": "SIMPLE", "subject": "tag",
+             "operator": "==", "comparator": "x'y"},
+        ],
+        "order_by": [["name", True]],
+    }
+    sql = form_data_to_sql("adhoc_t", fd_quote)
+    assert "x''y" in sql
+    assert [r.name for r in spark.sql(sql).collect()] == ["ann", "cal"]
+    # SQL expressionType is refused on both paths
+    bad = {
+        "query_mode": "raw",
+        "adhoc_filters": [
+            {"expressionType": "SQL",
+             "sqlExpression": "1=1; DROP TABLE x"},
+        ],
+    }
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("adhoc_t", f)):
+        with pytest.raises(ValueError, match="SIMPLE"):
+            compiler(bad)
+        with pytest.raises(ValueError, match="operator"):
+            compiler({
+                "query_mode": "raw",
+                "adhoc_filters": [
+                    {"expressionType": "SIMPLE", "subject": "n",
+                     "operator": "BETWEEN; DROP",
+                     "comparator": 1}],
+            })
