@@ -144,10 +144,26 @@ def _adhoc_filters(form_data: Mapping[str, Any]) -> list[dict]:
                 "only SIMPLE adhoc filters are supported (SQL "
                 "expressionType is an injection channel)")
         op = (f.get("operator") or "").upper()
-        if op not in _FILTER_OPS:
+        kind = _FILTER_OPS.get(op)
+        if kind is None:
             raise ValueError(f"unsupported filter operator {op!r}")
+        cmp_ = f.get("comparator")
+        # arity validation: a malformed stored blob must fail loudly,
+        # not filter wrong — a scalar string on IN would otherwise be
+        # iterated character-by-character on BOTH paths
+        if kind == "list":
+            if not isinstance(cmp_, (list, tuple)) or not cmp_:
+                raise ValueError(
+                    f"filter operator {op} requires a non-empty "
+                    f"list comparator, got {cmp_!r}")
+        elif kind == "binary":
+            if cmp_ is None or isinstance(cmp_, (list, tuple, dict)):
+                raise ValueError(
+                    f"filter operator {op} requires a scalar "
+                    f"comparator, got {cmp_!r} (use IS NULL / "
+                    "IS NOT NULL for null tests)")
         out.append({"subject": f["subject"], "operator": op,
-                    "comparator": f.get("comparator")})
+                    "comparator": cmp_})
     return out
 
 
@@ -187,6 +203,8 @@ def _sql_literal(v) -> str:
     """One filter comparator as SQL text: numbers pass through,
     booleans lower, strings single-quoted with quote doubling — the
     stored blob can never break out of the literal."""
+    if v is None:
+        return "NULL"  # same no-rows semantics as the Catalyst lit
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
@@ -257,32 +275,12 @@ def compile_form_data(
         )
         pct = form_data.get("percent_metrics") or []
         pct_labels = [f"pct_{_metric_label(m)}" for m in pct]
-        if pct:
-            # each percent metric = this group's value / the total
-            # across the RESULT's groups (Superset's table-chart
-            # semantics). The denominator is one scalar per metric:
-            # a broadcast cross-join of a 1-row aggregate — never a
-            # global single-partition window, which would serialize
-            # the whole result through one task at scale
-            for m in pct:
-                if _metric_label(m) not in {_metric_label(x)
-                                            for x in metrics}:
-                    raise ValueError(
-                        f"percent metric {_metric_label(m)!r} must "
-                        "also appear in metrics")
-            totals = out.agg(*[
-                F.sum(_metric_label(m)).alias(f"__t_{_metric_label(m)}")
-                for m in pct
-            ])
-            out = out.crossJoin(F.broadcast(totals))
-            for m in pct:
-                lab = _metric_label(m)
-                out = out.withColumn(
-                    f"pct_{lab}",
-                    F.col(lab).cast("double")
-                    / F.col(f"__t_{lab}").cast("double"),
-                )
-            out = out.drop(*[f"__t_{_metric_label(m)}" for m in pct])
+        for m in pct:
+            if _metric_label(m) not in {_metric_label(x)
+                                        for x in metrics}:
+                raise ValueError(
+                    f"percent metric {_metric_label(m)!r} must "
+                    "also appear in metrics")
         # mirror form_data_to_sql: order_by entries naming nothing
         # emitted are dropped, keeping the two compilation paths'
         # results identical (applying them here would crash on
@@ -294,6 +292,38 @@ def compile_form_data(
             if (_metric_label(ob[0]) if not isinstance(ob[0], str)
                 else ob[0]) in emitted
         ]
+        if pct:
+            # Superset's table-chart semantics: percents are computed
+            # over the FETCHED result — order + row_limit select the
+            # rows FIRST, then each listed metric divides by the sum
+            # across those rows (shares of a truncated chart sum to
+            # 1, matching what Superset displays). The denominator
+            # window runs over the already-aggregated, row-limited
+            # result — chart-sized by construction, never the fact
+            # table — and the aggregation executes once.
+            from pyspark.sql import Window
+
+            def _ob_label(c) -> str:
+                return _metric_label(c) if not isinstance(c, str) else c
+
+            sel = [ob for ob in order_by
+                   if _ob_label(ob[0]) not in pct_labels]
+            if sel:
+                out = out.orderBy(*[
+                    F.col(_ob_label(c)) if asc else F.desc(_ob_label(c))
+                    for c, asc in sel
+                ])
+            if row_limit:
+                out = out.limit(int(row_limit))
+                row_limit = None  # selection done; don't re-limit
+            w = Window.partitionBy()
+            for m in pct:
+                lab = _metric_label(m)
+                out = out.withColumn(
+                    f"pct_{lab}",
+                    F.col(lab).cast("double")
+                    / F.sum(F.col(lab).cast("double")).over(w),
+                )
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 
@@ -422,18 +452,15 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
                 raise ValueError(
                     f"percent metric {lab!r} must also appear in "
                     "metrics")
-            expr = next(s for s, label in metric_sqls if label == lab)
-            expr = expr.split(" AS ")[0]
-            # SQL text states the scalar denominator as a global
-            # window — the engine's planner turns the broadcastable
-            # 1-row aggregate shape out of it; the Catalyst path
-            # builds that shape directly
+            # computed over the FETCHED result (see the Catalyst
+            # path): the window runs in an OUTER select around the
+            # ordered+limited inner query, over chart-sized rows
             pct_sqls.append(
-                f"CAST({expr} AS DOUBLE) / CAST(sum({expr}) OVER () "
+                f"CAST({lab} AS DOUBLE) / CAST(sum({lab}) OVER () "
                 f"AS DOUBLE) AS pct_{lab}"
             )
         select = ", ".join(
-            select_keys + [s for s, _ in metric_sqls] + pct_sqls
+            select_keys + [s for s, _ in metric_sqls]
         )
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
@@ -456,14 +483,32 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 
-    sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
-    if order_by:
+    def order_clause(entries) -> str:
+        if not entries:
+            return ""
         terms = []
-        for c, asc in order_by:
+        for c, asc in entries:
             label = _metric_label(c) if not isinstance(c, str) else c
             terms.append(f"{_sql_ident(label)}{'' if asc else ' DESC'}")
-        sql += " ORDER BY " + ", ".join(terms)
+        return " ORDER BY " + ", ".join(terms)
+
+    sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
     row_limit = form_data.get("row_limit")
+    if mode == "aggregate" and pct_sqls:
+        # selection first (order + limit pick the fetched rows),
+        # then the percent window over that bounded result — the
+        # Catalyst path builds the identical shape
+        pct_label_set = {f"pct_{_metric_label(m)}" for m in pct}
+        sel = [ob for ob in order_by
+               if (_metric_label(ob[0]) if not isinstance(ob[0], str)
+                   else ob[0]) not in pct_label_set]
+        sql += order_clause(sel)
+        if row_limit:
+            sql += f" LIMIT {int(row_limit)}"
+        sql = (f"SELECT q.*, {', '.join(pct_sqls)} FROM ({sql}) q"
+               + order_clause(order_by))
+        return sql
+    sql += order_clause(order_by)
     if row_limit:
         sql += f" LIMIT {int(row_limit)}"
     return sql

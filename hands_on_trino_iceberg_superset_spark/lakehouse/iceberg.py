@@ -1779,14 +1779,20 @@ class IcebergTable:
             entries = [
                 {
                     "status": 0,  # EXISTING: carried, not added
-                    "snapshot_id": snap_id,
+                    # spec: EXISTING entries do not claim the fold's
+                    # snapshot id (same shape _commit_file_rewrite
+                    # carries); provenance stays with the data seq
+                    "snapshot_id": None,
                     # explicit (non-inherited) sequence numbers:
                     # the folded manifest spans commits, so
                     # inheritance from the manifest-list row would
                     # rewrite history and break MOR delete ordering
                     "sequence_number": f.sequence_number,
                     "file_sequence_number": f.sequence_number,
-                    "data_file": f.raw,
+                    # v1-adopted entries lack v2-only fields; fill
+                    # spec defaults so the v2 re-encode never
+                    # rejects them
+                    "data_file": _with_v2_defaults(f.raw),
                 }
                 for f in sorted(files, key=lambda x: x.path)
             ]

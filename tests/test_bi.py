@@ -415,3 +415,30 @@ def test_adhoc_filters_paths_agree_and_reject_sql_type(spark):
                      "operator": "BETWEEN; DROP",
                      "comparator": 1}],
             })
+
+
+def test_percent_metrics_over_fetched_result(spark):
+    """Superset's table chart computes percents over the FETCHED
+    (ordered + row-limited) result: with 3 groups and row_limit=2,
+    the two displayed shares sum to 1 — on both compiler paths."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "g string")
+    df.createOrReplaceTempView("pct_lim_t")
+    fd = {
+        "query_mode": "aggregate",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "percent_metrics": ["count"],
+        "order_by": [["count", False], ["g", True]],
+        "row_limit": 2,
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("pct_lim_t", fd)).collect()]
+    assert native == wire == [("a", 5, 0.625), ("b", 3, 0.375)]
+    assert abs(sum(r[2] for r in native) - 1.0) < 1e-12

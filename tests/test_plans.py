@@ -461,20 +461,34 @@ def test_salted_inventory_join_spreads_hot_key(spark, inv, sf_dir):
     assert "explode" in executed.lower()
 
 
-def test_range_search_has_zero_shuffles(spark, inv, sf_dir):
+def test_range_search_has_zero_shuffles(spark, sf_dir, tmp_path):
     """Cosine range search is broadcast + map: no per-query window,
-    so the whole plan must contain NO shuffle exchange — the property
-    that makes it a pure corpus map at 100 TB."""
-    executed, _ = _plans(spark, inv, "ann_range_search", sf_dir)
-    import re as _re
+    so the plan must contain NO shuffle exchange at all — the
+    property that makes it a pure corpus map at 100 TB. The corpus
+    is written as a multi-file parquet first so the test-scale
+    widen (a RoundRobin repartition the operator skips whenever the
+    scan is already parallel, i.e. always at real scale) is a no-op
+    and the gate sees the steady-state plan."""
+    import pyspark.sql.functions as F
 
-    # broadcast exchanges are fine (the anchors); shuffle exchanges
-    # are not. Spark prints shuffles as 'Exchange hashpartitioning/
-    # rangepartitioning/SinglePartition' and broadcasts as
-    # 'BroadcastExchange'.
-    shuffles = _re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)",
-                           executed)
-    assert not shuffles, executed
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.repartition(8).write.mode("overwrite").parquet(
+        str(tmp_path / "emb8"))
+    wide = spark.read.parquet(str(tmp_path / "emb8"))
+    assert wide.rdd.getNumPartitions() >= 8  # widen will no-op
+    df = S.cosine_range_search(
+        wide, wide.where(F.col("vec_id") % 100 == 0), threshold=0.28)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # every line naming an Exchange must be a BroadcastExchange —
+    # hash/range/single-partition AND round-robin shuffles all fail
+    bad = [ln for ln in executed.splitlines()
+           if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert not bad, "\n".join(bad)
 
 
 def test_sq8_candidates_bound_float_reads(spark, sf_dir):
