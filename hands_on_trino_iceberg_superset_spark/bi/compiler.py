@@ -143,6 +143,9 @@ def _adhoc_filters(form_data: Mapping[str, Any]) -> list[dict]:
             raise ValueError(
                 "only SIMPLE adhoc filters are supported (SQL "
                 "expressionType is an injection channel)")
+        clause = (f.get("clause") or "WHERE").upper()
+        if clause not in ("WHERE", "HAVING"):
+            raise ValueError(f"unsupported filter clause {clause!r}")
         op = (f.get("operator") or "").upper()
         kind = _FILTER_OPS.get(op)
         if kind is None:
@@ -163,39 +166,45 @@ def _adhoc_filters(form_data: Mapping[str, Any]) -> list[dict]:
                     f"comparator, got {cmp_!r} (use IS NULL / "
                     "IS NOT NULL for null tests)")
         out.append({"subject": f["subject"], "operator": op,
-                    "comparator": cmp_})
+                    "comparator": cmp_, "clause": clause})
     return out
 
 
+def _filter_pred(col: Column, op: str, cmp_) -> Column:
+    if op == "==":
+        return col == F.lit(cmp_)
+    if op == "!=":
+        return col != F.lit(cmp_)
+    if op == ">":
+        return col > F.lit(cmp_)
+    if op == ">=":
+        return col >= F.lit(cmp_)
+    if op == "<":
+        return col < F.lit(cmp_)
+    if op == "<=":
+        return col <= F.lit(cmp_)
+    if op == "IN":
+        return col.isin(list(cmp_))
+    if op == "NOT IN":
+        return ~col.isin(list(cmp_))
+    if op == "LIKE":
+        return col.like(str(cmp_))
+    if op == "IS NULL":
+        return col.isNull()
+    return col.isNotNull()  # IS NOT NULL
+
+
 def _apply_adhoc_filters(
-    df: DataFrame, form_data: Mapping[str, Any]
+    df: DataFrame, form_data: Mapping[str, Any],
+    clause: str = "WHERE",
 ) -> DataFrame:
     for f in _adhoc_filters(form_data):
-        col = F.col(f["subject"])
-        op, cmp_ = f["operator"], f["comparator"]
-        if op == "==":
-            pred = col == F.lit(cmp_)
-        elif op == "!=":
-            pred = col != F.lit(cmp_)
-        elif op == ">":
-            pred = col > F.lit(cmp_)
-        elif op == ">=":
-            pred = col >= F.lit(cmp_)
-        elif op == "<":
-            pred = col < F.lit(cmp_)
-        elif op == "<=":
-            pred = col <= F.lit(cmp_)
-        elif op == "IN":
-            pred = col.isin(list(cmp_))
-        elif op == "NOT IN":
-            pred = ~col.isin(list(cmp_))
-        elif op == "LIKE":
-            pred = col.like(str(cmp_))
-        elif op == "IS NULL":
-            pred = col.isNull()
-        else:  # IS NOT NULL
-            pred = col.isNotNull()
-        df = df.filter(pred)
+        if f["clause"] != clause:
+            continue
+        df = df.filter(
+            _filter_pred(F.col(f["subject"]), f["operator"],
+                         f["comparator"])
+        )
     return df
 
 
@@ -213,10 +222,22 @@ def _sql_literal(v) -> str:
     return f"'{s}'"
 
 
-def _adhoc_filter_sql(form_data: Mapping[str, Any]) -> list[str]:
+def _adhoc_filter_sql(
+    form_data: Mapping[str, Any], clause: str = "WHERE",
+    subject_map: Mapping[str, str] | None = None,
+) -> list[str]:
     conds = []
     for f in _adhoc_filters(form_data):
-        subj = _sql_ident(f["subject"])
+        if f["clause"] != clause:
+            continue
+        if subject_map is not None:
+            if f["subject"] not in subject_map:
+                raise ValueError(
+                    f"HAVING filter subject {f['subject']!r} is not "
+                    "an emitted group key or metric label")
+            subj = subject_map[f["subject"]]
+        else:
+            subj = _sql_ident(f["subject"])
         op, cmp_ = f["operator"], f["comparator"]
         if op in ("IS NULL", "IS NOT NULL"):
             conds.append(f"{subj} {op}")
@@ -242,6 +263,9 @@ def compile_form_data(
     row_limit = form_data.get("row_limit")
     order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
 
+    if any(f["clause"] == "HAVING"
+           for f in _adhoc_filters(form_data)) and mode != "aggregate":
+        raise ValueError("HAVING filters require aggregate mode")
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
@@ -273,6 +297,22 @@ def compile_form_data(
             if groupby
             else df.agg(*aggs)
         )
+        # HAVING filters: post-aggregation predicates on group keys
+        # or metric labels (Superset's metric-filter clause) — they
+        # run BEFORE ordering/limit/percent, i.e. they shape which
+        # groups exist at all
+        having = [f for f in _adhoc_filters(form_data)
+                  if f["clause"] == "HAVING"]
+        if having:
+            allowed = set(groupby) | {_metric_label(m)
+                                      for m in metrics}
+            for f in having:
+                if f["subject"] not in allowed:
+                    raise ValueError(
+                        f"HAVING filter subject {f['subject']!r} is "
+                        "not an emitted group key or metric label")
+            out = _apply_adhoc_filters(out, form_data,
+                                       clause="HAVING")
         pct = form_data.get("percent_metrics") or []
         pct_labels = [f"pct_{_metric_label(m)}" for m in pct]
         for m in pct:
@@ -381,6 +421,9 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     import re
 
     mode = form_data.get("query_mode", "raw")
+    if any(f["clause"] == "HAVING"
+           for f in _adhoc_filters(form_data)) and mode != "aggregate":
+        raise ValueError("HAVING filters require aggregate mode")
     where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
@@ -464,6 +507,21 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         )
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
+        )
+        # HAVING states the aggregate EXPRESSION, not the alias —
+        # portable across engines that don't resolve select aliases
+        # in HAVING
+        having_conds = _adhoc_filter_sql(
+            form_data, "HAVING",
+            subject_map={
+                **{c: c for c in (form_data.get("groupby") or [])},
+                **{label: s.split(" AS ")[0]
+                   for s, label in metric_sqls},
+            },
+        )
+        group += (
+            " HAVING " + " AND ".join(having_conds)
+            if having_conds else ""
         )
         # mirror the raw-mode filter: only order_by entries naming an
         # emitted label (a groupby ident, the time label, or a metric

@@ -254,3 +254,53 @@ def bi_chart_adhoc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumn("revenue", dbl(F.col("revenue")))
+
+
+@register(
+    "bi_chart_having_filter",
+    oracle=SEED_CTE
+    + """
+    SELECT currency, transaction_type,
+           count(*) AS count,
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_amount
+    FROM seed_transactions
+    GROUP BY currency, transaction_type
+    HAVING count(*) >= 20
+    ORDER BY currency, transaction_type
+    """,
+    doc="Aggregate chart with a HAVING-clause adhoc filter — "
+        "Superset's metric filter: groups whose count falls below "
+        "the threshold are dropped POST-aggregation, before "
+        "ordering/limit/percent. Compiled as a post-agg predicate on "
+        "the Catalyst path and a HAVING clause stating the aggregate "
+        "EXPRESSION (alias-free, engine-portable) on the SQL path; "
+        "path parity + refusal gates in tests/test_bi.py. The oracle "
+        "restates the filtered aggregate from the regenerated seed.",
+)
+def bi_chart_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = seed_frames(spark)["transactions"].withColumn(
+        "amount_dec", dec("amount")
+    )
+    out = compile_form_data(
+        tx,
+        {
+            "viz_type": "table",
+            "query_mode": "aggregate",
+            "groupby": ["currency", "transaction_type"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "sum_amount"},
+            ],
+            "adhoc_filters": [
+                {"expressionType": "SIMPLE", "clause": "HAVING",
+                 "subject": "count", "operator": ">=",
+                 "comparator": 20},
+            ],
+            "order_by": [["currency", True],
+                         ["transaction_type", True]],
+            "time_range": "No filter",
+        },
+    )
+    return out.withColumn("sum_amount", dbl(F.col("sum_amount")))

@@ -442,3 +442,47 @@ def test_percent_metrics_over_fetched_result(spark):
             spark.sql(form_data_to_sql("pct_lim_t", fd)).collect()]
     assert native == wire == [("a", 5, 0.625), ("b", 3, 0.375)]
     assert abs(sum(r[2] for r in native) - 1.0) < 1e-12
+
+
+def test_having_filters_paths_agree(spark):
+    """HAVING-clause adhoc filters (Superset metric filters) run
+    post-aggregation, before ordering/limit/percent, on both paths;
+    raw mode and unknown subjects are refused on both."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "g string")
+    df.createOrReplaceTempView("having_t")
+    fd = {
+        "query_mode": "aggregate",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "percent_metrics": ["count"],
+        "adhoc_filters": [
+            {"expressionType": "SIMPLE", "clause": "HAVING",
+             "subject": "count", "operator": ">=", "comparator": 3},
+        ],
+        "order_by": [["g", True]],
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("having_t", fd)).collect()]
+    # group c (count 1) is HAVING-dropped BEFORE percent: shares are
+    # over the surviving groups
+    assert native == wire == [("a", 5, 0.625), ("b", 3, 0.375)]
+    sql = form_data_to_sql("having_t", fd)
+    assert "HAVING count(*) >= 3" in sql
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("having_t", f)):
+        with pytest.raises(ValueError, match="aggregate"):
+            compiler({**fd, "query_mode": "raw"})
+        with pytest.raises(ValueError, match="HAVING filter subject"):
+            compiler({**fd, "adhoc_filters": [
+                {"expressionType": "SIMPLE", "clause": "HAVING",
+                 "subject": "ghost", "operator": ">",
+                 "comparator": 1}]})
