@@ -175,6 +175,97 @@ def cosine_range_search(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 30,
+    rel_weight: float = 0.7,
+    div_weight: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998): per query, fetch an exact cosine top-``pool``
+    candidate set, then greedily select ``k`` of them maximizing
+    ``rel_weight * sim(q, c) - div_weight * max_{s in S} sim(c, s)``
+    — relevance discounted by similarity to what is already picked,
+    the standard diversity-aware retrieval head for RAG context
+    assembly and eval-set selection (near-duplicate passages add
+    tokens, not evidence).
+
+    Scale shape: the corpus is scanned ONCE by the exact top-k
+    (broadcast queries, no corpus shuffle), candidate vectors ride a
+    broadcast join of the tiny (queries x pool) candidate list, and
+    the greedy loop — quadratic only in ``pool`` — runs per query in
+    one Arrow batch after a single candidate-sized shuffle. Work per
+    query is O(pool^2 * dim) in one BLAS GEMM; nothing global.
+
+    ``rel_weight``/``div_weight`` are BOTH explicit because the
+    oracle uses decimal literals: deriving ``div = 1 - 0.7`` in
+    float64 yields 0.30000000000000004, not the literal 0.3, and the
+    emitted score would differ in the last ulp.
+
+    Determinism: candidate relevances come from
+    :func:`cosine_topk` (JVM ``F.round`` at ``round_digits``);
+    candidate-candidate similarities use the same GEMM +
+    :func:`_round_half_up` kernel as :func:`cosine_neardup_pairs`
+    (both oracle-proven against DuckDB ``round``); ties break on the
+    lowest neighbor id (``np.argmax`` returns the first maximum over
+    an id-sorted array).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(
+        corpus, queries, k=pool, vec_col=vec_col, id_col=id_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id", "cos_sim")
+    withv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).join(F.broadcast(cand), "neighbor_id")
+
+    digits, rw, dw, kk = round_digits, rel_weight, div_weight, k
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["neighbor_id"].to_numpy())
+        ids = pdf["neighbor_id"].to_numpy()[order]
+        rel = pdf["cos_sim"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy())[order]
+        norms = np.linalg.norm(m, axis=1)
+        sim = _round_half_up((m @ m.T) / np.outer(norms, norms), digits)
+        qid = int(pdf["query_id"].iloc[0])
+        # max-sim over the EMPTY selected set is 0.0 by convention
+        # (first pick is pure relevance), but after that it is the
+        # true max — which can be NEGATIVE, so the accumulator must
+        # start from the first pick's column, not from zeros (zeros
+        # would clamp anti-correlated candidates' diversity bonus)
+        maxsim = None
+        taken = np.zeros(len(ids), dtype=bool)
+        out = []
+        for step in range(1, min(kk, len(ids)) + 1):
+            score = rw * rel - dw * (0.0 if maxsim is None else maxsim)
+            score = np.where(taken, -np.inf, score)
+            i = int(np.argmax(score))
+            out.append((qid, int(ids[i]), float(rel[i]),
+                        float(score[i]), step))
+            taken[i] = True
+            col = sim[:, i]
+            maxsim = col if maxsim is None else np.maximum(maxsim, col)
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "cos_sim",
+                          "mmr_score", "mmr_rank"],
+        )
+
+    return withv.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, neighbor_id long, cos_sim double, "
+        "mmr_score double, mmr_rank int",
+    )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,

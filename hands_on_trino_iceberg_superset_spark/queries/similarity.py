@@ -724,6 +724,106 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_range_search(emb, _queries(emb), threshold=0.28)
 
 
+def _mmr_oracle(k: int = 5, pool: int = 30) -> str:
+    """Generate the unrolled-greedy DuckDB oracle for MMR: step N is
+    a chained CTE picking the per-query argmax of
+    ``0.7*rel - 0.3*max(sim to selected)`` over candidates not yet
+    selected, with the (score DESC, neighbor_id) tie-break. Unrolled
+    (not a recursive CTE) because the recursion would need a
+    per-group argmax in the recursive term; ``k`` chained CTEs state
+    the same loop in plain window SQL. Weights appear as
+    CAST(x AS DOUBLE) literals — the Spark side multiplies by the
+    same float64 constants, so scores are bit-identical."""
+    cos = ("round(list_cosine_similarity(q.embedding::DOUBLE[], "
+           "c.embedding::DOUBLE[]), 6)")
+    parts = [f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos} AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+      ) WHERE rn <= {pool}
+    ),
+    pair AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id != b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(0.7 AS DOUBLE) * cos_sim
+               - CAST(0.3 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr_score,
+             1 AS mmr_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rn FROM cand)
+      WHERE rn = 1
+    )"""]
+    for n in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{i}"
+            for i in range(1, n)
+        )
+        parts.append(f""",
+    sel{n} AS (
+      SELECT query_id, neighbor_id, cos_sim, mmr_score,
+             {n} AS mmr_rank
+      FROM (
+        SELECT c.query_id, c.neighbor_id, c.cos_sim,
+               CAST(0.7 AS DOUBLE) * c.cos_sim
+                 - CAST(0.3 AS DOUBLE) * m.maxsim AS mmr_score,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY CAST(0.7 AS DOUBLE) * c.cos_sim
+                          - CAST(0.3 AS DOUBLE) * m.maxsim DESC,
+                          c.neighbor_id) AS rn
+        FROM cand c
+        JOIN (SELECT p.query_id, p.a_id, max(p.sim) AS maxsim
+              FROM pair p JOIN ({prev}) s
+                ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+              GROUP BY p.query_id, p.a_id) m
+          ON m.query_id = c.query_id AND m.a_id = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM ({prev}) s2
+                          WHERE s2.query_id = c.query_id
+                            AND s2.neighbor_id = c.neighbor_id)
+      ) WHERE rn = 1
+    )""")
+    parts.append("\n    " + " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, cos_sim, mmr_score, mmr_rank "
+        f"FROM sel{i}" for i in range(1, k + 1)
+    ))
+    return "".join(parts)
+
+
+@register(
+    "ann_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    doc="Diversity-aware retrieval head: MMR (maximal marginal "
+        "relevance, Carbonell & Goldstein SIGIR 1998) greedily "
+        "re-ranks each anchor's exact cosine top-30 down to 5 "
+        "results maximizing 0.7*relevance - 0.3*max-similarity-to-"
+        "already-picked — the standard de-redundancy step for RAG "
+        "context assembly (near-duplicate passages add tokens, not "
+        "evidence) and diverse eval-set selection. Scale shape: one "
+        "broadcast-query corpus scan for the candidate pool, then "
+        "the greedy loop is quadratic only in pool size, one Arrow "
+        "batch per anchor after a candidate-sized shuffle "
+        "(operators/similarity.mmr_rerank). The oracle restates the "
+        "greedy loop as 5 unrolled argmax CTEs over the same rounded "
+        "similarities — every selection step is hash-gated, not just "
+        "the final set.",
+)
+def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, _queries(emb), k=5, pool=30)
+
+
 @register(
     "ann_cosine_topk_sq8",
     oracle="""

@@ -642,3 +642,78 @@ def test_quantizer_max_cell_stays_bounded_at_10x(spark):
     k10, m10 = max_cell(big)
     assert k10 >= 8 * k1                 # cell count actually scales
     assert m10 <= 3 * m1, (m1, m10)     # max cell ~flat, not 10x
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark) -> None:
+    """Planted fixture: three identical 'copies' of the query
+    direction (rel 1.0, mutual sim 1.0) and three diverse vectors
+    (rel 0.8, mutual sim 0.64). A diversity-heavy weighting must
+    take ONE copy then the diverse set; pure top-k would take all
+    copies first."""
+    cands = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (10, [0.8, 0.6, 0.0, 0.0]),
+            (11, [0.8, 0.0, 0.6, 0.0]),
+            (12, [0.8, 0.0, 0.0, 0.6]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(99, [1.0, 0.0, 0.0, 0.0])],
+                              ["vec_id", "embedding"])
+    out = S.mmr_rerank(cands, q, k=5, pool=10,
+                       rel_weight=0.3, div_weight=0.7)
+    picked = [r.neighbor_id
+              for r in sorted(out.collect(), key=lambda r: r.mmr_rank)]
+    # rank1 = pure relevance (copy 0), then the three diverse
+    # vectors (redundant copies score 0.3-0.7=-0.4 vs -0.32), then
+    # the next copy once diversity is exhausted
+    assert picked == [0, 10, 11, 12, 1]
+
+
+def test_mmr_rerank_contract_on_corpus(spark, sf_dir: str) -> None:
+    """Default weights on the real corpus: rank-1 equals the exact
+    top-1 (first pick is pure relevance), every pick comes from the
+    top-30 pool, 5 distinct picks per query, and the MMR set is
+    never MORE redundant than the plain top-5 (max intra-set
+    similarity, averaged over queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    mmr = S.mmr_rerank(emb, q, k=5, pool=30).collect()
+    pool = {(r.query_id, r.neighbor_id)
+            for r in S.cosine_topk(emb, q, k=30).collect()}
+    top5 = S.cosine_topk(emb, q, k=5).collect()
+    top1 = {r.query_id: r.neighbor_id for r in top5 if r.rank == 1}
+    by_q: dict[int, list] = {}
+    for r in mmr:
+        assert (r.query_id, r.neighbor_id) in pool
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len({r.neighbor_id for r in rows}) == 5
+        first = min(rows, key=lambda r: r.mmr_rank)
+        assert first.neighbor_id == top1[qid]
+
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+
+    def max_pairwise(ids: list[int]) -> float:
+        worst = -1.0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = vecs[a], vecs[b]
+                worst = max(worst, float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                ))
+        return worst
+
+    t5: dict[int, list[int]] = {}
+    for r in top5:
+        t5.setdefault(r.query_id, []).append(r.neighbor_id)
+    mmr_red = np.mean([max_pairwise([r.neighbor_id for r in rows])
+                       for rows in by_q.values()])
+    top_red = np.mean([max_pairwise(ids) for ids in t5.values()])
+    assert mmr_red <= top_red + 1e-12
