@@ -724,6 +724,102 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_range_search(emb, _queries(emb), threshold=0.28)
 
 
+def _matryoshka_oracle(dims: tuple[int, ...] = (16, 32),
+                       k: int = 10) -> str:
+    """Oracle for truncated-prefix recall: exact top-k on each
+    dimension prefix vs exact top-k on the full vector, overlap
+    counted per query (LEFT JOIN so zero-overlap queries still
+    emit)."""
+
+    def topk(expr_q: str, expr_c: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   {expr_q}::DOUBLE[], {expr_c}::DOUBLE[]), 6) DESC,
+                 c.vec_id) AS rn
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+      ) WHERE rn <= {k}
+    )"""
+
+    ctes = ["\n    WITH q AS (SELECT * FROM embeddings "
+            "WHERE vec_id % 100 = 0),"]
+    ctes.append(topk("q.embedding", "c.embedding", "full_k") + ",")
+    ctes.append(",".join(
+        topk(f"(q.embedding[1:{d}])", f"(c.embedding[1:{d}])",
+             f"t{d}")
+        for d in dims
+    ))
+    selects = []
+    for d in dims:
+        selects.append(f"""
+    SELECT b.query_id, {d} AS dim,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+             / CAST({k} AS DOUBLE) AS recall
+    FROM (SELECT vec_id AS query_id FROM q) b
+    LEFT JOIN (
+      SELECT t.query_id, count(*)::BIGINT AS n_overlap
+      FROM t{d} t JOIN full_k f
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY t.query_id
+    ) o ON o.query_id = b.query_id""")
+    return "".join(ctes) + " UNION ALL ".join(selects)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=_matryoshka_oracle(),
+    doc="Matryoshka/MRL truncation audit (arXiv:2205.13147): exact "
+        "top-10 retrieval on the 16- and 32-dim PREFIX of each "
+        "embedding, scored as overlap with the full 64-dim top-10 "
+        "per query — the measurement behind serving embeddings at a "
+        "fraction of their trained width (prefix dims carry most of "
+        "the signal; storage and ANN bandwidth drop proportionally). "
+        "Scale shape: each prefix search is the same broadcast-query "
+        "single-scan cosine_topk, the truncation is a zero-copy "
+        "F.slice projection pushed into the scan, and the overlap "
+        "join touches only (queries x k) rows. Oracle recomputes "
+        "both top-k sets and the per-query overlap with a LEFT JOIN "
+        "so zero-overlap queries still emit.",
+)
+def embedding_matryoshka_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    base = q.select(F.col("vec_id").alias("query_id"))
+    outs = []
+    for d in (16, 32):
+        te = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tq = q.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        t10 = S.cosine_topk(te, tq, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        ov = (
+            t10.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        n = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+        outs.append(
+            base.join(ov, "query_id", "left").select(
+                "query_id",
+                F.lit(d).alias("dim"),
+                n.alias("n_overlap"),
+                (n.cast("double") / F.lit(10).cast("double"))
+                .alias("recall"),
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
 def _mmr_oracle(k: int = 5, pool: int = 30) -> str:
     """Generate the unrolled-greedy DuckDB oracle for MMR: step N is
     a chained CTE picking the per-query argmax of

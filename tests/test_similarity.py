@@ -717,3 +717,23 @@ def test_mmr_rerank_contract_on_corpus(spark, sf_dir: str) -> None:
                        for rows in by_q.values()])
     top_red = np.mean([max_pairwise(ids) for ids in t5.values()])
     assert mmr_red <= top_red + 1e-12
+
+
+def test_matryoshka_recall_improves_with_width(spark, sf_dir: str) -> None:
+    """Wider prefixes must not retrieve worse on average: mean
+    recall@10 of the 32-dim prefix >= mean recall of the 16-dim
+    prefix, and every per-query recall is a valid fraction."""
+    from hands_on_trino_iceberg_superset_spark.queries import load_all
+
+    rows = load_all()["embedding_matryoshka_recall"].spark(
+        spark, sf_dir
+    ).collect()
+    by_dim: dict[int, list[float]] = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_overlap == round(r.recall * 10)
+        by_dim.setdefault(r.dim, []).append(r.recall)
+    assert set(by_dim) == {16, 32}
+    mean16 = sum(by_dim[16]) / len(by_dim[16])
+    mean32 = sum(by_dim[32]) / len(by_dim[32])
+    assert mean32 >= mean16
