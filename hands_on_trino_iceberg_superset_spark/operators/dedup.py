@@ -56,6 +56,48 @@ def exact_duplicates(
     )
 
 
+def canonical_url(url: Column) -> Column:
+    """URL normalization for crawl-frontier / document dedup — the
+    first dedup tier of a web corpus (dedup by address before any
+    content hashing): lowercase scheme and host, strip a leading
+    ``www.``, drop the fragment, drop tracking parameters
+    (``utm_*``), sort the surviving query parameters, and strip one
+    trailing slash from the path. Path CASE is preserved (paths are
+    case-sensitive per RFC 3986; only scheme/host are not).
+
+    Pure JVM expression pipeline (split/regexp/higher-order array
+    ops) — safe in the scan projection of a 100 TB crawl with no
+    shuffle and no Python.
+    """
+    no_frag = F.split(url, "#").getItem(0)
+    parts = F.split(no_frag, r"\?")
+    base = parts.getItem(0)
+    qs = F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+    scheme = F.lower(F.split(base, "://").getItem(0))
+    rest = F.split(base, "://").getItem(1)
+    host = F.regexp_replace(
+        F.lower(F.split(rest, "/").getItem(0)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(rest, r"^[^/]*", ""), "/$", ""
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), params)
+        ),
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 

@@ -46,6 +46,130 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs)
 
 
+#: deterministic messy-URL derivation (the corpus has no URL column,
+#: so crawl addresses are derived from doc arithmetic — scheme case,
+#: www prefix, host case, trailing slash, tracking params, and
+#: fragments all vary by doc_id residues while the canonical form
+#: collides on doc_id % 200 within a source). The SQL twin below is
+#: the oracle's CTE; both sides derive AND canonicalize.
+_URL_SQL = """
+      (CASE doc_id % 3 WHEN 1 THEN 'HTTPS' WHEN 2 THEN 'Https'
+            ELSE 'https' END) || '://'
+      || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+      || (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END)
+      || '.example.com/item/' || CAST(doc_id % 200 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      || (CASE doc_id % 5
+           WHEN 0 THEN '?utm_source=feed&v=' || CAST(doc_id % 2 AS VARCHAR)
+           WHEN 1 THEN '?v=' || CAST(doc_id % 2 AS VARCHAR)
+                       || '&utm_campaign=news'
+           WHEN 2 THEN '?utm_medium=rss'
+           ELSE '' END)
+      || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+"""
+
+
+def _messy_url() -> F.Column:
+    """Spark twin of ``_URL_SQL``."""
+    d = F.col("doc_id")
+    num = lambda m: (d % m).cast("string")  # noqa: E731
+    return F.concat(
+        F.when(d % 3 == 1, F.lit("HTTPS"))
+        .when(d % 3 == 2, F.lit("Https"))
+        .otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/item/"),
+        num(200),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&v="), num(2)))
+        .when(d % 5 == 1,
+              F.concat(F.lit("?v="), num(2), F.lit("&utm_campaign=news")))
+        .when(d % 5 == 2, F.lit("?utm_medium=rss"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, source, {_URL_SQL} AS url
+      FROM documents
+    ),
+    split3 AS (
+      SELECT doc_id, source,
+             string_split(string_split(url, '#')[1], '?') AS pq
+      FROM urls
+    ),
+    pieces AS (
+      SELECT doc_id, source,
+             lower(string_split(pq[1], '://')[1]) AS scheme,
+             string_split(pq[1], '://')[2] AS rest,
+             CASE WHEN len(pq) > 1 THEN pq[2] ELSE '' END AS qs
+      FROM split3
+    ),
+    canon AS (
+      SELECT doc_id, source,
+             scheme || '://'
+             || regexp_replace(lower(string_split(rest, '/')[1]),
+                               '^www\\.', '')
+             || regexp_replace(regexp_replace(rest, '^[^/]*', ''),
+                               '/$', '')
+             || (CASE WHEN p = '' THEN '' ELSE '?' || p END) AS curl
+      FROM (
+        SELECT *,
+               -- coalesce: DuckDB array_to_string([]) is NULL where
+               -- Spark array_join([]) is '' — an all-tracking query
+               -- string must canonicalize to no-query, not NULL-out
+               -- the whole URL through || propagation
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'),
+                 '') AS p
+        FROM pieces
+      )
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_urls,
+           count(*) AS n_canonical,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           CAST(max(n) AS BIGINT) AS max_cluster
+    FROM (SELECT source, curl, count(*) AS n FROM canon GROUP BY 1, 2)
+    GROUP BY source
+    """,
+    doc="URL-canonicalization dedup — the FIRST dedup tier of any "
+        "web crawl (dedup by address before touching content): "
+        "scheme/host lowercased, www. stripped, fragment dropped, "
+        "utm_* tracking params dropped, surviving params sorted, "
+        "trailing slash trimmed (operators/dedup.canonical_url, all "
+        "JVM string/array expressions in the scan projection — zero "
+        "Python, zero extra shuffle at 100 TB; the only shuffle is "
+        "the canonical-key groupBy, identical in shape to "
+        "dedup_exact). Addresses are derived deterministically from "
+        "doc arithmetic (the corpus ships no URL column); the oracle "
+        "re-derives AND re-canonicalizes every URL in SQL, so the "
+        "normalization rules themselves are hash-gated. Emits "
+        "per-source address-dedup accounting.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", "source", D.canonical_url(_messy_url()).alias("curl")
+    )
+    per_curl = canon.groupBy("source", "curl").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_curl.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.max("n").cast("bigint").alias("max_cluster"),
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""

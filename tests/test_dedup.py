@@ -335,3 +335,28 @@ def test_incremental_exact_mark_invariants(spark) -> None:
     # dup count (generous bound: < 20 + 30 false positives)
     n_cand = sum(1 for r in marked if r.bloom_candidate)
     assert 20 <= n_cand < 50
+
+
+def test_canonical_url_normalization_rules(spark) -> None:
+    """Each normalization rule on a handcrafted case, plus
+    idempotence (canonicalizing a canonical URL is a no-op)."""
+    cases = [
+        # scheme+host case, www, fragment
+        ("HTTPS://WWW.Example.COM/A/b#frag", "https://example.com/A/b"),
+        # tracking params dropped, survivors sorted, trailing slash
+        ("https://e.com/p/?z=1&utm_source=x&a=2", "https://e.com/p?a=2&z=1"),
+        # all-tracking query -> no query at all
+        ("https://e.com/p?utm_medium=rss", "https://e.com/p"),
+        # bare host, no path
+        ("Https://www.e.com/", "https://e.com"),
+        # path case preserved (RFC 3986: only scheme/host fold)
+        ("http://E.com/CaseSensitive", "http://e.com/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    df2 = spark.createDataFrame([(w,) for w in got], ["url"])
+    again = [r.c for r in
+             df2.select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    assert again == got
