@@ -133,6 +133,86 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: frozen logistic quality-model weights (intercept, type/token
+#: ratio, stopword ratio, avg token length, tokens/100) — a stand-in
+#: for an offline-trained fastText/CCNet-style quality classifier;
+#: at inference time the model is just a dot product, which is why
+#: the decision threshold lives in LOGIT space below (sigmoid is
+#: monotone, so sigmoid(z) > 0.5 == z > 0, and avoiding exp() keeps
+#: both engines' arithmetic exactly rational -> bit-identical)
+_QC_WEIGHTS = ("-3.5", "2.4", "9.0", "0.35", "0.8")
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    SELECT doc_id, source, logit, logit > CAST(0 AS DOUBLE) AS keep
+    FROM (
+      SELECT doc_id, source,
+             CAST({_QC_WEIGHTS[0]} AS DOUBLE)
+             + CAST({_QC_WEIGHTS[1]} AS DOUBLE)
+               * (CAST(n_types AS DOUBLE) / n_tokens)
+             + CAST({_QC_WEIGHTS[2]} AS DOUBLE)
+               * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + CAST({_QC_WEIGHTS[3]} AS DOUBLE)
+               * (CAST(n_chars AS DOUBLE) / n_tokens)
+             + CAST({_QC_WEIGHTS[4]} AS DOUBLE)
+               * (CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE))
+               AS logit
+      FROM (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_types,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {_SW_SQL})) AS n_stop
+        FROM documents
+      )
+    )
+    """,
+    doc="Model-based quality filtering (the classifier tier above "
+        "text_quality_scores' hand rules): a FROZEN-WEIGHT logistic "
+        "model over engineered features — type/token ratio, stopword "
+        "ratio, avg token length, length — scored per document as "
+        "one dot product in the scan projection (what a "
+        "fastText/CCNet-style quality classifier compiles to at "
+        "inference). The keep decision is taken in LOGIT space "
+        "(sigmoid is monotone, so z > 0 IS p > 0.5) — deliberately "
+        "no exp(): libm exp differs across engines in the last ulp, "
+        "while the rational feature arithmetic here is bit-identical "
+        "on both, so the oracle hash-gates every logit exactly. "
+        "Zero shuffles; at 100 TB this is a pure map.",
+)
+def text_quality_classifier(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    )
+    w0, w_ttr, w_sw, w_awl, w_len = (float(w) for w in _QC_WEIGHTS)
+    logit = (
+        F.lit(w0)
+        + F.lit(w_ttr) * (F.col("n_types").cast("double") / F.col("n_tokens"))
+        + F.lit(w_sw) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(w_awl) * (F.col("n_chars").cast("double") / F.col("n_tokens"))
+        + F.lit(w_len) * (F.col("n_tokens").cast("double")
+                          / F.lit(100).cast("double"))
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        logit.alias("logit"),
+        (logit > F.lit(0).cast("double")).alias("keep"),
+    )
+
+
 @register(
     "text_lang_id",
     oracle=f"""

@@ -671,3 +671,15 @@ def test_dedup_lines_matches_python_reference_on_random_corpora(
             .collect()
         }
         assert got == expect, f"case {case}"
+
+
+def test_quality_classifier_decision_is_logit_sign(spark, inventory):
+    """Frozen-weight logistic classifier: keep must equal logit > 0
+    on every row, and the frozen weights must actually split this
+    corpus (both classes populated) — a degenerate
+    all-keep/all-drop model would be a useless filter and a silent
+    weight regression."""
+    rows = inventory["text_quality_classifier"].spark(spark, SF).collect()
+    assert all(r.keep == (r.logit > 0.0) for r in rows)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
