@@ -517,3 +517,42 @@ def test_sq8_candidates_bound_float_reads(spark, sf_dir):
     n_anchor = q.count()
     assert len(counts) == n_anchor
     assert min(counts.values()) >= 8
+
+
+def test_quality_classifier_is_pure_map(spark, inv, sf_dir):
+    """The frozen-weight classifier is a scan projection: zero
+    exchanges (no shuffle anywhere — at 100 TB it's a pure map), and
+    the documents scan reads only the referenced columns (never
+    `lang`)."""
+    executed, formatted = _plans(
+        spark, inv, "text_quality_classifier", sf_dir
+    )
+    assert executed.count("Exchange") == 0
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    cols = sorted(c.split(":")[0] for c in schema.split(","))
+    assert cols == ["doc_id", "n_chars", "source", "text"]
+
+
+def test_url_dedup_shuffles_only_on_dedup_keys(spark, inv, sf_dir):
+    """URL canonicalization happens in the scan projection; the only
+    exchanges are the two aggregation shuffles (canonical key, then
+    source). The text column must never be read — addresses derive
+    from doc_id/source only."""
+    executed, formatted = _plans(
+        spark, inv, "dedup_url_canonical", sf_dir
+    )
+    assert executed.count("Exchange") <= 2
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    cols = sorted(c.split(":")[0] for c in schema.split(","))
+    assert cols == ["doc_id", "source"]
+
+
+def test_mmr_pool_search_broadcasts_queries(spark, inv, sf_dir):
+    """MMR's candidate pool comes from the broadcast-query exact
+    top-k (never a corpus-vs-corpus sort-merge join), and the greedy
+    stage shuffles only the candidate list (one exchange for the
+    per-query Arrow groups plus the window's)."""
+    executed, _ = _plans(spark, inv, "ann_mmr_diverse_topk", sf_dir)
+    assert executed.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in executed
+    assert "ArrowEvalPython" in executed or "FlatMapGroupsInPandas" in executed
