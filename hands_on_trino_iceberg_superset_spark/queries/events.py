@@ -378,3 +378,77 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", F.col("step_order").cast("int").alias("step_order"),
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(g AS DATE) AS d FROM (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g
+        FROM bounds
+      )
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+             max(value) AS day_max
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 300
+      GROUP BY 1
+    )
+    SELECT CAST(s.d AS VARCHAR) AS day,
+           CAST(coalesce(n.n_events, 0) AS BIGINT) AS n_events,
+           n.day_max AS day_max,
+           last_value(n.day_max IGNORE NULLS) OVER (
+             ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_max,
+           n.day_max IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily n ON n.d = s.d
+    """,
+    doc="Time-series GAP FILLING over a sparse event slice (the "
+        "date-spine pattern every observability/BI stack needs): "
+        "high-value purchase days are sparse, so the calendar spine "
+        "— sequence(min_day, max_day) exploded from one aggregate "
+        "row — left-joins the daily aggregate, counts fill as 0, and "
+        "the last observed daily max CARRIES FORWARD through gap "
+        "days (last_value IGNORE NULLS). Scale shape: the corpus "
+        "collapses in the daily pre-aggregate first; the spine and "
+        "the ordered carry-forward window run over DAYS (thousands "
+        "of rows for decades), never over events — the one global "
+        "window is spine-sized by construction. day_max is a picked "
+        "element (max), not a float sum, so every value is "
+        "bit-exact.",
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("value") >= 300))
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("day_max"))
+    )
+    spine = (
+        ev.agg(F.min(F.col("ts").cast("date")).alias("lo"),
+               F.max(F.col("ts").cast("date")).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint")
+            .alias("n_events"),
+            F.col("day_max"),
+            F.last("day_max", ignorenulls=True).over(w)
+            .alias("filled_max"),
+            F.col("day_max").isNull().alias("is_gap"),
+        )
+    )

@@ -683,3 +683,28 @@ def test_quality_classifier_decision_is_logit_sign(spark, inventory):
     assert all(r.keep == (r.logit > 0.0) for r in rows)
     kept = sum(1 for r in rows if r.keep)
     assert 0 < kept < len(rows)
+
+
+def test_gapfill_carry_forward_semantics(spark, inventory):
+    """At sf0.01 the sparse slice has real gaps: the spine is
+    contiguous daily, counts are 0 on gap days, and filled_max on
+    every row equals the most recent non-null day_max at or before
+    it (null before the first observation)."""
+    import datetime
+
+    rows = sorted(
+        inventory["events_daily_gapfill"]
+        .spark(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.day,
+    )
+    days = [datetime.date.fromisoformat(r.day) for r in rows]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    assert any(r.is_gap for r in rows) and any(not r.is_gap for r in rows)
+    carried = None
+    for r in rows:
+        if r.is_gap:
+            assert r.n_events == 0 and r.day_max is None
+        else:
+            assert r.n_events > 0
+            carried = r.day_max
+        assert r.filled_max == carried
