@@ -192,6 +192,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_postings(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared inverted-index builder: one posting row per (doc,
+    distinct shingle-hash), carrying the doc's set size ``sz`` (over
+    the max_df-reduced universe when the cap is on — see
+    :func:`ngram_jaccard_pairs_inverted` for the cap semantics)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    postings = shingled.select(
+        "id", "sz",
+        *( ["block"] if block_col else [] ),
+        F.explode("sh").alias("s"),
+    )
+    if max_df is not None:
+        keys = ["block", "s"] if block_col else ["s"]
+        hot = (
+            postings.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select(*keys)
+        )
+        pruned = postings.join(F.broadcast(hot), keys, "left_anti")
+        # set sizes over the reduced universe, so |a ∪ b| stays
+        # consistent with the intersection counts
+        sz2 = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("sz2"))
+        postings = (
+            pruned.drop("sz")
+            .join(sz2, "id")
+            .withColumnRenamed("sz2", "sz")
+        )
+    return postings
+
+
+def containment_pairs_inverted(
+    df: DataFrame,
+    threshold: float,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplication: containment
+    ``C(a,b) = |A ∩ B| / min(|A|, |B|)`` over distinct word
+    ``n``-gram shingles — the signal symmetric Jaccard structurally
+    MISSES when a short document is quoted verbatim inside a longer
+    one (J is capped at ``min/max`` of the set sizes, so a fully
+    contained quote inside a 2x-longer page can never clear a 0.9
+    Jaccard dedup threshold; containment reads 1.0). The standard
+    second pass of web-corpus dedup after document-level MinHash.
+
+    Same inverted-index postings join as
+    :func:`ngram_jaccard_pairs_inverted` — cost Σ df(s)², max_df
+    bounds hot boilerplate shingles at web scale — but deliberately
+    WITHOUT the symmetric size-ratio prefilter: asymmetric pairs are
+    exactly the ones that filter exists to drop.
+
+    Returns (id_a, id_b, containment, jaccard_sim) for pairs with
+    containment >= threshold; both metrics are exact-integer counts
+    divided once as DOUBLE.
+    """
+    postings = _shingle_postings(
+        df, n=n, text_col=text_col, id_col=id_col, max_df=max_df,
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least("sz_a", "sz_b")
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return inter.select(
+        "id_a", "id_b",
+        cont.alias("containment"), jac.alias("jaccard_sim"),
+    ).where(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_pairs_inverted(
     df: DataFrame,
     threshold: float,
@@ -224,35 +323,10 @@ def ngram_jaccard_pairs_inverted(
     ``None`` disables the cap (exact semantics, small corpora /
     tight blocks only).
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    postings = shingled.select(
-        "id", "sz",
-        *( ["block"] if block_col else [] ),
-        F.explode("sh").alias("s"),
+    postings = _shingle_postings(
+        df, n=n, text_col=text_col, id_col=id_col,
+        block_col=block_col, max_df=max_df,
     )
-    if max_df is not None:
-        keys = ["block", "s"] if block_col else ["s"]
-        hot = (
-            postings.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select(*keys)
-        )
-        pruned = postings.join(F.broadcast(hot), keys, "left_anti")
-        # set sizes over the reduced universe, so |a ∪ b| stays
-        # consistent with the intersection counts
-        sz2 = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("sz2"))
-        postings = (
-            pruned.drop("sz")
-            .join(sz2, "id")
-            .withColumnRenamed("sz2", "sz")
-        )
     a, b = postings.alias("a"), postings.alias("b")
     cond = (
         (F.col("a.s") == F.col("b.s"))

@@ -170,6 +170,79 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 7-word wrapper boilerplate (one word SHORT of the 8-gram shingle
+#: width, so no complete shingle lives inside the boilerplate itself
+#: — wrapper docs share no shingles with EACH OTHER, only with the
+#: document they quote)
+_WRAP_PRE = "begin quoted excerpt reproduced below with attribution"
+_WRAP_POST = "end of quoted excerpt original source follows"
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             '{_WRAP_PRE} ' || text || ' {_WRAP_POST}'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS sp
+      FROM t WHERE len(toks) >= 8
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter
+      FROM sh a JOIN sh b ON a.sp = b.sp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+             AS jaccard_sim
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz)
+            >= CAST(0.9 AS DOUBLE)
+    """,
+    doc="Asymmetric CONTAINMENT dedup (|A∩B| / min set size over "
+        "8-gram shingles): catches a short document quoted verbatim "
+        "inside a longer one — symmetric Jaccard is capped by the "
+        "size ratio, so a fully contained quote in a 2x-longer page "
+        "can never clear a 0.9 Jaccard threshold while containment "
+        "reads 1.0; the standard second dedup pass after "
+        "document-level MinHash. Wrapper docs are derived in-query "
+        "(every 10th doc re-published inside 7-word boilerplate — "
+        "one word short of the shingle width, so wrappers share "
+        "nothing with each other). Same inverted-index postings "
+        "join as the Jaccard tier (operators/dedup."
+        "containment_pairs_inverted, Σdf² cost, max_df cap "
+        "available) but WITHOUT the symmetric size-ratio prefilter "
+        "— asymmetric pairs are exactly what that filter drops. The "
+        "oracle recomputes every pair's shingle sets from scratch.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit(_WRAP_PRE + " "), F.col("text"),
+            F.lit(" " + _WRAP_POST),
+        ).alias("text"),
+    )
+    return D.containment_pairs_inverted(
+        docs.unionAll(wrappers), threshold=0.9, n=8
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
