@@ -99,6 +99,20 @@ QUERIES = [
     "dedup_lines",
     # streaming intake gate: map-only scoring + bounded aggregate
     "stream_document_quality",
+    # MMR re-rank: pool search is anchors x corpus (both scale ->
+    # 100x pair work at 10x); greedy stage is pool^2 per anchor
+    "ann_mmr_diverse_topk",
+    # Matryoshka audit: three brute-force top-k scans (full + two
+    # prefixes), 100x pair work at 10x rows
+    "embedding_matryoshka_recall",
+    # address dedup: canonicalization in the scan projection + two
+    # small aggregations — should scale sublinearly
+    "dedup_url_canonical",
+    # frozen-weight classifier: zero-shuffle pure map
+    "text_quality_classifier",
+    # containment: postings join, Sigma df^2 (salted tokens keep df
+    # flat, so postings volume — and time — grow ~linearly)
+    "dedup_containment",
     # IVF-routed hard negatives, PROBE PATH ONLY (pseudo-query,
     # special-cased in measure_one): anchors scale with the corpus,
     # so the exact all-pairs form measured 521x at 100x — this row
