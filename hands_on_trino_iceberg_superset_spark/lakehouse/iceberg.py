@@ -735,6 +735,78 @@ class IcebergTable:
             deletes=deletes,
         )
 
+    def metadata_count(
+        self,
+        filter: dict | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
+    ) -> int | None:
+        """Exact row count answered purely from manifest statistics —
+        no data file is opened. This is how engines serve
+        ``SELECT count(*) [WHERE partition predicate]`` at 100 TB:
+        O(manifest entries) metadata work instead of O(data) scan.
+
+        Returns ``None`` — an honest refusal, caller falls back to a
+        scan — whenever the metadata cannot GUARANTEE exactness:
+
+        - merge-on-read delete files present (row-level subtraction
+          needs the data);
+        - any surviving file lacks a record-count stat (foreign
+          metadata);
+        - a filter column that is not an IDENTITY-partition source
+          column of that file's spec: only identity partitioning
+          makes "the file survived pruning" mean "every row in the
+          file matches" — bounds or hidden-transform pruning only
+          prove *some* rows might match.
+
+        Filter conditions use :meth:`plan_scan`'s vocabulary (value,
+        list-of-values, inclusive ``(lo, hi)`` range), checked
+        against each surviving file's partition tuple.
+        """
+        plan = self.plan_scan(
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms,
+            filter=filter, ref=ref,
+        )
+        if plan.deletes:
+            return None
+        if any(f.record_count < 0 for f in plan.files):
+            return None
+        filt = filter or {}
+        if filt:
+            pfs_by_id = {
+                s.get("spec-id", 0): self._partition_fields(s["fields"])
+                for s in self.meta.get(
+                    "partition-specs",
+                    [{"spec-id": 0, "fields": self.partition_spec()}],
+                )
+            }
+
+            def matches(pval, cond) -> bool:
+                want = _filter_values(cond)
+                if isinstance(want, tuple):
+                    lo, hi = want
+                    try:
+                        return lo <= pval <= hi
+                    except TypeError:
+                        return False
+                return pval in want
+
+            for f in plan.files:
+                ident = {
+                    pf["source_name"]: pf["pname"]
+                    for pf in pfs_by_id.get(f.spec_id, [])
+                    if pf and pf["transform"] == "identity"
+                }
+                part = f.partition or {}
+                for col, cond in filt.items():
+                    pname = ident.get(col)
+                    if pname is None or pname not in part:
+                        return None
+                    if not matches(part[pname], cond):
+                        return None
+        return sum(f.record_count for f in plan.files)
+
     def _partition_fields(self, spec: list[dict]) -> list[dict]:
         """Partition-spec fields resolved against the schema:
         ``[{pname, transform, source_name, source_type,

@@ -106,6 +106,65 @@ def iceberg_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_metadata_count",
+    oracle="""
+    WITH ice AS (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT 'status=F' AS scope, count(*) AS n_rows,
+           true AS metadata_only
+    FROM ice WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'status=O', count(*), true FROM ice WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'status=P', count(*), true FROM ice WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT 'total', count(*), true FROM ice
+    UNION ALL
+    SELECT 'price>=400k', count(*), false
+    FROM ice WHERE o_totalprice BETWEEN 400000 AND 10000000
+    """,
+    doc="METADATA-ONLY count answering (IcebergTable.metadata_count): "
+        "SELECT count(*) [WHERE partition predicate] served from "
+        "manifest record-count statistics — O(manifest entries), no "
+        "data file opened; how engines answer count at 100 TB. "
+        "Per-status and total counts over the two-snapshot "
+        "identity-partitioned orders table come from metadata "
+        "(metadata_only=true is ASSERTED from the actual code path, "
+        "so a silent fallback to scanning breaks the driver hash); "
+        "a price-range filter is not identity-partition-aligned, so "
+        "metadata_count returns its honest None and the row falls "
+        "back to a bounds-pruned scan (metadata_only=false). The "
+        "oracle recomputes every count from the raw data.",
+)
+def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _orders_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    rows = []
+    for status in ("F", "O", "P"):
+        n = adopted.metadata_count(filter={"o_orderstatus": status})
+        rows.append((f"status={status}",
+                     -1 if n is None else n, n is not None))
+    total = adopted.metadata_count()
+    rows.append(("total", -1 if total is None else total,
+                 total is not None))
+    price = {"o_totalprice": (400000.0, 10_000_000.0)}
+    n_price = adopted.metadata_count(filter=price)
+    if n_price is None:
+        rows.append(("price>=400k", adopted.read(filter=price).count(),
+                     False))
+    else:  # pragma: no cover — would indicate a wrong guarantee
+        rows.append(("price>=400k", n_price, True))
+    return spark.createDataFrame(
+        rows, "scope string, n_rows long, metadata_only boolean"
+    )
+
+
 def _dml_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Fresh Iceberg table with deterministic COW DML applied once:
     DELETE every 10th 'F' order, then UPDATE 'P' prices +500."""

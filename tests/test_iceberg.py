@@ -1801,3 +1801,33 @@ def test_rewrite_manifests_folds_metadata_tree(spark, tmp_root):
     assert sorted(r.id for r in adopted.read().collect()) == want
     # idempotence guard: a single data manifest is not re-folded
     assert t.rewrite_manifests() is False
+
+
+def test_metadata_count_exactness_and_refusals(spark, tmp_root):
+    """metadata_count answers identity-partition-aligned counts
+    exactly without touching data, and refuses (None) whenever the
+    metadata can't guarantee exactness: non-identity filters,
+    bucket partitioning, or live merge-on-read deletes."""
+    path = os.path.join(tmp_root, "meta_count")
+    df = spark.range(60).selectExpr(
+        "id", "concat('k', id % 3) as k", "id * 2 as v"
+    )
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    assert t.metadata_count() == 60
+    assert t.metadata_count(filter={"k": "k0"}) == 20
+    assert t.metadata_count(filter={"k": ["k0", "k2"]}) == 40
+    # v is not a partition column: bounds could only prune, never
+    # prove all-rows-match
+    assert t.metadata_count(filter={"v": (0, 10)}) is None
+    # MOR delete: row-level subtraction needs the data
+    t.delete("id = 7", mode="merge-on-read")
+    assert t.metadata_count() is None
+    assert t.read().count() == 59
+
+    bpath = os.path.join(tmp_root, "meta_count_bucket")
+    bt = IcebergTable.create(
+        spark, bpath, df, partition_by="bucket(4, id)"
+    )
+    assert bt.metadata_count() == 60
+    # bucket transform: a surviving file only MIGHT contain id=3
+    assert bt.metadata_count(filter={"id": 3}) is None
