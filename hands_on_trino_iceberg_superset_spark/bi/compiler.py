@@ -266,6 +266,8 @@ def compile_form_data(
     if any(f["clause"] == "HAVING"
            for f in _adhoc_filters(form_data)) and mode != "aggregate":
         raise ValueError("HAVING filters require aggregate mode")
+    if form_data.get("rolling_type") and mode != "aggregate":
+        raise ValueError("rolling_type requires aggregate mode")
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
@@ -364,6 +366,63 @@ def compile_form_data(
                     F.col(lab).cast("double")
                     / F.sum(F.col(lab).cast("double")).over(w),
                 )
+        rolling = form_data.get("rolling_type")
+        if rolling:
+            # Superset applies rolling as pandas post-processing on
+            # the FETCHED timeseries frame; the compiled twin is a
+            # window over the ordered+limited aggregate (selection
+            # first, same shape as percent_metrics above). Each
+            # metric label is REPLACED by its rolled value, as the
+            # chart displays it.
+            if pct:
+                raise ValueError(
+                    "rolling_type with percent_metrics is not "
+                    "supported")
+            if not unit:
+                raise ValueError(
+                    "rolling_type requires granularity_sqla + "
+                    "time_grain_sqla (a timeseries chart)")
+            if rolling not in ("mean", "sum", "cumsum"):
+                # std intentionally unsupported: float accumulation
+                # order differs across engines — an honest refusal
+                # beats a hash-flaky chart
+                raise ValueError(
+                    f"unsupported rolling_type: {rolling!r}")
+            periods = form_data.get("rolling_periods")
+            periods = 1 if periods is None else int(periods)
+            if periods <= 0:
+                raise ValueError("rolling_periods must be positive")
+            mp = form_data.get("min_periods")
+            mp = (1 if rolling == "cumsum" else periods) \
+                if mp is None else int(mp)
+            from pyspark.sql import Window
+
+            def _lab(c) -> str:
+                return _metric_label(c) if not isinstance(c, str) else c
+
+            if order_by:
+                out = out.orderBy(*[
+                    F.col(_lab(c)) if asc else F.desc(_lab(c))
+                    for c, asc in order_by
+                ])
+            if row_limit:
+                out = out.limit(int(row_limit))
+                row_limit = None
+            keys = [k for k in groupby if k != TIME_LABEL]
+            w = Window.partitionBy(*keys).orderBy(TIME_LABEL)
+            w = (w.rowsBetween(Window.unboundedPreceding, 0)
+                 if rolling == "cumsum"
+                 else w.rowsBetween(-(periods - 1), 0))
+            for m in metrics:
+                lab = _metric_label(m)
+                cnt = F.count(F.col(lab)).over(w)
+                val = F.sum(F.col(lab)).over(w).cast("double")
+                if rolling == "mean":
+                    val = val / cnt
+                out = out.withColumn(
+                    lab,
+                    F.when(cnt >= mp, val.cast("double")),
+                )
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 
@@ -424,6 +483,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     if any(f["clause"] == "HAVING"
            for f in _adhoc_filters(form_data)) and mode != "aggregate":
         raise ValueError("HAVING filters require aggregate mode")
+    if form_data.get("rolling_type") and mode != "aggregate":
+        raise ValueError("rolling_type requires aggregate mode")
     where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
@@ -552,6 +613,58 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
 
     sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
     row_limit = form_data.get("row_limit")
+    rolling = form_data.get("rolling_type")
+    if mode == "aggregate" and rolling:
+        # mirror of the Catalyst path: selection (order+limit)
+        # first, then each metric label replaced by its rolled value
+        # in an outer select — the pandas-post-processing shape
+        # Superset applies to the fetched timeseries frame
+        if pct_sqls:
+            raise ValueError(
+                "rolling_type with percent_metrics is not supported")
+        if not unit:
+            raise ValueError(
+                "rolling_type requires granularity_sqla + "
+                "time_grain_sqla (a timeseries chart)")
+        if rolling not in ("mean", "sum", "cumsum"):
+            raise ValueError(f"unsupported rolling_type: {rolling!r}")
+        periods = form_data.get("rolling_periods")
+        periods = 1 if periods is None else int(periods)
+        if periods <= 0:
+            raise ValueError("rolling_periods must be positive")
+        mp = form_data.get("min_periods")
+        mp = (1 if rolling == "cumsum" else periods) \
+            if mp is None else int(mp)
+        part_keys = [_sql_ident(c)
+                     for c in (form_data.get("groupby") or [])]
+        frame = ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                 if rolling == "cumsum"
+                 else f"ROWS BETWEEN {periods - 1} PRECEDING "
+                      "AND CURRENT ROW")
+        wspec = (
+            ("PARTITION BY " + ", ".join(part_keys) + " "
+             if part_keys else "")
+            + f"ORDER BY {_sql_ident(TIME_LABEL)} {frame}"
+        )
+        rolled = []
+        for _, lab in metric_sqls:
+            ident = _sql_ident(lab)
+            val = f"CAST(sum({ident}) OVER ({wspec}) AS DOUBLE)"
+            if rolling == "mean":
+                val = f"{val} / count({ident}) OVER ({wspec})"
+            rolled.append(
+                f"CASE WHEN count({ident}) OVER ({wspec}) >= {mp} "
+                f"THEN CAST({val} AS DOUBLE) END AS {ident}"
+            )
+        key_idents = ([_sql_ident(TIME_LABEL)] if unit else []) \
+            + part_keys
+        inner = sql + order_clause(order_by)
+        if row_limit:
+            inner += f" LIMIT {int(row_limit)}"
+        return (
+            f"SELECT {', '.join(key_idents + rolled)} "
+            f"FROM ({inner}) q" + order_clause(order_by)
+        )
     if mode == "aggregate" and pct_sqls:
         # selection first (order + limit pick the fetched rows),
         # then the percent window over that bounded result — the

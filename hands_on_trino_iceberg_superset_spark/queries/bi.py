@@ -304,3 +304,58 @@ def bi_chart_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumn("sum_amount", dbl(F.col("sum_amount")))
+
+
+@register(
+    "bi_chart_rolling_mean",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+             event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(t AS VARCHAR) AS __timestamp, event_type,
+           CASE WHEN count(c) OVER w >= 7
+                THEN CAST(CAST(sum(c) OVER w AS DOUBLE)
+                          / count(c) OVER w AS DOUBLE)
+           END AS count
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY __timestamp, event_type
+    """,
+    doc="Timeseries chart with ROLLING-WINDOW post-processing "
+        "(rolling_type=mean, rolling_periods=7 — Superset applies "
+        "this as pandas rolling() on the fetched frame; the compiler "
+        "restates it as a 7-row window per series, so it runs "
+        "engine-side on both compilation paths). Each metric label "
+        "is REPLACED by its rolled value; rows with fewer than "
+        "min_periods (pandas default = window size) observations "
+        "are NULL, exactly pandas' leading-edge behavior. Counts "
+        "are exact integers, so the mean division is bit-identical "
+        "on both engines. The SQL-text twin is unit-gated in "
+        "tests/test_bi.py.",
+)
+def bi_chart_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = compile_form_data(
+        ev,
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_grain_sqla": "P1D",
+            "groupby": ["event_type"],
+            "metrics": ["count"],
+            "rolling_type": "mean",
+            "rolling_periods": 7,
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "event_type",
+        "count",
+    ).orderBy("__timestamp", "event_type")

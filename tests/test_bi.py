@@ -486,3 +486,74 @@ def test_having_filters_paths_agree(spark):
                 {"expressionType": "SIMPLE", "clause": "HAVING",
                  "subject": "ghost", "operator": ">",
                  "comparator": 1}]})
+
+
+def test_rolling_compiles_identically_on_both_paths(spark):
+    """rolling_type: the Catalyst compilation and the SQL-text twin
+    must produce the same frame (the wire path runs the SQL), and
+    malformed rolling configs are refused on both paths."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-0%d 00:00:00" % d, "a", i)
+         for d, i in [(1, 1), (2, 2), (3, 3), (4, 4)]]
+        + [("2024-01-01 00:00:00", "b", 10),
+           ("2024-01-03 00:00:00", "b", 20)],
+        "ts string, k string, v long",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "k", "v")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["k"],
+        "metrics": ["count",
+                    {"aggregate": "SUM", "column": "v", "label": "sv"}],
+        "rolling_type": "mean",
+        "rolling_periods": 2,
+        "min_periods": 1,
+        "time_range": "No filter",
+    }
+    catalyst = {
+        (str(r["__timestamp"]), r.k, r["count"], r.sv)
+        for r in compile_form_data(df, fd).collect()
+    }
+    df.createOrReplaceTempView("roll_t")
+    sql = form_data_to_sql("roll_t", fd)
+    wire = {
+        (str(r["__timestamp"]), r.k, r["count"], r.sv)
+        for r in spark.sql(sql).collect()
+    }
+    assert catalyst == wire
+    # day 2 for k=a: mean(count over [day1, day2]) = 1.0; sv 1.5
+    assert ("2024-01-02 00:00:00", "a", 1.0, 1.5) in catalyst
+    # k=b has no day-2 bucket: its day-3 window spans [day1, day3]
+    # ROWS (2 rows), not 2 calendar days
+    assert ("2024-01-03 00:00:00", "b", 1.0, 15.0) in catalyst
+
+    # cumsum ignores rolling_periods; leading rows never null at
+    # min_periods default 1
+    cum = compile_form_data(df, {**fd, "rolling_type": "cumsum",
+                                 "min_periods": None})
+    a_rows = sorted(
+        [(str(r["__timestamp"]), r.sv) for r in cum.collect()
+         if r.k == "a"]
+    )
+    assert [v for _, v in a_rows] == [1.0, 3.0, 6.0, 10.0]
+
+    for bad in (
+        {**fd, "rolling_type": "std"},
+        {**fd, "rolling_type": "mean", "rolling_periods": 0},
+        {**fd, "time_grain_sqla": None},
+        {**fd, "query_mode": "raw"},
+        {**fd, "percent_metrics": ["count"],
+         "metrics": ["count"]},
+    ):
+        with pytest.raises(ValueError):
+            compile_form_data(df, bad)
+        with pytest.raises(ValueError):
+            form_data_to_sql("roll_t", bad)
