@@ -111,3 +111,52 @@ def salted_join(
     if left_key == right_key:
         out = out.drop(salted_right[right_key])
     return out
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 5,
+) -> DataFrame:
+    """Banded range join (``fact.value in [lo, hi)``) rewritten as an
+    EQUI join through coarse buckets.
+
+    A naive range join has no equality conjunct, so Spark plans a
+    nested-loop join — O(facts x ranges) comparisons even when both
+    sides are indexed by the same axis. The standard fix: explode
+    each range into the ``bucket_width``-sized buckets it overlaps
+    (``floor(lo/w) .. floor((hi-1)/w)``), map each fact row to its
+    single bucket, equi-join on the bucket id, and re-apply the
+    exact range as a residual filter. The hash join does the heavy
+    lifting; each fact row meets only the ranges that share its
+    bucket (ranges overlapping b buckets replicate b times — bounded
+    fan-out on the SMALL side, chosen via ``bucket_width``).
+
+    Half-open ``[lo, hi)`` semantics; the ranges side keeps its
+    other columns. Same shape Databricks/Spark docs recommend for
+    interval joins; at 100 TB the facts side is never replicated and
+    never shuffled beyond the join itself.
+    """
+    w = bucket_width
+    r = ranges.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w),
+                F.floor((F.col(hi_col) - 1) / w),
+            )
+        ),
+    )
+    f = facts.withColumn(
+        "_bkt", F.floor(F.col(value_col) / w)
+    )
+    out = f.join(
+        F.broadcast(r),
+        (f["_bkt"] == r["_bkt"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col)),
+    )
+    return out.drop("_bkt")

@@ -158,3 +158,50 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('light', 1, 10), ('mid', 10, 20),
+             ('heavy', 20, 35), ('bulk', 35, 51)
+    )
+    SELECT t.tier,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem l
+    JOIN tiers t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    doc="Banded RANGE join rewritten as an equi join "
+        "(operators/scale.range_bucket_join): fact.value in [lo,hi) "
+        "has no equality conjunct, so Spark's naive plan is a "
+        "nested-loop join — O(facts x ranges) comparisons. The "
+        "rewrite explodes each range into the width-5 buckets it "
+        "overlaps, maps each fact row to its single bucket, "
+        "hash-joins on the bucket id, and re-applies the exact "
+        "range as a residual — BroadcastHashJoin instead of "
+        "BroadcastNestedLoopJoin (plan-gated in tests/test_plans."
+        "py), facts never replicated. The DuckDB oracle computes "
+        "the plain theta join, so the hash gate proves the rewrite "
+        "is a pure execution-strategy change.",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    tiers = spark.createDataFrame(
+        [("light", 1, 10), ("mid", 10, 20),
+         ("heavy", 20, 35), ("bulk", 35, 51)],
+        "tier string, lo int, hi int",
+    )
+    joined = SC.range_bucket_join(li, tiers, "l_quantity")
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dbl(F.sum(dec("l_quantity"))).alias("total_qty"),
+        )
+        .orderBy("tier")
+    )

@@ -556,3 +556,29 @@ def test_mmr_pool_search_broadcasts_queries(spark, inv, sf_dir):
     assert executed.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in executed
     assert "ArrowEvalPython" in executed or "FlatMapGroupsInPandas" in executed
+
+
+def test_range_banded_join_is_hash_not_nested_loop(spark, inv, sf_dir):
+    """The bucketized range join must plan a hash join; the naive
+    theta formulation of the same predicate plans a nested-loop —
+    the rewrite is the difference between O(facts) and
+    O(facts x ranges) at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    executed, _ = _plans(spark, inv, "join_range_banded", sf_dir)
+    assert "BroadcastHashJoin" in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    tiers = spark.createDataFrame(
+        [("light", 1, 10), ("bulk", 35, 51)], "tier string, lo int, hi int"
+    )
+    naive = li.join(
+        tiers,
+        (F.col("l_quantity") >= F.col("lo"))
+        & (F.col("l_quantity") < F.col("hi")),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in naive_plan

@@ -156,3 +156,35 @@ def test_salted_join_content_salt_deterministic_and_spreads(spark):
     b = (left.repartition(13)
          .withColumn("s", F.pmod(F.xxhash64("k", "payload"), F.lit(8))))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_range_bucket_join_matches_naive_with_overlaps(spark) -> None:
+    """Bucketized range join is value-identical to the naive theta
+    join, including OVERLAPPING ranges (a fact row matching two
+    bands emits two rows) and ranges narrower than / crossing the
+    bucket width."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import scale as SC
+
+    facts = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 4, 5, 9, 10, 23, 34, 35, 49, 50]],
+        "v double",
+    )
+    ranges = spark.createDataFrame(
+        [("a", 1, 10), ("b", 5, 6), ("c", 8, 40), ("d", 35, 51)],
+        "name string, lo int, hi int",
+    )
+    got = {
+        (r.v, r.name)
+        for r in SC.range_bucket_join(facts, ranges, "v").collect()
+    }
+    naive = {
+        (r.v, r.name)
+        for r in facts.join(
+            ranges,
+            (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+        ).collect()
+    }
+    assert got == naive
+    assert (5.0, "a") in got and (5.0, "b") in got and (5.0, "c") not in got
