@@ -103,7 +103,71 @@ class Engine:
         dml = self._resolve_versioned_dml(text)
         if dml is not None:
             return dml
+        stats = self._resolve_show_stats(text)
+        if stats is not None:
+            return stats
         return self.spark.sql(self._resolve_time_travel(text))
+
+    _SHOW_STATS_RE = re.compile(
+        r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+    )
+
+    def _resolve_show_stats(self, text: str) -> DataFrame | None:
+        """Trino's ``SHOW STATS FOR <table>`` (the surface Trino's
+        cost-based optimizer and Superset's cost preview read):
+        per-column ``data_size`` (string columns), EXACT
+        ``distinct_values_count``, ``nulls_fraction``, and
+        ``low_value``/``high_value`` (numeric columns), plus the
+        summary row carrying ``row_count`` — Trino's exact output
+        shape. All statistics come from ONE aggregate pass over the
+        table (a single job; multiple count-distincts plan through
+        one expand). Exact NDV keeps the surface oracle-checkable;
+        at 100 TB swap :func:`F.countDistinct` for
+        ``approx_count_distinct`` — Trino itself serves estimates.
+        Timestamp/date low/high are withheld (engine-specific text
+        formatting), matching the documented subset posture."""
+        m = self._SHOW_STATS_RE.match(text)
+        if not m:
+            return None
+        import pyspark.sql.types as T
+
+        df = self.spark.sql(f"SELECT * FROM {m.group(1)}")
+        fields = df.schema.fields
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for fld in fields:
+            c, nm = F.col(fld.name), fld.name
+            aggs.append(F.countDistinct(c).alias(f"ndv__{nm}"))
+            aggs.append(F.count(c).alias(f"nn__{nm}"))
+            if isinstance(fld.dataType, T.StringType):
+                aggs.append(
+                    F.sum(F.length(c)).cast("double")
+                    .alias(f"sz__{nm}")
+                )
+            if isinstance(fld.dataType, T.NumericType):
+                aggs.append(F.min(c).cast("string").alias(f"lo__{nm}"))
+                aggs.append(F.max(c).cast("string").alias(f"hi__{nm}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        total = row["__n"]
+        out = []
+        for fld in fields:
+            nm = fld.name
+            out.append((
+                nm,
+                row.get(f"sz__{nm}"),
+                float(row[f"ndv__{nm}"]),
+                (float(total - row[f"nn__{nm}"]) / total
+                 if total else 0.0),
+                None,
+                row.get(f"lo__{nm}"),
+                row.get(f"hi__{nm}"),
+            ))
+        out.append((None, None, None, None, float(total), None, None))
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, data_size double, "
+            "distinct_values_count double, nulls_fraction double, "
+            "row_count double, low_value string, high_value string",
+        )
 
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL

@@ -633,3 +633,65 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@register(
+    "sql_show_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, CAST(NULL AS DOUBLE) AS data_size,
+           CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS distinct_values_count,
+           CAST(count(*) - count(o_orderkey) AS DOUBLE) / count(*) AS nulls_fraction,
+           CAST(NULL AS DOUBLE) AS row_count,
+           CAST(min(o_orderkey) AS VARCHAR) AS low_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS high_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', NULL, CAST(count(DISTINCT o_custkey) AS DOUBLE),
+           CAST(count(*) - count(o_custkey) AS DOUBLE) / count(*), NULL,
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(sum(length(o_orderstatus)) AS DOUBLE),
+           CAST(count(DISTINCT o_orderstatus) AS DOUBLE),
+           CAST(count(*) - count(o_orderstatus) AS DOUBLE) / count(*),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', NULL, CAST(count(DISTINCT o_totalprice) AS DOUBLE),
+           CAST(count(*) - count(o_totalprice) AS DOUBLE) / count(*), NULL,
+           CAST(min(o_totalprice) AS VARCHAR),
+           CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', NULL, CAST(count(DISTINCT o_orderdate) AS DOUBLE),
+           CAST(count(*) - count(o_orderdate) AS DOUBLE) / count(*),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(sum(length(o_orderpriority)) AS DOUBLE),
+           CAST(count(DISTINCT o_orderpriority) AS DOUBLE),
+           CAST(count(*) - count(o_orderpriority) AS DOUBLE) / count(*),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT NULL, NULL, NULL, NULL, CAST(count(*) AS DOUBLE), NULL, NULL
+    FROM orders
+    """,
+    doc="Trino's SHOW STATS FOR <table> surface (Engine."
+        "_resolve_show_stats) — the table statistics Trino's "
+        "cost-based optimizer and Superset's cost preview read: "
+        "per-column data_size (string columns), exact NDV, null "
+        "fraction, numeric low/high, and the summary row_count, all "
+        "from ONE aggregate pass (multiple count-distincts plan "
+        "through a single expand). Exact NDV keeps the surface "
+        "oracle-checkable; Trino itself serves estimates, and the "
+        "100 TB swap is approx_count_distinct. The oracle restates "
+        "every statistic per column in SQL.",
+)
+def sql_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    _t(spark, sf_dir, "orders")[0].createOrReplaceTempView(
+        "show_stats_orders"
+    )
+    return Engine(spark).sql("SHOW STATS FOR show_stats_orders")

@@ -245,3 +245,29 @@ def test_sql_time_travel_offset_literal(spark, tmp_path) -> None:
         f"TIMESTAMP '{lit_late}'"
     ).collect()[0].n
     assert n == 1
+
+
+def test_show_stats_surface(spark):
+    """SHOW STATS FOR t: Trino's column-statistics shape — exact NDV,
+    null fractions, string data_size, numeric low/high, and the
+    summary row_count row; non-matching SQL still parses normally."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, "ab", 2.5), (2, "c", None), (2, None, 7.5)],
+        "k long, s string, v double",
+    ).createOrReplaceTempView("stats_t")
+    eng = Engine(spark)
+    rows = {r.column_name: r for r in eng.sql("SHOW STATS FOR stats_t").collect()}
+    assert rows["k"].distinct_values_count == 2.0
+    assert rows["k"].nulls_fraction == 0.0
+    assert rows["k"].low_value == "1" and rows["k"].high_value == "2"
+    assert rows["k"].data_size is None
+    assert rows["s"].data_size == 3.0  # "ab" + "c"
+    assert abs(rows["s"].nulls_fraction - 1 / 3) < 1e-15
+    assert rows["v"].low_value == "2.5" and rows["v"].high_value == "7.5"
+    summary = rows[None]
+    assert summary.row_count == 3.0
+    assert summary.distinct_values_count is None
+    # anything else falls through to plain SQL
+    assert eng.sql("SELECT 41 + 1 AS x").collect()[0].x == 42
