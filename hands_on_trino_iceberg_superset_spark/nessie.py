@@ -28,6 +28,7 @@ read, and merge):
 - ``DELETE /api/v2/trees/{name}@{hash}``         — CAS delete
 - ``GET    /api/v2/trees/{ref}/entries``
 - ``GET    /api/v2/trees/{ref}/contents/{key}``  — dotted key elements
+- ``GET    /api/v2/trees/{from}/diff/{to}``      — key-level content diff
 - ``POST   /api/v2/trees/{branch}@{hash}/history/commit``
 - ``POST   /api/v2/trees/{branch}@{hash}/history/merge``
 
@@ -541,6 +542,15 @@ class NessieClient:
     def metadata_location(self, key: str, ref: str = "main") -> str:
         return self.content(key, ref)["metadataLocation"]
 
+    def diff(self, from_ref: str, to_ref: str) -> list[dict]:
+        """Key-level content diff between two refs (added keys have
+        ``from=None``, removed have ``to=None``, changed carry
+        both)."""
+        return self._call(
+            "GET",
+            f"/trees/{self._q(from_ref)}/diff/{self._q(to_ref)}",
+        )["diffs"]
+
     def load_table(self, spark, key: str, ref: str = "main"):
         """Resolve ``key`` at ``ref`` and open the Iceberg table AT
         the pointed-to metadata file — catalog-consistent reads:
@@ -754,6 +764,31 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
             "content": contents[k],
             "effectiveReference":
                 {"type": rtype, "name": name, "hash": h},
+        }
+    if len(tail) == 2 and tail[0] == "diff" and method == "GET":
+        # Nessie API v2 GET /trees/{from}/diff/{to}: key-level
+        # content diff between any two refs (branch, tag, or
+        # name@hash) — what CI uses to review an ETL branch before
+        # merge. DiffEntry shape matches Nessie: "from" is the
+        # content at the FROM ref (null when added), "to" at the TO
+        # ref (null when removed).
+        with store.lock:
+            f_name, h_from = store._resolve(ref)
+            f_type = "TAG" if f_name in store.tags else "BRANCH"
+            t_name, h_to = store._resolve(unquote(tail[1]))
+            t_type = "TAG" if t_name in store.tags else "BRANCH"
+            a = store._contents_at(h_from)
+            b = store._contents_at(h_to)
+        return {
+            "diffs": [
+                {"key": _key_json(k), "from": a.get(k), "to": b.get(k)}
+                for k in sorted({*a, *b})
+                if a.get(k) != b.get(k)
+            ],
+            "effectiveFromReference":
+                {"type": f_type, "name": f_name, "hash": h_from},
+            "effectiveToReference":
+                {"type": t_type, "name": t_name, "hash": h_to},
         }
     if tail == ["history", "commit"] and method == "POST":
         name, _, expected = unquote(ref).partition("@")

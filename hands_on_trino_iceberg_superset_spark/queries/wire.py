@@ -550,3 +550,75 @@ def warehouse_over_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "o_orderpriority string, n_orders long, total_price double",
     )
+
+
+@register(
+    "catalog_diff_scan",
+    oracle="""
+    WITH base AS (SELECT count(*) AS n FROM orders),
+    late AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT 'demo.added' AS key, 'added' AS change,
+           CAST(b.n AS BIGINT) AS n_rows
+    FROM base b
+    UNION ALL
+    SELECT 'demo.orders', 'changed', CAST(b.n + l.n AS BIGINT)
+    FROM base b, late l
+    UNION ALL
+    SELECT 'demo.retired', 'removed', CAST(b.n AS BIGINT)
+    FROM base b
+    """,
+    doc="Catalog DIFF over the wire (Nessie API v2 "
+        "GET /trees/{from}/diff/{to} — the CI review surface for an "
+        "ETL branch before merge): publish orders v1 on main, "
+        "branch, advance the pointer to v2 and add a table on the "
+        "branch, add one more on main; the diff classifies every "
+        "key (changed / added / removed from main's perspective) "
+        "and each entry's live side is OPENED and counted through "
+        "the pointed-to Iceberg metadata — the diff output drives "
+        "real scans, so a wrong pointer or a phantom diff entry "
+        "breaks the count, not just a label. Oracle recomputes the "
+        "expected counts from the raw data.",
+)
+def catalog_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hands_on_trino_iceberg_superset_spark.nessie import (
+        NessieCatalogServer,
+        NessieClient,
+    )
+
+    path = _orders_two_snapshots_path(spark, sf_dir)
+    v1 = os.path.join(path, "metadata", "v1.metadata.json")
+    v2 = os.path.join(path, "metadata", "v2.metadata.json")
+
+    srv = NessieCatalogServer()
+    srv.start()
+    try:
+        cli = NessieClient(srv.url)
+        cli.put("main", "demo.orders", v1, "publish v1")
+        cli.create_branch("etl")
+        cli.put("etl", "demo.orders", v2, "advance to v2")
+        cli.put("etl", "demo.added", v1, "new table on branch")
+        cli.put("main", "demo.retired", v1, "main-only table")
+        rows = []
+        for e in cli.diff("main", "etl"):
+            key = ".".join(e["key"]["elements"])
+            if e["from"] is None:
+                change, side = "added", e["to"]
+            elif e["to"] is None:
+                change, side = "removed", e["from"]
+            else:
+                change, side = "changed", e["to"]
+            from hands_on_trino_iceberg_superset_spark.lakehouse.iceberg import (  # noqa: E501
+                IcebergTable,
+            )
+
+            n = IcebergTable.from_metadata_file(
+                spark, side["metadataLocation"]
+            ).read().count()
+            rows.append((key, change, n))
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        rows, "key string, change string, n_rows long"
+    )

@@ -576,3 +576,41 @@ def test_detached_read_allows_merged_ancestors(srv):
                     f"/trees/main@{side_head}/contents/d.u")
     assert st == 200
     assert got["content"]["metadataLocation"].endswith("v1.metadata.json")
+
+
+def test_diff_between_refs(srv):
+    """GET /trees/{from}/diff/{to}: added keys carry from=None,
+    removed to=None, changed both; identical refs diff empty; tags
+    and name@hash refs resolve; unknown refs 404."""
+    _, r1 = _commit(srv, "main", NO_ANCESTOR,
+                    [_put("d.a", "/w/a/v1.metadata.json")])
+    h1 = r1["reference"]["hash"]
+    st, _ = _call(srv, "POST", "/trees?name=etl",
+                  {"name": "main", "hash": h1})
+    assert st == 200
+    # on etl: change a, add b; on main: nothing
+    _, r2 = _commit(srv, "etl", h1,
+                    [_put("d.a", "/w/a/v2.metadata.json"),
+                     _put("d.b", "/w/b/v1.metadata.json")])
+    st, d = _call(srv, "GET", "/trees/main/diff/etl")
+    assert st == 200
+    by_key = {".".join(e["key"]["elements"]): e for e in d["diffs"]}
+    assert set(by_key) == {"d.a", "d.b"}
+    assert by_key["d.a"]["from"]["metadataLocation"].endswith("v1.metadata.json")
+    assert by_key["d.a"]["to"]["metadataLocation"].endswith("v2.metadata.json")
+    assert by_key["d.b"]["from"] is None
+    assert by_key["d.b"]["to"]["metadataLocation"].endswith("v1.metadata.json")
+    assert d["effectiveFromReference"]["name"] == "main"
+    assert d["effectiveToReference"]["name"] == "etl"
+    # reverse direction: b is REMOVED
+    st, rev = _call(srv, "GET", "/trees/etl/diff/main")
+    rb = {".".join(e["key"]["elements"]): e for e in rev["diffs"]}
+    assert rb["d.b"]["to"] is None
+    # identical refs -> empty
+    st, same = _call(srv, "GET", "/trees/main/diff/main")
+    assert st == 200 and same["diffs"] == []
+    # at-hash ref on the from side pins the pre-change state
+    st, pinned = _call(srv, "GET", f"/trees/etl@{h1}/diff/etl")
+    assert st == 200 and len(pinned["diffs"]) == 2
+    st, _ = _call(srv, "GET", "/trees/ghost/diff/main")
+    assert st == 404
