@@ -227,6 +227,52 @@ def iceberg_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_changelog_scan",
+    oracle="""
+    SELECT 'delete' AS change, o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+       OR o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'insert', o_orderstatus, count(*),
+           CAST(sum(CAST(o_totalprice + 500 AS DECIMAL(18,2)))
+                AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    """,
+    doc="CDC CHANGELOG between snapshots "
+        "(IcebergTable.changelog — create_changelog_view semantics): "
+        "the COW DML table's first..latest snapshot range surfaces "
+        "the DELETEd every-10th-'F' rows and the 'P' UPDATE as its "
+        "delete+insert pair, aggregated by change type and status. "
+        "Scale shape: only files that CHANGED between the snapshots "
+        "are read — carried-over files cancel from both sides of "
+        "the multiset difference by construction, so skipping them "
+        "is exact; the diff itself is two exceptAll set differences "
+        "(one shuffle each). Oracle restates both change sets "
+        "declaratively from the raw data.",
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _dml_iceberg(spark, sf_dir)
+    adopted = IcebergTable.load(spark, t.path)
+    snaps = adopted.meta["snapshots"]
+    log = adopted.changelog(snaps[0]["snapshot-id"],
+                            snaps[-1]["snapshot-id"])
+    return (
+        log.groupBy(F.col("_change_type").alias("change"),
+                    "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
     "iceberg_time_travel",
     oracle="""
     SELECT 1 AS snapshot_seq, count(*) AS n_orders,

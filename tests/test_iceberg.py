@@ -1831,3 +1831,39 @@ def test_metadata_count_exactness_and_refusals(spark, tmp_root):
     assert bt.metadata_count() == 60
     # bucket transform: a surviving file only MIGHT contain id=3
     assert bt.metadata_count(filter={"id": 3}) is None
+
+
+def test_changelog_between_snapshots(spark, tmp_root):
+    """changelog(): insert/delete pairs for COW DML, exact equality
+    with the brute-force full-state diff, and the MOR fallback path
+    (delete files present) produces the same answer."""
+    path = os.path.join(tmp_root, "changelog_t")
+    df = spark.range(30).selectExpr(
+        "id", "concat('k', id % 3) as k", "CAST(id * 10 AS DOUBLE) as v"
+    )
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    s1 = t.meta["snapshots"][-1]["snapshot-id"]
+    t.delete("id % 10 = 0")                      # 3 rows out
+    t.update({"v": "v + 1"}, "k = 'k1'")         # 10 -> update pairs
+    s3 = t.meta["snapshots"][-1]["snapshot-id"]
+
+    log = t.changelog(s1, s3).collect()
+    by_type = {}
+    for r in log:
+        by_type.setdefault(r._change_type, set()).add((r.id, r.v))
+    # brute force: full-state multiset diff
+    old = {(r.id, r.v) for r in t.read(snapshot_id=s1).collect()}
+    new = {(r.id, r.v) for r in t.read(snapshot_id=s3).collect()}
+    assert by_type["insert"] == new - old
+    assert by_type["delete"] == old - new
+    # updates appear as pairs: every updated id is in both sets
+    updated = {i for i, _ in by_type["insert"]}
+    assert updated <= {i for i, _ in by_type["delete"]}
+
+    # MOR fallback: a positional delete file forces the full-read
+    # path; result must still be the exact state diff
+    t.delete("id = 11", mode="merge-on-read")
+    s4 = t.meta["snapshots"][-1]["snapshot-id"]
+    log2 = {(r._change_type, r.id)
+            for r in t.changelog(s3, s4).collect()}
+    assert log2 == {("delete", 11)}
