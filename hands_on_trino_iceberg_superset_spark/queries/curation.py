@@ -1298,3 +1298,152 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_frac"),
     )
+
+
+_WP_OCC = """
+  SELECT o.piece AS piece, o.cls AS cls, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq,
+      unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+        list_transform(range({lo}, 5), L -> struct_pack(
+          piece := substr(word, i, L),
+          cls := CASE WHEN i = 1 THEN 'start' ELSE 'cont' END,
+          want := L))))) AS o
+    FROM wf
+  )
+  WHERE len(o.piece) = o.want
+  GROUP BY 1, 2
+"""
+
+_WP_WF = """
+    wf AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )
+"""
+
+
+def _wp_encode_oracle(steps: int = 8, top_k: int = 40) -> str:
+    """Unrolled greedy longest-match oracle: step k advances every
+    unfinished word by its longest matching vocab piece (per-word
+    argmax = row_number over match length; at most one match per
+    length, so the order is total). ``steps`` = max word length —
+    every step consumes >= 1 character."""
+    parts = [f"""
+    WITH {_WP_WF},
+    occ AS ({_WP_OCC.format(lo=1)}),
+    vocab AS (
+      SELECT piece, cls FROM occ WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cls FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, cls, piece)
+                  AS rank
+        FROM occ WHERE len(piece) > 1
+      ) WHERE rank <= {top_k}
+    ),
+    s0 AS (SELECT word, freq, 1 AS pos, CAST('' AS VARCHAR) AS toks
+           FROM wf)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+    s{k} AS (
+      SELECT word, freq, pos + plen AS pos,
+             CASE WHEN toks = '' THEN disp
+                  ELSE toks || ' ' || disp END AS toks
+      FROM (
+        SELECT s.word, s.freq, s.pos, s.toks,
+               len(v.piece) AS plen,
+               CASE WHEN v.cls = 'cont' THEN '##' || v.piece
+                    ELSE v.piece END AS disp,
+               row_number() OVER (PARTITION BY s.word
+                                  ORDER BY len(v.piece) DESC) AS rn
+        FROM s{k - 1} s JOIN vocab v
+          ON s.pos <= len(s.word)
+         AND v.cls = CASE WHEN s.pos = 1 THEN 'start'
+                          ELSE 'cont' END
+         AND v.piece = substr(s.word, s.pos, len(v.piece))
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT word, freq, pos, toks FROM s{k - 1}
+      WHERE pos > len(word)
+    )""")
+    parts.append(f"""
+    SELECT word, freq,
+           CAST(len(string_split(toks, ' ')) AS INT) AS n_pieces,
+           toks AS encoded
+    FROM s{steps}""")
+    return "".join(parts)
+
+
+@register(
+    "tokenizer_wordpiece_train",
+    oracle=f"""
+    WITH {_WP_WF},
+    occ AS ({_WP_OCC.format(lo=2)})
+    SELECT rank,
+           CASE WHEN cls = 'cont' THEN '##' || piece
+                ELSE piece END AS piece,
+           cnt
+    FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, cls, piece)
+                    AS rank
+          FROM occ)
+    WHERE rank <= 40
+    """,
+    doc="WordPiece-family vocabulary selection "
+        "(operators/wordpiece.py; BERT's ## continuation "
+        "convention): every substring occurrence of length 2-4 at "
+        "every word position, weighted by word frequency and split "
+        "into start/continuation token spaces, ranked by EXACT "
+        "integer count with a total-order tie-break — the honest "
+        "reproducible stand-in for likelihood-based selection "
+        "(float likelihood accumulation differs across engines; "
+        "stated in the operator docstring). Scale: the only "
+        "corpus-sized op is the word-frequency groupBy; occurrence "
+        "explosion runs on the vocab-sized word table. Oracle "
+        "recomputes every occurrence count and the full ranking.",
+)
+def tokenizer_wordpiece_train(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    words = WP.word_frequencies(_docs(spark, sf_dir))
+    counts = WP.piece_counts(words, min_len=2)
+    w = Window.orderBy(F.desc("cnt"), F.asc("cls"), F.asc("piece"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 40)
+        .select(
+            "rank",
+            WP.display_form(F.col("piece"), F.col("cls"))
+            .alias("piece"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "tokenizer_wordpiece_encode",
+    oracle=_wp_encode_oracle(),
+    doc="Greedy longest-match-first WordPiece encoding (BERT's "
+        "inference rule) of every distinct corpus word under the "
+        "frequency-selected vocabulary: single-char pieces of every "
+        "observed (char, class) pair floor the vocab so no word can "
+        "fail to encode. The vocab (bounded by construction) "
+        "broadcasts as a set; each word segments in one Arrow batch "
+        "— at 100 TB the corpus pass is a map-side dictionary "
+        "lookup. The oracle UNROLLS the greedy loop: 8 chained "
+        "argmax CTEs (max word length; each step consumes >= 1 "
+        "char), so every segmentation decision is hash-gated.",
+)
+def tokenizer_wordpiece_encode(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    words = WP.word_frequencies(_docs(spark, sf_dir))
+    return WP.encode_words(words, WP.select_vocab(words, top_k=40))

@@ -708,3 +708,35 @@ def test_gapfill_carry_forward_semantics(spark, inventory):
             assert r.n_events > 0
             carried = r.day_max
         assert r.filled_max == carried
+
+
+def test_wordpiece_greedy_longest_match_and_classes(spark):
+    """Handcrafted corpus: greedy takes the LONGEST match at each
+    position (never a shorter prefix that would globally tokenize
+    better), start and continuation are separate token spaces, and
+    every encoding concatenates back to its word (conservation)."""
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcd abcd abcd ab cd bc", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    words = WP.word_frequencies(docs)
+    vocab = WP.select_vocab(words, top_k=40)
+    vset = {(r.piece, r.cls) for r in vocab.collect()}
+    # 'ab' exists as a start piece; 'cd' occurs both standalone
+    # (start) and inside abcd (cont) — distinct entries
+    assert ("ab", "start") in vset
+    assert ("cd", "start") in vset and ("cd", "cont") in vset
+    enc = {r.word: (r.encoded, r.n_pieces)
+           for r in WP.encode_words(words, vocab).collect()}
+    # greedy: abcd segments by its longest start piece, not char-wise
+    assert enc["abcd"][0] in ("abcd", "abc ##d", "ab ##cd")
+    assert enc["abcd"][1] <= 2 or enc["abcd"][0] == "abc ##d"
+    for w, (e, n) in enc.items():
+        joined = "".join(p[2:] if p.startswith("##") else p
+                         for p in e.split(" "))
+        assert joined == w
+        assert n == len(e.split(" "))
