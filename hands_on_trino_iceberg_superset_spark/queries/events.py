@@ -516,3 +516,57 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("deviation") > F.lit(3).cast("double") * F.col("mad"))
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM trans
+    """,
+    doc="First-order Markov TRANSITION MATRIX over per-user event "
+        "sequences (the model behind user-journey Sankey diagrams "
+        "and next-action prediction baselines): lead() pairs each "
+        "event with its user's next one, transition counts "
+        "aggregate, and each row-probability normalizes by its "
+        "from-state total. Scale shape: ONE shuffle on user_id for "
+        "the sequence window, then everything lives on the "
+        "(types x types) grid — 25 rows here, bounded by the type "
+        "vocabulary at any corpus size; the normalizing window runs "
+        "on that grid, never on events. Counts are exact integers, "
+        "so every probability divides bit-identically.",
+)
+def events_transition_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    )
