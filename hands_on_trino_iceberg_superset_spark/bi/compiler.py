@@ -268,6 +268,8 @@ def compile_form_data(
         raise ValueError("HAVING filters require aggregate mode")
     if form_data.get("rolling_type") and mode != "aggregate":
         raise ValueError("rolling_type requires aggregate mode")
+    if form_data.get("series_limit") and mode != "aggregate":
+        raise ValueError("series_limit requires aggregate mode")
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
@@ -299,6 +301,29 @@ def compile_form_data(
             if groupby
             else df.agg(*aggs)
         )
+        series_limit = form_data.get("series_limit")
+        if series_limit:
+            # Superset's timeseries series cap: an independent
+            # top-N-groups subquery over the SAME filtered frame
+            # (whole time range), then the main result keeps only
+            # those series — every time bucket of a surviving
+            # series, never a row_limit on buckets. Exactly
+            # Superset's two-query shape.
+            series_keys = [k for k in groupby if k != TIME_LABEL]
+            if not series_keys:
+                raise ValueError(
+                    "series_limit requires non-time groupby columns")
+            slm = form_data.get("series_limit_metric") or metrics[0]
+            lab = _metric_label(slm)
+            top = (
+                df.groupBy(*series_keys)
+                .agg(_metric_column(slm))
+                .orderBy(F.desc(lab),
+                         *[F.asc(k) for k in series_keys])
+                .limit(int(series_limit))
+                .select(*series_keys)
+            )
+            out = out.join(F.broadcast(top), series_keys, "left_semi")
         # HAVING filters: post-aggregation predicates on group keys
         # or metric labels (Superset's metric-filter clause) — they
         # run BEFORE ordering/limit/percent, i.e. they shape which
@@ -485,6 +510,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         raise ValueError("HAVING filters require aggregate mode")
     if form_data.get("rolling_type") and mode != "aggregate":
         raise ValueError("rolling_type requires aggregate mode")
+    if form_data.get("series_limit") and mode != "aggregate":
+        raise ValueError("series_limit requires aggregate mode")
     where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
@@ -610,6 +637,29 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             label = _metric_label(c) if not isinstance(c, str) else c
             terms.append(f"{_sql_ident(label)}{'' if asc else ' DESC'}")
         return " ORDER BY " + ", ".join(terms)
+
+    series_limit = form_data.get("series_limit")
+    if mode == "aggregate" and series_limit:
+        # mirror of the Catalyst path: an independent top-N-groups
+        # subquery over the same filtered frame keeps only the
+        # winning series — every time bucket of a surviving series
+        skeys = [_sql_ident(c) for c in form_data.get("groupby") or []]
+        if not skeys:
+            raise ValueError(
+                "series_limit requires non-time groupby columns")
+        slm = form_data.get("series_limit_metric") or metrics[0]
+        s_expr, _ = _metric_sql(slm)
+        key_list = ", ".join(skeys)
+        tuple_expr = f"({key_list})" if len(skeys) > 1 else key_list
+        sub = (
+            f"SELECT {key_list} FROM {_sql_ident(table)}{where} "
+            f"GROUP BY {key_list} "
+            f"ORDER BY {s_expr.split(' AS ')[0]} DESC, {key_list} "
+            f"LIMIT {int(series_limit)}"
+        )
+        pred = f"{tuple_expr} IN ({sub})"
+        where = (f"{where} AND {pred}" if where
+                 else f" WHERE {pred}")
 
     sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
     row_limit = form_data.get("row_limit")

@@ -359,3 +359,52 @@ def bi_chart_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "count",
     ).orderBy("__timestamp", "event_type")
+
+
+@register(
+    "bi_chart_series_limit",
+    oracle="""
+    WITH top3 AS (
+      SELECT event_type FROM events GROUP BY event_type
+      ORDER BY count(*) DESC, event_type LIMIT 3
+    )
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+             AS __timestamp,
+           event_type, count(*) AS count
+    FROM events
+    WHERE event_type IN (SELECT event_type FROM top3)
+    GROUP BY date_trunc('day', ts), event_type
+    ORDER BY __timestamp, event_type
+    """,
+    doc="Timeseries chart with series_limit — Superset's top-N-"
+        "series cap (keep every time bucket of the N biggest "
+        "series, never a row_limit on buckets): an independent "
+        "top-groups subquery over the same filtered frame "
+        "(deterministic metric-then-key ordering) semi-joins the "
+        "main aggregate, exactly Superset's two-query shape, on "
+        "BOTH compilation paths. Scale: the series subquery "
+        "aggregates to the series grid and broadcasts back. Oracle "
+        "restates the two-query shape in SQL.",
+)
+def bi_chart_series_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = compile_form_data(
+        ev,
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_grain_sqla": "P1D",
+            "groupby": ["event_type"],
+            "metrics": ["count"],
+            "series_limit": 3,
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "event_type",
+        "count",
+    ).orderBy("__timestamp", "event_type")

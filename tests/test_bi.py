@@ -557,3 +557,48 @@ def test_rolling_compiles_identically_on_both_paths(spark):
             compile_form_data(df, bad)
         with pytest.raises(ValueError):
             form_data_to_sql("roll_t", bad)
+
+
+def test_series_limit_compiles_identically_on_both_paths(spark):
+    """series_limit keeps every bucket of the winning series on
+    both paths; ties break deterministically on the key; raw mode
+    and empty groupby are refused."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", k, 1) for k in
+         ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1]
+        + [("2024-01-02 00:00:00", "d", 1)],
+        "ts string, k string, v long",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "k", "v")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["k"],
+        "metrics": ["count"],
+        "series_limit": 2,
+        "time_range": "No filter",
+    }
+    catalyst = {(str(r["__timestamp"]), r.k, r["count"])
+                for r in compile_form_data(df, fd).collect()}
+    # top-2 series by total count: a(5), then the b/c tie at 3
+    # breaks on the key -> b; d (2 total) excluded even though it
+    # spans two buckets
+    assert {k for _, k, _ in catalyst} == {"a", "b"}
+    df.createOrReplaceTempView("sl_t")
+    wire = {(str(r["__timestamp"]), r.k, r["count"])
+            for r in spark.sql(form_data_to_sql("sl_t", fd)).collect()}
+    assert catalyst == wire
+
+    for bad in ({**fd, "query_mode": "raw"},
+                {**fd, "groupby": []}):
+        with pytest.raises(ValueError):
+            compile_form_data(df, bad)
+        with pytest.raises(ValueError):
+            form_data_to_sql("sl_t", bad)
