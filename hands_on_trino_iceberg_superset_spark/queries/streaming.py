@@ -321,3 +321,47 @@ def stream_document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return document_quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_windowed_topn_users",
+    oracle=f"""
+    WITH totals AS (
+      SELECT make_timestamp((epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US})
+               AS w, user_id,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(w AS VARCHAR) AS window_start, user_id, n_events,
+           total_value, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY w
+               ORDER BY total_value DESC, user_id) AS rank
+      FROM totals
+    ) WHERE rank <= 3
+    """,
+    doc="Windowed TOP-N ('trending users'): per 6h event-time "
+        "window, the 3 users with the highest exact value total. "
+        "Split exactly where streaming semantics demand "
+        "(streaming/pipeline.py): the per-(window,user) aggregate "
+        "is the INCREMENTAL half — watermarked state, append-mode "
+        "finalization, parity-tested — and the rank is a "
+        "serving-time projection over the finalized window-grain "
+        "output (rank needs a window's full user set; rows there "
+        "are windows x users, never events). DECIMAL totals keep "
+        "the rank order engine-identical.",
+)
+def stream_windowed_topn_users(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.streaming import (
+        topn_per_window,
+        windowed_user_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return topn_per_window(windowed_user_totals(ev), n=3).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "user_id", "n_events", "total_value", "rank",
+    )

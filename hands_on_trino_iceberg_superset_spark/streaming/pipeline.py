@@ -548,3 +548,51 @@ def document_quality_stats(docs: DataFrame) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+def windowed_user_totals(
+    df: DataFrame,
+    window_duration: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(window, user) exact value totals — the INCREMENTAL half
+    of windowed top-N ("trending users"): this aggregate runs as a
+    watermarked stream (state bounded by live windows x active
+    users, append mode finalizes windows), and ranking happens on
+    its window-grain OUTPUT via :func:`topn_per_window` — rank needs
+    a window's full user set, so it is a serving-time projection
+    over the finalized aggregate, never stream state."""
+    if df.isStreaming:
+        df = df.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window_duration), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz")
+            .alias("window_start"),
+            "user_id",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+def topn_per_window(totals: DataFrame, n: int = 3) -> DataFrame:
+    """Top-``n`` users per finalized window by total value (ties on
+    user_id): a rank over the window-grain aggregate — rows are
+    (windows x users), never events, so this is serving-cost at any
+    stream volume."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )

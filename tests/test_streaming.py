@@ -393,3 +393,31 @@ def test_document_quality_stream_equals_batch(spark, sf_dir):
     )
     assert got == batch
     assert len(got) > 0
+
+
+def test_windowed_topn_stream_equals_batch(spark, sf_dir,
+                                           events_source_dir):
+    """The incremental half (per-window user totals) produces the
+    same finalized aggregate on the stream as in batch, and the
+    serving-time rank over either is identical — windowed top-N
+    needs no ranking state in the stream."""
+    from hands_on_trino_iceberg_superset_spark.streaming import (
+        topn_per_window,
+        windowed_user_totals,
+    )
+
+    stream = windowed_user_totals(
+        read_events_stream(spark, events_source_dir)
+    )
+    got = topn_per_window(
+        run_available_now_to_memory(
+            stream, "t_user_totals", output_mode="complete"
+        ),
+        n=3,
+    )
+    expect = topn_per_window(
+        windowed_user_totals(load_table(spark, sf_dir, "events")), n=3
+    )
+    keys = ["window_start", "user_id", "n_events", "total_value",
+            "rank"]
+    assert _canon(got, *keys) == _canon(expect, *keys)
