@@ -157,3 +157,70 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("payload_bytes").cast("bigint").alias("total_payload_bytes"),
     )
+
+
+@register(
+    "multimodal_content_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    m AS (
+      SELECT doc_id, md5(text) AS content_sig,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type
+      FROM corpus
+    )
+    SELECT content_sig, min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           count(DISTINCT media_type) AS n_containers
+    FROM m GROUP BY content_sig
+    """,
+    doc="CONTENT-level media dedup (the first tier of image/audio "
+        "dedup: same bytes re-published in a different container): "
+        "the signature is md5 over the PAYLOAD bytes only — the "
+        "parseable fake header (dimensions, duration) is excluded, "
+        "so a re-published copy whose container metadata differs "
+        "still collapses onto its original, which a whole-file "
+        "checksum would miss. Re-published variants are derived "
+        "in-query (every 10th doc re-attached under a shifted id -> "
+        "different header, identical payload). All JVM expressions "
+        "(binary substring + md5 in the scan projection); one "
+        "signature-keyed shuffle, the dedup_exact shape over binary "
+        "columns. Oracle recomputes every signature from the raw "
+        "text the payload derives from.",
+)
+def multimodal_content_dedup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.multimodal import (
+        _HEADER_LEN,
+        attach_fake_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    republished = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    media = attach_fake_media(docs.unionAll(republished))
+    sig = F.md5(
+        F.expr(f"substring(content, {_HEADER_LEN} + 1, 2147483647)")
+    )
+    return (
+        media.select(
+            "media_id",
+            sig.alias("content_sig"),
+            F.col("meta.media_type").alias("media_type"),
+        )
+        .groupBy("content_sig")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("media_type").alias("n_containers"),
+        )
+    )

@@ -78,3 +78,35 @@ def test_extract_features_deterministic_and_ann_composable(
     )
     got = topk.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in got)
+
+
+def test_content_dedup_collapses_across_containers(spark):
+    """Same payload in two different containers (different header
+    fields from different ids) must share a content signature while
+    their whole-file bytes differ."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators.multimodal import (
+        _HEADER_LEN,
+        attach_fake_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same payload text"), (1000000, "same payload text"),
+         (1, "different text")],
+        ["doc_id", "text"],
+    )
+    media = attach_fake_media(docs)
+    rows = media.select(
+        "media_id",
+        F.md5(F.expr(
+            f"substring(content, {_HEADER_LEN} + 1, 2147483647)"
+        )).alias("sig"),
+        F.md5("content").alias("whole_file"),
+        F.col("meta.width").alias("w"),
+    ).collect()
+    by_id = {r.media_id: r for r in rows}
+    assert by_id[0].sig == by_id[1000000].sig
+    assert by_id[0].whole_file != by_id[1000000].whole_file
+    assert by_id[0].w != by_id[1000000].w
+    assert by_id[1].sig != by_id[0].sig
