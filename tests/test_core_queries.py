@@ -42,12 +42,14 @@ def test_memo_caches_evict_dead_sessions(spark, sf_dir: str) -> None:
     )
 
     app = spark.sparkContext.applicationId
-    dead = ("app-long-gone", sf_dir, "merge")
+    # "delete" is a still-memoized fixture (dml_merge_upsert moved
+    # to a persisted per-corpus artifact and no longer memoizes)
+    dead = ("app-long-gone", sf_dir, "delete")
     dml._CACHE[dead] = object()
     # force the miss branch even if an earlier test populated the
     # live entry (eviction runs on miss only)
-    dml._CACHE.pop((app, sf_dir, "merge"), None)
-    INVENTORY["dml_merge_upsert"].spark(spark, sf_dir).collect()
+    dml._CACHE.pop((app, sf_dir, "delete"), None)
+    INVENTORY["dml_delete_time_travel"].spark(spark, sf_dir).collect()
     assert dead not in dml._CACHE
     assert any(k[0] == app for k in dml._CACHE)
 
