@@ -698,3 +698,75 @@ def _register_prewarmers_r7() -> None:
 
 
 _register_prewarmers_r7()
+
+
+def _evolved_spec_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders across a PARTITION SPEC CHANGE, as a per-corpus
+    artifact: even keys land under identity(o_orderstatus)
+    (spec 0), the spec evolves to bucket(8, o_orderkey), odd keys
+    land under the bucket layout (spec 1) — the table every
+    long-lived lakehouse becomes after a re-partitioning decision,
+    with both file generations live."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    def build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        t = IcebergTable.create(spark, tmp, even,
+                                partition_by="o_orderstatus")
+        t.update_partition_spec("bucket(8, o_orderkey)")
+        t.append(odd.select(*even.columns))
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "iceberg_evolved_spec", "orders",
+                      params="even=identity-status,odd=bucket8-key"),
+        build,
+    )
+
+
+@register(
+    "iceberg_partition_evolution_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Scan across a PARTITION SPEC CHANGE (identity(status) -> "
+        "bucket(8, key), both file generations live — what every "
+        "long-lived table becomes after a re-partitioning decision): "
+        "the status filter prunes generation-0 files under the "
+        "IDENTITY spec while generation-1 files, bucketed on a "
+        "different column, are rightly scanned and filtered row-wise "
+        "— each manifest prunes under ITS OWN spec, the invariant "
+        "that makes spec evolution safe. The query ASSERTS that "
+        "pruning actually skipped files (a regression to "
+        "scan-everything fails the row, not just a benchmark). "
+        "Oracle recomputes the aggregate from the raw parquet.",
+)
+def iceberg_partition_evolution_scan(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    adopted = IcebergTable.load(spark, _evolved_spec_path(spark, sf_dir))
+    filt = {"o_orderstatus": ["F", "P"]}
+    plan = adopted.plan_scan(filter=filt)
+    if not plan.files_skipped:
+        raise RuntimeError(
+            "identity-generation files were not pruned by the "
+            "status filter")
+    return (
+        adopted.read(filter=filt)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
