@@ -770,3 +770,14 @@ def iceberg_partition_evolution_scan(spark: SparkSession,
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _register_prewarmers_r7b() -> None:
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        register_prewarmer,
+    )
+
+    register_prewarmer("iceberg_evolved_spec", _evolved_spec_path)
+
+
+_register_prewarmers_r7b()
