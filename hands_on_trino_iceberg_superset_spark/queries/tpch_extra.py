@@ -504,3 +504,70 @@ def suppliers_kept_orders_waiting(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "window_spend_bands",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    banded AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             total_spend
+      FROM spend
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY total_spend, c_custkey)
+    )
+    SELECT c_mktsegment, quartile,
+           count(*) AS n_customers,
+           CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE)
+             AS band_spend,
+           round(min(pr), 6) AS min_percent_rank,
+           round(max(cd), 6) AS max_cume_dist
+    FROM banded
+    GROUP BY c_mktsegment, quartile
+    """,
+    doc="Distribution-ranking window functions in one pass: "
+        "ntile(4) spend quartiles per market segment plus "
+        "percent_rank / cume_dist over the SAME window spec (one "
+        "sort per partition serves all three — Spark plans a single "
+        "Window operator). Two-level shape: the fact join collapses "
+        "to per-customer spend first, so the ranking window runs "
+        "over customers, not orders; total-order tie-break on the "
+        "customer key keeps every band boundary engine-identical. "
+        "percent_rank/cume_dist are exact rationals of row counts — "
+        "rounded only to absorb the division's final-ulp ambiguity.",
+)
+def window_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dbl(F.sum(dec("o_totalprice"))).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "total_spend", "c_custkey"
+    )
+    banded = spend.select(
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        "total_spend",
+    )
+    return banded.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dbl(F.sum(dec("total_spend"))).alias("band_spend"),
+        F.round(F.min("pr"), 6).alias("min_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
