@@ -257,6 +257,13 @@ def compile_form_data(
     df: DataFrame, form_data: Mapping[str, Any]
 ) -> DataFrame:
     """Compile one chart's form_data against its dataset DataFrame."""
+
+    def _ob_label(c) -> str:
+        # order_by entries carry either a plain column name or an
+        # adhoc-metric dict; ONE resolution rule for every consumer
+        # (pct selection, rolling selection, final ordering)
+        return _metric_label(c) if not isinstance(c, str) else c
+
     df = _apply_time_range(df, form_data)
     df = _apply_adhoc_filters(df, form_data)
     mode = form_data.get("query_mode", "raw")
@@ -370,9 +377,6 @@ def compile_form_data(
             # table — and the aggregation executes once.
             from pyspark.sql import Window
 
-            def _ob_label(c) -> str:
-                return _metric_label(c) if not isinstance(c, str) else c
-
             sel = [ob for ob in order_by
                    if _ob_label(ob[0]) not in pct_labels]
             if sel:
@@ -422,12 +426,9 @@ def compile_form_data(
                 if mp is None else int(mp)
             from pyspark.sql import Window
 
-            def _lab(c) -> str:
-                return _metric_label(c) if not isinstance(c, str) else c
-
             if order_by:
                 out = out.orderBy(*[
-                    F.col(_lab(c)) if asc else F.desc(_lab(c))
+                    F.col(_ob_label(c)) if asc else F.desc(_ob_label(c))
                     for c, asc in order_by
                 ])
             if row_limit:
@@ -453,9 +454,7 @@ def compile_form_data(
 
     if order_by:
         sort_cols = [
-            F.col(_metric_label(c) if not isinstance(c, str) else c)
-            if asc
-            else F.desc(_metric_label(c) if not isinstance(c, str) else c)
+            F.col(_ob_label(c)) if asc else F.desc(_ob_label(c))
             for c, asc in order_by
         ]
         out = out.orderBy(*sort_cols)

@@ -837,20 +837,26 @@ class IcebergTable:
             old = self.read(snapshot_id=from_snapshot_id)
             new = self.read(snapshot_id=to_snapshot_id)
         else:
-            by_path_from = {f.path for f in plan_from.files}
-            by_path_to = {f.path for f in plan_to.files}
-            removed = sorted(by_path_from - by_path_to)
-            added = sorted(by_path_to - by_path_from)
-            schema = plan_to.schema
+            from dataclasses import replace
 
-            def read_files(paths: list[str]) -> DataFrame:
-                if not paths:
-                    return self.spark.createDataFrame([], schema)
-                return self.spark.read.schema(schema).parquet(
-                    *[self._resolve(p) for p in paths]
+            from_paths = {f.path for f in plan_from.files}
+            to_paths = {f.path for f in plan_to.files}
+
+            def read_subset(plan: ScanPlan, keep: set) -> DataFrame:
+                files = sorted(
+                    (f for f in plan.files if f.path in keep),
+                    key=lambda f: f.path,
                 )
+                if not files:
+                    return self.spark.createDataFrame([], plan.schema)
+                # through _scan_plan_df, NOT a raw parquet read: the
+                # rename name-mapping coalesce must apply here too,
+                # or files written before a rename diff as all-NULL
+                # columns against their own rewrite
+                return self._scan_plan_df(replace(plan, files=files))
 
-            old, new = read_files(removed), read_files(added)
+            old = read_subset(plan_from, from_paths - to_paths)
+            new = read_subset(plan_to, to_paths - from_paths)
         return (
             new.exceptAll(old).withColumn("_change_type",
                                           F.lit("insert"))

@@ -775,7 +775,10 @@ def _route(store: _Store, method: str, path: str, body: dict) -> dict:
         with store.lock:
             f_name, h_from = store._resolve(ref)
             f_type = "TAG" if f_name in store.tags else "BRANCH"
-            t_name, h_to = store._resolve(unquote(tail[1]))
+            # NO unquote here: _resolve percent-decodes itself,
+            # and double-decoding would mangle a ref whose name
+            # legitimately contains an escape after one decode
+            t_name, h_to = store._resolve(tail[1])
             t_type = "TAG" if t_name in store.tags else "BRANCH"
             a = store._contents_at(h_from)
             b = store._contents_at(h_to)

@@ -73,8 +73,19 @@ def canonical_url(url: Column) -> Column:
     parts = F.split(no_frag, r"\?")
     base = parts.getItem(0)
     qs = F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
-    scheme = F.lower(F.split(base, "://").getItem(0))
-    rest = F.split(base, "://").getItem(1)
+    # scheme-less inputs (protocol-relative '//host/p', bare
+    # 'host/p') canonicalize under the same host/path/param rules
+    # with an empty scheme part — NEVER null: a null canonical would
+    # make every malformed address in a groupBy collapse into one
+    # phantom duplicate cluster
+    has_scheme = base.contains("://")
+    scheme = F.when(
+        has_scheme,
+        F.concat(F.lower(F.split(base, "://").getItem(0)),
+                 F.lit("://")),
+    ).otherwise(F.lit(""))
+    rest = F.when(has_scheme, F.split(base, "://").getItem(1)) \
+        .otherwise(F.regexp_replace(base, "^//", ""))
     host = F.regexp_replace(
         F.lower(F.split(rest, "/").getItem(0)), r"^www\.", ""
     )
@@ -91,7 +102,7 @@ def canonical_url(url: Column) -> Column:
         "&",
     )
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, host, path,
         F.when(params == "", F.lit("")).otherwise(
             F.concat(F.lit("?"), params)
         ),

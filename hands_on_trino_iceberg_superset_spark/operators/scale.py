@@ -141,12 +141,17 @@ def range_bucket_join(
     never shuffled beyond the join itself.
     """
     w = bucket_width
+    # upper bucket is floor(hi/w) — NOT floor((hi-1)/w), which is
+    # only right for integer bounds: with hi=10.2, w=5 a fact at
+    # 10.0 lives in bucket 2 while floor(9.2/5)=1 would never emit
+    # it. When hi is an exact multiple this overshoots by one empty
+    # bucket; the residual range predicate makes that harmless.
     r = ranges.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w),
-                F.floor((F.col(hi_col) - 1) / w),
+                F.floor(F.col(hi_col) / w),
             )
         ),
     )

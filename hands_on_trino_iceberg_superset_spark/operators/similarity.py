@@ -195,12 +195,14 @@ def mmr_rerank(
     assembly and eval-set selection (near-duplicate passages add
     tokens, not evidence).
 
-    Scale shape: the corpus is scanned ONCE by the exact top-k
-    (broadcast queries, no corpus shuffle), candidate vectors ride a
-    broadcast join of the tiny (queries x pool) candidate list, and
-    the greedy loop — quadratic only in ``pool`` — runs per query in
-    one Arrow batch after a single candidate-sized shuffle. Work per
-    query is O(pool^2 * dim) in one BLAS GEMM; nothing global.
+    Scale shape: one full corpus scan for the exact top-k pool
+    (broadcast queries, no corpus shuffle), then candidate vectors
+    come from a SECOND, id-pruned fetch — the bounded
+    (queries x pool) id set is pushed into the parquet reader as an
+    IN predicate, so that scan reads only matching row groups — and
+    the greedy loop, quadratic only in ``pool``, runs per query in
+    one Arrow batch after a candidate-sized shuffle. Work per query
+    is O(pool^2 * dim) in one BLAS GEMM; nothing global.
 
     ``rel_weight``/``div_weight`` are BOTH explicit because the
     oracle uses decimal literals: deriving ``div = 1 - 0.7`` in
@@ -222,10 +224,22 @@ def mmr_rerank(
         corpus, queries, k=pool, vec_col=vec_col, id_col=id_col,
         round_digits=round_digits,
     ).select("query_id", "neighbor_id", "cos_sim")
-    withv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).join(F.broadcast(cand), "neighbor_id")
+    # materialize the tiny (queries x pool) candidate list ONCE —
+    # joining the lazy cand plan would re-run the whole pool search
+    # a second time — and fetch candidate vectors with the id set
+    # PUSHED into the scan (row-group pruning), not a second
+    # unfiltered corpus pass
+    rows = cand.collect()
+    cand_local = cand.sparkSession.createDataFrame(rows, cand.schema)
+    ids = list({r["neighbor_id"] for r in rows})
+    withv = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .where(F.col("neighbor_id").isin(ids))
+        .join(F.broadcast(cand_local), "neighbor_id")
+    )
 
     digits, rw, dw, kk = round_digits, rel_weight, div_weight, k
 

@@ -72,25 +72,33 @@ def piece_counts(words: DataFrame, min_len: int = 1,
     )
 
 
-def select_vocab(words: DataFrame, top_k: int = 40) -> DataFrame:
-    """Vocabulary = every observed single-(char, class) pair (the
-    encodability floor) plus the ``top_k`` multi-char pieces by
-    (count DESC, class ASC, piece ASC) — exact-integer, fully
-    deterministic selection. Returns (piece, cls, cnt, rank) with
-    rank NULL on the single-char floor."""
+def ranked_multi_pieces(counts: DataFrame, top_k: int) -> DataFrame:
+    """The ONE multi-char selection rule — (count DESC, class ASC,
+    piece ASC), top ``top_k`` — shared by :func:`select_vocab` and
+    the train query's oracle-gated output, so the vocabulary the
+    encoder uses can never silently diverge from the ranking the
+    driver hashes."""
     from pyspark.sql import Window
 
-    counts = piece_counts(words)
-    singles = counts.where(F.length("piece") == 1).withColumn(
-        "rank", F.lit(None).cast("int")
-    )
     w = Window.orderBy(F.desc("cnt"), F.asc("cls"), F.asc("piece"))
-    multi = (
+    return (
         counts.where(F.length("piece") > 1)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
-    return singles.unionByName(multi)
+
+
+def select_vocab(words: DataFrame, top_k: int = 40) -> DataFrame:
+    """Vocabulary = every observed single-(char, class) pair (the
+    encodability floor) plus the ``top_k`` multi-char pieces from
+    :func:`ranked_multi_pieces` — exact-integer, fully deterministic
+    selection. Returns (piece, cls, cnt, rank) with rank NULL on the
+    single-char floor."""
+    counts = piece_counts(words)
+    singles = counts.where(F.length("piece") == 1).withColumn(
+        "rank", F.lit(None).cast("int")
+    )
+    return singles.unionByName(ranked_multi_pieces(counts, top_k))
 
 
 def display_form(piece: F.Column, cls: F.Column) -> F.Column:

@@ -1324,16 +1324,27 @@ _WP_WF = """
 """
 
 
-def _wp_encode_oracle(steps: int = 8, top_k: int = 40) -> str:
+#: unrolled greedy steps in the encode oracle — MUST be >= the
+#: longest corpus word (each step consumes >= 1 char); the Spark
+#: side raises loudly past this bound instead of letting the oracle
+#: emit a silently truncated encoding
+_WP_STEPS = 16
+
+
+def _wp_encode_oracle(steps: int = _WP_STEPS, top_k: int = 40) -> str:
     """Unrolled greedy longest-match oracle: step k advances every
     unfinished word by its longest matching vocab piece (per-word
     argmax = row_number over match length; at most one match per
     length, so the order is total). ``steps`` = max word length —
     every step consumes >= 1 character."""
+    # every step CTE is MATERIALIZED: s{k} references s{k-1} twice
+    # (advance + finished-carry), so an inlining planner would
+    # otherwise expand the chain into 2^steps copies of the scan —
+    # "too many open files" at 16 steps, measured
     parts = [f"""
     WITH {_WP_WF},
-    occ AS ({_WP_OCC.format(lo=1)}),
-    vocab AS (
+    occ AS MATERIALIZED ({_WP_OCC.format(lo=1)}),
+    vocab AS MATERIALIZED (
       SELECT piece, cls FROM occ WHERE len(piece) = 1
       UNION ALL
       SELECT piece, cls FROM (
@@ -1342,11 +1353,12 @@ def _wp_encode_oracle(steps: int = 8, top_k: int = 40) -> str:
         FROM occ WHERE len(piece) > 1
       ) WHERE rank <= {top_k}
     ),
-    s0 AS (SELECT word, freq, 1 AS pos, CAST('' AS VARCHAR) AS toks
+    s0 AS MATERIALIZED (SELECT word, freq, 1 AS pos,
+                        CAST('' AS VARCHAR) AS toks
            FROM wf)"""]
     for k in range(1, steps + 1):
         parts.append(f""",
-    s{k} AS (
+    s{k} AS MATERIALIZED (
       SELECT word, freq, pos + plen AS pos,
              CASE WHEN toks = '' THEN disp
                   ELSE toks || ' ' || disp END AS toks
@@ -1404,24 +1416,18 @@ def _wp_encode_oracle(steps: int = 8, top_k: int = 40) -> str:
 )
 def tokenizer_wordpiece_train(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from hands_on_trino_iceberg_superset_spark.operators import (
         wordpiece as WP,
     )
 
     words = WP.word_frequencies(_docs(spark, sf_dir))
-    counts = WP.piece_counts(words, min_len=2)
-    w = Window.orderBy(F.desc("cnt"), F.asc("cls"), F.asc("piece"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 40)
-        .select(
-            "rank",
-            WP.display_form(F.col("piece"), F.col("cls"))
-            .alias("piece"),
-            "cnt",
-        )
+    ranked = WP.ranked_multi_pieces(
+        WP.piece_counts(words, min_len=2), top_k=40
+    )
+    return ranked.select(
+        "rank",
+        WP.display_form(F.col("piece"), F.col("cls")).alias("piece"),
+        "cnt",
     )
 
 
@@ -1446,4 +1452,9 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
     )
 
     words = WP.word_frequencies(_docs(spark, sf_dir))
+    longest = words.agg(F.max(F.length("word"))).collect()[0][0]
+    if longest and longest > _WP_STEPS:
+        raise ValueError(
+            f"longest word ({longest} chars) exceeds the oracle's "
+            f"{_WP_STEPS} unrolled greedy steps — raise _WP_STEPS")
     return WP.encode_words(words, WP.select_vocab(words, top_k=40))

@@ -407,3 +407,19 @@ def test_containment_max_df_caps_boilerplate(spark) -> None:
     # one shared shingle over ~13+ they don't; the gate here is that
     # the cap changes the CANDIDATE volume, not the result
     assert {(r.id_a, r.id_b) for r in uncapped} >= {(1, 2)}
+
+
+def test_canonical_url_schemeless_never_null(spark) -> None:
+    """Protocol-relative and bare addresses canonicalize under the
+    same host/path rules with an empty scheme — never NULL (a NULL
+    canonical would collapse every malformed address into one
+    phantom duplicate cluster in a groupBy)."""
+    cases = [
+        ("//WWW.E.com/a/?utm_s=1", "e.com/a"),
+        ("E.com/A#f", "e.com/A"),
+        ("www.e.com", "e.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

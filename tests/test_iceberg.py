@@ -1867,3 +1867,23 @@ def test_changelog_between_snapshots(spark, tmp_root):
     log2 = {(r._change_type, r.id)
             for r in t.changelog(s3, s4).collect()}
     assert log2 == {("delete", 11)}
+
+
+def test_changelog_applies_rename_mapping(spark, tmp_root):
+    """Files written before a RENAME must diff with their real
+    values (the name-mapping coalesce applies on the changed-files
+    fast path too, not only in read()) — without it a COW rewrite
+    of a pre-rename file emits spurious all-NULL delete/insert
+    pairs."""
+    path = os.path.join(tmp_root, "changelog_rename")
+    df = spark.range(20).selectExpr(
+        "id", "concat('k', id % 2) as k", "CAST(id AS DOUBLE) as v"
+    )
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    s1 = t.meta["snapshots"][-1]["snapshot-id"]
+    t.rename_column("v", "val")
+    t.delete("id = 3")  # COW-rewrites a pre-rename file
+    s2 = t.meta["snapshots"][-1]["snapshot-id"]
+    log = t.changelog(s1, s2).collect()
+    assert all(r.val is not None for r in log)
+    assert {(r._change_type, r.id) for r in log} == {("delete", 3)}

@@ -188,3 +188,24 @@ def test_range_bucket_join_matches_naive_with_overlaps(spark) -> None:
     }
     assert got == naive
     assert (5.0, "a") in got and (5.0, "b") in got and (5.0, "c") not in got
+
+
+def test_range_bucket_join_fractional_bounds(spark) -> None:
+    """Ranges with non-integer bounds must not drop matching facts
+    (the upper bucket is floor(hi/w), not floor((hi-1)/w))."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import scale as SC
+
+    facts = spark.createDataFrame(
+        [(10.0,), (10.19,), (10.2,), (9.5,), (4.9,)], "v double"
+    )
+    ranges = spark.createDataFrame(
+        [("r", 9.5, 10.2)], "name string, lo double, hi double"
+    )
+    got = {r.v for r in SC.range_bucket_join(facts, ranges, "v",
+                                             bucket_width=5).collect()}
+    naive = {r.v for r in facts.join(
+        ranges, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    ).collect()}
+    assert got == naive == {10.0, 10.19, 9.5}
