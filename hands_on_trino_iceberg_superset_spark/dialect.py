@@ -15,6 +15,13 @@ statements run verbatim through :meth:`Engine.trino_sql`:
   length (seed.sh:72-115) -> ``STRING``
 - ``FROM UNNEST(sequence(a, b)) AS t(n)`` (lateral array unnest,
   seed.sh:75) -> ``FROM (SELECT explode(...) AS n) t``
+- renamed scalar functions a Trino user types daily: ``strpos`` ->
+  ``instr``, ``approx_distinct`` -> ``approx_count_distinct``,
+  ``json_extract_scalar`` -> ``get_json_object``,
+  ``format_datetime`` -> ``date_format``, ``arbitrary`` ->
+  ``any_value``, and ``date_diff('unit', a, b)`` ->
+  ``timestampdiff(UNIT, a, b)`` (the unit literal becomes a Spark
+  unit identifier)
 
 Purely textual, statement-local rewrites — no SQL parse, but they
 are LITERAL-AWARE: the statement splits on single-quoted spans
@@ -65,12 +72,50 @@ def trino_to_spark(
         # bare `varchar` column type in DDL
         seg = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", seg,
                      flags=re.IGNORECASE)
+        # Trino scalar functions with a different Spark name, same
+        # signature and semantics (1-based/0-miss strpos, HLL
+        # approx distinct, JSONPath scalar extraction, Joda-style
+        # pattern formatting, any-value pick)
+        for trino, spark in (
+            ("strpos", "instr"),
+            ("approx_distinct", "approx_count_distinct"),
+            ("json_extract_scalar", "get_json_object"),
+            ("format_datetime", "date_format"),
+            ("arbitrary", "any_value"),
+        ):
+            seg = re.sub(rf"\b{trino}\s*\(", f"{spark}(", seg,
+                         flags=re.IGNORECASE)
         return seg
 
     out = _outside_literals(sql, rewrite)
+    out = _rewrite_date_diff(out)
     out = _rewrite_schema_location(out, keep_schema_location)
     out = _rewrite_unnest(out)
     return out
+
+
+#: Trino date_diff('unit', from, to) -> Spark timestampdiff(UNIT,
+#: from, to). Both count COMPLETE intervals from `from` to `to`;
+#: the unit travels as a literal in Trino, an identifier in Spark.
+_DATE_DIFF = re.compile(
+    r"\bdate_diff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE
+)
+
+
+def _rewrite_date_diff(sql: str) -> str:
+    """Runs over the full statement because the unit lives INSIDE a
+    string literal (which :func:`_outside_literals` deliberately
+    skips); matches starting inside an unrelated literal are left
+    alone."""
+    out, last = [], 0
+    for m in _DATE_DIFF.finditer(sql):
+        if _in_literal(sql, m.start()):
+            continue
+        out.append(sql[last: m.start()])
+        out.append(f"timestampdiff({m.group(1).upper()},")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _in_literal(sql: str, pos: int) -> bool:

@@ -695,3 +695,50 @@ def sql_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "show_stats_orders"
     )
     return Engine(spark).sql("SHOW STATS FOR show_stats_orders")
+
+
+@register(
+    "trino_fn_showcase",
+    oracle="""
+    SELECT o_orderpriority,
+           strpos(o_orderpriority, '-') AS dash_pos,
+           count(*) AS n_orders,
+           min(date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '2002-01-01')) AS min_days_to_cutoff,
+           max(date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '2002-01-01')) AS max_days_to_cutoff,
+           min(strftime(o_orderdate, '%Y-%m')) AS first_month
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Trino scalar-function surface through the DIALECT SHIMS "
+        "(dialect.py): strpos -> instr, date_diff('day', a, b) -> "
+        "timestampdiff(DAY, a, b) (the unit literal becomes a Spark "
+        "unit identifier, rewritten literal-aware), format_datetime "
+        "-> date_format — the statement below is TRINO text run "
+        "verbatim via Engine.trino_sql, the oracle states DuckDB's "
+        "own spellings of the same functions. Dates diff as DATEs "
+        "so complete-interval and boundary-crossing semantics "
+        "coincide on both engines.",
+)
+def trino_fn_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    _t(spark, sf_dir, "orders")[0].createOrReplaceTempView(
+        "trino_fn_orders"
+    )
+    return Engine(spark).trino_sql("""
+        SELECT o_orderpriority,
+               strpos(o_orderpriority, '-') AS dash_pos,
+               count(*) AS n_orders,
+               min(date_diff('day', CAST(o_orderdate AS DATE),
+                             DATE '2002-01-01'))
+                 AS min_days_to_cutoff,
+               max(date_diff('day', CAST(o_orderdate AS DATE),
+                             DATE '2002-01-01'))
+                 AS max_days_to_cutoff,
+               min(format_datetime(o_orderdate, 'yyyy-MM'))
+                 AS first_month
+        FROM trino_fn_orders
+        GROUP BY o_orderpriority
+    """)

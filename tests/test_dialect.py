@@ -173,3 +173,36 @@ def test_unbalanced_unnest_left_untouched():
 
     bad = "SELECT * FROM UNNEST(sequence(1, 10) AS t(n)"
     assert trino_to_spark(bad, strip_catalogs=()) == bad
+
+
+def test_trino_scalar_function_shims(spark):
+    """Renamed scalar functions and date_diff's literal-unit ->
+    identifier rewrite; payload literals containing the names pass
+    through untouched."""
+    from hands_on_trino_iceberg_superset_spark.dialect import (
+        trino_to_spark,
+    )
+
+    out = trino_to_spark(
+        "SELECT strpos(a, '-'), approx_distinct(b), "
+        "json_extract_scalar(j, '$.k'), arbitrary(c), "
+        "format_datetime(t, 'yyyy-MM'), "
+        "date_diff('hour', t1, t2) FROM t"
+    )
+    assert "instr(a, '-')" in out
+    assert "approx_count_distinct(b)" in out
+    assert "get_json_object(j, '$.k')" in out
+    assert "any_value(c)" in out
+    assert "date_format(t, 'yyyy-MM')" in out
+    assert "timestampdiff(HOUR, t1, t2)" in out
+    # names inside string literals stay byte-identical
+    kept = trino_to_spark(
+        "SELECT 'call strpos(x) or date_diff(''day'', a, b)' AS s"
+    )
+    assert "strpos(x)" in kept and "date_diff(''day''" in kept
+    # the rewritten SQL actually executes
+    got = spark.sql(trino_to_spark(
+        "SELECT strpos('1-URGENT', '-') AS p, "
+        "date_diff('day', DATE '2024-01-01', DATE '2024-01-31') AS d"
+    )).collect()[0]
+    assert (got.p, got.d) == (2, 30)
