@@ -802,14 +802,17 @@ def embedding_matryoshka_recall(spark: SparkSession,
         t10 = S.cosine_topk(te, tq, k=10).select(
             "query_id", "neighbor_id"
         )
+        # both join inputs are (queries x k) aggregates — broadcast
+        # them explicitly; statsless tiny frames otherwise plan a
+        # needless sort-merge join
         ov = (
-            t10.join(exact, ["query_id", "neighbor_id"])
+            t10.join(F.broadcast(exact), ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"))
         )
         n = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
         outs.append(
-            base.join(ov, "query_id", "left").select(
+            base.join(F.broadcast(ov), "query_id", "left").select(
                 "query_id",
                 F.lit(d).alias("dim"),
                 n.alias("n_overlap"),

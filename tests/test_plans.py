@@ -582,3 +582,41 @@ def test_range_banded_join_is_hash_not_nested_loop(spark, inv, sf_dir):
     )
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in naive_plan
+
+
+def test_transition_matrix_shuffles_once_on_users(spark, inv, sf_dir):
+    """The sequence window is the only event-sized shuffle; the
+    normalizing window runs on the bounded types-grid after the
+    transition aggregate."""
+    executed, formatted = _plans(
+        spark, inv, "events_transition_matrix", sf_dir
+    )
+    # user window + transition groupBy + grid window ordering
+    assert executed.count("Exchange") <= 3
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", formatted).group(1)
+    cols = sorted(c.split(":")[0] for c in schema.split(","))
+    assert cols == ["event_id", "event_type", "ts", "user_id"]
+
+
+def test_matryoshka_scans_prune_to_the_embedding(spark, inv, sf_dir):
+    """Truncated-prefix searches read only (vec_id, embedding) —
+    the label column never loads — and every join is broadcast."""
+    executed, formatted = _plans(
+        spark, inv, "embedding_matryoshka_recall", sf_dir
+    )
+    assert "SortMergeJoin" not in executed
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", formatted):
+        assert "label" not in schema
+
+
+def test_gapfill_windows_run_on_the_day_grain(spark, inv, sf_dir):
+    """The carry-forward window's input is the spine join, never raw
+    events: the plan aggregates events to days before any window."""
+    executed, formatted = _plans(spark, inv, "events_daily_gapfill",
+                                 sf_dir)
+    # plan text prints root-first: the Window (downstream, day-grain)
+    # must sit ABOVE the event aggregation in the tree
+    assert executed.index("Window") < executed.index("HashAggregate")
+    # the sparse-slice predicates reach the parquet reader
+    assert "EqualTo(event_type,purchase)" in formatted
+    assert "GreaterThanOrEqual(value," in formatted
