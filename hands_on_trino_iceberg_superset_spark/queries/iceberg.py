@@ -165,24 +165,37 @@ def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dml_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
-    """Fresh Iceberg table with deterministic COW DML applied once:
-    DELETE every 10th 'F' order, then UPDATE 'P' prices +500."""
-    key = (spark.sparkContext.applicationId, sf_dir, "orders_dml")
-    hit = _CACHE.get(key)
-    if hit is not None and os.path.isdir(hit.path):
-        return hit
-    orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="iceberg_dml_"), "orders"
+def _dml_iceberg_path(spark: SparkSession, sf_dir: str) -> str:
+    """Iceberg table with deterministic COW DML (DELETE every 10th
+    'F' order, then UPDATE 'P' prices +500) as a per-corpus artifact
+    — same prewarm economics as the MOR table: the committed DML
+    history is immutable, builds once per corpus content-token, and
+    the consuming queries (post-DML read, changelog) time their read
+    paths. COW mechanics stay gated by tests/test_iceberg.py."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
     )
-    t = IcebergTable.create(spark, path, orders,
-                            partition_by="o_orderstatus")
-    t.delete("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
-    t.update({"o_totalprice": "o_totalprice + 500"},
-             "o_orderstatus = 'P'")
-    _CACHE[key] = t
-    return t
+
+    def build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        t = IcebergTable.create(spark, tmp, orders,
+                                partition_by="o_orderstatus")
+        t.delete("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+        t.update({"o_totalprice": "o_totalprice + 500"},
+                 "o_orderstatus = 'P'")
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "iceberg_cow_dml", "orders",
+                      params="del=F-mod10,upd=P+500,part=o_orderstatus"),
+        build,
+    )
+
+
+def _dml_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Adopted view of the COW-DML artifact (kept as the shared
+    fixture entry point for the post-DML read and changelog rows)."""
+    return IcebergTable.load(spark, _dml_iceberg_path(spark, sf_dir))
 
 
 @register(
@@ -608,6 +621,7 @@ def _register_prewarmers() -> None:
 
     register_prewarmer("iceberg_autocompact", _compacted_iceberg_path)
     register_prewarmer("iceberg_mor_dml", _mor_iceberg_path)
+    register_prewarmer("iceberg_cow_dml", _dml_iceberg_path)
 
 
 _register_prewarmers()
