@@ -40,6 +40,15 @@ from hands_on_trino_iceberg_superset_spark.sources import load_table
 _CACHE: dict[tuple[str, str, str], IcebergTable] = {}
 
 
+def _evict_dead(key: tuple) -> None:
+    """Drop entries bound to other (stopped) sessions on a cache
+    miss — same policy as sources/tpch.py's _LOAD_CACHE: a
+    long-lived process must not accumulate objects pinned to dead
+    SparkSessions."""
+    for k in [k for k in _CACHE if k[0] != key[0]]:
+        del _CACHE[k]
+
+
 def _orders_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Orders as a partitioned Iceberg v2 table: snapshot 1 = full
     load, snapshot 2 = append of a deterministic late-arriving batch
@@ -48,6 +57,7 @@ def _orders_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
+    _evict_dead(key)
     orders = load_table(spark, sf_dir, "orders")
     path = os.path.join(
         tempfile.mkdtemp(prefix="iceberg_orders_"), "orders"
@@ -411,6 +421,7 @@ def _upsert_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.path):
         return hit
+    _evict_dead(key)
     orders = load_table(spark, sf_dir, "orders")
     path = os.path.join(
         tempfile.mkdtemp(prefix="iceberg_upsert_"), "orders"
@@ -478,6 +489,7 @@ def _rollup_pair(spark: SparkSession, sf_dir: str):
     hit = _CACHE.get(key)
     if hit is not None and os.path.isdir(hit.table.path):
         return hit
+    _evict_dead(key)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "event_type", "value",

@@ -32,26 +32,30 @@ def test_every_oracle_names_are_subset() -> None:
 
 
 def test_memo_caches_evict_dead_sessions(spark, sf_dir: str) -> None:
-    """The per-session table memos (queries/dml.py, queries/
+    """The per-session table memos (queries/iceberg.py, queries/
     streaming.py) must evict entries keyed to stopped sessions on
     cache miss — a long-lived process otherwise accumulates
     VersionedTable objects pinned to dead SparkSessions."""
-    from hands_on_trino_iceberg_superset_spark.queries import dml
+    from hands_on_trino_iceberg_superset_spark.queries import (
+        iceberg as qiceberg,
+    )
     from hands_on_trino_iceberg_superset_spark.queries import (
         streaming as qstreaming,
     )
 
     app = spark.sparkContext.applicationId
-    # "delete" is a still-memoized fixture (dml_merge_upsert moved
-    # to a persisted per-corpus artifact and no longer memoizes)
-    dead = ("app-long-gone", sf_dir, "delete")
-    dml._CACHE[dead] = object()
+    # "orders" is the still-memoized fixture (the DML fixtures moved
+    # to persisted per-corpus artifacts and no longer memoize)
+    dead = ("app-long-gone", sf_dir, "orders")
+    class _Dead:
+        path = "/nonexistent"
+    qiceberg._CACHE[dead] = _Dead()
     # force the miss branch even if an earlier test populated the
     # live entry (eviction runs on miss only)
-    dml._CACHE.pop((app, sf_dir, "delete"), None)
-    INVENTORY["dml_delete_time_travel"].spark(spark, sf_dir).collect()
-    assert dead not in dml._CACHE
-    assert any(k[0] == app for k in dml._CACHE)
+    qiceberg._CACHE.pop((app, sf_dir, "orders"), None)
+    INVENTORY["iceberg_register_scan"].spark(spark, sf_dir).collect()
+    assert dead not in qiceberg._CACHE
+    assert any(k[0] == app for k in qiceberg._CACHE)
 
     dead_s = ("app-long-gone", sf_dir, "stream_merge")
     qstreaming._MERGE_CACHE[dead_s] = None  # poisoned dead entry
