@@ -1458,3 +1458,121 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
             f"longest word ({longest} chars) exceeds the oracle's "
             f"{_WP_STEPS} unrolled greedy steps — raise _WP_STEPS")
     return WP.encode_words(words, WP.select_vocab(words, top_k=40))
+
+
+#: Poisson(1) CDF thresholds for k=0..6 (k=7 catches the tail): the
+#: hash-uniform u maps to a deterministic per-(doc, resample) weight
+#: via inverse CDF. Literals are duplicated verbatim in the oracle —
+#: both engines compare the same f64 constants against the same
+#: exact hash fraction.
+_POISSON_CDF = (
+    "0.3678794411714423", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712",
+)
+_BOOT_B = 32
+_HEX15 = 16 ** 15
+
+
+def _bootstrap_weight_sql(u_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {u_expr} < CAST({t} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(_POISSON_CDF)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@register(
+    "eval_bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    e AS (
+      SELECT d.*, t.b,
+             CAST(CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)
+             ), 1, 15)) AS UBIGINT) AS DOUBLE) / {_HEX15} AS u
+      FROM d, range(0, {_BOOT_B}) t(b)
+    ),
+    means AS (
+      SELECT source, b,
+             CAST(sum(w * n_tokens) AS DOUBLE)
+               / nullif(sum(w), 0) AS m
+      FROM (SELECT *, {_bootstrap_weight_sql("u")} AS w FROM e)
+      GROUP BY source, b
+    ),
+    point AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS point_mean
+      FROM d GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.point_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means ms JOIN point p ON ms.source = p.source
+    GROUP BY p.source, p.n_docs, p.point_mean
+    """,
+    doc="Deterministic POISSON BOOTSTRAP confidence intervals "
+        "(Chamandy et al., 'Estimating Uncertainty for Massive Data "
+        "Streams' — the one-pass bootstrap used at warehouse scale): "
+        "each (doc, resample) pair draws a Poisson(1) weight via "
+        "inverse CDF over a 60-bit md5 fraction — no RNG state, no "
+        "resample materialization, replayable on any cluster — and "
+        "per-source mean-token CIs come from the 2.5/97.5 exact "
+        "percentiles of the 32 weighted resample means. Scale shape: "
+        "one pass over docs x B (map-side weights), then everything "
+        "lives on the (sources x B) grid. Integer-weighted integer "
+        "sums divide once as f64, so every resample mean is "
+        "bit-identical; the oracle re-derives every weight from the "
+        "same hash and CDF literals.",
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    e = d.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        _md5_prefix_int(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("b").cast("string")),
+            15,
+        ).cast("double")
+        / F.lit(float(_HEX15))
+    )
+    w = F.lit(7)
+    for k in range(len(_POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(_POISSON_CDF[k])), k).otherwise(w)
+    means = (
+        e.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_tokens")).alias("sw"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            "source",
+            F.when(F.col("wsum") != 0,
+                   F.col("sw").cast("double") / F.col("wsum"))
+            .alias("m"),
+        )
+    )
+    point = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)))
+        .alias("point_mean"),
+    )
+    ci = means.groupBy("source").agg(
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    return point.join(ci, "source").select(
+        "source", "n_docs", "point_mean", "ci_lo", "ci_hi"
+    )

@@ -740,3 +740,22 @@ def test_wordpiece_greedy_longest_match_and_classes(spark):
                          for p in e.split(" "))
         assert joined == w
         assert n == len(e.split(" "))
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, inventory):
+    """The Poisson-bootstrap CI must bracket the point estimate with
+    positive width (a degenerate CI means the weights collapsed),
+    and two runs are bit-identical (no RNG state anywhere)."""
+    q = inventory["eval_bootstrap_ci"].spark
+    rows = {r.source: r for r in q(spark, SF).collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert r.ci_lo < r.ci_hi
+        # 95% CI of a mean over 25 docs comfortably brackets the
+        # point estimate on this corpus
+        assert r.ci_lo <= r.point_mean <= r.ci_hi
+    again = {r.source: r for r in q(spark, SF).collect()}
+    assert all(
+        (rows[s].ci_lo, rows[s].ci_hi) == (again[s].ci_lo, again[s].ci_hi)
+        for s in rows
+    )
