@@ -262,3 +262,39 @@ def test_branch_merge_matches_pandas_model(
     # the branch itself is untouched by the merge
     after = sorted((r.k, r.part, r.v) for r in dev.read().collect())
     assert after == dev_before
+
+
+_URLISH = st.builds(
+    lambda scheme, www, host, path, slash, params, frag: (
+        scheme + www + host + path + slash + params + frag
+    ),
+    st.sampled_from(["https://", "HTTP://", "Https://", "//", ""]),
+    st.sampled_from(["www.", "WWW.", ""]),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,12}", fullmatch=True),
+    st.sampled_from(["", "/a", "/A/b", "/x/y/z"]),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?b=2&a=1", "?utm_s=1", "?utm_s=1&k=v&"]),
+    st.sampled_from(["", "#f", "#a#b"]),
+)
+
+
+@given(st.lists(_URLISH, min_size=1, max_size=12, unique=True))
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_total_and_idempotent(spark, urls):
+    """canonical_url over arbitrary URL-ish inputs: never NULL
+    (phantom dedup clusters), and a fixed point — canonicalizing a
+    canonical form changes nothing."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = [r.c for r in
+            df.select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    assert all(c is not None for c in once)
+    df2 = spark.createDataFrame([(c,) for c in once], ["url"])
+    twice = [r.c for r in
+             df2.select(D.canonical_url(F.col("url")).alias("c")).collect()]
+    assert twice == once
