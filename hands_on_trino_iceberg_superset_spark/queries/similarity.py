@@ -823,7 +823,8 @@ def embedding_matryoshka_recall(spark: SparkSession,
     return outs[0].unionAll(outs[1])
 
 
-def _mmr_oracle(k: int = 5, pool: int = 30) -> str:
+def _mmr_oracle(k: int = 5, pool: int = 30,
+                tail: str | None = None) -> str:
     """Generate the unrolled-greedy DuckDB oracle for MMR: step N is
     a chained CTE picking the per-query argmax of
     ``0.7*rel - 0.3*max(sim to selected)`` over candidates not yet
@@ -893,10 +894,17 @@ def _mmr_oracle(k: int = 5, pool: int = 30) -> str:
                             AND s2.neighbor_id = c.neighbor_id)
       ) WHERE rn = 1
     )""")
-    parts.append("\n    " + " UNION ALL ".join(
+    union = " UNION ALL ".join(
         f"SELECT query_id, neighbor_id, cos_sim, mmr_score, mmr_rank "
         f"FROM sel{i}" for i in range(1, k + 1)
-    ))
+    )
+    if tail is None:
+        parts.append("\n    " + union)
+    else:
+        # callers compose further CTEs on top of the selection set
+        parts.append(f""",
+    mmr AS ({union})
+    {tail}""")
     return "".join(parts)
 
 
@@ -957,3 +965,63 @@ def ann_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8 = S.sq8_topk(emb, q, k=10, n_candidates=30)
     exact = S.cosine_topk(emb, q, k=10)
     return _recall_gate(sq8, exact, min_overlap=8)
+
+
+_RAG_TAIL = """
+    SELECT m.query_id, m.mmr_rank, m.neighbor_id, t.n_tokens,
+           CAST(sum(t.n_tokens) OVER (
+             PARTITION BY m.query_id ORDER BY m.mmr_rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           sum(t.n_tokens) OVER (
+             PARTITION BY m.query_id ORDER BY m.mmr_rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) <= 250 AS within_budget
+    FROM mmr m JOIN (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ) t ON t.doc_id = m.neighbor_id
+"""
+
+
+@register(
+    "rag_context_budget",
+    oracle=_mmr_oracle(tail=_RAG_TAIL),
+    doc="RAG context assembly end to end: each anchor's MMR-diverse "
+        "top-5 passages (embeddings align 1:1 with documents by id) "
+        "are packed IN SELECTION ORDER under a 250-token context "
+        "budget — per pick, the running token total and whether it "
+        "still fits; the serving layer drops everything past the "
+        "first overflow. Composition query: the retrieval head is "
+        "mmr_rerank (one corpus scan + id-pruned fetch), the token "
+        "counts ride a broadcast join of the tiny picked set against "
+        "the documents scan, and the running sum is a window over "
+        "(queries x 5) rows. The oracle composes the full unrolled "
+        "MMR selection with the same running-sum SQL — budget "
+        "decisions are hash-gated all the way from the greedy "
+        "selection.",
+)
+def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    picks = S.mmr_rerank(emb, _queries(emb), k=5, pool=30).select(
+        "query_id", "mmr_rank", "neighbor_id"
+    )
+    withtok = docs.join(F.broadcast(picks), "neighbor_id")
+    w = (
+        Window.partitionBy("query_id").orderBy("mmr_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return withtok.select(
+        "query_id", "mmr_rank", "neighbor_id", "n_tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        (cum <= 250).alias("within_budget"),
+    )
