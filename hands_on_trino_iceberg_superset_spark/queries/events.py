@@ -570,3 +570,57 @@ def events_transition_matrix(spark: SparkSession,
         "from_type", "to_type", "n",
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
     )
+
+
+@register(
+    "events_engagement_ratios",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM user_days),
+    wau AS (
+      SELECT s.d, count(DISTINCT u.user_id) AS wau
+      FROM spine s JOIN user_days u
+        ON u.d <= s.d AND u.d > s.d - INTERVAL 7 DAY
+      GROUP BY s.d
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY d)
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    doc="Engagement ratios (DAU / trailing-7-day WAU / stickiness = "
+        "DAU/WAU — the growth metric every product dashboard "
+        "carries): the event stream collapses to DISTINCT "
+        "(user, day) rows in ONE shuffle — the only event-sized "
+        "work — and the trailing-window distinct count runs as a "
+        "user-days x 7-day-spine range join (bounded fan-out: "
+        "active-users x 7 rows), never a distinct-over-window on "
+        "raw events. Counts are exact integers; stickiness divides "
+        "once as f64.",
+)
+def events_engagement_ratios(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    spine = user_days.select("d").distinct()
+    u = user_days.alias("u")
+    s = spine.alias("s")
+    wau = (
+        s.join(
+            u,
+            (F.col("u.d") <= F.col("s.d"))
+            & (F.col("u.d") > F.date_sub(F.col("s.d"), 7)),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "d").select(
+        F.col("d").cast("string").alias("day"),
+        "dau", "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
