@@ -64,7 +64,14 @@ def _versioned_artifact(spark: SparkSession, sf_dir: str, name: str,
         mutate(t)
 
     path = ensure_artifact(
-        artifact_path(sf_dir, name, "orders", params=params), build
+        artifact_path(
+            sf_dir, name, "orders",
+            # the layout knob is part of the artifact's identity —
+            # changing partition_col must build a fresh artifact,
+            # never silently reuse the old layout
+            params=f"{params};part={partition_col}",
+        ),
+        build,
     )
     return VersionedTable(spark, path, partition_col=partition_col)
 
@@ -97,61 +104,47 @@ def _versioned_artifact(spark: SparkSession, sf_dir: str, name: str,
         "as a FULL JOIN. lakehouse/table.py:merge.",
 )
 def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = VersionedTable(spark, _merged_table_path(spark, sf_dir),
-                       partition_col="o_orderstatus")
+    t = _merged_table(spark, sf_dir)
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
     )
 
 
-def _merged_table_path(spark: SparkSession, sf_dir: str) -> str:
-    """Post-MERGE versioned table as a per-corpus artifact: the DML
-    history is immutable once committed (manifests reference data
-    dirs RELATIVELY, so the atomic publish rename is safe), the
-    build runs once per corpus content-token, and the query times
-    the versioned READ — merge mechanics stay gated by
-    tests/test_lakehouse.py."""
-    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
-        artifact_path,
-        ensure_artifact,
+def _apply_reference_merge(t: VersionedTable) -> None:
+    orders = t.read(version=1)
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        *[c for c in orders.columns
+          if c not in ("o_orderkey", "o_orderstatus",
+                       "o_totalprice")],
+    )
+    inserts = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        *[c for c in orders.columns
+          if c not in ("o_orderkey", "o_orderstatus",
+                       "o_totalprice")],
+    )
+    t.merge(
+        updates.unionByName(inserts),
+        on="o_orderkey",
+        when_matched_update={
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "s.o_totalprice",
+        },
     )
 
-    orders = _orders(spark, sf_dir)
 
-    def build(tmp: str) -> None:
-        t = VersionedTable.create(
-            spark, tmp, orders, partition_col="o_orderstatus"
-        )
-        updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
-            "o_orderkey",
-            F.lit("X").alias("o_orderstatus"),
-            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
-            *[c for c in orders.columns
-              if c not in ("o_orderkey", "o_orderstatus",
-                           "o_totalprice")],
-        )
-        inserts = orders.where(F.col("o_orderkey") % 1000 == 7).select(
-            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-            F.lit("N").alias("o_orderstatus"),
-            F.lit(1.0).alias("o_totalprice"),
-            *[c for c in orders.columns
-              if c not in ("o_orderkey", "o_orderstatus",
-                           "o_totalprice")],
-        )
-        t.merge(
-            updates.unionByName(inserts),
-            on="o_orderkey",
-            when_matched_update={
-                "o_orderstatus": "s.o_orderstatus",
-                "o_totalprice": "s.o_totalprice",
-            },
-        )
-
-    return ensure_artifact(
-        artifact_path(sf_dir, "dml_merge_upsert", "orders",
-                      params="upd=mod10-X,+1000;ins=mod1000-7"),
-        build,
+def _merged_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    return _versioned_artifact(
+        spark, sf_dir, "dml_merge_upsert",
+        params="upd=mod10-X,+1000;ins=mod1000-7",
+        mutate=_apply_reference_merge,
+        partition_col="o_orderstatus",
     )
 
 
@@ -281,9 +274,7 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = Engine(spark)
     eng.register_versioned_table(
-        "orders_vt",
-        VersionedTable(spark, _sql_dml_table_path(spark, sf_dir),
-                       partition_col="o_orderstatus"),
+        "orders_vt", _sql_dml_table(spark, sf_dir)
     )
     return eng.sql(
         "SELECT o_orderstatus, count(*) AS n_orders, "
@@ -292,41 +283,31 @@ def dml_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dml_table_path(spark: SparkSession, sf_dir: str) -> str:
-    """Versioned table mutated through the SQL ENTRY POINT, as a
-    per-corpus artifact: the DELETE/UPDATE strings run via
-    Engine.sql AT BUILD TIME — once per corpus content-token, an
-    ingest product like the MOR table — and the query times the
-    registration + SELECT read-back through the same surface. The
-    statement surface stays gated by tests/test_engine.py's SQL-DML
-    suite."""
+def _apply_sql_dml(t: VersionedTable) -> None:
+    """The DELETE/UPDATE strings run through the SQL entry point AT
+    BUILD TIME — once per corpus content-token; the statement
+    surface stays gated by tests/test_engine.py's SQL-DML suite."""
     from hands_on_trino_iceberg_superset_spark.engine import Engine
-    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
-        artifact_path,
-        ensure_artifact,
-    )
 
-    def build(tmp: str) -> None:
-        eng = Engine(spark)
-        t = VersionedTable.create(
-            spark, tmp, _orders(spark, sf_dir),
-            partition_col="o_orderstatus",
-        )
-        eng.register_versioned_table("orders_vt_build", t)
-        eng.sql(
-            "DELETE FROM orders_vt_build "
-            "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
-        ).collect()
-        eng.sql(
-            "UPDATE orders_vt_build "
-            "SET o_totalprice = o_totalprice + 100 "
-            "WHERE o_orderpriority = '1-URGENT'"
-        ).collect()
+    eng = Engine(t.spark)
+    eng.register_versioned_table("orders_vt_build", t)
+    eng.sql(
+        "DELETE FROM orders_vt_build "
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    ).collect()
+    eng.sql(
+        "UPDATE orders_vt_build "
+        "SET o_totalprice = o_totalprice + 100 "
+        "WHERE o_orderpriority = '1-URGENT'"
+    ).collect()
 
-    return ensure_artifact(
-        artifact_path(sf_dir, "dml_sql_statements", "orders",
-                      params="del=F-mod5,upd=urgent+100"),
-        build,
+
+def _sql_dml_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    return _versioned_artifact(
+        spark, sf_dir, "dml_sql_statements",
+        params="del=F-mod5,upd=urgent+100",
+        mutate=_apply_sql_dml,
+        partition_col="o_orderstatus",
     )
 
 
@@ -376,8 +357,12 @@ def _register_prewarmers() -> None:
         register_prewarmer,
     )
 
-    register_prewarmer("dml_merge_upsert", _merged_table_path)
-    register_prewarmer("dml_sql_statements", _sql_dml_table_path)
+    register_prewarmer(
+        "dml_merge_upsert",
+        lambda spark, sf: _merged_table(spark, sf).path)
+    register_prewarmer(
+        "dml_sql_statements",
+        lambda spark, sf: _sql_dml_table(spark, sf).path)
     register_prewarmer(
         "dml_delete_tt",
         lambda spark, sf: _deleted_table(spark, sf).path)
@@ -385,7 +370,7 @@ def _register_prewarmers() -> None:
         "dml_update_rw",
         lambda spark, sf: _updated_table(spark, sf).path)
     register_prewarmer(
-        "dml_branch_merge_t",
+        "dml_branch_merge",
         lambda spark, sf: _branch_merged_table(spark, sf).path)
 
 

@@ -594,11 +594,12 @@ def events_transition_matrix(spark: SparkSession,
         "DAU/WAU — the growth metric every product dashboard "
         "carries): the event stream collapses to DISTINCT "
         "(user, day) rows in ONE shuffle — the only event-sized "
-        "work — and the trailing-window distinct count runs as a "
-        "user-days x 7-day-spine range join (bounded fan-out: "
-        "active-users x 7 rows), never a distinct-over-window on "
-        "raw events. Counts are exact integers; stickiness divides "
-        "once as f64.",
+        "work — and the trailing window is LINEARIZED, never a "
+        "range join: each user-day explodes into the 7 spine days "
+        "it covers (a fixed 7x fan-out) and WAU is an equi-keyed "
+        "distinct count, the same bucketize-don't-theta-join rule "
+        "as range_bucket_join (plan-gated: no nested-loop join). "
+        "Counts are exact integers; stickiness divides once as f64.",
 )
 def events_engagement_ratios(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -607,16 +608,19 @@ def events_engagement_ratios(spark: SparkSession,
         "user_id", F.col("ts").cast("date").alias("d")
     ).distinct()
     spine = user_days.select("d").distinct()
-    u = user_days.alias("u")
-    s = spine.alias("s")
+    # linear form of the trailing window: a user active on day d is
+    # week-active on d..d+6 — fixed 7x explode + equi join, not an
+    # O(user_days x spine) theta join
+    coverage = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("d"),
+    )
     wau = (
-        s.join(
-            u,
-            (F.col("u.d") <= F.col("s.d"))
-            & (F.col("u.d") > F.date_sub(F.col("s.d"), 7)),
-        )
-        .groupBy(F.col("s.d").alias("d"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        coverage.join(spine, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     return dau.join(wau, "d").select(
