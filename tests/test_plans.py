@@ -620,3 +620,13 @@ def test_gapfill_windows_run_on_the_day_grain(spark, inv, sf_dir):
     # the sparse-slice predicates reach the parquet reader
     assert "EqualTo(event_type,purchase)" in formatted
     assert "GreaterThanOrEqual(value," in formatted
+
+
+def test_engagement_wau_never_nested_loops(spark, inv, sf_dir):
+    """The trailing-window WAU must stay an explode + equi join —
+    a theta-join regression would nested-loop O(user_days x days)
+    at scale."""
+    executed, _ = _plans(spark, inv, "events_engagement_ratios",
+                         sf_dir)
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "Generate explode" in executed or "Generate" in executed
