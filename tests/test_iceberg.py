@@ -1887,3 +1887,29 @@ def test_changelog_applies_rename_mapping(spark, tmp_root):
     log = t.changelog(s1, s2).collect()
     assert all(r.val is not None for r in log)
     assert {(r._change_type, r.id) for r in log} == {("delete", 3)}
+
+
+def test_metadata_count_at_ref_and_changelog_across_spec_change(
+        spark, tmp_root):
+    """Two cross-feature seams: metadata_count honors ref/tag
+    pinning (a tag's count never moves as main advances), and
+    changelog() stays exact across a partition-spec change (both
+    file generations diff under the current schema)."""
+    path = os.path.join(tmp_root, "seams")
+    df = spark.range(40).selectExpr("id", "concat('k', id % 2) as k")
+    t = IcebergTable.create(spark, path, df, partition_by="k")
+    t.create_tag("v1")
+    s1 = t.meta["snapshots"][-1]["snapshot-id"]
+    t.update_partition_spec("bucket(4, id)")
+    t.append(spark.range(100, 120).selectExpr(
+        "id", "concat('k', id % 2) as k"))
+    s2 = t.meta["snapshots"][-1]["snapshot-id"]
+    assert t.metadata_count() == 60
+    assert t.metadata_count(ref="v1") == 40
+    # identity filter still metadata-answerable for gen-0-only refs
+    assert t.metadata_count(filter={"k": "k0"}, ref="v1") == 20
+    # ...but on the mixed-spec head the bucket generation can't
+    # prove all-rows-match for k -> honest refusal
+    assert t.metadata_count(filter={"k": "k0"}) is None
+    log = {(r._change_type, r.id) for r in t.changelog(s1, s2).collect()}
+    assert log == {("insert", i) for i in range(100, 120)}
