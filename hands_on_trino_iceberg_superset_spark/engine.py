@@ -139,8 +139,10 @@ class Engine:
             aggs.append(F.countDistinct(c).alias(f"ndv__{nm}"))
             aggs.append(F.count(c).alias(f"nn__{nm}"))
             if isinstance(fld.dataType, T.StringType):
+                # Trino's data_size is BYTES on disk, not characters
+                # — octet_length so multi-byte UTF-8 sizes match
                 aggs.append(
-                    F.sum(F.length(c)).cast("double")
+                    F.sum(F.octet_length(c)).cast("double")
                     .alias(f"sz__{nm}")
                 )
             if isinstance(fld.dataType, T.NumericType):

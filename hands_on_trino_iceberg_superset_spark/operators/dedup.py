@@ -92,11 +92,13 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_replace(
         F.regexp_replace(rest, r"^[^/]*", ""), "/$", ""
     )
+    # tracking-param match is case-INSENSITIVE (real crawls carry
+    # UTM_SOURCE=... too); the surviving param text keeps its case
     params = F.array_join(
         F.array_sort(
             F.filter(
                 F.split(qs, "&"),
-                lambda x: (~x.startswith("utm_")) & (x != ""),
+                lambda x: (~F.lower(x).startswith("utm_")) & (x != ""),
             )
         ),
         "&",

@@ -120,6 +120,7 @@ def range_bucket_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
     bucket_width: int = 5,
+    broadcast_ranges: bool = True,
 ) -> DataFrame:
     """Banded range join (``fact.value in [lo, hi)``) rewritten as an
     EQUI join through coarse buckets.
@@ -138,16 +139,25 @@ def range_bucket_join(
     Half-open ``[lo, hi)`` semantics; the ranges side keeps its
     other columns. Same shape Databricks/Spark docs recommend for
     interval joins; at 100 TB the facts side is never replicated and
-    never shuffled beyond the join itself.
+    never shuffled beyond the join itself. ``broadcast_ranges=False``
+    falls back to a shuffled hash join on the bucket id for a ranges
+    side too large to broadcast (the exploded side still bounds its
+    own fan-out via ``bucket_width``).
     """
     w = bucket_width
+    # temp bucket column name uniquified against BOTH inputs so a
+    # caller whose frames already carry "_bkt" can't collide
+    bkt = "_bkt"
+    taken = set(facts.columns) | set(ranges.columns)
+    while bkt in taken:
+        bkt += "_"
     # upper bucket is floor(hi/w) — NOT floor((hi-1)/w), which is
     # only right for integer bounds: with hi=10.2, w=5 a fact at
     # 10.0 lives in bucket 2 while floor(9.2/5)=1 would never emit
     # it. When hi is an exact multiple this overshoots by one empty
     # bucket; the residual range predicate makes that harmless.
     r = ranges.withColumn(
-        "_bkt",
+        bkt,
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w),
@@ -155,13 +165,16 @@ def range_bucket_join(
             )
         ),
     )
-    f = facts.withColumn(
-        "_bkt", F.floor(F.col(value_col) / w)
-    )
+    f = facts.withColumn(bkt, F.floor(F.col(value_col) / w))
+    if broadcast_ranges:
+        r = F.broadcast(r)
+    # dataframe-qualified refs throughout: facts may legitimately
+    # carry a column named lo_col/hi_col (and vice versa), which an
+    # unqualified F.col would make AMBIGUOUS_REFERENCE
     out = f.join(
-        F.broadcast(r),
-        (f["_bkt"] == r["_bkt"])
-        & (F.col(value_col) >= F.col(lo_col))
-        & (F.col(value_col) < F.col(hi_col)),
+        r,
+        (f[bkt] == r[bkt])
+        & (f[value_col] >= r[lo_col])
+        & (f[value_col] < r[hi_col]),
     )
-    return out.drop("_bkt")
+    return out.drop(f[bkt]).drop(r[bkt])

@@ -651,7 +651,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'o_orderstatus', CAST(sum(length(o_orderstatus)) AS DOUBLE),
+    SELECT 'o_orderstatus', CAST(sum(strlen(o_orderstatus)) AS DOUBLE),
            CAST(count(DISTINCT o_orderstatus) AS DOUBLE),
            CAST(count(*) - count(o_orderstatus) AS DOUBLE) / count(*),
            NULL, NULL, NULL
@@ -668,7 +668,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL, NULL, NULL
     FROM orders
     UNION ALL
-    SELECT 'o_orderpriority', CAST(sum(length(o_orderpriority)) AS DOUBLE),
+    SELECT 'o_orderpriority', CAST(sum(strlen(o_orderpriority)) AS DOUBLE),
            CAST(count(DISTINCT o_orderpriority) AS DOUBLE),
            CAST(count(*) - count(o_orderpriority) AS DOUBLE) / count(*),
            NULL, NULL, NULL

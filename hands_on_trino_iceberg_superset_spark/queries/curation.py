@@ -1441,8 +1441,8 @@ def tokenizer_wordpiece_train(spark: SparkSession,
         "fail to encode. The vocab (bounded by construction) "
         "broadcasts as a set; each word segments in one Arrow batch "
         "— at 100 TB the corpus pass is a map-side dictionary "
-        "lookup. The oracle UNROLLS the greedy loop: 8 chained "
-        "argmax CTEs (max word length; each step consumes >= 1 "
+        f"lookup. The oracle UNROLLS the greedy loop: {_WP_STEPS} "
+        "chained argmax CTEs (max word length; each step consumes >= 1 "
         "char), so every segmentation decision is hash-gated.",
 )
 def tokenizer_wordpiece_encode(spark: SparkSession,

@@ -127,7 +127,7 @@ def _messy_url() -> F.Column:
                -- the whole URL through || propagation
                coalesce(array_to_string(list_sort(list_filter(
                  string_split(qs, '&'),
-                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'),
+                 x -> NOT starts_with(lower(x), 'utm_') AND x <> '')), '&'),
                  '') AS p
         FROM pieces
       )

@@ -347,6 +347,9 @@ def test_canonical_url_normalization_rules(spark) -> None:
         ("https://e.com/p/?z=1&utm_source=x&a=2", "https://e.com/p?a=2&z=1"),
         # all-tracking query -> no query at all
         ("https://e.com/p?utm_medium=rss", "https://e.com/p"),
+        # tracking-param match is case-insensitive; the kept
+        # param's own case survives
+        ("https://e.com/p?UTM_Source=x&B=1", "https://e.com/p?B=1"),
         # bare host, no path
         ("Https://www.e.com/", "https://e.com"),
         # path case preserved (RFC 3986: only scheme/host fold)

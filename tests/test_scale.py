@@ -209,3 +209,34 @@ def test_range_bucket_join_fractional_bounds(spark) -> None:
         ranges, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
     ).collect()}
     assert got == naive == {10.0, 10.19, 9.5}
+
+
+def test_range_bucket_join_collisions_and_no_broadcast(spark) -> None:
+    """Facts may carry a column named like the ranges' bound columns
+    and even a literal ``_bkt`` without ambiguous-reference errors
+    (qualified predicates + uniquified temp column), and
+    ``broadcast_ranges=False`` plans a shuffled hash join with
+    identical values for a too-big-to-broadcast ranges side."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import scale as SC
+
+    facts = spark.createDataFrame(
+        [(0.0, 99.0, -1), (5.0, 99.0, -1), (23.0, 99.0, -1)],
+        "v double, lo double, _bkt int",
+    )
+    ranges = spark.createDataFrame(
+        [("a", 1, 10), ("c", 8, 40)], "name string, lo int, hi int"
+    )
+    for bcast in (True, False):
+        got = {
+            (r.v, r.name)
+            for r in SC.range_bucket_join(
+                facts, ranges, "v", broadcast_ranges=bcast
+            ).collect()
+        }
+        assert got == {(5.0, "a"), (23.0, "c")}
+    plan = SC.range_bucket_join(
+        facts, ranges, "v", broadcast_ranges=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
