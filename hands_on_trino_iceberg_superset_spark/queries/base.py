@@ -38,6 +38,12 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# the driver's CORRECTNESS snapshot covers roughly this many inventory
+# entries per round; the last _WINDOW_RESERVE of them are pinned to the
+# oldest green rows (staleness floor) in load_all()
+_WINDOW = 50
+_WINDOW_RESERVE = 10
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: add a Spark query implementation to the inventory."""
@@ -181,20 +187,15 @@ def _module_closure() -> dict[str, set]:
     return result
 
 
-def _changed_since_round() -> "Callable[[str, int], bool]":
-    """Return ``changed(module_name, round) -> bool``: did any package
-    file in the query module's import closure change after the driver
-    commit that recorded round N's CORRECTNESS snapshot? Falls back to
-    "not changed" when git/markers are unavailable (ordering then
-    degrades to pure staleness, never crashes the driver). Memoized
-    per process — load_all() is called repeatedly (queries() +
-    oracle_sql() at driver startup, per-test imports) and the git
-    subprocess + full-package scan must run once, not per call."""
+def _round_markers() -> dict[int, str]:
+    """round number -> commit hash of the driver commit that recorded
+    that round's CORRECTNESS snapshot (``round N: ...`` subject).
+    Empty when git is unavailable. Memoized per process."""
     import re
     import subprocess
     from pathlib import Path
 
-    cached = getattr(_changed_since_round, "_cache", None)
+    cached = getattr(_round_markers, "_cache", None)
     if cached is not None:
         return cached
 
@@ -211,6 +212,33 @@ def _changed_since_round() -> "Callable[[str, int], bool]":
                 markers[int(m.group(2))] = m.group(1)
     except Exception:
         markers = {}
+    _round_markers._cache = markers
+    return markers
+
+
+def _changed_since_round() -> "Callable[[str, int], bool]":
+    """Return ``changed(module_name, round) -> bool``: did any package
+    file in the query module's import closure change after the driver
+    commit that recorded round N's CORRECTNESS snapshot? Falls back to
+    "not changed" when git/markers are unavailable (ordering then
+    degrades to pure staleness, never crashes the driver). Memoized
+    per process — load_all() is called repeatedly (queries() +
+    oracle_sql() at driver startup, per-test imports) and the git
+    subprocess + full-package scan must run once, not per call.
+
+    This is the COARSE fallback: the closure is file-granular, so one
+    new query appended to queries/dedup.py marks every dedup query
+    "changed". :func:`_changed_per_query` (anchor-segment diff) is the
+    primary signal; this one only decides when anchors error out."""
+    import subprocess
+    from pathlib import Path
+
+    cached = getattr(_changed_since_round, "_cache", None)
+    if cached is not None:
+        return cached
+
+    root = Path(__file__).resolve().parents[2]
+    markers = _round_markers()
 
     closure = _module_closure()
     pkg_name = Path(__file__).resolve().parents[1].name
@@ -219,9 +247,11 @@ def _changed_since_round() -> "Callable[[str, int], bool]":
     def files_changed_after(rnd: int) -> set:
         if rnd not in changed_files:
             try:
+                # marker vs WORKING TREE (no HEAD operand):
+                # uncommitted edits are code changes too
                 out = subprocess.run(
                     ["git", "diff", "--name-only", markers[rnd],
-                     "HEAD", "--", pkg_name],
+                     "--", pkg_name],
                     cwd=root, capture_output=True, text=True,
                     timeout=30, check=True,
                 ).stdout
@@ -244,6 +274,325 @@ def _changed_since_round() -> "Callable[[str, int], bool]":
     return changed
 
 
+def _top_level_segments(text: str) -> dict[str, str]:
+    """Module text -> {anchor: source segment}: ``"def:<name>"`` for
+    every top-level function/class (decorators INCLUDED — the
+    ``@register(..., oracle=...)`` call is part of a query's
+    content), ``"const:<NAME>"`` for every top-level simple
+    assignment, and ``""`` for the whole file. Line-slice based, so
+    a segment changes iff its text changed."""
+    import ast
+
+    out = {"": text}
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return out
+    lines = text.splitlines()
+
+    def seg(start_lineno: int, end_lineno: int) -> str:
+        return "\n".join(lines[start_lineno - 1:end_lineno])
+
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            start = min([node.lineno]
+                        + [d.lineno for d in node.decorator_list])
+            out["def:" + node.name] = seg(start, node.end_lineno)
+        elif (isinstance(node, ast.Assign) and len(node.targets) == 1
+              and isinstance(node.targets[0], ast.Name)):
+            out["const:" + node.targets[0].id] = seg(
+                node.lineno, node.end_lineno)
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name):
+            out["const:" + node.target.id] = seg(
+                node.lineno, node.end_lineno)
+    return out
+
+
+def _file_segments(relpath: str, rev: str | None) -> dict[str, str] | None:
+    """Anchor segments of a repo file at a git rev (``None`` = the
+    working tree). ``None`` result = unreadable at that rev (file did
+    not exist yet -> caller treats every anchor as changed). Memoized
+    per (rev, relpath) — the expensive parts are one ``git show`` and
+    one ast.parse each."""
+    import subprocess
+    from pathlib import Path
+
+    cache = getattr(_file_segments, "_cache", None)
+    if cache is None:
+        cache = _file_segments._cache = {}
+    key = (rev, relpath)
+    if key in cache:
+        return cache[key]
+    root = Path(__file__).resolve().parents[2]
+    try:
+        if rev is None:
+            text = (root / relpath).read_text()
+        else:
+            text = subprocess.run(
+                ["git", "show", f"{rev}:{relpath}"], cwd=root,
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+        segs = _top_level_segments(text)
+    except Exception:
+        segs = None
+    cache[key] = segs
+    return segs
+
+
+def _query_anchors() -> dict[str, set]:
+    """query name -> set of (relpath, anchor) content keys.
+
+    The FINE-GRAINED change signal the driver rotation sorts on: a
+    query's content is its registering function's source (decorators,
+    so the oracle expression too) PLUS every in-package function,
+    class, and module-level constant reachable from it — resolved at
+    runtime by walking code objects (``co_names``/nested consts)
+    through ``__globals__``, the same graph the interpreter would
+    traverse, so renames/moves are tracked for free. Module-alias
+    uses (``WP.encode_words``) resolve via attribute-name
+    intersection with the module's namespace. Decorator-expression
+    names (oracle-builder helpers like ``_wp_encode_oracle``) are
+    resolved from the module AST since import-time calls never appear
+    in the function's own code object."""
+    import ast
+    import sys
+    import types
+    from pathlib import Path
+
+    cached = getattr(_query_anchors, "_cache", None)
+    if cached is not None:
+        return cached
+
+    pkg_root = Path(__file__).resolve().parents[1]
+    pkg = pkg_root.name
+    root = pkg_root.parent
+
+    def rel_of_module(mod) -> str | None:
+        f = getattr(mod, "__file__", None)
+        if not f:
+            return None
+        try:
+            return Path(f).resolve().relative_to(root).as_posix()
+        except ValueError:
+            return None
+
+    def codes_of(fn) -> list:
+        out, stack = [], [fn.__code__]
+        while stack:
+            co = stack.pop()
+            out.append(co)
+            stack.extend(c for c in co.co_consts
+                         if isinstance(c, types.CodeType))
+        return out
+
+    def functions_of(obj) -> list:
+        """The plain functions carrying code for a function/class."""
+        if isinstance(obj, types.FunctionType):
+            return [obj]
+        fns = []
+        for v in vars(obj).values():
+            if isinstance(v, (staticmethod, classmethod)):
+                v = v.__func__
+            elif isinstance(v, property):
+                v = v.fget
+            if isinstance(v, types.FunctionType):
+                fns.append(v)
+        return fns
+
+    # per-module AST facts: {relpath: ({fn: decorator Name ids},
+    #                                  {fn: {alias: object}})} — the
+    # second map resolves FUNCTION-LOCAL imports ("from ...operators
+    # import wordpiece as WP" inside a def), which never appear in
+    # __globals__
+    mod_facts: dict[str, tuple] = {}
+
+    def facts(relpath: str) -> tuple:
+        if relpath not in mod_facts:
+            decs: dict[str, set] = {}
+            localimp: dict[str, dict] = {}
+            try:
+                tree = ast.parse((root / relpath).read_text())
+                for node in tree.body:
+                    if not isinstance(node, (ast.FunctionDef,
+                                             ast.AsyncFunctionDef)):
+                        continue
+                    ids: set = set()
+                    for d in node.decorator_list:
+                        ids |= {n.id for n in ast.walk(d)
+                                if isinstance(n, ast.Name)}
+                    decs[node.name] = ids
+                    localimp[node.name] = _resolve_imports(
+                        node, relpath)
+            except Exception:
+                pass
+            mod_facts[relpath] = (decs, localimp)
+        return mod_facts[relpath]
+
+    def _resolve_imports(fn_node, relpath: str) -> dict:
+        """alias -> imported in-package object/module, for every
+        import statement nested anywhere inside the def."""
+        import importlib
+
+        mod_parts = list(Path(relpath).with_suffix("").parts)
+        if mod_parts and mod_parts[-1] == "__init__":
+            mod_parts = mod_parts[:-1]
+        out: dict = {}
+        for node in ast.walk(fn_node):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                modname = node.module
+                if node.level:  # relative: resolve against this file
+                    base = mod_parts[:-node.level] if node.level \
+                        <= len(mod_parts) else []
+                    modname = ".".join([*base, modname])
+                if not modname.startswith(pkg):
+                    continue
+                try:
+                    m = importlib.import_module(modname)
+                except Exception:
+                    continue
+                for alias in node.names:
+                    tgt = getattr(m, alias.name, None)
+                    if tgt is None:
+                        try:
+                            tgt = importlib.import_module(
+                                modname + "." + alias.name)
+                        except Exception:
+                            continue
+                    out[alias.asname or alias.name] = tgt
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if not alias.name.startswith(pkg):
+                        continue
+                    try:
+                        out[alias.asname or alias.name.split(".")[0]] \
+                            = importlib.import_module(alias.name)
+                    except Exception:
+                        continue
+        return out
+
+    def anchors_for(query_fn) -> set:
+        anchors: set = set()
+        seen: set = set()
+        stack = [(query_fn, True)]
+        while stack:
+            obj, is_query_root = stack.pop()
+            if id(obj) in seen:
+                continue
+            seen.add(id(obj))
+            mod = sys.modules.get(getattr(obj, "__module__", ""))
+            rp = rel_of_module(mod) if mod is not None else None
+            if rp is None:
+                continue
+            top = obj.__qualname__.split(".")[0]
+            anchors.add((rp, "def:" + top))
+            names: set = set()
+            globs: dict = {}
+            for fn in functions_of(obj):
+                globs = fn.__globals__
+                for co in codes_of(fn):
+                    names |= set(co.co_names)
+                # closure cells: a nested def captured from an outer
+                # factory — include callables they carry
+                for cell in (fn.__closure__ or ()):
+                    try:
+                        v = cell.cell_contents
+                    except ValueError:
+                        continue
+                    if isinstance(v, (types.FunctionType, type)):
+                        stack.append((v, False))
+            decs, localimp = facts(rp)
+            if is_query_root:
+                names |= decs.get(top, set())
+            local = localimp.get(top, {})
+            # local-import aliases land in co_varnames, not co_names
+            # — consider every one referenced
+            for n in names | set(local):
+                v = local.get(n, _query_anchors)
+                if v is _query_anchors:
+                    v = globs.get(n, _query_anchors)
+                if v is _query_anchors:
+                    continue  # builtin / attribute-only name
+                if isinstance(v, (types.FunctionType, type)):
+                    if getattr(v, "__module__", "").split(".")[0] == pkg:
+                        stack.append((v, False))
+                elif isinstance(v, types.ModuleType):
+                    if not v.__name__.startswith(pkg):
+                        continue
+                    mrp = rel_of_module(v)
+                    if mrp is None:
+                        continue
+                    hit = False
+                    for attr in names:
+                        a = getattr(v, attr, None)
+                        if isinstance(a, (types.FunctionType, type)) \
+                                and getattr(a, "__module__", "") \
+                                == v.__name__:
+                            stack.append((a, False))
+                            hit = True
+                        elif a is not None and not isinstance(
+                                a, types.ModuleType) and not callable(a):
+                            anchors.add((mrp, "const:" + attr))
+                            hit = True
+                    if not hit:
+                        anchors.add((mrp, ""))  # whole-module fallback
+                elif not callable(v):
+                    # module-level constant in the referring module
+                    anchors.add((rp, "const:" + n))
+        return anchors
+
+    result = {name: anchors_for(spec.spark)
+              for name, spec in REGISTRY.items()}
+    _query_anchors._cache = result
+    return result
+
+
+def _changed_per_query() -> "Callable[[str, int], bool]":
+    """Return ``changed(query_name, round) -> bool`` comparing every
+    anchor segment of the query at HEAD's working tree against the
+    round-marker commit. Missing file/anchor at the marker = the code
+    is new since then = changed. Any mechanical failure falls back to
+    the coarse import-closure signal so the rotation never crashes
+    and never silently under-reports a change."""
+    cached = getattr(_changed_per_query, "_cache", None)
+    if cached is not None:
+        return cached
+
+    markers = _round_markers()
+    closure_changed = _changed_since_round()
+    try:
+        anchors = _query_anchors()
+    except Exception:
+        anchors = {}
+
+    pkg = __name__.split(".", 1)[0]
+
+    def module_of(name: str) -> str:
+        return REGISTRY[name].spark.__module__.split(pkg + ".", 1)[-1]
+
+    def changed(name: str, rnd: int) -> bool:
+        if rnd not in markers:
+            return False
+        keys = anchors.get(name)
+        if not keys:
+            return closure_changed(module_of(name), rnd)
+        try:
+            for rp, anchor in keys:
+                cur = _file_segments(rp, None)
+                old = _file_segments(rp, markers[rnd])
+                if cur is None or old is None:
+                    return True
+                if cur.get(anchor) != old.get(anchor):
+                    return True
+            return False
+        except Exception:
+            return closure_changed(module_of(name), rnd)
+
+    _changed_per_query._cache = changed
+    return changed
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and
     return the full inventory.
@@ -256,11 +605,22 @@ def load_all() -> dict[str, QuerySpec]:
        a False match flag, or a rows-only ``no_oracle`` check of a
        query that has an oracle now);
     2. never driver-checked;
-    3. the query's code (its module's transitive intra-package import
-       closure) changed after the driver commit that recorded its
-       last check — green-on-old-code is not green;
+    3. the query's CONTENT — its registering function's source
+       segment (decorators/oracle included) plus every reachable
+       in-package helper/constant anchor (:func:`_query_anchors`) —
+       changed after the driver commit that recorded its last check;
+       green-on-old-code is not green. (Import-closure is only the
+       fallback: file-granular closure marked ~125/177 queries
+       changed at r7 HEAD from one-file-many-queries coarseness,
+       squeezing genuinely-edited queries out of the window.)
     4. everything else, oldest snapshot round first (ties keep a
        stable family grouping).
+
+    STALENESS FLOOR: the last ``_WINDOW_RESERVE`` slots of the
+    driver's ~50-slot window are reserved for the OLDEST green rows,
+    so even a round that lands 40+ new queries cannot starve the
+    green tail — no row ages indefinitely behind never-checked
+    inflow.
 
     Every round this cycles the stalest tail into the driver's
     window; the full inventory is always covered by the local DuckDB
@@ -296,7 +656,7 @@ def load_all() -> dict[str, QuerySpec]:
                  for name, spec in REGISTRY.items()}
     rank = {m: i for i, m in enumerate(family_order)}
     last_seen = _last_driver_check()
-    changed = _changed_since_round()
+    changed = _changed_per_query()
 
     def priority(name: str) -> tuple[int, int]:
         if name not in last_seen:
@@ -304,7 +664,7 @@ def load_all() -> dict[str, QuerySpec]:
         rnd, rec = last_seen[name]
         if _check_failed(rec, REGISTRY[name].oracle is not None):
             return (0, rnd)  # failed / oracle never driver-verified
-        if changed(module_of[name], rnd):
+        if changed(name, rnd):
             return (2, rnd)  # green, but on code older than HEAD
         return (3, rnd)  # green on current code, oldest round first
 
@@ -316,4 +676,15 @@ def load_all() -> dict[str, QuerySpec]:
             name,
         ),
     )
+    # staleness floor: the window's tail slots always carry the
+    # globally oldest green rows, whatever classes 0-2 inflated to
+    if len(ordered) > _WINDOW:
+        head = ordered[:_WINDOW - _WINDOW_RESERVE]
+        in_head = set(head)
+        floor = [n for n in ordered
+                 if n not in in_head and priority(n)[0] == 3
+                 ][:_WINDOW_RESERVE]
+        picked = in_head | set(floor)
+        ordered = head + floor + [n for n in ordered
+                                  if n not in picked]
     return {name: REGISTRY[name] for name in ordered}

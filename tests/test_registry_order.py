@@ -66,3 +66,131 @@ def test_window_prefix_prioritizes_recheck():
     for name in inv:
         if name not in last:
             assert name in window, f"never-checked {name} outside window"
+
+
+def test_top_level_segments_anchors():
+    from hands_on_trino_iceberg_superset_spark.queries.base import (
+        _top_level_segments,
+    )
+
+    text = (
+        "X = 1\n"
+        "Y: int = 2\n"
+        "@deco(oracle=f'{X}')\n"
+        "def q():\n"
+        "    return X\n"
+        "class C:\n"
+        "    def m(self):\n"
+        "        return 1\n"
+    )
+    segs = _top_level_segments(text)
+    assert segs["const:X"] == "X = 1"
+    assert segs["const:Y"] == "Y: int = 2"
+    # decorator text is part of the def's segment (the oracle
+    # expression lives there)
+    assert segs["def:q"].startswith("@deco(oracle=")
+    assert "def m" in segs["def:C"]
+    assert segs[""] == text
+    # a doc tweak in an UNRELATED def leaves q's segment identical
+    segs2 = _top_level_segments(text.replace("return 1", "return 2"))
+    assert segs2["def:q"] == segs["def:q"]
+    assert segs2["def:C"] != segs["def:C"]
+
+
+def test_query_anchors_reach_helpers_and_oracle_builders():
+    """Anchor sets must include the registering function itself, the
+    operator helpers it calls (direct import AND module-alias
+    access), and decorator-expression oracle builders."""
+    from hands_on_trino_iceberg_superset_spark.queries.base import (
+        _query_anchors,
+    )
+
+    load_all()  # populate REGISTRY
+    anchors = _query_anchors()
+
+    def has(name, relsuffix, anchor):
+        return any(rp.endswith(relsuffix) and a == anchor
+                   for rp, a in anchors[name])
+
+    # the query fn itself
+    assert has("dedup_url_canonical", "queries/dedup.py",
+               "def:dedup_url_canonical")
+    # module-alias operator helper (D.canonical_url)
+    assert has("dedup_url_canonical", "operators/dedup.py",
+               "def:canonical_url")
+    # decorator-expression oracle builder + its constant
+    assert has("tokenizer_wordpiece_encode", "queries/curation.py",
+               "def:_wp_encode_oracle")
+    assert has("tokenizer_wordpiece_encode", "queries/curation.py",
+               "const:_WP_STEPS")
+    # helpers reached through the wordpiece operators module
+    assert has("tokenizer_wordpiece_encode", "operators/wordpiece.py",
+               "def:encode_words")
+
+
+def test_changed_per_query_is_finer_than_closure():
+    """The whole point: one edit in a many-query module must not mark
+    every query in it changed. Against the latest round marker, the
+    anchor signal must flag at most as many queries as the closure
+    signal, and strictly fewer whenever closure inflation exists."""
+    from hands_on_trino_iceberg_superset_spark.queries.base import (
+        REGISTRY,
+        _changed_per_query,
+        _changed_since_round,
+        _round_markers,
+    )
+
+    load_all()  # populate REGISTRY
+    markers = _round_markers()
+    if not markers:
+        return
+    rnd = max(markers)
+    fine, coarse = _changed_per_query(), _changed_since_round()
+    pkg = "hands_on_trino_iceberg_superset_spark"
+    n_fine = n_coarse = 0
+    for name, spec in REGISTRY.items():
+        mod = spec.spark.__module__.split(pkg + ".", 1)[-1]
+        if fine(name, rnd):
+            n_fine += 1
+            # anchor-changed without closure-changed would mean the
+            # closure missed a dependency edge the anchors found —
+            # possible (closure is module-level, anchors cross into
+            # operators/) but coarse should dominate within modules
+        if coarse(mod, rnd):
+            n_coarse += 1
+    assert n_fine <= n_coarse
+    if n_coarse >= 30:  # closure inflation present -> anchors must win
+        assert n_fine < n_coarse / 2
+
+
+def test_staleness_floor_reserves_tail_for_oldest_green(monkeypatch):
+    """Even when failed/new queries could fill the whole window, the
+    last _WINDOW_RESERVE slots carry the globally oldest green rows."""
+    from hands_on_trino_iceberg_superset_spark.queries import base
+
+    base.load_all()  # populate REGISTRY
+    names = list(base.REGISTRY)
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    # fabricate: first 60 queries failed (class 0), the rest green
+    # with ages cycling r1..r6
+    last = {}
+    for i, n in enumerate(names):
+        if i < 60:
+            last[n] = (7, {**ok, "hash_match": False})
+        else:
+            last[n] = (1 + (i % 6), ok)
+    monkeypatch.setattr(base, "_last_driver_check", lambda: last)
+    monkeypatch.setattr(base, "_changed_per_query",
+                        lambda: (lambda name, rnd: False))
+    ordered = list(base.load_all())
+    window = ordered[:base._WINDOW]
+    floor = window[base._WINDOW - base._WINDOW_RESERVE:]
+    # head is all failed; floor slots are green...
+    assert all(last[n][1]["hash_match"] is False
+               for n in window[:base._WINDOW - base._WINDOW_RESERVE])
+    assert all(last[n][1]["hash_match"] is True for n in floor)
+    # ...and specifically the OLDEST green round available (the
+    # fabricated r1 cohort is larger than the reserve)
+    floor_rounds = {last[n][0] for n in floor}
+    assert floor_rounds == {1}
