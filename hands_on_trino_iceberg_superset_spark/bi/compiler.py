@@ -77,6 +77,71 @@ _GRAINS = {
 #: Superset's reserved label for the truncated time dimension
 TIME_LABEL = "__timestamp"
 
+#: time_compare offset vocabulary ("1 week ago") -> timestampadd unit
+_OFFSET_UNITS = {
+    "day": "DAY", "week": "WEEK", "month": "MONTH",
+    "quarter": "QUARTER", "year": "YEAR",
+}
+
+
+def _parse_time_offset(off: str) -> tuple[int, str]:
+    """One Superset time_compare offset ("1 week ago", "28 days ago")
+    -> (n, timestampadd unit). Unknown shapes raise — a stored blob
+    must fail loudly, never silently align the wrong buckets."""
+    import re
+
+    m = re.fullmatch(
+        r"(\d+)\s+(day|week|month|quarter|year)s?\s+ago",
+        str(off).strip(), re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unsupported time_compare offset: {off!r}")
+    return int(m.group(1)), _OFFSET_UNITS[m.group(2).lower()]
+
+
+def _offset_suffix(off: str) -> str:
+    """Column-label suffix for an offset series (Superset labels the
+    joined columns ``<metric>__<offset>``; spaces are folded to
+    underscores so the label stays a plain SQL identifier on the
+    SQL-text path)."""
+    return str(off).strip().lower().replace(" ", "_")
+
+
+def _validate_compare_contribution(form_data: Mapping[str, Any],
+                                   mode: str) -> None:
+    """Shared field validation for time_compare / contributionMode —
+    identical refusals on both compilation paths."""
+    offsets = form_data.get("time_compare") or []
+    contrib = form_data.get("contributionMode")
+    if not offsets and not contrib:
+        return
+    if mode != "aggregate":
+        raise ValueError(
+            "time_compare / contributionMode require aggregate mode")
+    if not _grain_unit(form_data):
+        raise ValueError(
+            "time_compare / contributionMode require granularity_sqla"
+            " + time_grain_sqla (a timeseries chart)")
+    if form_data.get("percent_metrics") or form_data.get(
+            "rolling_type"):
+        raise ValueError(
+            "time_compare / contributionMode do not compose with "
+            "percent_metrics or rolling_type (post-processing order "
+            "is ambiguous; Superset chains pandas stages — refuse "
+            "rather than guess)")
+    if offsets and contrib:
+        raise ValueError(
+            "time_compare with contributionMode is not supported")
+    if offsets and form_data.get("time_range") not in (None,
+                                                       "No filter"):
+        raise ValueError(
+            "time_compare with an explicit time_range needs a "
+            "shifted-range fetch; not supported")
+    if contrib and contrib not in ("row", "series"):
+        raise ValueError(f"unsupported contributionMode: {contrib!r}")
+    for off in offsets:
+        _parse_time_offset(off)
+
 
 def _grain_unit(form_data: Mapping[str, Any]) -> str | None:
     """date_trunc unit when the chart sets BOTH granularity_sqla and
@@ -277,6 +342,7 @@ def compile_form_data(
         raise ValueError("rolling_type requires aggregate mode")
     if form_data.get("series_limit") and mode != "aggregate":
         raise ValueError("series_limit requires aggregate mode")
+    _validate_compare_contribution(form_data, mode)
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
@@ -347,6 +413,55 @@ def compile_form_data(
                         "not an emitted group key or metric label")
             out = _apply_adhoc_filters(out, form_data,
                                        clause="HAVING")
+        offsets = form_data.get("time_compare") or []
+        if offsets:
+            # Superset's time-comparison series: the SAME aggregate
+            # re-run with every timestamp shifted FORWARD by the
+            # offset, left-joined back on (__timestamp, series keys)
+            # — the value of a bucket one offset ago lands beside
+            # the current bucket as <metric>__<offset>. Both sides
+            # aggregate on identical keys, so the join is
+            # bucket-count-sized (chart-scale) however big the fact
+            # table is; at 100 TB both aggregates are one linear
+            # pass each.
+            labels = [_metric_label(m) for m in metrics]
+            for off in offsets:
+                n, u = _parse_time_offset(off)
+                sfx = _offset_suffix(off)
+                shifted = (
+                    df.withColumn(
+                        TIME_LABEL,
+                        F.timestamp_add(u, F.lit(n),
+                                        F.col(TIME_LABEL)))
+                    .groupBy(*groupby)
+                    .agg(*[_metric_column(m) for m in metrics])
+                    .select(
+                        *groupby,
+                        *[F.col(lab).alias(f"{lab}__{sfx}")
+                          for lab in labels],
+                    )
+                )
+                out = out.join(shifted, groupby, "left")
+        contrib = form_data.get("contributionMode")
+        if contrib:
+            # contribution mode replaces each metric value by its
+            # share: "row" = of the time bucket across series,
+            # "series" = of the series across time. The window runs
+            # over the already-aggregated chart-sized result.
+            # Integer metrics (count) divide exactly in f64, so both
+            # compilation paths and the SQL oracle agree bit-for-bit.
+            from pyspark.sql import Window
+
+            skeys = [k for k in groupby if k != TIME_LABEL]
+            w = (Window.partitionBy(TIME_LABEL) if contrib == "row"
+                 else Window.partitionBy(*skeys))
+            for m in metrics:
+                lab = _metric_label(m)
+                out = out.withColumn(
+                    lab,
+                    F.col(lab).cast("double")
+                    / F.sum(lab).over(w).cast("double"),
+                )
         pct = form_data.get("percent_metrics") or []
         pct_labels = [f"pct_{_metric_label(m)}" for m in pct]
         for m in pct:
@@ -360,7 +475,10 @@ def compile_form_data(
         # results identical (applying them here would crash on
         # UNRESOLVED_COLUMN where the SQL path silently filters)
         emitted = (set(groupby) | {_metric_label(m) for m in metrics}
-                   | set(pct_labels))
+                   | set(pct_labels)
+                   | {f"{_metric_label(m)}__{_offset_suffix(off)}"
+                      for m in metrics
+                      for off in form_data.get("time_compare") or []})
         order_by = [
             ob for ob in order_by
             if (_metric_label(ob[0]) if not isinstance(ob[0], str)
@@ -511,6 +629,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         raise ValueError("rolling_type requires aggregate mode")
     if form_data.get("series_limit") and mode != "aggregate":
         raise ValueError("series_limit requires aggregate mode")
+    _validate_compare_contribution(form_data, mode)
     where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
@@ -619,6 +738,9 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             | ({TIME_LABEL} if unit else set())
             | {label for _, label in metric_sqls}
             | {f"pct_{_metric_label(m)}" for m in pct}
+            | {f"{label}__{_offset_suffix(off)}"
+               for _, label in metric_sqls
+               for off in form_data.get("time_compare") or []}
         )
         order_by = [
             ob for ob in order_by
@@ -661,6 +783,63 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
                  else f" WHERE {pred}")
 
     sql = f"SELECT {select} FROM {_sql_ident(table)}{where}{group}"
+    offsets_fd = form_data.get("time_compare") or []
+    if mode == "aggregate" and offsets_fd:
+        # mirror of the Catalyst path: each offset is the same
+        # aggregate with every bucket timestamp shifted FORWARD,
+        # left-joined back on (__timestamp, series keys). The offset
+        # subquery carries the WHERE but never the HAVING (the main
+        # side alone decides which groups survive).
+        gb_idents = [_sql_ident(c)
+                     for c in form_data.get("groupby") or []]
+        sel_off, join_sqls = [], []
+        for i, off in enumerate(offsets_fd):
+            n, u = _parse_time_offset(off)
+            sfx = _offset_suffix(off)
+            shift = f"timestampadd({u}, {n}, {trunc})"
+            okeys = [f"{shift} AS {TIME_LABEL}", *gb_idents]
+            ometrics = [
+                f"{s.split(' AS ')[0]} AS {label}__{sfx}"
+                for s, label in metric_sqls
+            ]
+            osql = (
+                f"SELECT {', '.join(okeys + ometrics)} "
+                f"FROM {_sql_ident(table)}{where}"
+                f" GROUP BY {', '.join([shift, *gb_idents])}"
+            )
+            cond = " AND ".join(
+                f"m.{k} = o{i}.{k}"
+                for k in [TIME_LABEL, *gb_idents]
+            )
+            join_sqls.append(f" LEFT JOIN ({osql}) o{i} ON {cond}")
+            sel_off += [f"o{i}.{label}__{sfx}"
+                        for _, label in metric_sqls]
+        sql = (
+            f"SELECT m.*, {', '.join(sel_off)} FROM ({sql}) m"
+            + "".join(join_sqls)
+        )
+    contrib_fd = form_data.get("contributionMode")
+    if mode == "aggregate" and contrib_fd:
+        # mirror of the Catalyst path: metric values replaced by
+        # their share of the time bucket (row) or of the series
+        # (series), over the chart-sized aggregate
+        gb_idents = [_sql_ident(c)
+                     for c in form_data.get("groupby") or []]
+        if contrib_fd == "row":
+            wspec = f"PARTITION BY {TIME_LABEL}"
+        elif gb_idents:
+            wspec = "PARTITION BY " + ", ".join(gb_idents)
+        else:
+            wspec = ""
+        exprs = [
+            f"CAST({label} AS DOUBLE) / "
+            f"CAST(sum({label}) OVER ({wspec}) AS DOUBLE) AS {label}"
+            for _, label in metric_sqls
+        ]
+        keys = ([TIME_LABEL] if unit else []) + gb_idents
+        sql = (
+            f"SELECT {', '.join(keys + exprs)} FROM ({sql}) q"
+        )
     row_limit = form_data.get("row_limit")
     rolling = form_data.get("rolling_type")
     if mode == "aggregate" and rolling:

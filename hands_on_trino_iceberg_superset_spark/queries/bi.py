@@ -408,3 +408,109 @@ def bi_chart_series_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "count",
     ).orderBy("__timestamp", "event_type")
+
+
+@register(
+    "bi_chart_time_compare",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+             event_type, count(*) AS count
+      FROM events GROUP BY 1, 2
+    ), off AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+               + INTERVAL 1 WEEK AS b,
+             event_type, count(*) AS count__1_week_ago
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(cur.b AS VARCHAR) AS __timestamp,
+           cur.event_type, cur.count, off.count__1_week_ago
+    FROM cur LEFT JOIN off
+      ON cur.b = off.b AND cur.event_type = off.event_type
+    ORDER BY __timestamp, cur.event_type
+    """,
+    doc="Timeseries chart with time_compare — Superset's week-over-"
+        "week overlay (the time-offset picker on every timeseries "
+        "chart; form_data field absent from the reference's five "
+        "charts, init_db.py:140-157, but standard in Superset "
+        "4.1.4): the same aggregate re-run with buckets shifted "
+        "forward one week, left-joined on (__timestamp, series) so "
+        "last week's count lands beside this week's as "
+        "count__1_week_ago — on BOTH compilation paths "
+        "(bi/compiler.py compile_form_data + form_data_to_sql, "
+        "parity-tested). Scale: both sides aggregate to chart-sized "
+        "series grids before the join; the fact table is scanned "
+        "twice linearly, never joined row-to-row. Oracle restates "
+        "the self-join in SQL.",
+)
+def bi_chart_time_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = compile_form_data(
+        ev,
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_grain_sqla": "P1D",
+            "groupby": ["event_type"],
+            "metrics": ["count"],
+            "time_compare": ["1 week ago"],
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "event_type",
+        "count",
+        "count__1_week_ago",
+    ).orderBy("__timestamp", "event_type")
+
+
+@register(
+    "bi_chart_contribution",
+    oracle=SEED_CTE
+    + """
+    SELECT CAST(CAST(date_trunc('day', "timestamp") AS TIMESTAMP)
+                AS VARCHAR) AS __timestamp,
+           currency,
+           CAST(count(*) AS DOUBLE) /
+             CAST(sum(count(*)) OVER (
+                    PARTITION BY date_trunc('day', "timestamp"))
+                  AS DOUBLE) AS count
+    FROM seed_transactions
+    GROUP BY date_trunc('day', "timestamp"), currency
+    ORDER BY __timestamp, currency
+    """,
+    doc="Timeseries chart with contributionMode: row — Superset's "
+        "contribution toggle (each series' share of its time "
+        "bucket): metric values replaced by value / sum over the "
+        "bucket, a window over the already-aggregated chart-sized "
+        "result on BOTH compilation paths (parity-tested; series "
+        "mode shares the code path). Count metrics divide as exact "
+        "integers in f64, so both engines agree bit-for-bit. Runs "
+        "on the regenerated seed transactions (seed.sh:112-115, "
+        "reserved-word column 'timestamp'); the oracle restates the "
+        "bucket-share window in SQL.",
+)
+def bi_chart_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = seed_frames(spark)["transactions"]
+    out = compile_form_data(
+        tx,
+        {
+            "viz_type": "echarts_timeseries_bar",
+            "query_mode": "aggregate",
+            "granularity_sqla": "timestamp",
+            "time_grain_sqla": "P1D",
+            "groupby": ["currency"],
+            "metrics": ["count"],
+            "contributionMode": "row",
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "currency",
+        "count",
+    ).orderBy("__timestamp", "currency")

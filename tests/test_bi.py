@@ -602,3 +602,108 @@ def test_series_limit_compiles_identically_on_both_paths(spark):
             compile_form_data(df, bad)
         with pytest.raises(ValueError):
             form_data_to_sql("sl_t", bad)
+
+
+def test_time_compare_compiles_identically_on_both_paths(spark):
+    """time_compare: the offset series aligns one-offset-ago values
+    beside the current bucket as <metric>__<offset>, identically on
+    the Catalyst and SQL-text paths; hand-checked alignment on a
+    two-day fixture; malformed offsets and unsupported combinations
+    raise on BOTH paths."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "a"),
+         ("2024-01-02 10:00:00", "a"),
+         ("2024-01-08 09:00:00", "a"), ("2024-01-08 23:00:00", "b")],
+        "ts_raw string, g string",
+    ).selectExpr("cast(ts_raw as timestamp) as ts", "g")
+    df.createOrReplaceTempView("tc_t")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "time_compare": ["1 week ago"],
+        "order_by": [["__timestamp", True], ["g", True]],
+    }
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("tc_t", fd)).collect()]
+    assert native == wire
+    by_key = {(str(t), g): (c, prev) for t, g, c, prev in native}
+    # Jan 8 'a' bucket sees Jan 1's count (2) one week earlier;
+    # Jan 8 'b' and the early buckets see NULL
+    assert by_key[("2024-01-08 00:00:00", "a")] == (1, 2)
+    assert by_key[("2024-01-08 00:00:00", "b")] == (1, None)
+    assert by_key[("2024-01-01 00:00:00", "a")] == (2, None)
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("tc_t", f)):
+        with pytest.raises(ValueError):
+            compiler({**fd, "time_compare": ["next tuesday"]})
+        with pytest.raises(ValueError):  # needs a timeseries chart
+            compiler({k: v for k, v in fd.items()
+                      if k != "time_grain_sqla"})
+        with pytest.raises(ValueError):  # shifted-range fetch
+            compiler({**fd,
+                      "time_range": "2024-01-01 : 2024-02-01"})
+        with pytest.raises(ValueError):  # post-processing order
+            compiler({**fd, "percent_metrics": ["count"]})
+
+
+def test_contribution_compiles_identically_on_both_paths(spark):
+    """contributionMode row/series: metric values become shares of
+    the time bucket / of the series, identical on both paths, exact
+    in f64 for count metrics; unknown modes raise."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "a"),
+         ("2024-01-01 12:00:00", "b"),
+         ("2024-01-02 10:00:00", "a"), ("2024-01-02 11:00:00", "b")],
+        "ts_raw string, g string",
+    ).selectExpr("cast(ts_raw as timestamp) as ts", "g")
+    df.createOrReplaceTempView("contrib_t")
+    base = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "order_by": [["__timestamp", True], ["g", True]],
+    }
+    for mode, expect in (
+        ("row", {("2024-01-01 00:00:00", "a"): 2 / 3,
+                 ("2024-01-01 00:00:00", "b"): 1 / 3,
+                 ("2024-01-02 00:00:00", "a"): 1 / 2,
+                 ("2024-01-02 00:00:00", "b"): 1 / 2}),
+        ("series", {("2024-01-01 00:00:00", "a"): 2 / 3,
+                    ("2024-01-01 00:00:00", "b"): 1 / 2,
+                    ("2024-01-02 00:00:00", "a"): 1 / 3,
+                    ("2024-01-02 00:00:00", "b"): 1 / 2}),
+    ):
+        fd = {**base, "contributionMode": mode}
+        native = [tuple(r)
+                  for r in compile_form_data(df, fd).collect()]
+        wire = [tuple(r) for r in
+                spark.sql(form_data_to_sql("contrib_t", fd)).collect()]
+        assert native == wire
+        assert {(str(t), g): c for t, g, c in native} == expect
+    for compiler in (lambda f: compile_form_data(df, f),
+                     lambda f: form_data_to_sql("contrib_t", f)):
+        with pytest.raises(ValueError):
+            compiler({**base, "contributionMode": "column"})
+        with pytest.raises(ValueError):  # either offsets or shares
+            compiler({**base, "contributionMode": "row",
+                      "time_compare": ["1 day ago"]})
