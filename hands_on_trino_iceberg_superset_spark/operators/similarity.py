@@ -820,6 +820,15 @@ def auto_centroids(
 # ----------------------------------------------------------- IVF path
 
 
+def _sq_dist(v: str, c: str) -> Column:
+    """||v - c||^2 as a JVM expression (no Python in the hot path)."""
+    return F.aggregate(
+        F.zip_with(F.col(v), F.col(c), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -872,6 +881,19 @@ def build_ivf_index(
         "cell int, centroid array<double>",
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time per-cell mean assigned squared distance — the
+    # baseline :func:`ivf_drift` compares the live store against to
+    # decide when the quantizer needs a refit. n_centroids rows of
+    # index metadata, computed in the same pass shape as the probe's
+    # distance expression.
+    (
+        assigned.join(F.broadcast(centroids), "cell")
+        .select("cell", _sq_dist("v", "centroid").alias("d2"))
+        .groupBy("cell")
+        .agg(F.avg("d2").alias("mean_d2_build"),
+             F.count(F.lit(1)).alias("n_build"))
+        .write.mode("overwrite").parquet(f"{path}/build_stats")
+    )
 
 
 def append_to_ivf_index(
@@ -960,6 +982,102 @@ def append_to_ivf_index(
     )
 
 
+def delete_from_ivf_index(
+    deleted_ids: DataFrame, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone delete — the merge-on-read side of IVF maintenance
+    (:func:`append_to_ivf_index` is the ingest side): the deleted ids
+    append to ``{path}/tombstones`` and every probe anti-joins them
+    INSIDE the pruned cell scan, so deleted vectors can never surface
+    without rewriting a single celled data file. Same shape as an
+    Iceberg MOR delete (lakehouse/table.py): at 100 TB a daily delete
+    batch is one bounded parquet append; the read-side anti-join is
+    broadcast-sized by delete volume, and a periodic
+    :func:`build_ivf_index` rebuild compacts tombstones away exactly
+    like a MOR table's major compaction."""
+    (
+        deleted_ids.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .write.mode("append").parquet(f"{index_path}/tombstones")
+    )
+
+
+def _ivf_tombstones(spark: SparkSession, index_path: str):
+    """The index's live tombstone set, or ``None`` when nothing was
+    ever deleted (the common case must not pay a scan or an
+    exception-driven plan change per probe)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/tombstones")
+    except AnalysisException:
+        return None
+
+
+def ivf_drift(spark: SparkSession, index_path: str) -> DataFrame:
+    """Quantizer drift audit: per cell, the LIVE mean assigned
+    squared distance (appends included, tombstones excluded) against
+    the build-time baseline persisted by :func:`build_ivf_index` —
+    ``drift_ratio > 1`` means vectors assigned since the fit sit
+    farther from their centroid than the fit's own population, i.e.
+    the data distribution has moved and recall is decaying. Output is
+    n_centroids rows of index metadata; the live pass is one linear
+    scan + a cell-count-sized aggregate, probe-priced at any corpus
+    size. Indexes built before the baseline existed raise — a drift
+    number against a missing baseline would be an invented fact."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        base = spark.read.parquet(f"{index_path}/build_stats")
+    except AnalysisException as e:
+        raise ValueError(
+            f"{index_path!r} has no build_stats baseline — rebuild "
+            "with build_ivf_index to enable drift auditing"
+        ) from e
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        vectors = vectors.join(F.broadcast(tomb), "id", "left_anti")
+    live = (
+        vectors.join(F.broadcast(cent), "cell")
+        .select("cell", _sq_dist("v", "centroid").alias("d2"))
+        .groupBy("cell")
+        .agg(F.avg("d2").alias("mean_d2_live"),
+             F.count(F.lit(1)).alias("n_live"))
+    )
+    return (
+        live.join(base, "cell")
+        .select(
+            "cell", "n_live", "n_build", "mean_d2_live",
+            "mean_d2_build",
+            (F.col("mean_d2_live") / F.col("mean_d2_build"))
+            .alias("drift_ratio"),
+        )
+    )
+
+
+def refit_due(
+    spark: SparkSession, index_path: str, threshold: float = 1.5
+) -> bool:
+    """Refit trigger: True when the index-wide live mean assigned
+    distance exceeds ``threshold`` x the build-time mean (weighted
+    over cells, so one small hot cell can't flip the decision). The
+    complement of :func:`rebuild_if_skewed` — that guard watches cell
+    SIZES, this one watches cell FIT."""
+    row = (
+        ivf_drift(spark, index_path)
+        .agg(
+            (F.sum(F.col("mean_d2_live") * F.col("n_live"))
+             / F.sum(F.col("n_live"))).alias("live"),
+            (F.sum(F.col("mean_d2_build") * F.col("n_build"))
+             / F.sum(F.col("n_build"))).alias("build"),
+        )
+        .collect()[0]
+    )
+    return bool(row.live > threshold * row.build)
+
+
 def ivf_probe(
     queries: DataFrame,
     index_path: str,
@@ -1044,10 +1162,16 @@ def ivf_probe(
     vectors = (
         spark.read.parquet(f"{index_path}/vectors")
         .where(F.col("cell").isin(cells))
-        .select(
-            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-            "cell", *match_cols, *exclude_cols,
-        )
+    )
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        # tombstone-aware probe: deleted ids anti-join INSIDE the
+        # pruned cell scan (broadcast, delete-volume-sized), before
+        # any candidate reaches the scoring join — the MOR read path
+        vectors = vectors.join(F.broadcast(tomb), "id", "left_anti")
+    vectors = vectors.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        "cell", *match_cols, *exclude_cols,
     )
     if match_cols:
         # the queries' filter values, pushed into the pruned scan as

@@ -469,6 +469,73 @@ def _exact_hard_negatives_df(
     ).select("query_id", "neighbor_id", "neg_label", "cos_sim", "rank")
 
 
+def _ivf_mor_index(spark: SparkSession, sf_dir: str) -> str:
+    """IVF index with a delete batch applied merge-on-read style:
+    built on the FULL corpus, then every ``vec_id % 7 == 0`` vector
+    tombstoned (operators/similarity.delete_from_ivf_index) — no
+    celled data file is rewritten; probes anti-join the tombstones
+    inside the pruned scan. Immutable per corpus content-token, like
+    every other index artifact."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        S.build_ivf_index(emb, tmp, n_centroids=16)
+        S.delete_from_ivf_index(
+            emb.where(F.col("vec_id") % 7 == 0), tmp
+        )
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "ivf_mor_index", "embeddings",
+                      params="n_centroids=16,deleted=mod7"), build
+    )
+
+
+@register(
+    "ann_ivf_delete",
+    oracle="""
+    WITH live AS (SELECT * FROM embeddings WHERE vec_id % 7 != 0),
+    q AS (SELECT * FROM live ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN live c ON q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="IVF index maintenance, delete side (operators/similarity.py "
+        "delete_from_ivf_index): vec_id % 7 == 0 vectors are "
+        "tombstoned after the build — a bounded parquet append, no "
+        "celled file rewritten — and the probe anti-joins the "
+        "tombstones INSIDE the partition-pruned cell scan "
+        "(broadcast, delete-volume-sized), the same merge-on-read "
+        "shape as the Iceberg MOR delete query. Output gates probe "
+        "results on >= 6/10 overlap with the exact top-10 over the "
+        "LIVE corpus, which the oracle recomputes from scratch over "
+        "embeddings minus the deleted ids — a single surfaced "
+        "deleted neighbor shrinks the overlap and fails the gate's "
+        "row parity. Companion drift guard (ivf_drift/refit_due) is "
+        "trigger-tested in tests/test_similarity.py.",
+)
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("vec_id") % 7 != 0)
+    queries = live.orderBy("vec_id").limit(5)
+    ivf = S.ivf_probe(queries, _ivf_mor_index(spark, sf_dir),
+                      k=10, n_probe=8)
+    exact = S.cosine_topk(live, queries, k=10)
+    return _recall_gate(ivf, exact, min_overlap=6)
+
+
 def _register_prewarmers() -> None:
     from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
         register_prewarmer,
@@ -477,6 +544,7 @@ def _register_prewarmers() -> None:
     register_prewarmer("ivf_index", _ivf_index)
     register_prewarmer("pq_index", _pq_index)
     register_prewarmer("ivf_incr_index", _ivf_incr_index)
+    register_prewarmer("ivf_mor_index", _ivf_mor_index)
     register_prewarmer("exact_hard_negatives",
                        _exact_hard_negatives_path)
 

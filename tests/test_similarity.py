@@ -737,3 +737,77 @@ def test_matryoshka_recall_improves_with_width(spark, sf_dir: str) -> None:
     mean16 = sum(by_dim[16]) / len(by_dim[16])
     mean32 = sum(by_dim[32]) / len(by_dim[32])
     assert mean32 >= mean16
+
+
+def test_ivf_delete_tombstones_never_surface(spark, tmp_path) -> None:
+    """delete_from_ivf_index appends tombstones only (no celled data
+    file rewritten); probes anti-join them inside the pruned scan so
+    a deleted vector can never surface; drift audit also excludes
+    them."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (rng.normal(0, 0.05, 4) + (5.0 if i % 2 else -5.0))
+             .tolist()) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=2)
+    before = {
+        f for f in (tmp_path / "ivf" / "vectors").rglob("*.parquet")
+    }
+    deleted = {i for i in range(40) if i % 5 == 0}
+    S.delete_from_ivf_index(df.where(F.col("vec_id") % 5 == 0), idx)
+    # merge-on-read: the celled store is byte-identical
+    assert before == {
+        f for f in (tmp_path / "ivf" / "vectors").rglob("*.parquet")
+    }
+    q = df.where(F.col("vec_id") == 1)
+    out = S.ivf_probe(q, idx, k=10, n_probe=1).collect()
+    assert len(out) == 10
+    assert not ({r.neighbor_id for r in out} & deleted)
+    # live accounting in the drift audit excludes tombstones
+    drift = S.ivf_drift(spark, idx).collect()
+    assert sum(r.n_live for r in drift) == 40 - len(deleted)
+    assert sum(r.n_build for r in drift) == 40
+
+
+def test_ivf_drift_flags_refit(spark, tmp_path) -> None:
+    """Unchanged store: drift_ratio ~ 1, no refit. After appending a
+    shifted blob (distribution moved off the fitted centroids), the
+    weighted live distance exceeds the baseline and refit_due flips.
+    Indexes without a baseline refuse instead of inventing a ratio."""
+    import numpy as np
+
+    import pytest
+
+    rng = np.random.default_rng(3)
+    rows = [(i, (rng.normal(0, 0.1, 4) + (4.0 if i % 2 else -4.0))
+             .tolist()) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=2)
+    for r in S.ivf_drift(spark, idx).collect():
+        assert abs(r.drift_ratio - 1.0) < 1e-9  # live == build
+    assert S.refit_due(spark, idx, threshold=1.5) is False
+
+    # distribution shift: a third blob far from both centroids
+    shifted = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(0, 0.1, 4) + 12.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    S.append_to_ivf_index(shifted, idx)
+    assert S.refit_due(spark, idx, threshold=1.5) is True
+
+    # no baseline -> honest refusal
+    import shutil
+
+    shutil.rmtree(tmp_path / "ivf" / "build_stats")
+    with pytest.raises(ValueError, match="build_stats"):
+        S.ivf_drift(spark, idx)
