@@ -608,23 +608,92 @@ def events_engagement_ratios(spark: SparkSession,
         "user_id", F.col("ts").cast("date").alias("d")
     ).distinct()
     spine = user_days.select("d").distinct()
-    # linear form of the trailing window: a user active on day d is
-    # week-active on d..d+6 — fixed 7x explode + equi join, not an
-    # O(user_days x spine) theta join
-    coverage = user_days.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("d"),
-    )
-    wau = (
-        coverage.join(spine, "d", "left_semi")
-        .groupBy("d")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
+    wau = _trailing_active_users(user_days, spine, 7, "wau")
     dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     return dau.join(wau, "d").select(
         F.col("d").cast("string").alias("day"),
         "dau", "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+def _trailing_active_users(
+    user_days: DataFrame, spine: DataFrame, n_days: int, label: str
+) -> DataFrame:
+    """Distinct users active in the trailing ``n_days`` window ending
+    on each spine day — LINEARIZED: a user-day covers the next
+    ``n_days`` spine days (fixed n-fold explode + equi semi-join),
+    never an O(user_days x spine) theta join. The fan-out factor is
+    the window length, a constant — at 100 TB the only event-sized
+    work remains the one distinct-(user, day) shuffle upstream."""
+    coverage = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), n_days - 1))
+        ).alias("d"),
+    )
+    return (
+        coverage.join(spine, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias(label))
+    )
+
+
+@register(
+    "events_engagement_mau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM user_days),
+    wau AS (
+      SELECT s.d, count(DISTINCT u.user_id) AS wau
+      FROM spine s JOIN user_days u
+        ON u.d <= s.d AND u.d > s.d - INTERVAL 7 DAY
+      GROUP BY s.d
+    ),
+    mau AS (
+      SELECT s.d, count(DISTINCT u.user_id) AS mau
+      FROM spine s JOIN user_days u
+        ON u.d <= s.d AND u.d > s.d - INTERVAL 28 DAY
+      GROUP BY s.d
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY d)
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS dau_over_mau,
+           CAST(wau.wau AS DOUBLE) / mau.mau AS wau_over_mau
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    """,
+    doc="The N-day generalization of events_engagement_ratios: DAU / "
+        "trailing-7-day WAU / trailing-28-day MAU plus the DAU/MAU "
+        "and WAU/MAU stickiness ratios every growth dashboard "
+        "carries. Both trailing windows share one linearization "
+        "helper (_trailing_active_users): a fixed N-fold explode + "
+        "equi semi-join — the fan-out is 28x on the DISTINCT "
+        "(user, day) frame, never a theta join on the event stream "
+        "(plan-gated alongside the 7-day query: zero nested-loop "
+        "joins at any N). The oracle states both windows as range "
+        "predicates, so the linearization itself is hash-gated. "
+        "Exact-integer ratios divide once as f64.",
+)
+def events_engagement_mau(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    spine = user_days.select("d").distinct()
+    wau = _trailing_active_users(user_days, spine, 7, "wau")
+    mau = _trailing_active_users(user_days, spine, 28, "mau")
+    dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d").join(mau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau", "wau", "mau",
+            (F.col("dau").cast("double") / F.col("mau"))
+            .alias("dau_over_mau"),
+            (F.col("wau").cast("double") / F.col("mau"))
+            .alias("wau_over_mau"),
+        )
     )

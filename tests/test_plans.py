@@ -623,10 +623,12 @@ def test_gapfill_windows_run_on_the_day_grain(spark, inv, sf_dir):
 
 
 def test_engagement_wau_never_nested_loops(spark, inv, sf_dir):
-    """The trailing-window WAU must stay an explode + equi join —
-    a theta-join regression would nested-loop O(user_days x days)
-    at scale."""
-    executed, _ = _plans(spark, inv, "events_engagement_ratios",
-                         sf_dir)
-    assert "BroadcastNestedLoopJoin" not in executed
-    assert "Generate explode" in executed or "Generate" in executed
+    """The trailing-window WAU/MAU must stay an explode + equi join
+    at EVERY window length — a theta-join regression would
+    nested-loop O(user_days x days) at scale."""
+    for q in ("events_engagement_ratios", "events_engagement_mau"):
+        executed, _ = _plans(spark, inv, q, sf_dir)
+        assert "BroadcastNestedLoopJoin" not in executed, q
+        assert "CartesianProduct" not in executed, q
+        assert "Generate explode" in executed \
+            or "Generate" in executed, q
