@@ -680,21 +680,42 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Trino's SHOW STATS FOR <table> surface (Engine."
         "_resolve_show_stats) — the table statistics Trino's "
         "cost-based optimizer and Superset's cost preview read: "
-        "per-column data_size (string columns), exact NDV, null "
-        "fraction, numeric low/high, and the summary row_count, all "
-        "from ONE aggregate pass (multiple count-distincts plan "
+        "per-column data_size in BYTES (string columns), exact NDV, "
+        "null fraction, numeric low/high, and the summary row_count, "
+        "all from ONE aggregate pass (multiple count-distincts plan "
         "through a single expand). Exact NDV keeps the surface "
         "oracle-checkable; Trino itself serves estimates, and the "
-        "100 TB swap is approx_count_distinct. The oracle restates "
-        "every statistic per column in SQL.",
+        "100 TB swap is approx_count_distinct. Driven END-TO-END "
+        "over the Trino REST wire protocol (server.py POST "
+        "/v1/statement + nextUri paging), exactly how a Trino "
+        "client or Superset's cost preview would issue it. The "
+        "oracle restates every statistic per column in SQL.",
 )
 def sql_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.queries.wire import (
+        _drain_statement,
+    )
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
 
     _t(spark, sf_dir, "orders")[0].createOrReplaceTempView(
         "show_stats_orders"
     )
-    return Engine(spark).sql("SHOW STATS FOR show_stats_orders")
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(srv.url,
+                                "SHOW STATS FOR show_stats_orders")
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "column_name string, data_size double, "
+        "distinct_values_count double, nulls_fraction double, "
+        "row_count double, low_value string, high_value string",
+    )
 
 
 @register(

@@ -137,3 +137,25 @@ def test_concurrent_clients(server):
         t.join(timeout=60)
     for i in range(1, 5):
         assert results[i] == [i * n for n in range(1, 51)]
+
+
+def test_show_stats_over_wire(server, spark):
+    """Trino clients issue SHOW STATS FOR over /v1/statement (the
+    CBO-stats probe Superset's cost preview makes); the wire server
+    must serve Trino's exact column shape with byte-true data_size."""
+    spark.createDataFrame(
+        [(1, "ab"), (2, "cdé"), (3, None)], "k long, s string"
+    ).createOrReplaceTempView("wire_stats_t")
+    columns, rows = _drain(server, "SHOW STATS FOR wire_stats_t")
+    assert [c["name"] for c in columns] == [
+        "column_name", "data_size", "distinct_values_count",
+        "nulls_fraction", "row_count", "low_value", "high_value",
+    ]
+    by_col = {r[0]: r for r in rows}
+    # data_size counts BYTES: 'ab' (2) + 'cdé' (4 in UTF-8)
+    assert by_col["s"][1] == 6.0
+    assert by_col["s"][2] == 2.0  # exact NDV ignores the NULL
+    assert abs(by_col["s"][3] - 1 / 3) < 1e-12
+    assert by_col["k"][5:7] == ["1", "3"]  # numeric low/high
+    summary = next(r for r in rows if r[0] is None)
+    assert summary[4] == 3.0  # row_count
