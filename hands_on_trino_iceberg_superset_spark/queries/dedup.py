@@ -243,6 +243,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16-word shared boilerplate: every 8-gram fully inside it has
+# df = number of wrappers — the hot-shingle regime max_df exists for
+_BOILER_PRE = ("standard syndication header inserted by the feed "
+               "aggregator pipeline before every republished article "
+               "body text")
+_BOILER_POST = ("standard syndication footer appended by the feed "
+                "aggregator pipeline after every republished article "
+                "body text")
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             '{_BOILER_PRE} ' || text || ' {_BOILER_POST}'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS sp
+      FROM t WHERE len(toks) >= 8
+    ),
+    -- the max_df cap, folded into the oracle: shingles hotter than
+    -- 10 docs leave the universe; set sizes recompute over survivors
+    cold AS (
+      SELECT doc_id, sp FROM sh
+      WHERE sp IN (SELECT sp FROM sh GROUP BY sp
+                   HAVING count(*) <= 10)
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM cold GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter
+      FROM cold a JOIN cold b ON a.sp = b.sp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+             AS jaccard_sim
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz)
+            >= CAST(0.9 AS DOUBLE)
+    """,
+    doc="Containment dedup in the BOILERPLATE-HEAVY regime with the "
+        "max_df web-scale guard ENGAGED (operators/dedup."
+        "containment_pairs_inverted max_df=10): every wrapper shares "
+        "a 16-word syndication header/footer, so boilerplate "
+        "8-grams have df = wrapper count and the uncapped postings "
+        "join would blow up Σdf² on pairs that share NOTHING but "
+        "boilerplate (quadratic in wrappers). The cap drops shingles "
+        "with df > 10 from the universe and recomputes set sizes "
+        "over the survivors — Σmin(df,K)² cost — while quote "
+        "shingles (df = 2) keep every real (doc, wrapper) pair at "
+        "containment 1.0, and wrapper-wrapper boilerplate pairs "
+        "vanish instead of flooding the output. The oracle folds the "
+        "identical cap (HAVING df <= 10) so the pruning rule itself "
+        "is hash-gated. Capped-vs-uncapped scale rows in PERF.md.",
+)
+def dedup_containment_capped(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit(_BOILER_PRE + " "), F.col("text"),
+            F.lit(" " + _BOILER_POST),
+        ).alias("text"),
+    )
+    return D.containment_pairs_inverted(
+        docs.unionAll(wrappers), threshold=0.9, n=8, max_df=10
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""

@@ -426,3 +426,39 @@ def test_canonical_url_schemeless_never_null(spark) -> None:
     got = [r.c for r in
            df.select(D.canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_containment_max_df_prunes_boilerplate_postings(spark) -> None:
+    """On a boilerplate-heavy corpus the max_df cap must (1) drop the
+    hot shared shingles from the postings index — the Σmin(df,K)²
+    bound — and (2) still report every real containment pair via the
+    cold quote shingles."""
+    boiler_pre = " ".join(f"hdr{i}" for i in range(12))
+    boiler_post = " ".join(f"ftr{i}" for i in range(12))
+    quotes = {i: " ".join(f"q{i}w{j}" for j in range(15))
+              for i in range(12)}
+    rows = [(i, q) for i, q in quotes.items()]
+    rows += [(100 + i, f"{boiler_pre} {q} {boiler_post}")
+             for i, q in quotes.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from hands_on_trino_iceberg_superset_spark.operators.dedup import (
+        _shingle_postings,
+    )
+
+    uncapped = _shingle_postings(df, n=8, text_col="text",
+                                 id_col="doc_id").count()
+    capped = _shingle_postings(df, n=8, text_col="text",
+                               id_col="doc_id", max_df=3).count()
+    # 12 wrappers share every boilerplate-only 8-gram (df = 12 > 3)
+    assert capped < uncapped
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.containment_pairs_inverted(
+            df, threshold=0.9, n=8, max_df=3
+        ).collect()
+    }
+    # every quote is contained in its wrapper; no wrapper-wrapper
+    # boilerplate pair survives
+    assert got == {(i, 100 + i) for i in range(12)}
