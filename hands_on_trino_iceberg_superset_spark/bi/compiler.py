@@ -911,3 +911,141 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     if row_limit:
         sql += f" LIMIT {int(row_limit)}"
     return sql
+
+
+# ------------------------------------------------------- pivot charts
+
+
+def _pivot_label(value, metric) -> str:
+    """Output column label for one (column value, metric) pivot cell:
+    ``<value>__<metric label>`` with non-identifier characters folded
+    to underscores, so the label survives the SQL-text path's
+    identifier rules. Superset's pandas pivot uses a MultiIndex; a
+    flat relational result needs flat names."""
+    import re
+
+    v = re.sub(r"[^A-Za-z0-9_]", "_", str(value))
+    if not re.match(r"[A-Za-z_]", v):
+        v = "_" + v
+    return f"{v}__{_metric_label(metric)}"
+
+
+def _pivot_fields(form_data: Mapping[str, Any]) -> tuple[list, str, list]:
+    """Validated (row keys, single column key, metrics) of a
+    pivot_table_v2 form_data blob."""
+    rows = list(form_data.get("groupbyRows") or [])
+    cols = list(form_data.get("groupbyColumns") or [])
+    if len(cols) != 1:
+        raise ValueError(
+            "pivot compilation supports exactly one groupbyColumns "
+            f"key, got {cols!r} (a multi-key pivot is a pandas "
+            "MultiIndex — flatten it into one derived column first)")
+    if not rows:
+        raise ValueError("pivot requires at least one groupbyRows key")
+    metrics = form_data.get("metrics") or ["count"]
+    return rows, cols[0], metrics
+
+
+def _pivot_values(df: DataFrame, col_key: str) -> list:
+    """The pivoted column's distinct non-NULL values, sorted — the
+    output schema. Collected driver-side: a pivot dimension is
+    low-cardinality BY CONTRACT (each value becomes a physical
+    column; Superset renders them side by side), so this is
+    chart-schema-sized metadata, never data."""
+    vals = sorted(
+        r[0] for r in df.select(col_key).distinct().collect()
+        if r[0] is not None
+    )
+    if not vals:
+        raise ValueError(f"pivot column {col_key!r} has no values")
+    labels = {}
+    for v in vals:
+        for_label = _pivot_label(v, "x")
+        if for_label in labels:
+            raise ValueError(
+                f"pivot values {labels[for_label]!r} and {v!r} "
+                "collide after label sanitization")
+        labels[for_label] = v
+    return vals
+
+
+def _pivot_cell_column(metric, col_key: str, value) -> Column:
+    """One pivot cell as a conditional aggregate Column — the
+    single-aggregate formulation (no per-value scan, no pivot
+    operator): every cell is computed in ONE pass over the frame,
+    map-side partial aggregation included, which is also exactly the
+    SQL-text formulation so both paths share semantics."""
+    cond = F.col(col_key) == F.lit(value)
+    if isinstance(metric, str):
+        if metric != "count":
+            raise ValueError(f"unknown builtin metric: {metric}")
+        return F.count(F.when(cond, F.lit(1)))
+    agg = metric["aggregate"].upper()
+    if agg not in _AGGS:
+        raise ValueError(f"unknown aggregate: {agg}")
+    inner = F.when(cond, F.col(metric["column"]))
+    return _AGGS[agg](inner)
+
+
+def compile_pivot_form_data(
+    df: DataFrame, form_data: Mapping[str, Any],
+    values: Sequence[Any] | None = None,
+) -> DataFrame:
+    """Compile a Superset pivot_table_v2 chart: ``groupbyRows`` stay
+    group keys, the single ``groupbyColumns`` key fans out into one
+    output column per (value, metric) via conditional aggregation.
+    Superset itself pivots the fetched frame in pandas; compiling the
+    pivot INTO the aggregate pushes it to the engine — one shuffle on
+    the row keys, cells as FILTER-style aggregates, no second pass.
+    ``values`` pins the output schema explicitly (else derived from
+    the data, sorted); rows whose pivot key is NULL contribute to no
+    cell, matching a pandas pivot's dropped-NaN columns."""
+    df = _apply_time_range(df, form_data)
+    df = _apply_adhoc_filters(df, form_data)
+    rows, col_key, metrics = _pivot_fields(form_data)
+    vals = list(values) if values is not None \
+        else _pivot_values(df, col_key)
+    aggs = [
+        _pivot_cell_column(m, col_key, v).alias(_pivot_label(v, m))
+        for v in vals for m in metrics
+    ]
+    return df.groupBy(*rows).agg(*aggs)
+
+
+def pivot_form_data_to_sql(
+    table: str, form_data: Mapping[str, Any], values: Sequence[Any],
+) -> str:
+    """The SQL-text twin of :func:`compile_pivot_form_data`.
+    ``values`` is required: SQL compilation has no data access, and
+    the pivoted schema must be stated, not guessed."""
+    rows, col_key, metrics = _pivot_fields(form_data)
+    ck = _sql_ident(col_key)
+    cells = []
+    for v in values:
+        for m in metrics:
+            label = _sql_ident(_pivot_label(v, m))
+            lit = _sql_literal(v)
+            if isinstance(m, str):
+                if m != "count":
+                    raise ValueError(f"unknown builtin metric: {m}")
+                expr = f"count(CASE WHEN {ck} = {lit} THEN 1 END)"
+            else:
+                agg = m["aggregate"].upper()
+                if agg not in _AGGS:
+                    raise ValueError(f"unknown aggregate: {agg}")
+                col = _sql_ident(m["column"])
+                inner = f"CASE WHEN {ck} = {lit} THEN {col} END"
+                if agg == "COUNT_DISTINCT":
+                    expr = f"count(DISTINCT {inner})"
+                else:
+                    expr = f"{agg.lower()}({inner})"
+            cells.append(f"{expr} AS {label}")
+    row_idents = [_sql_ident(r) for r in rows]
+    where_conds = _adhoc_filter_sql(form_data)
+    where = (" WHERE " + " AND ".join(where_conds)
+             if where_conds else "")
+    return (
+        f"SELECT {', '.join(row_idents + cells)} "
+        f"FROM {_sql_ident(table)}{where} "
+        f"GROUP BY {', '.join(row_idents)}"
+    )

@@ -514,3 +514,78 @@ def bi_chart_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "currency",
         "count",
     ).orderBy("__timestamp", "currency")
+
+
+@register(
+    "bi_chart_pivot_table",
+    oracle=SEED_CTE
+    + """
+    SELECT status,
+           count(CASE WHEN transaction_type = 'payment' THEN 1 END)
+             AS payment__count,
+           CAST(sum(CASE WHEN transaction_type = 'payment'
+                    THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS payment__total_amount,
+           count(CASE WHEN transaction_type = 'refund' THEN 1 END)
+             AS refund__count,
+           CAST(sum(CASE WHEN transaction_type = 'refund'
+                    THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS refund__total_amount,
+           count(CASE WHEN transaction_type = 'transfer' THEN 1 END)
+             AS transfer__count,
+           CAST(sum(CASE WHEN transaction_type = 'transfer'
+                    THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS transfer__total_amount,
+           count(*) AS count
+    FROM seed_transactions
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="Superset pivot_table_v2 chart (groupbyRows=status, "
+        "groupbyColumns=transaction_type, metrics count + "
+        "SUM(amount)): Superset pivots the fetched frame in pandas; "
+        "the compiler pushes the pivot INTO the engine as "
+        "conditional aggregation — one shuffle on the row keys, one "
+        "(value, metric) FILTER-aggregate per output cell, computed "
+        "in a single pass with map-side partials (never a per-value "
+        "scan or a pivot operator). The pivoted schema is the sorted "
+        "distinct value list, chart-schema-sized by contract; the "
+        "plain count column doubles as the row total. Both "
+        "compilation paths share the CASE formulation verbatim "
+        "(parity-tested); the oracle restates every cell. Sums "
+        "aggregate in DECIMAL, cast once to DOUBLE.",
+)
+def bi_chart_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_pivot_form_data,
+    )
+
+    tx = seed_frames(spark)["transactions"].withColumn(
+        "amount_dec", dec("amount")
+    )
+    out = compile_pivot_form_data(
+        tx,
+        {
+            "viz_type": "pivot_table_v2",
+            "groupbyRows": ["status"],
+            "groupbyColumns": ["transaction_type"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "total_amount"},
+            ],
+            "time_range": "No filter",
+        },
+    )
+    cells = [c for c in out.columns if c != "status"]
+    return out.select(
+        "status",
+        *[dbl(F.col(c)).alias(c) if c.endswith("total_amount")
+          else F.col(c) for c in cells],
+        # row total: the all-values count is the sum of the count
+        # cells — emitted as Superset's row-total column
+        *[],
+    ).withColumn(
+        "count",
+        sum(F.col(c) for c in cells if c.endswith("__count")),
+    ).orderBy("status")

@@ -697,3 +697,100 @@ def events_engagement_mau(spark: SparkSession,
             .alias("wau_over_mau"),
         )
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+    pu AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_d,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', last_d, (SELECT a FROM anchor))
+               AS recency_days,
+             frequency, monetary
+      FROM pu
+    ),
+    q AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days DESC, user_id)
+               AS r_q,
+             ntile(4) OVER (ORDER BY frequency, user_id) AS f_q,
+             ntile(4) OVER (ORDER BY monetary, user_id) AS m_q
+      FROM rfm
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_q, f_q, m_q,
+           r_q * 100 + f_q * 10 + m_q AS rfm_score,
+           CASE WHEN r_q = 4 AND f_q = 4 THEN 'champion'
+                WHEN f_q >= 3 AND r_q >= 3 THEN 'loyal'
+                WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk'
+                WHEN r_q <= 2 AND f_q <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM q
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+        "quartiles + the classic champion/loyal/at_risk/hibernating "
+        "labels) over purchase events — the lifecycle-marketing "
+        "query every events warehouse serves. The event-sized work "
+        "is ONE groupBy to the user grain (recency vs the corpus "
+        "max-date anchor, a broadcast one-row aggregate — the "
+        "documented singleton-crossJoin shape, never a global "
+        "window over events); the three ntile(4) windows then run "
+        "over user-grain rows with unique (metric, user_id) "
+        "ordering, so quartile assignment is deterministic on both "
+        "engines. At 100 TB the ntile step is the one to swap for "
+        "approx-percentile cutoffs; everything upstream is linear. "
+        "Monetary aggregates in DECIMAL, cast once to DOUBLE.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("a"))
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            dbl(F.sum(dec("value"))).alias("monetary"),
+        )
+    )
+    rfm = (
+        pu.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a", "last_d").alias("recency_days"),
+            "frequency", "monetary",
+        )
+    )
+    r_q = F.ntile(4).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m_q = F.ntile(4).over(
+        Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    q = rfm.select("*", r_q.alias("r_q"), f_q.alias("f_q"),
+                   m_q.alias("m_q"))
+    seg = (
+        F.when((F.col("r_q") == 4) & (F.col("f_q") == 4), "champion")
+        .when((F.col("f_q") >= 3) & (F.col("r_q") >= 3), "loyal")
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 3), "at_risk")
+        .when((F.col("r_q") <= 2) & (F.col("f_q") <= 2),
+              "hibernating")
+        .otherwise("regular")
+    )
+    return q.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_q", "f_q", "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .alias("rfm_score"),
+        seg.alias("segment"),
+    )

@@ -1093,3 +1093,82 @@ def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("bigint").alias("cum_tokens"),
         (cum <= 250).alias("within_budget"),
     )
+
+
+@register(
+    "embedding_knn_label_vote",
+    oracle="""
+    WITH q AS (
+      SELECT * FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, q.label AS actual_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, actual_label, neighbor_label,
+             count(*) AS n_votes,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY count(*) DESC, neighbor_label) AS vote_rank
+      FROM topk
+      GROUP BY query_id, actual_label, neighbor_label
+    )
+    SELECT query_id, actual_label,
+           neighbor_label AS predicted_label, n_votes,
+           (neighbor_label = actual_label) AS correct
+    FROM votes WHERE vote_rank = 1
+    """,
+    doc="k-NN label classification over the embedding column (the "
+        "weak-labeling / label-propagation primitive of a training-"
+        "data pipeline): exact top-5 cosine neighbors per query "
+        "(operators/similarity.cosine_topk — broadcast queries, one "
+        "narrow corpus pass, no corpus shuffle), majority label "
+        "vote with a deterministic (votes DESC, label ASC) "
+        "tie-break, scored against the query's own label. Every "
+        "step is exact and SQL-stated, so the oracle re-derives the "
+        "full vote from scratch — no asserted constants. At 100 TB "
+        "swap the exact neighbor step for the IVF probe; the vote "
+        "is a query-sized aggregate either way.",
+)
+def embedding_knn_label_vote(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    topk = S.cosine_topk(emb, queries, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id")
+                  .withColumnRenamed("label", "neighbor_label"),
+                  "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label"))
+    winner = (
+        votes.withColumn("vote_rank", F.row_number().over(w))
+        .where(F.col("vote_rank") == 1)
+    )
+    actual = (
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("actual_label"))
+    )
+    return winner.join(F.broadcast(actual), "query_id").select(
+        "query_id", "actual_label",
+        F.col("neighbor_label").alias("predicted_label"),
+        "n_votes",
+        (F.col("neighbor_label") == F.col("actual_label"))
+        .alias("correct"),
+    )

@@ -707,3 +707,62 @@ def test_contribution_compiles_identically_on_both_paths(spark):
         with pytest.raises(ValueError):  # either offsets or shares
             compiler({**base, "contributionMode": "row",
                       "time_compare": ["1 day ago"]})
+
+
+def test_pivot_compiles_identically_on_both_paths(spark):
+    """pivot_table_v2: groupbyColumns fans out into (value, metric)
+    conditional-aggregate cells, identical on the Catalyst and
+    SQL-text paths; NULL pivot keys contribute to no cell; shape
+    violations raise."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_pivot_form_data,
+        pivot_form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 4.0),
+         ("b", "y", 8.0), ("b", None, 99.0)],
+        "r string, c string, v double",
+    )
+    df.createOrReplaceTempView("pivot_t")
+    fd = {
+        "viz_type": "pivot_table_v2",
+        "groupbyRows": ["r"],
+        "groupbyColumns": ["c"],
+        "metrics": ["count",
+                    {"aggregate": "SUM", "column": "v", "label": "sv"}],
+    }
+    native = compile_pivot_form_data(df, fd)
+    assert native.columns == [
+        "r", "x__count", "x__sv", "y__count", "y__sv",
+    ]
+    got = {r.r: tuple(r)[1:] for r in native.collect()}
+    # NULL pivot key (the 99.0 row) lands in no cell
+    assert got == {"a": (2, 3.0, 1, 4.0), "b": (0, None, 1, 8.0)}
+    sql = pivot_form_data_to_sql("pivot_t", fd, values=["x", "y"])
+    wire = {r.r: tuple(r)[1:] for r in spark.sql(sql).collect()}
+    assert wire == got
+    for bad in (
+        {**fd, "groupbyColumns": ["c", "r"]},   # multi-key pivot
+        {**fd, "groupbyColumns": []},
+        {**fd, "groupbyRows": []},
+        {**fd, "metrics": ["nope"]},
+    ):
+        with pytest.raises(ValueError):
+            compile_pivot_form_data(df, bad)
+        with pytest.raises(ValueError):
+            pivot_form_data_to_sql("pivot_t", bad, values=["x"])
+    # adhoc filters apply pre-pivot on both paths
+    fd_f = {**fd, "adhoc_filters": [
+        {"expressionType": "SIMPLE", "clause": "WHERE",
+         "subject": "v", "operator": "<", "comparator": 5}]}
+    nat_f = {r.r: tuple(r)[1:]
+             for r in compile_pivot_form_data(df, fd_f).collect()}
+    sql_f = pivot_form_data_to_sql("pivot_t", fd_f, values=["x", "y"])
+    assert nat_f == {r.r: tuple(r)[1:]
+                     for r in spark.sql(sql_f).collect()}
+    # group b loses every row to the filter and disappears entirely
+    # (a group exists iff it has input rows — same rule both paths)
+    assert nat_f == {"a": (2, 3.0, 1, 4.0)}
