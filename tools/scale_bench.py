@@ -120,6 +120,27 @@ QUERIES = [
     # corpus per anchor). The inventory query additionally pays the
     # exact side as its recall gate; production mining runs this.
     "hard_negatives_ivf_probe_only",
+    # r8: capped containment on the boilerplate-heavy fixture; the
+    # shared syndication header is a LITERAL (unsalted), so its df
+    # grows with the corpus and the uncapped form goes quadratic —
+    # the capped-vs-uncapped special case below measures both
+    "dedup_containment_capped",
+    # r8: k-NN label vote — queries scale with the corpus (%25), so
+    # exact pair work grows 100x at 10x; the documented scale swap
+    # is the IVF probe for the neighbor step
+    "embedding_knn_label_vote",
+    # r8: RFM — one event-sized groupBy, then user-grain windows
+    # (events unscaled in this corpus; see engagement special case)
+    "events_rfm_segments",
+    # r8: tombstone-aware IVF probe, PROBE PATH ONLY (the inventory
+    # query pays the exact recall gate; production reads run this)
+    "ivf_delete_probe_only",
+    # manual-only special cases (nonstandard output shapes, run via
+    # --one like skew_salted_wallclock / warehouse_s3_multipart):
+    #   containment_capped_vs_uncapped — Sigma min(df,K)^2 vs
+    #     Sigma df^2 on the same boilerplate-heavy corpus
+    #   engagement_events_scaling — DAU/WAU/MAU with events
+    #     replicated 10x (the standing corpus keeps events dim-sized)
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
@@ -217,6 +238,15 @@ def measure_one(name: str, dirs: list[str]) -> None:
     if name == "fuzzy_names_blocked_scaling":
         _measure_fuzzy_names_blocked_scaling(spark, dirs)
         return
+    if name == "ivf_delete_probe_only":
+        _measure_ivf_delete_probe(spark, dirs)
+        return
+    if name == "containment_capped_vs_uncapped":
+        _measure_containment_cap(spark, dirs)
+        return
+    if name == "engagement_events_scaling":
+        _measure_engagement_scaling(spark, dirs)
+        return
     spec = load_all()[name]
     for d in dirs:
         best, rows = None, None
@@ -269,6 +299,122 @@ def _measure_hard_negative_probe(spark, dirs: list[str]) -> None:
             best = dt if best is None else min(best, dt)
         rows = S.ivf_probe(anchors, idx, k=5, n_probe=8,
                            exclude_cols=["label"]).count()
+        print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_ivf_delete_probe(spark, dirs: list[str]) -> None:
+    """The ann_ivf_delete PROBE path in isolation: tombstone-aware
+    partition-pruned read (anti-join inside the cell scan). Index
+    build + tombstoning are the amortized ingest products — untimed,
+    like every other index artifact; queries scale with the corpus
+    (every 100th live vector) so the row measures probe cost under
+    merge-on-read deletes."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.similarity import (
+        _ivf_mor_index,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings")
+        idx = _ivf_mor_index(spark, d)
+        queries = emb.where(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 7 != 0)
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            S.ivf_probe(queries, idx, k=10, n_probe=8).write.format(
+                "noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows = S.ivf_probe(queries, idx, k=10, n_probe=8).count()
+        print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_containment_cap(spark, dirs: list[str]) -> None:
+    """Capped vs uncapped containment on the SAME boilerplate-heavy
+    fixture (dedup_containment_capped's derived corpus). The shared
+    16-word syndication header is an UNSALTED literal, so its
+    shingles' df grows with the corpus: uncapped postings volume is
+    Sigma df^2 (quadratic in wrappers), capped is Sigma min(df,10)^2
+    (linear). Prints two RESULT lines per dir: capped then
+    uncapped."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.dedup import (
+        _BOILER_POST,
+        _BOILER_PRE,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    for d in dirs:
+        docs = load_table(spark, d, "documents").select("doc_id", "text")
+        wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit(_BOILER_PRE + " "), F.col("text"),
+                     F.lit(" " + _BOILER_POST)).alias("text"),
+        )
+        corpus = docs.unionAll(wrappers)
+        for max_df in (10, None):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                out = D.containment_pairs_inverted(
+                    corpus, threshold=0.9, n=8, max_df=max_df)
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows = D.containment_pairs_inverted(
+                corpus, threshold=0.9, n=8, max_df=max_df).count()
+            print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_engagement_scaling(spark, dirs: list[str]) -> None:
+    """DAU/WAU/MAU trailing-window linearization with events
+    replicated 10x (disjoint user ids per replica — engagement
+    structure replicates, the day spine stays fixed). The standing
+    scale corpus keeps events dim-sized, so this family needs its
+    own fixture. Prints 1x then 10x RESULT lines for dirs[0]."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.queries.events import (
+        _trailing_active_users,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev1 = load_table(spark, dirs[0], "events").select("user_id", "ts")
+    ev10 = ev1.select("*", _rep_col(10)).select(
+        (F.col("user_id") + F.col("rep") * 10_000_000)
+        .alias("user_id"), "ts",
+    )
+    for ev in (ev1, ev10):
+        user_days = ev.select(
+            "user_id", F.col("ts").cast("date").alias("d")
+        ).distinct()
+        spine = user_days.select("d").distinct()
+
+        def run():
+            dau = user_days.groupBy("d").agg(
+                F.count(F.lit(1)).alias("dau"))
+            wau = _trailing_active_users(user_days, spine, 7, "wau")
+            mau = _trailing_active_users(user_days, spine, 28, "mau")
+            return dau.join(wau, "d").join(mau, "d")
+
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows = run().count()
         print(f"RESULT {rows},{best:.4f}", flush=True)
 
 
