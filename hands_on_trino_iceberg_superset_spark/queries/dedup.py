@@ -184,7 +184,7 @@ _WRAP_POST = "end of quoted excerpt original source follows"
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000,
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
              '{_WRAP_PRE} ' || text || ' {_WRAP_POST}'
       FROM documents WHERE doc_id % 10 = 0
     ),
@@ -231,15 +231,23 @@ _WRAP_POST = "end of quoted excerpt original source follows"
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(
-            F.lit(_WRAP_PRE + " "), F.col("text"),
-            F.lit(" " + _WRAP_POST),
-        ).alias("text"),
-    )
     return D.containment_pairs_inverted(
-        docs.unionAll(wrappers), threshold=0.9, n=8
+        docs.unionAll(_wrap_docs(docs, _WRAP_PRE, _WRAP_POST)),
+        threshold=0.9, n=8,
+    )
+
+
+def _wrap_docs(docs: DataFrame, pre: str, post: str) -> DataFrame:
+    """Every 10th document re-published inside wrapper boilerplate,
+    with ids offset by max(doc_id)+1 — derived from the corpus, not a
+    constant, so a replicated scale corpus (ids up to reps x 1M)
+    can't collide wrapper ids with real documents. The offset is one
+    scalar driver-side aggregate (bounded metadata)."""
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    return docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.concat(F.lit(pre + " "), F.col("text"),
+                 F.lit(" " + post)).alias("text"),
     )
 
 
@@ -259,7 +267,7 @@ _BOILER_POST = ("standard syndication footer appended by the feed "
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000,
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
              '{_BOILER_PRE} ' || text || ' {_BOILER_POST}'
       FROM documents WHERE doc_id % 10 = 0
     ),
@@ -313,15 +321,9 @@ _BOILER_POST = ("standard syndication footer appended by the feed "
 def dedup_containment_capped(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(
-            F.lit(_BOILER_PRE + " "), F.col("text"),
-            F.lit(" " + _BOILER_POST),
-        ).alias("text"),
-    )
     return D.containment_pairs_inverted(
-        docs.unionAll(wrappers), threshold=0.9, n=8, max_df=10
+        docs.unionAll(_wrap_docs(docs, _BOILER_PRE, _BOILER_POST)),
+        threshold=0.9, n=8, max_df=10,
     )
 
 

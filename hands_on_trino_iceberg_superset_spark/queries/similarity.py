@@ -530,8 +530,12 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     live = emb.where(F.col("vec_id") % 7 != 0)
     queries = live.orderBy("vec_id").limit(5)
+    # n_probe 10 (not the other IVF rows' 8): tombstones thin the
+    # probed cells ~14%, which costs the smoke-scale corpus one
+    # query's 6/10 margin at 8 probes — measured overlap at 10 is
+    # >= 9/10 on every query at both test scales
     ivf = S.ivf_probe(queries, _ivf_mor_index(spark, sf_dir),
-                      k=10, n_probe=8)
+                      k=10, n_probe=10)
     exact = S.cosine_topk(live, queries, k=10)
     return _recall_gate(ivf, exact, min_overlap=6)
 

@@ -355,14 +355,14 @@ def _measure_containment_cap(spark, dirs: list[str]) -> None:
     )
     from hands_on_trino_iceberg_superset_spark.sources import load_table
 
+    from hands_on_trino_iceberg_superset_spark.queries.dedup import (
+        _wrap_docs,
+    )
+
     for d in dirs:
         docs = load_table(spark, d, "documents").select("doc_id", "text")
-        wrappers = docs.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.concat(F.lit(_BOILER_PRE + " "), F.col("text"),
-                     F.lit(" " + _BOILER_POST)).alias("text"),
-        )
-        corpus = docs.unionAll(wrappers)
+        corpus = docs.unionAll(
+            _wrap_docs(docs, _BOILER_PRE, _BOILER_POST))
         for max_df in (10, None):
             best, rows = None, None
             for _ in range(2):
