@@ -632,3 +632,66 @@ def test_engagement_wau_never_nested_loops(spark, inv, sf_dir):
         assert "CartesianProduct" not in executed, q
         assert "Generate explode" in executed \
             or "Generate" in executed, q
+
+
+def test_pivot_compiles_to_one_aggregate_pass(spark, inv, sf_dir):
+    """The pivot chart must be ONE conditional aggregation (partial +
+    final around a single exchange) — never a per-value scan, a
+    PIVOT/Expand operator, or a join of per-value subqueries."""
+    executed, _ = _plans(spark, inv, "bi_chart_pivot_table", sf_dir)
+    assert "Join" not in executed
+    assert "Expand" not in executed
+    # seed frame is driver-local; the agg itself is the only shuffle
+    body = executed.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") <= 2  # agg + final orderBy
+
+
+def test_knn_vote_broadcasts_and_never_cartesian(spark, inv, sf_dir):
+    """k-NN label vote: the query side broadcasts into the corpus
+    scan (theta self-join via BroadcastNestedLoop over the SMALL
+    broadcast side is the documented exact-scan shape); the corpus
+    is never shuffled pre-join and nothing plans a CartesianProduct."""
+    executed, _ = _plans(spark, inv, "embedding_knn_label_vote",
+                         sf_dir)
+    assert "CartesianProduct" not in executed
+    assert "BroadcastExchange" in executed
+
+
+def test_rfm_single_event_sized_shuffle(spark, inv, sf_dir):
+    """RFM: the purchase aggregate to the user grain is the only
+    event-sized exchange; the anchor joins as a broadcast 1-row
+    aggregate and the ntile windows run over user-grain rows."""
+    executed, formatted = _plans(spark, inv, "events_rfm_segments",
+                                 sf_dir)
+    assert "BroadcastNestedLoopJoin" in executed \
+        or "BroadcastHashJoin" in executed  # the 1-row anchor join
+    # the purchase filter reaches the parquet reader
+    assert "EqualTo(event_type,purchase)" in formatted
+
+
+def test_ivf_delete_probe_prunes_and_antijoins(spark, sf_dir):
+    """The tombstone-aware probe plan: the celled store scan carries
+    the cell partition filter AND the tombstone anti-join is a
+    broadcast (delete-volume-sized), upstream of the scoring join."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.queries.similarity import (
+        _ivf_mor_index,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.where(F.col("vec_id") % 7 != 0)
+    probe = S.ivf_probe(live.orderBy("vec_id").limit(5),
+                        _ivf_mor_index(spark, sf_dir),
+                        k=10, n_probe=4)
+    qe = probe._jdf.queryExecution()
+    executed = qe.executedPlan().toString()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    assert "LeftAnti, BuildRight" in executed  # broadcast tombstones
+    # partition pruning on the celled store: the cell filter is a
+    # partition-level predicate, not a data-page filter
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", formatted)
