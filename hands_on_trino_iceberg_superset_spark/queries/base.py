@@ -401,6 +401,14 @@ def _query_anchors() -> dict[str, set]:
                 fns.append(v)
         return fns
 
+    def bases_of(obj) -> list:
+        """In-package base classes of a referenced class — their
+        segments are part of the behavior the subclass inherits."""
+        if not isinstance(obj, type):
+            return []
+        return [b for b in obj.__mro__[1:]
+                if getattr(b, "__module__", "").split(".")[0] == pkg]
+
     # per-module AST facts: {relpath: ({fn: decorator Name ids},
     #                                  {fn: {alias: object}})} — the
     # second map resolves FUNCTION-LOCAL imports ("from ...operators
@@ -487,6 +495,8 @@ def _query_anchors() -> dict[str, set]:
                 continue
             top = obj.__qualname__.split(".")[0]
             anchors.add((rp, "def:" + top))
+            for b in bases_of(obj):
+                stack.append((b, False))
             names: set = set()
             globs: dict = {}
             for fn in functions_of(obj):
