@@ -298,3 +298,95 @@ def test_canonical_url_total_and_idempotent(spark, urls):
     twice = [r.c for r in
              df2.select(D.canonical_url(F.col("url")).alias("c")).collect()]
     assert twice == once
+
+
+@given(
+    st.lists(st.floats(min_value=-20, max_value=20,
+                       allow_nan=False).map(lambda x: round(x, 2)),
+             min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(-10, 10), st.integers(0, 12)),
+             min_size=1, max_size=6),
+    st.sampled_from([1, 3, 5]),
+)
+@settings(max_examples=15, deadline=None)
+def test_range_bucket_join_matches_naive_on_random_bands(
+    spark, values, bands, width
+):
+    """The bucketized range join is value-identical to the naive
+    theta join on arbitrary fact values, band widths (empty bands
+    included), overlaps, and bucket widths."""
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        scale as SC,
+    )
+
+    facts = spark.createDataFrame([(float(v),) for v in values],
+                                  "v double")
+    ranges = spark.createDataFrame(
+        [(f"b{i}", float(lo), float(lo + span))
+         for i, (lo, span) in enumerate(bands)],
+        "name string, lo double, hi double",
+    )
+    got = {
+        (r.v, r.name)
+        for r in SC.range_bucket_join(
+            facts, ranges, "v", bucket_width=width
+        ).collect()
+    }
+    naive = {
+        (v, f"b{i}")
+        for v in values
+        for i, (lo, span) in enumerate(bands)
+        if lo <= v < lo + span
+    }
+    assert got == naive
+
+
+@given(
+    st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                      max_size=6).map(" ".join),
+             min_size=2, max_size=8),
+    st.sampled_from([1, 2, 1000]),
+)
+@settings(max_examples=15, deadline=None)
+def test_containment_capped_matches_python_reference(
+    spark, docs, max_df
+):
+    """containment_pairs_inverted under ANY max_df equals the pure-
+    Python reference computed over the same df-capped shingle
+    universe (threshold 0 = every sharing pair emitted)."""
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D2,
+    )
+
+    n = 2
+    sets = {i: set(_py_shingles(d, n)) for i, d in enumerate(docs)}
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    capped = {i: {g for g in s if df_count[g] <= max_df}
+              for i, s in sets.items()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(capped[a] & capped[b])
+            if not inter:
+                continue
+            want[(a, b)] = (
+                inter / min(len(capped[a]), len(capped[b])),
+                inter / (len(capped[a]) + len(capped[b]) - inter),
+            )
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.containment, r.jaccard_sim)
+        for r in D2.containment_pairs_inverted(
+            sdf, threshold=0.0, n=n, max_df=max_df
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (c, j) in want.items():
+        assert abs(got[k][0] - c) < 1e-12 and abs(got[k][1] - j) < 1e-12
