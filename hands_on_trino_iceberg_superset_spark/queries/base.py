@@ -630,7 +630,14 @@ def load_all() -> dict[str, QuerySpec]:
     driver's ~50-slot window are reserved for the OLDEST green rows,
     so even a round that lands 40+ new queries cannot starve the
     green tail — no row ages indefinitely behind never-checked
-    inflow.
+    inflow. Deliberate priority call: classes 0-2 (failed / new /
+    genuinely changed) are never displaced below the floor — a
+    one-time rework round that inflates class 2 can delay full
+    staleness clearance by a round, because green-on-old-code is a
+    correctness risk while green-on-current-code is only a
+    freshness one (and every green query is still re-proven locally
+    each round by the sf0.001 differential in test_core_queries plus
+    the full sf0.01 sweep).
 
     Every round this cycles the stalest tail into the driver's
     window; the full inventory is always covered by the local DuckDB
