@@ -264,12 +264,15 @@ _BOILER_POST = ("standard syndication footer appended by the feed "
 @register(
     "dedup_containment_capped",
     oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
+    WITH docs3 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM docs3
       UNION ALL
-      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM docs3),
              '{_BOILER_PRE} ' || text || ' {_BOILER_POST}'
-      FROM documents WHERE doc_id % 10 = 0
+      FROM docs3 WHERE doc_id % 10 = 0
     ),
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
     sh AS (
@@ -320,7 +323,15 @@ _BOILER_POST = ("standard syndication footer appended by the feed "
 )
 def dedup_containment_capped(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 1/3 slice: the inventory row demonstrates the cap
+    # semantics (oracle folds the same HAVING df<=10), not corpus
+    # scale — the full-corpus cost curves live in PERF.md via
+    # scale_bench's containment_capped_vs_uncapped lane
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
     return D.containment_pairs_inverted(
         docs.unionAll(_wrap_docs(docs, _BOILER_PRE, _BOILER_POST)),
         threshold=0.9, n=8, max_df=10,
