@@ -794,3 +794,68 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rfm_score"),
         seg.alias("segment"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+      SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+             count(*) AS n_walks,
+             count(DISTINCT user_id) AS n_users
+      FROM ordered WHERE t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_walks, n_users, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n_walks DESC, path)
+               AS rank
+      FROM paths
+    ) WHERE rank <= 10
+    """,
+    doc="Top-10 three-step behavioral paths (the Sankey/path-"
+        "exploration query behind every product-analytics flow "
+        "view): per-user event streams ordered on the shared "
+        "microsecond precision (unix_micros / epoch_us, event_id "
+        "tie-break — the events_sessionization discipline), "
+        "consecutive triples via two lead() offsets in ONE window "
+        "pass, then a path-grain count + walk-count top-10 "
+        "(deterministic path tie-break). The only event-sized work "
+        "is the per-user sort window; the path grid is "
+        "|event_types|^3-bounded, so the ranking is metadata-sized "
+        "at any corpus scale. Generalizes events_transition_matrix "
+        "(first-order) to third order.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    tripled = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    paths = (
+        tripled.select(
+            F.concat_ws(" > ", "t1", "t2", "t3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_walks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    wr = Window.orderBy(F.desc("n_walks"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+    )

@@ -1046,3 +1046,72 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> array_to_string(
+                        list_slice(string_split(text, ' '), i, i + 2),
+                        ' '))) AS sp
+        FROM documents
+      )
+    ),
+    owner AS (
+      SELECT sp, min(doc_id) AS first_doc FROM sh GROUP BY sp
+    )
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(*) FILTER (WHERE o.first_doc = s.doc_id)
+                AS BIGINT) AS n_novel,
+           CAST(count(*) FILTER (WHERE o.first_doc = s.doc_id)
+                AS DOUBLE) / count(*) AS novelty
+    FROM sh s JOIN owner o ON s.sp = o.sp
+    GROUP BY s.doc_id
+    """,
+    doc="Per-document shingle NOVELTY — the marginal-contribution "
+        "signal of dedup-aware curation (what fraction of a doc's "
+        "word 3-grams appears nowhere earlier in the corpus, "
+        "doc_id order): each distinct shingle's first owner is a "
+        "min-aggregate over the SAME single explode+shuffle as "
+        "dedup_exact's fingerprint pass — one corpus-sized shuffle "
+        "on the shingle hash, then a doc-grain aggregate; no pair "
+        "joins, no quadratic anything, the linear complement to the "
+        "containment/Jaccard pair tier. A near-dup re-publication "
+        "scores ~0, boilerplate-heavy docs score low, fresh content "
+        "scores ~1 — the standard greedy-selection score for "
+        "dedup-aware sampling. Exact-integer ratio divides once as "
+        "f64; short docs (< 3 words) have no shingles and no row on "
+        "either side.",
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("sp"),
+    )
+    owner = sh.groupBy("sp").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(owner, "sp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles"))
+        .alias("novelty"),
+    )
