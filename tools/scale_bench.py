@@ -135,6 +135,10 @@ QUERIES = [
     # r8: tombstone-aware IVF probe, PROBE PATH ONLY (the inventory
     # query pays the exact recall gate; production reads run this)
     "ivf_delete_probe_only",
+    # r8: per-doc novelty — one shingle-hash shuffle + doc aggregate;
+    # salted replicas keep shingle vocab disjoint so the first-owner
+    # structure replicates linearly
+    "text_shingle_novelty",
     # manual-only special cases (nonstandard output shapes, run via
     # --one like skew_salted_wallclock / warehouse_s3_multipart):
     #   containment_capped_vs_uncapped — Sigma min(df,K)^2 vs
