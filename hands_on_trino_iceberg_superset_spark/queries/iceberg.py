@@ -807,3 +807,87 @@ def _register_prewarmers_r7b() -> None:
 
 
 _register_prewarmers_r7b()
+
+
+def _wap_iceberg_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish artifact: base table (3/4 of orders), two
+    candidate batches STAGED with ``stage_only`` (wap.id staging —
+    committed snapshots that do not advance the head), the audit
+    rejecting the 'F'-status batch, and ``cherry_pick`` publishing
+    only the clean one. The rejected snapshot stays in metadata,
+    abandoned — its rows must never surface. Immutable per corpus
+    content-token like every DML fixture."""
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    def build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.where(F.col("o_orderkey") % 4 != 0)
+        staged = orders.where(F.col("o_orderkey") % 4 == 0)
+        bad = staged.where(F.col("o_orderstatus") == "F")
+        good = staged.where(F.col("o_orderstatus") != "F")
+        t = IcebergTable.create(spark, tmp, base)
+        t.append(bad, stage_only=True)   # fails the audit
+        t.append(good, stage_only=True)
+        good_sid = t.meta["snapshots"][-1]["snapshot-id"]
+        # audit: the staged batch must contain no 'F' rows
+        t.cherry_pick(good_sid)
+
+    return ensure_artifact(
+        artifact_path(sf_dir, "iceberg_wap", "orders",
+                      params="base=mod4ne0,reject=F,publish=clean"),
+        build,
+    )
+
+
+@register(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 != 0 OR o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Write-audit-publish on spec-format Iceberg metadata (the "
+        "Netflix WAP pattern Iceberg's wap.id staging exists for): "
+        "two candidate batches committed with stage_only (real "
+        "snapshots, head unmoved), the audit rejects the batch "
+        "carrying 'F' orders, cherry_pick publishes ONLY the clean "
+        "one by snapshot id. The post-publish state is read through "
+        "a fresh metadata adoption, as a foreign reader would see "
+        "it; the rejected snapshot remains in metadata, abandoned — "
+        "one leaked row from it (or publishing the wrong id, or "
+        "staging advancing the head) shifts the per-status "
+        "aggregate and fails the hash. The oracle states base + "
+        "published batch declaratively. Scale shape: staging and "
+        "publish are metadata-only (manifest pointer moves); the "
+        "audit reads one batch, never the table.",
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adopted = IcebergTable.load(spark, _wap_iceberg_path(spark, sf_dir))
+    return (
+        adopted.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dbl(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _register_prewarmers_r8() -> None:
+    from hands_on_trino_iceberg_superset_spark.queries.artifacts import (
+        register_prewarmer,
+    )
+
+    register_prewarmer("iceberg_wap", _wap_iceberg_path)
+
+
+_register_prewarmers_r8()
