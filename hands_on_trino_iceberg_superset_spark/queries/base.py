@@ -40,9 +40,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # the driver's CORRECTNESS snapshot covers roughly this many inventory
 # entries per round; the last _WINDOW_RESERVE of them are pinned to the
-# oldest green rows (staleness floor) in load_all()
+# oldest green rows (staleness floor) in load_all().
+#
+# ROUND-9 SWEEP: the reserve is temporarily raised 10 -> 35 so the
+# r4/r5-era green rows (13 + 37 queries whose anchors never changed
+# since) rotate through the driver window in one round; drop it back
+# to ~10 once min(last-checked round) catches up.
 _WINDOW = 50
-_WINDOW_RESERVE = 10
+_WINDOW_RESERVE = 35
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -341,6 +346,86 @@ def _file_segments(relpath: str, rev: str | None) -> dict[str, str] | None:
     return segs
 
 
+def _import_const_origins(relpath: str) -> dict[str, tuple[str, str]]:
+    """Module-level ``from X import NAME [as ALIAS]`` aliases of
+    IN-PACKAGE modules in one file: alias -> (imported-from module's
+    relpath, original name). Used to anchor a constant in the file
+    whose top-level assignment DEFINES it — an imported const has no
+    assignment segment in the importing module, so diffing its anchor
+    there would compare None == None at both revs and silently
+    under-report oracle-prefix changes (e.g. SEED_CTE imported into
+    queries/bi.py). Memoized per relpath."""
+    import ast
+    import importlib
+    from pathlib import Path
+
+    cache = getattr(_import_const_origins, "_cache", None)
+    if cache is None:
+        cache = _import_const_origins._cache = {}
+    if relpath in cache:
+        return cache[relpath]
+
+    pkg_root = Path(__file__).resolve().parents[1]
+    pkg = pkg_root.name
+    root = pkg_root.parent
+    out: dict[str, tuple[str, str]] = {}
+    try:
+        tree = ast.parse((root / relpath).read_text())
+    except Exception:
+        cache[relpath] = out
+        return out
+    mod_parts = list(Path(relpath).with_suffix("").parts)
+    if mod_parts and mod_parts[-1] == "__init__":
+        mod_parts = mod_parts[:-1]
+    for node in tree.body:
+        if not (isinstance(node, ast.ImportFrom) and node.module):
+            continue
+        modname = node.module
+        if node.level:
+            base = mod_parts[:-node.level] \
+                if node.level <= len(mod_parts) else []
+            modname = ".".join([*base, modname])
+        if not modname.startswith(pkg):
+            continue
+        try:
+            m = importlib.import_module(modname)
+        except Exception:
+            continue
+        f = getattr(m, "__file__", None)
+        if not f:
+            continue
+        try:
+            mrp = Path(f).resolve().relative_to(root).as_posix()
+        except ValueError:
+            continue
+        for alias in node.names:
+            out[alias.asname or alias.name] = (mrp, alias.name)
+    cache[relpath] = out
+    return out
+
+
+def _const_anchor(relpath: str, name: str) -> tuple[str, str]:
+    """Anchor key for a module-level constant referenced as ``name``
+    in the module at ``relpath``: follow ``from X import NAME``
+    chains until a file whose top-level assignment actually carries a
+    ``const:`` segment. When no assignment segment exists anywhere on
+    the chain (tuple unpacking, __init__ re-export of a computed
+    value), anchor the WHOLE FILE of the last module reached — coarse
+    for that one query, but a change is never silently dropped."""
+    seen: set = set()
+    rp, n = relpath, name
+    while (rp, n) not in seen:
+        seen.add((rp, n))
+        segs = _file_segments(rp, None)
+        if segs is not None and ("const:" + n) in segs:
+            return (rp, "const:" + n)
+        nxt = _import_const_origins(rp).get(n)
+        if nxt is None:
+            break
+        rp, n = nxt
+    return (rp, "")
+
+
 def _query_anchors() -> dict[str, set]:
     """query name -> set of (relpath, anchor) content keys.
 
@@ -543,16 +628,40 @@ def _query_anchors() -> dict[str, set]:
                             hit = True
                         elif a is not None and not isinstance(
                                 a, types.ModuleType) and not callable(a):
-                            anchors.add((mrp, "const:" + attr))
+                            anchors.add(_const_anchor(mrp, attr))
                             hit = True
                     if not hit:
                         anchors.add((mrp, ""))  # whole-module fallback
                 elif not callable(v):
-                    # module-level constant in the referring module
-                    anchors.add((rp, "const:" + n))
+                    # module-level constant: anchored in its DEFINING
+                    # file (import chains followed), not the referrer
+                    anchors.add(_const_anchor(rp, n))
         return anchors
 
-    result = {name: anchors_for(spec.spark)
+    # registry machinery is infra (same policy as _module_closure):
+    # edits to it never change query semantics. And GENERATED code
+    # (dataclass __create_fn__ wrappers etc.) has no top-level source
+    # segment anywhere — such anchors would diff None==None forever,
+    # and with the both-missing fallback would coarsely mark whole
+    # modules changed; they carry no content, so drop them.
+    here_rp = Path(__file__).resolve().relative_to(root).as_posix()
+    init_rp = (Path(__file__).resolve().parent / "__init__.py") \
+        .relative_to(root).as_posix()
+    infra_rps = {here_rp, init_rp}
+
+    def clean(aset: set) -> set:
+        out = set()
+        for rp, a in aset:
+            if rp in infra_rps:
+                continue
+            if a:
+                segs = _file_segments(rp, None)
+                if segs is None or a not in segs:
+                    continue
+            out.add((rp, a))
+        return out
+
+    result = {name: clean(anchors_for(spec.spark))
               for name, spec in REGISTRY.items()}
     _query_anchors._cache = result
     return result
@@ -595,6 +704,13 @@ def _changed_per_query() -> "Callable[[str, int], bool]":
                     return True
                 if cur.get(anchor) != old.get(anchor):
                     return True
+                if anchor and cur.get(anchor) is None \
+                        and old.get(anchor) is None:
+                    # anchor resolves nowhere at EITHER rev (should
+                    # not happen post-_const_anchor; defense): coarse
+                    # closure decides rather than None==None silence
+                    if closure_changed(module_of(name), rnd):
+                        return True
             return False
         except Exception:
             return closure_changed(module_of(name), rnd)

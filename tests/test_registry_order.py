@@ -128,6 +128,43 @@ def test_query_anchors_reach_helpers_and_oracle_builders():
                "def:encode_words")
 
 
+def test_imported_const_anchored_in_defining_file():
+    """A constant pulled in via ``from X import CONST`` must anchor in
+    the file whose top-level assignment DEFINES it: the importing
+    module has no assignment segment, so anchoring there would diff
+    None == None at both revs and a change to the const's definition
+    would never mark the query as changed."""
+    from hands_on_trino_iceberg_superset_spark.queries.base import (
+        _const_anchor,
+        _file_segments,
+        _query_anchors,
+    )
+
+    load_all()
+    anchors = _query_anchors()
+    pkg = "hands_on_trino_iceberg_superset_spark"
+
+    # SEED_CTE is defined in queries/reference.py, imported into
+    # queries/bi.py where every bi_chart_* oracle uses it
+    rp_bi = f"{pkg}/queries/bi.py"
+    rp_ref = f"{pkg}/queries/reference.py"
+    assert _const_anchor(rp_bi, "SEED_CTE") == (rp_ref,
+                                                "const:SEED_CTE")
+    hit = [a for a in anchors["bi_chart_raw_orders"]
+           if a[1] == "const:SEED_CTE"]
+    assert hit and all(rp.endswith("queries/reference.py")
+                       for rp, _ in hit)
+
+    # every const anchor in the whole inventory must have a real
+    # segment in the working tree — None==None diffs are impossible
+    for name, keys in anchors.items():
+        for rp, anchor in keys:
+            if anchor.startswith("const:"):
+                segs = _file_segments(rp, None)
+                assert segs is not None and anchor in segs, \
+                    f"{name}: dangling const anchor {anchor} in {rp}"
+
+
 def test_changed_per_query_is_finer_than_closure():
     """The whole point: one edit in a many-query module must not mark
     every query in it changed. Against the latest round marker, the
@@ -190,7 +227,13 @@ def test_staleness_floor_reserves_tail_for_oldest_green(monkeypatch):
     assert all(last[n][1]["hash_match"] is False
                for n in window[:base._WINDOW - base._WINDOW_RESERVE])
     assert all(last[n][1]["hash_match"] is True for n in floor)
-    # ...and specifically the OLDEST green round available (the
-    # fabricated r1 cohort is larger than the reserve)
-    floor_rounds = {last[n][0] for n in floor}
-    assert floor_rounds == {1}
+    # ...and specifically the OLDEST green rounds available: every
+    # green row older than the newest floor round made it in (no
+    # stale row is skipped in favor of a fresher one)
+    floor_rounds = sorted({last[n][0] for n in floor})
+    assert floor_rounds[0] == 1
+    newest_in_floor = floor_rounds[-1]
+    in_floor = set(floor)
+    greens_older = [n for n in names[60:]
+                    if last[n][0] < newest_in_floor]
+    assert all(n in in_floor for n in greens_older)
