@@ -1023,19 +1023,40 @@ def simhash_pairs(
     id_col: str = "doc_id",
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` of SimHash.
+    """Pairs within Hamming distance ``max_hamming`` of SimHash —
+    signature derivation (:func:`simhash_signatures`) composed with
+    the generic pigeonhole band join (:func:`hamming_pairs`)."""
+    sh = simhash_signatures(
+        df, text_col=text_col, id_col=id_col, hasher=hasher
+    )
+    return hamming_pairs(
+        sh, max_hamming=max_hamming, bits=_HASHERS[hasher][1]
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """All pairs (id_a < id_b, hamming) within Hamming distance
+    ``max_hamming`` over a BIGINT signature column — the shared
+    bucketed candidate machinery behind SimHash text dedup and
+    perceptual media dedup (any fixed-width binary sketch).
 
     Pigeonhole blocking: the signature splits into ``max_hamming + 1``
     chunks; any pair at distance <= d agrees on at
     least one chunk, so candidates come from an equi-join on
     (chunk_idx, chunk_value) — linear shuffle, exact verification via
-    bit_count(xor).
+    bit_count(xor). Never all-pairs.
 
     Two plan-shape choices that matter at scale:
 
     - signatures are materialized ONCE (``localCheckpoint``) before
-      the self-join — otherwise the explode + wide-agg signature
-      pipeline executes twice, once per join side.
+      the self-join — otherwise the (often expensive) upstream
+      signature pipeline executes twice, once per join side.
     - pair uniqueness is a FILTER, not a shuffle: a pair agreeing on
       several chunks would surface once per agreeing chunk, so we
       keep only the row whose chunk_idx is the pair's FIRST agreeing
@@ -1044,11 +1065,10 @@ def simhash_pairs(
       ``dropDuplicates`` over the full candidate set (~candidate-
       cardinality shuffle) with a codegen'd predicate.
     """
-    bits = _HASHERS[hasher][1]
     n_chunks = max_hamming + 1
     width = bits // n_chunks
-    sh = simhash_signatures(
-        df, text_col=text_col, id_col=id_col, hasher=hasher
+    sh = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
     ).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
@@ -1088,6 +1108,135 @@ def simhash_pairs(
             F.bit_count(xor).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------- exact substring dedup (rewrite)
+
+
+def duplicate_span_rewrite(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup applied as a corpus REWRITE — the Lee et
+    al. ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) suffix-array regime, re-expressed as two linear
+    shuffles: any token span of >= ``min_len`` tokens that occurs
+    more than once in the corpus (at ANY position, within or across
+    documents) keeps only its globally first occurrence (minimum
+    (doc_id, start)); every later occurrence is cut from its
+    document.
+
+    Equivalence to span semantics: a duplicated span of length
+    L >= k (k = ``min_len``) contains exactly L - k + 1 duplicated
+    k-grams whose occurrences cover precisely the span's tokens, and
+    conversely every duplicated k-gram IS a duplicated span of
+    length k — so "tokens covered by a non-first duplicated k-gram
+    occurrence" equals "tokens inside a non-first maximal duplicate
+    span". Overlapping/adjacent duplicate k-grams merge into maximal
+    spans for free through token coverage; no pairwise span
+    extension step exists at all.
+
+    Plan (two shuffles, both linear — never suffix arrays, never
+    pairwise):
+
+    1. k-gram occurrences ``(doc, start, xxhash64(gram))`` from one
+       posexplode; a window ``min(struct(doc, start)) over
+       (partition by gram)`` marks every non-first occurrence. One
+       shuffle keyed by the gram hash, state bounded by distinct
+       k-grams — the dedup_exact key class.
+    2. coverage: duplicate starts left-join onto the token rows at
+       ``pos == start`` and a per-document running
+       ``max(start + k - 1)`` window turns O(k)-wide span coverage
+       into one linear pass (a token is removed iff the running
+       cover-end reaches it). One shuffle keyed by doc — the natural
+       document grain; per-doc state is one bigint.
+
+    Returns one row per input document: ``(doc_id, n_tokens,
+    n_kept, n_removed, kept_fingerprint)`` with the fingerprint =
+    md5 of the space-joined surviving tokens in document order
+    (empty-string hash when everything was cut) — same rewrite
+    accounting contract as the line-grain ``dedup_lines`` query.
+    Documents shorter than ``min_len`` tokens carry no k-gram and
+    are kept whole by construction.
+    """
+    from pyspark.sql import Window
+
+    k = int(min_len)
+    if k < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        .alias("t"),
+    )
+    tok_rows = docs.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # one gram per start position; slice() runs on the materialized
+    # array attribute, so each gram costs O(k) token copies — the
+    # irreducible shingling cost (every token sits in k grams)
+    m = F.size("t") - (k - 1)
+    grams = (
+        docs.where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.xxhash64(F.array_join(F.slice("t", i, k), " ")),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("start"), "g")
+    )
+    first = F.min(F.struct("doc_id", "start")).over(
+        Window.partitionBy("g")
+    )
+    dups = (
+        grams.withColumn("first", first)
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("start") != F.col("first.start"))
+        )
+        .select("doc_id", F.col("start").alias("pos"),
+                (F.col("start") + F.lit(k - 1)).alias("cover_end"))
+    )
+    run_end = F.max("cover_end").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cov = (
+        tok_rows.join(dups, ["doc_id", "pos"], "left")
+        .withColumn("run_end", run_end)
+        .withColumn(
+            "kept",
+            F.col("run_end").isNull() | (F.col("run_end") < F.col("pos")),
+        )
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "tok"))
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("n_tokens") - F.col("n_kept"), F.lit(0))
+        .alias("n_removed"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_fingerprint"),
     )
 
 

@@ -981,6 +981,27 @@ def append_to_ivf_index(
         f"{index_path}/vectors"
     )
 
+    # MOR hygiene: an id that was tombstoned and later re-ingested
+    # must become visible again, so the appended ids are compacted
+    # OUT of the tombstone set (otherwise a delete permanently
+    # shadows every future re-append of the same id — probes would
+    # anti-join the fresh row away). The tombstone set is bounded
+    # delete metadata (same contract as _ivf_tombstones' broadcast),
+    # so the rewrite is a collect of the survivors, never a corpus
+    # operation.
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        new_ids = feat.select("id").distinct()
+        survivors = [
+            (r.id,)
+            for r in tomb.join(
+                F.broadcast(new_ids), "id", "left_anti"
+            ).collect()
+        ]
+        spark.createDataFrame(survivors, "id long").write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/tombstones")
+
 
 def delete_from_ivf_index(
     deleted_ids: DataFrame, index_path: str, id_col: str = "vec_id"

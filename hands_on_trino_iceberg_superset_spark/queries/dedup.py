@@ -1066,6 +1066,143 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _remix_docs(docs: DataFrame) -> DataFrame:
+    """Every 5th sufficiently-long document re-published as a REMIX:
+    a 30-token slice of the source text quoted at a deterministic
+    pseudo-random offset (1 + doc_id % 7) between unique per-remix
+    flank tokens. The planted shape for arbitrary-position substring
+    dedup — the duplicate lives mid-document at varying offsets, so
+    fixed-grain line dedup (dedup_lines) structurally misses it.
+    Ids offset by max(doc_id)+1 (one bounded scalar aggregate), same
+    derivation discipline as :func:`_wrap_docs`."""
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("t"),
+    )
+    q = F.col("doc_id") % 7
+    return (
+        base.where((F.col("doc_id") % 5 == 0) & (F.size("t") >= q + 30))
+        .select(
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+            F.concat(
+                F.lit("remix "), F.col("doc_id").cast("string"),
+                F.lit(" intro quote follows "),
+                F.array_join(
+                    F.slice(F.col("t"), (q + 1).cast("int"), F.lit(30)),
+                    " ",
+                ),
+                F.lit(" remix "), F.col("doc_id").cast("string"),
+                F.lit(" outro end"),
+            ).alias("text"),
+        )
+    )
+
+
+@register(
+    "dedup_substring",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ),
+    remix AS (
+      SELECT src_id + (SELECT max(doc_id) + 1 FROM documents)
+               AS doc_id,
+             'remix ' || CAST(src_id AS VARCHAR)
+             || ' intro quote follows '
+             || array_to_string(
+                  list_slice(t, 1 + src_id % 7, (src_id % 7) + 30), ' ')
+             || ' remix ' || CAST(src_id AS VARCHAR) || ' outro end'
+               AS text
+      FROM (SELECT doc_id AS src_id, t FROM base
+            WHERE doc_id % 5 = 0 AND len(t) >= (doc_id % 7) + 30)
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM base
+      UNION ALL
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '')
+      FROM remix
+    ),
+    grams AS (
+      SELECT doc_id, i AS start,
+             array_to_string(list_slice(t, i, i + 19), ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 19)) AS i
+            FROM corpus WHERE len(t) >= 20)
+    ),
+    dups AS (
+      SELECT doc_id, start AS pos, start + 19 AS cover_end
+      FROM (SELECT doc_id, start,
+                   min(doc_id * 1000000 + start)
+                     OVER (PARTITION BY g) AS f
+            FROM grams)
+      WHERE doc_id * 1000000 + start <> f
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM corpus)
+    ),
+    cov AS (
+      SELECT tk.doc_id, tk.pos, tk.tok,
+             max(d.cover_end) OVER (
+               PARTITION BY tk.doc_id ORDER BY tk.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_end
+      FROM toks tk LEFT JOIN dups d
+        ON tk.doc_id = d.doc_id AND tk.pos = d.pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN run_end IS NULL OR run_end < pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE run_end IS NULL OR run_end < pos)
+               AS kept_text
+      FROM cov GROUP BY doc_id
+    )
+    SELECT c.doc_id AS doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_tokens - a.n_kept, 0) AS n_removed,
+           md5(coalesce(a.kept_text, '')) AS kept_fingerprint
+    FROM corpus c LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="EXACT SUBSTRING dedup as a corpus rewrite — the Lee et al. "
+        "arXiv:2107.06499 operator: every token span of >= 20 tokens "
+        "occurring more than once in the corpus AT ANY POSITION "
+        "keeps only its globally first occurrence; later occurrences "
+        "are cut mid-document, and each doc emits kept/removed "
+        "accounting plus the md5 fingerprint of its rewritten text. "
+        "Closes the gap dedup_lines leaves: that operator cuts at a "
+        "fixed 16-token line grain, so an arbitrary-offset duplicate "
+        "straddling line boundaries survives it — here the planted "
+        "remix docs (30-token quotes at per-doc varying offsets "
+        "inside unique flanks) lose exactly the quoted span while "
+        "both flanks and the original source docs survive intact. "
+        "Spark plan (operators/dedup.duplicate_span_rewrite): NOT a "
+        "suffix array and never pairwise — duplicated-span coverage "
+        "equals duplicated-20-gram coverage (any >=20-token dup span "
+        "is a union of dup 20-grams and vice versa), so the whole "
+        "rewrite is one gram-hash-keyed window (first-occurrence "
+        "marking; state bounded by distinct grams, the dedup_exact "
+        "key class) plus one doc-keyed running-max window that turns "
+        "span coverage into a linear pass. The oracle replays the "
+        "entire pipeline — remix derivation, gram marking, coverage, "
+        "rewrite hash — in SQL.",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicate_span_rewrite(
+        docs.unionAll(_remix_docs(docs)), min_len=20
+    )
+
+
 @register(
     "dedup_fuzzy_names",
     oracle="""

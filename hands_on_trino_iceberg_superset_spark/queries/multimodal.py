@@ -160,6 +160,85 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_perceptual_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, doc_id % greatest(len(text) - 1, 1))
+             || 'q'
+             || substr(text,
+                       (doc_id % greatest(len(text) - 1, 1)) + 2)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i -> ascii(substr(text,
+               CAST(least(i * 7, len(text) - 1) AS INTEGER) + 1, 1)))
+               AS gr
+      FROM corpus
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56), b ->
+               CASE WHEN gr[CAST(b // 7 AS INTEGER) * 8
+                            + CAST(b % 7 AS INTEGER) + 2]
+                       > gr[CAST(b // 7 AS INTEGER) * 8
+                            + CAST(b % 7 AS INTEGER) + 1]
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+               AS BIGINT) AS s
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+    doc="PERCEPTUAL media near-dup at Hamming <= 3 over a 56-bit "
+        "dHash — the tier multimodal_content_dedup structurally "
+        "misses: that operator collapses byte-identical payloads "
+        "(md5), so a re-encoded copy whose bytes differ by one "
+        "compression artifact lands in a different bucket and "
+        "escapes. Here every 10th doc is re-published with one "
+        "payload byte substituted (deterministic position, id "
+        "+1e6) — md5 differs, but the dHash (sign of horizontal "
+        "gradients over an 8x8 downsampled grid of decoded pixels; "
+        "operators/multimodal.perceptual_hash, Arrow mapInPandas "
+        "kernel, deterministic fake decode) moves by at most 2 "
+        "bits, and the copy surfaces as a near-dup pair. Pair "
+        "mining is the generic pigeonhole band join "
+        "(operators/dedup.hamming_pairs, 4 x 14-bit chunks): "
+        "bucketed equi-join candidates + exact bit_count verify, "
+        "never all-pairs — the dedup_simhash machinery reused "
+        "across modalities. The oracle recomputes every signature "
+        "from the raw text the payload derives from and scans "
+        "quadratically.",
+)
+def multimodal_perceptual_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = F.col("doc_id") % F.greatest(F.length("text") - 1, F.lit(1))
+    perturbed = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), F.lit(1), p.cast("int")),
+            F.lit("q"),
+            F.substring(
+                F.col("text"), (p + 2).cast("int"), F.length("text")
+            ),
+        ).alias("text"),
+    )
+    media = M.attach_fake_media(docs.unionAll(perturbed))
+    return D.hamming_pairs(
+        M.perceptual_hash(media),
+        max_hamming=3, bits=56, id_col="media_id", sig_col="phash",
+    )
+
+
+@register(
     "multimodal_content_dedup",
     oracle="""
     WITH corpus AS (

@@ -462,3 +462,51 @@ def test_containment_max_df_prunes_boilerplate_postings(spark) -> None:
     # every quote is contained in its wrapper; no wrapper-wrapper
     # boilerplate pair survives
     assert got == {(i, 100 + i) for i in range(12)}
+
+
+def test_substring_rewrite_cuts_planted_span_keeps_flanks(spark) -> None:
+    """A 60-token duplicate planted at an arbitrary mid-document
+    offset (k=50, the Lee-et-al. regime) is cut from the LATER
+    document only; its unique flanks and the entire source document
+    survive, and the rewrite fingerprints prove the exact surviving
+    text."""
+    import hashlib
+
+    src_toks = [f"a{i}" for i in range(200)]
+    offset = 73  # arbitrary position, straddles any fixed grain
+    quote = src_toks[offset : offset + 60]
+    pre = [f"pre{i}" for i in range(17)]
+    post = [f"post{i}" for i in range(9)]
+    rows = [
+        (1, " ".join(src_toks)),
+        (2, " ".join(pre + quote + post)),
+        (3, " ".join(f"b{i}" for i in range(30))),  # < k: kept whole
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in D.duplicate_span_rewrite(df, min_len=50).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_removed == 0
+    assert out[1].kept_fingerprint == md5(" ".join(src_toks))
+    assert out[2].n_tokens == 86
+    assert out[2].n_removed == 60  # exactly the quote, nothing more
+    assert out[2].kept_fingerprint == md5(" ".join(pre + post))
+    assert out[3].n_removed == 0
+
+
+def test_substring_rewrite_internal_repeat(spark) -> None:
+    """A document repeating its own 60-token block twice keeps only
+    the first copy (within-document duplicates are spans too)."""
+    import hashlib
+
+    block = [f"x{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(7, " ".join(block + block))], ["doc_id", "text"]
+    )
+    row = D.duplicate_span_rewrite(df, min_len=50).collect()[0]
+    assert (row.n_tokens, row.n_kept, row.n_removed) == (120, 60, 60)
+    assert row.kept_fingerprint == hashlib.md5(
+        " ".join(block).encode()
+    ).hexdigest()

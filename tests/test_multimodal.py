@@ -110,3 +110,66 @@ def test_content_dedup_collapses_across_containers(spark):
     assert by_id[0].whole_file != by_id[1000000].whole_file
     assert by_id[0].w != by_id[1000000].w
     assert by_id[1].sig != by_id[0].sig
+
+
+def test_perceptual_dedup_catches_reencoded_copy(spark):
+    """A re-encoded copy (one payload byte perturbed) escapes
+    byte-exact content dedup but lands within Hamming <= 3 of its
+    original's dHash; an unrelated asset does not pair. A resized
+    re-publication of the same pixels (header rewritten, payload
+    kept) hashes identically — header bytes never enter the hash."""
+    from hands_on_trino_iceberg_superset_spark.operators import dedup as D
+    from hands_on_trino_iceberg_superset_spark.operators.multimodal import (
+        _HEADER_LEN,
+        attach_fake_media,
+        perceptual_hash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    perturbed = base[:100] + "Q" + base[101:]  # one byte off
+    other = "completely unrelated content made of different words " * 7
+    docs = spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, other)], ["doc_id", "text"]
+    )
+    media = attach_fake_media(docs)
+
+    # byte-exact tier misses the copy...
+    sigs = {
+        r.media_id: r.sig
+        for r in media.select(
+            "media_id",
+            F.md5(F.expr(
+                f"substring(content, {_HEADER_LEN} + 1, 2147483647)"
+            )).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] != sigs[2]
+
+    # ...the perceptual tier catches it, and nothing else
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.hamming_pairs(
+            perceptual_hash(media), max_hamming=3, bits=56,
+            id_col="media_id", sig_col="phash",
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+    # an up-"resized" re-publication (header rewritten to new
+    # dimensions, pixels preserved) changes the whole-file checksum
+    # but not the perceptual hash
+    from hands_on_trino_iceberg_superset_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    orig = media.where(F.col("media_id") == 1)
+    resized = resize_images(orig, target_w=2048, target_h=2048)
+    assert (
+        orig.select(F.md5("content")).first()[0]
+        != resized.select(F.md5("content")).first()[0]
+    )
+    assert (
+        perceptual_hash(orig).first().phash
+        == perceptual_hash(resized).first().phash
+    )

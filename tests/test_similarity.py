@@ -811,3 +811,35 @@ def test_ivf_drift_flags_refit(spark, tmp_path) -> None:
     shutil.rmtree(tmp_path / "ivf" / "build_stats")
     with pytest.raises(ValueError, match="build_stats"):
         S.ivf_drift(spark, idx)
+
+
+def test_ivf_delete_then_reappend_resurfaces(spark, tmp_path) -> None:
+    """A tombstoned id re-ingested via append_to_ivf_index becomes
+    visible to probes again: the append compacts the re-ingested ids
+    out of the tombstone set, while ids deleted and NOT re-appended
+    stay invisible."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(i, (rng.normal(0, 0.05, 4) + (5.0 if i % 2 else -5.0))
+             .tolist()) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(df, idx, n_centroids=2)
+    S.delete_from_ivf_index(
+        df.where(F.col("vec_id").isin(3, 5)), idx
+    )
+    q = df.where(F.col("vec_id") == 1)
+    gone = {r.neighbor_id
+            for r in S.ivf_probe(q, idx, k=20, n_probe=1).collect()}
+    assert 3 not in gone and 5 not in gone
+
+    # re-ingest id 3 (same odd-side blob -> same cell family)
+    S.append_to_ivf_index(df.where(F.col("vec_id") == 3), idx)
+    back = {r.neighbor_id
+            for r in S.ivf_probe(q, idx, k=20, n_probe=1).collect()}
+    assert 3 in back      # resurfaced
+    assert 5 not in back  # never re-appended: still deleted
