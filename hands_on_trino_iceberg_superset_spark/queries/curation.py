@@ -1460,6 +1460,213 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
     return WP.encode_words(words, WP.select_vocab(words, top_k=40))
 
 
+# ---------------------------------------------- unigram-LM tokenizer
+
+#: multi-char piece budget — small enough that pruning BITES on this
+#: corpus (the seed has ~60 multi-char chunk pieces, so round 2 must
+#: re-segment words whose tail chunk was pruned)
+_UG_TOP_K = 20
+#: DP/walk unroll depth — MUST be >= the longest corpus word; the
+#: Spark queries raise loudly past it (same contract as _WP_STEPS)
+_UG_STEPS = 12
+
+#: seed usage + pruned vocabulary, shared by both unigram oracles:
+#: under the substring-closed seed the canonical min-piece
+#: segmentation is the left-to-right 4-chunking (see
+#: operators/unigram.py), so seed usage is one chunk aggregation;
+#: the vocabulary is every observed single char (floor) + top-K
+#: multi-char pieces by (usage DESC, piece ASC).
+_UG_VOCAB = f"""
+    seedu AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+      FROM (
+        SELECT freq, substr(word, CAST((i - 1) * 4 + 1 AS INTEGER), 4)
+                 AS piece
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1,
+                       CAST(ceil(len(word) / 4.0) AS BIGINT))) AS i
+              FROM wf)
+      ) GROUP BY piece
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT DISTINCT unnest(string_split(word, '')) AS piece
+        FROM wf
+      ) WHERE piece <> ''
+      UNION ALL
+      SELECT piece FROM (
+        SELECT piece,
+               row_number() OVER (ORDER BY usage DESC, piece) AS rank
+        FROM seedu WHERE len(piece) > 1
+      ) WHERE rank <= {_UG_TOP_K}
+    )
+"""
+
+
+def _ug_walk_ctes(steps: int) -> str:
+    """The unrolled uniform-model Viterbi: suffix-cost DP (c0..cN —
+    cost[p] = min pieces to cover word[p:], computed end-to-start,
+    one position per step) followed by the canonical walk (w0..wN —
+    longest piece consistent with the optimal cost at each position;
+    at a fixed position matching pieces have distinct lengths, so
+    the argmax is total). Every CTE is MATERIALIZED — each step
+    references its predecessor more than once."""
+    parts = [""",
+    c0 AS MATERIALIZED (
+      SELECT word, freq, len(word) + 1 AS pos, 0 AS cost FROM wf
+    )"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT word, freq, pos, cost FROM c{k - 1}
+      UNION ALL
+      SELECT word, freq, pos, 1 + min(cost) AS cost
+      FROM (
+        SELECT s.word, s.freq, len(s.word) + 1 - {k} AS pos, c.cost
+        FROM wf s
+        JOIN vocab v
+          ON v.piece = substr(s.word,
+               CAST(len(s.word) + 1 - {k} AS INTEGER), len(v.piece))
+        JOIN c{k - 1} c
+          ON c.word = s.word
+         AND c.pos = len(s.word) + 1 - {k} + len(v.piece)
+        WHERE len(s.word) + 1 - {k} >= 1
+      ) GROUP BY word, freq, pos
+    )""")
+    parts.append(f""",
+    w0 AS MATERIALIZED (
+      SELECT word, freq, 1 AS pos, CAST('' AS VARCHAR) AS toks
+      FROM wf
+    )""")
+    for k in range(1, steps + 1):
+        parts.append(f""",
+    w{k} AS MATERIALIZED (
+      SELECT word, freq, pos + plen AS pos,
+             CASE WHEN toks = '' THEN piece
+                  ELSE toks || ' ' || piece END AS toks
+      FROM (
+        SELECT s.word, s.freq, s.pos, s.toks, v.piece,
+               len(v.piece) AS plen,
+               row_number() OVER (PARTITION BY s.word
+                                  ORDER BY len(v.piece) DESC) AS rn
+        FROM w{k - 1} s
+        JOIN c{steps} ch ON ch.word = s.word AND ch.pos = s.pos
+        JOIN vocab v
+          ON v.piece = substr(s.word, CAST(s.pos AS INTEGER),
+                              len(v.piece))
+        JOIN c{steps} cn
+          ON cn.word = s.word AND cn.pos = s.pos + len(v.piece)
+        WHERE s.pos <= len(s.word) AND ch.cost = 1 + cn.cost
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT word, freq, pos, toks FROM w{k - 1}
+      WHERE pos > len(word)
+    )""")
+    return "".join(parts)
+
+
+def _ug_train_oracle(steps: int = _UG_STEPS) -> str:
+    return f"""
+    WITH {_WP_WF}, {_UG_VOCAB} {_ug_walk_ctes(steps)},
+    usage2 AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+      FROM (SELECT freq, unnest(string_split(toks, ' ')) AS piece
+            FROM w{steps})
+      GROUP BY piece
+    )
+    SELECT r.rank AS rank, r.piece AS piece,
+           coalesce(u.usage, 0) AS usage
+    FROM (SELECT piece,
+                 row_number() OVER (ORDER BY usage DESC, piece)
+                   AS rank
+          FROM seedu WHERE len(piece) > 1) r
+    LEFT JOIN usage2 u USING (piece)
+    WHERE r.rank <= {_UG_TOP_K}
+    """
+
+
+def _ug_encode_oracle(steps: int = _UG_STEPS) -> str:
+    return f"""
+    WITH {_WP_WF}, {_UG_VOCAB} {_ug_walk_ctes(steps)}
+    SELECT word, freq,
+           CAST(len(string_split(toks, ' ')) AS INT) AS n_pieces,
+           toks AS encoded
+    FROM w{steps}
+    """
+
+
+def _ug_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table + the loud unroll-depth guard both
+    unigram queries share."""
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    words = WP.word_frequencies(_docs(spark, sf_dir))
+    longest = words.agg(F.max(F.length("word"))).collect()[0][0]
+    if longest and longest > _UG_STEPS:
+        raise ValueError(
+            f"longest word ({longest} chars) exceeds the oracle's "
+            f"{_UG_STEPS} unrolled Viterbi steps — raise _UG_STEPS")
+    return words
+
+
+@register(
+    "tokenizer_unigram_train",
+    oracle=_ug_train_oracle(),
+    doc="Unigram-LM (SentencePiece-style, arXiv:1804.10959) "
+        "tokenizer TRAINING (operators/unigram.py): large substring "
+        "seed -> Viterbi-segment the corpus -> prune the "
+        "least-useful pieces to a budget -> re-segment and re-count "
+        "under the survivors. Exact-integer EM surrogate (honest "
+        "substitution stated in the operator docstring): the piece "
+        "model is uniform, so Viterbi = minimal piece count with a "
+        "longest-first tie-break — every train decision is an "
+        "integer comparison the oracle replays, including the "
+        "pruning rank itself (usage DESC, piece ASC over the "
+        "seed-chunk counts) and the post-prune refit usage. Scale: "
+        "the only corpus-sized op is the word-frequency groupBy; "
+        "seed usage collapses to one chunk aggregation via the "
+        "substring-closure identity, and the prune/refit loop runs "
+        "on the vocab-sized word table. The oracle unrolls the "
+        "suffix-cost DP and the canonical walk as chained "
+        "materialized argmin/argmax CTEs (the WordPiece unroll "
+        "pattern).",
+)
+def tokenizer_unigram_train(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        unigram as UG,
+    )
+
+    return UG.unigram_train(_ug_words(spark, sf_dir), top_k=_UG_TOP_K)
+
+
+@register(
+    "tokenizer_unigram_encode",
+    oracle=_ug_encode_oracle(),
+    doc="Unigram-LM Viterbi ENCODING of every distinct corpus word "
+        "under the trained (pruned) vocabulary: minimal piece count "
+        "under the uniform model, longest-first canonical tie-break "
+        "(total order — matching pieces at one position have "
+        "pairwise distinct lengths). Single-char floor pieces keep "
+        "every word encodable after pruning. One Arrow batch pass "
+        "over the vocab-sized distinct-word table with the "
+        "vocabulary broadcast as a set — at 100 TB the corpus pass "
+        "is a map-side dictionary join against this table. The "
+        f"oracle unrolls {_UG_STEPS} suffix-DP steps + {_UG_STEPS} "
+        "walk steps so every segmentation decision is hash-gated.",
+)
+def tokenizer_unigram_encode(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        unigram as UG,
+    )
+
+    words = _ug_words(spark, sf_dir)
+    return UG.viterbi_encode(words, UG.prune_vocab(words, _UG_TOP_K))
+
+
 #: Poisson(1) CDF thresholds for k=0..6 (k=7 catches the tail): the
 #: hash-uniform u maps to a deterministic per-(doc, resample) weight
 #: via inverse CDF. Literals are duplicated verbatim in the oracle —

@@ -759,3 +759,63 @@ def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, inventory):
         (rows[s].ci_lo, rows[s].ci_hi) == (again[s].ci_lo, again[s].ci_hi)
         for s in rows
     )
+
+
+def test_unigram_prune_bites_and_viterbi_resegments(spark):
+    """The unigram train loop end-to-end on a planted corpus: seed
+    usage is the 4-chunk counts, pruning keeps only the top-K multi
+    pieces, and a word whose tail chunk was pruned re-segments via
+    the Viterbi DP (fewest pieces, longest-first canonical walk) —
+    falling back to singles only where no surviving piece matches."""
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        unigram as UG,
+    )
+
+    # 'abcdefgh' chunks -> abcd, efgh; 'abcdxy' -> abcd, xy;
+    # 'zzzz' -> zzzz. freqs make abcd(3) > zzzz(2) > efgh(1) = xy(1)
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh abcdxy zzzz"), (2, "abcdefgh zzzz"),
+         (3, "abcdxy")],  # extra abcdxy -> xy ties efgh, piece ASC
+        ["doc_id", "text"],
+    )
+    words = UG.word_frequencies(docs)
+
+    seed = {r.piece: r.usage
+            for r in UG.seed_chunk_usage(words).collect()}
+    assert seed == {"abcd": 4, "efgh": 2, "xy": 2, "zzzz": 2}
+
+    # top_k=2 by (usage desc, piece asc): abcd(4), efgh(2) — 'xy'
+    # loses the tie to 'efgh' and 'zzzz' ties too: order is
+    # efgh < xy < zzzz, so efgh survives
+    vocab = UG.prune_vocab(words, top_k=2)
+    multis = {r.piece: r.rank for r in
+              vocab.where(F.col("rank").isNotNull()).collect()}
+    assert multis == {"abcd": 1, "efgh": 2}
+
+    enc = {r.word: (r.n_pieces, r.encoded)
+           for r in UG.viterbi_encode(words, vocab).collect()}
+    assert enc["abcdefgh"] == (2, "abcd efgh")
+    # tail chunk 'xy' pruned -> singles
+    assert enc["abcdxy"] == (3, "abcd x y")
+    # 'zzzz' pruned entirely -> four singles
+    assert enc["zzzz"] == (4, "z z z z")
+
+    # refit usage under the final vocab: zzzz/xy never used -> the
+    # train output reflects the POST-prune counts
+    ranked = {r.piece: (r.rank, r.usage)
+              for r in UG.unigram_train(words, top_k=2).collect()}
+    assert ranked == {"abcd": (1, 4), "efgh": (2, 2)}
+
+
+def test_unigram_viterbi_beats_greedy(spark):
+    """Min-piece Viterbi differs from WordPiece's greedy longest
+    match where greedy is suboptimal: with vocab {ab, bcd, singles}
+    on 'abcd', greedy longest-first takes 'ab' and is left with two
+    singles (3 pieces); Viterbi finds 'a'+'bcd' (2 pieces) — the
+    family-distinguishing behavior."""
+    from hands_on_trino_iceberg_superset_spark.operators.unigram import (
+        _segment,
+    )
+
+    vs = {"ab", "bcd", "a", "b", "c", "d"}
+    assert _segment("abcd", vs, 4) == ["a", "bcd"]
