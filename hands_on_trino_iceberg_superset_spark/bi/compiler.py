@@ -593,11 +593,17 @@ def _sql_ident(name: str) -> str:
 
 
 def _metric_sql(metric: str | Mapping[str, Any]) -> tuple[str, str]:
-    """One Superset metric -> (select expression, label)."""
+    """One Superset metric -> (bare select expression, label) —
+    UNJOINED, so consumers that need the aliased form concatenate
+    ``f"{expr} AS {label}"`` themselves and consumers that need the
+    bare expression (HAVING, series_limit ordering, time_compare
+    offset re-aggregation) never string-split on ``' AS '`` — which
+    would silently truncate a future metric whose expression embeds
+    a CAST alias."""
     if isinstance(metric, str):
         if metric != "count":
             raise ValueError(f"unknown builtin metric: {metric}")
-        return "count(*) AS count", "count"
+        return "count(*)", "count"
     agg = metric["aggregate"].upper()
     if agg not in _AGGS:
         raise ValueError(f"unknown aggregate: {agg}")
@@ -607,7 +613,7 @@ def _metric_sql(metric: str | Mapping[str, Any]) -> tuple[str, str]:
     )
     inner = f"DISTINCT {col}" if agg == "COUNT_DISTINCT" else col
     fn = "count" if agg == "COUNT_DISTINCT" else agg.lower()
-    return f"{fn}({inner}) AS {label}", label
+    return f"{fn}({inner})", label
 
 
 def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
@@ -709,7 +715,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
                 f"AS DOUBLE) AS pct_{lab}"
             )
         select = ", ".join(
-            select_keys + [s for s, _ in metric_sqls]
+            select_keys
+            + [f"{s} AS {label}" for s, label in metric_sqls]
         )
         group = (
             " GROUP BY " + ", ".join(groupby) if groupby else ""
@@ -721,8 +728,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             form_data, "HAVING",
             subject_map={
                 **{c: c for c in (form_data.get("groupby") or [])},
-                **{label: s.split(" AS ")[0]
-                   for s, label in metric_sqls},
+                **{label: s for s, label in metric_sqls},
             },
         )
         group += (
@@ -775,7 +781,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         sub = (
             f"SELECT {key_list} FROM {_sql_ident(table)}{where} "
             f"GROUP BY {key_list} "
-            f"ORDER BY {s_expr.split(' AS ')[0]} DESC, {key_list} "
+            f"ORDER BY {s_expr} DESC, {key_list} "
             f"LIMIT {int(series_limit)}"
         )
         pred = f"{tuple_expr} IN ({sub})"
@@ -799,7 +805,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             shift = f"timestampadd({u}, {n}, {trunc})"
             okeys = [f"{shift} AS {TIME_LABEL}", *gb_idents]
             ometrics = [
-                f"{s.split(' AS ')[0]} AS {label}__{sfx}"
+                f"{s} AS {label}__{sfx}"
                 for s, label in metric_sqls
             ]
             osql = (
@@ -990,6 +996,7 @@ def _pivot_cell_column(metric, col_key: str, value) -> Column:
 def compile_pivot_form_data(
     df: DataFrame, form_data: Mapping[str, Any],
     values: Sequence[Any] | None = None,
+    row_total: bool = False,
 ) -> DataFrame:
     """Compile a Superset pivot_table_v2 chart: ``groupbyRows`` stay
     group keys, the single ``groupbyColumns`` key fans out into one
@@ -999,7 +1006,11 @@ def compile_pivot_form_data(
     the row keys, cells as FILTER-style aggregates, no second pass.
     ``values`` pins the output schema explicitly (else derived from
     the data, sorted); rows whose pivot key is NULL contribute to no
-    cell, matching a pandas pivot's dropped-NaN columns."""
+    cell, matching a pandas pivot's dropped-NaN columns.
+    ``row_total`` appends Superset's row-total ``count`` column as a
+    REAL ``count(*)`` in the same aggregate — NOT the sum of the
+    count cells, which silently under-counts whenever the pivot key
+    has NULLs or values outside the pinned ``values`` list."""
     df = _apply_time_range(df, form_data)
     df = _apply_adhoc_filters(df, form_data)
     rows, col_key, metrics = _pivot_fields(form_data)
@@ -1009,11 +1020,14 @@ def compile_pivot_form_data(
         _pivot_cell_column(m, col_key, v).alias(_pivot_label(v, m))
         for v in vals for m in metrics
     ]
+    if row_total:
+        aggs.append(F.count(F.lit(1)).alias("count"))
     return df.groupBy(*rows).agg(*aggs)
 
 
 def pivot_form_data_to_sql(
     table: str, form_data: Mapping[str, Any], values: Sequence[Any],
+    row_total: bool = False,
 ) -> str:
     """The SQL-text twin of :func:`compile_pivot_form_data`.
     ``values`` is required: SQL compilation has no data access, and
@@ -1040,6 +1054,8 @@ def pivot_form_data_to_sql(
                 else:
                     expr = f"{agg.lower()}({inner})"
             cells.append(f"{expr} AS {label}")
+    if row_total:
+        cells.append("count(*) AS count")
     row_idents = [_sql_ident(r) for r in rows]
     where_conds = _adhoc_filter_sql(form_data)
     where = (" WHERE " + " AND ".join(where_conds)

@@ -42,10 +42,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # entries per round; the last _WINDOW_RESERVE of them are pinned to the
 # oldest green rows (staleness floor) in load_all().
 #
-# ROUND-9 SWEEP: the reserve is temporarily raised 10 -> 35 so the
-# r4/r5-era green rows (13 + 37 queries whose anchors never changed
-# since) rotate through the driver window in one round; drop it back
-# to ~10 once min(last-checked round) catches up.
+# ROUND-9/10 SWEEP: the reserve is temporarily raised 10 -> 35 to
+# rotate the stale-green backlog through the driver window (r9
+# cleared the r4/r5 rows; round 10 holds 35 to clear the remaining
+# r5/r6 cohort); drop it back to ~10 in round 11 once
+# min(last-checked round) catches up. The floor is CAPPED at runtime
+# so classes 0-2 (failed / never-checked / changed) are never pushed
+# out of the window by the reserve — see load_all().
 _WINDOW = 50
 _WINDOW_RESERVE = 35
 
@@ -346,6 +349,24 @@ def _file_segments(relpath: str, rev: str | None) -> dict[str, str] | None:
     return segs
 
 
+def _relative_base(relpath: str, level: int) -> list[str]:
+    """Package parts a level-``level`` relative import resolves
+    against, for the module at ``relpath``. For a package
+    ``__init__.py`` the module IS the package, so level 1 refers to
+    the package itself (one fewer strip than a plain module —
+    stripping ``__init__`` and then also applying ``[:-level]``
+    resolved one package too high)."""
+    from pathlib import Path
+
+    parts = list(Path(relpath).with_suffix("").parts)
+    if parts and parts[-1] == "__init__":
+        parts = parts[:-1]
+        level -= 1
+    if level <= 0:
+        return parts
+    return parts[:-level] if level <= len(parts) else []
+
+
 def _import_const_origins(relpath: str) -> dict[str, tuple[str, str]]:
     """Module-level ``from X import NAME [as ALIAS]`` aliases of
     IN-PACKAGE modules in one file: alias -> (imported-from module's
@@ -374,17 +395,14 @@ def _import_const_origins(relpath: str) -> dict[str, tuple[str, str]]:
     except Exception:
         cache[relpath] = out
         return out
-    mod_parts = list(Path(relpath).with_suffix("").parts)
-    if mod_parts and mod_parts[-1] == "__init__":
-        mod_parts = mod_parts[:-1]
     for node in tree.body:
         if not (isinstance(node, ast.ImportFrom) and node.module):
             continue
         modname = node.module
         if node.level:
-            base = mod_parts[:-node.level] \
-                if node.level <= len(mod_parts) else []
-            modname = ".".join([*base, modname])
+            modname = ".".join(
+                [*_relative_base(relpath, node.level), modname]
+            )
         if not modname.startswith(pkg):
             continue
         try:
@@ -528,17 +546,15 @@ def _query_anchors() -> dict[str, set]:
         import statement nested anywhere inside the def."""
         import importlib
 
-        mod_parts = list(Path(relpath).with_suffix("").parts)
-        if mod_parts and mod_parts[-1] == "__init__":
-            mod_parts = mod_parts[:-1]
         out: dict = {}
         for node in ast.walk(fn_node):
             if isinstance(node, ast.ImportFrom) and node.module:
                 modname = node.module
                 if node.level:  # relative: resolve against this file
-                    base = mod_parts[:-node.level] if node.level \
-                        <= len(mod_parts) else []
-                    modname = ".".join([*base, modname])
+                    modname = ".".join(
+                        [*_relative_base(relpath, node.level),
+                         node.module]
+                    )
                 if not modname.startswith(pkg):
                     continue
                 try:
@@ -747,13 +763,16 @@ def load_all() -> dict[str, QuerySpec]:
     so even a round that lands 40+ new queries cannot starve the
     green tail — no row ages indefinitely behind never-checked
     inflow. Deliberate priority call: classes 0-2 (failed / new /
-    genuinely changed) are never displaced below the floor — a
-    one-time rework round that inflates class 2 can delay full
-    staleness clearance by a round, because green-on-old-code is a
-    correctness risk while green-on-current-code is only a
-    freshness one (and every green query is still re-proven locally
-    each round by the sf0.001 differential in test_core_queries plus
-    the full sf0.01 sweep).
+    genuinely changed) take head slots FIRST, and the reserve is
+    capped at the slots they leave free (``min(_WINDOW_RESERVE,
+    _WINDOW - count(class 0-2))``), so an urgent query is never
+    displaced below the window by the floor — green-on-old-code is
+    only a freshness risk, while a failed/changed query left
+    unchecked is a correctness one (and every green query is still
+    re-proven locally each round by the sf0.001 differential in
+    test_core_queries plus the full sf0.01 sweep). A rework round
+    that inflates class 2 past the whole window can still delay
+    staleness clearance by a round — that trade is intended.
 
     Every round this cycles the stalest tail into the driver's
     window; the full inventory is always covered by the local DuckDB
@@ -809,14 +828,17 @@ def load_all() -> dict[str, QuerySpec]:
             name,
         ),
     )
-    # staleness floor: the window's tail slots always carry the
-    # globally oldest green rows, whatever classes 0-2 inflated to
+    # staleness floor: the window's tail slots carry the globally
+    # oldest green rows — capped so classes 0-2 keep every head slot
+    # they need before any is reserved for stale greens
     if len(ordered) > _WINDOW:
-        head = ordered[:_WINDOW - _WINDOW_RESERVE]
+        n_urgent = sum(1 for n in ordered if priority(n)[0] < 3)
+        reserve = max(0, min(_WINDOW_RESERVE, _WINDOW - n_urgent))
+        head = ordered[:_WINDOW - reserve]
         in_head = set(head)
         floor = [n for n in ordered
                  if n not in in_head and priority(n)[0] == 3
-                 ][:_WINDOW_RESERVE]
+                 ][:reserve]
         picked = in_head | set(floor)
         ordered = head + floor + [n for n in ordered
                                   if n not in picked]

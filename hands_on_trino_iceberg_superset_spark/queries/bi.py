@@ -550,7 +550,9 @@ def bi_chart_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in a single pass with map-side partials (never a per-value "
         "scan or a pivot operator). The pivoted schema is the sorted "
         "distinct value list, chart-schema-sized by contract; the "
-        "plain count column doubles as the row total. Both "
+        "row-total count column is a REAL count(*) in the same "
+        "aggregate (row_total=True), exact even when pivot keys are "
+        "NULL or outside the pinned value list. Both "
         "compilation paths share the CASE formulation verbatim "
         "(parity-tested); the oracle restates every cell. Sums "
         "aggregate in DECIMAL, cast once to DOUBLE.",
@@ -576,16 +578,15 @@ def bi_chart_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "time_range": "No filter",
         },
+        # Superset's row-total column as a REAL count(*) in the same
+        # aggregate (the oracle's count(*) mirrored exactly) — never
+        # the sum of the count cells, which under-counts rows whose
+        # pivot key is NULL or outside the pinned value list
+        row_total=True,
     )
     cells = [c for c in out.columns if c != "status"]
     return out.select(
         "status",
         *[dbl(F.col(c)).alias(c) if c.endswith("total_amount")
           else F.col(c) for c in cells],
-        # row total: the all-values count is the sum of the count
-        # cells — emitted as Superset's row-total column
-        *[],
-    ).withColumn(
-        "count",
-        sum(F.col(c) for c in cells if c.endswith("__count")),
     ).orderBy("status")

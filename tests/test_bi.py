@@ -766,3 +766,39 @@ def test_pivot_compiles_identically_on_both_paths(spark):
     # group b loses every row to the filter and disappears entirely
     # (a group exists iff it has input rows — same rule both paths)
     assert nat_f == {"a": (2, 3.0, 1, 4.0)}
+
+
+def test_pivot_row_total_counts_null_pivot_keys(spark):
+    """row_total=True emits Superset's row-total count as a REAL
+    count(*): a row whose pivot key is NULL (or outside the pinned
+    values) is invisible to every cell but still counts toward the
+    row total — on BOTH compilation paths. Summing the count cells
+    would report 1 for group b instead of 2."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_pivot_form_data,
+        pivot_form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 4.0),
+         ("b", "y", 8.0), ("b", None, 99.0)],
+        "r string, c string, v double",
+    )
+    df.createOrReplaceTempView("pivot_rt")
+    fd = {
+        "viz_type": "pivot_table_v2",
+        "groupbyRows": ["r"],
+        "groupbyColumns": ["c"],
+        "metrics": ["count"],
+    }
+    native = compile_pivot_form_data(df, fd, row_total=True)
+    assert native.columns == ["r", "x__count", "y__count", "count"]
+    got = {r.r: tuple(r)[1:] for r in native.collect()}
+    assert got == {"a": (1, 1, 2), "b": (0, 1, 2)}
+    cell_sum = {k: v[0] + v[1] for k, v in got.items()}
+    assert cell_sum["b"] != got["b"][2]  # the bug this test pins
+    sql = pivot_form_data_to_sql(
+        "pivot_rt", fd, values=["x", "y"], row_total=True
+    )
+    assert {r.r: tuple(r)[1:]
+            for r in spark.sql(sql).collect()} == got

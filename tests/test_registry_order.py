@@ -200,40 +200,90 @@ def test_changed_per_query_is_finer_than_closure():
         assert n_fine < n_coarse / 2
 
 
-def test_staleness_floor_reserves_tail_for_oldest_green(monkeypatch):
-    """Even when failed/new queries could fill the whole window, the
-    last _WINDOW_RESERVE slots carry the globally oldest green rows."""
-    from hands_on_trino_iceberg_superset_spark.queries import base
-
-    base.load_all()  # populate REGISTRY
+def _fabricated_order(base, monkeypatch, n_failed: int) -> tuple:
+    """load_all() ordering with the first ``n_failed`` registry
+    entries fabricated as failed (class 0) and the rest green with
+    ages cycling r1..r6; returns (ordered names, last-check map)."""
     names = list(base.REGISTRY)
     ok = {"rows_match": True, "schema_match": True, "hash_match": True,
           "spark_rows": 1, "oracle_rows": 1, "err": None}
-    # fabricate: first 60 queries failed (class 0), the rest green
-    # with ages cycling r1..r6
     last = {}
     for i, n in enumerate(names):
-        if i < 60:
+        if i < n_failed:
             last[n] = (7, {**ok, "hash_match": False})
         else:
             last[n] = (1 + (i % 6), ok)
     monkeypatch.setattr(base, "_last_driver_check", lambda: last)
     monkeypatch.setattr(base, "_changed_per_query",
                         lambda: (lambda name, rnd: False))
-    ordered = list(base.load_all())
+    return list(base.load_all()), last
+
+
+def test_staleness_floor_reserves_tail_for_oldest_green(monkeypatch):
+    """With few urgent queries the floor carries the globally oldest
+    green rows in the window's tail slots."""
+    from hands_on_trino_iceberg_superset_spark.queries import base
+
+    base.load_all()  # populate REGISTRY
+    ordered, last = _fabricated_order(base, monkeypatch, n_failed=10)
     window = ordered[:base._WINDOW]
     floor = window[base._WINDOW - base._WINDOW_RESERVE:]
-    # head is all failed; floor slots are green...
+    # every failed query is in the window, ahead of the floor
     assert all(last[n][1]["hash_match"] is False
-               for n in window[:base._WINDOW - base._WINDOW_RESERVE])
+               for n in window[:10])
     assert all(last[n][1]["hash_match"] is True for n in floor)
-    # ...and specifically the OLDEST green rounds available: every
-    # green row older than the newest floor round made it in (no
-    # stale row is skipped in favor of a fresher one)
+    # the floor holds the OLDEST green rounds available: every green
+    # row older than the newest floor round made it in (no stale row
+    # is skipped in favor of a fresher one)
     floor_rounds = sorted({last[n][0] for n in floor})
     assert floor_rounds[0] == 1
     newest_in_floor = floor_rounds[-1]
-    in_floor = set(floor)
-    greens_older = [n for n in names[60:]
-                    if last[n][0] < newest_in_floor]
-    assert all(n in in_floor for n in greens_older)
+    in_window = set(window)  # head's spare slots also take greens
+    greens_older = [n for n in ordered
+                    if last[n][1]["hash_match"] and n not in in_window
+                    and last[n][0] < newest_in_floor]
+    assert greens_older == []
+
+
+def test_staleness_floor_never_displaces_urgent_queries(monkeypatch):
+    """The reserve is CAPPED at the slots classes 0-2 leave free:
+    when urgent queries outnumber the head, they take floor slots
+    rather than being pushed below the window (the load_all
+    docstring's guarantee, previously violated past 15 failures)."""
+    from hands_on_trino_iceberg_superset_spark.queries import base
+
+    base.load_all()
+    ordered, last = _fabricated_order(base, monkeypatch, n_failed=60)
+    window = ordered[:base._WINDOW]
+    # every window slot is a failed query; no green displaced one
+    assert all(last[n][1]["hash_match"] is False for n in window)
+
+    # intermediate regime: 40 urgent -> 40 head + 10 floor greens
+    ordered2, last2 = _fabricated_order(base, monkeypatch,
+                                        n_failed=40)
+    window2 = ordered2[:base._WINDOW]
+    assert all(last2[n][1]["hash_match"] is False
+               for n in window2[:40])
+    assert all(last2[n][1]["hash_match"] is True
+               for n in window2[40:])
+
+
+def test_relative_base_resolves_init_one_level_correctly():
+    """Relative imports inside a package __init__ resolve against the
+    package ITSELF (level 1), not its parent — the arithmetic both
+    _import_const_origins and _resolve_imports share. A plain module
+    strips its filename part first."""
+    from hands_on_trino_iceberg_superset_spark.queries import base
+
+    pkg = "hands_on_trino_iceberg_superset_spark"
+    # plain module: 'from . import X' -> containing package
+    assert base._relative_base(f"{pkg}/queries/foo.py", 1) \
+        == [pkg, "queries"]
+    assert base._relative_base(f"{pkg}/queries/foo.py", 2) == [pkg]
+    # package __init__: 'from .mod import C' -> the package itself
+    assert base._relative_base(f"{pkg}/queries/__init__.py", 1) \
+        == [pkg, "queries"]
+    assert base._relative_base(f"{pkg}/queries/__init__.py", 2) \
+        == [pkg]
+    # deeper than the tree: conservative empty base
+    assert base._relative_base(f"{pkg}/queries/foo.py", 5) == []
