@@ -30,34 +30,61 @@ class Database:
     engine: Engine
 
     def dataset(self, table_name: str, schema: str | None = None,
-                description: str = "") -> "Dataset":
+                description: str = "", sql: str | None = None,
+                ) -> "Dataset":
         return Dataset(
             database=self,
             schema=schema or self.engine.default_schema,
             table_name=table_name,
             description=description,
+            sql=sql,
         )
 
 
 @dataclass
 class Dataset:
     """``SqlaTable``: (database, schema, table_name) + column metadata
-    fetched live from the engine (``fetch_metadata`` equivalent)."""
+    fetched live from the engine (``fetch_metadata`` equivalent).
+
+    ``sql`` makes it a VIRTUAL dataset — Superset's SQL-defined
+    ``SqlaTable`` (the ``sql`` column of the same model; the
+    reference's init_db.py seeds physical tables only, but virtual
+    datasets are the most-used Superset feature beyond them): the
+    frame is the defining query executed through the engine (full
+    engine SQL surface — views, time travel, versioned tables), and
+    metadata introspects the query's result schema. ``table_name``
+    stays the dataset's display identity either way."""
 
     database: Database
     schema: str
     table_name: str
     description: str = ""
+    sql: str | None = None
 
     @property
     def qualified_name(self) -> str:
         return f"{self.schema}.{self.table_name}"
 
+    @property
+    def is_virtual(self) -> bool:
+        return self.sql is not None
+
     def df(self) -> DataFrame:
+        if self.sql is not None:
+            return self.database.engine.sql(self.sql)
         return self.database.engine.table(self.qualified_name)
 
     def fetch_metadata(self) -> list[ColumnInfo]:
-        """init_db.py:63-67 — ``inspector.get_columns`` shaped."""
+        """init_db.py:63-67 — ``inspector.get_columns`` shaped; a
+        virtual dataset introspects its defining query's schema (no
+        execution: the analyzed plan alone carries it)."""
+        if self.sql is not None:
+            return [
+                ColumnInfo(name=f.name,
+                           type=f.dataType.simpleString(),
+                           nullable=f.nullable)
+                for f in self.df().schema.fields
+            ]
         return self.database.engine.columns(self.qualified_name)
 
 

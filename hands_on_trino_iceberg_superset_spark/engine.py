@@ -74,6 +74,8 @@ class Engine:
         self._versioned: dict[str, object] = {}
         #: Trino-spelled metadata-table identifier -> safe view name
         self._meta_views: dict[str, str] = {}
+        #: view name (lowercased) -> defining SQL text (CREATE VIEW)
+        self._views: dict[str, str] = {}
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
@@ -94,6 +96,9 @@ class Engine:
             for quoted in (f"`{alias}`", f'"{alias}"'):
                 if quoted in text:
                     text = text.replace(quoted, safe)
+        view = self._resolve_view_ddl(text)
+        if view is not None:
+            return view
         ddl = self._resolve_versioned_alter(text)
         if ddl is not None:
             return ddl
@@ -107,6 +112,97 @@ class Engine:
         if stats is not None:
             return stats
         return self.spark.sql(self._resolve_time_travel(text))
+
+    # -- views (the Trino CREATE VIEW surface Superset's virtual
+    # -- datasets sit on; reference README.md's catalog supports it) --
+
+    _CREATE_VIEW = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+        r"([A-Za-z_][\w.]*)\s+AS\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW = re.compile(
+        r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
+        r"\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_CREATE_VIEW = re.compile(
+        r"^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _view_name(self, raw: str) -> str:
+        """Engine view identifier: the default schema qualifier is
+        accepted and stripped (Trino writes ``demo.v``; Spark temp
+        views are unqualified); any other qualifier is a loud error
+        rather than a silently mis-registered name."""
+        parts = raw.split(".")
+        if len(parts) == 2 and parts[0].lower() == \
+                self.default_schema.lower():
+            return parts[1]
+        if len(parts) > 1:
+            raise ValueError(
+                f"view name {raw!r} must be unqualified or in the "
+                f"default schema {self.default_schema!r}"
+            )
+        return raw
+
+    def _resolve_view_ddl(self, text: str) -> DataFrame | None:
+        """``CREATE [OR REPLACE] VIEW`` / ``DROP VIEW [IF EXISTS]`` /
+        ``SHOW CREATE VIEW`` — the persistent-view DDL surface
+        (init_db.py's virtual-dataset workflow sits on it). The
+        defining SQL is recorded engine-side (the same place Superset
+        keeps a virtual dataset's SQL) and the view materializes as a
+        session temp view THROUGH :meth:`sql`, so Trino time-travel
+        and versioned tables work inside view bodies; introspection
+        (M1/M2: ``columns``/``describe``/``tables``) resolves views
+        like any table. Spark's own ``CREATE TEMPORARY VIEW`` passes
+        through untouched."""
+        m = self._SHOW_CREATE_VIEW.match(text)
+        if m:
+            name = self._view_name(m.group(1)).lower()
+            if name not in self._views:
+                raise ValueError(f"view not found: {m.group(1)}")
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {name} AS {self._views[name]}",)],
+                "create_view string",
+            )
+        m = self._DROP_VIEW.match(text)
+        if m:
+            name = self._view_name(m.group(2)).lower()
+            if name not in self._views:
+                if m.group(1):  # IF EXISTS
+                    return self.spark.createDataFrame(
+                        [(False,)], "dropped boolean"
+                    )
+                raise ValueError(f"view not found: {m.group(2)}")
+            del self._views[name]
+            self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame(
+                [(True,)], "dropped boolean"
+            )
+        m = self._CREATE_VIEW.match(text)
+        if m:
+            replace, raw_name, body = m.groups()
+            name = self._view_name(raw_name).lower()
+            if name in self._views and not replace:
+                raise ValueError(
+                    f"view already exists: {raw_name} "
+                    "(use CREATE OR REPLACE VIEW)"
+                )
+            body = body.strip().rstrip(";").strip()
+            # route the materialization through sql() so meta-view
+            # aliases and time-travel resolve inside the body
+            out = self.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}"
+            )
+            self._views[name] = body
+            return out
+        return None
+
+    def views(self) -> dict[str, str]:
+        """view name -> defining SQL, for introspection (M1/M2)."""
+        return dict(self._views)
 
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I

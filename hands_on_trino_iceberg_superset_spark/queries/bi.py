@@ -84,6 +84,67 @@ def bi_chart_agg_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bi_chart_virtual_dataset",
+    oracle=SEED_CTE
+    + """
+    SELECT status, currency, count(*) AS count,
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_amount
+    FROM seed_transactions
+    WHERE transaction_type = 'payment'
+    GROUP BY status, currency
+    ORDER BY count DESC, status, currency
+    """,
+    doc="Chart over a VIRTUAL (SQL-defined) dataset layered on a "
+        "persistent engine view — the most-used Superset feature "
+        "beyond physical tables (SqlaTable.sql; the reference's "
+        "init_db.py seeds physical datasets only): "
+        "CREATE VIEW v_payment_tx AS <filter+cast over the seed> "
+        "through Engine.sql records the defining SQL engine-side "
+        "(M1/M2 introspection resolves the view like any table), a "
+        "bi.Dataset(sql=...) virtual dataset selects FROM the view, "
+        "and the chart's form_data compiles over the dataset frame "
+        "— the full Superset virtual-dataset chain, Catalyst path; "
+        "the SQL-text path over the same view is parity-tested in "
+        "tests/test_bi.py. Catalyst dissolves the view + virtual "
+        "layers into one plan (temp-view substitution happens at "
+        "analysis) — the layering costs nothing at execution.",
+)
+def bi_chart_virtual_dataset(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import Database
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    tx = seed_frames(spark)["transactions"]
+    tx.createOrReplaceTempView("seed_transactions_vds")
+    eng = Engine(spark)
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_payment_tx AS "
+        "SELECT status, currency, "
+        "CAST(amount AS DECIMAL(18,2)) AS amount_dec "
+        "FROM seed_transactions_vds WHERE transaction_type = 'payment'"
+    )
+    ds = Database("spark", eng).dataset(
+        "v_payment_tx", sql="SELECT * FROM v_payment_tx"
+    )
+    out = compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["status", "currency"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "sum_amount"},
+            ],
+            "order_by": [["count", False], ["status", True],
+                         ["currency", True]],
+        },
+    )
+    return out.withColumn("sum_amount", dbl(F.col("sum_amount")))
+
+
+@register(
     "bi_chart_time_range",
     oracle=SEED_CTE
     + """

@@ -802,3 +802,45 @@ def test_pivot_row_total_counts_null_pivot_keys(spark):
     )
     assert {r.r: tuple(r)[1:]
             for r in spark.sql(sql).collect()} == got
+
+
+def test_virtual_dataset_over_view_both_paths(spark):
+    """The Superset virtual-dataset chain: engine view -> Dataset(sql)
+    -> chart, identical on the Catalyst and SQL-text compilation
+    paths, with fetch_metadata introspecting the defining query."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    spark.createDataFrame(
+        [("p", "done", 5.0), ("p", "done", 7.0), ("p", "new", 1.0),
+         ("r", "done", 99.0)],
+        "tt string, status string, amount double",
+    ).createOrReplaceTempView("vds_base")
+    eng = Engine(spark)
+    eng.sql("CREATE OR REPLACE VIEW v_vds AS "
+            "SELECT status, amount FROM vds_base WHERE tt = 'p'")
+    ds = Database("spark", eng).dataset(
+        "v_vds", sql="SELECT * FROM v_vds"
+    )
+    assert ds.is_virtual
+    assert [(c.name, c.type) for c in ds.fetch_metadata()] \
+        == [("status", "string"), ("amount", "double")]
+    fd = {
+        "query_mode": "aggregate",
+        "groupby": ["status"],
+        "metrics": ["count",
+                    {"aggregate": "SUM", "column": "amount",
+                     "label": "sa"}],
+        "order_by": [["status", True]],
+    }
+    native = [tuple(r) for r in
+              compile_form_data(ds.df(), fd).collect()]
+    wire = [tuple(r) for r in
+            eng.sql(form_data_to_sql("v_vds", fd)).collect()]
+    assert native == wire == [("done", 2, 12.0), ("new", 1, 1.0)]

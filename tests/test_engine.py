@@ -271,3 +271,63 @@ def test_show_stats_surface(spark):
     assert summary.distinct_values_count is None
     # anything else falls through to plain SQL
     assert eng.sql("SELECT 41 + 1 AS x").collect()[0].x == 42
+
+
+def test_view_ddl_lifecycle(spark):
+    """CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW CREATE VIEW with
+    engine-side SQL registry and M1/M2 introspection parity."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, k string, v double",
+    ).createOrReplaceTempView("vddl_base")
+
+    eng.sql("CREATE VIEW vddl AS SELECT k, v FROM vddl_base "
+            "WHERE v > 15")
+    assert eng.views() == {
+        "vddl": "SELECT k, v FROM vddl_base WHERE v > 15"
+    }
+    assert {r.k for r in eng.sql("SELECT * FROM vddl").collect()} \
+        == {"a", "b"}
+    # introspection resolves the view like any table (M1/M2)
+    assert [(c.name, c.type) for c in eng.columns("vddl")] \
+        == [("k", "string"), ("v", "double")]
+    # DESCRIBE parity with the defining query's schema
+    desc = {r.col_name: r.data_type
+            for r in eng.describe("vddl").collect()}
+    assert desc == {"k": "string", "v": "double"}
+    # SHOW CREATE VIEW round-trips the recorded SQL
+    assert eng.sql("SHOW CREATE VIEW vddl").first()[0] \
+        == "CREATE VIEW vddl AS SELECT k, v FROM vddl_base WHERE v > 15"
+
+    # duplicate create refuses without OR REPLACE; replace rebinds
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW vddl AS SELECT 1 AS x")
+    eng.sql("CREATE OR REPLACE VIEW vddl AS SELECT id FROM vddl_base")
+    assert eng.sql("SELECT count(*) AS n FROM vddl").first().n == 3
+
+    # default-schema qualifier accepted, foreign qualifier refused
+    eng.sql("CREATE VIEW demo.vddl2 AS SELECT 1 AS one")
+    assert eng.sql("SELECT * FROM vddl2").first().one == 1
+    with pytest.raises(ValueError, match="default schema"):
+        eng.sql("CREATE VIEW other.vddl3 AS SELECT 1 AS one")
+
+    # drop removes registry + resolution; IF EXISTS is a no-op
+    eng.sql("DROP VIEW vddl2")
+    assert "vddl2" not in eng.views()
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("DROP VIEW vddl2")
+    assert eng.sql("DROP VIEW IF EXISTS vddl2").first().dropped is False
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("SHOW CREATE VIEW vddl2")
+    eng.sql("DROP VIEW vddl")
+
+    # Spark's own TEMPORARY VIEW DDL passes through untouched
+    eng.sql("CREATE OR REPLACE TEMPORARY VIEW vddl_tmp AS "
+            "SELECT 2 AS two")
+    assert "vddl_tmp" not in eng.views()
+    assert eng.sql("SELECT * FROM vddl_tmp").first().two == 2
