@@ -85,6 +85,87 @@ def sql_over_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wire_prepared_execute",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice >= 1000.0 AND o_orderstatus <> 'X'
+    GROUP BY o_orderstatus
+    """,
+    doc="Prepared-statement round trip over the Trino REST client "
+        "protocol (server.py): PREPARE ... FROM a parameterized "
+        "aggregate returns X-Trino-Added-Prepare, the client "
+        "re-presents the statement via X-Trino-Prepared-Statement "
+        "(the protocol's client-side statement store, exactly how "
+        "Trino's SQLAlchemy/JDBC drivers connect), and EXECUTE ... "
+        "USING substitutes validated SQL literals into the ? "
+        "placeholders server-side — with a whitelisted SET SESSION "
+        "property (hash_partition_count) applied around the "
+        "statement through X-Trino-Session. The received grid is "
+        "re-framed and hash-checked against the oracle running the "
+        "same aggregate with the parameters inlined.",
+)
+def wire_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import quote
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import TrinoWireServer
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    stmt = (
+        "SELECT o_orderstatus AS status, count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders WHERE o_totalprice >= ? AND o_orderstatus <> ? "
+        "GROUP BY o_orderstatus"
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"{srv.url}/v1/statement",
+            data=f"PREPARE q FROM {stmt}".encode(),
+            method="POST",
+            headers={"X-Trino-User": "driver"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            if "error" in json.load(resp):
+                raise RuntimeError("PREPARE failed")
+            added = resp.headers["X-Trino-Added-Prepare"]
+        req = urllib.request.Request(
+            f"{srv.url}/v1/statement",
+            data=b"EXECUTE q USING 1000.0, 'X'",
+            method="POST",
+            headers={
+                "X-Trino-User": "driver",
+                "X-Trino-Prepared-Statement": added,
+                "X-Trino-Session":
+                    f"hash_partition_count={quote('8')}",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            payload = json.load(resp)
+        if "error" in payload:
+            raise RuntimeError(payload["error"]["message"])
+        rows = list(payload.get("data", []))
+        while "nextUri" in payload:
+            with urllib.request.urlopen(payload["nextUri"]) as resp:
+                payload = json.load(resp)
+            if "error" in payload:
+                raise RuntimeError(payload["error"]["message"])
+            rows.extend(payload.get("data", []))
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), float(r[2])) for r in rows],
+        "status string, n_orders long, total_price double",
+    )
+
+
+@register(
     "catalog_over_http",
     oracle="""
     WITH ice AS (

@@ -21,6 +21,23 @@ Protocol subset implemented (enough for CLI/driver-style clients):
 - ``DELETE /v1/statement/<id>/<page>`` cancels (drops the result).
 - errors surface as ``{"error": {...}, "stats": {"state": "FAILED"}}``
   with HTTP 200, per protocol (transport succeeded, query failed).
+- ``PREPARE q FROM <sql>`` / ``EXECUTE q USING <literals>`` /
+  ``DEALLOCATE PREPARE q`` with the protocol's CLIENT-SIDE statement
+  store: PREPARE answers with ``X-Trino-Added-Prepare: name=sql``
+  and the client re-presents its statements on later requests via
+  ``X-Trino-Prepared-Statement`` headers (exactly how Trino's JDBC/
+  SQLAlchemy drivers connect) — the server stays stateless across
+  requests. EXECUTE substitutes ``?`` placeholders (outside string
+  literals) with the USING arguments, each validated to be a SQL
+  LITERAL (number/string/boolean/NULL/typed literal) so the
+  substitution cannot smuggle expressions; type coercion is the
+  engine's normal cast semantics.
+- ``SET SESSION k = v`` / ``RESET SESSION k`` with the matching
+  ``X-Trino-Set-Session`` response header and ``X-Trino-Session``
+  request header; properties are WHITELISTED and map to the Spark
+  conf that carries the same meaning (``hash_partition_count`` ->
+  shuffle partitions, ``join_distribution_type`` -> broadcast
+  threshold), applied around the one statement and restored after.
 
 Results are fully materialized on POST and paged from driver memory:
 the wire entry is a control-plane surface (BI tools page through
@@ -36,16 +53,112 @@ slow query does not block readiness probes.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
+from contextlib import contextmanager
 from datetime import date, datetime
 from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import quote, unquote
 
-from hands_on_trino_iceberg_superset_spark.engine import Engine
+from hands_on_trino_iceberg_superset_spark.engine import (
+    Engine,
+    _split_top_level,
+)
 
 #: rows per protocol page
 PAGE_SIZE = 1000
+
+#: whitelisted SET SESSION properties -> (spark conf, validate+map).
+#: Each maps onto the Spark conf that carries the same semantics;
+#: anything else is refused loudly (a silently-ignored session
+#: property would let a client believe it tuned something).
+_SESSION_PROPS = {
+    # Trino: number of hash buckets for distributed joins/aggs
+    "hash_partition_count": (
+        "spark.sql.shuffle.partitions",
+        lambda v: str(int(v)),
+    ),
+    # Trino: AUTOMATIC|PARTITIONED|BROADCAST join distribution
+    "join_distribution_type": (
+        "spark.sql.autoBroadcastJoinThreshold",
+        lambda v: {
+            "AUTOMATIC": "10485760",   # Spark's default threshold
+            "PARTITIONED": "-1",       # never broadcast
+            "BROADCAST": "536870912",  # prefer broadcast
+        }[v.strip().strip("'\"").upper()],
+    ),
+}
+
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SET_SESSION_RE = re.compile(
+    r"^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESET_SESSION_RE = re.compile(
+    r"^\s*RESET\s+SESSION\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: a USING argument must be a bare SQL literal — number, string,
+#: boolean, NULL, or a typed literal like DATE '…' / INTERVAL '1' DAY
+_LITERAL_RE = re.compile(
+    r"""^\s*(?:
+        -?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?
+      | '(?:[^']|'')*'
+      | (?i:true|false|null)
+      | (?i:date|time|timestamp|double|real|decimal|varchar|interval)
+        \s+'(?:[^']|'')*'
+        (?:\s+(?i:year|month|day|hour|minute|second))?
+    )\s*$""",
+    re.VERBOSE,
+)
+
+
+def _substitute_params(sql: str, args: list[str]) -> str:
+    """Replace ``?`` placeholders OUTSIDE string literals with the
+    validated literal arguments, in order. Counts must match."""
+    out, i, n, ai = [], 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "?":
+            if ai >= len(args):
+                raise ValueError(
+                    f"EXECUTE: statement has more parameters than the "
+                    f"{len(args)} USING argument(s)"
+                )
+            out.append(args[ai].strip())
+            ai += 1
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    if ai != len(args):
+        raise ValueError(
+            f"EXECUTE: {len(args)} USING argument(s) for {ai} "
+            "parameter(s)"
+        )
+    return "".join(out)
 
 #: Spark simpleString -> Trino type name (the subset the corpus uses)
 _TYPE_MAP = {
@@ -124,6 +237,7 @@ class TrinoWireServer:
         self.engine = engine or Engine()
         self._queries: dict[str, _Query] = {}
         self._lock = threading.Lock()
+        self._conf_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -131,13 +245,28 @@ class TrinoWireServer:
             def log_message(self, *args) -> None:
                 pass
 
-            def _reply(self, payload: dict, status: int = 200) -> None:
+            def _reply(self, payload: dict, status: int = 200,
+                       extra_headers: list[tuple[str, str]] | None = None,
+                       ) -> None:
                 body = json.dumps(payload).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in extra_headers or ():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _kv_headers(self, name: str) -> dict[str, str]:
+                """Collect repeated ``name=value`` protocol headers
+                (values URL-encoded, per the Trino client spec)."""
+                out: dict[str, str] = {}
+                for raw in self.headers.get_all(name) or ():
+                    for part in raw.split(","):
+                        k, _, v = part.strip().partition("=")
+                        if k:
+                            out[k.lower()] = unquote(v)
+                return out
 
             def do_POST(self) -> None:  # noqa: N802 (http.server API)
                 if self.path.rstrip("/") != "/v1/statement":
@@ -145,7 +274,12 @@ class TrinoWireServer:
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 sql_text = self.rfile.read(n).decode()
-                self._reply(outer._execute(sql_text))
+                payload, hdrs = outer._execute(
+                    sql_text,
+                    prepared=self._kv_headers("X-Trino-Prepared-Statement"),
+                    session=self._kv_headers("X-Trino-Session"),
+                )
+                self._reply(payload, extra_headers=hdrs)
 
             def do_GET(self) -> None:  # noqa: N802
                 if self.path == "/v1/info":
@@ -188,22 +322,100 @@ class TrinoWireServer:
 
     # -------------------------------------------------------- protocol
 
-    def _execute(self, sql_text: str) -> dict:
+    @staticmethod
+    def _ack(qid: str, kind: str,
+             headers: list[tuple[str, str]]) -> tuple[dict, list]:
+        """Zero-data OK payload for a session-control statement, with
+        its protocol response header(s)."""
+        return (
+            {
+                "id": qid,
+                "columns": [{"name": "result", "type": "boolean"}],
+                "data": [[True]],
+                "stats": {"state": "FINISHED", "statement": kind},
+            },
+            headers,
+        )
+
+    def _session_confs(self, session: dict) -> dict[str, str]:
+        """X-Trino-Session properties -> Spark conf assignments, with
+        unknown properties refused loudly."""
+        confs: dict[str, str] = {}
+        for key, val in session.items():
+            if key not in _SESSION_PROPS:
+                raise ValueError(
+                    f"unsupported session property: {key!r} "
+                    f"(whitelist: {sorted(_SESSION_PROPS)})"
+                )
+            conf, convert = _SESSION_PROPS[key]
+            confs[conf] = convert(val)
+        return confs
+
+    def _execute(self, sql_text: str,
+                 prepared: dict[str, str] | None = None,
+                 session: dict[str, str] | None = None,
+                 ) -> tuple[dict, list]:
         qid = uuid.uuid4().hex
+        prepared = prepared or {}
         try:
-            df = self.engine.trino_sql(sql_text)
-            columns = [
-                {
-                    "name": f.name,
-                    "type": _trino_type(f.dataType.simpleString()),
-                }
-                for f in df.schema.fields
-            ]
-            rows = [
-                [_json_value(v) for v in row] for row in df.collect()
-            ]
+            m = _PREPARE_RE.match(sql_text)
+            if m:
+                name, stmt = m.group(1).lower(), m.group(2).strip()
+                return self._ack(qid, "PREPARE", [(
+                    "X-Trino-Added-Prepare",
+                    f"{name}={quote(stmt.rstrip(';'))}",
+                )])
+            m = _DEALLOCATE_RE.match(sql_text)
+            if m:
+                return self._ack(qid, "DEALLOCATE PREPARE", [(
+                    "X-Trino-Deallocated-Prepare", m.group(1).lower()
+                )])
+            m = _SET_SESSION_RE.match(sql_text)
+            if m:
+                key = m.group(1).lower()
+                val = m.group(2)
+                self._session_confs({key: val})  # validate now
+                return self._ack(qid, "SET SESSION", [(
+                    "X-Trino-Set-Session", f"{key}={quote(val)}"
+                )])
+            m = _RESET_SESSION_RE.match(sql_text)
+            if m:
+                return self._ack(qid, "RESET SESSION", [(
+                    "X-Trino-Reset-Session", m.group(1).lower()
+                )])
+            m = _EXECUTE_RE.match(sql_text)
+            if m:
+                name = m.group(1).lower()
+                if name not in prepared:
+                    raise ValueError(
+                        f"prepared statement not found: {name} (send "
+                        "it via the X-Trino-Prepared-Statement header)"
+                    )
+                args = (_split_top_level(m.group(2))
+                        if m.group(2) else [])
+                for a in args:
+                    if not _LITERAL_RE.match(a):
+                        raise ValueError(
+                            f"EXECUTE argument is not a SQL literal: "
+                            f"{a.strip()!r}"
+                        )
+                sql_text = _substitute_params(prepared[name], args)
+            confs = self._session_confs(session or {})
+            with self._apply_confs(confs):
+                df = self.engine.trino_sql(sql_text)
+                columns = [
+                    {
+                        "name": f.name,
+                        "type": _trino_type(f.dataType.simpleString()),
+                    }
+                    for f in df.schema.fields
+                ]
+                rows = [
+                    [_json_value(v) for v in row]
+                    for row in df.collect()
+                ]
         except Exception as exc:  # noqa: BLE001 — protocol error shape
-            return {
+            return ({
                 "id": qid,
                 "error": {
                     "message": str(exc),
@@ -212,11 +424,36 @@ class TrinoWireServer:
                     "errorType": "USER_ERROR",
                 },
                 "stats": {"state": "FAILED"},
-            }
+            }, [])
         q = _Query(qid, columns, rows)
         with self._lock:
             self._queries[qid] = q
-        return self._page_payload(q, 0)
+        return self._page_payload(q, 0), []
+
+    @contextmanager
+    def _apply_confs(self, confs: dict[str, str]):
+        """Apply per-request session confs around one statement and
+        restore afterwards. Conf changes are session-global in Spark,
+        so statements carrying session properties serialize on a lock
+        (control-plane semantics; the no-props fast path is
+        lock-free)."""
+        if not confs:
+            yield
+            return
+        with self._conf_lock:
+            saved = {
+                k: self.engine.spark.conf.get(k, None) for k in confs
+            }
+            try:
+                for k, v in confs.items():
+                    self.engine.spark.conf.set(k, v)
+                yield
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        self.engine.spark.conf.unset(k)
+                    else:
+                        self.engine.spark.conf.set(k, v)
 
     def _next_page(self, qid: str, idx: int) -> dict:
         with self._lock:

@@ -159,3 +159,101 @@ def test_show_stats_over_wire(server, spark):
     assert by_col["k"][5:7] == ["1", "3"]  # numeric low/high
     summary = next(r for r in rows if r[0] is None)
     assert summary[4] == 3.0  # row_count
+
+
+def _post_h(srv, sql: str, headers: dict | None = None):
+    """POST returning (payload, response headers)."""
+    req = urllib.request.Request(
+        f"{srv.url}/v1/statement",
+        data=sql.encode(),
+        method="POST",
+        headers={"X-Trino-User": "test", **(headers or {})},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.load(resp), dict(resp.headers)
+
+
+def test_prepare_execute_roundtrip(server):
+    """The real Trino client flow: PREPARE answers with
+    X-Trino-Added-Prepare; the client re-presents the statement via
+    X-Trino-Prepared-Statement and EXECUTE ... USING substitutes
+    validated literals into the ? placeholders."""
+    from urllib.parse import unquote
+
+    payload, hdrs = _post_h(
+        server,
+        "PREPARE q1 FROM SELECT n, 'lit?' AS s "
+        "FROM UNNEST(SEQUENCE(1, 10)) AS t(n) "
+        "WHERE n BETWEEN ? AND ?",
+    )
+    assert payload["stats"]["state"] == "FINISHED"
+    name, _, enc = hdrs["X-Trino-Added-Prepare"].partition("=")
+    assert name == "q1"
+    stmt_header = {"X-Trino-Prepared-Statement": f"q1={enc}"}
+    out, _ = _post_h(server, "EXECUTE q1 USING 3, 5",
+                     headers=stmt_header)
+    assert "error" not in out, out.get("error")
+    # the ? inside the string literal is untouched; the two outside
+    # are substituted in order
+    assert [r[0] for r in out["data"]] == [3, 4, 5]
+    assert out["data"][0][1] == "lit?"
+    assert unquote(enc).startswith("SELECT n,")
+
+    # unknown statement name, non-literal argument, arity mismatch
+    bad, _ = _post_h(server, "EXECUTE nope USING 1")
+    assert bad["stats"]["state"] == "FAILED"
+    inj, _ = _post_h(server,
+                     "EXECUTE q1 USING 1, (SELECT max(n) FROM x)",
+                     headers=stmt_header)
+    assert inj["stats"]["state"] == "FAILED"
+    assert "not a SQL literal" in inj["error"]["message"]
+    arity, _ = _post_h(server, "EXECUTE q1 USING 1",
+                       headers=stmt_header)
+    assert arity["stats"]["state"] == "FAILED"
+
+    # DEALLOCATE acknowledges with the matching header
+    _, dh = _post_h(server, "DEALLOCATE PREPARE q1")
+    assert dh["X-Trino-Deallocated-Prepare"] == "q1"
+
+
+def test_set_session_applies_whitelisted_property(server):
+    """SET SESSION round-trips through the protocol headers and the
+    property demonstrably reaches the engine: hash_partition_count
+    drives spark.sql.shuffle.partitions for exactly one statement."""
+    payload, hdrs = _post_h(server,
+                            "SET SESSION hash_partition_count = 3")
+    assert payload["stats"]["state"] == "FINISHED"
+    assert hdrs["X-Trino-Set-Session"] == "hash_partition_count=3"
+    sess = {"X-Trino-Session": "hash_partition_count=3"}
+    before = server.engine.spark.conf.get("spark.sql.shuffle.partitions")
+    # probe the conf value AS SEEN by the engine mid-statement (AQE
+    # coalescing hides the partition count from result observation)
+    seen = {}
+    orig = server.engine.trino_sql
+
+    def probing(sql):
+        seen["v"] = server.engine.spark.conf.get(
+            "spark.sql.shuffle.partitions")
+        return orig(sql)
+
+    server.engine.trino_sql = probing
+    try:
+        out, _ = _post_h(server, "SELECT 1 AS x", headers=sess)
+    finally:
+        server.engine.trino_sql = orig
+    assert "error" not in out, out.get("error")
+    assert seen["v"] == "3"
+    # restored after the statement
+    assert server.engine.spark.conf.get(
+        "spark.sql.shuffle.partitions") == before
+
+    # unknown property refused loudly, both at SET and at use
+    bad, _ = _post_h(server, "SET SESSION nope = 1")
+    assert bad["stats"]["state"] == "FAILED"
+    bad2, _ = _post_h(server, "SELECT 1",
+                      headers={"X-Trino-Session": "nope=1"})
+    assert bad2["stats"]["state"] == "FAILED"
+
+    # RESET SESSION acknowledges with the protocol header
+    _, rh = _post_h(server, "RESET SESSION hash_partition_count")
+    assert rh["X-Trino-Reset-Session"] == "hash_partition_count"
