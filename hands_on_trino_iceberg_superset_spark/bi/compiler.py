@@ -143,6 +143,87 @@ def _validate_compare_contribution(form_data: Mapping[str, Any],
         _parse_time_offset(off)
 
 
+#: pandas offset alias -> (seconds, Spark interval unit)
+_RESAMPLE_UNITS = {
+    "T": (60, "MINUTE"), "MIN": (60, "MINUTE"),
+    "H": (3600, "HOUR"), "D": (86400, "DAY"),
+}
+
+#: grain -> period seconds (only the fixed-width grains are
+#: resample-eligible; month/quarter/year periods vary)
+_GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+_RESAMPLE_METHODS = ("asfreq", "zerofill", "ffill", "bfill")
+
+
+def _parse_resample_rule(rule: str) -> tuple[int, str, int]:
+    """``'6H'`` -> (6, 'HOUR', 21600). Unknown aliases raise."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d*)\s*([A-Za-z]+)\s*", str(rule))
+    unit = m and m.group(2).upper()
+    if not m or unit not in _RESAMPLE_UNITS:
+        raise ValueError(
+            f"unsupported resample_rule {rule!r} (supported units: "
+            f"{sorted(_RESAMPLE_UNITS)})"
+        )
+    n = int(m.group(1) or 1)
+    if n <= 0:
+        raise ValueError("resample_rule step must be positive")
+    secs, spark_unit = _RESAMPLE_UNITS[unit]
+    return n, spark_unit, n * secs
+
+
+def _validate_resample(form_data: Mapping[str, Any],
+                       mode: str) -> tuple[int, str, str] | None:
+    """Shared resample validation — identical refusals on both
+    compilation paths. Returns (step, unit, method) or None."""
+    rule = form_data.get("resample_rule")
+    if not rule:
+        if form_data.get("resample_method"):
+            raise ValueError(
+                "resample_method requires resample_rule")
+        return None
+    if mode != "aggregate":
+        raise ValueError("resample requires aggregate mode")
+    unit = _grain_unit(form_data)
+    if unit is None:
+        raise ValueError(
+            "resample requires granularity_sqla + time_grain_sqla "
+            "(a timeseries chart)")
+    if unit not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"resample over the variable-width grain {unit!r} is "
+            "not supported (fixed-width grains only)")
+    n, spark_unit, rule_secs = _parse_resample_rule(rule)
+    if _GRAIN_SECONDS[unit] % rule_secs != 0:
+        # a rule that does not divide the grain either drops buckets
+        # (downsampling needs an agg method) or mis-aligns them —
+        # refuse rather than silently lose data
+        raise ValueError(
+            f"resample_rule {rule!r} must evenly divide the "
+            f"{unit!r} grain")
+    method = form_data.get("resample_method") or "asfreq"
+    if method not in _RESAMPLE_METHODS:
+        # pandas also offers aggregating methods (sum/mean) for
+        # downsampling; out of scope with the divisibility rule above
+        raise ValueError(
+            f"unsupported resample_method {method!r} "
+            f"(supported: {_RESAMPLE_METHODS})")
+    for field in ("percent_metrics", "rolling_type", "time_compare",
+                  "contributionMode"):
+        if form_data.get(field):
+            raise ValueError(
+                f"resample with {field} is not supported "
+                "(post-processing order is ambiguous; Superset "
+                "chains pandas stages — refuse rather than guess)")
+    if form_data.get("row_limit"):
+        raise ValueError(
+            "resample with row_limit is not supported (limiting "
+            "before gap-fill truncates the spine input silently)")
+    return n, spark_unit, method
+
+
 def _grain_unit(form_data: Mapping[str, Any]) -> str | None:
     """date_trunc unit when the chart sets BOTH granularity_sqla and
     time_grain_sqla (the first thing a real Superset user configures
@@ -343,6 +424,7 @@ def compile_form_data(
     if form_data.get("series_limit") and mode != "aggregate":
         raise ValueError("series_limit requires aggregate mode")
     _validate_compare_contribution(form_data, mode)
+    _validate_resample(form_data, mode)
     if mode == "raw":
         cols = form_data.get("all_columns") or df.columns
         out = df.select(*cols)
@@ -567,6 +649,55 @@ def compile_form_data(
                     lab,
                     F.when(cnt >= mp, val.cast("double")),
                 )
+        resample = _validate_resample(form_data, mode)
+        if resample:
+            # Superset's resample post-processing (pandas reindex at
+            # the rule frequency per series + fill), compiled as a
+            # DATE SPINE: the full bucket grid from min to max
+            # timestamp at the rule step, cross-joined with the
+            # distinct series keys, left-joined onto the aggregate,
+            # gaps filled per method. Every stage runs over the
+            # already-aggregated chart-sized result — the spine is
+            # bounded by the chart's time span, never the fact table
+            # (the events_daily_gapfill machinery as a form_data
+            # field).
+            from pyspark.sql import Window
+
+            step, u, method = resample
+            keys = [k for k in groupby if k != TIME_LABEL]
+            bounds = out.agg(
+                F.min(TIME_LABEL).alias("t0"),
+                F.max(TIME_LABEL).alias("t1"),
+            )
+            spine = bounds.select(
+                F.explode(
+                    F.sequence(
+                        "t0", "t1",
+                        F.expr(f"INTERVAL '{step}' {u}"),
+                    )
+                ).alias(TIME_LABEL)
+            )
+            grid = (spine.crossJoin(out.select(*keys).distinct())
+                    if keys else spine)
+            out = grid.join(out, [TIME_LABEL, *keys], "left")
+            labels = [_metric_label(m) for m in metrics]
+            if method == "zerofill":
+                for lab in labels:
+                    out = out.withColumn(
+                        lab, F.coalesce(F.col(lab), F.lit(0)))
+            elif method == "ffill":
+                w = (Window.partitionBy(*keys).orderBy(TIME_LABEL)
+                     .rowsBetween(Window.unboundedPreceding, 0))
+                for lab in labels:
+                    out = out.withColumn(
+                        lab, F.last(lab, ignorenulls=True).over(w))
+            elif method == "bfill":
+                w = (Window.partitionBy(*keys).orderBy(TIME_LABEL)
+                     .rowsBetween(0, Window.unboundedFollowing))
+                for lab in labels:
+                    out = out.withColumn(
+                        lab, F.first(lab, ignorenulls=True).over(w))
+            # asfreq: gaps stay NULL
     else:
         raise ValueError(f"unknown query_mode: {mode}")
 
@@ -636,6 +767,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     if form_data.get("series_limit") and mode != "aggregate":
         raise ValueError("series_limit requires aggregate mode")
     _validate_compare_contribution(form_data, mode)
+    resample = _validate_resample(form_data, mode)
     where_conds = _adhoc_filter_sql(form_data)
     rng = form_data.get("time_range", "No filter")
     time_col = form_data.get("granularity_sqla")
@@ -913,6 +1045,56 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         sql = (f"SELECT q.*, {', '.join(pct_sqls)} FROM ({sql}) q"
                + order_clause(order_by))
         return sql
+    if mode == "aggregate" and resample:
+        # mirror of the Catalyst path: date spine from min to max at
+        # the rule step, cross-joined with the distinct series keys,
+        # left-joined onto the aggregate, gaps filled per method.
+        # The inner aggregate text repeats (bounds / series / data) —
+        # each execution is chart-sized.
+        step, u, method = resample
+        gb_idents = [_sql_ident(c)
+                     for c in form_data.get("groupby") or []]
+        spine = (
+            f"SELECT explode(sequence(t0, t1, "
+            f"INTERVAL '{step}' {u})) AS {TIME_LABEL} "
+            f"FROM (SELECT min({TIME_LABEL}) AS t0, "
+            f"max({TIME_LABEL}) AS t1 FROM ({sql}) b)"
+        )
+        if gb_idents:
+            kl = ", ".join(f"k.{c}" for c in gb_idents)
+            grid = (
+                f"SELECT s.{TIME_LABEL}, {kl} FROM ({spine}) s "
+                f"CROSS JOIN (SELECT DISTINCT "
+                f"{', '.join(gb_idents)} FROM ({sql}) d) k"
+            )
+        else:
+            grid = spine
+        cond = " AND ".join(
+            f"g.{k} = m.{k}" for k in [TIME_LABEL, *gb_idents]
+        )
+        gkeys = [f"g.{k}" for k in [TIME_LABEL, *gb_idents]]
+        part = (f"PARTITION BY {', '.join(f'g.{c}' for c in gb_idents)} "
+                if gb_idents else "")
+        fills = []
+        for _, lab in metric_sqls:
+            if method == "zerofill":
+                fills.append(f"coalesce(m.{lab}, 0) AS {lab}")
+            elif method == "ffill":
+                fills.append(
+                    f"last(m.{lab}, true) OVER ({part}ORDER BY "
+                    f"g.{TIME_LABEL} ROWS BETWEEN UNBOUNDED "
+                    f"PRECEDING AND CURRENT ROW) AS {lab}")
+            elif method == "bfill":
+                fills.append(
+                    f"first(m.{lab}, true) OVER ({part}ORDER BY "
+                    f"g.{TIME_LABEL} ROWS BETWEEN CURRENT ROW AND "
+                    f"UNBOUNDED FOLLOWING) AS {lab}")
+            else:  # asfreq
+                fills.append(f"m.{lab} AS {lab}")
+        sql = (
+            f"SELECT {', '.join(gkeys + fills)} FROM ({grid}) g "
+            f"LEFT JOIN ({sql}) m ON {cond}"
+        )
     sql += order_clause(order_by)
     if row_limit:
         sql += f" LIMIT {int(row_limit)}"

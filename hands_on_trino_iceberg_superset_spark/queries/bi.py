@@ -145,6 +145,75 @@ def bi_chart_virtual_dataset(spark: SparkSession,
 
 
 @register(
+    "bi_chart_resample",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+             event_type, count(*) AS count
+      FROM events WHERE value >= 300
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM agg),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS t
+      FROM bounds
+    ),
+    grid AS (
+      SELECT s.t AS t, k.event_type FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM agg) k
+    )
+    SELECT CAST(g.t AS VARCHAR) AS __timestamp,
+           g.event_type AS event_type,
+           coalesce(a.count, 0) AS count
+    FROM grid g
+    LEFT JOIN agg a ON a.t = g.t AND a.event_type = g.event_type
+    """,
+    doc="Superset resample post-processing (resample_rule='1D', "
+        "resample_method='zerofill') as a form_data field: pandas "
+        "reindexes the fetched timeseries at the rule frequency per "
+        "series and fills gaps; the compiled twin is a DATE SPINE — "
+        "bucket grid from min to max at the rule step, cross-joined "
+        "with the distinct series, left-joined onto the aggregate, "
+        "counts filled with 0 (asfreq/ffill/bfill are the other "
+        "methods; the rule must evenly divide the grain, refusals "
+        "documented in _validate_resample). The high-value slice is "
+        "day-sparse, so real gaps materialize. Every resample stage "
+        "runs over the already-aggregated chart-sized result — the "
+        "events_daily_gapfill machinery reached from a Superset "
+        "form_data blob, identical on both compilation paths "
+        "(parity-tested).",
+)
+def bi_chart_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = compile_form_data(
+        ev,
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "ts",
+            "time_grain_sqla": "P1D",
+            "groupby": ["event_type"],
+            "metrics": ["count"],
+            "adhoc_filters": [
+                {"expressionType": "SIMPLE", "clause": "WHERE",
+                 "subject": "value", "operator": ">=",
+                 "comparator": 300},
+            ],
+            "resample_rule": "1D",
+            "resample_method": "zerofill",
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "event_type",
+        "count",
+    )
+
+
+@register(
     "bi_chart_time_range",
     oracle=SEED_CTE
     + """

@@ -844,3 +844,78 @@ def test_virtual_dataset_over_view_both_paths(spark):
     wire = [tuple(r) for r in
             eng.sql(form_data_to_sql("v_vds", fd)).collect()]
     assert native == wire == [("done", 2, 12.0), ("new", 1, 1.0)]
+
+
+def test_resample_methods_identical_on_both_paths(spark):
+    """resample_rule/resample_method: the date-spine compilation fills
+    gaps per method identically on the Catalyst and SQL-text paths;
+    unsupported shapes are refused identically."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2026-01-01 05:00:00", "a", 1.0),
+         ("2026-01-01 06:00:00", "a", 2.0),
+         ("2026-01-04 09:00:00", "a", 3.0),   # 2 missing days
+         ("2026-01-02 01:00:00", "b", 4.0)],  # series b: gaps at end
+        "tss string, k string, v double",
+    ).selectExpr("CAST(tss AS TIMESTAMP) AS ts", "k", "v")
+    df.createOrReplaceTempView("rs_base")
+    base_fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["k"],
+        "metrics": ["count"],
+        "resample_rule": "1D",
+        "order_by": [["k", True], ["__timestamp", True]],
+    }
+
+    def run(method):
+        fd = {**base_fd, "resample_method": method}
+        native = [(str(r[0]), r[1], r[2]) for r in
+                  compile_form_data(df, fd).collect()]
+        wire = [(str(r[0]), r[1], r[2]) for r in
+                spark.sql(form_data_to_sql("rs_base", fd)).collect()]
+        assert native == wire, method
+        return {(t[:10], k): c for t, k, c in native}
+
+    # spine: 2026-01-01 .. 2026-01-04 x {a, b} = 8 buckets
+    zero = run("zerofill")
+    assert len(zero) == 8
+    assert zero[("2026-01-02", "a")] == 0
+    assert zero[("2026-01-01", "a")] == 2  # two events that day
+    asfreq = run("asfreq")
+    assert asfreq[("2026-01-02", "a")] is None
+    ffill = run("ffill")
+    assert ffill[("2026-01-02", "a")] == 2   # carried forward
+    assert ffill[("2026-01-01", "b")] is None  # nothing before
+    bfill = run("bfill")
+    assert bfill[("2026-01-03", "a")] == 1   # next observed (01-04)
+    assert bfill[("2026-01-03", "b")] is None  # nothing after
+
+    # sub-grain upsampling: 12H divides the day grain
+    half = {**base_fd, "resample_rule": "12H",
+            "resample_method": "zerofill"}
+    n = compile_form_data(df, half).count()
+    assert n == 2 * (3 * 2 + 1)  # 7 spine points x 2 series
+
+    # identical refusals on both paths
+    for bad in (
+        {**base_fd, "resample_rule": "7H"},       # doesn't divide day
+        {**base_fd, "resample_rule": "2D"},       # downsampling
+        {**base_fd, "resample_rule": "1D",
+         "resample_method": "sum"},               # agg method
+        {**base_fd, "resample_rule": "1D", "row_limit": 5},
+        {**base_fd, "resample_rule": "1D", "rolling_type": "mean"},
+        {k: v for k, v in {**base_fd, "resample_rule": "1D",
+                           "time_grain_sqla": None}.items()},
+    ):
+        with pytest.raises(ValueError):
+            compile_form_data(df, bad)
+        with pytest.raises(ValueError):
+            form_data_to_sql("rs_base", bad)
