@@ -165,7 +165,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000,
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
              substr(text, 1, doc_id % greatest(len(text) - 1, 1))
              || 'q'
              || substr(text,
@@ -201,8 +201,9 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(md5), so a re-encoded copy whose bytes differ by one "
         "compression artifact lands in a different bucket and "
         "escapes. Here every 10th doc is re-published with one "
-        "payload byte substituted (deterministic position, id "
-        "+1e6) — md5 differs, but the dHash (sign of horizontal "
+        "payload byte substituted (deterministic position, ids "
+        "offset by max(doc_id)+1) — md5 differs, but the dHash "
+        "(sign of horizontal "
         "gradients over an 8x8 downsampled grid of decoded pixels; "
         "operators/multimodal.perceptual_hash, Arrow mapInPandas "
         "kernel, deterministic fake decode) moves by at most 2 "
@@ -220,9 +221,12 @@ def multimodal_perceptual_dedup(spark: SparkSession,
     from hands_on_trino_iceberg_superset_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # id offset derived from the corpus (one bounded scalar), so a
+    # replicated scale corpus can't collide copy ids with real docs
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     p = F.col("doc_id") % F.greatest(F.length("text") - 1, F.lit(1))
     perturbed = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
         F.concat(
             F.substring(F.col("text"), F.lit(1), p.cast("int")),
             F.lit("q"),

@@ -695,3 +695,24 @@ def test_ivf_delete_probe_prunes_and_antijoins(spark, sf_dir):
     # partition pruning on the celled store: the cell filter is a
     # partition-level predicate, not a data-page filter
     assert re.search(r"PartitionFilters: \[[^\]]*cell", formatted)
+
+
+def test_substring_rewrite_never_pairwise(spark, inv, sf_dir):
+    """dedup_substring's plan must be windows + equi-joins only: a
+    nested-loop or cartesian anywhere means the 'never suffix arrays,
+    never pairwise' claim broke."""
+    executed, _ = _plans(spark, inv, "dedup_substring", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+
+
+def test_perceptual_dedup_banded_never_allpairs(spark, inv, sf_dir):
+    """multimodal_perceptual_dedup mines pairs through the pigeonhole
+    band equi-join — a plan with a nested-loop join would be the
+    quadratic all-pairs scan the operator exists to avoid."""
+    executed, _ = _plans(spark, inv, "multimodal_perceptual_dedup",
+                         sf_dir)
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+    assert "SortMergeJoin" in executed or \
+        "BroadcastHashJoin" in executed or "ShuffledHashJoin" in executed

@@ -139,6 +139,21 @@ QUERIES = [
     # salted replicas keep shingle vocab disjoint so the first-owner
     # structure replicates linearly
     "text_shingle_novelty",
+    # r10: substring dedup rewrite — gram-hash first-occurrence
+    # window + per-doc coverage window; salted replicas keep the
+    # 20-gram vocab disjoint, so postings and duplicate structure
+    # replicate linearly (never pairwise, plan-gated)
+    "dedup_substring",
+    # r10: perceptual dHash dedup — Arrow hash kernel (one pass) +
+    # pigeonhole band equi-join; copies derive per-replica, so
+    # candidate structure replicates linearly unless hash buckets
+    # saturate (56-bit space; watch the ratio)
+    "multimodal_perceptual_dedup",
+    # r10: unigram tokenizer — salted tokens grow the word table
+    # 10x; train = one word-frequency shuffle + vocab-sized
+    # chunk-usage/prune/refit, encode = vocab-sized Viterbi pass
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
     # manual-only special cases (nonstandard output shapes, run via
     # --one like skew_salted_wallclock / warehouse_s3_multipart):
     #   containment_capped_vs_uncapped — Sigma min(df,K)^2 vs
