@@ -31,7 +31,8 @@ Protocol subset implemented (enough for CLI/driver-style clients):
   literals) with the USING arguments, each validated to be a SQL
   LITERAL (number/string/boolean/NULL/typed literal) so the
   substitution cannot smuggle expressions; type coercion is the
-  engine's normal cast semantics.
+  engine's normal cast semantics. ``EXECUTE IMMEDIATE '<sql>'
+  [USING ...]`` is the one-round-trip form (no headers involved).
 - ``SET SESSION k = v`` / ``RESET SESSION k`` with the matching
   ``X-Trino-Set-Session`` response header and ``X-Trino-Session``
   request header; properties are WHITELISTED and map to the Spark
@@ -102,6 +103,13 @@ _EXECUTE_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
+)
+#: Trino's one-shot form: the statement text rides inside a quoted
+#: literal ('' = escaped quote), no session state at all
+_EXEC_IMMEDIATE_RE = re.compile(
+    r"^\s*EXECUTE\s+IMMEDIATE\s+'((?:[^']|'')*)'"
+    r"\s*(?:\s+USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
 )
 _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$",
@@ -383,7 +391,25 @@ class TrinoWireServer:
                 return self._ack(qid, "RESET SESSION", [(
                     "X-Trino-Reset-Session", m.group(1).lower()
                 )])
-            m = _EXECUTE_RE.match(sql_text)
+            m = _EXEC_IMMEDIATE_RE.match(sql_text)
+            if m:
+                # Trino's EXECUTE IMMEDIATE: PREPARE+EXECUTE+
+                # DEALLOCATE in one round trip — the statement text
+                # arrives as a quoted literal, parameters bind the
+                # same way as the prepared path
+                stmt = m.group(1).replace("''", "'")
+                args = (_split_top_level(m.group(2))
+                        if m.group(2) else [])
+                for a in args:
+                    if not _LITERAL_RE.match(a):
+                        raise ValueError(
+                            f"EXECUTE IMMEDIATE argument is not a "
+                            f"SQL literal: {a.strip()!r}"
+                        )
+                sql_text = _substitute_params(stmt, args)
+                m = None
+            else:
+                m = _EXECUTE_RE.match(sql_text)
             if m:
                 name = m.group(1).lower()
                 if name not in prepared:

@@ -257,3 +257,19 @@ def test_set_session_applies_whitelisted_property(server):
     # RESET SESSION acknowledges with the protocol header
     _, rh = _post_h(server, "RESET SESSION hash_partition_count")
     assert rh["X-Trino-Reset-Session"] == "hash_partition_count"
+
+
+def test_execute_immediate_one_shot(server):
+    """EXECUTE IMMEDIATE runs a quoted statement with bound literals
+    in one round trip — no prepared-statement headers involved."""
+    out, _ = _post_h(
+        server,
+        "EXECUTE IMMEDIATE "
+        "'SELECT n, ''it''''s'' AS s "
+        "FROM UNNEST(SEQUENCE(1, 9)) AS t(n) WHERE n = ?' USING 4",
+    )
+    assert "error" not in out, out.get("error")
+    assert out["data"] == [[4, "it's"]]
+    bad, _ = _post_h(server,
+                     "EXECUTE IMMEDIATE 'SELECT ?' USING (1+1)")
+    assert bad["stats"]["state"] == "FAILED"
