@@ -1114,6 +1114,87 @@ def hamming_pairs(
 # ------------------------------------- exact substring dedup (rewrite)
 
 
+def _span_tokens(df: DataFrame, text_col: str, id_col: str):
+    """Shared tokenization for the span-rewrite family: (docs with
+    token array ``t``, exploded (doc_id, pos, tok) rows)."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        .alias("t"),
+    )
+    tok_rows = docs.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    return docs, tok_rows
+
+
+def _span_grams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, start, g) — one xxhash64'd k-gram per start position;
+    slice() runs on the materialized array attribute, so each gram
+    costs O(k) token copies (the irreducible shingling cost)."""
+    m = F.size("t") - (k - 1)
+    return (
+        docs.where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("t", i, k), " ")
+                    ),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("start"), "g")
+    )
+
+
+def _span_rewrite(df: DataFrame, tok_rows: DataFrame,
+                  dups: DataFrame, id_col: str) -> DataFrame:
+    """Coverage + rewrite accounting shared by the span-dedup family:
+    ``dups`` carries (doc_id, pos=span start, cover_end); a per-doc
+    running-max window turns span coverage into one linear pass, and
+    each doc emits kept/removed counts plus the md5 fingerprint of
+    its surviving text in document order."""
+    from pyspark.sql import Window
+
+    run_end = F.max("cover_end").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cov = (
+        tok_rows.join(dups, ["doc_id", "pos"], "left")
+        .withColumn("run_end", run_end)
+        .withColumn(
+            "kept",
+            F.col("run_end").isNull() | (F.col("run_end") < F.col("pos")),
+        )
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "tok"))
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("n_tokens") - F.col("n_kept"), F.lit(0))
+        .alias("n_removed"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_fingerprint"),
+    )
+
+
 def duplicate_span_rewrite(
     df: DataFrame,
     min_len: int = 50,
@@ -1167,31 +1248,8 @@ def duplicate_span_rewrite(
     k = int(min_len)
     if k < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-        .alias("t"),
-    )
-    tok_rows = docs.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # one gram per start position; slice() runs on the materialized
-    # array attribute, so each gram costs O(k) token copies — the
-    # irreducible shingling cost (every token sits in k grams)
-    m = F.size("t") - (k - 1)
-    grams = (
-        docs.where(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), m),
-                    lambda i: F.xxhash64(F.array_join(F.slice("t", i, k), " ")),
-                )
-            ).alias("pos0", "g"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("start"), "g")
-    )
+    docs, tok_rows = _span_tokens(df, text_col, id_col)
+    grams = _span_grams(docs, k)
     first = F.min(F.struct("doc_id", "start")).over(
         Window.partitionBy("g")
     )
@@ -1204,40 +1262,49 @@ def duplicate_span_rewrite(
         .select("doc_id", F.col("start").alias("pos"),
                 (F.col("start") + F.lit(k - 1)).alias("cover_end"))
     )
-    run_end = F.max("cover_end").over(
-        Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _span_rewrite(df, tok_rows, dups, id_col)
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION as a corpus rewrite — the
+    cross-corpus sibling of :func:`duplicate_span_rewrite` (Lee et
+    al. arXiv:2107.06499 §decontamination; the step every production
+    pretraining pipeline runs before training): any token span of
+    >= ``min_len`` tokens that a training document shares with ANY
+    benchmark document, at any position in either, is cut from the
+    TRAINING document. Benchmark text is never modified (it is the
+    protected side); training-internal duplicates are NOT touched —
+    that is :func:`duplicate_span_rewrite`'s job, and conflating the
+    two would hide what decontamination alone removed.
+
+    Same two-shuffle linear plan as the within-corpus rewrite, with
+    the first-occurrence window replaced by a LEFT SEMI join of the
+    training k-gram postings against the (distinct) benchmark k-gram
+    set — cheaper than the window (no per-gram state beyond the
+    hash), and at 100 TB the benchmark side is tiny and broadcasts.
+
+    Returns the per-TRAINING-document rewrite accounting
+    ``(doc_id, n_tokens, n_kept, n_removed, kept_fingerprint)``.
+    """
+    k = int(min_len)
+    if k < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    t_docs, tok_rows = _span_tokens(train, text_col, id_col)
+    b_docs, _ = _span_tokens(benchmark, text_col, id_col)
+    bench_grams = _span_grams(b_docs, k).select("g").distinct()
+    dups = (
+        _span_grams(t_docs, k)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id", F.col("start").alias("pos"),
+                (F.col("start") + F.lit(k - 1)).alias("cover_end"))
     )
-    cov = (
-        tok_rows.join(dups, ["doc_id", "pos"], "left")
-        .withColumn("run_end", run_end)
-        .withColumn(
-            "kept",
-            F.col("run_end").isNull() | (F.col("run_end") < F.col("pos")),
-        )
-    )
-    kept_struct = F.when(F.col("kept"), F.struct("pos", "tok"))
-    agg = cov.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
-    return df.select(F.col(id_col).alias("doc_id")).join(
-        agg, "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("n_tokens") - F.col("n_kept"), F.lit(0))
-        .alias("n_removed"),
-        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_fingerprint"),
-    )
+    return _span_rewrite(train, tok_rows, dups, id_col)
 
 
 # ------------------------------------------- incremental (cross-batch)

@@ -1066,23 +1066,29 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _remix_docs(docs: DataFrame) -> DataFrame:
-    """Every 5th sufficiently-long document re-published as a REMIX:
-    a 30-token slice of the source text quoted at a deterministic
-    pseudo-random offset (1 + doc_id % 7) between unique per-remix
-    flank tokens. The planted shape for arbitrary-position substring
-    dedup — the duplicate lives mid-document at varying offsets, so
-    fixed-grain line dedup (dedup_lines) structurally misses it.
-    Ids offset by max(doc_id)+1 (one bounded scalar aggregate), same
-    derivation discipline as :func:`_wrap_docs`."""
-    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+def _remix_docs(docs: DataFrame, every: int = 5,
+                off: int | None = None) -> DataFrame:
+    """Every ``every``-th sufficiently-long document re-published as
+    a REMIX: a 30-token slice of the source text quoted at a
+    deterministic pseudo-random offset (1 + doc_id % 7) between
+    unique per-remix flank tokens. The planted shape for
+    arbitrary-position substring dedup — the duplicate lives
+    mid-document at varying offsets, so fixed-grain line dedup
+    (dedup_lines) structurally misses it. Ids offset by
+    ``off`` (default max(doc_id)+1 of ``docs`` — pass the FULL
+    corpus's offset when ``docs`` is a slice, or remix ids collide
+    with unsliced documents), same derivation discipline as
+    :func:`_wrap_docs`."""
+    if off is None:
+        off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     base = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda w: w != "").alias("t"),
     )
     q = F.col("doc_id") % 7
     return (
-        base.where((F.col("doc_id") % 5 == 0) & (F.size("t") >= q + 30))
+        base.where((F.col("doc_id") % every == 0)
+                   & (F.size("t") >= q + 30))
         .select(
             (F.col("doc_id") + F.lit(off)).alias("doc_id"),
             F.concat(
@@ -1201,6 +1207,114 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_span_rewrite(
         docs.unionAll(_remix_docs(docs)), min_len=20
     )
+
+
+@register(
+    "text_decontaminate_rewrite",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ),
+    bench AS (SELECT doc_id, t FROM base WHERE doc_id % 17 = 0),
+    leaks AS (
+      SELECT src_id + (SELECT max(doc_id) + 1 FROM documents)
+               AS doc_id,
+             'remix ' || CAST(src_id AS VARCHAR)
+             || ' intro quote follows '
+             || array_to_string(
+                  list_slice(t, 1 + src_id % 7, (src_id % 7) + 30), ' ')
+             || ' remix ' || CAST(src_id AS VARCHAR) || ' outro end'
+               AS text
+      FROM (SELECT doc_id AS src_id, t FROM bench
+            WHERE len(t) >= (doc_id % 7) + 30)
+    ),
+    train AS (
+      SELECT doc_id, t FROM base WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '')
+      FROM leaks
+    ),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i, i + 19), ' ')
+               AS g
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 19)) AS i
+            FROM bench WHERE len(t) >= 20)
+    ),
+    dups AS (
+      SELECT doc_id, i AS pos, i + 19 AS cover_end
+      FROM (SELECT doc_id, i,
+                   array_to_string(list_slice(t, i, i + 19), ' ')
+                     AS g
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 19)) AS i
+                  FROM train WHERE len(t) >= 20))
+      WHERE g IN (SELECT g FROM bgrams)
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM train)
+    ),
+    cov AS (
+      SELECT tk.doc_id, tk.pos, tk.tok,
+             max(d.cover_end) OVER (
+               PARTITION BY tk.doc_id ORDER BY tk.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_end
+      FROM toks tk LEFT JOIN dups d
+        ON tk.doc_id = d.doc_id AND tk.pos = d.pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN run_end IS NULL OR run_end < pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE run_end IS NULL OR run_end < pos)
+               AS kept_text
+      FROM cov GROUP BY doc_id
+    )
+    SELECT c.doc_id AS doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_tokens - a.n_kept, 0) AS n_removed,
+           md5(coalesce(a.kept_text, '')) AS kept_fingerprint
+    FROM train c LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Benchmark DECONTAMINATION applied as a training-corpus "
+        "rewrite — the cross-corpus sibling of dedup_substring and "
+        "the step every production pretraining pipeline runs before "
+        "training (Lee et al. arXiv:2107.06499): every >= 20-token "
+        "span a training document shares with ANY benchmark document "
+        "is cut from the training side; benchmark text is never "
+        "modified, and training-internal duplicates are deliberately "
+        "untouched (that is dedup_substring's job — conflating them "
+        "would hide what decontamination alone removed). Every 17th "
+        "doc plays the benchmark; planted leaks re-publish 30-token "
+        "benchmark quotes at varying offsets inside unique flanks. "
+        "Complements text_contamination_check: that query REPORTS "
+        "overlap, this one APPLIES the cut and proves the rewritten "
+        "corpus by content hash. Plan (operators/dedup."
+        "decontaminate_spans): the benchmark k-gram set is tiny and "
+        "BROADCASTS into a left-semi join against the training gram "
+        "postings — no window state at all on the gram side — then "
+        "the shared per-doc running-max coverage pass; linear, never "
+        "pairwise. The oracle replays derivation, gram matching, "
+        "coverage, and rewrite hashes in SQL.",
+)
+def text_decontaminate_rewrite(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0).unionAll(
+        _remix_docs(bench, every=1, off=off)
+    )
+    return D.decontaminate_spans(train, bench, min_len=20)
 
 
 @register(

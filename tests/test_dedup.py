@@ -510,3 +510,36 @@ def test_substring_rewrite_internal_repeat(spark) -> None:
     assert row.kept_fingerprint == hashlib.md5(
         " ".join(block).encode()
     ).hexdigest()
+
+
+def test_decontaminate_cuts_benchmark_leaks_only(spark) -> None:
+    """decontaminate_spans cuts exactly the spans shared with the
+    benchmark: the leaked quote disappears from the training doc,
+    its flanks survive, and TRAINING-INTERNAL duplicates are left
+    alone (that is duplicate_span_rewrite's job)."""
+    import hashlib
+
+    bench_toks = [f"ev{i}" for i in range(120)]
+    quote = bench_toks[31 : 31 + 60]
+    pre = [f"p{i}" for i in range(11)]
+    mid = [f"m{i}" for i in range(7)]
+    internal = [f"d{i}" for i in range(55)]
+    train_rows = [
+        # leaks a 60-token benchmark span mid-document
+        (1, " ".join(pre + quote + mid)),
+        # internal repeat, shares nothing with the benchmark
+        (2, " ".join(internal + internal)),
+    ]
+    bench = spark.createDataFrame([(100, " ".join(bench_toks))],
+                                  ["doc_id", "text"])
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    out = {r.doc_id: r
+           for r in D.decontaminate_spans(train, bench,
+                                          min_len=50).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_removed == 60
+    assert out[1].kept_fingerprint == md5(" ".join(pre + mid))
+    # internal duplicate untouched by DEcontamination
+    assert out[2].n_removed == 0
+    # benchmark side is never emitted (protected, not rewritten)
+    assert set(out) == {1, 2}
