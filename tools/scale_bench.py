@@ -154,6 +154,10 @@ QUERIES = [
     # chunk-usage/prune/refit, encode = vocab-sized Viterbi pass
     "tokenizer_unigram_train",
     "tokenizer_unigram_encode",
+    # r10: benchmark decontamination — training postings semi-joined
+    # against the broadcast benchmark gram set + per-doc coverage;
+    # both sides replicate under salting, leak structure linear
+    "text_decontaminate_rewrite",
     # manual-only special cases (nonstandard output shapes, run via
     # --one like skew_salted_wallclock / warehouse_s3_multipart):
     #   containment_capped_vs_uncapped — Sigma min(df,K)^2 vs
