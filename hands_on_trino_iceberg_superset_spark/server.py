@@ -111,6 +111,27 @@ _EXEC_IMMEDIATE_RE = re.compile(
     r"\s*(?:\s+USING\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _count_params(sql: str) -> int:
+    """``?`` placeholders outside string literals."""
+    n_params, i, n = 0, 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            i = j + 1
+        else:
+            n_params += sql[i] == "?"
+            i += 1
+    return n_params
 _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -391,6 +412,55 @@ class TrinoWireServer:
                 return self._ack(qid, "RESET SESSION", [(
                     "X-Trino-Reset-Session", m.group(1).lower()
                 )])
+            m = _DESCRIBE_RE.match(sql_text)
+            if m:
+                kind, name = m.group(1).upper(), m.group(2).lower()
+                if name not in prepared:
+                    raise ValueError(
+                        f"prepared statement not found: {name} (send "
+                        "it via the X-Trino-Prepared-Statement header)"
+                    )
+                stmt = prepared[name]
+                if kind == "INPUT":
+                    # parameter types are not inferred (Trino itself
+                    # emits 'unknown' where inference fails); the
+                    # POSITION list is what drivers bind against
+                    cols = [
+                        {"name": "Position", "type": "integer"},
+                        {"name": "Type", "type": "varchar"},
+                    ]
+                    data = [[i, "unknown"]
+                            for i in range(_count_params(stmt))]
+                else:
+                    # analyze (never execute): placeholders bind to
+                    # NULL for schema inference, .schema is lazy
+                    probe = self.engine.trino_sql(
+                        _substitute_params(
+                            stmt, ["NULL"] * _count_params(stmt)
+                        )
+                    )
+                    cols = [
+                        {"name": "Column Name", "type": "varchar"},
+                        {"name": "Catalog", "type": "varchar"},
+                        {"name": "Schema", "type": "varchar"},
+                        {"name": "Table", "type": "varchar"},
+                        {"name": "Type", "type": "varchar"},
+                        {"name": "Type Size", "type": "bigint"},
+                        {"name": "Aliased", "type": "boolean"},
+                    ]
+                    data = [
+                        [f.name, "", "", "",
+                         _trino_type(f.dataType.simpleString()),
+                         0, False]
+                        for f in probe.schema.fields
+                    ]
+                return ({
+                    "id": qid,
+                    "columns": cols,
+                    "data": data,
+                    "stats": {"state": "FINISHED",
+                              "statement": f"DESCRIBE {kind}"},
+                }, [])
             m = _EXEC_IMMEDIATE_RE.match(sql_text)
             if m:
                 # Trino's EXECUTE IMMEDIATE: PREPARE+EXECUTE+

@@ -273,3 +273,26 @@ def test_execute_immediate_one_shot(server):
     bad, _ = _post_h(server,
                      "EXECUTE IMMEDIATE 'SELECT ?' USING (1+1)")
     assert bad["stats"]["state"] == "FAILED"
+
+
+def test_describe_input_output(server):
+    """DESCRIBE INPUT/OUTPUT against a client-presented prepared
+    statement: OUTPUT analyzes the schema without executing (Trino's
+    column shape), INPUT lists the parameter positions."""
+    _, hdrs = _post_h(
+        server,
+        "PREPARE q2 FROM SELECT n AS num, 'x?' AS s "
+        "FROM UNNEST(SEQUENCE(1, 5)) AS t(n) WHERE n > ? AND n < ?",
+    )
+    stmt = {"X-Trino-Prepared-Statement": hdrs["X-Trino-Added-Prepare"]}
+    out, _ = _post_h(server, "DESCRIBE OUTPUT q2", headers=stmt)
+    assert "error" not in out, out.get("error")
+    assert [c["name"] for c in out["columns"]][:2] \
+        == ["Column Name", "Catalog"]
+    assert [(r[0], r[4]) for r in out["data"]] \
+        == [("num", "integer"), ("s", "varchar")]
+    inp, _ = _post_h(server, "DESCRIBE INPUT q2", headers=stmt)
+    # two ? outside the string literal, the one inside doesn't count
+    assert [r[0] for r in inp["data"]] == [0, 1]
+    missing, _ = _post_h(server, "DESCRIBE OUTPUT nope")
+    assert missing["stats"]["state"] == "FAILED"
