@@ -1115,3 +1115,230 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_novel").cast("double") / F.col("n_shingles"))
         .alias("novelty"),
     )
+
+
+# ------------------------------------------------- lexical retrieval
+
+#: literal benchmark queries (every term exists in the corpus
+#: vocabulary; q4 carries the stopword 'the' so a near-zero-idf hot
+#: term is exercised). Duplicated verbatim in the oracles.
+_BM25_QUERIES = (
+    ("q1", "spark join window"),
+    ("q2", "customer order data"),
+    ("q3", "stream batch merge sort"),
+    ("q4", "the fast vector scan"),
+)
+
+_BM25_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+#: shared BM25 oracle CTE chain: exact-decimal per-document scores
+#: for the literal query set (k1=1.2, b=0.75; expression tree
+#: parenthesized to match the Spark operator's evaluation order so
+#: the 9-dp rounding sees identical doubles)
+_BM25_SCORED_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+           FROM toks2 GROUP BY 1),
+    stats AS (SELECT count(*)::BIGINT AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    q(qid, qtext) AS (VALUES {_BM25_Q_SQL}),
+    qt AS (SELECT DISTINCT qid,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             sum(CAST(round(
+               ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl))),
+               9) AS DECIMAL(20,9))) AS score_dec
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_dec,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_dec DESC, doc_id)
+               AS rank
+      FROM scored
+    )
+"""
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(_BM25_QUERIES), ["qid", "qtext"])
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT qid, rank, doc_id, CAST(score_dec AS DOUBLE) AS score
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Okapi BM25 lexical top-k retrieval (the Lucene-default "
+        "scoring function; operators/retrieval.py) — the lexical "
+        "half of a retrieval stack next to the ANN tier, and the "
+        "standard supervision-pair miner over a pretraining corpus. "
+        "tf/df/dl are one tokenize-explode shuffle each (dedup_exact "
+        "key class); corpus stats (N, avgdl) are ONE broadcast 1-row "
+        "aggregate; the literal query set broadcasts into the "
+        "postings join so scoring touches posting lists, never the "
+        "corpus. Determinism: the only transcendental (idf x "
+        "saturation per term) is rounded to 9 decimals and summed as "
+        "exact DECIMAL, so ranking compares exact numbers on both "
+        "engines; doc-id tie-break. q4 exercises a hot stopword "
+        "term (near-zero idf).",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, _bm25_queries_df(spark), k=10)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    anchors AS (
+      SELECT d.doc_id AS qid, e.embedding::DOUBLE[] AS v
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id % 100 = 0
+    ),
+    lexq AS (
+      SELECT doc_id AS qid,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               1, 3), ' ') AS qtext
+      FROM documents WHERE doc_id % 100 = 0
+    ),
+    lqt AS (SELECT DISTINCT qid,
+                   unnest(string_split(qtext, ' ')) AS term
+            FROM lexq),
+    lscored AS (
+      SELECT lqt.qid, tf.doc_id,
+             sum(CAST(round(
+               ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl))),
+               9) AS DECIMAL(20,9))) AS score_dec
+      FROM lqt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_dec DESC, doc_id)
+                 AS rank
+        FROM lscored
+      ) WHERE rank <= 10
+    ),
+    vec AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT a.qid, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY a.qid ORDER BY
+                 round(list_cosine_similarity(
+                   a.v, e.embedding::DOUBLE[]), 6) DESC, e.vec_id)
+                 AS rank
+        FROM anchors a CROSS JOIN embeddings e
+      ) WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT coalesce(l.qid, v.qid) AS qid,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank AS r_lex, v.rank AS r_vec,
+             coalesce(1.0 / (60 + l.rank), 0.0)
+             + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.qid = v.qid AND l.doc_id = v.doc_id
+    )
+    SELECT qid, rank, doc_id, r_lex, r_vec, rrf FROM (
+      SELECT qid, doc_id, r_lex, r_vec, rrf,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="HYBRID retrieval via reciprocal-rank fusion (Cormack et "
+        "al., SIGIR'09): every 100th document is an anchor whose "
+        "first three tokens form the lexical query and whose "
+        "embedding (shared id space) forms the vector query; BM25 "
+        "top-10 and exact cosine top-10 fuse as "
+        "score = sum 1/(60+rank) — no cross-ranker score "
+        "normalization, just integer ranks, so the fusion is exact "
+        "by construction on any engine. The production combiner for "
+        "lexical+vector stacks; at 100 TB the vector side swaps to "
+        "the IVF probe (same ranks contract) and the lexical side "
+        "stays posting-list-priced. operators/retrieval.py: "
+        "bm25_topk + rrf_fuse; the oracle replays both rankers and "
+        "the fusion in SQL.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        retrieval as R,
+    )
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(
+                    F.filter(F.split("text", " "), lambda w: w != ""),
+                    1, 3,
+                ),
+                " ",
+            ).alias("qtext"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    lex = R.bm25_topk(
+        docs, anchors.select("qid", "qtext"), k=10
+    )
+    # exact cosine ranking (the oracle's quadratic twin); IVF probe
+    # is the scale swap, same (qid, rank, doc_id) contract
+    pairs = (
+        anchors.select("qid", "qvec")
+        .crossJoin(emb.select("vec_id", "embedding"))
+        .select(
+            "qid", F.col("vec_id").alias("doc_id"),
+            F.round(S.cosine(S.as_double(F.col("qvec")),
+                             S.as_double(F.col("embedding"))), 6)
+            .alias("cos"),
+        )
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    vec = (
+        pairs.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= 10)
+        .select("qid", "rank", "doc_id")
+    )
+    return R.rrf_fuse(lex, vec, k=10)
