@@ -716,3 +716,13 @@ def test_perceptual_dedup_banded_never_allpairs(spark, inv, sf_dir):
     assert "CartesianProduct" not in executed
     assert "SortMergeJoin" in executed or \
         "BroadcastHashJoin" in executed or "ShuffledHashJoin" in executed
+
+
+def test_bm25_broadcasts_queries_never_cartesian(spark, inv, sf_dir):
+    """search_bm25_topk's scoring join must reach documents through
+    the (broadcast) query-term postings probe — a cartesian anywhere
+    means the inverted-index access path broke. (The 1-row corpus
+    stats cross-join is broadcast by construction.)"""
+    executed, _ = _plans(spark, inv, "search_bm25_topk", sf_dir)
+    assert "CartesianProduct" not in executed
+    assert executed.count("BroadcastHashJoin") >= 1
