@@ -12,6 +12,7 @@ the ``information_schema`` surface Superset uses
 from __future__ import annotations
 
 import re
+import weakref
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -46,6 +47,16 @@ def _split_top_level(text: str) -> list[str]:
     return [p for p in parts if p.strip()]
 
 
+#: SparkSession -> {view name: defining SQL}. The backing temp views
+#: are SESSION-global, so the registry must be too: two Engine
+#: instances over one session share one view namespace (a DROP VIEW
+#: through either is observed by both, and CREATE VIEW without OR
+#: REPLACE refuses to clobber a view the other registered). Weak keys
+#: so a stopped session's registry is collectable.
+_SESSION_VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" \
+    = weakref.WeakKeyDictionary()
+
+
 @dataclass(frozen=True)
 class ColumnInfo:
     """SQLAlchemy-``get_columns``-shaped column metadata (reference:
@@ -74,8 +85,13 @@ class Engine:
         self._versioned: dict[str, object] = {}
         #: Trino-spelled metadata-table identifier -> safe view name
         self._meta_views: dict[str, str] = {}
-        #: view name (lowercased) -> defining SQL text (CREATE VIEW)
-        self._views: dict[str, str] = {}
+        #: view name (lowercased) -> defining SQL text (CREATE VIEW);
+        #: keyed off the SparkSession so every Engine over one session
+        #: observes the same view state (the temp views themselves are
+        #: session-global)
+        self._views: dict[str, str] = _SESSION_VIEWS.setdefault(
+            self.spark, {}
+        )
 
     # -- query entry points (reference §3 paths A/C) ------------------
 

@@ -1140,12 +1140,17 @@ def _remix_docs(docs: DataFrame, every: int = 5,
             FROM corpus WHERE len(t) >= 20)
     ),
     dups AS (
+      -- first occurrence as a STRUCT min (lexicographic on
+      -- (doc_id, start)), matching Spark's min(struct(...)) exactly
+      -- for documents of ANY length — an arithmetic encoding like
+      -- doc_id * 1e6 + start would silently diverge once a document
+      -- exceeds the multiplier in tokens
       SELECT doc_id, start AS pos, start + 19 AS cover_end
       FROM (SELECT doc_id, start,
-                   min(doc_id * 1000000 + start)
+                   min({'d': doc_id, 's': start})
                      OVER (PARTITION BY g) AS f
             FROM grams)
-      WHERE doc_id * 1000000 + start <> f
+      WHERE {'d': doc_id, 's': start} <> f
     ),
     toks AS (
       SELECT doc_id, i AS pos, t[i] AS tok

@@ -222,8 +222,23 @@ def multimodal_perceptual_dedup(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # id offset derived from the corpus (one bounded scalar), so a
-    # replicated scale corpus can't collide copy ids with real docs
-    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # replicated scale corpus can't collide copy ids with real docs.
+    # The same pass ASSERTS the oracle's ASCII-only contract: the
+    # oracle samples CHARACTERS (ascii(substr(...))) while the kernel
+    # samples UTF-8 payload BYTES — identical only while every char is
+    # one byte, so a non-ASCII corpus must fail loudly, not mismatch.
+    off, n_wide = docs.agg(
+        F.max("doc_id"),
+        F.sum((F.octet_length("text") != F.length("text"))
+              .cast("int")),
+    ).collect()[0]
+    if n_wide:
+        raise ValueError(
+            f"multimodal_perceptual_dedup: {n_wide} documents contain "
+            "non-ASCII text; the character-sampling oracle would "
+            "diverge from the byte-sampling kernel"
+        )
+    off = off + 1
     p = F.col("doc_id") % F.greatest(F.length("text") - 1, F.lit(1))
     perturbed = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(off)).alias("doc_id"),

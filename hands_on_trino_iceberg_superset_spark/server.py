@@ -235,6 +235,55 @@ def _json_value(v):
     return v
 
 
+class _RWLock:
+    """Writer-preferring readers-writer lock: any number of plain
+    statements execute concurrently (read side), while a statement
+    that temporarily mutates session-global Spark conf (SET SESSION /
+    X-Trino-Session properties) takes the write side EXCLUSIVELY — so
+    a concurrent plain statement can never plan under another
+    request's temporarily-applied confs (e.g. a raised broadcast
+    threshold OOM-broadcasting an unrelated large join). A waiting
+    writer blocks new readers, so conf statements cannot starve under
+    a continuous read stream."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if not self._readers:
+                    self._cond.notify_all()
+
+    @contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
+
+
 class _Query:
     """Materialized result of one statement, paged."""
 
@@ -266,7 +315,7 @@ class TrinoWireServer:
         self.engine = engine or Engine()
         self._queries: dict[str, _Query] = {}
         self._lock = threading.Lock()
-        self._conf_lock = threading.Lock()
+        self._conf_lock = _RWLock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -530,13 +579,18 @@ class TrinoWireServer:
     def _apply_confs(self, confs: dict[str, str]):
         """Apply per-request session confs around one statement and
         restore afterwards. Conf changes are session-global in Spark,
-        so statements carrying session properties serialize on a lock
-        (control-plane semantics; the no-props fast path is
-        lock-free)."""
+        so a statement carrying session properties takes the WRITE
+        side of a readers-writer lock (exclusive: nothing else plans
+        while the conf is altered) and plain statements take the read
+        side (concurrent with each other, never with a conf-carrying
+        statement) — without the read side, a concurrent plain
+        statement could plan under another request's temporarily-
+        applied confs."""
         if not confs:
-            yield
+            with self._conf_lock.read():
+                yield
             return
-        with self._conf_lock:
+        with self._conf_lock.write():
             saved = {
                 k: self.engine.spark.conf.get(k, None) for k in confs
             }

@@ -288,9 +288,10 @@ def test_view_ddl_lifecycle(spark):
 
     eng.sql("CREATE VIEW vddl AS SELECT k, v FROM vddl_base "
             "WHERE v > 15")
-    assert eng.views() == {
-        "vddl": "SELECT k, v FROM vddl_base WHERE v > 15"
-    }
+    # the registry is session-shared (other Engines' views may
+    # coexist), so assert membership rather than whole-dict equality
+    assert eng.views()["vddl"] \
+        == "SELECT k, v FROM vddl_base WHERE v > 15"
     assert {r.k for r in eng.sql("SELECT * FROM vddl").collect()} \
         == {"a", "b"}
     # introspection resolves the view like any table (M1/M2)
@@ -331,3 +332,29 @@ def test_view_ddl_lifecycle(spark):
             "SELECT 2 AS two")
     assert "vddl_tmp" not in eng.views()
     assert eng.sql("SELECT * FROM vddl_tmp").first().two == 2
+
+
+def test_view_registry_is_session_shared(spark):
+    """Two Engine instances over ONE SparkSession observe the same
+    view state — the backing temp views are session-global, so the
+    SQL registry must be too: a CREATE through one is visible (and
+    protected from silent clobber) through the other, and a DROP
+    through one is observed by both."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    e1, e2 = Engine(spark), Engine(spark)
+    e1.sql("CREATE OR REPLACE VIEW vshared AS SELECT 1 AS one")
+    # visible through the sibling Engine's registry + SHOW CREATE
+    assert e2.views()["vshared"] == "SELECT 1 AS one"
+    assert e2.sql("SHOW CREATE VIEW vshared").first()[0] \
+        == "CREATE VIEW vshared AS SELECT 1 AS one"
+    # the sibling cannot silently clobber it without OR REPLACE
+    with pytest.raises(ValueError, match="already exists"):
+        e2.sql("CREATE VIEW vshared AS SELECT 2 AS two")
+    # a drop through the sibling is observed by the creator
+    e2.sql("DROP VIEW vshared")
+    assert "vshared" not in e1.views()
+    with pytest.raises(ValueError, match="not found"):
+        e1.sql("SHOW CREATE VIEW vshared")

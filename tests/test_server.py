@@ -296,3 +296,95 @@ def test_describe_input_output(server):
     assert [r[0] for r in inp["data"]] == [0, 1]
     missing, _ = _post_h(server, "DESCRIBE OUTPUT nope")
     assert missing["stats"]["state"] == "FAILED"
+
+
+def test_rwlock_semantics():
+    """_RWLock invariants: readers share, a writer is exclusive, and
+    a WAITING writer blocks new readers (no starvation)."""
+    import threading
+    import time
+
+    from hands_on_trino_iceberg_superset_spark.server import _RWLock
+
+    lock = _RWLock()
+    log = []
+
+    # two readers overlap
+    r_in = threading.Barrier(2, timeout=5)
+
+    def reader(tag):
+        with lock.read():
+            r_in.wait()  # both inside simultaneously -> no deadlock
+            log.append(tag)
+
+    t1 = threading.Thread(target=reader, args=("r1",))
+    t2 = threading.Thread(target=reader, args=("r2",))
+    t1.start(); t2.start(); t1.join(5); t2.join(5)
+    assert sorted(log) == ["r1", "r2"]
+
+    # writer excluded while a reader holds; late reader excluded
+    # while the writer waits
+    reader_in, release_reader = threading.Event(), threading.Event()
+    order = []
+
+    def holding_reader():
+        with lock.read():
+            reader_in.set()
+            release_reader.wait(5)
+            order.append("reader-out")
+
+    def writer():
+        reader_in.wait(5)
+        with lock.write():
+            order.append("writer")
+
+    def late_reader():
+        reader_in.wait(5)
+        time.sleep(0.2)  # let the writer queue first
+        with lock.read():
+            order.append("late-reader")
+
+    threads = [threading.Thread(target=f)
+               for f in (holding_reader, writer, late_reader)]
+    for t in threads:
+        t.start()
+    time.sleep(0.4)
+    assert order == []  # writer + late reader both parked
+    release_reader.set()
+    for t in threads:
+        t.join(5)
+    assert order[0] == "reader-out" and order[1] == "writer"
+
+
+def test_conf_isolation_between_requests(server, spark):
+    """The race the RW lock closes: a plain statement arriving while
+    another request's session properties are temporarily applied must
+    NOT plan under those confs — it waits for the writer to restore
+    them and then observes the baseline value."""
+    import threading
+    import time
+
+    key = "spark.sql.shuffle.partitions"
+    base = spark.conf.get(key)
+    writer_in, release_writer = threading.Event(), threading.Event()
+    seen = {}
+
+    def writer():
+        with server._apply_confs({key: "3"}):
+            writer_in.set()
+            release_writer.wait(10)
+
+    def plain():
+        writer_in.wait(10)
+        with server._apply_confs({}):
+            seen["val"] = spark.conf.get(key)
+
+    wt = threading.Thread(target=writer)
+    rt = threading.Thread(target=plain)
+    wt.start(); rt.start()
+    writer_in.wait(10)
+    time.sleep(0.3)  # give the plain statement time to contend
+    assert "val" not in seen  # parked behind the writer, as designed
+    release_writer.set()
+    wt.join(10); rt.join(10)
+    assert seen["val"] == base
