@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["trino_to_spark"]
+__all__ = ["trino_to_spark", "trino_type"]
 
 #: a single-quoted SQL string literal, with '' escapes
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
@@ -63,9 +63,28 @@ def trino_to_spark(
     """Rewrite one Trino statement into Spark SQL (see module doc)."""
 
     def rewrite(seg: str) -> str:
+        # Trino double-quoted identifiers -> Spark backticks ("" is
+        # Trino's escaped quote inside an identifier). SQLAlchemy's
+        # trino dialect quotes EVERY identifier it emits (the
+        # introspection statements init_db.py's inspector sends are
+        # all in this shape), so the rewrite is load-bearing for any
+        # driver-generated SQL. Limitation: an identifier that is
+        # itself a rewritten keyword (a column literally named
+        # "varchar") would be touched by the later keyword rules —
+        # outside the reference surface.
+        seg = re.sub(
+            r'"((?:[^"]|"")*)"',
+            lambda m: "`" + m.group(1).replace('""', '"') + "`",
+            seg,
+        )
         for cat in strip_catalogs:
-            seg = re.sub(rf"\b{re.escape(cat)}\.(?=\w)", "", seg,
-                         flags=re.IGNORECASE)
+            # both bare and (formerly double-quoted) backticked
+            # spellings of the catalog qualifier
+            seg = re.sub(
+                rf"(?:\b{re.escape(cat)}\.(?=\w)"
+                rf"|`{re.escape(cat)}`\.(?=[\w`]))",
+                "", seg, flags=re.IGNORECASE,
+            )
         # CAST(x AS varchar) — Spark requires a length on VARCHAR
         seg = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", seg,
                      flags=re.IGNORECASE)
@@ -183,3 +202,34 @@ def _rewrite_unnest(sql: str) -> str:
             f"{sql[:m.start()]}(SELECT explode({inner}) AS {col}) {alias}"
             f"{sql[i + tail.end():]}"
         )
+
+
+#: Spark simpleString -> Trino type name (the subset the corpus
+#: uses). Shared by the wire server's column descriptors and the
+#: engine's information_schema surface, so a SQLAlchemy client sees
+#: ONE spelling everywhere.
+_TRINO_TYPES = {
+    "bigint": "bigint",
+    "int": "integer",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "string": "varchar",
+    "double": "double",
+    "float": "real",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp(3)",
+    "timestamp_ntz": "timestamp(3)",
+    "binary": "varbinary",
+}
+
+
+def trino_type(simple: str) -> str:
+    """Trino spelling of a Spark ``simpleString`` type name."""
+    if simple in _TRINO_TYPES:
+        return _TRINO_TYPES[simple]
+    if simple.startswith("decimal"):
+        return simple
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"array({trino_type(simple[6:-1])})"
+    return simple

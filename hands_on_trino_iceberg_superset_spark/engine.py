@@ -112,6 +112,7 @@ class Engine:
             for quoted in (f"`{alias}`", f'"{alias}"'):
                 if quoted in text:
                     text = text.replace(quoted, safe)
+        text = self._resolve_information_schema(text)
         view = self._resolve_view_ddl(text)
         if view is not None:
             return view
@@ -219,6 +220,145 @@ class Engine:
     def views(self) -> dict[str, str]:
         """view name -> defining SQL, for introspection (M1/M2)."""
         return dict(self._views)
+
+    # -- information_schema (reference init_db.py:63-67) ---------------
+    #
+    # The reference's own bootstrap never calls a bespoke metadata API:
+    # SQLAlchemy's ``inspect(engine).get_columns(table, schema="demo")``
+    # compiles, in the trino dialect, to SELECTs over
+    # ``information_schema.columns`` / ``.tables`` / ``.schemata``
+    # issued through POST /v1/statement. These resolve here as VIRTUAL
+    # TABLES: any statement referencing ``information_schema.<kind>``
+    # (re)materializes a snapshot of the live catalog state — session
+    # tables and views, database-cataloged tables, engine-registered
+    # versioned tables — as a temp view and rewrites the reference onto
+    # it. Trino's column names and type spellings (``varchar``,
+    # ``bigint``, ``timestamp(3)``) are used throughout, shared with
+    # the wire server's descriptors via :func:`dialect.trino_type`.
+
+    _INFOSCHEMA_RE = re.compile(
+        r'["`]?information_schema["`]?\s*\.\s*["`]?'
+        r"(columns|tables|schemata|views)"
+        r'["`]?',
+        re.IGNORECASE,
+    )
+
+    #: the catalog name the reference's clients connect with
+    #: (``trino://trino@trino:8080/iceberg``, init_db.py:8-9)
+    _INFO_CATALOG = "iceberg"
+
+    def _info_entries(self) -> list[tuple[str, str, str, bool]]:
+        """Live catalog snapshot: (schema, name, resolvable identifier,
+        is_view) for every user-visible table — session temp views land
+        in the default schema (they ARE the engine's demo tables),
+        database-cataloged tables in their database. Engine-internal
+        twin views (``__meta_*``, ``__information_schema_*``) stay
+        hidden. Driver-side by design: catalog metadata, never data."""
+        cat = self.spark.catalog
+        try:
+            dbs = [d.name for d in cat.listDatabases()]
+        except Exception:
+            dbs = []
+        entries: dict[tuple[str, str], tuple[str, str, str, bool]] = {}
+        for db in [None, *dbs]:
+            try:
+                tables = cat.listTables(db) if db else cat.listTables()
+            except Exception:
+                continue
+            for t in tables:
+                if t.name.startswith("__"):
+                    continue
+                if t.isTemporary and not t.namespace:
+                    schema, resolvable = self.default_schema, t.name
+                else:
+                    schema = t.namespace[0] if t.namespace \
+                        else self.default_schema
+                    resolvable = f"{schema}.{t.name}"
+                key = (schema.lower(), t.name.lower())
+                if key in entries:
+                    continue
+                is_view = (t.name.lower() in self._views
+                           or t.tableType == "VIEW")
+                entries[key] = (schema, t.name, resolvable, is_view)
+        return sorted(entries.values())
+
+    def _resolve_information_schema(self, text: str) -> str:
+        """Materialize the ``information_schema`` virtual tables a
+        statement references and rewrite the references onto them
+        (literal-aware: a string containing 'information_schema.x'
+        passes through byte-identical)."""
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            _outside_literals,
+            trino_type,
+        )
+
+        kinds: set[str] = set()
+
+        def scan(seg: str) -> str:
+            kinds.update(m.group(1).lower()
+                         for m in self._INFOSCHEMA_RE.finditer(seg))
+            return seg
+
+        _outside_literals(text, scan)
+        if not kinds:
+            return text
+
+        entries = self._info_entries()
+        if "columns" in kinds:
+            rows = []
+            for schema, name, resolvable, _ in entries:
+                try:
+                    fields = self.spark.table(resolvable).schema.fields
+                except Exception:
+                    continue  # dangling catalog entry
+                rows.extend(
+                    (self._INFO_CATALOG, schema, name, f.name, i + 1,
+                     None, "YES" if f.nullable else "NO",
+                     trino_type(f.dataType.simpleString()))
+                    for i, f in enumerate(fields)
+                )
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, column_name string, "
+                "ordinal_position long, column_default string, "
+                "is_nullable string, data_type string",
+            ).createOrReplaceTempView("__information_schema_columns")
+        if "tables" in kinds:
+            self.spark.createDataFrame(
+                [(self._INFO_CATALOG, schema, name,
+                  "VIEW" if is_view else "BASE TABLE")
+                 for schema, name, _, is_view in entries],
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            ).createOrReplaceTempView("__information_schema_tables")
+        if "schemata" in kinds:
+            schemas = {s for s, *_ in entries}
+            try:
+                schemas |= {d.name for d in
+                            self.spark.catalog.listDatabases()}
+            except Exception:
+                pass
+            schemas |= {self.default_schema, "information_schema"}
+            self.spark.createDataFrame(
+                [(self._INFO_CATALOG, s) for s in sorted(schemas)],
+                "catalog_name string, schema_name string",
+            ).createOrReplaceTempView("__information_schema_schemata")
+        if "views" in kinds:
+            self.spark.createDataFrame(
+                [(self._INFO_CATALOG, self.default_schema, name, sql)
+                 for name, sql in sorted(self._views.items())],
+                "table_catalog string, table_schema string, "
+                "table_name string, view_definition string",
+            ).createOrReplaceTempView("__information_schema_views")
+
+        return _outside_literals(
+            text,
+            lambda seg: self._INFOSCHEMA_RE.sub(
+                lambda m: "__information_schema_" + m.group(1).lower(),
+                seg,
+            ),
+        )
 
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I

@@ -703,3 +703,72 @@ def catalog_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "key string, change string, n_rows long"
     )
+
+
+@register(
+    "wire_information_schema",
+    oracle="""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS BIGINT) AS ordinal_position,
+           CASE data_type
+             WHEN 'BIGINT'    THEN 'bigint'
+             WHEN 'INTEGER'   THEN 'integer'
+             WHEN 'VARCHAR'   THEN 'varchar'
+             WHEN 'DOUBLE'    THEN 'double'
+             WHEN 'FLOAT'     THEN 'real'
+             WHEN 'DATE'      THEN 'date'
+             WHEN 'BOOLEAN'   THEN 'boolean'
+             WHEN 'TIMESTAMP' THEN 'timestamp(3)'
+             ELSE lower(data_type)
+           END AS data_type,
+           is_nullable
+    FROM information_schema.columns
+    WHERE table_name IN ('orders', 'customer')
+    ORDER BY table_name, ordinal_position
+    """,
+    doc="The reference's OWN introspection flow end to end over HTTP "
+        "(init_db.py:63-67): SQLAlchemy's "
+        "inspect(engine).get_columns(table, schema='demo') compiles, "
+        "in the trino dialect, to a double-quoted SELECT over "
+        "information_schema.columns POSTed through /v1/statement — "
+        "the first statement a stock Superset/SQLAlchemy client "
+        "issues against the wire. The server routes it through the "
+        "dialect shims (double-quoted identifiers -> backticks) to "
+        "the engine's information_schema virtual tables "
+        "(engine.py:_resolve_information_schema), which snapshot the "
+        "live catalog with Trino's column names and type spellings. "
+        "The oracle asks DuckDB's own information_schema the same "
+        "question about the same parquet-backed views and maps "
+        "DuckDB's spellings onto Trino's — a hash match proves both "
+        "engines describe identical tables identically (names, "
+        "order, types, nullability) across two independent catalog "
+        "implementations.",
+)
+def wire_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import TrinoWireServer
+
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # the statement shape SQLAlchemy's trino dialect emits (every
+    # identifier double-quoted), one table per inspector call
+    stmt = (
+        'SELECT "table_name", "column_name", "ordinal_position", '
+        '"data_type", "is_nullable" '
+        'FROM "information_schema"."columns" '
+        "WHERE \"table_schema\" = 'demo' AND \"table_name\" = '{t}' "
+        'ORDER BY "ordinal_position"'
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = []
+        for t in ("customer", "orders"):
+            rows.extend(_drain_statement(srv.url, stmt.format(t=t)))
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], r[1], int(r[2]), r[3], r[4]) for r in rows],
+        "table_name string, column_name string, "
+        "ordinal_position long, data_type string, is_nullable string",
+    )

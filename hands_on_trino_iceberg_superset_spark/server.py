@@ -63,6 +63,9 @@ from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import quote, unquote
 
+from hands_on_trino_iceberg_superset_spark.dialect import (
+    trino_type as _trino_type,
+)
 from hands_on_trino_iceberg_superset_spark.engine import (
     Engine,
     _split_top_level,
@@ -189,31 +192,8 @@ def _substitute_params(sql: str, args: list[str]) -> str:
         )
     return "".join(out)
 
-#: Spark simpleString -> Trino type name (the subset the corpus uses)
-_TYPE_MAP = {
-    "bigint": "bigint",
-    "int": "integer",
-    "smallint": "smallint",
-    "tinyint": "tinyint",
-    "string": "varchar",
-    "double": "double",
-    "float": "real",
-    "boolean": "boolean",
-    "date": "date",
-    "timestamp": "timestamp(3)",
-    "timestamp_ntz": "timestamp(3)",
-    "binary": "varbinary",
-}
-
-
-def _trino_type(simple: str) -> str:
-    if simple in _TYPE_MAP:
-        return _TYPE_MAP[simple]
-    if simple.startswith("decimal"):
-        return simple
-    if simple.startswith("array<") and simple.endswith(">"):
-        return f"array({_trino_type(simple[6:-1])})"
-    return simple
+# Trino type spellings live in dialect.trino_type — shared with the
+# engine's information_schema surface so clients see one spelling.
 
 
 def _json_value(v):

@@ -388,3 +388,80 @@ def test_conf_isolation_between_requests(server, spark):
     release_writer.set()
     wt.join(10); rt.join(10)
     assert seen["val"] == base
+
+
+def test_information_schema_over_wire(server, spark):
+    """The reference's init_db.py inspector flow verbatim over HTTP:
+    SQLAlchemy's trino dialect introspects via double-quoted SELECTs
+    over information_schema.columns/.tables — the first statements a
+    stock client issues. Asserts Trino's column-name and type
+    spellings (varchar, bigint, timestamp(3)) cross the wire."""
+    spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, score double"
+    ).createOrReplaceTempView("wire_info_t")
+    spark.sql(
+        "SELECT CAST(1 AS INT) AS i, TIMESTAMP'2026-01-01' AS ts, "
+        "true AS flag"
+    ).createOrReplaceTempView("wire_info_u")
+
+    cols, rows = _drain(server, (
+        'SELECT "column_name", "data_type", "is_nullable" '
+        'FROM "information_schema"."columns" '
+        "WHERE \"table_schema\" = 'demo' "
+        "AND \"table_name\" = 'wire_info_t' "
+        'ORDER BY "ordinal_position"'
+    ))
+    assert [c["name"] for c in cols] \
+        == ["column_name", "data_type", "is_nullable"]
+    assert rows == [["id", "bigint", "YES"],
+                    ["name", "varchar", "YES"],
+                    ["score", "double", "YES"]]
+
+    _, rows = _drain(server, (
+        "SELECT column_name, data_type "
+        "FROM information_schema.columns "
+        "WHERE table_schema = 'demo' AND table_name = 'wire_info_u' "
+        "ORDER BY ordinal_position"
+    ))
+    assert rows == [["i", "integer"], ["ts", "timestamp(3)"],
+                    ["flag", "boolean"]]
+
+    # .tables: both tables visible in the demo schema as BASE TABLE
+    _, rows = _drain(server, (
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_schema = 'demo' "
+        "AND table_name LIKE 'wire_info_%' ORDER BY table_name"
+    ))
+    assert rows == [["wire_info_t", "BASE TABLE"],
+                    ["wire_info_u", "BASE TABLE"]]
+
+    # .schemata lists the demo schema under the reference's catalog
+    _, rows = _drain(server, (
+        "SELECT catalog_name, schema_name "
+        "FROM information_schema.schemata "
+        "WHERE schema_name = 'demo'"
+    ))
+    assert rows == [["iceberg", "demo"]]
+
+    # an engine view surfaces as VIEW with its defining SQL
+    server.engine.sql(
+        "CREATE OR REPLACE VIEW wire_info_v AS "
+        "SELECT id FROM wire_info_t"
+    )
+    _, rows = _drain(server, (
+        "SELECT table_type FROM information_schema.tables "
+        "WHERE table_name = 'wire_info_v'"
+    ))
+    assert rows == [["VIEW"]]
+    _, rows = _drain(server, (
+        "SELECT view_definition FROM information_schema.views "
+        "WHERE table_name = 'wire_info_v'"
+    ))
+    assert rows == [["SELECT id FROM wire_info_t"]]
+    server.engine.sql("DROP VIEW wire_info_v")
+
+    # a string literal mentioning information_schema.columns is NOT
+    # rewritten
+    _, rows = _drain(server,
+                     "SELECT 'information_schema.columns' AS s")
+    assert rows == [["information_schema.columns"]]
