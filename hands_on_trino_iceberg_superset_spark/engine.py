@@ -928,10 +928,44 @@ class Engine:
     def explain_cost(self, sql_text: str) -> str:
         """EXPLAIN with statistics — the query-cost-estimation surface
         Superset's ESTIMATE_QUERY_COST flag would call (explicitly
-        disabled in the reference, available here)."""
-        df = self.sql(sql_text)
+        disabled in the reference at ``superset_config.py:3-5``,
+        available here)."""
+        return self.explain(sql_text, type_="IO")
+
+    #: read-only statement heads EXPLAIN accepts — anything else
+    #: (routed DDL/DML, CALL, Spark commands) EXECUTES inside
+    #: ``spark.sql``/the engine handlers, and an EXPLAIN must never
+    #: execute
+    _EXPLAINABLE = re.compile(
+        r"^\s*(SELECT|WITH|VALUES|TABLE|SHOW|DESCRIBE)\b",
+        re.IGNORECASE,
+    )
+
+    def explain(self, sql_text: str, type_: str = "DISTRIBUTED",
+                trino: bool = False) -> str:
+        """Trino's ``EXPLAIN (TYPE <t>)`` semantics over the Spark
+        planner: LOGICAL -> parsed/analyzed/optimized plans
+        (``extended``), DISTRIBUTED (Trino's default) -> the physical
+        plan with its exchanges (``formatted``), IO -> plan with
+        statistics (``cost``). Analysis-only: the statement is
+        restricted to read shapes so EXPLAIN can never execute
+        anything."""
+        modes = {"LOGICAL": "extended", "DISTRIBUTED": "formatted",
+                 "IO": "cost"}
+        t = type_.upper()
+        if t not in modes:
+            raise ValueError(
+                f"EXPLAIN type {type_!r} not supported "
+                f"(one of {sorted(modes)} or VALIDATE)"
+            )
+        if not self._EXPLAINABLE.match(sql_text):
+            raise ValueError(
+                "EXPLAIN supports read statements only (DDL/DML "
+                "routes through handlers that execute)"
+            )
+        df = self.trino_sql(sql_text) if trino else self.sql(sql_text)
         return self.spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "cost"
+            df._jdf.queryExecution(), modes[t]
         )
 
 

@@ -118,6 +118,12 @@ _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+#: Trino's EXPLAIN [( option [, ...] )] <statement>; options are
+#: TYPE {LOGICAL|DISTRIBUTED|VALIDATE|IO} and FORMAT TEXT
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s*(?:\(([^)]*)\))?\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _count_params(sql: str) -> int:
@@ -416,6 +422,57 @@ class TrinoWireServer:
         qid = uuid.uuid4().hex
         prepared = prepared or {}
         try:
+            m = _EXPLAIN_RE.match(sql_text)
+            if m:
+                # EXPLAIN over the wire — the statement Trino clients
+                # (and Superset's ESTIMATE_QUERY_COST preview, off in
+                # the reference at superset_config.py:3-5) issue.
+                # Analysis-only; Trino's shape: one 'Query Plan'
+                # varchar row.
+                opts, stmt = m.group(1) or "", m.group(2)
+                if re.match(r"(?is)^ANALYZE\b", stmt):
+                    raise ValueError(
+                        "EXPLAIN ANALYZE is not supported over this "
+                        "wire (it executes the statement); use plain "
+                        "EXPLAIN"
+                    )
+                etype, fmt = "DISTRIBUTED", "TEXT"
+                for part in _split_top_level(opts):
+                    kw = part.split()
+                    if len(kw) == 2 and kw[0].upper() == "TYPE":
+                        etype = kw[1].upper()
+                    elif len(kw) == 2 and kw[0].upper() == "FORMAT":
+                        fmt = kw[1].upper()
+                    elif part.strip():
+                        raise ValueError(
+                            f"unknown EXPLAIN option: {part.strip()!r}"
+                        )
+                if fmt != "TEXT":
+                    raise ValueError(
+                        f"EXPLAIN FORMAT {fmt} not supported "
+                        "(TEXT only)"
+                    )
+                if etype == "VALIDATE":
+                    # analyze, never execute: .schema forces analysis
+                    self.engine.trino_sql(stmt).schema
+                    return ({
+                        "id": qid,
+                        "columns": [{"name": "Valid",
+                                     "type": "boolean"}],
+                        "data": [[True]],
+                        "stats": {"state": "FINISHED",
+                                  "statement": "EXPLAIN"},
+                    }, [])
+                plan = self.engine.explain(stmt, type_=etype,
+                                           trino=True)
+                return ({
+                    "id": qid,
+                    "columns": [{"name": "Query Plan",
+                                 "type": "varchar"}],
+                    "data": [[plan]],
+                    "stats": {"state": "FINISHED",
+                              "statement": "EXPLAIN"},
+                }, [])
             m = _PREPARE_RE.match(sql_text)
             if m:
                 name, stmt = m.group(1).lower(), m.group(2).strip()

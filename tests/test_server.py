@@ -465,3 +465,54 @@ def test_information_schema_over_wire(server, spark):
     _, rows = _drain(server,
                      "SELECT 'information_schema.columns' AS s")
     assert rows == [["information_schema.columns"]]
+
+
+def test_explain_over_wire(server, spark):
+    """EXPLAIN served as a wire statement (the surface Superset's
+    ESTIMATE_QUERY_COST would toggle — deliberately off in the
+    reference, superset_config.py:3-5): Trino's one-row 'Query Plan'
+    shape, TYPE LOGICAL/DISTRIBUTED/IO mapped onto the Spark
+    planner's extended/formatted/cost renderings, VALIDATE
+    analysis-only, and EXPLAIN ANALYZE refused (it would execute)."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"
+    ).createOrReplaceTempView("wire_explain_t")
+
+    cols, rows = _drain(
+        server, "EXPLAIN SELECT k, count(*) AS n "
+                "FROM wire_explain_t GROUP BY k")
+    assert [c["name"] for c in cols] == ["Query Plan"]
+    assert [c["type"] for c in cols] == ["varchar"]
+    assert len(rows) == 1
+    plan = rows[0][0]
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+    _, rows = _drain(
+        server, "EXPLAIN (TYPE LOGICAL) "
+                "SELECT * FROM wire_explain_t WHERE id = 1")
+    assert "Optimized Logical Plan" in rows[0][0]
+
+    _, rows = _drain(
+        server, "EXPLAIN (TYPE IO) SELECT count(*) "
+                "FROM wire_explain_t")
+    assert "Statistics" in rows[0][0] or "sizeInBytes" in rows[0][0]
+
+    cols, rows = _drain(
+        server, "EXPLAIN (TYPE VALIDATE) SELECT id "
+                "FROM wire_explain_t")
+    assert [c["name"] for c in cols] == ["Valid"]
+    assert rows == [[True]]
+
+    # trino dialect inside the explained statement (varchar cast)
+    _, rows = _drain(
+        server, "EXPLAIN SELECT CAST(id AS varchar) AS s "
+                "FROM wire_explain_t")
+    assert "Project" in rows[0][0]
+
+    bad = _post(server, "EXPLAIN ANALYZE SELECT 1")
+    assert bad["stats"]["state"] == "FAILED"
+    assert "execut" in bad["error"]["message"]
+
+    # EXPLAIN of a statement that would execute is refused
+    bad = _post(server, "EXPLAIN DROP VIEW nope")
+    assert bad["stats"]["state"] == "FAILED"
