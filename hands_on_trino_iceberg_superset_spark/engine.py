@@ -92,6 +92,8 @@ class Engine:
         self._views: dict[str, str] = _SESSION_VIEWS.setdefault(
             self.spark, {}
         )
+        #: ANN index name -> persisted IVF index path (SQL surface)
+        self._ann_indexes: dict[str, str] = {}
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
@@ -113,6 +115,7 @@ class Engine:
                 if quoted in text:
                     text = text.replace(quoted, safe)
         text = self._resolve_information_schema(text)
+        text = self._resolve_table_functions(text)
         view = self._resolve_view_ddl(text)
         if view is not None:
             return view
@@ -422,6 +425,127 @@ class Engine:
             "distinct_values_count double, nulls_fraction double, "
             "row_count double, low_value string, high_value string",
         )
+
+    # -- SQL-reachable ANN search (north-star extension) ----------------
+    #
+    # The similarity operators (operators/similarity.py) are
+    # Python-API queries; this seam makes top-k vector search
+    # reachable from plain SQL — and therefore from the Trino wire
+    # and from BI virtual datasets — as a Trino-style table function:
+    #
+    #   SELECT * FROM TABLE(ann_topk(
+    #       corpus  => 'embeddings',   -- exact brute-force path, OR
+    #       index   => 'emb_ivf',      -- registered IVF index:
+    #                                  --   partition-pruned probe
+    #       queries => 'query_view',   -- table with (id, vector)
+    #       k => 10 [, n_probe => 8]
+    #       [, id_col => 'vec_id'] [, vec_col => 'embedding']))
+    #
+    # Returns (query_id, neighbor_id, cos_sim, rank). The call
+    # resolves to a LAZY temp view over the operator's DataFrame —
+    # the outer statement composes (joins, filters, aggregation) and
+    # the physical plan keeps the operator's shape: the indexed path
+    # scans ONLY the probed cell partitions (plan-gated in
+    # tests/test_plans.py), never the whole store.
+
+    _ANN_TOPK_RE = re.compile(
+        r"TABLE\s*\(\s*ann_topk\s*\(([^()]*)\)\s*\)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def register_ann_index(self, name: str, index_path: str) -> None:
+        """Expose a persisted IVF index
+        (:func:`operators.similarity.build_ivf_index`) to the SQL
+        table function under ``index => '<name>'``."""
+        self._ann_indexes[name.lower()] = index_path
+
+    def _resolve_table_functions(self, text: str) -> str:
+        # the argument list itself carries string literals, so
+        # literal-awareness is positional: a call STARTING inside a
+        # string literal is left untouched, one starting outside is
+        # resolved whole (its own quoted arguments included)
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            _in_literal,
+        )
+
+        out: list[str] = []
+        last = 0
+        for m in self._ANN_TOPK_RE.finditer(text):
+            if _in_literal(text, m.start()):
+                continue
+            out.append(text[last:m.start()])
+            out.append(self._materialize_ann(m))
+            last = m.end()
+        if not out:
+            return text
+        out.append(text[last:])
+        return "".join(out)
+
+    def _materialize_ann(self, m: re.Match) -> str:
+        import hashlib
+
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            similarity as S,
+        )
+
+        raw = m.group(1)
+        args: dict[str, object] = {}
+        for part in _split_top_level(raw):
+            if "=>" not in part:
+                raise ValueError(
+                    "ann_topk arguments must be named (k => 10, ...); "
+                    f"got {part.strip()!r}"
+                )
+            key, val = part.split("=>", 1)
+            val = val.strip()
+            if val.startswith("'") and val.endswith("'"):
+                args[key.strip().lower()] = val[1:-1].replace("''", "'")
+            else:
+                args[key.strip().lower()] = int(val)
+        known = {"corpus", "index", "queries", "k", "n_probe",
+                 "id_col", "vec_col"}
+        unknown = set(args) - known
+        if unknown:
+            raise ValueError(
+                f"unknown ann_topk argument(s): {sorted(unknown)}"
+            )
+        if "queries" not in args:
+            raise ValueError("ann_topk: missing queries => '<table>'")
+        if ("corpus" in args) == ("index" in args):
+            raise ValueError(
+                "ann_topk: exactly one of corpus => '<table>' "
+                "(exact scan) or index => '<name>' (IVF probe) "
+                "is required"
+            )
+        k = int(args.get("k", 10))
+        id_col = str(args.get("id_col", "vec_id"))
+        vec_col = str(args.get("vec_col", "embedding"))
+        queries = self.spark.table(str(args["queries"]))
+        if "index" in args:
+            idx = self._ann_indexes.get(str(args["index"]).lower())
+            if idx is None:
+                raise ValueError(
+                    f"ann_topk: no ANN index registered as "
+                    f"{args['index']!r} (register_ann_index)"
+                )
+            df = S.ivf_probe(
+                queries, idx, k=k,
+                n_probe=int(args.get("n_probe", 4)),
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            df = S.cosine_topk(
+                self.spark.table(str(args["corpus"])), queries,
+                k=k, id_col=id_col, vec_col=vec_col,
+            )
+        # content-keyed name: re-resolving the same call (e.g. a view
+        # body re-materialized through sql()) reuses one view
+        tag = hashlib.md5(
+            re.sub(r"\s+", " ", raw.strip().lower()).encode()
+        ).hexdigest()[:10]
+        view = f"__ann_topk_{tag}"
+        df.createOrReplaceTempView(view)
+        return view
 
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL

@@ -720,3 +720,78 @@ def bi_chart_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[dbl(F.col(c)).alias(c) if c.endswith("total_amount")
           else F.col(c) for c in cells],
     ).orderBy("status")
+
+
+@register(
+    "bi_chart_ann_topk",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    )
+    SELECT e.label AS neighbor_label,
+           count(*) AS count,
+           CAST(sum(CAST(t.cos_sim AS DECIMAL(10,6))) AS DOUBLE)
+             AS sum_sim
+    FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+    GROUP BY e.label
+    ORDER BY count DESC, neighbor_label
+    """,
+    doc="A BI chart over SQL-reachable vector search — the VERDICT "
+        "r10 seam closed end to end: the virtual dataset's defining "
+        "SQL calls TABLE(ann_topk(corpus => ..., queries => ..., "
+        "k => 10)) (Engine.sql table-function resolution, the exact "
+        "brute-force arm) and joins neighbor ids back to their "
+        "labels; the chart's form_data then aggregates neighbors per "
+        "label (count + exact DECIMAL sum of the rounded "
+        "similarities, cast to DOUBLE once). A Superset user charts "
+        "similarity search with nothing but a virtual dataset — no "
+        "Python API in the loop. The oracle replays top-10, the "
+        "label join, and the aggregate from scratch in SQL.",
+)
+def bi_chart_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import Database
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("bi_ann_corpus_v")
+    emb.where(F.col("vec_id") % 100 == 0).createOrReplaceTempView(
+        "bi_ann_queries_v"
+    )
+    eng = Engine(spark)
+    ds = Database("spark", eng).dataset(
+        "ann_neighbors",
+        sql=(
+            "SELECT e.label AS neighbor_label, "
+            "CAST(a.cos_sim AS DECIMAL(10,6)) AS sim_dec "
+            "FROM TABLE(ann_topk(corpus => 'bi_ann_corpus_v', "
+            "queries => 'bi_ann_queries_v', k => 10)) a "
+            "JOIN bi_ann_corpus_v e ON a.neighbor_id = e.vec_id"
+        ),
+    )
+    out = compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["neighbor_label"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "sim_dec",
+                 "label": "sum_sim"},
+            ],
+            "order_by": [["count", False], ["neighbor_label", True]],
+        },
+    )
+    return out.withColumn("sum_sim", dbl(F.col("sum_sim")))

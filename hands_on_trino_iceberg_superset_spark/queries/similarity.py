@@ -1176,3 +1176,56 @@ def embedding_knn_label_vote(spark: SparkSession,
         (F.col("neighbor_label") == F.col("actual_label"))
         .alias("correct"),
     )
+
+
+@register(
+    "sql_ann_topk",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="ANN search reached from PLAIN SQL — the seam between the "
+        "engine's two halves (every retrieval operator was a "
+        "Python-API query until now): Engine.sql resolves the "
+        "Trino-style table function TABLE(ann_topk(...)) "
+        "(engine.py:_resolve_table_functions) onto the similarity "
+        "operators, so a wire client or BI virtual dataset can run "
+        "vector search. BOTH arms run through SQL here: the indexed "
+        "arm probes the registered persisted IVF index (index => "
+        "'emb_ivf', n_probe 8/16 — the plan is the partition-pruned "
+        "cell scan, plan-gated in tests/test_plans.py, never a full "
+        "store read) and the exact arm brute-forces the corpus "
+        "(corpus => ...); the emitted rows are the exact top-10 "
+        "gated on the SQL-served IVF probe achieving >= 6/10 "
+        "per-query overlap, the ann_cosine_topk_ivf contract. The "
+        "oracle recomputes the exact top-10 from scratch.",
+)
+def sql_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("sql_ann_corpus_v")
+    _queries(emb).createOrReplaceTempView("sql_ann_queries_v")
+    eng = Engine(spark)
+    eng.register_ann_index("emb_ivf", _ivf_index(spark, sf_dir))
+    approx = eng.sql(
+        "SELECT query_id, neighbor_id, cos_sim, rank "
+        "FROM TABLE(ann_topk(index => 'emb_ivf', "
+        "queries => 'sql_ann_queries_v', k => 10, n_probe => 8))"
+    )
+    exact = eng.sql(
+        "SELECT query_id, neighbor_id, cos_sim, rank "
+        "FROM TABLE(ann_topk(corpus => 'sql_ann_corpus_v', "
+        "queries => 'sql_ann_queries_v', k => 10))"
+    )
+    return _recall_gate(approx, exact, min_overlap=6)

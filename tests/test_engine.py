@@ -358,3 +358,41 @@ def test_view_registry_is_session_shared(spark):
     assert "vshared" not in e1.views()
     with pytest.raises(ValueError, match="not found"):
         e1.sql("SHOW CREATE VIEW vshared")
+
+
+def test_ann_table_function_surface(spark, sf_dir):
+    """TABLE(ann_topk(...)) argument contract: named args only,
+    exactly one of corpus/index, registered index required, unknown
+    args refused, and the resolved view composes with plain SQL."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("ann_tf_corpus")
+    emb.limit(2).createOrReplaceTempView("ann_tf_queries")
+    eng = Engine(spark)
+
+    out = eng.sql(
+        "SELECT query_id, count(*) AS n FROM TABLE(ann_topk("
+        "corpus => 'ann_tf_corpus', queries => 'ann_tf_queries', "
+        "k => 3)) GROUP BY query_id"
+    ).collect()
+    assert len(out) == 2 and all(r.n == 3 for r in out)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.sql("SELECT * FROM TABLE(ann_topk("
+                "queries => 'ann_tf_queries', k => 3))")
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.sql("SELECT * FROM TABLE(ann_topk("
+                "corpus => 'a', index => 'b', queries => 'q'))")
+    with pytest.raises(ValueError, match="missing queries"):
+        eng.sql("SELECT * FROM TABLE(ann_topk(corpus => 'a'))")
+    with pytest.raises(ValueError, match="no ANN index registered"):
+        eng.sql("SELECT * FROM TABLE(ann_topk(index => 'nope', "
+                "queries => 'ann_tf_queries'))")
+    with pytest.raises(ValueError, match="unknown ann_topk"):
+        eng.sql("SELECT * FROM TABLE(ann_topk(corpus => 'a', "
+                "queries => 'q', frobnicate => 1))")
+    with pytest.raises(ValueError, match="named"):
+        eng.sql("SELECT * FROM TABLE(ann_topk('a', 'q', 3))")

@@ -726,3 +726,41 @@ def test_bm25_broadcasts_queries_never_cartesian(spark, inv, sf_dir):
     executed, _ = _plans(spark, inv, "search_bm25_topk", sf_dir)
     assert "CartesianProduct" not in executed
     assert executed.count("BroadcastHashJoin") >= 1
+
+
+def test_sql_ann_table_function_keeps_ivf_pruning(
+    spark, sf_dir, tmp_path
+):
+    """The SQL surface must not cost the index its plan: a statement
+    composing TABLE(ann_topk(index => ...)) through Engine.sql plans
+    the SAME partition-pruned cell scan as the direct ivf_probe call
+    — the probed-cell IN predicate reaches the parquet read as a
+    PartitionFilter (a strict subset of cells), never a full store
+    scan or a cartesian."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import similarity as S
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = str(tmp_path / "ivf_sql")
+    S.build_ivf_index(emb, index_path, n_centroids=8)
+    emb.orderBy("vec_id").limit(3).createOrReplaceTempView(
+        "plan_ann_queries_v"
+    )
+    eng = Engine(spark)
+    eng.register_ann_index("plan_ivf", index_path)
+    # composed statement: aggregation OVER the table function
+    df = eng.sql(
+        "SELECT query_id, count(*) AS n, max(cos_sim) AS best "
+        "FROM TABLE(ann_topk(index => 'plan_ivf', "
+        "queries => 'plan_ann_queries_v', k => 5, n_probe => 2)) "
+        "GROUP BY query_id"
+    )
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+    assert m, formatted
+    assert "cell" in m.group(1) and "IN (" in m.group(1), m.group(1)
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    assert 0 < len(probed & set(range(8))) < 8
+    assert "CartesianProduct" not in formatted
