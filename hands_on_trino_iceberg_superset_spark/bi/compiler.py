@@ -1134,16 +1134,35 @@ def _pivot_fields(form_data: Mapping[str, Any]) -> tuple[list, str, list]:
     return rows, cols[0], metrics
 
 
+#: most distinct pivot-column values a chart may fan out into — each
+#: becomes a physical output column, so this bounds both the schema
+#: and the driver-side collect. Superset renders pivot columns side
+#: by side; 1000 is already far past anything readable.
+MAX_PIVOT_VALUES = 1000
+
+
 def _pivot_values(df: DataFrame, col_key: str) -> list:
     """The pivoted column's distinct non-NULL values, sorted — the
     output schema. Collected driver-side: a pivot dimension is
     low-cardinality BY CONTRACT (each value becomes a physical
     column; Superset renders them side by side), so this is
-    chart-schema-sized metadata, never data."""
-    vals = sorted(
-        r[0] for r in df.select(col_key).distinct().collect()
-        if r[0] is not None
-    )
+    chart-schema-sized metadata, never data — and the contract is
+    ENFORCED: the collect is LIMIT-bounded at MAX_PIVOT_VALUES + 1
+    and a higher-cardinality key is refused loudly (the compiler's
+    usual refusal posture) instead of pulling an unbounded distinct
+    set onto the driver."""
+    fetched = [
+        r[0] for r in df.select(col_key).distinct()
+        .limit(MAX_PIVOT_VALUES + 1).collect()
+    ]
+    if len(fetched) > MAX_PIVOT_VALUES:
+        raise ValueError(
+            f"pivot column {col_key!r} exceeds {MAX_PIVOT_VALUES} "
+            "distinct values — a pivot fans each value into a "
+            "physical output column; pin the schema with an explicit "
+            "`values` list or derive a lower-cardinality column"
+        )
+    vals = sorted(v for v in fetched if v is not None)
     if not vals:
         raise ValueError(f"pivot column {col_key!r} has no values")
     labels = {}

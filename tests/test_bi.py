@@ -919,3 +919,29 @@ def test_resample_methods_identical_on_both_paths(spark):
             compile_form_data(df, bad)
         with pytest.raises(ValueError):
             form_data_to_sql("rs_base", bad)
+
+
+def test_pivot_cardinality_guard(spark):
+    """A pivot column past MAX_PIVOT_VALUES distinct values is
+    refused loudly (each value becomes a physical output column, and
+    the driver-side schema collect must stay bounded); pinning the
+    schema with an explicit values list still compiles."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi import compiler as C
+
+    wide = spark.range(0, C.MAX_PIVOT_VALUES + 5).selectExpr(
+        "CAST(id % 7 AS STRING) AS rk",
+        "CAST(id AS STRING) AS ck",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    fd = {
+        "groupbyRows": ["rk"],
+        "groupbyColumns": ["ck"],
+        "metrics": ["count"],
+    }
+    with pytest.raises(ValueError, match="distinct values"):
+        C.compile_pivot_form_data(wide, fd)
+    # an explicit pinned schema bypasses the data-derived collect
+    out = C.compile_pivot_form_data(wide, fd, values=["1", "2"])
+    assert len(out.columns) == 3  # rk + 2 pinned cells
