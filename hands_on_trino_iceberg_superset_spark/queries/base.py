@@ -42,15 +42,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # entries per round; the last _WINDOW_RESERVE of them are pinned to the
 # oldest green rows (staleness floor) in load_all().
 #
-# ROUND-9/10 SWEEP: the reserve is temporarily raised 10 -> 35 to
-# rotate the stale-green backlog through the driver window (r9
-# cleared the r4/r5 rows; round 10 holds 35 to clear the remaining
-# r5/r6 cohort); drop it back to ~10 in round 11 once
-# min(last-checked round) catches up. The floor is CAPPED at runtime
-# so classes 0-2 (failed / never-checked / changed) are never pushed
-# out of the window by the reserve — see load_all().
+# The reserve was temporarily raised to 35 through rounds 9-10 to
+# rotate the stale-green backlog (r4-r6 cohorts) through the driver
+# window; restored to 10 in round 11 per that plan — class-3 greens
+# already sort oldest-first into the head's spare slots, so the
+# reserve only matters when urgent inflow (failed / new / changed)
+# would otherwise starve the green tail. The floor is CAPPED at
+# runtime so classes 0-2 are never pushed out of the window by the
+# reserve — see load_all().
 _WINDOW = 50
-_WINDOW_RESERVE = 35
+_WINDOW_RESERVE = 10
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
