@@ -396,3 +396,79 @@ def test_ann_table_function_surface(spark, sf_dir):
                 "queries => 'q', frobnicate => 1))")
     with pytest.raises(ValueError, match="named"):
         eng.sql("SELECT * FROM TABLE(ann_topk('a', 'q', 3))")
+
+
+def test_information_schema_covers_versioned_tables(spark, tmp_path):
+    """The information_schema snapshot must include tables that enter
+    the catalog through the ENGINE's own registries (versioned /
+    Iceberg registration), not just plain temp views — a SQLAlchemy
+    client introspecting after register_versioned_table sees the
+    table with its current schema and Trino type spellings."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.lakehouse import (
+        VersionedTable,
+    )
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "k long, name string, score double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "infot"), df)
+    eng.register_versioned_table("ledger_info", t)
+    rows = eng.sql(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'ledger_info' ORDER BY ordinal_position"
+    ).collect()
+    assert [(r.column_name, r.data_type) for r in rows] == [
+        ("k", "bigint"), ("name", "varchar"), ("score", "double"),
+    ]
+    # schema evolution is visible on the next introspection
+    eng.sql("ALTER TABLE ledger_info ADD COLUMN tag string")
+    rows = eng.sql(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'ledger_info' ORDER BY ordinal_position"
+    ).collect()
+    assert [r.column_name for r in rows] == ["k", "name", "score",
+                                             "tag"]
+    # the engine's hidden twin views never leak into the listing
+    hidden = eng.sql(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_name LIKE '!_!_%' ESCAPE '!'"
+    ).collect()
+    assert hidden == []
+
+
+def test_explain_on_views_and_time_travel(spark, tmp_path):
+    """Engine.explain analyzes (never executes) statements over the
+    engine's own resolution layers: persistent views and versioned
+    time travel both plan; DDL/DML shapes are refused."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.lakehouse import (
+        VersionedTable,
+    )
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1, 2.0)], "k long, v double") \
+        .createOrReplaceTempView("exp_base")
+    eng.sql("CREATE OR REPLACE VIEW exp_view AS "
+            "SELECT k, v * 2 AS v2 FROM exp_base")
+    plan = eng.explain("SELECT sum(v2) AS s FROM exp_view",
+                       type_="LOGICAL")
+    assert "Optimized Logical Plan" in plan
+
+    t = VersionedTable.create(spark, str(tmp_path / "expt"),
+                              spark.createDataFrame([(1,)], "k long"))
+    eng.register_versioned_table("exp_tt", t)
+    plan = eng.explain(
+        "SELECT count(*) AS n FROM exp_tt FOR VERSION AS OF 1")
+    assert "Aggregate" in plan or "HashAggregate" in plan
+
+    snaps_before = len(t.snapshots()) if hasattr(t, "snapshots") \
+        else None
+    with pytest.raises(ValueError, match="read statements only"):
+        eng.explain("DELETE FROM exp_tt WHERE k = 1")
+    # nothing executed: the table still has its row
+    assert eng.sql("SELECT count(*) AS n FROM exp_tt").first().n == 1
+    assert snaps_before is None or len(t.snapshots()) == snaps_before

@@ -516,3 +516,62 @@ def test_explain_over_wire(server, spark):
     # EXPLAIN of a statement that would execute is refused
     bad = _post(server, "EXPLAIN DROP VIEW nope")
     assert bad["stats"]["state"] == "FAILED"
+
+
+def test_mixed_concurrency_with_session_props(server, spark):
+    """Stress the RW conf lock with real HTTP traffic: 4 clients
+    alternating plain statements with statements carrying
+    X-Trino-Session properties, all against one server. Every result
+    must be correct (a plain statement that planned under another
+    request's broadcast/shuffle override would still return correct
+    ROWS — the lock's correctness shows as no errors, no deadlock,
+    and the baseline conf restored at the end)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS k"
+    ).createOrReplaceTempView("mix_conc_t")
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    errors = []
+
+    def client(i: int) -> None:
+        try:
+            for j in range(6):
+                headers = {"X-Trino-User": f"c{i}"}
+                if (i + j) % 2:
+                    headers["X-Trino-Session"] = \
+                        "hash_partition_count=4"
+                req = urllib.request.Request(
+                    f"{server.url}/v1/statement",
+                    data=(b"SELECT k, count(*) AS n FROM mix_conc_t "
+                          b"GROUP BY k"),
+                    method="POST", headers=headers,
+                )
+                with urllib.request.urlopen(req) as resp:
+                    payload = _json.load(resp)
+                if "error" in payload:
+                    raise RuntimeError(payload["error"]["message"])
+                rows = list(payload.get("data", []))
+                while "nextUri" in payload:
+                    with urllib.request.urlopen(
+                            payload["nextUri"]) as r2:
+                        payload = _json.load(r2)
+                    rows.extend(payload.get("data", []))
+                got = {int(r[0]): int(r[1]) for r in rows}
+                want = {k: (1000 // 7 + (1 if k < 1000 % 7 else 0))
+                        for k in range(7)}
+                if got != want:
+                    raise AssertionError(f"wrong rows: {got}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
