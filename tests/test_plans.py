@@ -764,3 +764,23 @@ def test_sql_ann_table_function_keeps_ivf_pruning(
     probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
     assert 0 < len(probed & set(range(8))) < 8
     assert "CartesianProduct" not in formatted
+
+
+def test_bi_ann_chart_plan_shape(spark, sf_dir):
+    """The ANN chart's composed plan keeps the operator contracts:
+    the exact arm is a broadcast(queries) nested-loop BY DESIGN
+    (non-equi query_id != neighbor_id, bounded by the broadcast query
+    side), the neighbor-label join broadcasts the small top-k side,
+    and nothing degenerates into a sort-merge join or a cartesian of
+    the corpus."""
+    from hands_on_trino_iceberg_superset_spark.queries.bi import (
+        bi_chart_ann_topk,
+    )
+
+    df = bi_chart_ann_topk(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the label equi-join
