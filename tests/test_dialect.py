@@ -206,3 +206,26 @@ def test_trino_scalar_function_shims(spark):
         "date_diff('day', DATE '2024-01-01', DATE '2024-01-31') AS d"
     )).collect()[0]
     assert (got.p, got.d) == (2, 30)
+
+
+def test_double_quoted_identifiers_rewrite():
+    """Trino double-quoted identifiers -> Spark backticks: the shape
+    every statement SQLAlchemy's trino dialect emits (quoted
+    identifiers throughout), with "" as the escaped inner quote, and
+    single-quoted string literals left byte-identical."""
+    from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+    out = trino_to_spark(
+        'SELECT "col a", "t"."b" FROM "demo"."my table" '
+        "WHERE \"c\" = 'keep \"this\" literal'"
+    )
+    assert "`col a`" in out and "`t`.`b`" in out
+    assert "`demo`.`my table`" in out
+    assert "'keep \"this\" literal'" in out  # literal untouched
+    # escaped "" inside an identifier becomes one quote character
+    assert trino_to_spark('SELECT "we""ird"').strip() \
+        == 'SELECT `we"ird`'
+    # backticked catalog qualifier strips like the bare spelling
+    assert "iceberg" not in trino_to_spark(
+        'SELECT * FROM "iceberg"."demo"."t"'
+    )
