@@ -1150,9 +1150,12 @@ def _pivot_values(df: DataFrame, col_key: str) -> list:
     ENFORCED: the collect is LIMIT-bounded at MAX_PIVOT_VALUES + 1
     and a higher-cardinality key is refused loudly (the compiler's
     usual refusal posture) instead of pulling an unbounded distinct
-    set onto the driver."""
+    set onto the driver. NULL never becomes an output column, so it
+    is filtered IN the query — a column with exactly
+    MAX_PIVOT_VALUES non-null values plus NULL is within the cap."""
     fetched = [
-        r[0] for r in df.select(col_key).distinct()
+        r[0] for r in df.select(col_key)
+        .where(F.col(col_key).isNotNull()).distinct()
         .limit(MAX_PIVOT_VALUES + 1).collect()
     ]
     if len(fetched) > MAX_PIVOT_VALUES:
@@ -1162,7 +1165,7 @@ def _pivot_values(df: DataFrame, col_key: str) -> list:
             "physical output column; pin the schema with an explicit "
             "`values` list or derive a lower-cardinality column"
         )
-    vals = sorted(v for v in fetched if v is not None)
+    vals = sorted(fetched)
     if not vals:
         raise ValueError(f"pivot column {col_key!r} has no values")
     labels = {}

@@ -24,12 +24,14 @@ statements run verbatim through :meth:`Engine.trino_sql`:
   unit identifier)
 
 Purely textual, statement-local rewrites — no SQL parse, but they
-are LITERAL-AWARE: the statement splits on single-quoted spans
-(``''`` escapes included) and the regex rewrites touch only the
-non-literal segments, so a payload string containing ``varchar`` or
-``iceberg.x`` passes through byte-identical. Constructs outside the
-reference surface pass through untouched and get Spark's own error
-messages.
+are LITERAL-AWARE: one tokenizing pass scans BOTH quote kinds
+together (single-quoted string literals with ``''`` escapes,
+double-quoted identifiers with ``""`` escapes), so a quote of one
+kind embedded in a span of the other can never desync the scan; the
+regex rewrites touch only the non-literal segments, and a payload
+string containing ``varchar`` or ``iceberg.x`` passes through
+byte-identical. Constructs outside the reference surface pass
+through untouched and get Spark's own error messages.
 """
 
 from __future__ import annotations
@@ -40,6 +42,12 @@ __all__ = ["trino_to_spark", "trino_type"]
 
 #: a single-quoted SQL string literal, with '' escapes
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+#: one tokenizing alternation over BOTH quote kinds — whichever quote
+#: opens first wins, so a single quote INSIDE a double-quoted
+#: identifier ("it's", legal in Trino) cannot desync the literal scan,
+#: and a double quote inside a string literal stays a literal byte
+_QUOTED = re.compile(r"'(?:[^']|'')*'" + r'|"(?:[^"]|"")*"')
 
 
 def _outside_literals(sql: str, fn) -> str:
@@ -63,20 +71,6 @@ def trino_to_spark(
     """Rewrite one Trino statement into Spark SQL (see module doc)."""
 
     def rewrite(seg: str) -> str:
-        # Trino double-quoted identifiers -> Spark backticks ("" is
-        # Trino's escaped quote inside an identifier). SQLAlchemy's
-        # trino dialect quotes EVERY identifier it emits (the
-        # introspection statements init_db.py's inspector sends are
-        # all in this shape), so the rewrite is load-bearing for any
-        # driver-generated SQL. Limitation: an identifier that is
-        # itself a rewritten keyword (a column literally named
-        # "varchar") would be touched by the later keyword rules —
-        # outside the reference surface.
-        seg = re.sub(
-            r'"((?:[^"]|"")*)"',
-            lambda m: "`" + m.group(1).replace('""', '"') + "`",
-            seg,
-        )
         for cat in strip_catalogs:
             # both bare and (formerly double-quoted) backticked
             # spellings of the catalog qualifier
@@ -106,7 +100,48 @@ def trino_to_spark(
                          flags=re.IGNORECASE)
         return seg
 
-    out = _outside_literals(sql, rewrite)
+    # ONE tokenizing pass over both quote kinds: single-quoted string
+    # literals pass through byte-identical; Trino double-quoted
+    # identifiers ("" = escaped quote) become Spark backticks and stay
+    # part of the rewritable code stream. SQLAlchemy's trino dialect
+    # quotes EVERY identifier it emits, so the conversion is
+    # load-bearing for driver-generated SQL; scanning both quote
+    # kinds together means a single quote inside an identifier
+    # ("it's") can never desync the literal scan. Limitation (as
+    # before): an identifier that is itself a rewritten keyword (a
+    # column literally named "varchar") is still touched by the later
+    # keyword rules — outside the reference surface.
+    spans: list[tuple[bool, str]] = []  # (is_string_literal, text)
+    last = 0
+    for m in _QUOTED.finditer(sql):
+        spans.append((False, sql[last: m.start()]))
+        tok = m.group(0)
+        if tok[0] == '"':
+            spans.append(
+                (False, "`" + tok[1:-1].replace('""', '"') + "`")
+            )
+        else:
+            spans.append((True, tok))
+        last = m.end()
+    spans.append((False, sql[last:]))
+    # coalesce adjacent code spans so rewrites spanning an identifier
+    # boundary (`iceberg`.t catalog strip) still match
+    parts: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if buf:
+            parts.append(rewrite("".join(buf)))
+            buf.clear()
+
+    for is_lit, text in spans:
+        if is_lit:
+            flush()
+            parts.append(text)
+        else:
+            buf.append(text)
+    flush()
+    out = "".join(parts)
     out = _rewrite_date_diff(out)
     out = _rewrite_schema_location(out, keep_schema_location)
     out = _rewrite_unnest(out)

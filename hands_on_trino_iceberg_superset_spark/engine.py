@@ -239,8 +239,11 @@ class Engine:
     # ``bigint``, ``timestamp(3)``) are used throughout, shared with
     # the wire server's descriptors via :func:`dialect.trino_type`.
 
+    #: leading lookbehind so a USER table whose name merely ends in
+    #: ``information_schema`` (``my_information_schema.tables``) is
+    #: never rewritten — only the bare/quoted schema itself matches
     _INFOSCHEMA_RE = re.compile(
-        r'["`]?information_schema["`]?\s*\.\s*["`]?'
+        r'(?<![\w`"])["`]?information_schema["`]?\s*\.\s*["`]?'
         r"(columns|tables|schemata|views)"
         r'["`]?',
         re.IGNORECASE,

@@ -452,9 +452,25 @@ class TrinoWireServer:
                         f"EXPLAIN FORMAT {fmt} not supported "
                         "(TEXT only)"
                     )
+                # planning happens under THIS request's session confs
+                # (same conf scope + RW-lock side as execution — an
+                # EXPLAIN must never plan under another request's
+                # temporarily-applied properties)
+                confs = self._session_confs(session or {})
                 if etype == "VALIDATE":
-                    # analyze, never execute: .schema forces analysis
-                    self.engine.trino_sql(stmt).schema
+                    # analyze, never execute: the read-shape guard
+                    # first (Engine.sql eagerly executes routed
+                    # DDL/DML, so an unguarded VALIDATE of 'DELETE
+                    # FROM t ...' would commit the delete), then
+                    # .schema forces analysis only
+                    if not Engine._EXPLAINABLE.match(stmt):
+                        raise ValueError(
+                            "EXPLAIN (TYPE VALIDATE) supports read "
+                            "statements only (DDL/DML routes through "
+                            "handlers that execute)"
+                        )
+                    with self._apply_confs(confs):
+                        self.engine.trino_sql(stmt).schema
                     return ({
                         "id": qid,
                         "columns": [{"name": "Valid",
@@ -463,8 +479,9 @@ class TrinoWireServer:
                         "stats": {"state": "FINISHED",
                                   "statement": "EXPLAIN"},
                     }, [])
-                plan = self.engine.explain(stmt, type_=etype,
-                                           trino=True)
+                with self._apply_confs(confs):
+                    plan = self.engine.explain(stmt, type_=etype,
+                                               trino=True)
                 return ({
                     "id": qid,
                     "columns": [{"name": "Query Plan",

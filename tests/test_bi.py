@@ -945,3 +945,20 @@ def test_pivot_cardinality_guard(spark):
     # an explicit pinned schema bypasses the data-derived collect
     out = C.compile_pivot_form_data(wide, fd, values=["1", "2"])
     assert len(out.columns) == 3  # rk + 2 pinned cells
+
+
+def test_pivot_cardinality_guard_ignores_null(spark):
+    """ADVICE r11: NULL never becomes a pivot output column, so a
+    column with exactly MAX_PIVOT_VALUES non-null values PLUS NULL is
+    within the cap — the NULL is filtered in the query, before the
+    bounded collect."""
+    from hands_on_trino_iceberg_superset_spark.bi import compiler as C
+
+    n = C.MAX_PIVOT_VALUES
+    edge = spark.range(0, n + 1).selectExpr(
+        "CAST(id % 3 AS STRING) AS rk",
+        f"CASE WHEN id < {n} THEN CAST(id AS STRING) END AS ck",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    vals = C._pivot_values(edge, "ck")
+    assert len(vals) == n and None not in vals

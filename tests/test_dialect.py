@@ -229,3 +229,32 @@ def test_double_quoted_identifiers_rewrite():
     assert "iceberg" not in trino_to_spark(
         'SELECT * FROM "iceberg"."demo"."t"'
     )
+
+
+def test_single_quote_inside_double_quoted_identifier():
+    """ADVICE r11: a double-quoted identifier containing a single
+    quote (legal in Trino) must not desync the literal scan — the
+    tokenizing pass scans both quote kinds together, so keyword
+    rewrites neither leak into real string literals nor skip real
+    code after such an identifier."""
+    from hands_on_trino_iceberg_superset_spark.dialect import (
+        trino_to_spark,
+    )
+
+    out = trino_to_spark(
+        'SELECT "it\'s", CAST(x AS varchar) AS s, '
+        "'varchar stays' AS lit FROM t"
+    )
+    assert "`it's`" in out
+    # code AFTER the quote-bearing identifier is still rewritten
+    assert "CAST(x AS STRING)" in out
+    # the string literal is byte-identical
+    assert "'varchar stays'" in out
+    # mirrored case: a double quote inside a single-quoted literal
+    # does not open an identifier span
+    out2 = trino_to_spark(
+        "SELECT 'he said \"hi' AS a, \"col\", "
+        "CAST(y AS varchar) FROM t"
+    )
+    assert "'he said \"hi'" in out2 and "`col`" in out2
+    assert "CAST(y AS STRING)" in out2

@@ -472,3 +472,22 @@ def test_explain_on_views_and_time_travel(spark, tmp_path):
     # nothing executed: the table still has its row
     assert eng.sql("SELECT count(*) AS n FROM exp_tt").first().n == 1
     assert snaps_before is None or len(t.snapshots()) == snaps_before
+
+
+def test_information_schema_name_boundary(spark):
+    """ADVICE r11: a user table whose name merely ENDS in
+    information_schema must not have its suffix rewritten onto the
+    virtual views."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    eng = Engine(spark)
+    out = eng._resolve_information_schema(
+        "SELECT id FROM my_information_schema.tables "
+        "JOIN x_information_schema.columns USING (id)"
+    )
+    assert "__information_schema" not in out
+    # the real schema still rewrites, quoted or bare
+    out2 = eng._resolve_information_schema(
+        'SELECT * FROM "information_schema"."tables"'
+    )
+    assert "__information_schema_tables" in out2

@@ -575,3 +575,76 @@ def test_mixed_concurrency_with_session_props(server, spark):
         t.join(120)
     assert not errors, errors
     assert spark.conf.get("spark.sql.shuffle.partitions") == base
+
+
+def test_explain_validate_never_executes(server, spark, tmp_path):
+    """ADVICE r11 (high): EXPLAIN (TYPE VALIDATE) of routed DML/DDL
+    must FAIL without side effects — Engine.sql eagerly executes
+    routed statements, so an unguarded VALIDATE probe would commit
+    the very delete it claimed to validate."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import (
+        VersionedTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, k string"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "val_t"), df)
+    server.engine.register_versioned_table("validate_dml_t", t)
+
+    def count() -> int:
+        return server.engine.sql(
+            "SELECT count(*) AS n FROM validate_dml_t"
+        ).collect()[0][0]
+
+    assert count() == 3
+    bad = _post(server, "EXPLAIN (TYPE VALIDATE) "
+                        "DELETE FROM validate_dml_t WHERE id = 1")
+    assert bad["stats"]["state"] == "FAILED"
+    assert "read statements only" in bad["error"]["message"]
+    assert count() == 3  # the delete did NOT commit
+
+    for stmt in (
+        "EXPLAIN (TYPE VALIDATE) INSERT INTO validate_dml_t "
+        "VALUES (9, 'z')",
+        "EXPLAIN (TYPE VALIDATE) UPDATE validate_dml_t "
+        "SET k = 'x' WHERE id = 2",
+        "EXPLAIN (TYPE VALIDATE) DROP VIEW nope",
+        "EXPLAIN (TYPE VALIDATE) CREATE VIEW nope2 AS SELECT 1",
+    ):
+        out = _post(server, stmt)
+        assert out["stats"]["state"] == "FAILED", stmt
+    assert count() == 3
+    # a read statement still validates
+    ok = _post(server, "EXPLAIN (TYPE VALIDATE) "
+                       "SELECT k FROM validate_dml_t")
+    assert ok["data"] == [[True]]
+
+
+def test_explain_plans_under_request_session_confs(server, spark):
+    """ADVICE r11: the EXPLAIN branch plans inside _apply_confs — the
+    request's own X-Trino-Session properties reach the plan (and an
+    unknown property is refused, proving the validation runs)."""
+    import re as _re
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"
+    ).createOrReplaceTempView("wire_explain_conf_t")
+    sql = ("EXPLAIN SELECT k, count(*) AS n "
+           "FROM wire_explain_conf_t GROUP BY k")
+    base, _ = _post_h(server, sql)
+    assert "error" not in base, base.get("error")
+    tuned, _ = _post_h(
+        server, sql,
+        headers={"X-Trino-Session": "hash_partition_count=3"},
+    )
+    assert "error" not in tuned, tuned.get("error")
+    # the request's shuffle-partition override shows in the Exchange
+    assert _re.search(r"hashpartitioning\([^)]*\b3\b\)",
+                      tuned["data"][0][0])
+    assert not _re.search(r"hashpartitioning\([^)]*\b3\b\)",
+                          base["data"][0][0])
+    # unknown property refused on the EXPLAIN path too
+    bad, _ = _post_h(server, sql,
+                     headers={"X-Trino-Session": "nope=1"})
+    assert bad["stats"]["state"] == "FAILED"
