@@ -949,3 +949,109 @@ def bi_dashboard_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chart")
     )
+
+
+@register(
+    "wire_session_context",
+    oracle="""
+    SELECT 'demo' AS ctx, o_orderstatus AS grp,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'wire_session_ctx' AS ctx, o_orderpriority AS grp,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY ctx, grp
+    """,
+    doc="Wire session context end to end — how every real Trino "
+        "client actually connects (catalog in the URI "
+        "trino://trino@trino:8080/iceberg, reference init_db.py:8-9; "
+        "schema pinned per dataset, init_db.py:29-35) and then sends "
+        "UNQUALIFIED table names with the context in X-Trino-Catalog/"
+        "X-Trino-Schema headers: the query POSTs USE "
+        "iceberg.wire_session_ctx, copies the X-Trino-Set-Catalog/"
+        "Schema echo headers verbatim into its next requests (the "
+        "protocol's client-side context store, like prepared "
+        "statements), and runs one unqualified aggregate against a "
+        "REAL Spark database table (current-database resolution, "
+        "write-lock scoped and restored) plus one against the "
+        "default demo schema (the temp-view namespace) — both "
+        "over plain HTTP, keyed by context in one result. The oracle "
+        "recomputes both aggregates from the same parquet, so a hash "
+        "match proves USE validation, header echo semantics, and "
+        "per-request name resolution under both context kinds.",
+)
+def wire_session_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    def drain(base_url: str, sql: str,
+              headers: dict) -> tuple[list[list], dict]:
+        req = urllib.request.Request(
+            f"{base_url}/v1/statement", data=sql.encode(),
+            method="POST",
+            headers={"X-Trino-User": "driver", **headers},
+        )
+        with urllib.request.urlopen(req) as resp:
+            payload = json.load(resp)
+            resp_hdrs = dict(resp.headers)
+        if "error" in payload:
+            raise RuntimeError(payload["error"]["message"])
+        rows = list(payload.get("data", []))
+        while "nextUri" in payload:
+            with urllib.request.urlopen(payload["nextUri"]) as resp:
+                payload = json.load(resp)
+            if "error" in payload:
+                raise RuntimeError(payload["error"]["message"])
+            rows.extend(payload.get("data", []))
+        return rows, resp_hdrs
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders"
+    )
+    # a REAL Spark database holding an external table over the same
+    # parquet — the unqualified name 'orders_ctx' resolves ONLY
+    # under the wire_session_ctx schema context
+    spark.sql("CREATE DATABASE IF NOT EXISTS wire_session_ctx")
+    spark.sql("DROP TABLE IF EXISTS wire_session_ctx.orders_ctx")
+    spark.sql(
+        "CREATE TABLE wire_session_ctx.orders_ctx USING parquet "
+        f"LOCATION '{os.path.join(sf_dir, 'orders.parquet')}'"
+    )
+    agg = ("SELECT {grp} AS grp, count(*) AS n_orders, "
+           "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS double) "
+           "AS total_price FROM {tbl} GROUP BY {grp}")
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        # USE -> echo headers -> the client carries them forward
+        _, use_hdrs = drain(srv.url, "USE iceberg.wire_session_ctx",
+                            {})
+        ctx = {"X-Trino-Catalog": use_hdrs["X-Trino-Set-Catalog"],
+               "X-Trino-Schema": use_hdrs["X-Trino-Set-Schema"]}
+        if ctx != {"X-Trino-Catalog": "iceberg",
+                   "X-Trino-Schema": "wire_session_ctx"}:
+            raise RuntimeError(f"USE echoed wrong context: {ctx}")
+        db_rows, _ = drain(
+            srv.url,
+            agg.format(grp="o_orderpriority", tbl="orders_ctx"), ctx)
+        demo_rows, _ = drain(
+            srv.url, agg.format(grp="o_orderstatus", tbl="orders"),
+            {"X-Trino-Schema": "demo"})
+    finally:
+        srv.stop()
+        spark.sql("DROP DATABASE IF EXISTS wire_session_ctx CASCADE")
+    return spark.createDataFrame(
+        [("demo", r[0], int(r[1]), float(r[2])) for r in demo_rows]
+        + [("wire_session_ctx", r[0], int(r[1]), float(r[2]))
+           for r in db_rows],
+        "ctx string, grp string, n_orders long, total_price double",
+    ).orderBy("ctx", "grp")

@@ -39,6 +39,17 @@ Protocol subset implemented (enough for CLI/driver-style clients):
   conf that carries the same meaning (``hash_partition_count`` ->
   shuffle partitions, ``join_distribution_type`` -> broadcast
   threshold), applied around the one statement and restored after.
+- session catalog/schema context: ``USE schema`` / ``USE
+  catalog.schema`` validates the context and echoes it in
+  ``X-Trino-Set-Catalog`` / ``X-Trino-Set-Schema``; the client
+  re-presents it on later requests via ``X-Trino-Catalog`` /
+  ``X-Trino-Schema`` (exactly how the Trino CLI and SQLAlchemy URI
+  ``trino://trino@trino:8080/iceberg`` carry context — reference
+  init_db.py:8-9), and unqualified names then resolve against that
+  schema: the engine default schema is the session temp-view
+  namespace, any other known schema maps onto Spark's CURRENT
+  DATABASE for the one statement (write-lock scoped, restored
+  after). Unknown catalogs/schemas are refused loudly.
 
 Results are fully materialized on POST and paged from driver memory:
 the wire entry is a control-plane surface (BI tools page through
@@ -141,6 +152,14 @@ def _count_params(sql: str) -> int:
             n_params += sql[i] == "?"
             i += 1
     return n_params
+#: Trino's USE statement: ``USE schema`` / ``USE catalog.schema``,
+#: bare or double-quoted identifiers (the forms the Trino CLI and
+#: drivers emit)
+_USE_RE = re.compile(
+    r'^\s*USE\s+(?:"?([A-Za-z_]\w*)"?\s*\.\s*)?"?([A-Za-z_]\w*)"?'
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -342,6 +361,8 @@ class TrinoWireServer:
                     sql_text,
                     prepared=self._kv_headers("X-Trino-Prepared-Statement"),
                     session=self._kv_headers("X-Trino-Session"),
+                    catalog=self.headers.get("X-Trino-Catalog"),
+                    schema=self.headers.get("X-Trino-Schema"),
                 )
                 self._reply(payload, extra_headers=hdrs)
 
@@ -415,13 +436,75 @@ class TrinoWireServer:
             confs[conf] = convert(val)
         return confs
 
+    # --------------------------------------- session catalog/schema
+
+    def _known_catalogs(self) -> set[str]:
+        """Catalog names a client may connect with: the reference's
+        ``iceberg`` (init_db.py:8-9 URI), Spark's own, and any
+        catalog actually registered on the session."""
+        known = {self.engine._INFO_CATALOG.lower(), "spark_catalog"}
+        try:
+            known |= {c.name.lower()
+                      for c in self.engine.spark.catalog.listCatalogs()}
+        except Exception:
+            pass
+        return known
+
+    def _schema_database(self, catalog: str | None,
+                         schema: str | None) -> str | None:
+        """Validate the request's session context (X-Trino-Catalog /
+        X-Trino-Schema headers, or a USE statement's operands) and
+        return the Spark database unqualified names must resolve
+        against — ``None`` when the engine's defaults already apply
+        (the default schema is the session temp-view namespace, which
+        Spark resolves first regardless of current database). Unknown
+        catalog/schema are refused loudly, like session properties:
+        a silently-ignored context would let a client read the wrong
+        tables."""
+        if catalog is not None and \
+                catalog.lower() not in self._known_catalogs():
+            raise ValueError(
+                f"unknown catalog: {catalog!r} (connect with "
+                f"{sorted(self._known_catalogs())})"
+            )
+        if schema is None:
+            return None
+        if schema.lower() == self.engine.default_schema.lower():
+            return None
+        dbs = {d.name.lower()
+               for d in self.engine.spark.catalog.listDatabases()}
+        if schema.lower() not in dbs:
+            raise ValueError(
+                f"unknown schema: {schema!r} (one of "
+                f"{sorted(dbs | {self.engine.default_schema.lower()})})"
+            )
+        return schema
+
     def _execute(self, sql_text: str,
                  prepared: dict[str, str] | None = None,
                  session: dict[str, str] | None = None,
+                 catalog: str | None = None,
+                 schema: str | None = None,
                  ) -> tuple[dict, list]:
         qid = uuid.uuid4().hex
         prepared = prepared or {}
         try:
+            m = _USE_RE.match(sql_text)
+            if m:
+                # Trino's USE: validate the context and echo it back
+                # in X-Trino-Set-Catalog/Schema — the CLIENT carries
+                # session context (it re-presents the headers on
+                # later requests, same statelessness as prepared
+                # statements)
+                use_cat, use_schema = m.group(1), m.group(2)
+                self._schema_database(use_cat, use_schema)
+                # raw identifier values: the client copies these
+                # verbatim into its X-Trino-Catalog/Schema request
+                # headers (identifier charset needs no encoding)
+                hdrs = [("X-Trino-Set-Schema", use_schema)]
+                if use_cat:
+                    hdrs.insert(0, ("X-Trino-Set-Catalog", use_cat))
+                return self._ack(qid, "USE", hdrs)
             m = _EXPLAIN_RE.match(sql_text)
             if m:
                 # EXPLAIN over the wire — the statement Trino clients
@@ -453,10 +536,11 @@ class TrinoWireServer:
                         "(TEXT only)"
                     )
                 # planning happens under THIS request's session confs
-                # (same conf scope + RW-lock side as execution — an
-                # EXPLAIN must never plan under another request's
-                # temporarily-applied properties)
+                # AND catalog/schema context (same scope + RW-lock
+                # side as execution — an EXPLAIN must never plan
+                # under another request's temporarily-applied state)
                 confs = self._session_confs(session or {})
+                database = self._schema_database(catalog, schema)
                 if etype == "VALIDATE":
                     # analyze, never execute: the read-shape guard
                     # first (Engine.sql eagerly executes routed
@@ -469,7 +553,7 @@ class TrinoWireServer:
                             "statements only (DDL/DML routes through "
                             "handlers that execute)"
                         )
-                    with self._apply_confs(confs):
+                    with self._apply_confs(confs, database=database):
                         self.engine.trino_sql(stmt).schema
                     return ({
                         "id": qid,
@@ -479,7 +563,7 @@ class TrinoWireServer:
                         "stats": {"state": "FINISHED",
                                   "statement": "EXPLAIN"},
                     }, [])
-                with self._apply_confs(confs):
+                with self._apply_confs(confs, database=database):
                     plan = self.engine.explain(stmt, type_=etype,
                                                trino=True)
                 return ({
@@ -600,7 +684,8 @@ class TrinoWireServer:
                         )
                 sql_text = _substitute_params(prepared[name], args)
             confs = self._session_confs(session or {})
-            with self._apply_confs(confs):
+            database = self._schema_database(catalog, schema)
+            with self._apply_confs(confs, database=database):
                 df = self.engine.trino_sql(sql_text)
                 columns = [
                     {
@@ -630,17 +715,20 @@ class TrinoWireServer:
         return self._page_payload(q, 0), []
 
     @contextmanager
-    def _apply_confs(self, confs: dict[str, str]):
-        """Apply per-request session confs around one statement and
-        restore afterwards. Conf changes are session-global in Spark,
-        so a statement carrying session properties takes the WRITE
-        side of a readers-writer lock (exclusive: nothing else plans
-        while the conf is altered) and plain statements take the read
-        side (concurrent with each other, never with a conf-carrying
-        statement) — without the read side, a concurrent plain
-        statement could plan under another request's temporarily-
-        applied confs."""
-        if not confs:
+    def _apply_confs(self, confs: dict[str, str],
+                     database: str | None = None):
+        """Apply per-request session confs — and, when the request's
+        schema context names a real Spark database, the CURRENT
+        DATABASE — around one statement and restore afterwards. Both
+        are session-global in Spark, so a statement carrying either
+        takes the WRITE side of a readers-writer lock (exclusive:
+        nothing else plans while the state is altered) and plain
+        statements take the read side (concurrent with each other,
+        never with a state-carrying statement) — without the read
+        side, a concurrent plain statement could plan under another
+        request's temporarily-applied confs or resolve unqualified
+        names in another request's schema."""
+        if not confs and database is None:
             with self._conf_lock.read():
                 yield
             return
@@ -648,7 +736,17 @@ class TrinoWireServer:
             saved = {
                 k: self.engine.spark.conf.get(k, None) for k in confs
             }
+            # current-database read happens INSIDE the write lock so
+            # it can never observe another writer's temporary value
+            saved_db = None
+            if database is not None:
+                saved_db = self.engine.spark.catalog.currentDatabase()
+                if saved_db == database:
+                    saved_db = None
             try:
+                if saved_db is not None:
+                    self.engine.spark.catalog.setCurrentDatabase(
+                        database)
                 for k, v in confs.items():
                     self.engine.spark.conf.set(k, v)
                 yield
@@ -658,6 +756,9 @@ class TrinoWireServer:
                         self.engine.spark.conf.unset(k)
                     else:
                         self.engine.spark.conf.set(k, v)
+                if saved_db is not None:
+                    self.engine.spark.catalog.setCurrentDatabase(
+                        saved_db)
 
     def _next_page(self, qid: str, idx: int) -> dict:
         with self._lock:
