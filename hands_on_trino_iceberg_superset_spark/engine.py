@@ -429,12 +429,13 @@ class Engine:
             "row_count double, low_value string, high_value string",
         )
 
-    # -- SQL-reachable ANN search (north-star extension) ----------------
+    # -- SQL-reachable retrieval (north-star extension) -----------------
     #
-    # The similarity operators (operators/similarity.py) are
-    # Python-API queries; this seam makes top-k vector search
-    # reachable from plain SQL — and therefore from the Trino wire
-    # and from BI virtual datasets — as a Trino-style table function:
+    # The similarity/retrieval operators (operators/similarity.py,
+    # operators/retrieval.py) are Python-API queries; this seam makes
+    # top-k retrieval reachable from plain SQL — and therefore from
+    # the Trino wire and from BI virtual datasets — as Trino-style
+    # table functions:
     #
     #   SELECT * FROM TABLE(ann_topk(
     #       corpus  => 'embeddings',   -- exact brute-force path, OR
@@ -443,23 +444,38 @@ class Engine:
     #       queries => 'query_view',   -- table with (id, vector)
     #       k => 10 [, n_probe => 8]
     #       [, id_col => 'vec_id'] [, vec_col => 'embedding']))
+    #     -> (query_id, neighbor_id, cos_sim, rank)
     #
-    # Returns (query_id, neighbor_id, cos_sim, rank). The call
-    # resolves to a LAZY temp view over the operator's DataFrame —
-    # the outer statement composes (joins, filters, aggregation) and
-    # the physical plan keeps the operator's shape: the indexed path
-    # scans ONLY the probed cell partitions (plan-gated in
-    # tests/test_plans.py), never the whole store.
+    #   SELECT * FROM TABLE(bm25_topk(
+    #       docs => 'documents', queries => 'q_view',  -- (qid, qtext)
+    #       k => 10 [, text_col => 'text'] [, id_col => 'doc_id']))
+    #     -> (qid, rank, doc_id, score)         -- exact-decimal BM25
+    #
+    #   SELECT * FROM TABLE(hybrid_topk(
+    #       docs => 'documents',       -- lexical side (BM25)
+    #       corpus => 'embeddings'     -- vector side: exact, OR
+    #       [index => 'emb_ivf'],      --   IVF probe at scale
+    #       queries => 'q_view',       -- (qid, qtext, qvec)
+    #       k => 10 [, c => 60] [, n_probe => 8] [, col names...]))
+    #     -> (qid, rank, doc_id, r_lex, r_vec, rrf)  -- RRF fusion
+    #
+    # Each call resolves to a LAZY temp view over the operator's
+    # DataFrame — the outer statement composes (joins, filters,
+    # aggregation) and the physical plan keeps the operator's shape:
+    # the indexed ANN path scans ONLY the probed cell partitions and
+    # the BM25 postings join broadcasts the query terms (both
+    # plan-gated in tests/test_plans.py), never a cartesian.
 
-    _ANN_TOPK_RE = re.compile(
-        r"TABLE\s*\(\s*ann_topk\s*\(([^()]*)\)\s*\)",
+    _TABLE_FN_RE = re.compile(
+        r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk)"
+        r"\s*\(([^()]*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
 
     def register_ann_index(self, name: str, index_path: str) -> None:
         """Expose a persisted IVF index
         (:func:`operators.similarity.build_ivf_index`) to the SQL
-        table function under ``index => '<name>'``."""
+        table functions under ``index => '<name>'``."""
         self._ann_indexes[name.lower()] = index_path
 
     def _resolve_table_functions(self, text: str) -> str:
@@ -473,30 +489,30 @@ class Engine:
 
         out: list[str] = []
         last = 0
-        for m in self._ANN_TOPK_RE.finditer(text):
+        for m in self._TABLE_FN_RE.finditer(text):
             if _in_literal(text, m.start()):
                 continue
             out.append(text[last:m.start()])
-            out.append(self._materialize_ann(m))
+            out.append(self._materialize_table_fn(
+                m.group(1).lower(), m.group(2)
+            ))
             last = m.end()
         if not out:
             return text
         out.append(text[last:])
         return "".join(out)
 
-    def _materialize_ann(self, m: re.Match) -> str:
-        import hashlib
-
-        from hands_on_trino_iceberg_superset_spark.operators import (
-            similarity as S,
-        )
-
-        raw = m.group(1)
+    @staticmethod
+    def _named_args(fn: str, raw: str, known: set[str],
+                    required: set[str]) -> dict[str, object]:
+        """Parse a table function's named-only argument list (string
+        literals unquoted, everything else an int), refusing unknown
+        or missing names loudly."""
         args: dict[str, object] = {}
         for part in _split_top_level(raw):
             if "=>" not in part:
                 raise ValueError(
-                    "ann_topk arguments must be named (k => 10, ...); "
+                    f"{fn} arguments must be named (k => 10, ...); "
                     f"got {part.strip()!r}"
                 )
             key, val = part.split("=>", 1)
@@ -505,18 +521,44 @@ class Engine:
                 args[key.strip().lower()] = val[1:-1].replace("''", "'")
             else:
                 args[key.strip().lower()] = int(val)
-        known = {"corpus", "index", "queries", "k", "n_probe",
-                 "id_col", "vec_col"}
         unknown = set(args) - known
         if unknown:
             raise ValueError(
-                f"unknown ann_topk argument(s): {sorted(unknown)}"
+                f"unknown {fn} argument(s): {sorted(unknown)}"
             )
-        if "queries" not in args:
-            raise ValueError("ann_topk: missing queries => '<table>'")
+        missing = required - set(args)
+        if missing:
+            raise ValueError(
+                f"{fn}: missing argument(s) "
+                + ", ".join(f"{a} => '<table>'" for a in sorted(missing))
+            )
+        return args
+
+    def _materialize_table_fn(self, fn: str, raw: str) -> str:
+        import hashlib
+
+        df = {"ann_topk": self._table_fn_ann,
+              "bm25_topk": self._table_fn_bm25,
+              "hybrid_topk": self._table_fn_hybrid}[fn](raw)
+        # content-keyed name: re-resolving the same call (e.g. a view
+        # body re-materialized through sql()) reuses one view
+        tag = hashlib.md5(
+            re.sub(r"\s+", " ", raw.strip().lower()).encode()
+        ).hexdigest()[:10]
+        view = f"__{fn}_{tag}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _ann_arm(self, fn: str, args: dict) -> "DataFrame":
+        """The shared vector arm: exact cosine over ``corpus`` XOR a
+        partition-pruned probe of a registered ``index``."""
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            similarity as S,
+        )
+
         if ("corpus" in args) == ("index" in args):
             raise ValueError(
-                "ann_topk: exactly one of corpus => '<table>' "
+                f"{fn}: exactly one of corpus => '<table>' "
                 "(exact scan) or index => '<name>' (IVF probe) "
                 "is required"
             )
@@ -524,31 +566,83 @@ class Engine:
         id_col = str(args.get("id_col", "vec_id"))
         vec_col = str(args.get("vec_col", "embedding"))
         queries = self.spark.table(str(args["queries"]))
+        if fn == "hybrid_topk":
+            # the hybrid queries table carries (qid, qtext, qvec);
+            # shape the vector side to the corpus' column names
+            queries = queries.select(
+                F.col("qid").alias(id_col),
+                F.col("qvec").alias(vec_col),
+            )
         if "index" in args:
             idx = self._ann_indexes.get(str(args["index"]).lower())
             if idx is None:
                 raise ValueError(
-                    f"ann_topk: no ANN index registered as "
+                    f"{fn}: no ANN index registered as "
                     f"{args['index']!r} (register_ann_index)"
                 )
-            df = S.ivf_probe(
+            return S.ivf_probe(
                 queries, idx, k=k,
                 n_probe=int(args.get("n_probe", 4)),
                 id_col=id_col, vec_col=vec_col,
             )
-        else:
-            df = S.cosine_topk(
-                self.spark.table(str(args["corpus"])), queries,
-                k=k, id_col=id_col, vec_col=vec_col,
-            )
-        # content-keyed name: re-resolving the same call (e.g. a view
-        # body re-materialized through sql()) reuses one view
-        tag = hashlib.md5(
-            re.sub(r"\s+", " ", raw.strip().lower()).encode()
-        ).hexdigest()[:10]
-        view = f"__ann_topk_{tag}"
-        df.createOrReplaceTempView(view)
-        return view
+        return S.cosine_topk(
+            self.spark.table(str(args["corpus"])), queries,
+            k=k, id_col=id_col, vec_col=vec_col,
+        )
+
+    def _table_fn_ann(self, raw: str) -> "DataFrame":
+        args = self._named_args(
+            "ann_topk", raw,
+            known={"corpus", "index", "queries", "k", "n_probe",
+                   "id_col", "vec_col"},
+            required={"queries"},
+        )
+        return self._ann_arm("ann_topk", args)
+
+    def _table_fn_bm25(self, raw: str) -> "DataFrame":
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            retrieval as R,
+        )
+
+        args = self._named_args(
+            "bm25_topk", raw,
+            known={"docs", "queries", "k", "text_col", "id_col"},
+            required={"docs", "queries"},
+        )
+        return R.bm25_topk(
+            self.spark.table(str(args["docs"])),
+            self.spark.table(str(args["queries"])),
+            k=int(args.get("k", 10)),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+        )
+
+    def _table_fn_hybrid(self, raw: str) -> "DataFrame":
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            retrieval as R,
+        )
+
+        args = self._named_args(
+            "hybrid_topk", raw,
+            known={"docs", "corpus", "index", "queries", "k", "c",
+                   "n_probe", "text_col", "id_col", "vec_col"},
+            required={"docs", "queries"},
+        )
+        k = int(args.get("k", 10))
+        queries = self.spark.table(str(args["queries"]))
+        lex = R.bm25_topk(
+            self.spark.table(str(args["docs"])),
+            queries.select("qid", "qtext"),
+            k=k,
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+        )
+        vec = self._ann_arm("hybrid_topk", args).select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        return R.rrf_fuse(lex, vec, k=k, c=int(args.get("c", 60)))
 
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL

@@ -795,3 +795,82 @@ def bi_chart_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumn("sum_sim", dbl(F.col("sum_sim")))
+
+
+def _bm25_chart_oracle() -> str:
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        _BM25_SCORED_SQL,
+    )
+
+    return f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT d.source AS source,
+           count(*) AS count,
+           CAST(sum(CAST(CAST(r.score_dec AS DOUBLE)
+                         AS DECIMAL(20,9))) AS DOUBLE) AS sum_score
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rank <= 10
+    GROUP BY d.source
+    ORDER BY count DESC, source
+    """
+
+
+@register(
+    "bi_chart_bm25_topk",
+    oracle=_bm25_chart_oracle(),
+    doc="A BI chart over SQL-reachable LEXICAL search — the "
+        "bi_chart_ann_topk treatment applied to the retrieval "
+        "family: the virtual dataset's defining SQL calls "
+        "TABLE(bm25_topk(docs => ..., queries => ..., k => 10)) "
+        "(Engine.sql table-function resolution) and joins hit "
+        "doc_ids back to their corpus source; the chart's form_data "
+        "aggregates hits per source (count + exact DECIMAL sum of "
+        "the BM25 scores, cast to DOUBLE once — the double score "
+        "round-trips DECIMAL(20,9) exactly at 9 dp, and the oracle "
+        "mirrors both casts). A Superset user charts lexical search "
+        "relevance with nothing but a virtual dataset — no Python "
+        "API in the loop. The oracle replays BM25, the top-10 "
+        "window, the metadata join, and the aggregate in SQL.",
+)
+def bi_chart_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        _bm25_queries_df,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bi_bm25_docs_v"
+    )
+    _bm25_queries_df(spark).createOrReplaceTempView(
+        "bi_bm25_queries_v"
+    )
+    ds = Database("spark", Engine(spark)).dataset(
+        "bm25_hits",
+        sql=(
+            "SELECT d.source AS source, "
+            "CAST(h.score AS DECIMAL(20,9)) AS score_dec "
+            "FROM TABLE(bm25_topk(docs => 'bi_bm25_docs_v', "
+            "queries => 'bi_bm25_queries_v', k => 10)) h "
+            "JOIN bi_bm25_docs_v d ON h.doc_id = d.doc_id"
+        ),
+    )
+    out = compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["source"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "score_dec",
+                 "label": "sum_score"},
+            ],
+            "order_by": [["count", False], ["source", True]],
+        },
+    )
+    return out.withColumn("sum_score", dbl(F.col("sum_score")))

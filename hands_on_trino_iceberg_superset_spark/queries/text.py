@@ -1342,3 +1342,155 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id")
     )
     return R.rrf_fuse(lex, vec, k=10)
+
+
+@register(
+    "sql_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT qid, rank, doc_id, CAST(score_dec AS DOUBLE) AS score
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25 lexical search reached from PLAIN SQL — the r11 "
+        "table-function seam (TABLE(ann_topk(...)), "
+        "engine.py:_resolve_table_functions) extended to the "
+        "retrieval family: Engine.sql resolves "
+        "TABLE(bm25_topk(docs => ..., queries => ..., k => 10)) onto "
+        "operators/retrieval.bm25_topk, so a wire client or BI "
+        "virtual dataset can run lexical search exactly as it can "
+        "vector search. The physical plan keeps the operator's "
+        "shape — query terms broadcast into the postings join, the "
+        "1-row corpus stats broadcast, never a cartesian (plan-gated "
+        "through the SQL path in tests/test_plans.py). Same literal "
+        "query set and exact-decimal scoring as search_bm25_topk; "
+        "the oracle replays BM25 from scratch in SQL.",
+)
+def sql_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_bm25_docs_v"
+    )
+    _bm25_queries_df(spark).createOrReplaceTempView(
+        "sql_bm25_queries_v"
+    )
+    return Engine(spark).sql(
+        "SELECT qid, rank, doc_id, score "
+        "FROM TABLE(bm25_topk(docs => 'sql_bm25_docs_v', "
+        "queries => 'sql_bm25_queries_v', k => 10))"
+    )
+
+
+@register(
+    "sql_hybrid_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    anchors AS (
+      SELECT d.doc_id AS qid, e.embedding::DOUBLE[] AS v
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id % 100 = 0
+    ),
+    lexq AS (
+      SELECT doc_id AS qid,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               1, 3), ' ') AS qtext
+      FROM documents WHERE doc_id % 100 = 0
+    ),
+    lqt AS (SELECT DISTINCT qid,
+                   unnest(string_split(qtext, ' ')) AS term
+            FROM lexq),
+    lscored AS (
+      SELECT lqt.qid, tf.doc_id,
+             sum(CAST(round(
+               ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl))),
+               9) AS DECIMAL(20,9))) AS score_dec
+      FROM lqt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_dec DESC, doc_id)
+                 AS rank
+        FROM lscored
+      ) WHERE rank <= 10
+    ),
+    vec AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT a.qid, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY a.qid ORDER BY
+                 round(list_cosine_similarity(
+                   a.v, e.embedding::DOUBLE[]), 6) DESC, e.vec_id)
+                 AS rank
+        FROM anchors a JOIN embeddings e ON e.vec_id <> a.qid
+      ) WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT coalesce(l.qid, v.qid) AS qid,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank AS r_lex, v.rank AS r_vec,
+             coalesce(1.0 / (60 + l.rank), 0.0)
+             + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.qid = v.qid AND l.doc_id = v.doc_id
+    )
+    SELECT qid, rank, doc_id, r_lex, r_vec, rrf FROM (
+      SELECT qid, doc_id, r_lex, r_vec, rrf,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="HYBRID retrieval reached from PLAIN SQL: "
+        "TABLE(hybrid_topk(docs => ..., corpus => ..., "
+        "queries => ..., k => 10)) resolves onto BM25 top-k + exact "
+        "cosine top-k fused by reciprocal ranks (Engine.sql; "
+        "operators/retrieval.rrf_fuse), completing the r11 seam so "
+        "the whole lexical+vector stack is SQL/wire/BI-reachable. "
+        "The queries table carries (qid, qtext, qvec): every 100th "
+        "document anchors with its first three tokens and its "
+        "embedding, same fixture as search_hybrid_rrf. ONE stated "
+        "semantic difference from that query: the SQL vector arm "
+        "rides cosine_topk, which excludes self-matches "
+        "(neighbor_id != query_id — an ANN store never returns the "
+        "probe itself), so the oracle's vec arm joins ON "
+        "e.vec_id <> a.qid. At 100 TB the vector arm swaps to "
+        "index => (IVF probe, same rank contract), the lexical arm "
+        "stays posting-list-priced.",
+)
+def sql_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("sql_hyb_docs_v")
+    emb.createOrReplaceTempView("sql_hyb_corpus_v")
+    (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(
+                    F.filter(F.split("text", " "), lambda w: w != ""),
+                    1, 3,
+                ),
+                " ",
+            ).alias("qtext"),
+            F.col("embedding").alias("qvec"),
+        )
+    ).createOrReplaceTempView("sql_hyb_queries_v")
+    return Engine(spark).sql(
+        "SELECT qid, rank, doc_id, r_lex, r_vec, rrf "
+        "FROM TABLE(hybrid_topk(docs => 'sql_hyb_docs_v', "
+        "corpus => 'sql_hyb_corpus_v', "
+        "queries => 'sql_hyb_queries_v', k => 10))"
+    )

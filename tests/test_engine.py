@@ -491,3 +491,45 @@ def test_information_schema_name_boundary(spark):
         'SELECT * FROM "information_schema"."tables"'
     )
     assert "__information_schema_tables" in out2
+
+
+def test_table_function_argument_validation(spark):
+    """The retrieval table functions refuse malformed calls loudly:
+    positional args, unknown names, missing required tables, and
+    corpus/index exclusivity."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"
+    ).createOrReplaceTempView("tfv_docs")
+    spark.createDataFrame(
+        [("q", "a")], "qid string, qtext string"
+    ).createOrReplaceTempView("tfv_q")
+
+    with pytest.raises(ValueError, match="must be named"):
+        eng.sql("SELECT * FROM TABLE(bm25_topk('tfv_docs'))")
+    with pytest.raises(ValueError, match="unknown bm25_topk"):
+        eng.sql("SELECT * FROM TABLE(bm25_topk(docs => 'tfv_docs', "
+                "queries => 'tfv_q', nope => 1))")
+    with pytest.raises(ValueError, match="missing argument"):
+        eng.sql("SELECT * FROM TABLE(bm25_topk(docs => 'tfv_docs'))")
+    with pytest.raises(ValueError, match="exactly one of"):
+        eng.sql("SELECT * FROM TABLE(hybrid_topk(docs => 'tfv_docs', "
+                "queries => 'tfv_q'))")
+    with pytest.raises(ValueError, match="exactly one of"):
+        eng.sql("SELECT * FROM TABLE(ann_topk(corpus => 'x', "
+                "index => 'y', queries => 'tfv_q'))")
+    # a call inside a string literal is NOT resolved
+    got = eng.sql(
+        "SELECT 'TABLE(bm25_topk(docs => 1))' AS s"
+    ).collect()[0].s
+    assert got == "TABLE(bm25_topk(docs => 1))"
+    # the working call still resolves end to end
+    n = eng.sql(
+        "SELECT count(*) AS n FROM TABLE(bm25_topk("
+        "docs => 'tfv_docs', queries => 'tfv_q', k => 3))"
+    ).collect()[0].n
+    assert n == 1

@@ -784,3 +784,67 @@ def test_bi_ann_chart_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the label equi-join
+
+
+def test_sql_bm25_table_function_plan_shape(spark, sf_dir):
+    """The SQL surface must not cost BM25 its access path: a
+    statement composing TABLE(bm25_topk(...)) through Engine.sql
+    plans the same broadcast query-term postings probe as the direct
+    operator call — never a cartesian (the 1-row corpus-stats
+    cross-join is broadcast by construction)."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "plan_bm25_docs_v"
+    )
+    spark.createDataFrame(
+        [("q1", "spark join window")], "qid string, qtext string"
+    ).createOrReplaceTempView("plan_bm25_queries_v")
+    df = Engine(spark).sql(
+        "SELECT qid, count(*) AS n, max(score) AS best "
+        "FROM TABLE(bm25_topk(docs => 'plan_bm25_docs_v', "
+        "queries => 'plan_bm25_queries_v', k => 5)) GROUP BY qid"
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert executed.count("BroadcastHashJoin") >= 1
+
+
+def test_sql_hybrid_table_function_plan_shape(spark, sf_dir):
+    """TABLE(hybrid_topk(...)) composes both rankers without a
+    cartesian: the lexical side keeps the postings broadcast, the
+    exact vector side is the bounded broadcast(queries) nested loop
+    BY DESIGN, and the rank fusion is an equi full-outer join of two
+    k-bounded sets."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("plan_hyb_docs_v")
+    emb.createOrReplaceTempView("plan_hyb_corpus_v")
+    (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.substring("text", 1, 20).alias("qtext"),
+            F.col("embedding").alias("qvec"),
+        )
+    ).createOrReplaceTempView("plan_hyb_queries_v")
+    df = Engine(spark).sql(
+        "SELECT qid, rank, doc_id, rrf "
+        "FROM TABLE(hybrid_topk(docs => 'plan_hyb_docs_v', "
+        "corpus => 'plan_hyb_corpus_v', "
+        "queries => 'plan_hyb_queries_v', k => 5))"
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert executed.count("BroadcastHashJoin") >= 1
