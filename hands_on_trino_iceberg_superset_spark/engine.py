@@ -56,6 +56,14 @@ def _split_top_level(text: str) -> list[str]:
 _SESSION_VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" \
     = weakref.WeakKeyDictionary()
 
+#: SparkSession -> information_schema snapshot state: a catalog-state
+#: version counter (bumped by DDL routed through any Engine on the
+#: session) plus, per virtual table, the key it was last built at.
+#: Session-shared for the same reason as _SESSION_VIEWS: the backing
+#: temp views are session-global.
+_SESSION_INFOSCHEMA: "weakref.WeakKeyDictionary[SparkSession, dict]" \
+    = weakref.WeakKeyDictionary()
+
 
 @dataclass(frozen=True)
 class ColumnInfo:
@@ -92,6 +100,10 @@ class Engine:
         self._views: dict[str, str] = _SESSION_VIEWS.setdefault(
             self.spark, {}
         )
+        #: information_schema snapshot cache state (session-shared)
+        self._infoschema_state: dict = _SESSION_INFOSCHEMA.setdefault(
+            self.spark, {"version": 0, "built": {}}
+        )
         #: ANN index name -> persisted IVF index path (SQL surface)
         self._ann_indexes: dict[str, str] = {}
 
@@ -114,6 +126,13 @@ class Engine:
             for quoted in (f"`{alias}`", f'"{alias}"'):
                 if quoted in text:
                     text = text.replace(quoted, safe)
+        if self._CATALOG_DDL_RE.match(text):
+            # any statement that can evolve catalog metadata (a
+            # CREATE OR REPLACE changing a same-named view's schema,
+            # ALTER column evolution, CALL procedures) invalidates
+            # the information_schema snapshot — the entry-list part
+            # of the cache key cannot see same-name schema changes
+            self._infoschema_state["version"] += 1
         text = self._resolve_information_schema(text)
         text = self._resolve_table_functions(text)
         view = self._resolve_view_ddl(text)
@@ -288,14 +307,36 @@ class Engine:
                 entries[key] = (schema, t.name, resolvable, is_view)
         return sorted(entries.values())
 
+    #: statement heads that can evolve catalog metadata — bump the
+    #: information_schema snapshot version (see Engine.sql). Reads
+    #: and row DML (INSERT/UPDATE/DELETE change data, never columns)
+    #: deliberately excluded.
+    _CATALOG_DDL_RE = re.compile(
+        r"^\s*(CREATE|DROP|ALTER|CALL|REPLACE|TRUNCATE)\b",
+        re.IGNORECASE,
+    )
+
     def _resolve_information_schema(self, text: str) -> str:
         """Materialize the ``information_schema`` virtual tables a
         statement references and rewrite the references onto them
         (literal-aware: a string containing 'information_schema.x'
-        passes through byte-identical)."""
+        passes through byte-identical).
+
+        The snapshot is CACHED per catalog-state key: (DDL version
+        counter, the entry list, the engine view registry). The
+        expensive part — one ``spark.table(t).schema`` analysis per
+        catalog entry for the ``columns`` view — reruns only when the
+        key changes, so consecutive introspection statements against
+        an unchanged catalog rebuild nothing (at a 10k-table catalog
+        the per-statement rebuild would be a driver stall). The entry
+        list catches tables/views added or dropped OUTSIDE the engine
+        (direct ``createOrReplaceTempView``); the version counter
+        catches same-name schema evolution routed through
+        :meth:`sql` (ALTER, CREATE OR REPLACE, CALL). A same-name
+        schema swap done directly on the SparkSession between two
+        introspection statements is the one documented staleness."""
         from hands_on_trino_iceberg_superset_spark.dialect import (
             _outside_literals,
-            trino_type,
         )
 
         kinds: set[str] = set()
@@ -310,6 +351,34 @@ class Engine:
             return text
 
         entries = self._info_entries()
+        key = (
+            self._infoschema_state["version"],
+            tuple(entries),
+            tuple(sorted(self._views.items())),
+        )
+        built: dict = self._infoschema_state["built"]
+        stale = {k for k in kinds if built.get(k) != key}
+        if stale:
+            self._build_information_schema(stale, entries)
+            for k in stale:
+                built[k] = key
+
+        return _outside_literals(
+            text,
+            lambda seg: self._INFOSCHEMA_RE.sub(
+                lambda m: "__information_schema_" + m.group(1).lower(),
+                seg,
+            ),
+        )
+
+    def _build_information_schema(self, kinds: set[str],
+                                  entries: list) -> None:
+        """(Re)materialize the referenced virtual tables as temp
+        views. Driver-side by design: catalog metadata, never data."""
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            trino_type,
+        )
+
         if "columns" in kinds:
             rows = []
             for schema, name, resolvable, _ in entries:
@@ -357,14 +426,6 @@ class Engine:
                 "table_catalog string, table_schema string, "
                 "table_name string, view_definition string",
             ).createOrReplaceTempView("__information_schema_views")
-
-        return _outside_literals(
-            text,
-            lambda seg: self._INFOSCHEMA_RE.sub(
-                lambda m: "__information_schema_" + m.group(1).lower(),
-                seg,
-            ),
-        )
 
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
@@ -747,6 +808,9 @@ class Engine:
         refreshed on every (re-)registration so SQL DML keeps them
         current."""
         table.read().createOrReplaceTempView(name)
+        # a re-registration can carry an evolved schema under the
+        # same name — invisible to the snapshot cache's entry list
+        self._infoschema_state["version"] += 1
         # Spark resolves view names case-insensitively; the DML/DDL/
         # time-travel routing must agree, so the registry is keyed
         # lowercase and every lookup folds case

@@ -533,3 +533,59 @@ def test_table_function_argument_validation(spark):
         "docs => 'tfv_docs', queries => 'tfv_q', k => 3))"
     ).collect()[0].n
     assert n == 1
+
+
+def test_information_schema_snapshot_cache(spark, tmp_path):
+    """VERDICT r11 item 5: the information_schema snapshot is keyed
+    on catalog state — consecutive introspection statements against
+    an unchanged catalog rebuild NOTHING (no per-table schema
+    analysis loop), while a new table, a view change, or same-name
+    schema evolution through Engine.sql each invalidate it."""
+    from hands_on_trino_iceberg_superset_spark.lakehouse import (
+        VersionedTable,
+    )
+
+    eng = Engine(spark)
+    builds = []
+    orig = eng._build_information_schema
+
+    def counting(kinds, entries):
+        builds.append(set(kinds))
+        return orig(kinds, entries)
+
+    eng._build_information_schema = counting
+    stmt = ("SELECT count(*) AS n FROM information_schema.columns "
+            "WHERE table_name = 'isc_cache_t'")
+
+    spark.createDataFrame([(1, "a")], "id long, k string") \
+        .createOrReplaceTempView("isc_cache_t")
+    n0 = eng.sql(stmt).collect()[0].n
+    assert n0 == 2 and len(builds) == 1
+    # unchanged catalog: no rebuild on the next two statements
+    eng.sql(stmt).collect()
+    eng.sql("SELECT table_name FROM information_schema.columns "
+            "LIMIT 1").collect()
+    assert len(builds) == 1
+    # a table added OUTSIDE the engine changes the entry list
+    spark.createDataFrame([(2,)], "x long") \
+        .createOrReplaceTempView("isc_cache_u")
+    eng.sql(stmt).collect()
+    assert len(builds) == 2
+    eng.sql(stmt).collect()
+    assert len(builds) == 2
+    # same-name schema evolution through Engine.sql: the entry list
+    # is unchanged, the DDL version counter invalidates
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    t = VersionedTable.create(spark, str(tmp_path / "isc_v"), df)
+    eng.register_versioned_table("isc_cache_v", t)
+    eng.sql(stmt).collect()
+    n_before = len(builds)
+    eng.sql("ALTER TABLE isc_cache_v ADD COLUMN extra double")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM information_schema.columns "
+        "WHERE table_name = 'isc_cache_v'"
+    ).collect()[0].n == 3
+    assert len(builds) == n_before + 1
+    # a second Engine over the same session shares the cache state
+    eng2 = Engine(spark)
+    assert eng2._infoschema_state is eng._infoschema_state
