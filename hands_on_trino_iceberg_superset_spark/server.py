@@ -50,6 +50,11 @@ Protocol subset implemented (enough for CLI/driver-style clients):
   namespace, any other known schema maps onto Spark's CURRENT
   DATABASE for the one statement (write-lock scoped, restored
   after). Unknown catalogs/schemas are refused loudly.
+- ``system.runtime.queries`` (extension mirroring Trino's
+  operational introspection): every statement's lifecycle is logged
+  (bounded to the newest 1000) and any SELECT referencing the table
+  composes over the log — the in-flight statement shows RUNNING,
+  exactly as on a Trino coordinator.
 
 Results are fully materialized on POST and paged from driver memory:
 the wire entry is a control-plane surface (BI tools page through
@@ -319,6 +324,10 @@ class TrinoWireServer:
                  port: int = 8080):
         self.engine = engine or Engine()
         self._queries: dict[str, _Query] = {}
+        #: statement log backing system.runtime.queries (extension;
+        #: Trino serves the same surface from its coordinator).
+        #: Bounded to the newest _STMT_LOG_CAP records.
+        self._stmt_log: list[dict] = []
         self._lock = threading.Lock()
         self._conf_lock = _RWLock()
         outer = self
@@ -363,6 +372,7 @@ class TrinoWireServer:
                     session=self._kv_headers("X-Trino-Session"),
                     catalog=self.headers.get("X-Trino-Catalog"),
                     schema=self.headers.get("X-Trino-Schema"),
+                    user=self.headers.get("X-Trino-User"),
                 )
                 self._reply(payload, extra_headers=hdrs)
 
@@ -480,13 +490,91 @@ class TrinoWireServer:
             )
         return schema
 
+    #: newest statement-log records kept for system.runtime.queries
+    _STMT_LOG_CAP = 1000
+
+    #: ``system.runtime.queries`` reference (quoted spellings too) —
+    #: Trino's operational introspection table, served here from the
+    #: wire server's own statement log (documented extension: Trino
+    #: exposes coordinator state the same way)
+    _RUNTIME_QUERIES_RE = re.compile(
+        r'(?<![\w`"])["`]?system["`]?\s*\.\s*["`]?runtime["`]?'
+        r'\s*\.\s*["`]?queries["`]?',
+        re.IGNORECASE,
+    )
+
+    def _resolve_runtime_queries(self, text: str) -> str:
+        """Materialize the statement log as a temp view and rewrite
+        ``system.runtime.queries`` references onto it (literal-aware).
+        Columns are the Trino subset a client actually reads:
+        query_id, state, user, query, created, finished — the
+        in-flight introspection statement itself shows RUNNING,
+        exactly as on a Trino coordinator."""
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            _outside_literals,
+        )
+
+        hit = []
+
+        def scan(seg: str) -> str:
+            if self._RUNTIME_QUERIES_RE.search(seg):
+                hit.append(True)
+            return seg
+
+        _outside_literals(text, scan)
+        if not hit:
+            return text
+        with self._lock:
+            rows = [
+                (r["query_id"], r["state"], r["user"], r["query"],
+                 r["created"], r["finished"])
+                for r in self._stmt_log
+            ]
+        self.engine.spark.createDataFrame(
+            rows,
+            "query_id string, state string, user string, "
+            "query string, created timestamp, finished timestamp",
+        ).createOrReplaceTempView("__system_runtime_queries")
+        return _outside_literals(
+            text,
+            lambda seg: self._RUNTIME_QUERIES_RE.sub(
+                "__system_runtime_queries", seg,
+            ),
+        )
+
     def _execute(self, sql_text: str,
                  prepared: dict[str, str] | None = None,
                  session: dict[str, str] | None = None,
                  catalog: str | None = None,
                  schema: str | None = None,
+                 user: str | None = None,
                  ) -> tuple[dict, list]:
+        """Log the statement's lifecycle around :meth:`_execute_inner`
+        (the record is visible to system.runtime.queries as RUNNING
+        while the statement executes, then FINISHED/FAILED)."""
         qid = uuid.uuid4().hex
+        rec = {
+            "query_id": qid, "state": "RUNNING", "user": user or "",
+            "query": sql_text, "created": datetime.utcnow(),
+            "finished": None,
+        }
+        with self._lock:
+            self._stmt_log.append(rec)
+            del self._stmt_log[:-self._STMT_LOG_CAP]
+        payload, hdrs = self._execute_inner(
+            qid, sql_text, prepared, session, catalog, schema
+        )
+        rec["state"] = ("FAILED" if "error" in payload
+                        else "FINISHED")
+        rec["finished"] = datetime.utcnow()
+        return payload, hdrs
+
+    def _execute_inner(self, qid: str, sql_text: str,
+                       prepared: dict[str, str] | None = None,
+                       session: dict[str, str] | None = None,
+                       catalog: str | None = None,
+                       schema: str | None = None,
+                       ) -> tuple[dict, list]:
         prepared = prepared or {}
         try:
             m = _USE_RE.match(sql_text)
@@ -685,6 +773,7 @@ class TrinoWireServer:
                 sql_text = _substitute_params(prepared[name], args)
             confs = self._session_confs(session or {})
             database = self._schema_database(catalog, schema)
+            sql_text = self._resolve_runtime_queries(sql_text)
             with self._apply_confs(confs, database=database):
                 df = self.engine.trino_sql(sql_text)
                 columns = [

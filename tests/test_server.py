@@ -778,3 +778,46 @@ def test_show_family_trino_shapes_over_wire(server, spark):
     # SHOW STATS / SHOW CREATE VIEW keep their own handlers
     _, srows = _drain(server, "SHOW STATS FOR wire_show_t")
     assert any(r[0] is None for r in srows)
+
+
+def test_system_runtime_queries(server):
+    """Operational introspection (extension mirroring Trino's
+    system.runtime.queries, served from the wire server's statement
+    log): finished statements show FINISHED with their text and user,
+    failures show FAILED, the in-flight introspection statement
+    itself shows RUNNING, and the virtual table composes with
+    ordinary SQL."""
+    ok = _post(server, "SELECT 41 + 1 AS marker_ok")
+    assert "error" not in ok
+    bad = _post(server, "SELECT * FROM missing_wireprobe_t")
+    assert bad["stats"]["state"] == "FAILED"
+
+    _, rows = _drain(server, (
+        "SELECT state, user, query FROM system.runtime.queries "
+        "WHERE query LIKE '%marker_ok%' "
+        "AND query NOT LIKE '%runtime%'"
+    ))
+    assert rows == [["FINISHED", "test", "SELECT 41 + 1 AS marker_ok"]]
+    _, rows = _drain(server, (
+        "SELECT state FROM system.runtime.queries "
+        "WHERE query LIKE '%missing_wireprobe_t%' "
+        "AND query NOT LIKE '%runtime%'"
+    ))
+    assert rows == [["FAILED"]]
+    # the introspection statement itself is RUNNING, like on a real
+    # coordinator; finished timestamps are ordered after created
+    _, rows = _drain(server, (
+        "SELECT state, finished IS NULL AS open_ended "
+        "FROM system.runtime.queries "
+        "WHERE query LIKE '%open_ended%'"
+    ))
+    assert rows == [["RUNNING", True]]
+    _, rows = _drain(server, (
+        "SELECT count(*) AS n FROM system.runtime.queries "
+        "WHERE finished < created"
+    ))
+    assert rows == [[0]]
+    # a string literal mentioning the table is not rewritten
+    _, rows = _drain(server,
+                     "SELECT 'system.runtime.queries' AS s")
+    assert rows == [["system.runtime.queries"]]
