@@ -504,7 +504,11 @@ class Engine:
     #                                  --   partition-pruned probe
     #       queries => 'query_view',   -- table with (id, vector)
     #       k => 10 [, n_probe => 8]
-    #       [, id_col => 'vec_id'] [, vec_col => 'embedding']))
+    #       [, id_col => 'vec_id'] [, vec_col => 'embedding']
+    #       [, match_cols => 'a,b']    -- FILTERED search (equality
+    #                                  --   pre-filter, both arms)
+    #       [, exclude_cols => 'c']))  -- hard-negative mining
+    #                                  --   (inequality; index arm)
     #     -> (query_id, neighbor_id, cos_sim, rank)
     #
     #   SELECT * FROM TABLE(bm25_topk(
@@ -634,6 +638,11 @@ class Engine:
                 F.col("qid").alias(id_col),
                 F.col("qvec").alias(vec_col),
             )
+        def cols(name: str) -> list[str]:
+            return [c.strip() for c in str(args.get(name, "")).split(",")
+                    if c.strip()]
+
+        match_cols, exclude_cols = cols("match_cols"), cols("exclude_cols")
         if "index" in args:
             idx = self._ann_indexes.get(str(args["index"]).lower())
             if idx is None:
@@ -645,17 +654,26 @@ class Engine:
                 queries, idx, k=k,
                 n_probe=int(args.get("n_probe", 4)),
                 id_col=id_col, vec_col=vec_col,
+                match_cols=match_cols or None,
+                exclude_cols=exclude_cols or None,
+            )
+        if exclude_cols:
+            raise ValueError(
+                f"{fn}: exclude_cols (hard-negative mining) requires "
+                "index => — the exact corpus arm supports match_cols "
+                "only"
             )
         return S.cosine_topk(
             self.spark.table(str(args["corpus"])), queries,
             k=k, id_col=id_col, vec_col=vec_col,
+            match_cols=match_cols or None,
         )
 
     def _table_fn_ann(self, raw: str) -> "DataFrame":
         args = self._named_args(
             "ann_topk", raw,
             known={"corpus", "index", "queries", "k", "n_probe",
-                   "id_col", "vec_col"},
+                   "id_col", "vec_col", "match_cols", "exclude_cols"},
             required={"queries"},
         )
         return self._ann_arm("ann_topk", args)

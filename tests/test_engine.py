@@ -589,3 +589,57 @@ def test_information_schema_snapshot_cache(spark, tmp_path):
     # a second Engine over the same session shares the cache state
     eng2 = Engine(spark)
     assert eng2._infoschema_state is eng._infoschema_state
+
+
+def test_sql_ann_filtered_and_hard_negative(spark, sf_dir, tmp_path):
+    """match_cols / exclude_cols through TABLE(ann_topk(...)): the
+    SQL surface reaches FILTERED vector search (equality pre-filter,
+    both arms) and hard-negative mining (inequality, index arm), the
+    two probe shapes a training-data pipeline runs daily."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        similarity as S,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("fann_corpus_v")
+    q = emb.where("vec_id % 200 = 0")
+    q.createOrReplaceTempView("fann_queries_v")
+    eng = Engine(spark)
+
+    # exact arm, filtered: equals the direct operator call
+    got = eng.sql(
+        "SELECT query_id, neighbor_id, cos_sim, rank "
+        "FROM TABLE(ann_topk(corpus => 'fann_corpus_v', "
+        "queries => 'fann_queries_v', k => 5, "
+        "match_cols => 'label'))"
+    ).collect()
+    want = S.cosine_topk(emb, q, k=5, match_cols=["label"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert all(labels[r.query_id] == labels[r.neighbor_id]
+               for r in got)
+
+    # exclude_cols needs the index arm — refused on the exact arm
+    with pytest.raises(ValueError, match="requires index"):
+        eng.sql("SELECT * FROM TABLE(ann_topk("
+                "corpus => 'fann_corpus_v', "
+                "queries => 'fann_queries_v', "
+                "exclude_cols => 'label'))")
+
+    # index arm: hard negatives are nearest DIFFERENT-label vectors
+    idx = str(tmp_path / "fann_ivf")
+    S.build_ivf_index(emb, idx, n_centroids=8, meta_cols=["label"])
+    eng.register_ann_index("fann_ivf", idx)
+    neg = eng.sql(
+        "SELECT query_id, neighbor_id, neg_label, rank "
+        "FROM TABLE(ann_topk(index => 'fann_ivf', "
+        "queries => 'fann_queries_v', k => 5, n_probe => 4, "
+        "exclude_cols => 'label'))"
+    ).collect()
+    assert neg
+    assert all(labels[r.query_id] != r.neg_label for r in neg)
