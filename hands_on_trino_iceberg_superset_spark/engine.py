@@ -743,6 +743,16 @@ class Engine:
         re.IGNORECASE,
     )
 
+    #: Trino's bare ``DESCRIBE <table>`` / ``DESC <table>`` is an
+    #: alias for SHOW COLUMNS (Spark's ``DESCRIBE TABLE`` spelling
+    #: passes through to Spark with Spark's shape; INPUT/OUTPUT are
+    #: the wire server's prepared-statement forms)
+    _TRINO_DESCRIBE_RE = re.compile(
+        r"^\s*DESC(?:RIBE)?\s+(?!INPUT\b|OUTPUT\b|TABLE\b)"
+        r'("?[\w.]+"?)\s*;?\s*$',
+        re.IGNORECASE,
+    )
+
     @staticmethod
     def _like_filter(names: list[str], pattern: str | None) -> list[str]:
         """Trino's SHOW ... LIKE: SQL LIKE semantics (% and _)."""
@@ -760,11 +770,15 @@ class Engine:
         statement is not one of them (SHOW STATS / SHOW CREATE VIEW
         keep their own handlers)."""
         m = self._TRINO_SHOW_RE.match(text)
-        if not m:
-            return None
-        kind = m.group(1).upper()
-        target = m.group(2).strip('"') if m.group(2) else None
-        like = m.group(3)
+        if m:
+            kind = m.group(1).upper()
+            target = m.group(2).strip('"') if m.group(2) else None
+            like = m.group(3)
+        else:
+            m = self._TRINO_DESCRIBE_RE.match(text)
+            if not m:
+                return None
+            kind, target, like = "COLUMNS", m.group(1).strip('"'), None
 
         def one_col(col: str, names: list[str]) -> DataFrame:
             return self.spark.createDataFrame(

@@ -821,3 +821,26 @@ def test_system_runtime_queries(server):
     _, rows = _drain(server,
                      "SELECT 'system.runtime.queries' AS s")
     assert rows == [["system.runtime.queries"]]
+
+
+def test_bare_describe_is_show_columns(server, spark):
+    """Trino's bare DESCRIBE t / DESC t alias SHOW COLUMNS FROM t —
+    same Column/Type/Extra/Comment shape over the wire; Spark's own
+    DESCRIBE TABLE spelling keeps Spark's shape, and the prepared
+    DESCRIBE INPUT/OUTPUT forms are untouched."""
+    spark.createDataFrame(
+        [(1, "a")], "id long, k string"
+    ).createOrReplaceTempView("wire_desc_t")
+    cols, rows = _drain(server, "DESCRIBE wire_desc_t")
+    assert [c["name"] for c in cols] \
+        == ["Column", "Type", "Extra", "Comment"]
+    assert [(r[0], r[1]) for r in rows] \
+        == [("id", "bigint"), ("k", "varchar")]
+    _, rows2 = _drain(server, "DESC iceberg.demo.wire_desc_t")
+    assert rows2 == rows
+    # Spark's DESCRIBE TABLE spelling falls through to Spark
+    cols, _ = _drain(server, "DESCRIBE TABLE wire_desc_t")
+    assert [c["name"] for c in cols][:2] == ["col_name", "data_type"]
+    # prepared-statement DESCRIBE still routes to the wire handler
+    missing = _post(server, "DESCRIBE OUTPUT nope")
+    assert missing["stats"]["state"] == "FAILED"
