@@ -531,8 +531,18 @@ class Engine:
     # the BM25 postings join broadcasts the query terms (both
     # plan-gated in tests/test_plans.py), never a cartesian.
 
+    #   SELECT * FROM TABLE(dedup_exact(
+    #       docs => 'documents' [, text_col => 'text']
+    #       [, id_col => 'doc_id']))
+    #     -> (fingerprint, keep_id, n_dups)   -- hash-groupBy dedup
+    #
+    #   SELECT * FROM TABLE(simhash_pairs(
+    #       docs => 'documents', [max_hamming => 3] [, col names]))
+    #     -> (id_a, id_b, hamming)   -- pigeonhole-banded near-dups
+    #
     _TABLE_FN_RE = re.compile(
-        r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk)"
+        r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
+        r"|dedup_exact|simhash_pairs)"
         r"\s*\(([^()]*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -604,7 +614,9 @@ class Engine:
 
         df = {"ann_topk": self._table_fn_ann,
               "bm25_topk": self._table_fn_bm25,
-              "hybrid_topk": self._table_fn_hybrid}[fn](raw)
+              "hybrid_topk": self._table_fn_hybrid,
+              "dedup_exact": self._table_fn_dedup_exact,
+              "simhash_pairs": self._table_fn_simhash}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
         tag = hashlib.md5(
@@ -694,6 +706,41 @@ class Engine:
             k=int(args.get("k", 10)),
             text_col=str(args.get("text_col", "text")),
             id_col=str(args.get("id_col", "doc_id")),
+        )
+
+    def _table_fn_dedup_exact(self, raw: str) -> "DataFrame":
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            dedup as D,
+        )
+
+        args = self._named_args(
+            "dedup_exact", raw,
+            known={"docs", "text_col", "id_col"},
+            required={"docs"},
+        )
+        return D.exact_duplicates(
+            self.spark.table(str(args["docs"])),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+        )
+
+    def _table_fn_simhash(self, raw: str) -> "DataFrame":
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            dedup as D,
+        )
+
+        args = self._named_args(
+            "simhash_pairs", raw,
+            known={"docs", "max_hamming", "text_col", "id_col",
+                   "hasher"},
+            required={"docs"},
+        )
+        return D.simhash_pairs(
+            self.spark.table(str(args["docs"])),
+            max_hamming=int(args.get("max_hamming", 3)),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+            hasher=str(args.get("hasher", "xxhash64")),
         )
 
     def _table_fn_hybrid(self, raw: str) -> "DataFrame":

@@ -1407,3 +1407,94 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+@register(
+    "sql_dedup_exact",
+    oracle="""
+    WITH g AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint,
+             min(doc_id) AS keep_id,
+             count(*) AS n_dups
+      FROM documents
+      GROUP BY 1
+    )
+    SELECT d.source AS source,
+           count(*) AS n_groups,
+           CAST(sum(g.n_dups) AS BIGINT) AS n_docs
+    FROM g JOIN documents d ON g.keep_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="Exact dedup reached from PLAIN SQL — the r11/r12 "
+        "table-function seam (ann/bm25/hybrid) extended to the dedup "
+        "family: Engine.sql resolves TABLE(dedup_exact(docs => ...)) "
+        "onto operators/dedup.exact_duplicates, and the outer "
+        "statement COMPOSES over it — the survivor (keep_id) joins "
+        "back to the corpus and the curation summary aggregates "
+        "distinct-content groups and covered docs per source. Same "
+        "single fingerprint shuffle as dedup_exact (partial "
+        "aggregation bounds shuffle volume by distinct content) plus "
+        "one equi-join the optimizer may broadcast; the oracle "
+        "restates group-by, join, and summary.",
+)
+def sql_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_dedup_docs_v"
+    )
+    return Engine(spark).sql(
+        "SELECT d.source AS source, count(*) AS n_groups, "
+        "CAST(sum(g.n_dups) AS BIGINT) AS n_docs "
+        "FROM TABLE(dedup_exact(docs => 'sql_dedup_docs_v')) g "
+        "JOIN sql_dedup_docs_v d ON g.keep_id = d.doc_id "
+        "GROUP BY d.source"
+    )
+
+
+@register(
+    "sql_dedup_simhash",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                                      AS BIGINT)) AS hl
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), i ->
+               CASE WHEN list_sum(list_transform(hl,
+                      x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+               AS sig
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="SimHash near-dup mining reached from PLAIN SQL: "
+        "TABLE(simhash_pairs(docs => ..., max_hamming => 3, "
+        "hasher => 'md5_60')) resolves onto the pigeonhole-banded "
+        "operator — a wire client or BI virtual dataset mines "
+        "near-duplicates with no Python API in the loop, and the "
+        "physical plan keeps the band equi-join (never the quadratic "
+        "all-pairs scan; plan-gated through the SQL path in "
+        "tests/test_plans.py). Same md5_60 hash family and oracle as "
+        "dedup_simhash (restated verbatim so the SQL surface is "
+        "hash-checked against the identical quadratic recompute).",
+)
+def sql_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_simhash_docs_v"
+    )
+    return Engine(spark).sql(
+        "SELECT id_a, id_b, hamming "
+        "FROM TABLE(simhash_pairs(docs => 'sql_simhash_docs_v', "
+        "max_hamming => 3, hasher => 'md5_60'))"
+    )

@@ -643,3 +643,51 @@ def test_sql_ann_filtered_and_hard_negative(spark, sf_dir, tmp_path):
     ).collect()
     assert neg
     assert all(labels[r.query_id] != r.neg_label for r in neg)
+
+
+def test_sql_dedup_table_functions_parity(spark):
+    """TABLE(dedup_exact(...)) / TABLE(simhash_pairs(...)) equal the
+    direct operator calls on a planted duplicate set (whitespace/case
+    variants collide; distinct texts survive; one near-dup pair at
+    small Hamming distance)."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "the  quick   brown fox jumps over the lazy dog"),
+            (3, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG "),
+            (4, "an entirely different document body here"),
+            (5, "The quick brown fox jumps over the lazy cat"),
+            (6, "an entirely different document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("dedup_tf_docs")
+    eng = Engine(spark)
+    got = eng.sql(
+        "SELECT fingerprint, keep_id, n_dups FROM "
+        "TABLE(dedup_exact(docs => 'dedup_tf_docs'))"
+    ).collect()
+    want = D.exact_duplicates(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    trio = next(r for r in got if r.n_dups == 3)
+    assert trio.keep_id == 1  # 1/2/3 collide post-normalization
+    pair = next(r for r in got if r.n_dups == 2)
+    assert pair.keep_id == 4  # 4/6 verbatim duplicates
+
+    got = eng.sql(
+        "SELECT id_a, id_b, hamming FROM "
+        "TABLE(simhash_pairs(docs => 'dedup_tf_docs', "
+        "max_hamming => 10, hasher => 'md5_60'))"
+    ).collect()
+    want = D.simhash_pairs(docs, max_hamming=10,
+                           hasher="md5_60").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the verbatim duplicate pair is Hamming 0 (simhash tokenizes
+    # raw tokens — case variants are different tokens by design)
+    zero = {(r.id_a, r.id_b) for r in got if r.hamming == 0}
+    assert (4, 6) in zero

@@ -848,3 +848,40 @@ def test_sql_hybrid_table_function_plan_shape(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in executed
     assert executed.count("BroadcastHashJoin") >= 1
+
+
+def test_sql_dedup_table_functions_plan_shape(spark, sf_dir):
+    """The SQL surface keeps the dedup operators' shapes: the
+    simhash path stays the pigeonhole band EQUI-join (a nested-loop
+    or cartesian would be the quadratic all-pairs scan the operator
+    exists to avoid), and dedup_exact composes into one fingerprint
+    aggregate plus the survivor join."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "plan_dedup_docs_v"
+    )
+    eng = Engine(spark)
+    sim = eng.sql(
+        "SELECT count(*) AS n_pairs, max(hamming) AS worst "
+        "FROM TABLE(simhash_pairs(docs => 'plan_dedup_docs_v', "
+        "max_hamming => 3))"
+    )
+    executed = sim._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+    assert ("SortMergeJoin" in executed
+            or "BroadcastHashJoin" in executed
+            or "ShuffledHashJoin" in executed)
+    ex = eng.sql(
+        "SELECT d.source, count(*) AS n FROM "
+        "TABLE(dedup_exact(docs => 'plan_dedup_docs_v')) g "
+        "JOIN plan_dedup_docs_v d ON g.keep_id = d.doc_id "
+        "GROUP BY d.source"
+    )
+    executed = ex._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert "HashAggregate" in executed
