@@ -874,3 +874,67 @@ def bi_chart_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumn("sum_score", dbl(F.col("sum_score")))
+
+
+@register(
+    "bi_chart_dedup_sources",
+    oracle="""
+    WITH g AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint,
+             min(doc_id) AS keep_id,
+             count(*) AS n_dups
+      FROM documents
+      GROUP BY 1
+    )
+    SELECT d.source AS source,
+           count(*) AS count,
+           CAST(sum(g.n_dups) AS BIGINT) AS docs_covered
+    FROM g JOIN documents d ON g.keep_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY count DESC, source
+    """,
+    doc="A BI chart over SQL-reachable DEDUP — the bi_chart_ann_topk/"
+        "bi_chart_bm25_topk treatment applied to the curation family: "
+        "the virtual dataset's defining SQL calls "
+        "TABLE(dedup_exact(docs => ...)) (Engine.sql table-function "
+        "resolution) and joins each content group's survivor back to "
+        "the corpus for its source; the chart's form_data counts "
+        "distinct-content groups and covered docs per source — the "
+        "dashboard a curation team watches. Same single fingerprint "
+        "shuffle as dedup_exact plus the survivor equi-join; the "
+        "oracle replays group-by, join, and aggregate in SQL.",
+)
+def bi_chart_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bi_dedup_docs_v"
+    )
+    ds = Database("spark", Engine(spark)).dataset(
+        "dedup_groups",
+        sql=(
+            "SELECT d.source AS source, g.n_dups AS n_dups "
+            "FROM TABLE(dedup_exact(docs => 'bi_dedup_docs_v')) g "
+            "JOIN bi_dedup_docs_v d ON g.keep_id = d.doc_id"
+        ),
+    )
+    return compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["source"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "n_dups",
+                 "label": "docs_covered"},
+            ],
+            "order_by": [["count", False], ["source", True]],
+        },
+    )
