@@ -844,3 +844,58 @@ def test_bare_describe_is_show_columns(server, spark):
     # prepared-statement DESCRIBE still routes to the wire handler
     missing = _post(server, "DESCRIBE OUTPUT nope")
     assert missing["stats"]["state"] == "FAILED"
+
+
+def test_concurrent_schema_contexts(server, spark, tmp_path):
+    """Two clients with DIFFERENT schema contexts interleaving
+    statements: current-database switching is write-lock scoped, so
+    each request resolves its own unqualified table and none ever
+    reads the other context's data — the name-resolution twin of the
+    conf-isolation test."""
+    import threading
+
+    for db, val in (("wire_conc_a", 1), ("wire_conc_b", 2)):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.createDataFrame(
+            [(val,)] * 3, "v long"
+        ).write.mode("overwrite").parquet(str(tmp_path / db))
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.probe_t "
+            f"USING parquet LOCATION '{tmp_path / db}'"
+        )
+    base_db = spark.catalog.currentDatabase()
+    errors = []
+
+    def client(db: str, want: int) -> None:
+        try:
+            for _ in range(6):
+                out, _ = _post_h(
+                    server,
+                    "SELECT count(*) AS n, max(v) AS v FROM probe_t",
+                    headers={"X-Trino-Schema": db},
+                )
+                if "error" in out:
+                    raise RuntimeError(out["error"]["message"])
+                if out["data"] != [[3, want]]:
+                    raise AssertionError(
+                        f"{db} read wrong data: {out['data']}"
+                    )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=client, args=("wire_conc_a", 1)),
+        threading.Thread(target=client, args=("wire_conc_b", 2)),
+        threading.Thread(target=client, args=("wire_conc_a", 1)),
+        threading.Thread(target=client, args=("wire_conc_b", 2)),
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+        assert spark.catalog.currentDatabase() == base_db
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS wire_conc_a CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS wire_conc_b CASCADE")
