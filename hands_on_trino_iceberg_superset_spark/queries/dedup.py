@@ -1498,3 +1498,124 @@ def sql_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM TABLE(simhash_pairs(docs => 'sql_simhash_docs_v', "
         "max_hamming => 3, hasher => 'md5_60'))"
     )
+
+
+@register(
+    "sql_dedup_minhash",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard_sim
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+    """,
+    doc="The MinHash-LSH workhorse tier reached from PLAIN SQL — the "
+        "r12 dedup table-function seam (dedup_exact/simhash_pairs) "
+        "extended to the 100 TB near-dup path: Engine.sql resolves "
+        "TABLE(minhash_pairs(docs => ..., threshold => 0.4)) onto "
+        "operators/dedup.minhash_lsh_pairs, so a wire client or BI "
+        "virtual dataset mines verified near-dup pairs with no "
+        "Python API in the loop. The physical plan keeps the linear "
+        "band equi-join through the SQL path (plan-gated in "
+        "tests/test_plans.py — never an all-pairs theta join). The "
+        "oracle is the exact quadratic pair recompute, valid because "
+        "verified-LSH output equals it whenever banding recall is 1 "
+        "(deterministic here: all true pairs have J >= 0.9; see "
+        "dedup_minhash_lsh). Even-id corpus slice keeps the oracle's "
+        "quadratic side half-sized; the slice is in both arms.",
+)
+def sql_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    (load_table(spark, sf_dir, "documents")
+     .where(F.col("doc_id") % 2 == 0)
+     .createOrReplaceTempView("sql_minhash_docs_v"))
+    return Engine(spark).sql(
+        "SELECT id_a, id_b, jaccard_sim "
+        "FROM TABLE(minhash_pairs(docs => 'sql_minhash_docs_v', "
+        "threshold => 0.4, n => 2, num_hashes => 32, bands => 16))"
+    )
+
+
+@register(
+    "sql_dedup_containment",
+    oracle=f"""
+    WITH docs3 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM docs3
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM docs3),
+             '{_BOILER_PRE} ' || text || ' {_BOILER_POST}'
+      FROM docs3 WHERE doc_id % 10 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS sp
+      FROM t WHERE len(toks) >= 8
+    ),
+    cold AS (
+      SELECT doc_id, sp FROM sh
+      WHERE sp IN (SELECT sp FROM sh GROUP BY sp
+                   HAVING count(*) <= 10)
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM cold GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter
+      FROM cold a JOIN cold b ON a.sp = b.sp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+             AS jaccard_sim
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz)
+            >= CAST(0.9 AS DOUBLE)
+    """,
+    doc="Capped containment dedup reached from PLAIN SQL: "
+        "TABLE(containment_pairs(docs => ..., threshold => 0.9, "
+        "max_df => 10)) resolves onto operators/dedup."
+        "containment_pairs_inverted with the web-scale hot-shingle "
+        "cap ENGAGED — the Σmin(df,K)² postings join survives the "
+        "SQL seam unchanged (plan-gated: band/postings equi-join, "
+        "never cartesian). Same boilerplate-wrapped corpus and "
+        "oracle as dedup_containment_capped (the cap folded into "
+        "the oracle's HAVING df <= 10), so the SQL surface is "
+        "hash-checked against the identical quadratic recompute.",
+)
+def sql_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    docs.unionAll(
+        _wrap_docs(docs, _BOILER_PRE, _BOILER_POST)
+    ).createOrReplaceTempView("sql_containment_docs_v")
+    return Engine(spark).sql(
+        "SELECT id_a, id_b, containment, jaccard_sim "
+        "FROM TABLE(containment_pairs("
+        "docs => 'sql_containment_docs_v', threshold => 0.9, "
+        "n => 8, max_df => 10))"
+    )

@@ -691,3 +691,53 @@ def test_sql_dedup_table_functions_parity(spark):
     # raw tokens — case variants are different tokens by design)
     zero = {(r.id_a, r.id_b) for r in got if r.hamming == 0}
     assert (4, 6) in zero
+
+
+def test_sql_dedup_workhorse_table_functions_parity(spark):
+    """TABLE(minhash_pairs(...)) / TABLE(containment_pairs(...))
+    equal the direct operator calls on a planted corpus: a verbatim
+    near-dup pair for minhash, a short doc quoted inside a longer
+    page for containment (the asymmetric case Jaccard misses), and a
+    decimal threshold travelling the named-scalar grammar."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+
+    quote = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog here"),
+            (3, "a completely unrelated body of text about turbines"),
+            (4, quote),
+            (5, f"page header before the quote {quote} and a very "
+                "long trailing tail of unrelated page content"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("workhorse_tf_docs")
+    eng = Engine(spark)
+
+    got = eng.sql(
+        "SELECT id_a, id_b, jaccard_sim FROM "
+        "TABLE(minhash_pairs(docs => 'workhorse_tf_docs', "
+        "threshold => 0.4, n => 2, num_hashes => 32, bands => 16))"
+    ).collect()
+    want = D.minhash_lsh_pairs(docs, threshold=0.4, n=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert (1, 2) in {(r.id_a, r.id_b) for r in got}
+
+    got = eng.sql(
+        "SELECT id_a, id_b, containment, jaccard_sim FROM "
+        "TABLE(containment_pairs(docs => 'workhorse_tf_docs', "
+        "threshold => 0.9, n => 8, max_df => 10))"
+    ).collect()
+    want = D.containment_pairs_inverted(
+        docs, threshold=0.9, n=8, max_df=10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    quoted = next(r for r in got if (r.id_a, r.id_b) == (4, 5))
+    assert quoted.containment == 1.0  # fully contained quote
+    assert quoted.jaccard_sim < 0.9   # ...that Jaccard would miss

@@ -885,3 +885,96 @@ def test_sql_dedup_table_functions_plan_shape(spark, sf_dir):
     executed = ex._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in executed
     assert "HashAggregate" in executed
+
+
+def test_sql_dedup_workhorse_table_functions_plan_shape(spark, sf_dir):
+    """The r13 workhorse tier through the SQL seam keeps its linear
+    shapes: minhash_pairs plans the (band, bucket) EQUI-join — never
+    the quadratic all-pairs theta scan the banding exists to avoid —
+    and containment_pairs keeps the capped inverted-index postings
+    equi-join. Both must also show the pair-dedup aggregate (the
+    candidate join is followed by a groupBy, not an exploded
+    passthrough)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    ).createOrReplaceTempView("plan_minhash_docs_v")
+    eng = Engine(spark)
+    mh = eng.sql(
+        "SELECT id_a, id_b, jaccard_sim "
+        "FROM TABLE(minhash_pairs(docs => 'plan_minhash_docs_v', "
+        "threshold => 0.4))"
+    )
+    executed = mh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+    assert ("SortMergeJoin" in executed
+            or "BroadcastHashJoin" in executed
+            or "ShuffledHashJoin" in executed)
+    assert "HashAggregate" in executed
+
+    ct = eng.sql(
+        "SELECT id_a, id_b, containment "
+        "FROM TABLE(containment_pairs(docs => 'plan_minhash_docs_v', "
+        "threshold => 0.9, n => 8, max_df => 10))"
+    )
+    executed = ct._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+    assert ("SortMergeJoin" in executed
+            or "BroadcastHashJoin" in executed
+            or "ShuffledHashJoin" in executed)
+    assert "HashAggregate" in executed
+
+
+def test_table_fn_unresolved_args_refuse_loudly(spark, sf_dir):
+    """A TABLE(fn(...)) whose argument list the named-scalar grammar
+    cannot parse (nested call / subquery) must get the ENGINE's
+    grammar error, not Spark's unrelated parse error; an unknown
+    function name under TABLE() gets the supported-function list.
+    Parentheses INSIDE a quoted string argument are legal and must
+    resolve (ADVICE r12: the old arg body regex rejected them)."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="argument list could not"):
+        eng.sql(
+            "SELECT * FROM TABLE(dedup_exact("
+            "docs => lower('documents')))"
+        )
+    with pytest.raises(ValueError, match="unknown table function"):
+        eng.sql("SELECT * FROM TABLE(no_such_fn(docs => 'd'))")
+    with pytest.raises(ValueError, match="integer, or decimal"):
+        eng.sql(
+            "SELECT * FROM TABLE(minhash_pairs("
+            "docs => 'd', threshold => high))"
+        )
+    # a quoted view name CONTAINING parens resolves through the
+    # grammar (and then fails on the missing table, not the regex)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "paren_docs_v"
+    )
+    n = eng.sql(
+        "SELECT count(*) AS n FROM TABLE(dedup_exact("
+        "docs => 'paren_docs_v'))"
+    ).collect()[0][0]
+    assert n > 0
+    # the paren-bearing value reaches spark.table() intact — the
+    # failure is Spark's (no such view / bad identifier), never the
+    # engine's argument-grammar refusal
+    with pytest.raises(Exception) as ei:
+        eng.sql(
+            "SELECT * FROM TABLE(dedup_exact(docs => 'my(view)'))"
+        ).collect()
+    assert "argument list could not" not in str(ei.value)
