@@ -239,31 +239,225 @@ def _grain_unit(form_data: Mapping[str, Any]) -> str | None:
     return unit
 
 
+# -- Superset relative time ranges ----------------------------------
+#
+# Superset's time-range picker sends RELATIVE phrases, not ISO
+# bounds: the "Last" tab ('Last day/week/month/quarter/year'), the
+# "Previous" tab ('previous calendar week/month/year'), and the
+# custom grammar ('Last 7 days'). superset/utils/date_parser.py
+# resolves them against wall-clock "now"; an offline compiler must
+# resolve them against an INJECTABLE anchor (the seeder's as_of
+# pattern) or every oracle check becomes time-of-day dependent. The
+# extension key ``time_range_anchor`` (ISO timestamp) pins "now";
+# absent, wall clock applies — real Superset behavior.
+#
+# Resolution mirrors date_parser.get_since_until:
+# - common frames: since = today - 1 frame, until = today, where
+#   "today" is the anchor truncated to midnight — 'Last week' is the
+#   last 7 COMPLETE days, excluding the anchor's partial day;
+# - previous calendar frames: the full previous ISO week (Monday
+#   start) / calendar month / calendar year ending at
+#   date_trunc(frame, today);
+# - custom 'Last N <unit>': since = anchor - N units, until = anchor
+#   (parsedatetime anchors at the instant, not midnight).
+# Month/quarter/year subtraction clamps the day into the target
+# month (Mar 31 - 1 month = Feb 28/29) — dateutil.relativedelta
+# semantics, restated here so the only dependency is stdlib.
+
+_COMMON_FRAMES = {
+    "last day": (1, "day"), "last week": (1, "week"),
+    "last month": (1, "month"), "last quarter": (1, "quarter"),
+    "last year": (1, "year"),
+}
+
+_PREV_CALENDAR = {
+    "previous calendar week": "week",
+    "previous calendar month": "month",
+    "previous calendar year": "year",
+}
+
+def _minus_units(dt, n: int, unit: str):
+    """``dt - n <unit>`` with calendar-aware month math (day clamped
+    into the target month; quarters are 3 months, years 12)."""
+    import calendar
+    from datetime import timedelta
+
+    if unit == "second":
+        return dt - timedelta(seconds=n)
+    if unit == "minute":
+        return dt - timedelta(minutes=n)
+    if unit == "hour":
+        return dt - timedelta(hours=n)
+    if unit == "day":
+        return dt - timedelta(days=n)
+    if unit == "week":
+        return dt - timedelta(weeks=n)
+    months = {"month": n, "quarter": 3 * n, "year": 12 * n}[unit]
+    total = dt.year * 12 + (dt.month - 1) - months
+    y, m = divmod(total, 12)
+    m += 1
+    return dt.replace(year=y, month=m,
+                      day=min(dt.day, calendar.monthrange(y, m)[1]))
+
+
+def _trunc_calendar(dt, unit: str):
+    """date_trunc to the start of the ISO week / calendar month /
+    calendar year containing ``dt`` (midnight)."""
+    from datetime import timedelta
+
+    day0 = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "week":
+        return day0 - timedelta(days=day0.weekday())
+    if unit == "month":
+        return day0.replace(day=1)
+    return day0.replace(month=1, day=1)
+
+
+def _range_anchor(form_data: Mapping[str, Any]):
+    """The injectable "now" a relative range resolves against."""
+    from datetime import datetime
+
+    raw = form_data.get("time_range_anchor")
+    if raw is None:
+        return datetime.now()
+    try:
+        return datetime.fromisoformat(str(raw))
+    except ValueError:
+        raise ValueError(
+            f"time_range_anchor {raw!r} is not an ISO timestamp"
+        ) from None
+
+
+def _fmt_bound(dt) -> str:
+    return dt.isoformat(sep=" ")
+
+
+def _normalized_time_range(form_data: Mapping[str, Any]) -> str:
+    """Resolve a relative ``time_range`` phrase into explicit
+    ``'<start> : <end>'`` ISO bounds against the anchor; explicit
+    ranges and 'No filter' pass through untouched. Grammar the
+    compiler does not model ('Next ...', 'DATEADD(...)' expressions,
+    mixed relative bounds) refuses loudly — resolving it wrong would
+    silently filter the chart's data."""
+    import re
+
+    rng = form_data.get("time_range", "No filter")
+    if rng in (None, "No filter") or " : " in str(rng):
+        return rng
+    phrase = str(rng).strip().lower()
+    if phrase in _COMMON_FRAMES:
+        n, unit = _COMMON_FRAMES[phrase]
+        today = _range_anchor(form_data).replace(
+            hour=0, minute=0, second=0, microsecond=0)
+        return (f"{_fmt_bound(_minus_units(today, n, unit))}"
+                f" : {_fmt_bound(today)}")
+    if phrase in _PREV_CALENDAR:
+        unit = _PREV_CALENDAR[phrase]
+        until = _trunc_calendar(_range_anchor(form_data), unit)
+        return (f"{_fmt_bound(_minus_units(until, 1, unit))}"
+                f" : {_fmt_bound(until)}")
+    m = re.fullmatch(
+        r"last\s+(\d+)\s+"
+        r"(second|minute|hour|day|week|month|quarter|year)s?",
+        phrase,
+    )
+    if m:
+        anchor = _range_anchor(form_data)
+        since = _minus_units(anchor, int(m.group(1)), m.group(2))
+        return f"{_fmt_bound(since)} : {_fmt_bound(anchor)}"
+    return rng  # not relative; the per-path ISO validation decides
+
+
+#: full ISO shape for an explicit bound — shared by BOTH compilation
+#: paths, so a phrase neither path models gets the SAME loud refusal
+#: (and, on the SQL path, a quote smuggled into the form_data blob
+#: can't escape the TIMESTAMP literal)
+_ISO_BOUND_RE = None
+
+
+def _iso_bound_re():
+    global _ISO_BOUND_RE
+    if _ISO_BOUND_RE is None:
+        import re
+
+        _ISO_BOUND_RE = re.compile(
+            r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?"
+        )
+    return _ISO_BOUND_RE
+
+
+def _resolved_time_bounds(
+    form_data: Mapping[str, Any]
+) -> tuple[str, str] | None:
+    """``time_range`` -> validated (start, end) ISO bound strings
+    (either possibly empty), or None for no filtering. One resolver
+    for both compilation paths — relative phrases land here already
+    normalized, so a bound failing the ISO shape is grammar the
+    compiler does not model."""
+    rng = _normalized_time_range(form_data)
+    if rng in (None, "No filter"):
+        return None
+    # separator is " : " with spaces — the bounds themselves contain ":"
+    start, sep, end = (p.strip() for p in str(rng).partition(" : "))
+    if not sep:
+        raise ValueError(
+            f"unsupported time_range {rng!r}: use 'No filter', "
+            "explicit '<start> : <end>' ISO bounds, or a supported "
+            "relative phrase ('Last day/week/month/quarter/year', "
+            "'previous calendar week/month/year', 'Last N <unit>')"
+        )
+    for bound in (start, end):
+        if bound and not _iso_bound_re().fullmatch(bound):
+            raise ValueError(
+                f"time_range bound {bound!r} is not an ISO timestamp"
+            )
+    return start, end
+
+
+def _range_endpoints(form_data: Mapping[str, Any]) -> tuple[str, str]:
+    """Superset's ``time_range_endpoints`` pair: inclusivity of the
+    (start, end) bounds. Absent -> Superset's SIP-15 default
+    [inclusive, exclusive] (also this compiler's historical
+    behavior). 'unknown' (pre-SIP-15 charts, engine-dependent) is
+    refused — guessing it flips boundary rows silently."""
+    eps = form_data.get("time_range_endpoints")
+    if not eps:
+        return "inclusive", "exclusive"
+    if (not isinstance(eps, (list, tuple)) or len(eps) != 2
+            or any(e not in ("inclusive", "exclusive") for e in eps)):
+        raise ValueError(
+            f"unsupported time_range_endpoints {eps!r}: a "
+            "[start, end] pair of 'inclusive'/'exclusive'"
+        )
+    return eps[0], eps[1]
+
+
 def _apply_time_range(
     df: DataFrame, form_data: Mapping[str, Any]
 ) -> DataFrame:
     """``time_range`` filter hook. ``"No filter"`` (the reference's
     only value, init_db.py:147) is a no-op; ``"<start> : <end>"``
-    half-open ISO bounds filter ``granularity_sqla``."""
-    rng = form_data.get("time_range", "No filter")
+    ISO bounds and Superset's relative phrases (resolved against the
+    injectable anchor) filter ``granularity_sqla`` with
+    ``time_range_endpoints`` inclusivity (default [inclusive,
+    exclusive])."""
     time_col = form_data.get("granularity_sqla")
-    if rng in (None, "No filter") or not time_col:
+    if not time_col:
         return df
-    # separator is " : " with spaces — the bounds themselves contain ":"
-    start, sep, end = (part.strip() for part in rng.partition(" : "))
-    if not sep:
-        # Superset relative ranges ('Last week', 'previous calendar
-        # month', ...) need a date-parser this compiler does not
-        # have; casting the phrase to timestamp would crash under
-        # ANSI or silently filter out every row with ANSI off
-        raise ValueError(
-            f"unsupported time_range {rng!r}: use 'No filter' or "
-            "explicit '<start> : <end>' ISO bounds"
-        )
+    bounds = _resolved_time_bounds(form_data)
+    if bounds is None:
+        return df
+    start, end = bounds
+    start_ep, end_ep = _range_endpoints(form_data)
+    col = F.col(time_col)
     if start:
-        df = df.filter(F.col(time_col) >= F.lit(start).cast("timestamp_ntz"))
+        lo = F.lit(start).cast("timestamp_ntz")
+        df = df.filter(col >= lo if start_ep == "inclusive"
+                       else col > lo)
     if end:
-        df = df.filter(F.col(time_col) < F.lit(end).cast("timestamp_ntz"))
+        hi = F.lit(end).cast("timestamp_ntz")
+        df = df.filter(col < hi if end_ep == "exclusive"
+                       else col <= hi)
     return df
 
 
@@ -747,6 +941,32 @@ def _metric_sql(metric: str | Mapping[str, Any]) -> tuple[str, str]:
     return f"{fn}({inner})", label
 
 
+def _time_range_sql_conds(form_data: Mapping[str, Any]) -> list[str]:
+    """``time_range`` -> WHERE conditions for the SQL-text paths.
+    ``_resolved_time_bounds`` resolves relative phrases against the
+    injectable anchor AND validates the full ISO shape, so a quote
+    smuggled into the form_data blob can't escape the TIMESTAMP
+    literal — same injection posture as ``_sql_ident``."""
+    time_col = form_data.get("granularity_sqla")
+    if not time_col:
+        return []
+    bounds = _resolved_time_bounds(form_data)
+    if bounds is None:
+        return []
+    start, end = bounds
+    start_ep, end_ep = _range_endpoints(form_data)
+    conds = []
+    for bound, op in (
+        (start, ">=" if start_ep == "inclusive" else ">"),
+        (end, "<" if end_ep == "exclusive" else "<="),
+    ):
+        if bound:
+            conds.append(
+                f"{_sql_ident(time_col)} {op} TIMESTAMP '{bound}'"
+            )
+    return conds
+
+
 def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     """The same chart compilation targeting SQL TEXT — what the
     reference's Superset actually sends its Trino database at view
@@ -756,8 +976,6 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
     this one exists so the wire query (queries/wire.py
     bi_chart_over_http) can close the full loop: form_data -> SQL ->
     HTTP -> result grid."""
-    import re
-
     mode = form_data.get("query_mode", "raw")
     if any(f["clause"] == "HAVING"
            for f in _adhoc_filters(form_data)) and mode != "aggregate":
@@ -768,36 +986,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         raise ValueError("series_limit requires aggregate mode")
     _validate_compare_contribution(form_data, mode)
     resample = _validate_resample(form_data, mode)
-    where_conds = _adhoc_filter_sql(form_data)
-    rng = form_data.get("time_range", "No filter")
-    time_col = form_data.get("granularity_sqla")
-    if rng not in (None, "No filter") and time_col:
-        start, sep, end = (p.strip() for p in rng.partition(" : "))
-        if not sep:
-            raise ValueError(
-                f"unsupported time_range {rng!r}: use 'No filter' "
-                "or explicit '<start> : <end>' ISO bounds"
-            )
-        # the bounds land inside TIMESTAMP '...' literals: validate
-        # the full ISO shape so a quote smuggled into the form_data
-        # blob can't escape the literal and rewrite the predicate —
-        # same injection posture as _sql_ident
-        ts = re.compile(
-            r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?"
-        )
-        conds = []
-        for bound, op in ((start, ">="), (end, "<")):
-            if not bound:
-                continue
-            if not ts.fullmatch(bound):
-                raise ValueError(
-                    f"time_range bound {bound!r} is not an ISO "
-                    "timestamp"
-                )
-            conds.append(
-                f"{_sql_ident(time_col)} {op} TIMESTAMP '{bound}'"
-            )
-        where_conds = conds + where_conds
+    where_conds = _time_range_sql_conds(form_data) \
+        + _adhoc_filter_sql(form_data)
     where = (
         " WHERE " + " AND ".join(where_conds) if where_conds else ""
     )
@@ -1261,7 +1451,8 @@ def pivot_form_data_to_sql(
     if row_total:
         cells.append("count(*) AS count")
     row_idents = [_sql_ident(r) for r in rows]
-    where_conds = _adhoc_filter_sql(form_data)
+    where_conds = _time_range_sql_conds(form_data) \
+        + _adhoc_filter_sql(form_data)
     where = (" WHERE " + " AND ".join(where_conds)
              if where_conds else "")
     return (

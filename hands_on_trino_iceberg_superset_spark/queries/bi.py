@@ -938,3 +938,68 @@ def bi_chart_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_by": [["count", False], ["source", True]],
         },
     )
+
+
+@register(
+    "bi_chart_time_range_relative",
+    oracle="""
+    SELECT event_type,
+           count(*) AS count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' - INTERVAL 7 DAY
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+    GROUP BY event_type
+    ORDER BY count DESC, event_type
+    """,
+    doc="Superset RELATIVE time range ('Last week' — the picker "
+        "default a real user clicks first; init_db.py:147 carries "
+        "time_range on every reference chart) through BOTH compiler "
+        "paths: the phrase resolves against the injectable "
+        "time_range_anchor (the seeder's as_of pattern — wall clock "
+        "when absent, pinned here so the oracle can restate the "
+        "bounds) to [anchor-midnight - 7 days, anchor-midnight) with "
+        "SIP-15 [inclusive, exclusive) endpoints. The row UNION "
+        "DISTINCTs the Catalyst compilation with the SQL-text "
+        "compilation executed over the same view — if the two paths "
+        "ever disagree on the resolved bounds, the union grows extra "
+        "rows and the oracle hash-check fails. The oracle derives "
+        "the same window by its own date arithmetic (anchor - "
+        "INTERVAL 7 DAY), not by copying resolved literals.",
+)
+def bi_chart_time_range_relative(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", dec("value").alias("value_dec"))
+    )
+    ev.createOrReplaceTempView("bi_relative_events_v")
+    fdata = {
+        "viz_type": "table",
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-29 00:00:00",
+        "groupby": ["event_type"],
+        "metrics": [
+            "count",
+            {"aggregate": "SUM", "column": "value_dec",
+             "label": "sum_value"},
+        ],
+        "order_by": [["count", False], ["event_type", True]],
+    }
+    cols = ["event_type", "count", "sum_value"]
+    catalyst = compile_form_data(ev, fdata).select(*cols)
+    via_sql = spark.sql(
+        form_data_to_sql("bi_relative_events_v", fdata)
+    ).select(*cols)
+    return (
+        catalyst.unionAll(via_sql).distinct()
+        .withColumn("sum_value", dbl(F.col("sum_value")))
+    )

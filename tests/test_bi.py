@@ -108,21 +108,154 @@ def test_raw_mode_ignores_metric_order_by(spark):
     assert out2.collect()[0].id == 2
 
 
-def test_relative_time_range_raises(spark):
+def test_relative_time_range_resolves_and_unmodeled_raises(spark):
+    """Superset's picker phrases resolve against the injectable
+    anchor (r13; formerly a blanket refusal); grammar the compiler
+    does not model ('Next ...', DATEADD expressions) still refuses
+    loudly — resolving it wrong would silently filter the chart."""
+    import pytest as _pytest
+
     from hands_on_trino_iceberg_superset_spark.bi.compiler import (
         compile_form_data,
     )
-    import pytest as _pytest
 
     df = spark.createDataFrame([(1,)], "id long").selectExpr(
-        "id", "timestamp'2024-01-01' as ts"
+        "id", "timestamp'2024-01-05 12:00:00' as ts"
     )
-    with _pytest.raises(ValueError, match="time_range"):
+    # 'Last week' with a pinned anchor keeps the 01-05 row
+    out = compile_form_data(df, {
+        "query_mode": "raw",
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-08 09:15:00",
+        "granularity_sqla": "ts",
+    })
+    assert out.count() == 1
+    # ...and an anchor BEFORE the row filters it out (midnight
+    # truncation: until = anchor's midnight, exclusive)
+    out = compile_form_data(df, {
+        "query_mode": "raw",
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-05 23:59:59",
+        "granularity_sqla": "ts",
+    })
+    assert out.count() == 0
+    for bad in ("Next week", "DATEADD(DATETIME('today'), -7, day)",
+                "yesterday"):
+        with _pytest.raises(ValueError, match="time_range"):
+            compile_form_data(df, {
+                "query_mode": "raw",
+                "time_range": bad,
+                "granularity_sqla": "ts",
+            })
+    with _pytest.raises(ValueError, match="anchor"):
         compile_form_data(df, {
             "query_mode": "raw",
             "time_range": "Last week",
+            "time_range_anchor": "not a timestamp",
             "granularity_sqla": "ts",
         })
+
+
+def test_relative_time_range_grammar_paths_agree(spark):
+    """Every supported relative phrase resolves to the SAME bounds on
+    the Catalyst and SQL-text paths (one resolver feeds both), with
+    the documented semantics: common frames anchor at midnight,
+    previous-calendar frames at the calendar boundary (ISO Monday
+    week), custom 'Last N <unit>' at the raw anchor instant, and
+    month math clamps the day into the target month."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    rows = [
+        (1, "2024-01-22 00:00:00"),  # Monday, prev-cal-week start
+        (2, "2024-01-25 13:00:00"),
+        (3, "2024-01-28 23:59:59"),  # Sunday, prev-cal-week end
+        (4, "2024-01-29 00:00:00"),  # anchor midnight (excluded)
+        (5, "2024-01-29 08:00:00"),  # before raw anchor
+        (6, "2023-12-31 23:00:00"),  # previous calendar month/year
+        (7, "2023-01-15 00:00:00"),  # previous calendar year only
+    ]
+    df = spark.createDataFrame(rows, "id long, s string").selectExpr(
+        "id", "cast(s as timestamp_ntz) as ts"
+    )
+    df.createOrReplaceTempView("rel_range_t")
+    anchor = "2024-01-29 10:30:00"  # a Monday, mid-morning
+    expected = {
+        "Last week": {1, 2, 3},          # [01-22 00:00, 01-29 00:00)
+        "previous calendar week": {1, 2, 3},  # identical on a Monday
+        "Last 7 days": {2, 3, 4, 5},     # raw-anchor window: since
+                                         # 01-22 10:30 excludes row 1
+        "Last day": {3},                 # [01-28, 01-29)
+        "previous calendar month": {6},  # [12-01, 01-01)
+        "previous calendar year": {6, 7},
+        "Last 12 hours": {3, 4, 5},      # since 01-28 22:30
+        "Last month": {1, 2, 3, 6},      # [2023-12-29, 01-29)
+    }
+    for rng, want in expected.items():
+        fd = {
+            "query_mode": "raw",
+            "all_columns": ["id"],
+            "time_range": rng,
+            "time_range_anchor": anchor,
+            "granularity_sqla": "ts",
+        }
+        got_cat = {r.id for r in compile_form_data(df, fd).collect()}
+        got_sql = {
+            r.id
+            for r in spark.sql(
+                form_data_to_sql("rel_range_t", fd)).collect()
+        }
+        assert got_cat == want, (rng, got_cat)
+        assert got_sql == want, (rng, got_sql)
+
+
+def test_time_range_endpoints_paths_agree(spark):
+    """SIP-15 time_range_endpoints: the default is [inclusive,
+    exclusive); explicit pairs flip each bound on BOTH paths;
+    'unknown' (pre-SIP-15) refuses."""
+    import pytest as _pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),
+         (3, "2024-01-03 00:00:00")],
+        "id long, s string",
+    ).selectExpr("id", "cast(s as timestamp_ntz) as ts")
+    df.createOrReplaceTempView("ep_range_t")
+    base = {
+        "query_mode": "raw",
+        "all_columns": ["id"],
+        "granularity_sqla": "ts",
+        "time_range": "2024-01-01 00:00:00 : 2024-01-03 00:00:00",
+    }
+    cases = [
+        (None, {1, 2}),
+        (["inclusive", "exclusive"], {1, 2}),
+        (["inclusive", "inclusive"], {1, 2, 3}),
+        (["exclusive", "exclusive"], {2}),
+        (["exclusive", "inclusive"], {2, 3}),
+    ]
+    for eps, want in cases:
+        fd = dict(base)
+        if eps is not None:
+            fd["time_range_endpoints"] = eps
+        got_cat = {r.id for r in compile_form_data(df, fd).collect()}
+        got_sql = {
+            r.id
+            for r in spark.sql(
+                form_data_to_sql("ep_range_t", fd)).collect()
+        }
+        assert got_cat == want == got_sql, (eps, got_cat, got_sql)
+    for bad in (["unknown", "exclusive"], ["inclusive"], "inclusive"):
+        with _pytest.raises(ValueError, match="endpoints"):
+            compile_form_data(
+                df, {**base, "time_range_endpoints": bad})
 
 
 def test_dashboard_position_has_root(spark):
