@@ -920,7 +920,7 @@ class Engine:
     # Engine.sql path keeps Spark's native shapes.
 
     _TRINO_SHOW_RE = re.compile(
-        r"^\s*SHOW\s+(CATALOGS|SCHEMAS|TABLES|COLUMNS)\b"
+        r"^\s*SHOW\s+(CATALOGS|SCHEMAS|TABLES|COLUMNS|FUNCTIONS)\b"
         r'(?:\s+(?:FROM|IN)\s+("?[\w.]+"?))?'
         r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*;?\s*$",
         re.IGNORECASE,
@@ -947,6 +947,69 @@ class Engine:
         )
         return [n for n in names if rx.match(n)]
 
+    def _catalog_names(self) -> set[str]:
+        """The ONE catalog set every catalog-shaped answer serves
+        (SHOW CATALOGS, SHOW SCHEMAS FROM validation; the wire
+        server's _known_catalogs reads the same shape) — the two
+        built-ins plus whatever the Spark session has registered."""
+        cats = {self._INFO_CATALOG, "spark_catalog"}
+        try:
+            cats |= {c.name for c in self.spark.catalog.listCatalogs()}
+        except Exception:
+            pass
+        return cats
+
+    #: window-ranking functions Spark files under plain
+    #: ``expressions`` (no package marker to classify by)
+    _WINDOW_FN_NAMES = frozenset({
+        "rank", "dense_rank", "row_number", "percent_rank",
+        "cume_dist", "ntile", "lag", "lead", "nth_value",
+    })
+
+    #: per-row nondeterministic builtins (Trino's Deterministic
+    #: column means "same arguments -> same value")
+    _NONDETERMINISTIC_FN_NAMES = frozenset({
+        "rand", "randn", "random", "uuid", "shuffle",
+        "monotonically_increasing_id", "randstr", "uniform",
+    })
+
+    def _show_functions(self, like: str | None) -> DataFrame:
+        """Trino's ``SHOW FUNCTIONS`` output shape (Function, Return
+        Type, Argument Types, Function Type, Deterministic,
+        Description) over THIS engine's function catalog — the
+        statement Superset's SQL Lab autocomplete issues. Documented
+        divergence: the function INVENTORY is Spark's, not Trino's
+        (autocomplete must reflect what actually executes here), and
+        Return/Argument Types are served empty — Spark resolves
+        signatures per call site (many builtins accept any orderable
+        type), so any single printed signature would be wrong.
+        Function Type classifies from the implementing class's
+        package (aggregate) plus the ranking-function names Spark
+        files under plain expressions (window); generators register
+        as scalar, matching how they compose in a SELECT list."""
+        rows = []
+        for f in self.spark.catalog.listFunctions():
+            cls = f.className or ""
+            if ".aggregate." in cls:
+                ftype = "aggregate"
+            elif f.name.lower() in self._WINDOW_FN_NAMES:
+                ftype = "window"
+            else:
+                ftype = "scalar"
+            rows.append((
+                f.name, "", "", ftype,
+                f.name.lower() not in self._NONDETERMINISTIC_FN_NAMES,
+                f.description or "",
+            ))
+        names = self._like_filter(sorted(r[0] for r in rows), like)
+        keep = set(names)
+        return self.spark.createDataFrame(
+            sorted((r for r in rows if r[0] in keep)),
+            "Function string, `Return Type` string, "
+            "`Argument Types` string, `Function Type` string, "
+            "Deterministic boolean, Description string",
+        )
+
     def _resolve_trino_show(self, text: str) -> DataFrame | None:
         """Serve SHOW CATALOGS/SCHEMAS/TABLES/COLUMNS with Trino's
         output shape (column spellings and types), or None when the
@@ -970,16 +1033,14 @@ class Engine:
             )
 
         if kind == "CATALOGS":
-            cats = {self._INFO_CATALOG, "spark_catalog"}
-            try:
-                cats |= {c.name for c in self.spark.catalog.listCatalogs()}
-            except Exception:
-                pass
-            return one_col("Catalog", list(cats))
+            return one_col("Catalog", list(self._catalog_names()))
         if kind == "SCHEMAS":
-            if target is not None and target.lower() not in (
-                self._INFO_CATALOG.lower(), "spark_catalog"
-            ):
+            # validate against the SAME catalog set SHOW CATALOGS
+            # serves (r12 ADVICE: a catalog listed there could be
+            # refused here when only the two built-ins were checked)
+            if target is not None and target.lower() not in {
+                c.lower() for c in self._catalog_names()
+            }:
                 raise ValueError(f"unknown catalog: {target!r}")
             schemas = {self.default_schema, "information_schema"}
             try:
@@ -988,6 +1049,8 @@ class Engine:
             except Exception:
                 pass
             return one_col("Schema", list(schemas))
+        if kind == "FUNCTIONS":
+            return self._show_functions(like)
         if kind == "TABLES":
             schema = (target or self.default_schema).lower()
             # a catalog-qualified FROM (iceberg.demo) folds to the

@@ -74,7 +74,7 @@ import re
 import threading
 import uuid
 from contextlib import contextmanager
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import quote, unquote
@@ -452,13 +452,7 @@ class TrinoWireServer:
         """Catalog names a client may connect with: the reference's
         ``iceberg`` (init_db.py:8-9 URI), Spark's own, and any
         catalog actually registered on the session."""
-        known = {self.engine._INFO_CATALOG.lower(), "spark_catalog"}
-        try:
-            known |= {c.name.lower()
-                      for c in self.engine.spark.catalog.listCatalogs()}
-        except Exception:
-            pass
-        return known
+        return {c.lower() for c in self.engine._catalog_names()}
 
     def _schema_database(self, catalog: str | None,
                          schema: str | None) -> str | None:
@@ -503,13 +497,21 @@ class TrinoWireServer:
         re.IGNORECASE,
     )
 
-    def _resolve_runtime_queries(self, text: str) -> str:
-        """Materialize the statement log as a temp view and rewrite
+    def _resolve_runtime_queries(self, text: str, qid: str) -> str:
+        """Materialize the statement log as a PER-STATEMENT temp view
+        (``__system_runtime_queries_<qid>``) and rewrite
         ``system.runtime.queries`` references onto it (literal-aware).
         Columns are the Trino subset a client actually reads:
         query_id, state, user, query, created, finished — the
         in-flight introspection statement itself shows RUNNING,
-        exactly as on a Trino coordinator."""
+        exactly as on a Trino coordinator.
+
+        Keying the view by qid makes concurrent readers airtight:
+        with a session-global name, two concurrent statements could
+        each replace the view before the other collected, so one
+        served the other's snapshot (r12 ADVICE). The caller drops
+        the view after execution; the snapshot itself is taken under
+        ``self._lock``, the same lock every record mutation holds."""
         from hands_on_trino_iceberg_superset_spark.dialect import (
             _outside_literals,
         )
@@ -530,16 +532,15 @@ class TrinoWireServer:
                  r["created"], r["finished"])
                 for r in self._stmt_log
             ]
+        view = f"__system_runtime_queries_{qid}"
         self.engine.spark.createDataFrame(
             rows,
             "query_id string, state string, user string, "
             "query string, created timestamp, finished timestamp",
-        ).createOrReplaceTempView("__system_runtime_queries")
+        ).createOrReplaceTempView(view)
         return _outside_literals(
             text,
-            lambda seg: self._RUNTIME_QUERIES_RE.sub(
-                "__system_runtime_queries", seg,
-            ),
+            lambda seg: self._RUNTIME_QUERIES_RE.sub(view, seg),
         )
 
     def _execute(self, sql_text: str,
@@ -553,9 +554,14 @@ class TrinoWireServer:
         (the record is visible to system.runtime.queries as RUNNING
         while the statement executes, then FINISHED/FAILED)."""
         qid = uuid.uuid4().hex
+        # tz-AWARE instants (r12 ADVICE): a naive utcnow() would be
+        # reinterpreted in the Spark session timezone at
+        # createDataFrame, shifting created/finished by the TZ
+        # offset on non-UTC sessions (utcnow is also deprecated)
         rec = {
             "query_id": qid, "state": "RUNNING", "user": user or "",
-            "query": sql_text, "created": datetime.utcnow(),
+            "query": sql_text,
+            "created": datetime.now(timezone.utc),
             "finished": None,
         }
         with self._lock:
@@ -564,9 +570,12 @@ class TrinoWireServer:
         payload, hdrs = self._execute_inner(
             qid, sql_text, prepared, session, catalog, schema
         )
-        rec["state"] = ("FAILED" if "error" in payload
-                        else "FINISHED")
-        rec["finished"] = datetime.utcnow()
+        # record mutations hold the same lock the snapshot reader
+        # takes — no torn RUNNING/finished fields across threads
+        with self._lock:
+            rec["state"] = ("FAILED" if "error" in payload
+                            else "FINISHED")
+            rec["finished"] = datetime.now(timezone.utc)
         return payload, hdrs
 
     def _execute_inner(self, qid: str, sql_text: str,
@@ -773,7 +782,7 @@ class TrinoWireServer:
                 sql_text = _substitute_params(prepared[name], args)
             confs = self._session_confs(session or {})
             database = self._schema_database(catalog, schema)
-            sql_text = self._resolve_runtime_queries(sql_text)
+            sql_text = self._resolve_runtime_queries(sql_text, qid)
             with self._apply_confs(confs, database=database):
                 df = self.engine.trino_sql(sql_text)
                 columns = [
@@ -798,6 +807,16 @@ class TrinoWireServer:
                 },
                 "stats": {"state": "FAILED"},
             }, [])
+        finally:
+            # per-statement snapshot view (rows are materialized by
+            # now); the name appears in the resolved text iff the
+            # view was created — no catalog round-trip otherwise
+            view = f"__system_runtime_queries_{qid}"
+            if view in sql_text:
+                try:
+                    self.engine.spark.catalog.dropTempView(view)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
         q = _Query(qid, columns, rows)
         with self._lock:
             self._queries[qid] = q

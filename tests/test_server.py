@@ -823,6 +823,93 @@ def test_system_runtime_queries(server):
     assert rows == [["system.runtime.queries"]]
 
 
+def test_runtime_queries_concurrent_clients(server):
+    """Two clients referencing system.runtime.queries CONCURRENTLY
+    each see their own statement as RUNNING (r12 ADVICE: with a
+    session-global snapshot view, one statement could replace the
+    view after the other resolved but before it collected, serving
+    a snapshot taken before that statement's record existed). The
+    snapshot view is keyed per query id and dropped afterwards."""
+    import threading
+
+    results: dict[int, object] = {}
+    barrier = threading.Barrier(4)
+
+    def go(rnd: int, tag: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            # the marker appears ONLY in this statement's own text
+            # (round-unique), so the only possible match is this
+            # statement itself — present iff the snapshot postdates
+            # our log record
+            _, rows = _drain(server, (
+                "SELECT state FROM system.runtime.queries "
+                f"WHERE query LIKE '%concmark_{rnd}_{tag}%'"
+            ))
+            results[tag] = rows
+        except Exception as exc:  # noqa: BLE001 — surface in assert
+            results[tag] = exc
+
+    for rnd in range(3):
+        results.clear()
+        barrier.reset()
+        threads = [threading.Thread(target=go, args=(rnd, i))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for tag in range(4):
+            assert results.get(tag) == [["RUNNING"]], results
+    # the per-statement snapshot views were dropped
+    leftovers = [
+        t.name
+        for t in server.engine.spark.catalog.listTables()
+        if t.name.startswith("__system_runtime_queries")
+    ]
+    assert leftovers == []
+
+
+def test_show_functions_over_wire(server):
+    """SHOW FUNCTIONS in Trino's exact column shape (the statement
+    SQL Lab autocomplete issues). Documented divergence: the
+    inventory is Spark's (what actually executes here) and
+    Return/Argument Types are empty — Spark resolves signatures per
+    call site."""
+    cols, rows = _drain(server, "SHOW FUNCTIONS")
+    assert [c["name"] for c in cols] == [
+        "Function", "Return Type", "Argument Types",
+        "Function Type", "Deterministic", "Description",
+    ]
+    by_name = {r[0]: r for r in rows}
+    assert len(rows) > 300  # the real function catalog, not a stub
+    assert by_name["sum"][3] == "aggregate"
+    assert by_name["abs"][3] == "scalar"
+    assert by_name["row_number"][3] == "window"
+    assert by_name["abs"][4] is True
+    assert by_name["rand"][4] is False
+    assert "absolute value" in by_name["abs"][5]
+    # LIKE filters the listing, SQL-LIKE semantics
+    _, some = _drain(server, "SHOW FUNCTIONS LIKE 'approx%'")
+    assert {r[0] for r in some} >= {"approx_count_distinct",
+                                    "approx_percentile"}
+    assert all(r[0].startswith("approx") for r in some)
+
+
+def test_show_schemas_accepts_every_listed_catalog(server):
+    """Consistency property (r12 ADVICE): every catalog SHOW CATALOGS
+    lists must be accepted by SHOW SCHEMAS FROM it — one catalog set
+    serves both answers. Unknown catalogs still refuse."""
+    _, cats = _drain(server, "SHOW CATALOGS")
+    assert cats
+    for (cat,) in cats:
+        _, schemas = _drain(server, f"SHOW SCHEMAS FROM {cat}")
+        assert schemas  # at least default + information_schema
+    bad = _post(server, "SHOW SCHEMAS FROM nope_catalog")
+    assert bad["stats"]["state"] == "FAILED"
+    assert "unknown catalog" in bad["error"]["message"]
+
+
 def test_bare_describe_is_show_columns(server, spark):
     """Trino's bare DESCRIBE t / DESC t alias SHOW COLUMNS FROM t —
     same Column/Type/Extra/Comment shape over the wire; Spark's own
