@@ -278,33 +278,51 @@ class Engine:
         in the default schema (they ARE the engine's demo tables),
         database-cataloged tables in their database. Engine-internal
         twin views (``__meta_*``, ``__information_schema_*``) stay
-        hidden. Driver-side by design: catalog metadata, never data."""
-        cat = self.spark.catalog
+        hidden. Driver-side by design: catalog metadata, never data.
+
+        Listed via ``SHOW TABLES`` / ``SHOW VIEWS`` collects — one
+        JVM round trip per statement — NOT ``catalog.listTables``,
+        which marshals a full Table object per entry over py4j
+        (3.3 s vs 0.6 s at a 2k-view catalog; this listing runs in
+        every introspection statement's cache key, so it IS the warm
+        path — tools/infoschema_cache_bench.py). ``is_view`` keeps
+        the prior ``tableType == "VIEW"`` semantics: permanent views
+        count, direct temp views don't (engine-registered views are
+        tracked in ``self._views``)."""
         try:
-            dbs = [d.name for d in cat.listDatabases()]
+            dbs = [d.name for d in self.spark.catalog.listDatabases()]
         except Exception:
             dbs = []
         entries: dict[tuple[str, str], tuple[str, str, str, bool]] = {}
         for db in [None, *dbs]:
+            suffix = f" IN `{db}`" if db else ""
             try:
-                tables = cat.listTables(db) if db else cat.listTables()
+                tables = self.spark.sql(
+                    "SHOW TABLES" + suffix).collect()
+                perm_views = {
+                    r.viewName.lower()
+                    for r in self.spark.sql(
+                        "SHOW VIEWS" + suffix).collect()
+                    if not r.isTemporary
+                }
             except Exception:
                 continue
             for t in tables:
-                if t.name.startswith("__"):
+                name = t.tableName
+                if name.startswith("__"):
                     continue
                 if t.isTemporary and not t.namespace:
-                    schema, resolvable = self.default_schema, t.name
+                    schema, resolvable = self.default_schema, name
                 else:
-                    schema = t.namespace[0] if t.namespace \
-                        else self.default_schema
-                    resolvable = f"{schema}.{t.name}"
-                key = (schema.lower(), t.name.lower())
+                    schema = t.namespace or self.default_schema
+                    resolvable = f"{schema}.{name}"
+                key = (schema.lower(), name.lower())
                 if key in entries:
                     continue
-                is_view = (t.name.lower() in self._views
-                           or t.tableType == "VIEW")
-                entries[key] = (schema, t.name, resolvable, is_view)
+                is_view = (name.lower() in self._views
+                           or (not t.isTemporary
+                               and name.lower() in perm_views))
+                entries[key] = (schema, name, resolvable, is_view)
         return sorted(entries.values())
 
     #: statement heads that can evolve catalog metadata — bump the
@@ -332,9 +350,14 @@ class Engine:
         list catches tables/views added or dropped OUTSIDE the engine
         (direct ``createOrReplaceTempView``); the version counter
         catches same-name schema evolution routed through
-        :meth:`sql` (ALTER, CREATE OR REPLACE, CALL). A same-name
-        schema swap done directly on the SparkSession between two
-        introspection statements is the one documented staleness."""
+        :meth:`sql` (ALTER, CREATE OR REPLACE, CALL); and the
+        temp-view plan digest (:meth:`_temp_view_digest`) catches
+        same-name swaps done DIRECTLY on the SparkSession — the
+        repo's dominant view-registration pattern (r12 ADVICE closed
+        that staleness window). The digest is one catalog hash-code
+        lookup per temp view — no schema analysis — so the key stays
+        cheap where it scales (global tables are DDL-versioned and
+        cost nothing; see tools/infoschema_cache_bench.py)."""
         from hands_on_trino_iceberg_superset_spark.dialect import (
             _outside_literals,
         )
@@ -355,6 +378,7 @@ class Engine:
             self._infoschema_state["version"],
             tuple(entries),
             tuple(sorted(self._views.items())),
+            self._temp_view_digest(entries),
         )
         built: dict = self._infoschema_state["built"]
         stale = {k for k in kinds if built.get(k) != key}
@@ -370,6 +394,41 @@ class Engine:
                 seg,
             ),
         )
+
+    def _temp_view_digest(self, entries: list) -> tuple:
+        """Per-temp-view SCHEMA digest for the snapshot cache key:
+        the session catalog's stored plan's StructType content hash —
+        a few py4j lookups per temp view, NO table analysis. A
+        same-name ``createOrReplaceTempView`` swap that changes the
+        schema re-digests (rebuild); a swap to an identically-shaped
+        view doesn't — which is exactly right, because
+        information_schema serves schema metadata only. The SCHEMA
+        hash is the digest (StructType is content-hashed) rather
+        than the plan object's own hash: SQL-text temp views
+        re-instantiate their stored plan per catalog lookup with
+        fresh expression ids, so a plan-object hash flaps and would
+        rebuild on every statement. Undigestable views fall back to
+        a constant — degrading THAT view to the r12 documented
+        staleness, never to per-statement rebuilds. Global
+        (non-temp) tables are excluded: their evolution is
+        DDL-versioned, so the digest's cost scales with temp-view
+        count only (tools/infoschema_cache_bench.py)."""
+        out = []
+        try:
+            jcat = self.spark._jsparkSession.sessionState().catalog()
+        except Exception:
+            return ()
+        for schema, name, resolvable, _ in entries:
+            if "." in resolvable:
+                continue  # database-cataloged: DDL-versioned
+            try:
+                opt = jcat.getTempView(name)
+                h = (opt.get().schema().hashCode()
+                     if opt.isDefined() else 0)
+                out.append((name, h))
+            except Exception:
+                out.append((name, -1))
+        return tuple(out)
 
     def _build_information_schema(self, kinds: set[str],
                                   entries: list) -> None:

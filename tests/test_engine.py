@@ -586,6 +586,19 @@ def test_information_schema_snapshot_cache(spark, tmp_path):
         "WHERE table_name = 'isc_cache_v'"
     ).collect()[0].n == 3
     assert len(builds) == n_before + 1
+    # same-name temp-view swap DIRECTLY on the SparkSession (not
+    # through Engine.sql — the repo's dominant registration pattern,
+    # r12 ADVICE): the plan digest invalidates, and the snapshot
+    # reflects the new schema
+    n_before = len(builds)
+    spark.createDataFrame([(1, "a", 2.5)],
+                          "id long, k string, extra double") \
+        .createOrReplaceTempView("isc_cache_t")
+    assert eng.sql(stmt).collect()[0].n == 3
+    assert len(builds) == n_before + 1
+    # ...and the swap-invalidated key is itself stable afterwards
+    eng.sql(stmt).collect()
+    assert len(builds) == n_before + 1
     # a second Engine over the same session shares the cache state
     eng2 = Engine(spark)
     assert eng2._infoschema_state is eng._infoschema_state
