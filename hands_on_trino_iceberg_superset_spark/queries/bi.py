@@ -1003,3 +1003,100 @@ def bi_chart_time_range_relative(spark: SparkSession,
         catalyst.unionAll(via_sql).distinct()
         .withColumn("sum_value", dbl(F.col("sum_value")))
     )
+
+
+def _hybrid_chart_oracle() -> str:
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        _HYBRID_RANKED_SQL,
+    )
+
+    return f"""
+    WITH {_HYBRID_RANKED_SQL}
+    SELECT d.source AS source,
+           count(*) AS count,
+           CAST(sum(CASE WHEN h.r_lex IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS lex_hits,
+           CAST(sum(CASE WHEN h.r_vec IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vec_hits
+    FROM hranked h JOIN documents d ON h.doc_id = d.doc_id
+    WHERE h.rank <= 10
+    GROUP BY d.source
+    ORDER BY count DESC, source
+    """
+
+
+@register(
+    "bi_chart_hybrid_topk",
+    oracle=_hybrid_chart_oracle(),
+    doc="A BI chart over SQL-reachable HYBRID retrieval — closing "
+        "the retrieval family's BI seam (ann + bm25 charts shipped "
+        "r11/r12): the virtual dataset's defining SQL calls "
+        "TABLE(hybrid_topk(docs => ..., corpus => ..., "
+        "queries => ..., k => 10)) and joins fused hits back to the "
+        "corpus; the chart counts hybrid hits per source and how "
+        "many arrived with a lexical / vector rank (arm-coverage "
+        "flags as exact 0/1 integer sums — no float aggregation). "
+        "The dashboard a retrieval team watches to see which corpus "
+        "sources each arm actually surfaces. The oracle replays "
+        "BM25, exact cosine, RRF fusion, the top-10 window, the "
+        "metadata join, and the aggregate in SQL "
+        "(queries/text.py:_HYBRID_RANKED_SQL, shared with "
+        "sql_hybrid_topk).",
+)
+def bi_chart_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("bi_hyb_docs_v")
+    emb.createOrReplaceTempView("bi_hyb_corpus_v")
+    (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(
+                    F.filter(F.split("text", " "), lambda w: w != ""),
+                    1, 3,
+                ),
+                " ",
+            ).alias("qtext"),
+            F.col("embedding").alias("qvec"),
+        )
+    ).createOrReplaceTempView("bi_hyb_queries_v")
+    ds = Database("spark", Engine(spark)).dataset(
+        "hybrid_hits",
+        sql=(
+            "SELECT d.source AS source, "
+            "CASE WHEN h.r_lex IS NOT NULL THEN 1 ELSE 0 END "
+            "AS lex_hit, "
+            "CASE WHEN h.r_vec IS NOT NULL THEN 1 ELSE 0 END "
+            "AS vec_hit "
+            "FROM TABLE(hybrid_topk(docs => 'bi_hyb_docs_v', "
+            "corpus => 'bi_hyb_corpus_v', "
+            "queries => 'bi_hyb_queries_v', k => 10)) h "
+            "JOIN bi_hyb_docs_v d ON h.doc_id = d.doc_id"
+        ),
+    )
+    return compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["source"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "lex_hit",
+                 "label": "lex_hits"},
+                {"aggregate": "SUM", "column": "vec_hit",
+                 "label": "vec_hits"},
+            ],
+            "order_by": [["count", False], ["source", True]],
+        },
+    )

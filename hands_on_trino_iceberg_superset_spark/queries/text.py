@@ -1381,10 +1381,12 @@ def sql_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sql_hybrid_topk",
-    oracle=f"""
-    WITH {_BM25_SCORED_SQL},
+#: the full hybrid-retrieval CTE chain (BM25 arm + exact-cosine arm +
+#: RRF fusion + per-query rank), shared by sql_hybrid_topk's oracle
+#: and the BI chart over it (queries/bi.py:bi_chart_hybrid_topk) —
+#: terminal CTE ``hranked`` carries (qid, doc_id, r_lex, r_vec, rrf,
+#: rank)
+_HYBRID_RANKED_SQL = f"""{_BM25_SCORED_SQL},
     anchors AS (
       SELECT d.doc_id AS qid, e.embedding::DOUBLE[] AS v
       FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -1441,13 +1443,21 @@ def sql_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
       FROM lex l FULL OUTER JOIN vec v
         ON l.qid = v.qid AND l.doc_id = v.doc_id
-    )
-    SELECT qid, rank, doc_id, r_lex, r_vec, rrf FROM (
+    ),
+    hranked AS (
       SELECT qid, doc_id, r_lex, r_vec, rrf,
              row_number() OVER (PARTITION BY qid
                                 ORDER BY rrf DESC, doc_id) AS rank
       FROM fused
-    ) WHERE rank <= 10
+    )"""
+
+
+@register(
+    "sql_hybrid_topk",
+    oracle=f"""
+    WITH {_HYBRID_RANKED_SQL}
+    SELECT qid, rank, doc_id, r_lex, r_vec, rrf FROM hranked
+    WHERE rank <= 10
     """,
     doc="HYBRID retrieval reached from PLAIN SQL: "
         "TABLE(hybrid_topk(docs => ..., corpus => ..., "

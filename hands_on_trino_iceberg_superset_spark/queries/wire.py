@@ -1055,3 +1055,49 @@ def wire_session_context(spark: SparkSession, sf_dir: str) -> DataFrame:
            for r in db_rows],
         "ctx string, grp string, n_orders long, total_price double",
     ).orderBy("ctx", "grp")
+
+
+@register(
+    "wire_show_functions",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('abs',        'scalar',    true),
+      ('avg',        'aggregate', true),
+      ('lower',      'scalar',    true),
+      ('rand',       'scalar',    false),
+      ('row_number', 'window',    true),
+      ('sum',        'aggregate', true)
+    ) AS t(function, function_type, deterministic)
+    ORDER BY function
+    """,
+    doc="Trino's SHOW FUNCTIONS over the wire (r13; the statement "
+        "SQL Lab autocomplete issues) — served in Trino's six-column "
+        "shape from Spark's own function catalog (engine."
+        "_show_functions). The full inventory is engine-specific by "
+        "design (autocomplete must reflect what actually executes "
+        "here; Return/Argument Types are empty because Spark "
+        "resolves signatures per call site), so the oracle pins a "
+        "six-function subset spanning every classification the "
+        "surface makes: scalar/aggregate/window and the "
+        "deterministic flag. The row drains the statement over real "
+        "HTTP and filters to the pinned names client-side; the "
+        "shape itself (all six columns, >300 functions) is gated in "
+        "tests/test_server.py::test_show_functions_over_wire.",
+)
+def wire_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    pinned = {"abs", "avg", "lower", "rand", "row_number", "sum"}
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(srv.url, "SHOW FUNCTIONS")
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], r[3], bool(r[4])) for r in rows if r[0] in pinned],
+        "function string, function_type string, deterministic boolean",
+    ).orderBy("function")
