@@ -132,11 +132,9 @@ def _validate_compare_contribution(form_data: Mapping[str, Any],
     if offsets and contrib:
         raise ValueError(
             "time_compare with contributionMode is not supported")
-    if offsets and form_data.get("time_range") not in (None,
-                                                       "No filter"):
-        raise ValueError(
-            "time_compare with an explicit time_range needs a "
-            "shifted-range fetch; not supported")
+    # time_compare WITH a time_range is the shifted-range fetch:
+    # each offset arm reads [start-off, end-off) from the pre-range
+    # frame (r13; both paths), so no extra validation here
     if contrib and contrib not in ("row", "series"):
         raise ValueError(f"unsupported contributionMode: {contrib!r}")
     for off in offsets:
@@ -387,13 +385,17 @@ def _iso_bound_re():
 
 
 def _resolved_time_bounds(
-    form_data: Mapping[str, Any]
+    form_data: Mapping[str, Any],
+    shift: tuple[int, str] | None = None,
 ) -> tuple[str, str] | None:
     """``time_range`` -> validated (start, end) ISO bound strings
     (either possibly empty), or None for no filtering. One resolver
     for both compilation paths — relative phrases land here already
     normalized, so a bound failing the ISO shape is grammar the
-    compiler does not model."""
+    compiler does not model. ``shift=(n, unit)`` moves both bounds
+    BACK by the offset (time_compare's shifted-range fetch: the
+    offset arm reads [start-off, end-off) so its re-labelled buckets
+    cover the whole main window)."""
     rng = _normalized_time_range(form_data)
     if rng in (None, "No filter"):
         return None
@@ -411,6 +413,16 @@ def _resolved_time_bounds(
             raise ValueError(
                 f"time_range bound {bound!r} is not an ISO timestamp"
             )
+    if shift is not None:
+        from datetime import datetime
+
+        n, unit = shift
+        start, end = (
+            _fmt_bound(_minus_units(datetime.fromisoformat(b),
+                                    n, unit.lower()))
+            if b else b
+            for b in (start, end)
+        )
     return start, end
 
 
@@ -433,18 +445,20 @@ def _range_endpoints(form_data: Mapping[str, Any]) -> tuple[str, str]:
 
 
 def _apply_time_range(
-    df: DataFrame, form_data: Mapping[str, Any]
+    df: DataFrame, form_data: Mapping[str, Any],
+    shift: tuple[int, str] | None = None,
 ) -> DataFrame:
     """``time_range`` filter hook. ``"No filter"`` (the reference's
     only value, init_db.py:147) is a no-op; ``"<start> : <end>"``
     ISO bounds and Superset's relative phrases (resolved against the
     injectable anchor) filter ``granularity_sqla`` with
     ``time_range_endpoints`` inclusivity (default [inclusive,
-    exclusive])."""
+    exclusive]). ``shift`` selects a time_compare offset arm's
+    shifted window."""
     time_col = form_data.get("granularity_sqla")
     if not time_col:
         return df
-    bounds = _resolved_time_bounds(form_data)
+    bounds = _resolved_time_bounds(form_data, shift=shift)
     if bounds is None:
         return df
     start, end = bounds
@@ -604,8 +618,11 @@ def compile_form_data(
         # (pct selection, rolling selection, final ordering)
         return _metric_label(c) if not isinstance(c, str) else c
 
-    df = _apply_time_range(df, form_data)
-    df = _apply_adhoc_filters(df, form_data)
+    # adhoc filters first, time range second: the pre-range frame
+    # (df_pre) is what a time_compare offset arm re-reads with its
+    # SHIFTED window — it must carry every non-time filter
+    df_pre = _apply_adhoc_filters(df, form_data)
+    df = _apply_time_range(df_pre, form_data)
     mode = form_data.get("query_mode", "raw")
     row_limit = form_data.get("row_limit")
     order_by: Sequence[Sequence[Any]] = form_data.get("order_by") or []
@@ -695,17 +712,28 @@ def compile_form_data(
             # re-run with every timestamp shifted FORWARD by the
             # offset, left-joined back on (__timestamp, series keys)
             # — the value of a bucket one offset ago lands beside
-            # the current bucket as <metric>__<offset>. Both sides
-            # aggregate on identical keys, so the join is
-            # bucket-count-sized (chart-scale) however big the fact
-            # table is; at 100 TB both aggregates are one linear
-            # pass each.
+            # the current bucket as <metric>__<offset>. With an
+            # explicit/relative time_range, each offset arm reads
+            # the SHIFTED window [start-off, end-off) from the
+            # pre-range frame (Superset's shifted-range fetch) so
+            # every main bucket — including the window's first —
+            # finds its one-offset-ago value. Both sides aggregate
+            # on identical keys, so the join is bucket-count-sized
+            # (chart-scale) however big the fact table is; at 100 TB
+            # both aggregates are one linear pass each.
             labels = [_metric_label(m) for m in metrics]
             for off in offsets:
                 n, u = _parse_time_offset(off)
                 sfx = _offset_suffix(off)
+                arm = _apply_time_range(
+                    df_pre, form_data, shift=(n, u)
+                ).withColumn(
+                    TIME_LABEL,
+                    F.date_trunc(unit,
+                                 F.col(form_data["granularity_sqla"])),
+                )
                 shifted = (
-                    df.withColumn(
+                    arm.withColumn(
                         TIME_LABEL,
                         F.timestamp_add(u, F.lit(n),
                                         F.col(TIME_LABEL)))
@@ -941,16 +969,20 @@ def _metric_sql(metric: str | Mapping[str, Any]) -> tuple[str, str]:
     return f"{fn}({inner})", label
 
 
-def _time_range_sql_conds(form_data: Mapping[str, Any]) -> list[str]:
+def _time_range_sql_conds(
+    form_data: Mapping[str, Any],
+    shift: tuple[int, str] | None = None,
+) -> list[str]:
     """``time_range`` -> WHERE conditions for the SQL-text paths.
     ``_resolved_time_bounds`` resolves relative phrases against the
     injectable anchor AND validates the full ISO shape, so a quote
     smuggled into the form_data blob can't escape the TIMESTAMP
-    literal — same injection posture as ``_sql_ident``."""
+    literal — same injection posture as ``_sql_ident``. ``shift``
+    selects a time_compare offset arm's shifted window."""
     time_col = form_data.get("granularity_sqla")
     if not time_col:
         return []
-    bounds = _resolved_time_bounds(form_data)
+    bounds = _resolved_time_bounds(form_data, shift=shift)
     if bounds is None:
         return []
     start, end = bounds
@@ -986,8 +1018,8 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         raise ValueError("series_limit requires aggregate mode")
     _validate_compare_contribution(form_data, mode)
     resample = _validate_resample(form_data, mode)
-    where_conds = _time_range_sql_conds(form_data) \
-        + _adhoc_filter_sql(form_data)
+    adhoc_conds = _adhoc_filter_sql(form_data)
+    where_conds = _time_range_sql_conds(form_data) + adhoc_conds
     where = (
         " WHERE " + " AND ".join(where_conds) if where_conds else ""
     )
@@ -1116,14 +1148,20 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
         # mirror of the Catalyst path: each offset is the same
         # aggregate with every bucket timestamp shifted FORWARD,
         # left-joined back on (__timestamp, series keys). The offset
-        # subquery carries the WHERE but never the HAVING (the main
-        # side alone decides which groups survive).
+        # subquery carries the adhoc WHERE plus its own SHIFTED time
+        # window (the shifted-range fetch) but never the HAVING or
+        # the series_limit pred (the main side alone decides which
+        # groups survive; the left join drops unmatched arm groups).
         gb_idents = [_sql_ident(c)
                      for c in form_data.get("groupby") or []]
         sel_off, join_sqls = [], []
         for i, off in enumerate(offsets_fd):
             n, u = _parse_time_offset(off)
             sfx = _offset_suffix(off)
+            oconds = _time_range_sql_conds(
+                form_data, shift=(n, u)) + adhoc_conds
+            owhere = (" WHERE " + " AND ".join(oconds)
+                      if oconds else "")
             shift = f"timestampadd({u}, {n}, {trunc})"
             okeys = [f"{shift} AS {TIME_LABEL}", *gb_idents]
             ometrics = [
@@ -1132,7 +1170,7 @@ def form_data_to_sql(table: str, form_data: Mapping[str, Any]) -> str:
             ]
             osql = (
                 f"SELECT {', '.join(okeys + ometrics)} "
-                f"FROM {_sql_ident(table)}{where}"
+                f"FROM {_sql_ident(table)}{owhere}"
                 f" GROUP BY {', '.join([shift, *gb_idents])}"
             )
             cond = " AND ".join(

@@ -1100,3 +1100,78 @@ def bi_chart_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_by": [["count", False], ["source", True]],
         },
     )
+
+
+@register(
+    "bi_chart_time_compare_windowed",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+             event_type, count(*) AS count
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' - INTERVAL 7 DAY
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+      GROUP BY 1, 2
+    ), off AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+               + INTERVAL 1 WEEK AS b,
+             event_type, count(*) AS count__1_week_ago
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' - INTERVAL 14 DAY
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00' - INTERVAL 7 DAY
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cur.b AS VARCHAR) AS __timestamp,
+           cur.event_type, cur.count, off.count__1_week_ago
+    FROM cur LEFT JOIN off
+      ON cur.b = off.b AND cur.event_type = off.event_type
+    ORDER BY __timestamp, cur.event_type
+    """,
+    doc="time_compare WITH a time range — the canonical Superset "
+        "timeseries config ('Last week' + compare '1 week ago') the "
+        "r12 compiler refused: the main arm covers the resolved "
+        "window [anchor-7d, anchor) and each offset arm reads its "
+        "SHIFTED window [anchor-14d, anchor-7d) from the pre-range "
+        "frame (Superset's shifted-range fetch; r13, both compiler "
+        "paths), so every main bucket — including the window's "
+        "first — finds its week-ago value instead of NULL. The row "
+        "UNION DISTINCTs the Catalyst compilation with the SQL-text "
+        "compilation executed over the same view: a path divergence "
+        "grows extra rows and fails the hash gate. The oracle "
+        "derives both windows by its own date arithmetic from the "
+        "pinned anchor. Scale: two chart-sized aggregates, two "
+        "linear scans, never a row-to-row join.",
+)
+def bi_chart_time_compare_windowed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bi_tc_windowed_events_v")
+    fdata = {
+        "viz_type": "echarts_timeseries_line",
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["event_type"],
+        "metrics": ["count"],
+        "time_compare": ["1 week ago"],
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-29 00:00:00",
+    }
+
+    def shape(out: DataFrame) -> DataFrame:
+        return out.select(
+            F.col("__timestamp").cast("string").alias("__timestamp"),
+            "event_type", "count", "count__1_week_ago",
+        )
+
+    catalyst = shape(compile_form_data(ev, fdata))
+    via_sql = shape(spark.sql(
+        form_data_to_sql("bi_tc_windowed_events_v", fdata)
+    ))
+    return (catalyst.unionAll(via_sql).distinct()
+            .orderBy("__timestamp", "event_type"))

@@ -776,6 +776,34 @@ def test_time_compare_compiles_identically_on_both_paths(spark):
     assert by_key[("2024-01-08 00:00:00", "a")] == (1, 2)
     assert by_key[("2024-01-08 00:00:00", "b")] == (1, None)
     assert by_key[("2024-01-01 00:00:00", "a")] == (2, None)
+    # time_compare WITH an explicit time_range: the main arm covers
+    # [Jan 8, Jan 9) ONLY, and the offset arm reads the SHIFTED
+    # window [Jan 1, Jan 2) — so the window's first (and only)
+    # bucket still finds its one-week-ago value (the shifted-range
+    # fetch; a naive impl filtering both arms to the main window
+    # would return NULL everywhere)
+    fd_rng = {**fd, "time_range": "2024-01-08 00:00:00 : "
+                                  "2024-01-09 00:00:00"}
+    native = [tuple(r)
+              for r in compile_form_data(df, fd_rng).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("tc_t", fd_rng)).collect()]
+    assert native == wire
+    by_key = {(str(t), g): (c, prev) for t, g, c, prev in native}
+    assert set(by_key) == {("2024-01-08 00:00:00", "a"),
+                           ("2024-01-08 00:00:00", "b")}
+    assert by_key[("2024-01-08 00:00:00", "a")] == (1, 2)
+    assert by_key[("2024-01-08 00:00:00", "b")] == (1, None)
+    # ...and through a RELATIVE range with a pinned anchor ('Last
+    # day' at Jan 9 midnight = the same [Jan 8, Jan 9) window)
+    fd_rel = {**fd, "time_range": "Last day",
+              "time_range_anchor": "2024-01-09 00:00:00"}
+    native_rel = [tuple(r)
+                  for r in compile_form_data(df, fd_rel).collect()]
+    wire_rel = [tuple(r) for r in
+                spark.sql(form_data_to_sql("tc_t", fd_rel)).collect()]
+    assert native_rel == wire_rel == native
+
     for compiler in (lambda f: compile_form_data(df, f),
                      lambda f: form_data_to_sql("tc_t", f)):
         with pytest.raises(ValueError):
@@ -783,9 +811,6 @@ def test_time_compare_compiles_identically_on_both_paths(spark):
         with pytest.raises(ValueError):  # needs a timeseries chart
             compiler({k: v for k, v in fd.items()
                       if k != "time_grain_sqla"})
-        with pytest.raises(ValueError):  # shifted-range fetch
-            compiler({**fd,
-                      "time_range": "2024-01-01 : 2024-02-01"})
         with pytest.raises(ValueError):  # post-processing order
             compiler({**fd, "percent_metrics": ["count"]})
 
