@@ -299,16 +299,164 @@ def _minus_units(dt, n: int, unit: str):
 
 
 def _trunc_calendar(dt, unit: str):
-    """date_trunc to the start of the ISO week / calendar month /
-    calendar year containing ``dt`` (midnight)."""
+    """date_trunc to the start of the second/minute/hour/day, ISO
+    week, calendar month/quarter/year containing ``dt``."""
     from datetime import timedelta
 
+    if unit == "second":
+        return dt.replace(microsecond=0)
+    if unit == "minute":
+        return dt.replace(second=0, microsecond=0)
+    if unit == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
     day0 = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return day0
     if unit == "week":
         return day0 - timedelta(days=day0.weekday())
     if unit == "month":
         return day0.replace(day=1)
+    if unit == "quarter":
+        return day0.replace(month=day0.month - (day0.month - 1) % 3,
+                            day=1)
     return day0.replace(month=1, day=1)
+
+
+#: units the custom time-range grammar accepts (Superset
+#: date_parser.py's EvalDateAddFunc / EvalDateTruncFunc vocab)
+_GRAMMAR_UNITS = frozenset({
+    "second", "minute", "hour", "day", "week", "month", "quarter",
+    "year",
+})
+
+
+def _parse_range_expr(text: str, anchor):
+    """Superset's ADVANCED ('Custom') time-range expressions — the
+    other thing the picker sends besides ISO bounds and relative
+    phrases: ``today``, ``now``, ``DATETIME('<iso|today|now>')``,
+    ``DATEADD(<expr>, <±n>, <unit>)``, ``DATETRUNC(<expr>, <unit>)``,
+    ``LASTDAY(<expr>, <week|month|year>)``. Recursive descent over
+    that closed grammar; anything else (``HOLIDAY(...)`` needs a
+    holiday calendar) raises. ``now`` is the anchor instant,
+    ``today`` its midnight — same anchoring as the relative
+    phrases."""
+    import calendar as _cal
+    import re
+    from datetime import timedelta
+
+    toks = re.findall(r"[A-Za-z_]+|-?\d+|'[^']*'|\"[^\"]*\"|[(),]",
+                      text)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected: str | None = None) -> str:
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(
+                f"time_range expression {text!r}: unexpected end")
+        tok = toks[pos]
+        pos += 1
+        if expected is not None and tok != expected:
+            raise ValueError(
+                f"time_range expression {text!r}: expected "
+                f"{expected!r}, got {tok!r}")
+        return tok
+
+    def unit_arg(fn: str) -> str:
+        u = take().lower().rstrip("s")
+        if u not in _GRAMMAR_UNITS:
+            raise ValueError(
+                f"time_range expression {text!r}: unknown {fn} "
+                f"unit {u!r}")
+        return u
+
+    def expr():
+        from datetime import datetime
+
+        tok = take()
+        low = tok.lower()
+        if low == "now":
+            return anchor
+        if low == "today":
+            return anchor.replace(hour=0, minute=0, second=0,
+                                  microsecond=0)
+        if low == "datetime":
+            take("(")
+            inner = take()
+            if not (inner[:1] in "'\"" and inner[-1:] == inner[:1]):
+                raise ValueError(
+                    f"time_range expression {text!r}: DATETIME takes "
+                    "a quoted string")
+            take(")")
+            val = inner[1:-1]
+            if val.lower() == "now":
+                return anchor
+            if val.lower() == "today":
+                return anchor.replace(hour=0, minute=0, second=0,
+                                      microsecond=0)
+            try:
+                return datetime.fromisoformat(val)
+            except ValueError:
+                raise ValueError(
+                    f"time_range expression {text!r}: DATETIME "
+                    f"argument {val!r} is not ISO/today/now"
+                ) from None
+        if low == "dateadd":
+            take("(")
+            base = expr()
+            take(",")
+            n = take()
+            try:
+                n = int(n)
+            except ValueError:
+                raise ValueError(
+                    f"time_range expression {text!r}: DATEADD "
+                    f"amount {n!r} is not an integer") from None
+            take(",")
+            u = unit_arg("DATEADD")
+            take(")")
+            return _minus_units(base, -n, u)
+        if low == "datetrunc":
+            take("(")
+            base = expr()
+            take(",")
+            u = unit_arg("DATETRUNC")
+            take(")")
+            return _trunc_calendar(base, u)
+        if low == "lastday":
+            take("(")
+            base = expr()
+            take(",")
+            u = unit_arg("LASTDAY")
+            take(")")
+            if u == "week":  # ISO week: Sunday
+                day0 = base.replace(hour=0, minute=0, second=0,
+                                    microsecond=0)
+                return day0 + timedelta(days=6 - day0.weekday())
+            if u == "month":
+                return base.replace(
+                    day=_cal.monthrange(base.year, base.month)[1],
+                    hour=0, minute=0, second=0, microsecond=0)
+            if u == "year":
+                return base.replace(month=12, day=31, hour=0,
+                                    minute=0, second=0, microsecond=0)
+            raise ValueError(
+                f"time_range expression {text!r}: LASTDAY supports "
+                "week/month/year")
+        raise ValueError(
+            f"unsupported time_range expression {text!r}: the "
+            "grammar is today | now | DATETIME('<iso>') | "
+            "DATEADD(expr, n, unit) | DATETRUNC(expr, unit) | "
+            "LASTDAY(expr, week|month|year)")
+
+    out = expr()
+    if pos != len(toks):
+        raise ValueError(
+            f"time_range expression {text!r}: trailing tokens "
+            f"{toks[pos:]!r}")
+    return out
 
 
 def _range_anchor(form_data: Mapping[str, Any]):
@@ -408,11 +556,18 @@ def _resolved_time_bounds(
             "relative phrase ('Last day/week/month/quarter/year', "
             "'previous calendar week/month/year', 'Last N <unit>')"
         )
+    resolved = []
     for bound in (start, end):
         if bound and not _iso_bound_re().fullmatch(bound):
-            raise ValueError(
-                f"time_range bound {bound!r} is not an ISO timestamp"
+            # Superset's ADVANCED tab: a bound may be a grammar
+            # expression (DATEADD/DATETRUNC/LASTDAY/today/now) —
+            # resolved against the anchor into an ISO string, so the
+            # SQL path's TIMESTAMP literal stays injection-proof
+            bound = _fmt_bound(
+                _parse_range_expr(bound, _range_anchor(form_data))
             )
+        resolved.append(bound)
+    start, end = resolved
     if shift is not None:
         from datetime import datetime
 

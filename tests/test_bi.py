@@ -211,6 +211,68 @@ def test_relative_time_range_grammar_paths_agree(spark):
         assert got_sql == want, (rng, got_sql)
 
 
+def test_custom_time_range_grammar_paths_agree(spark):
+    """Superset's ADVANCED ('Custom') tab sends grammar expressions
+    as bounds — DATEADD/DATETRUNC/LASTDAY over DATETIME/today/now.
+    Both paths resolve them against the anchor; malformed or
+    unsupported grammar (HOLIDAY) refuses."""
+    import pytest as _pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        _parse_range_expr,
+        compile_form_data,
+        form_data_to_sql,
+    )
+    from datetime import datetime
+
+    anchor = datetime.fromisoformat("2024-01-29 10:30:00")
+    cases = {
+        "today": "2024-01-29 00:00:00",
+        "now": "2024-01-29 10:30:00",
+        "DATETIME('2024-01-15 08:00:00')": "2024-01-15 08:00:00",
+        'DATEADD(DATETIME("today"), -7, day)': "2024-01-22 00:00:00",
+        "DATEADD(today, 2, week)": "2024-02-12 00:00:00",
+        "DATETRUNC(now, month)": "2024-01-01 00:00:00",
+        "DATETRUNC(DATEADD(today, -1, month), quarter)":
+            "2023-10-01 00:00:00",
+        "LASTDAY(today, month)": "2024-01-31 00:00:00",
+        "LASTDAY(DATETIME('2024-02-14'), week)": "2024-02-18 00:00:00",
+        "LASTDAY(now, year)": "2024-12-31 00:00:00",
+        "DATEADD(DATETIME('2024-03-31'), -1, month)":
+            "2024-02-29 00:00:00",  # day clamped into February
+    }
+    for expr, want in cases.items():
+        got = _parse_range_expr(expr, anchor)
+        assert got == datetime.fromisoformat(want), (expr, got)
+
+    # end-to-end on both compilation paths
+    df = spark.createDataFrame(
+        [(1, "2024-01-22 00:00:00"), (2, "2024-01-25 12:00:00"),
+         (3, "2024-01-29 09:00:00")],
+        "id long, s string",
+    ).selectExpr("id", "cast(s as timestamp_ntz) as ts")
+    df.createOrReplaceTempView("adv_range_t")
+    fd = {
+        "query_mode": "raw",
+        "all_columns": ["id"],
+        "granularity_sqla": "ts",
+        "time_range": 'DATEADD(DATETIME("today"), -7, day) : today',
+        "time_range_anchor": "2024-01-29 10:30:00",
+    }
+    got_cat = {r.id for r in compile_form_data(df, fd).collect()}
+    sql = form_data_to_sql("adv_range_t", fd)
+    got_sql = {r.id for r in spark.sql(sql).collect()}
+    assert got_cat == got_sql == {1, 2}
+    # the emitted SQL carries resolved ISO literals, never grammar
+    assert "DATEADD" not in sql and "TIMESTAMP '2024-01-22" in sql
+    for bad in ("HOLIDAY('christmas') : today",
+                "DATEADD(today, x, day) : ",
+                "DATEADD(today, 1) : ",
+                "today tomorrow : "):
+        with _pytest.raises(ValueError):
+            form_data_to_sql("adv_range_t", {**fd, "time_range": bad})
+
+
 def test_time_range_endpoints_paths_agree(spark):
     """SIP-15 time_range_endpoints: the default is [inclusive,
     exclusive); explicit pairs flip each bound on BOTH paths;
@@ -363,9 +425,10 @@ def test_form_data_to_sql_time_bounds_are_injection_hardened():
     )
 
     # a quote smuggled into a time bound must not escape the literal
+    # (bounds that are neither ISO nor the custom grammar refuse)
     for rng in ("2020-01-01' OR '1'='1 : ",
                 " : 2020-01-01'; DROP TABLE t --",
-                "now : ", "Last week : tomorrow"):
+                "HOLIDAY('christmas') : ", "Last week : tomorrow"):
         with pytest.raises(ValueError):
             form_data_to_sql("t", {
                 "query_mode": "raw",
