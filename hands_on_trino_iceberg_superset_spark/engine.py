@@ -612,6 +612,15 @@ class Engine:
     #     -> (id_a, id_b, containment, jaccard_sim)  -- asymmetric
     #                                    -- quote-inside-page pass
     #
+    #   SELECT * FROM TABLE(asof_join(
+    #       left => 'purchases', right => 'clicks',
+    #       on => 'user_id[,k2,...]', order_col => 'ts',
+    #       carry_cols => 'a[,b,...]'
+    #       [, tiebreak_col => 'id'] [, strict => 1]))
+    #     -> left columns + carry_cols from the latest right row at
+    #        or before each left row — the events-family workhorse
+    #        (union + last-value carry-forward, ONE shuffle, no join)
+    #
     # Argument grammar: named-only scalars — 'string' (with ''
     # escaping; parentheses allowed INSIDE a quoted value), integer,
     # or decimal. Nested calls / subqueries as arguments are refused
@@ -620,7 +629,8 @@ class Engine:
     # answer with an unrelated syntax error.
     _TABLE_FN_RE = re.compile(
         r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
-        r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs)"
+        r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs"
+        r"|asof_join)"
         r"\s*\(((?:'[^']*'|[^()'])*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -682,6 +692,9 @@ class Engine:
                          "num_hashes, bands, text_col, id_col]",
         "containment_pairs": "docs => '<t>', threshold => 0.9 [, n, "
                              "max_df, text_col, id_col]",
+        "asof_join": "left => '<t>', right => '<t>', on => 'k[,k2]', "
+                     "order_col => 'ts', carry_cols => 'a[,b]' [, "
+                     "tiebreak_col, strict]",
     }
 
     def _reject_unresolved_table_fns(self, text: str) -> None:
@@ -769,7 +782,8 @@ class Engine:
               "dedup_exact": self._table_fn_dedup_exact,
               "simhash_pairs": self._table_fn_simhash,
               "minhash_pairs": self._table_fn_minhash,
-              "containment_pairs": self._table_fn_containment}[fn](raw)
+              "containment_pairs": self._table_fn_containment,
+              "asof_join": self._table_fn_asof}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
         tag = hashlib.md5(
@@ -936,6 +950,34 @@ class Engine:
             max_df=int(max_df) if max_df is not None else None,
             text_col=str(args.get("text_col", "text")),
             id_col=str(args.get("id_col", "doc_id")),
+        )
+
+    def _table_fn_asof(self, raw: str) -> "DataFrame":
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            asof as A,
+        )
+
+        args = self._named_args(
+            "asof_join", raw,
+            known={"left", "right", "on", "order_col", "carry_cols",
+                   "tiebreak_col", "strict"},
+            required={"left", "right", "on", "order_col",
+                      "carry_cols"},
+        )
+
+        def cols(val: object) -> list[str]:
+            return [c.strip() for c in str(val).split(",")
+                    if c.strip()]
+
+        tb = args.get("tiebreak_col")
+        return A.asof_join(
+            self.spark.table(str(args["left"])),
+            self.spark.table(str(args["right"])),
+            on=cols(args["on"]),
+            order_col=str(args["order_col"]),
+            carry_cols=cols(args["carry_cols"]),
+            tiebreak_col=str(tb) if tb is not None else None,
+            strict=bool(int(args.get("strict", 0))),
         )
 
     def _table_fn_hybrid(self, raw: str) -> "DataFrame":

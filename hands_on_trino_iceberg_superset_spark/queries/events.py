@@ -859,3 +859,64 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= 10)
     )
+
+
+@register(
+    "sql_events_asof",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(c_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_click_id
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id,
+           epoch_us(ts) AS purchase_ts_us, last_click_id
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="The as-of join reached from PLAIN SQL — the table-function "
+        "seam (engine.py:_resolve_table_functions) extended to the "
+        "EVENTS family, its last Python-only workhorse: Engine.sql "
+        "resolves TABLE(asof_join(left => ..., right => ..., "
+        "on => ..., order_col => ..., carry_cols => ..., "
+        "tiebreak_col => ...)) onto operators/asof.asof_join, so a "
+        "wire client or BI virtual dataset pairs each purchase with "
+        "the user's most recent at-or-before click with no Python "
+        "API in the loop. The physical plan keeps the operator's "
+        "shape through the SQL path — union + last-value "
+        "carry-forward in ONE window shuffle, NO join node at all "
+        "(plan-gated in tests/test_plans.py; a per-row range join "
+        "would be the quadratic shape this operator exists to "
+        "avoid). Same fixture and oracle as events_asof_last_click.",
+)
+def sql_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id").alias("_evt_tb"),
+    ).createOrReplaceTempView("sql_asof_purchases_v")
+    ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("event_id").alias("_evt_tb"),
+    ).createOrReplaceTempView("sql_asof_clicks_v")
+    return Engine(spark).sql(
+        "SELECT purchase_id, user_id, "
+        "unix_micros(CAST(ats AS TIMESTAMP)) AS purchase_ts_us, "
+        "last_click_id "
+        "FROM TABLE(asof_join(left => 'sql_asof_purchases_v', "
+        "right => 'sql_asof_clicks_v', on => 'user_id', "
+        "order_col => 'ats', carry_cols => 'last_click_id', "
+        "tiebreak_col => '_evt_tb'))"
+    )

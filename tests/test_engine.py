@@ -754,3 +754,44 @@ def test_sql_dedup_workhorse_table_functions_parity(spark):
     quoted = next(r for r in got if (r.id_a, r.id_b) == (4, 5))
     assert quoted.containment == 1.0  # fully contained quote
     assert quoted.jaccard_sim < 0.9   # ...that Jaccard would miss
+
+
+def test_sql_asof_table_function_parity(spark):
+    """TABLE(asof_join(...)) equals the direct operator call on a
+    planted fixture, including multi-column keys and the strict
+    flag through the named-scalar grammar."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        asof as A,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", "a", 10, 100), ("u1", "a", 20, 101),
+         ("u2", "a", 15, 102)],
+        "uid string, seg string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u1", "a", 10, 900), ("u1", "a", 19, 901),
+         ("u2", "b", 1, 902)],
+        "uid string, seg string, t long, rid long",
+    )
+    left.createOrReplaceTempView("asof_tf_l")
+    right.createOrReplaceTempView("asof_tf_r")
+    eng = Engine(spark)
+    for strict in (0, 1):
+        got = eng.sql(
+            "SELECT uid, seg, t, lid, rid FROM "
+            "TABLE(asof_join(left => 'asof_tf_l', "
+            "right => 'asof_tf_r', on => 'uid,seg', "
+            f"order_col => 't', carry_cols => 'rid', "
+            f"strict => {strict}))"
+        ).collect()
+        want = A.asof_join(
+            left, right, on=["uid", "seg"], order_col="t",
+            carry_cols=["rid"], strict=bool(strict),
+        ).select("uid", "seg", "t", "lid", "rid").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_lid = {r.lid: r.rid for r in got}  # strict=1 run
+    assert by_lid[100] is None    # t=10 has no right row with t<10
+    assert by_lid[101] == 901     # latest strictly-before at t=19
+    assert by_lid[102] is None    # u2's right row is in another seg

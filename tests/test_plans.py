@@ -933,6 +933,40 @@ def test_sql_dedup_workhorse_table_functions_plan_shape(spark, sf_dir):
     assert "HashAggregate" in executed
 
 
+def test_sql_asof_table_function_plan_shape(spark, sf_dir):
+    """TABLE(asof_join(...)) keeps the operator's shape through the
+    SQL seam: union + last-value carry-forward in ONE window shuffle
+    — NO join node at all (a per-row range/theta join would be the
+    quadratic shape the operator exists to avoid)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("purchase_id"),
+    ).createOrReplaceTempView("plan_asof_l_v")
+    ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("last_click_id"),
+    ).createOrReplaceTempView("plan_asof_r_v")
+    df = Engine(spark).sql(
+        "SELECT purchase_id, user_id, last_click_id "
+        "FROM TABLE(asof_join(left => 'plan_asof_l_v', "
+        "right => 'plan_asof_r_v', on => 'user_id', "
+        "order_col => 'ats', carry_cols => 'last_click_id'))"
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed  # covers SortMerge/Hash/NestedLoop
+    assert "CartesianProduct" not in executed
+    assert "Window" in executed
+    assert executed.count("Exchange") <= 2  # union shuffle, no more
+
+
 def test_table_fn_unresolved_args_refuse_loudly(spark, sf_dir):
     """A TABLE(fn(...)) whose argument list the named-scalar grammar
     cannot parse (nested call / subquery) must get the ENGINE's
