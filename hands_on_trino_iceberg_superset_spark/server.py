@@ -497,6 +497,51 @@ class TrinoWireServer:
         re.IGNORECASE,
     )
 
+    #: ``system.runtime.nodes`` — Trino's cluster-membership table
+    #: (the first thing an ops runbook and some BI connection testers
+    #: read). This engine is one Spark driver serving the wire, so
+    #: the answer is a single coordinator row; on a real cluster the
+    #: executors are Spark-internal and not wire-addressable, which
+    #: is exactly what "nodes" means to a Trino client here.
+    _RUNTIME_NODES_RE = re.compile(
+        r'(?<![\w`"])["`]?system["`]?\s*\.\s*["`]?runtime["`]?'
+        r'\s*\.\s*["`]?nodes["`]?',
+        re.IGNORECASE,
+    )
+
+    def _resolve_runtime_nodes(self, text: str, qid: str) -> str:
+        """Rewrite ``system.runtime.nodes`` onto a one-row snapshot
+        view (same literal-aware machinery and per-qid keying as
+        ``system.runtime.queries``). Columns are Trino's: node_id,
+        http_uri, node_version, coordinator, state."""
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            _outside_literals,
+        )
+
+        hit = []
+
+        def scan(seg: str) -> str:
+            if self._RUNTIME_NODES_RE.search(seg):
+                hit.append(True)
+            return seg
+
+        _outside_literals(text, scan)
+        if not hit:
+            return text
+        import pyspark
+
+        view = f"__system_runtime_nodes_{qid}"
+        self.engine.spark.createDataFrame(
+            [("local", self.url, f"spark-{pyspark.__version__}",
+              True, "active")],
+            "node_id string, http_uri string, node_version string, "
+            "coordinator boolean, state string",
+        ).createOrReplaceTempView(view)
+        return _outside_literals(
+            text,
+            lambda seg: self._RUNTIME_NODES_RE.sub(view, seg),
+        )
+
     def _resolve_runtime_queries(self, text: str, qid: str) -> str:
         """Materialize the statement log as a PER-STATEMENT temp view
         (``__system_runtime_queries_<qid>``) and rewrite
@@ -783,6 +828,7 @@ class TrinoWireServer:
             confs = self._session_confs(session or {})
             database = self._schema_database(catalog, schema)
             sql_text = self._resolve_runtime_queries(sql_text, qid)
+            sql_text = self._resolve_runtime_nodes(sql_text, qid)
             with self._apply_confs(confs, database=database):
                 df = self.engine.trino_sql(sql_text)
                 columns = [
@@ -808,15 +854,16 @@ class TrinoWireServer:
                 "stats": {"state": "FAILED"},
             }, [])
         finally:
-            # per-statement snapshot view (rows are materialized by
-            # now); the name appears in the resolved text iff the
+            # per-statement snapshot views (rows are materialized
+            # by now); a name appears in the resolved text iff its
             # view was created — no catalog round-trip otherwise
-            view = f"__system_runtime_queries_{qid}"
-            if view in sql_text:
-                try:
-                    self.engine.spark.catalog.dropTempView(view)
-                except Exception:  # noqa: BLE001 — best-effort
-                    pass
+            for view in (f"__system_runtime_queries_{qid}",
+                         f"__system_runtime_nodes_{qid}"):
+                if view in sql_text:
+                    try:
+                        self.engine.spark.catalog.dropTempView(view)
+                    except Exception:  # noqa: BLE001 — best-effort
+                        pass
         q = _Query(qid, columns, rows)
         with self._lock:
             self._queries[qid] = q

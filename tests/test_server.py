@@ -986,3 +986,33 @@ def test_concurrent_schema_contexts(server, spark, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS wire_conc_a CASCADE")
         spark.sql("DROP DATABASE IF EXISTS wire_conc_b CASCADE")
+
+
+def test_system_runtime_nodes(server):
+    """system.runtime.nodes (Trino's cluster-membership table, the
+    ops-runbook probe): one coordinator row for the Spark driver
+    serving the wire, in Trino's column shape, composing with SQL;
+    literals are untouched and the snapshot view is dropped."""
+    cols, rows = _drain(
+        server,
+        "SELECT node_id, node_version, coordinator, state "
+        "FROM system.runtime.nodes WHERE coordinator",
+    )
+    assert [c["name"] for c in cols] == [
+        "node_id", "node_version", "coordinator", "state",
+    ]
+    assert len(rows) == 1
+    node_id, version, coordinator, state = rows[0]
+    assert node_id == "local" and coordinator is True
+    assert state == "active" and version.startswith("spark-")
+    _, uri_rows = _drain(
+        server, "SELECT http_uri FROM system.runtime.nodes")
+    assert uri_rows[0][0].startswith("http://")
+    _, lit = _drain(server, "SELECT 'system.runtime.nodes' AS s")
+    assert lit == [["system.runtime.nodes"]]
+    leftovers = [
+        t.name
+        for t in server.engine.spark.catalog.listTables()
+        if t.name.startswith("__system_runtime_nodes")
+    ]
+    assert leftovers == []
