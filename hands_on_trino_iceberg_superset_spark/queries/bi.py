@@ -1175,3 +1175,97 @@ def bi_chart_time_compare_windowed(spark: SparkSession,
     ))
     return (catalyst.unionAll(via_sql).distinct()
             .orderBy("__timestamp", "event_type"))
+
+
+@register(
+    "bi_chart_asof_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_type,
+             last_value(c_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_click_id
+      FROM u
+    )
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+             AS __timestamp,
+           count(*) AS count,
+           CAST(sum(CASE WHEN last_click_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS attributed
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY __timestamp
+    """,
+    doc="Click-attribution dashboard over the SQL-reachable as-of "
+        "join (r13): the virtual dataset's defining SQL calls "
+        "TABLE(asof_join(...)) pairing each purchase with the "
+        "user's latest at-or-before click, and the timeseries chart "
+        "counts purchases per day with the attributed subset as an "
+        "exact 0/1 integer sum — the conversion-tracking view a "
+        "growth team watches. The whole chain — events-family "
+        "operator -> table function -> virtual dataset -> form-data "
+        "compiler — with no Python API in the loop; the asof plan "
+        "stays union + one window shuffle, no join (plan-gated on "
+        "the seam). The oracle replays the carry-forward window, "
+        "the day trunc, and the aggregate in SQL.",
+)
+def bi_chart_asof_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id").alias("_evt_tb"),
+    ).createOrReplaceTempView("bi_asof_purchases_v")
+    ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ats"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("event_id").alias("_evt_tb"),
+    ).createOrReplaceTempView("bi_asof_clicks_v")
+    ds = Database("spark", Engine(spark)).dataset(
+        "purchase_attribution",
+        sql=(
+            "SELECT CAST(ats AS TIMESTAMP) AS pts, "
+            "CASE WHEN last_click_id IS NOT NULL THEN 1 ELSE 0 END "
+            "AS is_attributed "
+            "FROM TABLE(asof_join(left => 'bi_asof_purchases_v', "
+            "right => 'bi_asof_clicks_v', on => 'user_id', "
+            "order_col => 'ats', carry_cols => 'last_click_id', "
+            "tiebreak_col => '_evt_tb'))"
+        ),
+    )
+    out = compile_form_data(
+        ds.df(),
+        {
+            "viz_type": "echarts_timeseries_line",
+            "query_mode": "aggregate",
+            "granularity_sqla": "pts",
+            "time_grain_sqla": "P1D",
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "is_attributed",
+                 "label": "attributed"},
+            ],
+            "order_by": [["__timestamp", True]],
+            "time_range": "No filter",
+        },
+    )
+    return out.select(
+        F.col("__timestamp").cast("string").alias("__timestamp"),
+        "count", "attributed",
+    ).orderBy("__timestamp")
