@@ -1183,3 +1183,58 @@ def test_pivot_cardinality_guard_ignores_null(spark):
     )
     vals = C._pivot_values(edge, "ck")
     assert len(vals) == n and None not in vals
+
+
+def test_relative_range_composes_with_filters_and_series_limit(spark):
+    """The resolved relative window composes with adhoc filters and
+    series_limit identically on both paths — the realistic chart
+    config (range + filter bar + series cap) in one form_data."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    rows = []
+    for d in range(1, 29):
+        for g, n in (("a", 3), ("b", 2), ("c", 1)):
+            rows += [(f"2024-01-{d:02d} 06:00:00", g, "keep")] * n
+            rows.append((f"2024-01-{d:02d} 07:00:00", g, "drop"))
+    df = spark.createDataFrame(
+        rows, "s string, g string, flag string"
+    ).selectExpr("cast(s as timestamp_ntz) as ts", "g", "flag")
+    df.createOrReplaceTempView("rel_compose_t")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-29 00:00:00",
+        "adhoc_filters": [
+            {"expressionType": "SIMPLE", "clause": "WHERE",
+             "subject": "flag", "operator": "==",
+             "comparator": "keep"},
+        ],
+        "series_limit": 2,
+        "order_by": [["__timestamp", True], ["g", True]],
+    }
+    def keyed(rows):
+        # compare by NAME: the Catalyst semi-join puts its join keys
+        # first, so positional tuples differ while content agrees
+        # (the driver's oracle compare also sorts columns by name)
+        return sorted(
+            (str(r["__timestamp"]), r["g"], r["count"]) for r in rows
+        )
+
+    native = keyed(compile_form_data(df, fd).collect())
+    wire = keyed(
+        spark.sql(form_data_to_sql("rel_compose_t", fd)).collect())
+    assert native == wire
+    # 7 days in-window x top-2 series (a, b) — c capped out, 'drop'
+    # rows filtered, days outside [01-22, 01-29) gone
+    assert len(native) == 14
+    assert {g for _, g, _ in native} == {"a", "b"}
+    days = {t[:10] for t, _, _ in native}
+    assert min(days) == "2024-01-22" and max(days) == "2024-01-28"
+    assert all(c in (2, 3) for _, _, c in native)

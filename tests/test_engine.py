@@ -795,3 +795,42 @@ def test_sql_asof_table_function_parity(spark):
     assert by_lid[100] is None    # t=10 has no right row with t<10
     assert by_lid[101] == 901     # latest strictly-before at t=19
     assert by_lid[102] is None    # u2's right row is in another seg
+
+
+def test_table_fn_argument_errors_are_loud(spark):
+    """The r13 table functions refuse malformed configs with the
+    ENGINE's message, not a downstream Spark error: minhash bands
+    must divide num_hashes; asof carry/overlap violations surface
+    the operator's own refusal through the SQL seam."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).createOrReplaceTempView("tferr_docs")
+    with pytest.raises(ValueError, match="must divide"):
+        eng.sql(
+            "SELECT * FROM TABLE(minhash_pairs(docs => 'tferr_docs', "
+            "threshold => 0.4, num_hashes => 32, bands => 7))"
+        )
+    with pytest.raises(ValueError, match="missing argument"):
+        eng.sql(
+            "SELECT * FROM TABLE(containment_pairs("
+            "docs => 'tferr_docs'))"
+        )
+    spark.createDataFrame(
+        [(1, 1, 5)], "uid long, t long, v long"
+    ).createOrReplaceTempView("tferr_l")
+    spark.createDataFrame(
+        [(1, 1, 7)], "uid long, t long, v long"
+    ).createOrReplaceTempView("tferr_r")
+    # carry col collides with a left column: the operator's loud
+    # refusal travels through the seam verbatim
+    with pytest.raises(ValueError, match="also exist on the left"):
+        eng.sql(
+            "SELECT * FROM TABLE(asof_join(left => 'tferr_l', "
+            "right => 'tferr_r', on => 'uid', order_col => 't', "
+            "carry_cols => 'v'))"
+        )
