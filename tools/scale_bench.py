@@ -164,6 +164,10 @@ QUERIES = [
     #     Sigma df^2 on the same boilerplate-heavy corpus
     #   engagement_events_scaling — DAU/WAU/MAU with events
     #     replicated 10x (the standing corpus keeps events dim-sized)
+    #   asof_events_scaling — purchase->latest-prior-click as-of join
+    #     with events replicated 10x (r13: the operator is now
+    #     SQL-reachable via TABLE(asof_join(...)); one union + one
+    #     window shuffle, no join — should scale ~linearly)
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
@@ -272,6 +276,9 @@ def measure_one(name: str, dirs: list[str]) -> None:
         return
     if name == "engagement_events_scaling":
         _measure_engagement_scaling(spark, dirs)
+        return
+    if name == "asof_events_scaling":
+        _measure_asof_events_scaling(spark, dirs)
         return
     spec = load_all()[name]
     for d in dirs:
@@ -442,6 +449,64 @@ def _measure_engagement_scaling(spark, dirs: list[str]) -> None:
             best = dt if best is None else min(best, dt)
         rows = run().count()
         print(f"RESULT {rows},{best:.4f}", flush=True)
+
+
+def _measure_asof_events_scaling(spark, dirs: list[str]) -> None:
+    """The as-of join (purchase -> latest at-or-before click per
+    user) with events replicated 10x — disjoint user AND event ids
+    per replica, so per-user event streams replicate and the pairing
+    structure grows linearly. The standing scale corpus keeps events
+    dim-sized, so this lane builds its own 10x frame, like
+    engagement_events_scaling. The operator is one union + one
+    last-value window shuffle with NO join node (plan-gated through
+    the r13 SQL seam); expected ~linear wall-clock. Prints 1x then
+    10x RESULT lines for dirs[0]."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.operators.asof import (
+        asof_join,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    ev1 = load_table(spark, dirs[0], "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    def reps(n: int):
+        rep = F.col("rep").cast("long")
+        return ev1.select("*", _rep_col(n)).select(
+            (F.col("user_id") + rep * 10_000_000).alias("user_id"),
+            "ts",
+            (F.col("event_id") + rep * 100_000_000).alias("event_id"),
+            "event_type",
+        )
+
+    for label, ev in (("1x", ev1), ("10x", reps(10)),
+                      ("100x", reps(100))):
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("ats"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_id").alias("_evt_tb"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("ats"),
+            F.col("event_id").alias("last_click_id"),
+            F.col("event_id").alias("_evt_tb"),
+        )
+
+        def run():
+            return asof_join(
+                purchases, clicks, on="user_id", order_col="ats",
+                carry_cols=["last_click_id"], tiebreak_col="_evt_tb",
+            )
+
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows = run().count()
+        print(f"RESULT {label} {rows},{best:.4f}", flush=True)
 
 
 def _measure_skew_salted_wallclock(spark, dirs: list[str]) -> None:
