@@ -39,19 +39,11 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # the driver's CORRECTNESS snapshot covers roughly this many inventory
-# entries per round; the last _WINDOW_RESERVE of them are pinned to the
-# oldest green rows (staleness floor) in load_all().
-#
-# The reserve was temporarily raised to 35 through rounds 9-10 to
-# rotate the stale-green backlog (r4-r6 cohorts) through the driver
-# window; restored to 10 in round 11 per that plan — class-3 greens
-# already sort oldest-first into the head's spare slots, so the
-# reserve only matters when urgent inflow (failed / new / changed)
-# would otherwise starve the green tail. The floor is CAPPED at
-# runtime so classes 0-2 are never pushed out of the window by the
-# reserve — see load_all().
+# entries per round; load_all() orders the inventory so the window
+# always re-checks the rows whose driver record is OLDEST (freshness
+# rotation — see the load_all docstring for the r13->r14 policy
+# change and its rationale).
 _WINDOW = 50
-_WINDOW_RESERVE = 10
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -748,36 +740,34 @@ def load_all() -> dict[str, QuerySpec]:
        a False match flag, or a rows-only ``no_oracle`` check of a
        query that has an oracle now);
     2. never driver-checked;
-    3. the query's CONTENT — its registering function's source
-       segment (decorators/oracle included) plus every reachable
-       in-package helper/constant anchor (:func:`_query_anchors`) —
-       changed after the driver commit that recorded its last check;
-       green-on-old-code is not green. (Import-closure is only the
-       fallback: file-granular closure marked ~125/177 queries
-       changed at r7 HEAD from one-file-many-queries coarseness,
-       squeezing genuinely-edited queries out of the window.)
-    4. everything else, oldest snapshot round first (ties keep a
-       stable family grouping).
+    3. everything else by OLDEST driver snapshot round first
+       (freshness rotation); within one round, rows whose CONTENT —
+       the registering function's source segment (decorators/oracle
+       included) plus every reachable in-package helper/constant
+       anchor (:func:`_query_anchors`) — changed since that round's
+       driver commit sort before unchanged ones. Ties keep a stable
+       family grouping.
 
-    STALENESS FLOOR: the last ``_WINDOW_RESERVE`` slots of the
-    driver's ~50-slot window are reserved for the OLDEST green rows,
-    so even a round that lands 40+ new queries cannot starve the
-    green tail — no row ages indefinitely behind never-checked
-    inflow. Deliberate priority call: classes 0-2 (failed / new /
-    genuinely changed) take head slots FIRST, and the reserve is
-    capped at the slots they leave free (``min(_WINDOW_RESERVE,
-    _WINDOW - count(class 0-2))``), so an urgent query is never
-    displaced below the window by the floor — green-on-old-code is
-    only a freshness risk, while a failed/changed query left
-    unchecked is a correctness one (and every green query is still
-    re-proven locally each round by the sf0.001 differential in
-    test_core_queries plus the full sf0.01 sweep). A rework round
-    that inflates class 2 past the whole window can still delay
-    staleness clearance by a round — that trade is intended.
-
-    Every round this cycles the stalest tail into the driver's
-    window; the full inventory is always covered by the local DuckDB
-    differential (tools/check_correctness.py) regardless.
+    FRESHNESS-FIRST (r14 policy, prescribed by the r13 verdict's
+    staleness item): through r13 a green-but-code-changed row
+    outranked EVERY stale green regardless of age, so one round that
+    edited a widely-shared anchor (Engine, the BI compiler) flipped
+    ~35 wire/bi/sql rows to "changed" and squeezed the oldest green
+    cohort out of the window — the r8 cohort (35 rows) could never
+    drain while the engine kept evolving. Round number now dominates:
+    a row checked at r8 outranks one checked at r13 whose code
+    changed since, because BOTH are locally re-proven every round by
+    the full sf0.01 DuckDB differential (tools/check_correctness.py)
+    — the driver window only decides which subset gets a FRESH
+    driver-side record, and the scarcer resource is oldest-record
+    freshness, not changed-code coverage. The trade: a changed row
+    with a recent record waits a few rounds for its driver re-check
+    (its local differential still gates every round); no row can age
+    indefinitely, which the old ordering could not guarantee. The
+    former reserved-tail "staleness floor" is subsumed: the oldest
+    greens now head the rotation by construction, so no reserve is
+    needed and urgent rows (failed / never-checked) still take every
+    slot they need first.
     """
     from hands_on_trino_iceberg_superset_spark.queries import (  # noqa: F401
         bi,
@@ -811,15 +801,16 @@ def load_all() -> dict[str, QuerySpec]:
     last_seen = _last_driver_check()
     changed = _changed_per_query()
 
-    def priority(name: str) -> tuple[int, int]:
+    def priority(name: str) -> tuple[int, int, int]:
         if name not in last_seen:
-            return (1, 0)  # never driver-checked
+            return (1, 0, 0)  # never driver-checked
         rnd, rec = last_seen[name]
         if _check_failed(rec, REGISTRY[name].oracle is not None):
-            return (0, rnd)  # failed / oracle never driver-verified
-        if changed(name, rnd):
-            return (2, rnd)  # green, but on code older than HEAD
-        return (3, rnd)  # green on current code, oldest round first
+            return (0, rnd, 0)  # failed / oracle never driver-verified
+        # green: oldest driver record first (freshness rotation);
+        # within one round, changed-since-checked code before
+        # unchanged — see the docstring for why round dominates
+        return (2, rnd, 0 if changed(name, rnd) else 1)
 
     ordered = sorted(
         REGISTRY,
@@ -829,18 +820,4 @@ def load_all() -> dict[str, QuerySpec]:
             name,
         ),
     )
-    # staleness floor: the window's tail slots carry the globally
-    # oldest green rows — capped so classes 0-2 keep every head slot
-    # they need before any is reserved for stale greens
-    if len(ordered) > _WINDOW:
-        n_urgent = sum(1 for n in ordered if priority(n)[0] < 3)
-        reserve = max(0, min(_WINDOW_RESERVE, _WINDOW - n_urgent))
-        head = ordered[:_WINDOW - reserve]
-        in_head = set(head)
-        floor = [n for n in ordered
-                 if n not in in_head and priority(n)[0] == 3
-                 ][:reserve]
-        picked = in_head | set(floor)
-        ordered = head + floor + [n for n in ordered
-                                  if n not in picked]
     return {name: REGISTRY[name] for name in ordered}

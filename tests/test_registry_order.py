@@ -1,8 +1,10 @@
 """Driver-window ordering: the ~50-query CORRECTNESS prefix must
 surface (1) failed / never-oracle-verified records, (2) never-checked
-queries, (3) green-but-code-changed-since queries, before green rows
-on current code — so a fix or a new oracle is driver-verified the
-very next round instead of aging out behind stale greens."""
+queries, then (3) green rows by OLDEST driver snapshot first
+(freshness rotation; within a round, changed-since-checked code
+before unchanged) — so a fix or a new oracle is driver-verified the
+very next round, and no green row ages indefinitely behind a round's
+anchor churn (the r14 policy change; see load_all's docstring)."""
 
 from __future__ import annotations
 
@@ -219,37 +221,60 @@ def _fabricated_order(base, monkeypatch, n_failed: int) -> tuple:
     return list(base.load_all()), last
 
 
-def test_staleness_floor_reserves_tail_for_oldest_green(monkeypatch):
-    """With few urgent queries the floor carries the globally oldest
-    green rows in the window's tail slots."""
+def test_freshness_rotation_oldest_green_first(monkeypatch):
+    """Green rows sort by OLDEST driver snapshot first: with 10
+    failed queries, the window is 10 failed + the 40 globally oldest
+    greens, and no green outside the window is older than one
+    inside (the freshness-rotation guarantee that replaced the
+    reserved-tail floor in r14)."""
     from hands_on_trino_iceberg_superset_spark.queries import base
 
     base.load_all()  # populate REGISTRY
     ordered, last = _fabricated_order(base, monkeypatch, n_failed=10)
     window = ordered[:base._WINDOW]
-    floor = window[base._WINDOW - base._WINDOW_RESERVE:]
-    # every failed query is in the window, ahead of the floor
     assert all(last[n][1]["hash_match"] is False
                for n in window[:10])
-    assert all(last[n][1]["hash_match"] is True for n in floor)
-    # the floor holds the OLDEST green rounds available: every green
-    # row older than the newest floor round made it in (no stale row
-    # is skipped in favor of a fresher one)
-    floor_rounds = sorted({last[n][0] for n in floor})
-    assert floor_rounds[0] == 1
-    newest_in_floor = floor_rounds[-1]
-    in_window = set(window)  # head's spare slots also take greens
-    greens_older = [n for n in ordered
-                    if last[n][1]["hash_match"] and n not in in_window
-                    and last[n][0] < newest_in_floor]
-    assert greens_older == []
+    greens_in = window[10:]
+    assert all(last[n][1]["hash_match"] is True for n in greens_in)
+    newest_in = max(last[n][0] for n in greens_in)
+    in_window = set(window)
+    greens_older_out = [n for n in ordered
+                        if last[n][1]["hash_match"]
+                        and n not in in_window
+                        and last[n][0] < newest_in]
+    assert greens_older_out == []
 
 
-def test_staleness_floor_never_displaces_urgent_queries(monkeypatch):
-    """The reserve is CAPPED at the slots classes 0-2 leave free:
-    when urgent queries outnumber the head, they take floor slots
-    rather than being pushed below the window (the load_all
-    docstring's guarantee, previously violated past 15 failures)."""
+def test_changed_outranks_unchanged_within_a_round(monkeypatch):
+    """Within ONE snapshot round, rows whose code changed since the
+    check sort before unchanged ones — but a changed row never
+    outranks a green row with an OLDER snapshot (round dominates;
+    the r14 policy change)."""
+    from hands_on_trino_iceberg_superset_spark.queries import base
+
+    base.load_all()
+    names = list(base.REGISTRY)
+    ok = {"rows_match": True, "schema_match": True,
+          "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+          "err": None}
+    # all green at alternating rounds 5/6; every round-6 row marked
+    # changed, round-5 rows unchanged
+    last = {n: (5 + (i % 2), ok) for i, n in enumerate(names)}
+    changed_names = {n for n in names if last[n][0] == 6}
+    monkeypatch.setattr(base, "_last_driver_check", lambda: last)
+    monkeypatch.setattr(
+        base, "_changed_per_query",
+        lambda: (lambda name, rnd: name in changed_names))
+    ordered = list(base.load_all())
+    n_r5 = sum(1 for n in names if last[n][0] == 5)
+    # every r5 row (unchanged) precedes every r6 row (changed)
+    assert all(last[n][0] == 5 for n in ordered[:n_r5])
+    assert all(n in changed_names for n in ordered[n_r5:])
+
+
+def test_urgent_rows_never_displaced(monkeypatch):
+    """Failed rows take every window slot they need before any
+    green — unchanged from the pre-r14 ordering."""
     from hands_on_trino_iceberg_superset_spark.queries import base
 
     base.load_all()
@@ -257,15 +282,6 @@ def test_staleness_floor_never_displaces_urgent_queries(monkeypatch):
     window = ordered[:base._WINDOW]
     # every window slot is a failed query; no green displaced one
     assert all(last[n][1]["hash_match"] is False for n in window)
-
-    # intermediate regime: 40 urgent -> 40 head + 10 floor greens
-    ordered2, last2 = _fabricated_order(base, monkeypatch,
-                                        n_failed=40)
-    window2 = ordered2[:base._WINDOW]
-    assert all(last2[n][1]["hash_match"] is False
-               for n in window2[:40])
-    assert all(last2[n][1]["hash_match"] is True
-               for n in window2[40:])
 
 
 def test_relative_base_resolves_init_one_level_correctly():

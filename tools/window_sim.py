@@ -3,12 +3,13 @@
 tree — the pre-flight check for the oracle-rotation staleness plan.
 
 Prints the 50-slot window's class histogram (0 failed / 1 new /
-2 changed / 3 stale-green), the oldest-round coverage (which stale
-cohorts are fully in-window), and any stale query that would MISS the
-window. Run before closing a round: an edit to a widely-reachable
-anchor (Engine, hamming_pairs, ...) silently inflates class 2 and can
-push the oldest greens out — this makes that visible before the
-driver records it.
+2 changed-green / 3 unchanged-green), the oldest-round coverage
+(which stale cohorts are fully in-window), and any stale query that
+would MISS the window. Under the r14 freshness-first ordering
+(queries/base.py load_all), green rows rotate by oldest driver
+snapshot regardless of anchor churn, so the oldest cohort fits
+unless failed/new inflow crowds it — run before closing a round to
+confirm the floor advances.
 
 Usage::
 
