@@ -1238,3 +1238,150 @@ def test_relative_range_composes_with_filters_and_series_limit(spark):
     days = {t[:10] for t, _, _ in native}
     assert min(days) == "2024-01-22" and max(days) == "2024-01-28"
     assert all(c in (2, 3) for _, _, c in native)
+
+
+def test_extra_form_data_native_filters_merge_both_paths(spark):
+    """SIP-68 dashboard native filters: extra_form_data.filters
+    ({col, op, val} query-object shape) and .adhoc_filters APPEND to
+    the chart's own filters, .time_range OVERRIDES the chart's —
+    identically on both compiler paths, without mutating the input
+    blob. Before r14 the key was silently dropped: a dashboard user's
+    filter selection returned unfiltered rows with no error."""
+    import copy
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    rows = []
+    for d in range(1, 29):
+        for g in ("a", "b", "c"):
+            rows.append((f"2024-01-{d:02d} 06:00:00", g, d))
+    df = spark.createDataFrame(
+        rows, "s string, g string, d long"
+    ).selectExpr("cast(s as timestamp_ntz) as ts", "g", "d")
+    df.createOrReplaceTempView("efd_t")
+    fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "groupby": ["g"],
+        "metrics": ["count"],
+        # the chart's own config: unfiltered range, one own filter
+        "time_range": "No filter",
+        "time_range_anchor": "2024-01-29 00:00:00",
+        "adhoc_filters": [
+            {"expressionType": "SIMPLE", "clause": "WHERE",
+             "subject": "d", "operator": ">=", "comparator": 2},
+        ],
+        "order_by": [["g", True]],
+        # the dashboard filter bar's channel
+        "extra_form_data": {
+            "filters": [{"col": "g", "op": "IN", "val": ["a", "b"]}],
+            "adhoc_filters": [
+                {"expressionType": "SIMPLE", "clause": "WHERE",
+                 "subject": "d", "operator": "<=", "comparator": 27},
+            ],
+            "time_range": "Last week",
+        },
+    }
+    snapshot = copy.deepcopy(fd)
+    native = [tuple(r) for r in compile_form_data(df, fd).collect()]
+    wire = [tuple(r) for r in
+            spark.sql(form_data_to_sql("efd_t", fd)).collect()]
+    # days 22..27 (native <=27 cap) x series a, b only
+    assert native == wire == [("a", 6), ("b", 6)]
+    assert fd == snapshot, "merge must not mutate the stored blob"
+
+
+def test_extra_form_data_unmodeled_keys_refuse_loudly(spark):
+    """Unknown extra_form_data sub-keys and malformed filter entries
+    refuse on BOTH paths — partially honoring the native-filter
+    channel would silently drop a user-set dashboard filter."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "n long, g string")
+    df.createOrReplaceTempView("efd_bad_t")
+    cases = [
+        ({"interactive_groupby": ["g"]}, "interactive_groupby"),
+        ({"custom_form_data": {"x": 1}}, "custom_form_data"),
+        ({"granularity": "ts"}, "granularity"),
+        ({"filters": [{"column": "g", "op": "=="}]}, "col, op"),
+        ({"filters": [{"col": "g", "op": "==", "val": 1,
+                       "grain": "P1D"}]}, "grain"),
+    ]
+    for extra, needle in cases:
+        fd = {"query_mode": "raw", "all_columns": ["n"],
+              "extra_form_data": extra}
+        for compiler in (lambda f: compile_form_data(df, f),
+                         lambda f: form_data_to_sql("efd_bad_t", f)):
+            with pytest.raises(ValueError) as exc:
+                compiler(fd)
+            assert needle.split(",")[0].strip() in str(exc.value)
+    # non-mapping channel refuses too
+    with pytest.raises(ValueError, match="mapping"):
+        compile_form_data(df, {"query_mode": "raw",
+                               "extra_form_data": ["nope"]})
+
+
+def test_extra_form_data_reaches_pivot_and_time_compare_arms(spark):
+    """The merged native filter lands in the pivot compiler AND in
+    every time_compare offset arm (the arm re-reads the pre-range
+    frame — a filter dropped there would compare filtered current
+    buckets against unfiltered history)."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        compile_pivot_form_data,
+        pivot_form_data_to_sql,
+    )
+
+    rows = []
+    for d in range(1, 29):
+        rows += [(f"2024-01-{d:02d} 06:00:00", "a", "keep", 2),
+                 (f"2024-01-{d:02d} 06:00:00", "a", "drop", 5),
+                 (f"2024-01-{d:02d} 07:00:00", "b", "keep", 3)]
+    df = spark.createDataFrame(
+        rows, "s string, g string, flag string, v long"
+    ).selectExpr("cast(s as timestamp_ntz) as ts", "g", "flag", "v")
+    df.createOrReplaceTempView("efd_pivot_t")
+    extra = {"filters": [{"col": "flag", "op": "==", "val": "keep"}]}
+
+    pivot_fd = {
+        "groupbyRows": ["g"], "groupbyColumns": ["flag"],
+        "metrics": [{"aggregate": "SUM", "column": "v",
+                     "label": "sum_v"}],
+        "extra_form_data": extra,
+    }
+    got = {(r["g"], r["keep__sum_v"]) for r in
+           compile_pivot_form_data(
+               df, pivot_fd, values=["keep"]).collect()}
+    assert got == {("a", 56), ("b", 84)}
+    sql = pivot_form_data_to_sql("efd_pivot_t", pivot_fd,
+                                 values=["keep"])
+    assert "'keep'" in sql  # the native filter reached the WHERE
+    got_sql = {(r["g"], r["keep__sum_v"]) for r in
+               spark.sql(sql).collect()}
+    assert got_sql == got
+
+    tc_fd = {
+        "query_mode": "aggregate",
+        "granularity_sqla": "ts",
+        "time_grain_sqla": "P1D",
+        "metrics": [{"aggregate": "SUM", "column": "v",
+                     "label": "sum_v"}],
+        "time_compare": ["1 week ago"],
+        "time_range": "Last week",
+        "time_range_anchor": "2024-01-29 00:00:00",
+        "order_by": [["__timestamp", True]],
+        "extra_form_data": extra,
+    }
+    out = compile_form_data(df, tc_fd).collect()
+    assert len(out) == 7
+    # filtered on BOTH arms: keep-rows sum to 5/day on each side
+    assert all(r["sum_v"] == 5 and r["sum_v__1_week_ago"] == 5
+               for r in out)
