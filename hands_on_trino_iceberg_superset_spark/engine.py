@@ -630,7 +630,7 @@ class Engine:
     _TABLE_FN_RE = re.compile(
         r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
         r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs"
-        r"|asof_join)"
+        r"|asof_join|tokenize)"
         r"\s*\(((?:'[^']*'|[^()'])*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -695,6 +695,8 @@ class Engine:
         "asof_join": "left => '<t>', right => '<t>', on => 'k[,k2]', "
                      "order_col => 'ts', carry_cols => 'a[,b]' [, "
                      "tiebreak_col, strict]",
+        "tokenize": "docs => '<t>' [, algo => 'wordpiece'|'unigram'"
+                    "|'bpe', top_k, n_merges, text_col, id_col]",
     }
 
     def _reject_unresolved_table_fns(self, text: str) -> None:
@@ -783,7 +785,8 @@ class Engine:
               "simhash_pairs": self._table_fn_simhash,
               "minhash_pairs": self._table_fn_minhash,
               "containment_pairs": self._table_fn_containment,
-              "asof_join": self._table_fn_asof}[fn](raw)
+              "asof_join": self._table_fn_asof,
+              "tokenize": self._table_fn_tokenize}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
         tag = hashlib.md5(
@@ -978,6 +981,69 @@ class Engine:
             carry_cols=cols(args["carry_cols"]),
             tiebreak_col=str(tb) if tb is not None else None,
             strict=bool(int(args.get("strict", 0))),
+        )
+
+    def _table_fn_tokenize(self, raw: str) -> "DataFrame":
+        """Tokenizer ENCODE as a table function — the last
+        high-traffic LLM-pipeline family off the SQL seam (VERDICT
+        r13 item 4). ``algo`` selects the word-level encode paths
+        (``wordpiece`` greedy longest-match, ``unigram`` Viterbi —
+        both return one row per DISTINCT corpus word: the
+        vocab-bounded table a 100 TB corpus pass dictionary-joins
+        against) or the document-level ``bpe`` stream (one row per
+        document: tokens + conservation counts). Volume routing is
+        the operators': the only corpus-sized op is the
+        word-frequency groupBy; vocab selection and the Arrow-batch
+        segmentation run on the vocab-sized word table."""
+        args = self._named_args(
+            "tokenize", raw,
+            known={"docs", "algo", "top_k", "n_merges", "text_col",
+                   "id_col"},
+            required={"docs"},
+        )
+        docs = self.spark.table(str(args["docs"]))
+        algo = str(args.get("algo", "wordpiece")).lower()
+        text_col = str(args.get("text_col", "text"))
+        if algo == "wordpiece":
+            from hands_on_trino_iceberg_superset_spark.operators import (
+                wordpiece as WP,
+            )
+
+            words = WP.word_frequencies(docs, text_col)
+            return WP.encode_words(
+                words, WP.select_vocab(
+                    words, top_k=int(args.get("top_k", 40)))
+            )
+        if algo == "unigram":
+            from hands_on_trino_iceberg_superset_spark.operators import (
+                unigram as UG,
+            )
+
+            from hands_on_trino_iceberg_superset_spark.operators import (
+                wordpiece as WP,
+            )
+
+            words = WP.word_frequencies(docs, text_col)
+            return UG.viterbi_encode(
+                words, UG.prune_vocab(
+                    words, int(args.get("top_k", 20)))
+            )
+        if algo == "bpe":
+            from hands_on_trino_iceberg_superset_spark.operators import (
+                bpe as B,
+            )
+
+            merges = B.bpe_train(
+                docs, n_merges=int(args.get("n_merges", 16)),
+                text_col=text_col,
+            )
+            return B.bpe_encode(
+                docs, merges, text_col=text_col,
+                id_col=str(args.get("id_col", "doc_id")),
+            )
+        raise ValueError(
+            f"tokenize: unknown algo {algo!r}; supported: "
+            "'wordpiece', 'unigram', 'bpe'"
         )
 
     def _table_fn_hybrid(self, raw: str) -> "DataFrame":

@@ -1460,6 +1460,46 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
     return WP.encode_words(words, WP.select_vocab(words, top_k=40))
 
 
+@register(
+    "sql_tokenize_encode",
+    oracle=_wp_encode_oracle(),
+    doc="Tokenizer ENCODE reached from PLAIN SQL — the last "
+        "high-traffic LLM-pipeline family off the table-function "
+        "seam (VERDICT r13 item 4): Engine.sql resolves "
+        "TABLE(tokenize(docs => ..., algo => 'wordpiece', "
+        "top_k => 40)) onto operators/wordpiece.encode_words, so a "
+        "wire client or BI virtual dataset tokenizes a corpus with "
+        "no Python API in the loop ('unigram' and 'bpe' select the "
+        "Viterbi and merge-table encode paths through the same "
+        "function). Same fixture and unrolled-greedy oracle as "
+        "tokenizer_wordpiece_encode — the seam is hash-checked "
+        "against the identical segmentation recompute. Volume "
+        "routing is plan-gated through the seam in "
+        "tests/test_plans.py: the only corpus-sized op is the "
+        "word-frequency groupBy; vocab selection and the Arrow "
+        "segmentation batch run on the vocab-sized word table.",
+)
+def sql_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("sql_tok_docs_v")
+    longest = (WP.word_frequencies(docs)
+               .agg(F.max(F.length("word"))).collect()[0][0])
+    if longest and longest > _WP_STEPS:
+        raise ValueError(
+            f"longest word ({longest} chars) exceeds the oracle's "
+            f"{_WP_STEPS} unrolled greedy steps — raise _WP_STEPS")
+    return Engine(spark).sql(
+        "SELECT word, freq, n_pieces, encoded "
+        "FROM TABLE(tokenize(docs => 'sql_tok_docs_v', "
+        "algo => 'wordpiece', top_k => 40))"
+    )
+
+
 # ---------------------------------------------- unigram-LM tokenizer
 
 #: multi-char piece budget — small enough that pruning BITES on this

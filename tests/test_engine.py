@@ -834,3 +834,61 @@ def test_table_fn_argument_errors_are_loud(spark):
             "right => 'tferr_r', on => 'uid', order_col => 't', "
             "carry_cols => 'v'))"
         )
+
+
+def test_tokenize_table_function_algos_and_refusal(spark, sf_dir):
+    """TABLE(tokenize(...)): 'wordpiece' (default), 'unigram', and
+    'bpe' resolve onto the three encode operators — word-level rows
+    for the first two, document-level token streams for bpe — and an
+    unknown algo refuses with the supported list."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("tok_fn_docs_v")
+    eng = Engine(spark)
+
+    wp = eng.sql(
+        "SELECT * FROM TABLE(tokenize(docs => 'tok_fn_docs_v'))"
+    )
+    assert wp.columns == ["word", "freq", "n_pieces", "encoded"]
+    n_words = docs.selectExpr(
+        "explode(split(text, ' ')) AS w"
+    ).where("w <> ''").select("w").distinct().count()
+    assert wp.count() == n_words
+    # every word round-trips: pieces stripped of the ## continuation
+    # marker concatenate back to the word
+    bad = wp.selectExpr(
+        "word",
+        "replace(replace(encoded, ' ##', ''), ' ', '') AS back",
+    ).where("word <> back")
+    assert bad.count() == 0
+
+    ug = eng.sql(
+        "SELECT * FROM TABLE(tokenize(docs => 'tok_fn_docs_v', "
+        "algo => 'unigram', top_k => 20))"
+    )
+    assert ug.count() == n_words
+    assert "n_pieces" in ug.columns
+
+    bpe = eng.sql(
+        "SELECT doc_id, n_words, n_chars "
+        "FROM TABLE(tokenize(docs => 'tok_fn_docs_v', "
+        "algo => 'bpe', n_merges => 4))"
+    )
+    assert bpe.count() == docs.count()
+
+    with pytest.raises(ValueError, match="unknown algo"):
+        eng.sql(
+            "SELECT * FROM TABLE(tokenize(docs => 'tok_fn_docs_v', "
+            "algo => 'sentencepiece'))"
+        )
+    with pytest.raises(ValueError, match="unknown tokenize"):
+        eng.sql(
+            "SELECT * FROM TABLE(tokenize(docs => 'tok_fn_docs_v', "
+            "vocab => 'v'))"
+        )

@@ -1012,3 +1012,32 @@ def test_table_fn_unresolved_args_refuse_loudly(spark, sf_dir):
             "SELECT * FROM TABLE(dedup_exact(docs => 'my(view)'))"
         ).collect()
     assert "argument list could not" not in str(ei.value)
+
+
+def test_sql_tokenize_table_function_plan_shape(spark, sf_dir):
+    """TABLE(tokenize(...)) keeps the tokenizer family's volume
+    routing through the SQL seam: the ONLY corpus-sized op is the
+    word-frequency groupBy (one aggregate exchange); segmentation is
+    an Arrow-batched MapInPandas over the vocab-sized word table —
+    no join of any kind, and never more exchanges than the one
+    aggregate needs."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "plan_tok_docs_v"
+    )
+    df = Engine(spark).sql(
+        "SELECT word, freq, n_pieces, encoded "
+        "FROM TABLE(tokenize(docs => 'plan_tok_docs_v', "
+        "algo => 'wordpiece', top_k => 40))"
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in executed  # Arrow-batched segmentation
+    assert "Join" not in executed
+    assert "CartesianProduct" not in executed
+    # word-frequency partial+final aggregate: one shuffle exchange
+    assert executed.count("Exchange") <= 2
+    assert "HashAggregate" in executed
