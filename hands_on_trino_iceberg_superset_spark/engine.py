@@ -47,6 +47,53 @@ def _split_top_level(text: str) -> list[str]:
     return [p for p in parts if p.strip()]
 
 
+def _executed_plan_with_metrics(jplan) -> str:
+    """Render an EXECUTED JVM physical plan as an indented tree with
+    each operator's runtime ``SQLMetric`` values inline — the body of
+    Trino's ``EXPLAIN ANALYZE`` output shape. Walks the same node
+    graph the Spark UI's SQL tab reads: ``AdaptiveSparkPlanExec``
+    descends into its FINAL plan (the initial plan's metrics are
+    empty), ``*QueryStageExec`` wrappers into their materialized
+    stage plan; metric keys sort for a stable layout (values like
+    timings are genuinely run-dependent — that is what ANALYZE
+    reports)."""
+    lines: list[str] = []
+
+    def metric_parts(node) -> list[str]:
+        parts = []
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                try:
+                    parts.append(f"{kv._1()}: {kv._2().value()}")
+                except Exception:  # noqa: BLE001 — unset metric
+                    continue
+        except Exception:  # noqa: BLE001 — metric-less node
+            pass
+        return sorted(parts)
+
+    def walk(node, depth: int) -> None:
+        cls = node.getClass().getSimpleName()
+        parts = metric_parts(node)
+        lines.append(
+            "  " * depth + str(node.nodeName())
+            + (" [" + ", ".join(parts) + "]" if parts else "")
+        )
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan(), depth + 1)
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), depth + 1)
+
+    walk(jplan, 0)
+    return "\n".join(lines)
+
+
 #: SparkSession -> {view name: defining SQL}. The backing temp views
 #: are SESSION-global, so the registry must be too: two Engine
 #: instances over one session share one view namespace (a DROP VIEW
@@ -1804,6 +1851,30 @@ class Engine:
         return self.spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), modes[t]
         )
+
+    def explain_analyze(self, sql_text: str,
+                        trino: bool = True) -> str:
+        """Trino's ``EXPLAIN ANALYZE``: EXECUTE the statement and
+        return the executed physical plan annotated with REAL
+        runtime metrics — each operator's ``SQLMetric`` values
+        (numOutputRows and friends) read off
+        ``QueryExecution.executedPlan`` after the collect fills
+        them, AQE's final plan (not the initial guess) included.
+        Read shapes only, same guard as :meth:`explain`: routed
+        DDL/DML executes inside its handler, so ANALYZE of
+        ``DELETE ...`` would commit the delete a second time —
+        refuse instead (the r12 VALIDATE read-shape guard, kept)."""
+        if not self._EXPLAINABLE.match(sql_text):
+            raise ValueError(
+                "EXPLAIN ANALYZE supports read statements only "
+                "(DDL/DML routes through handlers that execute)"
+            )
+        df = self.trino_sql(sql_text) if trino else self.sql(sql_text)
+        n = len(df.collect())  # THIS QueryExecution's metrics fill
+        plan = _executed_plan_with_metrics(
+            df._jdf.queryExecution().executedPlan()
+        )
+        return f"Query Plan (executed; {n} rows returned)\n{plan}"
 
 
 class _IcebergSqlAdapter:

@@ -1101,3 +1101,69 @@ def wire_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], r[3], bool(r[4])) for r in rows if r[0] in pinned],
         "function string, function_type string, deterministic boolean",
     ).orderBy("function")
+
+
+@register(
+    "wire_explain_analyze",
+    oracle="""
+    SELECT 'result' AS stage,
+           CAST(count(DISTINCT n_regionkey) AS BIGINT) AS rows_out
+    FROM nation
+    UNION ALL
+    SELECT 'scan' AS stage, CAST(count(*) AS BIGINT) AS rows_out
+    FROM nation
+    ORDER BY stage
+    """,
+    doc="EXPLAIN ANALYZE over the wire (VERDICT r13 item 3; "
+        "formerly a loud refusal at server.py): the statement SQL "
+        "Lab's 'Run with EXPLAIN ANALYZE' habit issues EXECUTES the "
+        "read statement and returns Trino's one-row 'Query Plan' "
+        "shape carrying the EXECUTED plan with real per-operator "
+        "SQLMetric values (Engine.explain_analyze walking "
+        "QueryExecution.executedPlan after the collect — AQE's "
+        "final plan, not the initial guess; DML still refuses "
+        "rather than double-executes). The row drains the statement "
+        "over real HTTP and extracts the two metrics that are "
+        "deterministic facts of the DATA rather than the run: the "
+        "parquet scan's numOutputRows (the table's row count — no "
+        "filter, so a short-read is a correctness bug) and the "
+        "returned-row count of the aggregate (one per distinct "
+        "region key); the oracle recomputes both from the table. "
+        "Timings/bytes are asserted present but unpinned — that is "
+        "what ANALYZE reports. Full text shape gated in "
+        "tests/test_server.py::test_explain_over_wire.",
+)
+def wire_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation"
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(
+            srv.url,
+            "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n "
+            "FROM nation GROUP BY n_regionkey",
+        )
+    finally:
+        srv.stop()
+    assert len(rows) == 1 and len(rows[0]) == 1
+    plan = rows[0][0]
+    m = re.search(r"executed; (\d+) rows returned", plan)
+    scans = re.findall(r"Scan parquet[^\n]*?numOutputRows: (\d+)",
+                       plan)
+    if m is None or len(scans) != 1:
+        raise ValueError(
+            "EXPLAIN ANALYZE text missing executed metrics:\n"
+            + plan)
+    return spark.createDataFrame(
+        [("result", int(m.group(1))), ("scan", int(scans[0]))],
+        "stage string, rows_out long",
+    ).orderBy("stage")

@@ -656,11 +656,32 @@ class TrinoWireServer:
                 # varchar row.
                 opts, stmt = m.group(1) or "", m.group(2)
                 if re.match(r"(?is)^ANALYZE\b", stmt):
-                    raise ValueError(
-                        "EXPLAIN ANALYZE is not supported over this "
-                        "wire (it executes the statement); use plain "
-                        "EXPLAIN"
-                    )
+                    # Trino's EXPLAIN ANALYZE [VERBOSE]: EXECUTE the
+                    # read statement and return the executed plan
+                    # with real per-operator metrics (SQL Lab's
+                    # "Run with EXPLAIN ANALYZE" habit). The
+                    # read-shape guard lives in
+                    # Engine.explain_analyze — ANALYZE of DML still
+                    # refuses rather than double-executes (r12).
+                    if opts.strip():
+                        raise ValueError(
+                            "EXPLAIN ANALYZE takes no "
+                            "(TYPE/FORMAT) options"
+                        )
+                    inner = re.sub(r"(?is)^ANALYZE\s+(?:VERBOSE\s+)?",
+                                   "", stmt, count=1)
+                    confs = self._session_confs(session or {})
+                    database = self._schema_database(catalog, schema)
+                    with self._apply_confs(confs, database=database):
+                        plan = self.engine.explain_analyze(inner)
+                    return ({
+                        "id": qid,
+                        "columns": [{"name": "Query Plan",
+                                     "type": "varchar"}],
+                        "data": [[plan]],
+                        "stats": {"state": "FINISHED",
+                                  "statement": "EXPLAIN ANALYZE"},
+                    }, [])
                 etype, fmt = "DISTRIBUTED", "TEXT"
                 for part in _split_top_level(opts):
                     kw = part.split()

@@ -473,7 +473,10 @@ def test_explain_over_wire(server, spark):
     reference, superset_config.py:3-5): Trino's one-row 'Query Plan'
     shape, TYPE LOGICAL/DISTRIBUTED/IO mapped onto the Spark
     planner's extended/formatted/cost renderings, VALIDATE
-    analysis-only, and EXPLAIN ANALYZE refused (it would execute)."""
+    analysis-only, and EXPLAIN ANALYZE executing the read statement
+    and returning the executed plan with REAL per-operator metrics
+    (refused for DML — executing it twice is the r12 hazard the
+    read-shape guard exists for)."""
     spark.createDataFrame(
         [(1, "a"), (2, "b")], "id long, k string"
     ).createOrReplaceTempView("wire_explain_t")
@@ -509,9 +512,30 @@ def test_explain_over_wire(server, spark):
                 "FROM wire_explain_t")
     assert "Project" in rows[0][0]
 
-    bad = _post(server, "EXPLAIN ANALYZE SELECT 1")
+    # EXPLAIN ANALYZE executes and reports runtime metrics: the
+    # scan's 2 rows and the aggregate's 2 groups appear as REAL
+    # numOutputRows values in the executed-plan text
+    cols, rows = _drain(
+        server, "EXPLAIN ANALYZE SELECT k, count(*) AS n "
+                "FROM wire_explain_t GROUP BY k")
+    assert [c["name"] for c in cols] == ["Query Plan"]
+    plan = rows[0][0]
+    assert plan.startswith("Query Plan (executed; 2 rows returned)")
+    assert "numOutputRows" in plan
+    assert "HashAggregate" in plan
+    # VERBOSE accepted, (TYPE ...) options with ANALYZE refused
+    _, rows = _drain(server,
+                     "EXPLAIN ANALYZE VERBOSE SELECT 1 AS one")
+    assert "executed; 1 rows returned" in rows[0][0]
+    bad = _post(server,
+                "EXPLAIN (TYPE DISTRIBUTED) ANALYZE SELECT 1")
     assert bad["stats"]["state"] == "FAILED"
-    assert "execut" in bad["error"]["message"]
+    assert "takes no" in bad["error"]["message"]
+
+    # ANALYZE of DML still refuses — its handler EXECUTES
+    bad = _post(server, "EXPLAIN ANALYZE DELETE FROM wire_explain_t")
+    assert bad["stats"]["state"] == "FAILED"
+    assert "read statements only" in bad["error"]["message"]
 
     # EXPLAIN of a statement that would execute is refused
     bad = _post(server, "EXPLAIN DROP VIEW nope")
