@@ -18,7 +18,11 @@ Protocol subset implemented (enough for CLI/driver-style clients):
   query; the response carries ``id``, ``columns``, the first data
   page, and a ``nextUri`` while more pages remain.
 - ``GET  /v1/statement/<id>/<page>`` fetches subsequent pages.
-- ``DELETE /v1/statement/<id>/<page>`` cancels (drops the result).
+- ``DELETE /v1/statement/<id>/<page>`` cancels: drops any buffered
+  result AND cancels the statement's running Spark jobs (job group
+  = query id, interrupt-on-cancel), so a kill issued from a second
+  connection stops burning executors; the statement records
+  CANCELED with a USER_CANCELED error shape.
 - errors surface as ``{"error": {...}, "stats": {"state": "FAILED"}}``
   with HTTP 200, per protocol (transport succeeded, query failed).
 - ``PREPARE q FROM <sql>`` / ``EXECUTE q USING <literals>`` /
@@ -50,11 +54,14 @@ Protocol subset implemented (enough for CLI/driver-style clients):
   namespace, any other known schema maps onto Spark's CURRENT
   DATABASE for the one statement (write-lock scoped, restored
   after). Unknown catalogs/schemas are refused loudly.
-- ``system.runtime.queries`` (extension mirroring Trino's
+- ``system.runtime.queries`` / ``system.runtime.nodes`` /
+  ``system.runtime.tasks`` (extensions mirroring Trino's
   operational introspection): every statement's lifecycle is logged
-  (bounded to the newest 1000) and any SELECT referencing the table
-  composes over the log — the in-flight statement shows RUNNING,
-  exactly as on a Trino coordinator.
+  (bounded to the newest 1000) and any SELECT referencing the
+  tables composes over the log — the in-flight statement shows
+  RUNNING, exactly as on a Trino coordinator; tasks serves one row
+  per statement (the local execution model) with honest lifecycle
+  instants and output_rows.
 
 Results are fully materialized on POST and paged from driver memory:
 the wire entry is a control-plane surface (BI tools page through
@@ -328,6 +335,10 @@ class TrinoWireServer:
         #: Trino serves the same surface from its coordinator).
         #: Bounded to the newest _STMT_LOG_CAP records.
         self._stmt_log: list[dict] = []
+        #: qids cancelled via DELETE while RUNNING — the executing
+        #: thread reads this to record CANCELED (not FAILED) and
+        #: shape the error as USER_CANCELED
+        self._cancelled: set[str] = set()
         self._lock = threading.Lock()
         self._conf_lock = _RWLock()
         outer = self
@@ -542,6 +553,88 @@ class TrinoWireServer:
             lambda seg: self._RUNTIME_NODES_RE.sub(view, seg),
         )
 
+    #: ``system.runtime.tasks`` — Trino's per-task execution table
+    #: (SQL Lab's query-detail pane reads it). One statement here is
+    #: one driver-coordinated task (local wire server; Spark's own
+    #: tasks are executor-internal), so each logged statement serves
+    #: one row with the honestly-known values filled (wall-clock
+    #: schedule time, output rows, lifecycle instants) and the
+    #: executor-private counters zero.
+    _RUNTIME_TASKS_RE = re.compile(
+        r'(?<![\w`"])["`]?system["`]?\s*\.\s*["`]?runtime["`]?'
+        r'\s*\.\s*["`]?tasks["`]?',
+        re.IGNORECASE,
+    )
+
+    def _resolve_runtime_tasks(self, text: str, qid: str) -> str:
+        """Rewrite ``system.runtime.tasks`` onto a per-qid snapshot
+        view (same literal-aware machinery and concurrency posture
+        as ``system.runtime.queries``): one row per logged
+        statement, Trino's column set. ``output_rows`` is the
+        materialized row count the statement actually produced;
+        split counters reflect the one-task-per-statement execution
+        model; CPU/bytes counters the coordinator cannot observe
+        are 0, not invented."""
+        from hands_on_trino_iceberg_superset_spark.dialect import (
+            _outside_literals,
+        )
+
+        hit = []
+
+        def scan(seg: str) -> str:
+            if self._RUNTIME_TASKS_RE.search(seg):
+                hit.append(True)
+            return seg
+
+        _outside_literals(text, scan)
+        if not hit:
+            return text
+        from pyspark.sql import types as T
+
+        with self._lock:
+            rows = []
+            for r in self._stmt_log:
+                done = r["finished"] is not None
+                wall_ms = int(
+                    (r["finished"] - r["created"]).total_seconds()
+                    * 1000) if done else 0
+                rows.append((
+                    "local", f"{r['query_id']}.0.0.0",
+                    f"{r['query_id']}.0", r["query_id"],
+                    r["state"], 1, 0,
+                    0 if done else 1, 1 if done else 0,
+                    wall_ms, 0, 0, 0, 0, 0, 0, 0,
+                    int(r.get("rows") or 0), 0, 0,
+                    r["created"], r["created"],
+                    r["finished"] or r["created"], r["finished"],
+                ))
+        fields = [
+            ("node_id", T.StringType()), ("task_id", T.StringType()),
+            ("stage_id", T.StringType()),
+            ("query_id", T.StringType()), ("state", T.StringType()),
+        ] + [(n, T.LongType()) for n in (
+            "splits", "queued_splits", "running_splits",
+            "completed_splits", "split_scheduled_time_ms",
+            "split_cpu_time_ms", "split_blocked_time_ms",
+            "raw_input_bytes", "raw_input_rows",
+            "processed_input_bytes", "processed_input_rows",
+            "output_bytes", "output_rows", "physical_input_bytes",
+            "physical_written_bytes",
+        )] + [(n, T.TimestampType()) for n in (
+            "created", "start", "last_heartbeat", "end",
+        )]
+        schema = T.StructType(
+            [T.StructField(n, t, True) for n, t in fields]
+        )
+        view = f"__system_runtime_tasks_{qid}"
+        self.engine.spark.createDataFrame(
+            rows, schema
+        ).createOrReplaceTempView(view)
+        return _outside_literals(
+            text,
+            lambda seg: self._RUNTIME_TASKS_RE.sub(view, seg),
+        )
+
     def _resolve_runtime_queries(self, text: str, qid: str) -> str:
         """Materialize the statement log as a PER-STATEMENT temp view
         (``__system_runtime_queries_<qid>``) and rewrite
@@ -612,15 +705,36 @@ class TrinoWireServer:
         with self._lock:
             self._stmt_log.append(rec)
             del self._stmt_log[:-self._STMT_LOG_CAP]
-        payload, hdrs = self._execute_inner(
-            qid, sql_text, prepared, session, catalog, schema
-        )
+        # job group = qid, set in THIS executing thread (Spark job
+        # groups are thread-local): a DELETE /v1/statement/<qid>/...
+        # arriving on another connection maps to
+        # cancelJobGroup(qid), so a cancelled statement stops
+        # burning executors instead of just dropping its result.
+        # interruptOnCancel interrupts the running task threads.
+        sc = self.engine.spark.sparkContext
+        sc.setJobGroup(qid, f"wire statement {qid}",
+                       interruptOnCancel=True)
+        try:
+            payload, hdrs = self._execute_inner(
+                qid, sql_text, prepared, session, catalog, schema
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
         # record mutations hold the same lock the snapshot reader
         # takes — no torn RUNNING/finished fields across threads
         with self._lock:
-            rec["state"] = ("FAILED" if "error" in payload
-                            else "FINISHED")
+            if "error" in payload:
+                if qid in self._cancelled:
+                    rec["state"] = "CANCELED"
+                    payload["error"]["errorName"] = "USER_CANCELED"
+                    payload["error"]["errorType"] = "USER_ERROR"
+                else:
+                    rec["state"] = "FAILED"
+            else:
+                rec["state"] = "FINISHED"
             rec["finished"] = datetime.now(timezone.utc)
+            self._cancelled.discard(qid)
         return payload, hdrs
 
     def _execute_inner(self, qid: str, sql_text: str,
@@ -850,6 +964,7 @@ class TrinoWireServer:
             database = self._schema_database(catalog, schema)
             sql_text = self._resolve_runtime_queries(sql_text, qid)
             sql_text = self._resolve_runtime_nodes(sql_text, qid)
+            sql_text = self._resolve_runtime_tasks(sql_text, qid)
             with self._apply_confs(confs, database=database):
                 df = self.engine.trino_sql(sql_text)
                 columns = [
@@ -879,7 +994,8 @@ class TrinoWireServer:
             # by now); a name appears in the resolved text iff its
             # view was created — no catalog round-trip otherwise
             for view in (f"__system_runtime_queries_{qid}",
-                         f"__system_runtime_nodes_{qid}"):
+                         f"__system_runtime_nodes_{qid}",
+                         f"__system_runtime_tasks_{qid}"):
                 if view in sql_text:
                     try:
                         self.engine.spark.catalog.dropTempView(view)
@@ -888,6 +1004,12 @@ class TrinoWireServer:
         q = _Query(qid, columns, rows)
         with self._lock:
             self._queries[qid] = q
+            # output_rows for system.runtime.tasks: the statement's
+            # materialized row count (log scan is cap-bounded)
+            for r in reversed(self._stmt_log):
+                if r["query_id"] == qid:
+                    r["rows"] = len(rows)
+                    break
         return self._page_payload(q, 0), []
 
     @contextmanager
@@ -951,8 +1073,25 @@ class TrinoWireServer:
         return self._page_payload(q, idx)
 
     def _cancel(self, qid: str) -> None:
+        """DELETE /v1/statement/<qid>/<page>: drop any buffered
+        result AND cancel the statement's running Spark jobs — the
+        job group is the qid (set in the executing thread by
+        :meth:`_execute`), so a kill issued from a second connection
+        (the Trino workflow: read query_id off
+        system.runtime.queries, then DELETE) stops burning executors
+        instead of letting the statement run to completion."""
         with self._lock:
             self._queries.pop(qid, None)
+            running = any(r["query_id"] == qid
+                          and r["finished"] is None
+                          for r in self._stmt_log)
+            if running:
+                self._cancelled.add(qid)
+        if running:
+            try:
+                self.engine.spark.sparkContext.cancelJobGroup(qid)
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                pass
 
     def _page_payload(self, q: _Query, idx: int) -> dict:
         chunk, has_more = q.page(idx)

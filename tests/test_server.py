@@ -1040,3 +1040,118 @@ def test_system_runtime_nodes(server):
         if t.name.startswith("__system_runtime_nodes")
     ]
     assert leftovers == []
+
+
+def test_system_runtime_tasks(server, spark):
+    """system.runtime.tasks (the remaining system.runtime member SQL
+    Lab's query-detail pane reads): one row per logged statement in
+    Trino's column set — splits reflect the one-task-per-statement
+    execution model, output_rows is the materialized row count, and
+    the per-qid snapshot view is dropped after the statement."""
+    marker = "tasks_probe_r14"
+    _drain(server,
+           f"SELECT 1 AS {marker}, 2 AS b UNION ALL SELECT 3, 4")
+    cols, rows = _drain(
+        server,
+        "SELECT t.state, t.splits, t.completed_splits, "
+        "t.output_rows, t.task_id, t.query_id "
+        "FROM system.runtime.tasks t "
+        "JOIN system.runtime.queries q ON t.query_id = q.query_id "
+        f"WHERE q.query LIKE '%{marker}%' "
+        "AND q.query NOT LIKE '%system.runtime%'",
+    )
+    assert len(rows) == 1
+    state, splits, completed, out_rows, task_id, qid = rows[0]
+    assert state == "FINISHED"
+    assert (splits, completed) == (1, 1)
+    assert out_rows == 2  # the UNION ALL materialized two rows
+    assert task_id == f"{qid}.0.0.0"
+    # the introspection statement itself shows RUNNING with its
+    # task not yet completed
+    _, self_rows = _drain(
+        server,
+        "SELECT t.state, t.running_splits, t.completed_splits "
+        "FROM system.runtime.tasks t WHERE t.state = 'RUNNING'",
+    )
+    assert ["RUNNING", 1, 0] in self_rows
+    # full Trino column set served
+    cols2, _ = _drain(server,
+                      "SELECT * FROM system.runtime.tasks LIMIT 1")
+    names = [c["name"] for c in cols2]
+    assert names[:5] == ["node_id", "task_id", "stage_id",
+                         "query_id", "state"]
+    for want in ("splits", "queued_splits", "running_splits",
+                 "completed_splits", "split_scheduled_time_ms",
+                 "split_cpu_time_ms", "split_blocked_time_ms",
+                 "raw_input_bytes", "raw_input_rows",
+                 "processed_input_bytes", "processed_input_rows",
+                 "output_bytes", "output_rows",
+                 "physical_input_bytes", "physical_written_bytes",
+                 "created", "start", "last_heartbeat", "end"):
+        assert want in names
+    # snapshot views dropped after the statement
+    leftovers = [
+        t.name
+        for t in server.engine.spark.catalog.listTables()
+        if t.name.startswith("__system_runtime_tasks")
+    ]
+    assert leftovers == []
+
+
+def test_cancel_propagates_to_running_spark_jobs(server, spark):
+    """The Trino kill workflow: a second connection reads the RUNNING
+    statement's query_id off system.runtime.queries and DELETEs it —
+    the statement's Spark jobs must actually stop (job group =
+    qid, interrupt-on-cancel), the client gets USER_CANCELED, and
+    the log records CANCELED."""
+    import threading
+    import time
+
+    marker = "cancel_probe_r14"
+    slow_sql = (
+        f"SELECT /* {marker} */ max(v) AS m FROM ("
+        "SELECT sha2(CAST(id * 37 AS string), 512) AS v "
+        "FROM range(400000000))"
+    )
+    result: dict = {}
+
+    def run() -> None:
+        result["payload"] = _post(server, slow_sql)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # find the RUNNING statement's qid via the log (what a client
+    # reads from system.runtime.queries on a second connection)
+    qid = None
+    deadline = time.time() + 30
+    while qid is None and time.time() < deadline:
+        with server._lock:
+            for r in server._stmt_log:
+                if marker in r["query"] and r["finished"] is None:
+                    qid = r["query_id"]
+        time.sleep(0.05)
+    assert qid, "slow statement never appeared as RUNNING"
+    # give the collect a moment to submit its Spark job, then kill
+    tracker = spark.sparkContext.statusTracker()
+    for _ in range(200):
+        if tracker.getActiveJobsIds():
+            break
+        time.sleep(0.05)
+    req = urllib.request.Request(
+        f"{server.url}/v1/statement/{qid}/0", method="DELETE")
+    urllib.request.urlopen(req)
+    t.join(timeout=60)
+    assert not t.is_alive(), "cancelled statement did not return"
+    payload = result["payload"]
+    assert payload["stats"]["state"] == "FAILED"
+    assert payload["error"]["errorName"] == "USER_CANCELED"
+    # the statement's jobs drain instead of burning executors
+    deadline = time.time() + 20
+    while tracker.getActiveJobsIds() and time.time() < deadline:
+        time.sleep(0.1)
+    assert not tracker.getActiveJobsIds()
+    with server._lock:
+        rec = next(r for r in server._stmt_log
+                   if r["query_id"] == qid)
+    assert rec["state"] == "CANCELED"
+    assert rec["finished"] is not None
