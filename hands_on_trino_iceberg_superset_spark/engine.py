@@ -677,7 +677,7 @@ class Engine:
     _TABLE_FN_RE = re.compile(
         r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
         r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs"
-        r"|asof_join|tokenize)"
+        r"|asof_join|tokenize|quality_scores|lang_id)"
         r"\s*\(((?:'[^']*'|[^()'])*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -744,6 +744,10 @@ class Engine:
                      "tiebreak_col, strict]",
         "tokenize": "docs => '<t>' [, algo => 'wordpiece'|'unigram'"
                     "|'bpe', top_k, n_merges, text_col, id_col]",
+        "quality_scores": "docs => '<t>' [, text_col, id_col, "
+                          "chars_col]",
+        "lang_id": "docs => '<t>' [, text_col, id_col, "
+                   "carry_cols => 'a[,b]']",
     }
 
     def _reject_unresolved_table_fns(self, text: str) -> None:
@@ -833,7 +837,9 @@ class Engine:
               "minhash_pairs": self._table_fn_minhash,
               "containment_pairs": self._table_fn_containment,
               "asof_join": self._table_fn_asof,
-              "tokenize": self._table_fn_tokenize}[fn](raw)
+              "tokenize": self._table_fn_tokenize,
+              "quality_scores": self._table_fn_quality_scores,
+              "lang_id": self._table_fn_lang_id}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
         tag = hashlib.md5(
@@ -1091,6 +1097,49 @@ class Engine:
         raise ValueError(
             f"tokenize: unknown algo {algo!r}; supported: "
             "'wordpiece', 'unigram', 'bpe'"
+        )
+
+    def _table_fn_quality_scores(self, raw: str) -> "DataFrame":
+        """Per-document quality scoring from SQL — the text-analysis
+        family's seam entry (zero-exchange pure map; plan-gated)."""
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            textstats as TS,
+        )
+
+        args = self._named_args(
+            "quality_scores", raw,
+            known={"docs", "text_col", "id_col", "chars_col"},
+            required={"docs"},
+        )
+        chars = args.get("chars_col")
+        return TS.quality_scores(
+            self.spark.table(str(args["docs"])),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+            chars_col=str(chars) if chars is not None else None,
+        )
+
+    def _table_fn_lang_id(self, raw: str) -> "DataFrame":
+        """Per-document language-ID heuristic from SQL; carry_cols
+        pass label columns through so a downstream confusion matrix
+        needs no join back to the corpus."""
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            textstats as TS,
+        )
+
+        args = self._named_args(
+            "lang_id", raw,
+            known={"docs", "text_col", "id_col", "carry_cols"},
+            required={"docs"},
+        )
+        carry = [c.strip()
+                 for c in str(args.get("carry_cols", "")).split(",")
+                 if c.strip()]
+        return TS.lang_id(
+            self.spark.table(str(args["docs"])),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+            carry_cols=carry,
         )
 
     def _table_fn_hybrid(self, raw: str) -> "DataFrame":

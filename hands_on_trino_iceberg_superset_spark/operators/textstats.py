@@ -1,0 +1,97 @@
+"""Per-document text statistics: quality scoring and language ID.
+
+The standard pretraining-corpus quality-filter shape (length,
+type/token ratio, stopword ratio, composite gate — the
+fastText/CCNet-style heuristic tier) and the stopword-density
+language-ID heuristic, as reusable operators so the SQL seam
+(``TABLE(quality_scores(...))`` / ``TABLE(lang_id(...))``,
+engine.py) and the inventory queries (queries/text.py) share ONE
+definition.
+
+Scale: both are ZERO-SHUFFLE pure maps — every score derives from
+one document's own text, so at 100 TB the whole family is a
+map-side projection pass with no exchange (plan-gated through the
+SQL seam in tests/test_plans.py). All arithmetic is exact-integer
+counts divided once in f64 — bit-identical across engines, no float
+accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: high-frequency function words used by the language-ID heuristic
+#: and the quality score's stopword ratio (queries/text.py derives
+#: its oracle literal from THIS tuple — one definition).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-document quality scores: ``n_tokens``, type/token ratio,
+    stopword ratio, average token length, and the composite
+    ``passes_quality`` gate (>= 20 tokens, >= half the tokens
+    distinct, at least one stopword). ``chars_col`` names a
+    precomputed character-count column (the documents table carries
+    ``n_chars``); ``None`` counts ``length(text_col)``."""
+    toks = _toks(text_col)
+    n_chars = (F.col(chars_col) if chars_col is not None
+               else F.length(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        n_chars.alias("__n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    )
+    gate = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_types") * 2 >= F.col("n_tokens"))
+        & (F.col("n_stop") > 0)
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("__n_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        gate.alias("passes_quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document language guess (stopword-density heuristic:
+    >= 10% of tokens in the English function-word set -> ``'en'``,
+    else ``'unknown'``). ``carry_cols`` pass extra input columns
+    through (e.g. the labeled ``lang`` for a confusion matrix) so a
+    downstream aggregate needs NO join back to the corpus — the
+    whole family stays a zero-exchange map."""
+    toks = _toks(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    guessed = (
+        F.when(n_stop * 10 >= F.size(toks), "en")
+        .otherwise("unknown")
+    ).alias("guessed_lang")
+    return docs.select(id_col, *(carry_cols or []), guessed)

@@ -20,8 +20,14 @@ from hands_on_trino_iceberg_superset_spark.queries.base import register
 from hands_on_trino_iceberg_superset_spark.sources import load_table
 
 #: high-frequency function words used by the language-ID heuristic and
-#: the quality score's stopword ratio.
-STOPWORDS = ("the", "a", "of", "and", "to", "in")
+#: the quality score's stopword ratio — defined ONCE in
+#: operators/textstats.py (r14: the family moved behind the SQL
+#: table-function seam, so the operator module owns the definition
+#: and this module derives its oracle literal from it).
+from hands_on_trino_iceberg_superset_spark.operators.textstats import (  # noqa: E402,E501
+    STOPWORDS,
+)
+
 _SW_SQL = "('" + "','".join(STOPWORDS) + "')"
 
 
@@ -106,31 +112,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pretraining-corpus quality filter shape.",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        textstats as TS,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    base = docs.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
-        F.size(
-            F.filter(toks, lambda t: t.isin(*STOPWORDS))
-        ).alias("n_stop"),
-    )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
-            "type_token_ratio"
-        ),
-        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
-            "stopword_ratio"
-        ),
-        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
-            "avg_token_len"
-        ),
-        _quality_gate().alias("passes_quality"),
-    )
+    return TS.quality_scores(docs, chars_col="n_chars")
 
 
 #: frozen logistic quality-model weights (intercept, type/token
@@ -231,14 +218,14 @@ def text_quality_classifier(spark: SparkSession,
         "+ confusion matrix against the labeled lang column.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        textstats as TS,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    guessed = (
-        F.when(n_stop * 10 >= F.size(toks), "en").otherwise("unknown")
-    ).alias("guessed_lang")
     return (
-        docs.select(F.col("lang").alias("labeled_lang"), guessed)
+        TS.lang_id(docs, carry_cols=["lang"])
+        .select(F.col("lang").alias("labeled_lang"), "guessed_lang")
         .groupBy("labeled_lang", "guessed_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1503,4 +1490,85 @@ def sql_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM TABLE(hybrid_topk(docs => 'sql_hyb_docs_v', "
         "corpus => 'sql_hyb_corpus_v', "
         "queries => 'sql_hyb_queries_v', k => 10))"
+    )
+
+
+@register(
+    "sql_text_quality",
+    oracle=f"""
+    SELECT doc_id AS doc_id,
+           n_tokens AS n_tokens,
+           CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           (n_tokens >= 20 AND n_types * 2 >= n_tokens AND n_stop > 0)
+             AS passes_quality
+    FROM (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {_SW_SQL})) AS n_stop
+      FROM documents
+    )
+    """,
+    doc="Per-document quality scoring reached from PLAIN SQL (r14: "
+        "the text-analysis family joins the table-function seam): "
+        "Engine.sql resolves TABLE(quality_scores(docs => ..., "
+        "chars_col => 'n_chars')) onto operators/textstats."
+        "quality_scores — a wire client or BI virtual dataset runs "
+        "the pretraining quality filter with no Python API in the "
+        "loop. Same per-document oracle as text_quality_scores "
+        "(restated verbatim: the seam is hash-checked against the "
+        "identical recompute). Scale: a ZERO-EXCHANGE pure map — "
+        "plan-gated through the seam (no join, no shuffle).",
+)
+def sql_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_quality_docs_v"
+    )
+    return Engine(spark).sql(
+        "SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio, "
+        "avg_token_len, passes_quality "
+        "FROM TABLE(quality_scores(docs => 'sql_quality_docs_v', "
+        "chars_col => 'n_chars'))"
+    )
+
+
+@register(
+    "sql_text_lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, guessed AS guessed_lang, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> t IN {_SW_SQL})) * 10
+                       >= len(string_split(text, ' '))
+                  THEN 'en' ELSE 'unknown' END AS guessed
+      FROM documents
+    )
+    GROUP BY lang, guessed
+    """,
+    doc="Language-ID confusion matrix from PLAIN SQL: "
+        "TABLE(lang_id(docs => ..., carry_cols => 'lang')) carries "
+        "the labeled lang THROUGH the per-document map, so the "
+        "downstream GROUP BY needs no join back to the corpus — at "
+        "100 TB the plan is one map pass plus one "
+        "confusion-matrix-sized aggregate exchange (plan-gated: no "
+        "join node through the seam). Oracle identical to "
+        "text_lang_id's.",
+)
+def sql_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_langid_docs_v"
+    )
+    return Engine(spark).sql(
+        "SELECT lang AS labeled_lang, guessed_lang, count(*) AS n "
+        "FROM TABLE(lang_id(docs => 'sql_langid_docs_v', "
+        "carry_cols => 'lang')) "
+        "GROUP BY lang, guessed_lang"
     )

@@ -1041,3 +1041,38 @@ def test_sql_tokenize_table_function_plan_shape(spark, sf_dir):
     # word-frequency partial+final aggregate: one shuffle exchange
     assert executed.count("Exchange") <= 2
     assert "HashAggregate" in executed
+
+
+def test_sql_textstats_table_functions_plan_shape(spark, sf_dir):
+    """The text-analysis seam stays a ZERO-EXCHANGE pure map:
+    TABLE(quality_scores(...)) plans with no join and no shuffle at
+    all (every score derives from one document's own text), and the
+    lang_id confusion-matrix shape — labels CARRIED through the map
+    — needs exactly the one aggregate exchange, never a join back
+    to the corpus."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "plan_ts_docs_v"
+    )
+    eng = Engine(spark)
+    q = eng.sql(
+        "SELECT * FROM TABLE(quality_scores("
+        "docs => 'plan_ts_docs_v', chars_col => 'n_chars'))"
+    )
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed
+    assert "Exchange" not in executed  # zero-shuffle map
+
+    cm = eng.sql(
+        "SELECT lang AS labeled_lang, guessed_lang, count(*) AS n "
+        "FROM TABLE(lang_id(docs => 'plan_ts_docs_v', "
+        "carry_cols => 'lang')) GROUP BY lang, guessed_lang"
+    )
+    executed = cm._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed  # labels carried, not re-joined
+    assert executed.count("Exchange") <= 1
+    assert "HashAggregate" in executed

@@ -168,6 +168,12 @@ QUERIES = [
     #     with events replicated 10x (r13: the operator is now
     #     SQL-reachable via TABLE(asof_join(...)); one union + one
     #     window shuffle, no join — should scale ~linearly)
+    #   containment_seam_overhead — TABLE(containment_pairs(...))
+    #     vs the direct operator at 1x/10x: the SQL seam's cost
+    #     (parse + named args + temp view + plan rewrite) must stay
+    #     FLAT while the postings join scales (r13 VERDICT item 5:
+    #     sql_dedup_containment's +2.5s over the Python path was
+    #     claimed constant, not scale-bearing — this measures it)
 ]
 
 LINKED = ["region", "nation", "supplier", "part", "events"]
@@ -279,6 +285,9 @@ def measure_one(name: str, dirs: list[str]) -> None:
         return
     if name == "asof_events_scaling":
         _measure_asof_events_scaling(spark, dirs)
+        return
+    if name == "containment_seam_overhead":
+        _measure_containment_seam_overhead(spark, dirs)
         return
     spec = load_all()[name]
     for d in dirs:
@@ -507,6 +516,56 @@ def _measure_asof_events_scaling(spark, dirs: list[str]) -> None:
             best = dt if best is None else min(best, dt)
         rows = run().count()
         print(f"RESULT {label} {rows},{best:.4f}", flush=True)
+
+
+def _measure_containment_seam_overhead(spark, dirs: list[str]) -> None:
+    """The dedup SQL seam's overhead, isolated (r13 VERDICT item 5):
+    run the capped containment workhorse BOTH ways on the same
+    corpus at 1x and 10x — the direct operator call
+    (operators/dedup.containment_pairs_inverted) and the identical
+    call through Engine.sql's TABLE(containment_pairs(...)) seam.
+    The physical plan is plan-gated identical, so the seam's cost is
+    pure control plane: regex resolution, named-arg parsing, temp
+    view registration, statement rewrite. That cost must stay FLAT
+    (constant seconds) while the postings join grows with the
+    corpus; a seam overhead that scaled with the data would mean
+    the seam re-materializes something corpus-sized. Prints one
+    RESULT line per (scale, variant)."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    eng = Engine(spark)
+    for label, d in zip(("1x", "10x"), dirs):
+        docs = load_table(spark, d, "documents")
+        docs.createOrReplaceTempView("seam_docs_v")
+
+        def direct():
+            return D.containment_pairs_inverted(
+                docs, threshold=0.9, n=8, max_df=10
+            )
+
+        def seam():
+            return eng.sql(
+                "SELECT * FROM TABLE(containment_pairs("
+                "docs => 'seam_docs_v', threshold => 0.9, "
+                "n => 8, max_df => 10))"
+            )
+
+        for variant, fn in (("direct", direct), ("seam", seam)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows = fn().count()
+            print(f"RESULT {label} {variant} {rows},{best:.4f}",
+                  flush=True)
 
 
 def _measure_skew_salted_wallclock(spark, dirs: list[str]) -> None:
