@@ -745,7 +745,7 @@ class Engine:
         "tokenize": "docs => '<t>' [, algo => 'wordpiece'|'unigram'"
                     "|'bpe', top_k, n_merges, text_col, id_col]",
         "quality_scores": "docs => '<t>' [, text_col, id_col, "
-                          "chars_col]",
+                          "chars_col, carry_cols => 'a[,b]']",
         "lang_id": "docs => '<t>' [, text_col, id_col, "
                    "carry_cols => 'a[,b]']",
     }
@@ -1108,15 +1108,20 @@ class Engine:
 
         args = self._named_args(
             "quality_scores", raw,
-            known={"docs", "text_col", "id_col", "chars_col"},
+            known={"docs", "text_col", "id_col", "chars_col",
+                   "carry_cols"},
             required={"docs"},
         )
         chars = args.get("chars_col")
+        carry = [c.strip()
+                 for c in str(args.get("carry_cols", "")).split(",")
+                 if c.strip()]
         return TS.quality_scores(
             self.spark.table(str(args["docs"])),
             text_col=str(args.get("text_col", "text")),
             id_col=str(args.get("id_col", "doc_id")),
             chars_col=str(chars) if chars is not None else None,
+            carry_cols=carry,
         )
 
     def _table_fn_lang_id(self, raw: str) -> "DataFrame":

@@ -36,18 +36,23 @@ def quality_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     chars_col: str | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document quality scores: ``n_tokens``, type/token ratio,
     stopword ratio, average token length, and the composite
     ``passes_quality`` gate (>= 20 tokens, >= half the tokens
     distinct, at least one stopword). ``chars_col`` names a
     precomputed character-count column (the documents table carries
-    ``n_chars``); ``None`` counts ``length(text_col)``."""
+    ``n_chars``); ``None`` counts ``length(text_col)``.
+    ``carry_cols`` pass metadata columns (source, lang) through the
+    map so downstream aggregates need no join back to the corpus."""
     toks = _toks(text_col)
+    carry = list(carry_cols or [])
     n_chars = (F.col(chars_col) if chars_col is not None
                else F.length(F.col(text_col)))
     base = docs.select(
         F.col(id_col),
+        *carry,
         n_chars.alias("__n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
@@ -62,6 +67,7 @@ def quality_scores(
     )
     return base.select(
         id_col,
+        *carry,
         "n_tokens",
         (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
             "type_token_ratio"

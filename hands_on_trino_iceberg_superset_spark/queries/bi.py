@@ -1443,3 +1443,79 @@ def bi_chart_native_compare(spark: SparkSession,
     ))
     return (catalyst.unionAll(via_sql).distinct()
             .orderBy("__timestamp"))
+
+
+def _quality_chart_oracle() -> str:
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        _SW_SQL,
+    )
+
+    return f"""
+    SELECT source,
+           count(*) AS count,
+           CAST(sum(CASE WHEN n_tokens >= 20
+                          AND n_types * 2 >= n_tokens
+                          AND n_stop > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+    FROM (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {_SW_SQL})) AS n_stop
+      FROM documents
+    )
+    GROUP BY source
+    ORDER BY count DESC, source
+    """
+
+
+@register(
+    "bi_chart_quality_sources",
+    oracle=_quality_chart_oracle(),
+    doc="The corpus-quality dashboard a curation team watches, over "
+        "the r14 text-analysis seam: the virtual dataset's defining "
+        "SQL calls TABLE(quality_scores(docs => ..., carry_cols => "
+        "'source')) — the source label CARRIED through the "
+        "zero-exchange map, so the per-source pass-rate aggregate "
+        "needs no join back to the corpus (at 100 TB: one map pass "
+        "+ one source-sized aggregate exchange, no join node). The "
+        "chart counts documents and quality-gate passes per source "
+        "as exact 0/1 integer sums; the oracle replays the token "
+        "statistics, the gate, and the aggregate in SQL.",
+)
+def bi_chart_quality_sources(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bi_quality_docs_v"
+    )
+    ds = Database("spark", Engine(spark)).dataset(
+        "doc_quality",
+        sql=(
+            "SELECT source, CASE WHEN passes_quality THEN 1 ELSE 0 "
+            "END AS passed "
+            "FROM TABLE(quality_scores(docs => 'bi_quality_docs_v', "
+            "chars_col => 'n_chars', carry_cols => 'source'))"
+        ),
+    )
+    return compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["source"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "passed",
+                 "label": "n_passed"},
+            ],
+            "order_by": [["count", False], ["source", True]],
+        },
+    )
