@@ -676,6 +676,11 @@ def merge_extra_form_data(
     The input mapping is never mutated."""
     extra = form_data.get("extra_form_data")
     if not extra:
+        if "extra_form_data" in form_data:
+            # an EMPTY channel is a no-op, but strip the key so the
+            # merge is idempotent (merged output never carries it)
+            return {k: v for k, v in form_data.items()
+                    if k != "extra_form_data"}
         return form_data
     if not isinstance(extra, Mapping):
         raise ValueError(

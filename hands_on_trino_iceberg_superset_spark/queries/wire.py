@@ -1167,3 +1167,59 @@ def wire_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("result", int(m.group(1))), ("scan", int(scans[0]))],
         "stage string, rows_out long",
     ).orderBy("stage")
+
+
+@register(
+    "wire_runtime_tasks",
+    oracle="""
+    SELECT 'FINISHED' AS state,
+           CAST(1 AS BIGINT) AS splits,
+           CAST(1 AS BIGINT) AS completed_splits,
+           CAST(count(*) AS BIGINT) AS output_rows
+    FROM nation
+    """,
+    doc="system.runtime.tasks over the wire (r14; the remaining "
+        "system.runtime member SQL Lab's query-detail pane reads): "
+        "run a fixed scan statement, then read its task row through "
+        "a second wire statement joining tasks to queries on "
+        "query_id (tasks carries no SQL text — exactly Trino's "
+        "normalization). The hash-gated columns are the protocol "
+        "facts of the one-task-per-statement execution model "
+        "(state FINISHED, splits 1/1) plus output_rows, which the "
+        "oracle derives from the data (the scan's materialized row "
+        "count = count(*) of the table). Lifecycle instants and the "
+        "full 24-column Trino shape are gated in "
+        "tests/test_server.py::test_system_runtime_tasks.",
+)
+def wire_runtime_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation"
+    )
+    marker = "wire_tasks_row_probe"
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        _drain_statement(srv.url,
+                         f"SELECT /* {marker} */ * FROM nation")
+        rows = _drain_statement(
+            srv.url,
+            "SELECT t.state, t.splits, t.completed_splits, "
+            "t.output_rows "
+            "FROM system.runtime.tasks t "
+            "JOIN system.runtime.queries q "
+            "ON t.query_id = q.query_id "
+            f"WHERE q.query LIKE '%{marker}%' "
+            "AND q.query NOT LIKE '%system.runtime%'",
+        )
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), int(r[2]), int(r[3])) for r in rows],
+        "state string, splits long, completed_splits long, "
+        "output_rows long",
+    )

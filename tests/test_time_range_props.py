@@ -138,3 +138,104 @@ def test_garbage_bounds_never_pass_silently(text):
     if since:
         datetime.fromisoformat(since)
         assert "'" not in since
+
+
+# ---------------------------------------------------------------
+# extra_form_data merge (r14): pure-dict machinery, fuzzable without
+# a SparkSession — the invariants both compiler paths rely on.
+
+_FILTER_OPS_ST = st.sampled_from(["==", "!=", ">", ">=", "<", "<=",
+                                  "LIKE"])
+
+_NATIVE_FILTERS = st.lists(
+    st.fixed_dictionaries({
+        "col": st.sampled_from(["a", "b", "c"]),
+        "op": _FILTER_OPS_ST,
+        "val": st.one_of(st.integers(-1000, 1000),
+                         st.text(max_size=8)),
+    }),
+    max_size=4,
+)
+
+_EXTRAS = st.fixed_dictionaries(
+    {},
+    optional={
+        "filters": _NATIVE_FILTERS,
+        "time_range": st.sampled_from(
+            ["Last week", "No filter",
+             "2024-01-01 00:00:00 : 2024-01-08 00:00:00"]),
+        "time_grain_sqla": st.sampled_from(["P1D", "P1W"]),
+        "granularity_sqla": st.sampled_from(["ts", "created"]),
+    },
+)
+
+
+@given(extra=_EXTRAS,
+       own=st.lists(st.fixed_dictionaries({
+           "expressionType": st.just("SIMPLE"),
+           "subject": st.sampled_from(["x", "y"]),
+           "operator": _FILTER_OPS_ST,
+           "comparator": st.integers(-10, 10),
+       }), max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_merge_extra_form_data_invariants(extra, own):
+    """For every well-formed channel: (1) the input blob is never
+    mutated; (2) merging is stable — re-merging the merged dict (no
+    channel left) is the identity; (3) the chart's own filters all
+    survive, in order, ahead of the appended native ones; (4) every
+    override key present in the channel wins; (5) the merged dict
+    carries no extra_form_data key."""
+    import copy
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        merge_extra_form_data,
+    )
+
+    fd = {
+        "query_mode": "aggregate",
+        "metrics": ["count"],
+        "time_range": "No filter",
+        "adhoc_filters": own,
+        "extra_form_data": extra,
+    }
+    snap = copy.deepcopy(fd)
+    merged = merge_extra_form_data(fd)
+    assert fd == snap
+    assert "extra_form_data" not in merged
+    assert merge_extra_form_data(merged) == merged
+    out_filters = merged.get("adhoc_filters") or []
+    assert out_filters[:len(own)] == own
+    appended = out_filters[len(own):]
+    assert len(appended) == len(extra.get("filters") or [])
+    for nf, af in zip(extra.get("filters") or [], appended):
+        assert af["subject"] == nf["col"]
+        assert af["operator"] == nf["op"]
+        assert af["comparator"] == nf.get("val")
+        assert af["isExtra"] is True
+        assert af["clause"] == "WHERE"
+    for k in ("time_range", "time_grain_sqla", "granularity_sqla"):
+        if extra.get(k) is not None:
+            assert merged[k] == extra[k]
+    if extra.get("time_range") is None:
+        assert merged["time_range"] == "No filter"
+
+
+@given(key=st.text(min_size=1, max_size=20).filter(
+    lambda k: k not in {
+        "filters", "adhoc_filters", "time_range",
+        "time_range_endpoints", "time_grain_sqla",
+        "granularity_sqla", "time_range_anchor"}))
+@settings(max_examples=100, deadline=None)
+def test_merge_unknown_extra_key_always_refuses(key):
+    """No unknown sub-key is ever silently dropped, whatever its
+    name — the silent-wrong-answer hazard the merge exists to
+    close."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        merge_extra_form_data,
+    )
+
+    with pytest.raises(ValueError, match="extra_form_data"):
+        merge_extra_form_data(
+            {"query_mode": "raw", "extra_form_data": {key: 1}})
