@@ -1924,10 +1924,14 @@ class Engine:
                 "(DDL/DML routes through handlers that execute)"
             )
         df = self.trino_sql(sql_text) if trino else self.sql(sql_text)
-        n = len(df.collect())  # THIS QueryExecution's metrics fill
-        plan = _executed_plan_with_metrics(
-            df._jdf.queryExecution().executedPlan()
-        )
+        # Execute THIS QueryExecution's physical plan JVM-side and
+        # count rows without materializing them on the driver —
+        # Trino's ANALYZE executes and DISCARDS the result, so an
+        # ANALYZE of a 100 TB SELECT must not collect it; task
+        # execution fills every operator's SQLMetrics either way.
+        qe = df._jdf.queryExecution()
+        n = qe.executedPlan().execute().count()
+        plan = _executed_plan_with_metrics(qe.executedPlan())
         return f"Query Plan (executed; {n} rows returned)\n{plan}"
 
 
