@@ -1223,3 +1223,86 @@ def wire_runtime_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state string, splits long, completed_splits long, "
         "output_rows long",
     )
+
+
+@register(
+    "bi_chart_native_over_http",
+    oracle=SEED_CTE
+    + """
+    SELECT currency,
+           count(*) AS count,
+           CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_amount
+    FROM seed_transactions
+    WHERE transaction_type IN ('payment', 'refund')
+      AND status <> 'failed'
+    GROUP BY currency
+    ORDER BY count DESC, currency
+    """,
+    doc="The full dashboard-filter loop over the WIRE: a chart's "
+        "form_data carrying extra_form_data (the SIP-68 native "
+        "filter channel — one query-object filter plus one "
+        "adhoc-shaped filter, r14) compiles through form_data_to_sql "
+        "(the merge runs in the SQL-text path), POSTs through the "
+        "Trino wire server, and the received grid is re-framed and "
+        "hash-checked — what actually happens when a Superset user "
+        "touches the filter bar on a dashboard backed by this "
+        "engine over trino://. The oracle restates the merged WHERE "
+        "over the regenerated seed.",
+)
+def bi_chart_native_over_http(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.queries.core import (
+        dbl,
+        dec,
+    )
+    from hands_on_trino_iceberg_superset_spark.seed import seed_frames
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    tx = seed_frames(spark)["transactions"].withColumn(
+        "amount_dec", dec("amount")
+    )
+    tx.createOrReplaceTempView("seed_tx_native_wire")
+    sql = form_data_to_sql(
+        "seed_tx_native_wire",
+        {
+            "query_mode": "aggregate",
+            "groupby": ["currency"],
+            "metrics": [
+                "count",
+                {"aggregate": "SUM", "column": "amount_dec",
+                 "label": "sum_amount"},
+            ],
+            "order_by": [["count", False], ["currency", True]],
+            "extra_form_data": {
+                "filters": [{"col": "transaction_type", "op": "IN",
+                             "val": ["payment", "refund"]}],
+                "adhoc_filters": [
+                    {"expressionType": "SIMPLE", "clause": "WHERE",
+                     "subject": "status", "operator": "!=",
+                     "comparator": "failed"},
+                ],
+            },
+        },
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(srv.url, sql)
+    finally:
+        srv.stop()
+    out = spark.createDataFrame(
+        [(r[0], int(r[1]), r[2]) for r in rows],
+        "currency string, count long, sum_amount string",
+    )
+    return out.withColumn(
+        "sum_amount", dbl(F.col("sum_amount").cast("decimal(18,2)"))
+    )
