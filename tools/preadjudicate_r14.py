@@ -24,6 +24,7 @@ NEW_ROWS = [
     "sql_text_lang_id",
     "bi_chart_quality_sources",
     "wire_runtime_tasks",
+    "bi_chart_native_over_http",
 ]
 
 
