@@ -678,7 +678,7 @@ class Engine:
         r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
         r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs"
         r"|asof_join|tokenize|quality_scores|lang_id"
-        r"|stream_window)"
+        r"|stream_window|stream_sessionize)"
         r"\s*\(((?:'[^']*'|[^()'])*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -752,6 +752,9 @@ class Engine:
         "stream_window": "events => '<t with ts/event_type/value>' "
                          "[, window => '6 hours', slide, "
                          "watermark => '1 hour']",
+        "stream_sessionize": "events => '<t with ts/user_id/value>' "
+                             "[, gap => '30 minutes', "
+                             "watermark => '1 hour']",
     }
 
     def _reject_unresolved_table_fns(self, text: str) -> None:
@@ -844,7 +847,9 @@ class Engine:
               "tokenize": self._table_fn_tokenize,
               "quality_scores": self._table_fn_quality_scores,
               "lang_id": self._table_fn_lang_id,
-              "stream_window": self._table_fn_stream_window}[fn](raw)
+              "stream_window": self._table_fn_stream_window,
+              "stream_sessionize":
+                  self._table_fn_stream_sessionize}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
         tag = hashlib.md5(
@@ -1150,6 +1155,45 @@ class Engine:
         )
         return run_available_now_to_memory(
             out, f"__stream_window_{_uuid.uuid4().hex[:10]}",
+            output_mode="complete",
+        )
+
+    def _table_fn_stream_sessionize(self, raw: str) -> "DataFrame":
+        """Dynamic-gap session windows through the STREAMING engine
+        from plain SQL (Spark's session_window — the operator the
+        reference stack has no equivalent for), same snapshot ->
+        file-stream -> availableNow -> memory-sink drain as
+        ``stream_window``."""
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
+            run_available_now_to_memory,
+            sessionize,
+        )
+
+        args = self._named_args(
+            "stream_sessionize", raw,
+            known={"events", "gap", "watermark"},
+            required={"events"},
+        )
+        ev = self.spark.table(str(args["events"]))
+        src = os.path.join(
+            tempfile.mkdtemp(prefix="sql_stream_sessionize_"), "src"
+        )
+        ev.write.mode("overwrite").parquet(src)
+        stream = (
+            self.spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+        out = sessionize(
+            stream,
+            gap=str(args.get("gap", "30 minutes")),
+            watermark=str(args.get("watermark", "1 hour")),
+        )
+        return run_available_now_to_memory(
+            out, f"__stream_sessionize_{_uuid.uuid4().hex[:10]}",
             output_mode="complete",
         )
 

@@ -406,3 +406,57 @@ def sql_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM TABLE(stream_window(events => 'sql_stream_events_v', "
         "window => '6 hours'))"
     )
+
+
+@register(
+    "sql_stream_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) + {_GAP_US} AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Dynamic-gap sessionization through the STREAMING engine "
+        "from plain SQL: TABLE(stream_sessionize(events => ..., "
+        "gap => '30 minutes')) snapshots the table, streams it back "
+        "through streaming/pipeline.sessionize (Spark's native "
+        "session_window with a watermark — the operator the "
+        "reference stack has no equivalent for), and drains the "
+        "availableNow memory sink. Same gaps-and-islands oracle as "
+        "stream_session_window — stream/batch/SQL parity in one "
+        "hash gate; at 100 TB session_window is one exchange on "
+        "user_id with watermark-bounded state.",
+)
+def sql_stream_sessionize(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sql_sess_events_v"
+    )
+    return Engine(spark).sql(
+        "SELECT user_id, "
+        "unix_micros(CAST(session_start AS TIMESTAMP)) "
+        "AS session_start_us, "
+        "unix_micros(CAST(session_end AS TIMESTAMP)) "
+        "AS session_end_us, "
+        "n_events, total_value "
+        "FROM TABLE(stream_sessionize(events => 'sql_sess_events_v', "
+        "gap => '30 minutes'))"
+    )
