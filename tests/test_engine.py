@@ -944,3 +944,54 @@ def test_stream_window_table_function(spark, sf_dir):
             "SELECT * FROM TABLE(stream_window("
             "events => 'stream_fn_events_v', trigger => 'now'))"
         )
+
+
+def test_stream_sessionize_table_function(spark, sf_dir):
+    """TABLE(stream_sessionize(...)) runs dynamic-gap session
+    windows through the STREAMING engine (memory-sink snapshot of an
+    availableNow query) and matches the batch twin exactly; the gap
+    argument is honored; bad arguments refuse with the grammar."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("stream_sess_events_v")
+    eng = Engine(spark)
+    got = eng.sql(
+        "SELECT user_id, session_start, session_end, n_events, "
+        "total_value "
+        "FROM TABLE(stream_sessionize("
+        "events => 'stream_sess_events_v', gap => '30 minutes'))"
+    )
+    expect = sessionize(ev, gap="30 minutes")
+    keys = ["user_id", "session_start", "session_end", "n_events",
+            "total_value"]
+
+    def canon(df):
+        return sorted(tuple(r[k] for k in keys)
+                      for r in df.collect())
+
+    assert canon(got) == canon(expect)
+    # the memory sink's backing table exists — the streaming engine
+    # actually ran (a batch shortcut would have no such table)
+    sinks = [t.name for t in spark.catalog.listTables()
+             if t.name.startswith("__stream_sessionize_")]
+    assert sinks
+    # a wider gap merges sessions — strictly fewer of them
+    wide = eng.sql(
+        "SELECT * FROM TABLE(stream_sessionize("
+        "events => 'stream_sess_events_v', gap => '6 hours'))"
+    )
+    assert wide.count() < got.count()
+    with pytest.raises(ValueError, match="unknown stream_sessionize"):
+        eng.sql(
+            "SELECT * FROM TABLE(stream_sessionize("
+            "events => 'stream_sess_events_v', window => '1 hour'))"
+        )
