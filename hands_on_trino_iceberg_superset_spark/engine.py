@@ -678,7 +678,7 @@ class Engine:
         r"TABLE\s*\(\s*(ann_topk|bm25_topk|hybrid_topk"
         r"|dedup_exact|simhash_pairs|minhash_pairs|containment_pairs"
         r"|asof_join|tokenize|quality_scores|lang_id"
-        r"|stream_window|stream_sessionize)"
+        r"|repetition_signals|stream_window|stream_sessionize)"
         r"\s*\(((?:'[^']*'|[^()'])*)\)\s*\)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -749,6 +749,8 @@ class Engine:
                           "chars_col, carry_cols => 'a[,b]']",
         "lang_id": "docs => '<t>' [, text_col, id_col, "
                    "carry_cols => 'a[,b]']",
+        "repetition_signals": "docs => '<t>' [, text_col, id_col, "
+                              "carry_cols => 'a[,b]']",
         "stream_window": "events => '<t with ts/event_type/value>' "
                          "[, window => '6 hours', slide, "
                          "watermark => '1 hour']",
@@ -847,6 +849,7 @@ class Engine:
               "tokenize": self._table_fn_tokenize,
               "quality_scores": self._table_fn_quality_scores,
               "lang_id": self._table_fn_lang_id,
+              "repetition_signals": self._table_fn_repetition_signals,
               "stream_window": self._table_fn_stream_window,
               "stream_sessionize":
                   self._table_fn_stream_sessionize}[fn](raw)
@@ -1239,6 +1242,31 @@ class Engine:
                  for c in str(args.get("carry_cols", "")).split(",")
                  if c.strip()]
         return TS.lang_id(
+            self.spark.table(str(args["docs"])),
+            text_col=str(args.get("text_col", "text")),
+            id_col=str(args.get("id_col", "doc_id")),
+            carry_cols=carry,
+        )
+
+    def _table_fn_repetition_signals(self, raw: str) -> "DataFrame":
+        """Per-document Gopher repetition counts from SQL (exact
+        integers — downstream flags/ratios stay engine-exact);
+        carry_cols pass metadata through so per-source reports need
+        no join back to the corpus. Zero-shuffle pure map like the
+        rest of the textstats seam."""
+        from hands_on_trino_iceberg_superset_spark.operators import (
+            textstats as TS,
+        )
+
+        args = self._named_args(
+            "repetition_signals", raw,
+            known={"docs", "text_col", "id_col", "carry_cols"},
+            required={"docs"},
+        )
+        carry = [c.strip()
+                 for c in str(args.get("carry_cols", "")).split(",")
+                 if c.strip()]
+        return TS.repetition_signals(
             self.spark.table(str(args["docs"])),
             text_col=str(args.get("text_col", "text")),
             id_col=str(args.get("id_col", "doc_id")),

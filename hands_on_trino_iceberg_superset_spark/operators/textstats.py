@@ -101,3 +101,69 @@ def lang_id(
         .otherwise("unknown")
     ).alias("guessed_lang")
     return docs.select(id_col, *(carry_cols or []), guessed)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher
+    quality rules (Rae et al. 2021, table A1: "fraction of
+    characters in most common n-gram", "fraction of duplicate
+    n-grams"), word-level:
+
+    - ``n_words`` — whitespace tokens;
+    - ``top_word_count`` — multiplicity of the most repeated word,
+      computed as the longest equal-run in the SORTED token array
+      via a single ``aggregate`` fold — LINEAR per document and
+      ZERO-SHUFFLE (no explode/groupBy: a per-doc mode through an
+      exchange would shuffle the whole corpus on (doc, word));
+    - ``n_2grams`` / ``n_dup_2grams`` — adjacent word-pair count
+      and how many of them are repeats of an earlier pair
+      (``size - size(array_distinct)``).
+
+    All outputs are exact integers so downstream aggregates can
+    flag docs with integer arithmetic (``top_word_count * 5 >
+    n_words`` is "top-word fraction > 0.20" with no float) and
+    divide once at the end — bit-identical across engines. At
+    100 TB the whole thing is a map-side projection pass with no
+    exchange, same as the rest of this module."""
+    toks = _toks(text_col)
+    base = docs.select(
+        F.col(id_col),
+        *(carry_cols or []),
+        toks.alias("__w"),
+    )
+    top_run = F.expr(
+        """
+        aggregate(
+          array_sort(__w),
+          named_struct('prev', CAST(NULL AS STRING),
+                       'run', 0, 'best', 0),
+          (acc, w) -> named_struct(
+            'prev', w,
+            'run', IF(acc.prev IS NOT NULL AND w = acc.prev,
+                      acc.run + 1, 1),
+            'best', greatest(
+              acc.best,
+              IF(acc.prev IS NOT NULL AND w = acc.prev,
+                 acc.run + 1, 1))),
+          acc -> acc.best)
+        """
+    )
+    grams = F.expr(
+        "zip_with(slice(__w, 1, size(__w) - 1),"
+        " slice(__w, 2, size(__w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    return base.select(
+        id_col,
+        *(carry_cols or []),
+        F.size("__w").cast("long").alias("n_words"),
+        top_run.cast("long").alias("top_word_count"),
+        F.size(grams).cast("long").alias("n_2grams"),
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        .cast("long").alias("n_dup_2grams"),
+    )

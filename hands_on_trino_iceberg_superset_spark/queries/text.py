@@ -1572,3 +1572,134 @@ def sql_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carry_cols => 'lang')) "
         "GROUP BY lang, guessed_lang"
     )
+
+
+@register(
+    "text_repetition_gopher",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, source, w, count(*) AS c
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, source, max(c) AS top_c, sum(c) AS n_words
+      FROM wc GROUP BY 1, 2
+    ), grams AS (
+      SELECT doc_id, len(gs) AS n_g,
+             len(gs) - len(list_distinct(gs)) AS dup_g
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1]) AS gs
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))
+    )
+    SELECT p.source AS source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN p.top_c * 10 > p.n_words
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_word_flagged,
+           CAST(sum(CASE WHEN g.dup_g * 20 > g.n_g
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_gram_flagged,
+           CAST(sum(CASE WHEN p.top_c * 10 > p.n_words
+                         OR g.dup_g * 20 > g.n_g
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(p.top_c) AS DOUBLE) / sum(p.n_words)
+             AS pooled_top_word_frac,
+           CAST(sum(g.dup_g) AS DOUBLE) / sum(g.n_g)
+             AS pooled_dup_2gram_frac
+    FROM per_doc p JOIN grams g USING (doc_id)
+    GROUP BY p.source
+    """,
+    doc="Gopher 'fraction of duplicate n-grams' rule (Rae et al. "
+        "2021, table A1) as a per-SOURCE corpus report — the "
+        "complement of text_repetition_filter, which gates per-doc "
+        "on the most-common-n-gram rules: here the signal is how "
+        "many 2-grams are REPEATS of an earlier one (size - "
+        "size(array_distinct)), aggregated per source with a "
+        "top-word flag alongside. Thresholds (top word > 10% of "
+        "tokens, duplicate 2-grams > 5%) are corpus-calibrated — "
+        "the published cuts are for natural text and would flag "
+        "nothing on this synthetic corpus. The Spark side is a "
+        "ZERO-SHUFFLE per-doc map (operators/textstats.py "
+        "repetition_signals: the top-word multiplicity is the "
+        "longest equal-run of the SORTED token array via one "
+        "aggregate() fold — linear per doc, no explode/groupBy "
+        "shuffle on (doc, word) like the oracle does) followed by "
+        "one tiny exchange on source. Flags compare integers "
+        "(top_c * 10 > n_words), divisions happen once per group — "
+        "bit-identical across engines.",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(docs, carry_cols=["source"])
+    top_flag = F.col("top_word_count") * 10 > F.col("n_words")
+    gram_flag = F.col("n_dup_2grams") * 20 > F.col("n_2grams")
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(top_flag.cast("long")).alias("n_top_word_flagged"),
+        F.sum(gram_flag.cast("long")).alias("n_dup_gram_flagged"),
+        F.sum((top_flag | gram_flag).cast("long")).alias("n_flagged"),
+        (F.sum("top_word_count").cast("double")
+         / F.sum("n_words")).alias("pooled_top_word_frac"),
+        (F.sum("n_dup_2grams").cast("double")
+         / F.sum("n_2grams")).alias("pooled_dup_2gram_frac"),
+    )
+
+
+@register(
+    "sql_text_repetition",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, max(c) AS top_c,
+             CAST(sum(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY 1
+    ), g AS (
+      SELECT doc_id, len(gs) AS n_g,
+             len(gs) - len(list_distinct(gs)) AS dup_g
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1]) AS gs
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source,
+           t.n_words AS n_words, t.top_c AS top_word_count,
+           g.n_g AS n_2grams, g.dup_g AS n_dup_2grams
+    FROM documents d
+    JOIN top t USING (doc_id)
+    JOIN g USING (doc_id)
+    """,
+    doc="Per-document repetition counts reached from PLAIN SQL: "
+        "Engine.sql resolves TABLE(repetition_signals(docs => ..., "
+        "carry_cols => 'source')) onto operators/textstats."
+        "repetition_signals — all four Gopher-rule inputs as EXACT "
+        "integers, so a wire client or BI dataset can flag and "
+        "aggregate engine-exactly. The oracle recomputes the top "
+        "multiplicity via an explode/groupBy the Spark side "
+        "deliberately avoids (sorted-run aggregate() fold: linear "
+        "per doc, ZERO exchanges — plan-gated through the seam).",
+)
+def sql_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_rep_docs_v"
+    )
+    return Engine(spark).sql(
+        "SELECT doc_id, source, n_words, top_word_count, n_2grams, "
+        "n_dup_2grams "
+        "FROM TABLE(repetition_signals(docs => 'sql_rep_docs_v', "
+        "carry_cols => 'source'))"
+    )

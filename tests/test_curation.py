@@ -819,3 +819,45 @@ def test_unigram_viterbi_beats_greedy(spark):
 
     vs = {"ab", "bcd", "a", "b", "c", "d"}
     assert _segment("abcd", vs, 4) == ["a", "bcd"]
+
+
+def test_repetition_signals_match_python_reference(spark, tmp_path):
+    """Property test: the sorted-run aggregate() fold and the
+    2-gram dedup counts must equal an independent Counter-based
+    reference on randomized word salads (skewed alphabet to force
+    repeats), including the 1-token / empty-gram edge."""
+    import random
+    from collections import Counter
+
+    from hands_on_trino_iceberg_superset_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    rng = random.Random(20260816)
+    alphabet = ["a", "b", "c", "d"]
+    rows = ["x"]  # single token: 0 2-grams
+    for _ in range(40):
+        n = rng.randint(1, 60)
+        rows.append(" ".join(rng.choice(alphabet) for _ in range(n)))
+
+    expect = {}
+    for doc_id, text in enumerate(rows):
+        ws = text.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        expect[doc_id] = (
+            len(ws),
+            max(Counter(ws).values()),
+            len(grams),
+            len(grams) - len(set(grams)),
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.top_word_count, r.n_2grams,
+                   r.n_dup_2grams)
+        for r in repetition_signals(df).collect()
+    }
+    assert got == expect

@@ -1076,3 +1076,17 @@ def test_sql_textstats_table_functions_plan_shape(spark, sf_dir):
     assert "Join" not in executed  # labels carried, not re-joined
     assert executed.count("Exchange") <= 1
     assert "HashAggregate" in executed
+
+    # repetition: a per-source report over the carried source column
+    # keeps the same shape — zero joins (the per-doc map needs no
+    # explode/groupBy on (doc, word): the top-word multiplicity is a
+    # sorted-run aggregate() fold), one aggregate exchange
+    rep = eng.sql(
+        "SELECT source, sum(n_dup_2grams) AS d "
+        "FROM TABLE(repetition_signals(docs => 'plan_ts_docs_v', "
+        "carry_cols => 'source')) GROUP BY source"
+    )
+    executed = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed
+    assert executed.count("Exchange") <= 1
+    assert "HashAggregate" in executed
