@@ -1519,3 +1519,86 @@ def bi_chart_quality_sources(spark: SparkSession,
             "order_by": [["count", False], ["source", True]],
         },
     )
+
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "bi_chart_stream_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,2))) AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(session_value) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY sum_value DESC, user_id
+    LIMIT 10
+    """,
+    doc="A Superset chart whose VIRTUAL dataset is the STREAMING "
+        "engine: the dataset's defining SQL is "
+        "TABLE(stream_sessionize(events => ..., gap => '30 "
+        "minutes')) — Dataset.df() resolves it through Engine.sql, "
+        "which snapshots, streams through session_window, and "
+        "drains the availableNow memory sink; the chart's "
+        "form_data (top-10 users by total session value) compiles "
+        "over that frame like over any table. The three r14 seams "
+        "compose: streaming -> SQL -> BI with no special-case code "
+        "anywhere. Session values re-enter as DECIMAL(18,2) in the "
+        "dataset SQL (double -> 2-dp decimal is a lossless "
+        "round-trip here) so the per-user sums stay order-exact.",
+)
+def bi_chart_stream_sessions(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bi_sess_events_v"
+    )
+    ds = Database("spark", Engine(spark)).dataset(
+        "v_stream_sessions",
+        sql=(
+            "SELECT user_id, "
+            "CAST(total_value AS DECIMAL(18,2)) AS session_value "
+            "FROM TABLE(stream_sessionize("
+            "events => 'bi_sess_events_v', gap => '30 minutes'))"
+        ),
+    )
+    out = compile_form_data(
+        ds.df(),
+        {
+            "query_mode": "aggregate",
+            "groupby": ["user_id"],
+            "metrics": [
+                {"aggregate": "COUNT", "column": "session_value",
+                 "label": "n_sessions"},
+                {"aggregate": "SUM", "column": "session_value",
+                 "label": "sum_value"},
+            ],
+            "order_by": [["sum_value", False], ["user_id", True]],
+            "row_limit": 10,
+        },
+    )
+    return out.withColumn("sum_value", dbl(F.col("sum_value")))

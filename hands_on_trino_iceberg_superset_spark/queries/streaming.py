@@ -460,3 +460,57 @@ def sql_stream_sessionize(spark: SparkSession,
         "FROM TABLE(stream_sessionize(events => 'sql_sess_events_v', "
         "gap => '30 minutes'))"
     )
+
+
+@register(
+    "wire_stream_window",
+    oracle=f"""
+    SELECT CAST(make_timestamp((epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US})
+                AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The STRUCTURED STREAMING engine reached over the NETWORK: a "
+        "stdlib HTTP client POSTs TABLE(stream_window(...)) to the "
+        "Trino wire server, which resolves it through Engine.sql — "
+        "snapshot -> file stream -> watermark + event-time window -> "
+        "availableNow drain into a memory sink — and pages the final "
+        "snapshot back as JSON. Completes the streaming family's "
+        "reachability matrix (Python API r9, plain SQL r14, wire "
+        "here): a Trino client can run an incremental pipeline with "
+        "nothing but HTTP. Same epoch-aligned 6h oracle as "
+        "sql_stream_window — stream/batch/SQL/wire parity in one "
+        "hash gate.",
+)
+def wire_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.queries.wire import (
+        _drain_statement,
+    )
+    from hands_on_trino_iceberg_superset_spark.server import (
+        TrinoWireServer,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "wire_stream_events_v"
+    )
+    srv = TrinoWireServer(Engine(spark), port=0)
+    srv.start()
+    try:
+        rows = _drain_statement(
+            srv.url,
+            "SELECT CAST(window_start AS STRING) AS window_start, "
+            "event_type, n_events, total_value "
+            "FROM TABLE(stream_window("
+            "events => 'wire_stream_events_v', window => '6 hours'))",
+        )
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        [(r[0], r[1], int(r[2]), float(r[3])) for r in rows],
+        "window_start string, event_type string, n_events long, "
+        "total_value double",
+    )
