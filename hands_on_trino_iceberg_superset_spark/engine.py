@@ -1112,12 +1112,43 @@ class Engine:
             "'wordpiece', 'unigram', 'bpe'"
         )
 
+    def _table_as_stream(self, name: str, tmp_prefix: str):
+        """Turn a registered (batch) table into a file-source
+        stream for the streaming seam. Zero-copy when the table is
+        a bare parquet scan — the stream reads the table's OWN
+        files (streamable_parquet_root; the 100 TB path: no corpus
+        rewrite); any derived frame (projection, filter, join)
+        snapshots to a temp parquet source first, which is correct
+        for every plan shape. At production scale both swap for
+        Kafka with everything downstream unchanged."""
+        import os
+        import tempfile
+
+        from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
+            streamable_parquet_root,
+        )
+
+        df = self.spark.table(name)
+        root = streamable_parquet_root(df)
+        if root is not None:
+            return (
+                self.spark.readStream.schema(df.schema).parquet(root)
+            )
+        src = os.path.join(tempfile.mkdtemp(prefix=tmp_prefix), "src")
+        df.write.mode("overwrite").parquet(src)
+        return (
+            self.spark.readStream.schema(df.schema)
+            .option("recursiveFileLookup", "true").parquet(src)
+        )
+
     def _table_fn_stream_window(self, raw: str) -> "DataFrame":
         """Windowed event-time aggregation run through the
         STRUCTURED STREAMING engine from plain SQL — the streaming
         family's seam entry (the last family off the seam, VERDICT
-        r13 'What's missing' item 4). The named table snapshots to a
-        parquet file source, streams back through
+        r13 'What's missing' item 4). The named table becomes a file
+        stream (_table_as_stream: zero-copy from the table's own
+        parquet files when it is a bare scan, temp snapshot for
+        derived frames), runs through
         streaming/pipeline.windowed_event_stats (watermark + window
         + DECIMAL-stable totals — the exact incremental operator,
         not the batch twin), and drains with an availableNow trigger
@@ -1126,8 +1157,6 @@ class Engine:
         guarantee (tests/test_streaming.py); at production scale the
         file source swaps for Kafka and everything downstream is
         unchanged."""
-        import os
-        import tempfile
         import uuid as _uuid
 
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
@@ -1140,14 +1169,8 @@ class Engine:
             known={"events", "window", "slide", "watermark"},
             required={"events"},
         )
-        ev = self.spark.table(str(args["events"]))
-        src = os.path.join(
-            tempfile.mkdtemp(prefix="sql_stream_window_"), "src"
-        )
-        ev.write.mode("overwrite").parquet(src)
-        stream = (
-            self.spark.readStream.schema(ev.schema)
-            .option("recursiveFileLookup", "true").parquet(src)
+        stream = self._table_as_stream(
+            str(args["events"]), "sql_stream_window_"
         )
         slide = args.get("slide")
         out = windowed_event_stats(
@@ -1164,11 +1187,9 @@ class Engine:
     def _table_fn_stream_sessionize(self, raw: str) -> "DataFrame":
         """Dynamic-gap session windows through the STREAMING engine
         from plain SQL (Spark's session_window — the operator the
-        reference stack has no equivalent for), same snapshot ->
+        reference stack has no equivalent for), same table ->
         file-stream -> availableNow -> memory-sink drain as
         ``stream_window``."""
-        import os
-        import tempfile
         import uuid as _uuid
 
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
@@ -1181,14 +1202,8 @@ class Engine:
             known={"events", "gap", "watermark"},
             required={"events"},
         )
-        ev = self.spark.table(str(args["events"]))
-        src = os.path.join(
-            tempfile.mkdtemp(prefix="sql_stream_sessionize_"), "src"
-        )
-        ev.write.mode("overwrite").parquet(src)
-        stream = (
-            self.spark.readStream.schema(ev.schema)
-            .option("recursiveFileLookup", "true").parquet(src)
+        stream = self._table_as_stream(
+            str(args["events"]), "sql_stream_sessionize_"
         )
         out = sessionize(
             stream,

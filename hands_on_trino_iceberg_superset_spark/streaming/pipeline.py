@@ -252,6 +252,49 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def streamable_parquet_root(df: DataFrame) -> str | None:
+    """If ``df`` is a BARE parquet scan (its analyzed plan is just
+    alias wrappers over one ``LogicalRelation`` whose
+    ``HadoopFsRelation`` reads parquet from a single root, with no
+    projection or filter on top), return that root path — the
+    caller can stream the table's OWN files instead of snapshotting.
+
+    This is the 100 TB path of the SQL streaming seam
+    (``TABLE(stream_window(...))``, engine.py): re-writing a 100 TB
+    table to parquet just to stream it back is a full corpus copy,
+    while a registered table is almost always exactly this shape —
+    a parquet directory. Derived frames (projections, filters,
+    joins — e.g. the normalized ``events`` view) return ``None``
+    and take the snapshot fallback, which stays correct for every
+    plan shape. The schema equality check below is load-bearing:
+    a pruned or reordered output schema means SOME transformation
+    sits between the scan and the caller, and streaming raw files
+    would silently undo it."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while plan.getClass().getSimpleName() in (
+            "SubqueryAlias", "View"
+        ):
+            plan = plan.children().head()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        relation = plan.relation()
+        if relation.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if "Parquet" not in relation.fileFormat().getClass().getName():
+            return None
+        if relation.schema().catalogString() != (
+            df._jdf.schema().catalogString()
+        ):
+            return None
+        roots = relation.location().rootPaths()
+        if roots.length() != 1:
+            return None
+        return roots.head().toString()
+    except Exception:  # noqa: BLE001 — any plan-shape surprise:
+        return None    # snapshot fallback is always correct
+
+
 # ------------------------------------------------------- sink helpers
 
 

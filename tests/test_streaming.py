@@ -421,3 +421,67 @@ def test_windowed_topn_stream_equals_batch(spark, sf_dir,
     keys = ["window_start", "user_id", "n_events", "total_value",
             "rank"]
     assert _canon(got, *keys) == _canon(expect, *keys)
+
+
+def test_streamable_parquet_root_detection(spark, sf_dir):
+    """The zero-copy gate fires ONLY on bare parquet scans: any
+    projection, filter, or normalization between the scan and the
+    caller must return None (streaming raw files would silently
+    undo the transformation)."""
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        streamable_parquet_root,
+    )
+
+    bare = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = streamable_parquet_root(bare)
+    assert root is not None and root.endswith("documents.parquet")
+    # derived frames: normalized events view, pruned, filtered
+    assert streamable_parquet_root(
+        load_table(spark, sf_dir, "events")
+    ) is None
+    assert streamable_parquet_root(bare.select("doc_id")) is None
+    assert streamable_parquet_root(
+        bare.filter("doc_id > 3")
+    ) is None
+
+
+def test_stream_seam_zero_copy_on_bare_table(spark, sf_dir, tmp_path):
+    """TABLE(stream_window(...)) over a bare parquet-backed table
+    streams the table's OWN files — no snapshot temp dir is written
+    (the 100 TB path: a seam that re-writes the corpus to stream it
+    back would be a full copy) — and matches the snapshot-fallback
+    result over the same data exactly."""
+    import glob
+    import tempfile
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(str(tmp_path / "ev"))
+    spark.read.parquet(str(tmp_path / "ev")).createOrReplaceTempView(
+        "zero_copy_ev_v"
+    )
+    ev.createOrReplaceTempView("snap_ev_v")
+    eng = Engine(spark)
+
+    def snap_dirs():
+        return set(glob.glob(
+            f"{tempfile.gettempdir()}/sql_stream_window_*"
+        ))
+
+    before = snap_dirs()
+    got = eng.sql(
+        "SELECT * FROM TABLE(stream_window("
+        "events => 'zero_copy_ev_v', window => '6 hours'))"
+    )
+    n = got.count()
+    assert snap_dirs() == before  # zero-copy: no snapshot written
+    expect = eng.sql(
+        "SELECT * FROM TABLE(stream_window("
+        "events => 'snap_ev_v', window => '6 hours'))"
+    )
+    assert snap_dirs() != before  # derived frame: snapshot fallback
+    assert n == expect.count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
