@@ -25,6 +25,13 @@ NEW_ROWS = [
     "bi_chart_quality_sources",
     "wire_runtime_tasks",
     "bi_chart_native_over_http",
+    # post-closing additions (same round, second window)
+    "sql_stream_window",
+    "sql_stream_sessionize",
+    "wire_stream_window",
+    "bi_chart_stream_sessions",
+    "text_repetition_gopher",
+    "sql_text_repetition",
 ]
 
 

@@ -289,6 +289,9 @@ def measure_one(name: str, dirs: list[str]) -> None:
     if name == "containment_seam_overhead":
         _measure_containment_seam_overhead(spark, dirs)
         return
+    if name == "stream_seam_scaling":
+        _measure_stream_seam_scaling(spark, dirs)
+        return
     spec = load_all()[name]
     for d in dirs:
         best, rows = None, None
@@ -564,6 +567,68 @@ def _measure_containment_seam_overhead(spark, dirs: list[str]) -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             rows = fn().count()
+            print(f"RESULT {label} {variant} {rows},{best:.4f}",
+                  flush=True)
+
+
+def _measure_stream_seam_scaling(spark, dirs: list[str]) -> None:
+    """The streaming seam's wall-clock decade, both paths: events
+    replicated 1x/10x (disjoint user/event ids, same shape as the
+    as-of lane) and written as BARE parquet tables, then
+    TABLE(stream_window(...)) driven through Engine.sql — the
+    'zero_copy' variant streams the table's own files
+    (streamable_parquet_root), the 'snapshot' variant forces the
+    fallback with a column-reordering projection view over the SAME
+    data, so the difference between the variants is exactly the
+    corpus rewrite the zero-copy path deletes. Expected: both scale
+    ~linearly in events (one drain pass through the windowed
+    aggregation's watermark-bounded state), with 'snapshot' paying
+    an extra write+read of the corpus on top. Prints one RESULT
+    line per (scale, variant); timing is the full eng.sql call —
+    the availableNow drain happens inside it."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    ev1 = load_table(spark, dirs[0], "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    eng = Engine(spark)
+    for label, n in (("1x", 1), ("10x", 10)):
+        rep = F.col("rep").cast("long")
+        ev = ev1.select("*", _rep_col(n)).select(
+            (F.col("user_id") + rep * 10_000_000).alias("user_id"),
+            "ts",
+            (F.col("event_id") + rep * 100_000_000).alias("event_id"),
+            "event_type",
+            "value",
+        )
+        path = f"{ROOT}/stream_ev_{label}"
+        ev.write.mode("overwrite").parquet(path)
+        bare = f"sb_stream_ev_{label}"
+        spark.read.parquet(path).createOrReplaceTempView(bare)
+        # column reorder = derived plan -> snapshot fallback
+        spark.sql(
+            f"SELECT ts, event_type, value, user_id, event_id "
+            f"FROM {bare}"
+        ).createOrReplaceTempView(f"{bare}_snap")
+        for variant, view in (("zero_copy", bare),
+                              ("snapshot", f"{bare}_snap")):
+            def run():
+                return eng.sql(
+                    f"SELECT * FROM TABLE(stream_window("
+                    f"events => '{view}', window => '6 hours'))"
+                )
+
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                out = run()
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows = out.count()
             print(f"RESULT {label} {variant} {rows},{best:.4f}",
                   flush=True)
 
