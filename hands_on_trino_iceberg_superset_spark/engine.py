@@ -835,9 +835,22 @@ class Engine:
             )
         return args
 
-    def _materialize_table_fn(self, fn: str, raw: str) -> str:
+    @staticmethod
+    def _content_tag(raw: str) -> str:
+        """Whitespace/case-insensitive digest of a table-function
+        argument list — names the materialized view AND any memory
+        sink after the CALL's content, so re-running the same
+        statement replaces one registration instead of accumulating
+        a new one per execution (a long-lived serving engine would
+        otherwise leak a memory-sink table per streaming
+        statement)."""
         import hashlib
 
+        return hashlib.md5(
+            re.sub(r"\s+", " ", raw.strip().lower()).encode()
+        ).hexdigest()[:10]
+
+    def _materialize_table_fn(self, fn: str, raw: str) -> str:
         df = {"ann_topk": self._table_fn_ann,
               "bm25_topk": self._table_fn_bm25,
               "hybrid_topk": self._table_fn_hybrid,
@@ -855,10 +868,7 @@ class Engine:
                   self._table_fn_stream_sessionize}[fn](raw)
         # content-keyed name: re-resolving the same call (e.g. a view
         # body re-materialized through sql()) reuses one view
-        tag = hashlib.md5(
-            re.sub(r"\s+", " ", raw.strip().lower()).encode()
-        ).hexdigest()[:10]
-        view = f"__{fn}_{tag}"
+        view = f"__{fn}_{self._content_tag(raw)}"
         df.createOrReplaceTempView(view)
         return view
 
@@ -1157,8 +1167,6 @@ class Engine:
         guarantee (tests/test_streaming.py); at production scale the
         file source swaps for Kafka and everything downstream is
         unchanged."""
-        import uuid as _uuid
-
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
             run_available_now_to_memory,
             windowed_event_stats,
@@ -1180,7 +1188,7 @@ class Engine:
             slide_duration=str(slide) if slide is not None else None,
         )
         return run_available_now_to_memory(
-            out, f"__stream_window_{_uuid.uuid4().hex[:10]}",
+            out, f"__stream_window_{self._content_tag(raw)}",
             output_mode="complete",
         )
 
@@ -1190,8 +1198,6 @@ class Engine:
         reference stack has no equivalent for), same table ->
         file-stream -> availableNow -> memory-sink drain as
         ``stream_window``."""
-        import uuid as _uuid
-
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
             run_available_now_to_memory,
             sessionize,
@@ -1211,7 +1217,7 @@ class Engine:
             watermark=str(args.get("watermark", "1 hour")),
         )
         return run_available_now_to_memory(
-            out, f"__stream_sessionize_{_uuid.uuid4().hex[:10]}",
+            out, f"__stream_sessionize_{self._content_tag(raw)}",
             output_mode="complete",
         )
 

@@ -995,3 +995,31 @@ def test_stream_sessionize_table_function(spark, sf_dir):
             "SELECT * FROM TABLE(stream_sessionize("
             "events => 'stream_sess_events_v', window => '1 hour'))"
         )
+
+
+def test_stream_seam_sinks_are_content_keyed(spark, sf_dir):
+    """Re-running the SAME streaming statement must replace its one
+    memory-sink table, not leak a new registration per execution —
+    a long-lived serving engine runs thousands of statements."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sink_key_events_v"
+    )
+    eng = Engine(spark)
+    stmt = (
+        "SELECT count(*) AS n FROM TABLE(stream_window("
+        "events => 'sink_key_events_v', window => '12 hours'))"
+    )
+
+    def sinks():
+        return {t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__stream_window_")}
+
+    first = eng.sql(stmt).collect()
+    after_one = sinks()
+    assert eng.sql(stmt).collect() == first
+    assert sinks() == after_one  # replaced, not accumulated
