@@ -613,13 +613,24 @@ def _measure_stream_seam_scaling(spark, dirs: list[str]) -> None:
             f"SELECT ts, event_type, value, user_id, event_id "
             f"FROM {bare}"
         ).createOrReplaceTempView(f"{bare}_snap")
-        for variant, view in (("zero_copy", bare),
-                              ("snapshot", f"{bare}_snap")):
+        variants = [
+            ("window zero_copy",
+             f"SELECT * FROM TABLE(stream_window("
+             f"events => '{bare}', window => '6 hours'))"),
+            ("window snapshot",
+             f"SELECT * FROM TABLE(stream_window("
+             f"events => '{bare}_snap', window => '6 hours'))"),
+            # sessionize: the decade where STATE grows with the
+            # data (replicas carry disjoint user ids, so sessions
+            # replicate linearly) — the watermark-bounded
+            # session_window claim, measured
+            ("sessionize zero_copy",
+             f"SELECT * FROM TABLE(stream_sessionize("
+             f"events => '{bare}', gap => '30 minutes'))"),
+        ]
+        for variant, stmt in variants:
             def run():
-                return eng.sql(
-                    f"SELECT * FROM TABLE(stream_window("
-                    f"events => '{view}', window => '6 hours'))"
-                )
+                return eng.sql(stmt)
 
             best = None
             for _ in range(2):
