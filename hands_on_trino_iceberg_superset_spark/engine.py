@@ -111,6 +111,19 @@ _SESSION_VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" \
 _SESSION_INFOSCHEMA: "weakref.WeakKeyDictionary[SparkSession, dict]" \
     = weakref.WeakKeyDictionary()
 
+#: SparkSession -> {executing thread id -> live StreamingQuery list}
+#: for streaming-statement cancellation, plus the ids of queries
+#: stopped THROUGH a cancel (so the drain can refuse to return a
+#: partial snapshot as a normal result). Session-shared so the wire
+#: server's DELETE handler reaches drains started by any Engine
+#: instance over the same session (statements construct their own
+#: Engine objects).
+_SESSION_STREAMS: "weakref.WeakKeyDictionary[SparkSession, dict]" \
+    = weakref.WeakKeyDictionary()
+_SESSION_STREAMS_CANCELLED: \
+    "weakref.WeakKeyDictionary[SparkSession, set]" \
+    = weakref.WeakKeyDictionary()
+
 
 @dataclass(frozen=True)
 class ColumnInfo:
@@ -153,6 +166,13 @@ class Engine:
         )
         #: ANN index name -> persisted IVF index path (SQL surface)
         self._ann_indexes: dict[str, str] = {}
+        #: executing thread id -> live streaming queries (session-
+        #: shared; see stop_streams_for_thread)
+        self._thread_streams: dict = _SESSION_STREAMS.setdefault(
+            self.spark, {}
+        )
+        self._cancelled_streams: set = \
+            _SESSION_STREAMS_CANCELLED.setdefault(self.spark, set())
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
@@ -1122,6 +1142,83 @@ class Engine:
             "'wordpiece', 'unigram', 'bpe'"
         )
 
+    # ----- streaming-statement cancellation ------------------------
+    #
+    # Spark job-group cancellation is thread-local, and a streaming
+    # drain runs its jobs in the MICROBATCH thread — cancelJobGroup
+    # against the statement's executing thread never reaches it. The
+    # engine therefore tracks every live StreamingQuery a statement
+    # starts, keyed by the executing thread, so the wire server's
+    # DELETE handler can stop them explicitly.
+
+    def _register_stream(self, query) -> None:
+        import threading
+
+        self._thread_streams.setdefault(
+            threading.get_ident(), []
+        ).append(query)
+
+    def _unregister_stream(self, query) -> None:
+        import threading
+
+        tid = threading.get_ident()
+        streams = self._thread_streams.get(tid, [])
+        if query in streams:
+            streams.remove(query)
+        if not streams:
+            self._thread_streams.pop(tid, None)
+
+    def stop_streams_for_thread(self, tid: int) -> int:
+        """Stop every live streaming query started by the statement
+        executing on thread ``tid`` (wire DELETE-cancel path).
+        Returns how many were stopped; best-effort per query."""
+        stopped = 0
+        for q in list(self._thread_streams.get(tid, [])):
+            try:
+                # flag FIRST: the drain checks this after its
+                # awaitTermination returns, and must never see a
+                # stop without the flag (partial snapshot returned
+                # as a normal result)
+                self._cancelled_streams.add(q.id)
+                q.stop()
+                stopped += 1
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                pass
+        return stopped
+
+    def _drain_stream_statement(self, out, sink_name: str):
+        """Drain ``out`` into a memory sink with the query
+        registered for cancellation while it runs."""
+        from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
+            run_available_now_to_memory,
+        )
+
+        started: list = []
+
+        def on_start(q) -> None:
+            started.append(q)
+            self._register_stream(q)
+
+        try:
+            result = run_available_now_to_memory(
+                out, sink_name, output_mode="complete",
+                on_start=on_start,
+            )
+        finally:
+            for q in started:
+                self._unregister_stream(q)
+        for q in started:
+            if q.id in self._cancelled_streams:
+                # stopped mid-drain by a cancel: the memory sink
+                # holds at most a PARTIAL snapshot — returning it as
+                # a normal result would be a silent wrong answer
+                self._cancelled_streams.discard(q.id)
+                raise RuntimeError(
+                    "streaming statement cancelled before the drain "
+                    "completed; partial snapshot discarded"
+                )
+        return result
+
     def _table_as_stream(self, name: str, tmp_prefix: str):
         """Turn a registered (batch) table into a file-source
         stream for the streaming seam. Zero-copy when the table is
@@ -1168,7 +1265,6 @@ class Engine:
         file source swaps for Kafka and everything downstream is
         unchanged."""
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
-            run_available_now_to_memory,
             windowed_event_stats,
         )
 
@@ -1187,9 +1283,8 @@ class Engine:
             watermark=str(args.get("watermark", "1 hour")),
             slide_duration=str(slide) if slide is not None else None,
         )
-        return run_available_now_to_memory(
-            out, f"__stream_window_{self._content_tag(raw)}",
-            output_mode="complete",
+        return self._drain_stream_statement(
+            out, f"__stream_window_{self._content_tag(raw)}"
         )
 
     def _table_fn_stream_sessionize(self, raw: str) -> "DataFrame":
@@ -1199,7 +1294,6 @@ class Engine:
         file-stream -> availableNow -> memory-sink drain as
         ``stream_window``."""
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
-            run_available_now_to_memory,
             sessionize,
         )
 
@@ -1216,9 +1310,8 @@ class Engine:
             gap=str(args.get("gap", "30 minutes")),
             watermark=str(args.get("watermark", "1 hour")),
         )
-        return run_available_now_to_memory(
-            out, f"__stream_sessionize_{self._content_tag(raw)}",
-            output_mode="complete",
+        return self._drain_stream_statement(
+            out, f"__stream_sessionize_{self._content_tag(raw)}"
         )
 
     def _table_fn_quality_scores(self, raw: str) -> "DataFrame":

@@ -701,6 +701,11 @@ class TrinoWireServer:
             "query": sql_text,
             "created": datetime.now(timezone.utc),
             "finished": None,
+            # the executing thread: a DELETE-cancel maps qid -> this
+            # id to stop STREAMING drains the statement started (job
+            # groups are thread-local and never reach the microbatch
+            # thread, so cancelJobGroup alone cannot)
+            "thread_id": threading.get_ident(),
         }
         with self._lock:
             self._stmt_log.append(rec)
@@ -1082,14 +1087,22 @@ class TrinoWireServer:
         instead of letting the statement run to completion."""
         with self._lock:
             self._queries.pop(qid, None)
-            running = any(r["query_id"] == qid
-                          and r["finished"] is None
-                          for r in self._stmt_log)
-            if running:
+            running_tid = next(
+                (r.get("thread_id") for r in self._stmt_log
+                 if r["query_id"] == qid and r["finished"] is None),
+                None,
+            )
+            if running_tid is not None:
                 self._cancelled.add(qid)
-        if running:
+        if running_tid is not None:
             try:
                 self.engine.spark.sparkContext.cancelJobGroup(qid)
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                pass
+            # streaming drains run their jobs in the microbatch
+            # thread: stop them through the engine's registry
+            try:
+                self.engine.stop_streams_for_thread(running_tid)
             except Exception:  # noqa: BLE001 — cancel is best-effort
                 pass
 

@@ -299,11 +299,19 @@ def streamable_parquet_root(df: DataFrame) -> str | None:
 
 
 def run_available_now_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame, query_name: str,
+    output_mode: str = "append", on_start=None,
 ) -> DataFrame:
     """Drain everything currently available through the streaming
     engine into an in-memory table; returns the result DataFrame.
-    Blocks until the stream is fully processed (test/dev helper)."""
+    Blocks until the stream is fully processed (test/dev helper).
+
+    ``on_start`` (optional) receives the live ``StreamingQuery``
+    right after start — the cancellation hook: a streaming drain
+    runs its Spark jobs in the MICROBATCH thread, so a job-group
+    cancel issued against the caller's thread never reaches it; the
+    only handle that stops it is ``query.stop()`` on this object
+    (Engine registers it so a wire DELETE can)."""
     query = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -311,6 +319,8 @@ def run_available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+    if on_start is not None:
+        on_start(query)
     query.awaitTermination()
     return stream_df.sparkSession.table(query_name)
 

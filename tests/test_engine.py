@@ -1023,3 +1023,57 @@ def test_stream_seam_sinks_are_content_keyed(spark, sf_dir):
     after_one = sinks()
     assert eng.sql(stmt).collect() == first
     assert sinks() == after_one  # replaced, not accumulated
+
+
+def test_stop_streams_for_thread_stops_registered_query(spark):
+    """Engine's streaming-cancel registry: a live StreamingQuery
+    registered by an executing thread is stopped (and flagged
+    cancelled) when that thread's streams are cancelled — the only
+    mechanism that reaches a drain, since its Spark jobs run in the
+    microbatch thread outside any job group."""
+    import threading
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    eng = Engine(spark)
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 10).load()
+        .writeStream.format("memory")
+        .queryName("cancel_mech_sink").outputMode("append").start()
+    )
+    try:
+        eng._register_stream(q)
+        tid = threading.get_ident()
+        assert eng.stop_streams_for_thread(tid) == 1
+        q.awaitTermination(20)
+        assert not q.isActive
+        assert q.id in eng._cancelled_streams
+    finally:
+        eng._cancelled_streams.discard(q.id)
+        eng._unregister_stream(q)
+        if q.isActive:
+            q.stop()
+
+
+def test_stream_statement_registry_is_clean_after_drain(spark, sf_dir):
+    """A completed streaming statement leaves no registry entry for
+    its thread (and no cancelled flag) — the serving engine's
+    bookkeeping must not grow per statement."""
+    import threading
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "clean_reg_events_v"
+    )
+    eng = Engine(spark)
+    eng.sql(
+        "SELECT count(*) AS n FROM TABLE(stream_window("
+        "events => 'clean_reg_events_v', window => '24 hours'))"
+    ).collect()
+    assert threading.get_ident() not in eng._thread_streams
+    assert not eng._cancelled_streams

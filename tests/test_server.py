@@ -1155,3 +1155,66 @@ def test_cancel_propagates_to_running_spark_jobs(server, spark):
                    if r["query_id"] == qid)
     assert rec["state"] == "CANCELED"
     assert rec["finished"] is not None
+
+
+def test_cancel_stops_streaming_statement(server, spark):
+    """DELETE-cancel must reach a STREAMING statement's drain: the
+    drain's Spark jobs run in the microbatch thread (outside the
+    statement's job group), so the server stops the registered
+    StreamingQuery through the engine — and the statement reports
+    USER_CANCELED instead of returning a partial snapshot."""
+    import threading
+    import time
+
+    import pyspark.sql.functions as F
+
+    # a drain big enough to outlive the cancel round trip even on a
+    # cold session: 8M synthetic events -> ~2M sessions through
+    # session_window (several seconds of drain; the DELETE lands
+    # ~100ms after the streaming query turns active)
+    n = 8_000_000
+    (spark.range(n).select(
+        (F.col("id") % 400_000).alias("user_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + (F.col("id") * F.expr("INTERVAL 1 SECOND"))).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )).createOrReplaceTempView("cancel_stream_events_v")
+    marker_sql = (
+        "SELECT count(*) AS n FROM TABLE(stream_sessionize("
+        "events => 'cancel_stream_events_v', gap => '5 minutes'))"
+    )
+    result: dict = {}
+
+    def run() -> None:
+        result["payload"] = _post(server, marker_sql)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait until the statement's streaming query is live
+    deadline = time.time() + 60
+    qid = None
+    while time.time() < deadline:
+        active = spark.streams.active
+        with server._lock:
+            for r in server._stmt_log:
+                if (r["query"] == marker_sql
+                        and r["finished"] is None):
+                    qid = r["query_id"]
+        if qid is not None and active:
+            break
+        time.sleep(0.05)
+    assert qid, "streaming statement never appeared as RUNNING"
+    assert spark.streams.active, "drain never started"
+    req = urllib.request.Request(
+        f"{server.url}/v1/statement/{qid}/0", method="DELETE")
+    urllib.request.urlopen(req)
+    t.join(timeout=60)
+    assert not t.is_alive(), "cancelled streaming statement hung"
+    payload = result["payload"]
+    assert payload["stats"]["state"] == "FAILED"
+    assert payload["error"]["errorName"] == "USER_CANCELED"
+    # the drain's streaming query is gone, not burning the cluster
+    deadline = time.time() + 20
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.2)
+    assert not spark.streams.active
