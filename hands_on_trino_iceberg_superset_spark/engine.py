@@ -2141,10 +2141,31 @@ class Engine:
                 "EXPLAIN supports read statements only (DDL/DML "
                 "routes through handlers that execute)"
             )
+        self._reject_streaming_explain(sql_text, "EXPLAIN")
         df = self.trino_sql(sql_text) if trino else self.sql(sql_text)
         return self.spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), modes[t]
         )
+
+    #: streaming table-function heads: RESOLVING one executes the
+    #: availableNow drain (the returned frame is the drained memory
+    #: sink), so a plain EXPLAIN over it would run the job it
+    #: promises only to plan
+    _STREAM_FN_RE = re.compile(
+        r"TABLE\s*\(\s*stream_(window|sessionize)\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _reject_streaming_explain(self, sql_text: str,
+                                  what: str) -> None:
+        if self._STREAM_FN_RE.search(sql_text):
+            raise ValueError(
+                f"{what} of a streaming table function would execute "
+                "the availableNow drain (resolution materializes the "
+                "memory-sink snapshot); use EXPLAIN ANALYZE to "
+                "execute-and-report, or EXPLAIN the batch twin of "
+                "the aggregation"
+            )
 
     def explain_analyze(self, sql_text: str,
                         trino: bool = True) -> str:

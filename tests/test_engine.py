@@ -1077,3 +1077,37 @@ def test_stream_statement_registry_is_clean_after_drain(spark, sf_dir):
     ).collect()
     assert threading.get_ident() not in eng._thread_streams
     assert not eng._cancelled_streams
+
+
+def test_explain_refuses_streaming_table_functions(spark, sf_dir):
+    """'EXPLAIN can never execute anything' must hold for the
+    streaming seam too: resolving TABLE(stream_*) RUNS the
+    availableNow drain, so plain EXPLAIN refuses loudly (EXPLAIN
+    ANALYZE remains the execute-and-report path)."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "explain_stream_events_v"
+    )
+    eng = Engine(spark)
+    before = {t.name for t in spark.catalog.listTables()
+              if t.name.startswith("__stream_")}
+    with pytest.raises(ValueError, match="would execute"):
+        eng.explain(
+            "SELECT * FROM TABLE(stream_window("
+            "events => 'explain_stream_events_v'))"
+        )
+    with pytest.raises(ValueError, match="would execute"):
+        eng.explain(
+            "SELECT * FROM TABLE(stream_sessionize("
+            "events => 'explain_stream_events_v'))", type_="LOGICAL"
+        )
+    # nothing drained: no new memory sink appeared
+    after = {t.name for t in spark.catalog.listTables()
+             if t.name.startswith("__stream_")}
+    assert after == before
