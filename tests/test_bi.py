@@ -1385,3 +1385,61 @@ def test_extra_form_data_reaches_pivot_and_time_compare_arms(spark):
     # filtered on BOTH arms: keep-rows sum to 5/day on each side
     assert all(r["sum_v"] == 5 and r["sum_v__1_week_ago"] == 5
                for r in out)
+
+
+def test_stream_sessions_chart_both_paths(spark, sf_dir):
+    """The streaming virtual dataset (its defining SQL is
+    TABLE(stream_sessionize(...))) compiles identically on the
+    Catalyst path (compile_form_data over Dataset.df()) and the
+    SQL-text path (form_data_to_sql over an engine VIEW with the
+    same streaming body — each use re-drains through the seam).
+    Compared by column NAME: the two paths may order columns
+    differently."""
+    from hands_on_trino_iceberg_superset_spark.bi.compiler import (
+        compile_form_data,
+        form_data_to_sql,
+    )
+    from hands_on_trino_iceberg_superset_spark.bi.entities import (
+        Database,
+    )
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bi_parity_events_v"
+    )
+    eng = Engine(spark)
+    body = (
+        "SELECT user_id, "
+        "CAST(total_value AS DECIMAL(18,2)) AS session_value "
+        "FROM TABLE(stream_sessionize("
+        "events => 'bi_parity_events_v', gap => '30 minutes'))"
+    )
+    eng.sql(f"CREATE OR REPLACE VIEW v_stream_sess_parity AS {body}")
+    ds = Database("spark", eng).dataset(
+        "v_stream_sess_parity", sql=body
+    )
+    fd = {
+        "query_mode": "aggregate",
+        "groupby": ["user_id"],
+        "metrics": [
+            {"aggregate": "COUNT", "column": "session_value",
+             "label": "n_sessions"},
+            {"aggregate": "SUM", "column": "session_value",
+             "label": "sum_value"},
+        ],
+        "order_by": [["sum_value", False], ["user_id", True]],
+        "row_limit": 5,
+    }
+    cols = ["user_id", "n_sessions", "sum_value"]
+
+    def canon(df):
+        return [tuple(r[c] for c in cols) for r in df.collect()]
+
+    native = canon(compile_form_data(ds.df(), fd))
+    wire = canon(eng.sql(form_data_to_sql("v_stream_sess_parity",
+                                          fd)))
+    assert native == wire
+    assert len(native) == 5
