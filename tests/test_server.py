@@ -1191,10 +1191,14 @@ def test_cancel_stops_streaming_statement(server, spark):
     t = threading.Thread(target=run)
     t.start()
     # wait until the statement's streaming query is live
+    def seam_active():
+        return [q for q in spark.streams.active
+                if (q.name or "").startswith("__stream_")]
+
     deadline = time.time() + 60
     qid = None
     while time.time() < deadline:
-        active = spark.streams.active
+        active = seam_active()
         with server._lock:
             for r in server._stmt_log:
                 if (r["query"] == marker_sql
@@ -1204,7 +1208,7 @@ def test_cancel_stops_streaming_statement(server, spark):
             break
         time.sleep(0.05)
     assert qid, "streaming statement never appeared as RUNNING"
-    assert spark.streams.active, "drain never started"
+    assert seam_active(), "drain never started"
     req = urllib.request.Request(
         f"{server.url}/v1/statement/{qid}/0", method="DELETE")
     urllib.request.urlopen(req)
@@ -1215,6 +1219,6 @@ def test_cancel_stops_streaming_statement(server, spark):
     assert payload["error"]["errorName"] == "USER_CANCELED"
     # the drain's streaming query is gone, not burning the cluster
     deadline = time.time() + 20
-    while spark.streams.active and time.time() < deadline:
+    while seam_active() and time.time() < deadline:
         time.sleep(0.2)
-    assert not spark.streams.active
+    assert not seam_active()
