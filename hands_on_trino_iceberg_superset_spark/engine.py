@@ -12,6 +12,7 @@ the ``information_schema`` surface Superset uses
 from __future__ import annotations
 
 import re
+import threading
 import weakref
 from dataclasses import dataclass
 
@@ -123,6 +124,15 @@ _SESSION_STREAMS: "weakref.WeakKeyDictionary[SparkSession, dict]" \
 _SESSION_STREAMS_CANCELLED: \
     "weakref.WeakKeyDictionary[SparkSession, set]" \
     = weakref.WeakKeyDictionary()
+#: one short-critical-section lock for BOTH structures above: the
+#: cancel path must never observe a query after its drain
+#: unregistered it (a flag set then would leak forever)
+_STREAMS_LOCK = threading.Lock()
+#: the executing statement's cancel scope (the wire server sets the
+#: statement's qid around execution; qids are unique, so a scope can
+#: never be confused across recycled OS thread ids the way a raw
+#: thread ident can)
+_CANCEL_SCOPE = threading.local()
 
 
 @dataclass(frozen=True)
@@ -201,6 +211,13 @@ class Engine:
             # of the cache key cannot see same-name schema changes
             self._infoschema_state["version"] += 1
         text = self._resolve_information_schema(text)
+        # an EXPLAIN head reaching resolution would EXECUTE any
+        # streaming table function inside it (resolution drains) —
+        # the same analysis-only guarantee Engine.explain enforces
+        # must hold on this entry too (EXPLAIN ANALYZE has no Spark
+        # SQL form and never reaches here)
+        if re.match(r"^\s*EXPLAIN\b", text, re.IGNORECASE):
+            self._reject_streaming_explain(text, "EXPLAIN")
         text = self._resolve_table_functions(text)
         view = self._resolve_view_ddl(text)
         if view is not None:
@@ -1148,47 +1165,67 @@ class Engine:
     # drain runs its jobs in the MICROBATCH thread — cancelJobGroup
     # against the statement's executing thread never reaches it. The
     # engine therefore tracks every live StreamingQuery a statement
-    # starts, keyed by the executing thread, so the wire server's
-    # DELETE handler can stop them explicitly.
+    # starts, keyed by the statement's CANCEL SCOPE (the wire qid —
+    # unique per statement, unlike an OS thread ident, which the
+    # per-request threads recycle: a tid-keyed cancel could stop an
+    # innocent later statement that reused the id). Outside a scope
+    # (direct Engine.sql callers) the thread ident is the fallback
+    # key. All registry/flag mutations hold _STREAMS_LOCK so a
+    # cancel can never flag a query its drain already unregistered.
+
+    @staticmethod
+    def _cancel_scope_key():
+        scope = getattr(_CANCEL_SCOPE, "token", None)
+        return scope if scope is not None else threading.get_ident()
+
+    def enter_cancel_scope(self, token: str) -> None:
+        """Mark the current thread as executing statement ``token``
+        (the wire server passes its qid); streams started until
+        :meth:`exit_cancel_scope` register under it."""
+        _CANCEL_SCOPE.token = token
+
+    def exit_cancel_scope(self) -> None:
+        _CANCEL_SCOPE.token = None
 
     def _register_stream(self, query) -> None:
-        import threading
+        with _STREAMS_LOCK:
+            self._thread_streams.setdefault(
+                self._cancel_scope_key(), []
+            ).append(query)
 
-        self._thread_streams.setdefault(
-            threading.get_ident(), []
-        ).append(query)
-
-    def _unregister_stream(self, query) -> None:
-        import threading
-
-        tid = threading.get_ident()
-        streams = self._thread_streams.get(tid, [])
-        if query in streams:
-            streams.remove(query)
-        if not streams:
-            self._thread_streams.pop(tid, None)
-
-    def stop_streams_for_thread(self, tid: int) -> int:
-        """Stop every live streaming query started by the statement
-        executing on thread ``tid`` (wire DELETE-cancel path).
-        Returns how many were stopped; best-effort per query."""
-        stopped = 0
-        for q in list(self._thread_streams.get(tid, [])):
-            try:
-                # flag FIRST: the drain checks this after its
-                # awaitTermination returns, and must never see a
-                # stop without the flag (partial snapshot returned
-                # as a normal result)
+    def stop_streams_for_scope(self, key) -> int:
+        """Stop every live streaming query registered under cancel
+        scope ``key`` (a wire qid, or a thread ident for direct
+        callers). Returns how many were stopped; best-effort per
+        query. The cancelled flag is set under the lock BEFORE the
+        stop, so the drain can never observe a stop without it
+        (partial snapshot returned as a normal result)."""
+        with _STREAMS_LOCK:
+            targets = list(self._thread_streams.get(key, []))
+            for q in targets:
                 self._cancelled_streams.add(q.id)
+        stopped = 0
+        for q in targets:
+            try:
                 q.stop()
                 stopped += 1
             except Exception:  # noqa: BLE001 — cancel is best-effort
                 pass
         return stopped
 
+    # kept name for direct (non-wire) callers cancelling their own
+    # thread's drains
+    def stop_streams_for_thread(self, tid: int) -> int:
+        return self.stop_streams_for_scope(tid)
+
     def _drain_stream_statement(self, out, sink_name: str):
         """Drain ``out`` into a memory sink with the query
-        registered for cancellation while it runs."""
+        registered for cancellation while it runs. A drain stopped
+        by a cancel raises — the memory sink holds at most a
+        PARTIAL snapshot, and returning it as a normal result would
+        be a silent wrong answer."""
+        import uuid as _uuid
+
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
             run_available_now_to_memory,
         )
@@ -1199,24 +1236,43 @@ class Engine:
             started.append(q)
             self._register_stream(q)
 
-        try:
-            result = run_available_now_to_memory(
-                out, sink_name, output_mode="complete",
-                on_start=on_start,
+        def run(name: str):
+            return run_available_now_to_memory(
+                out, name, output_mode="complete", on_start=on_start,
             )
-        finally:
-            for q in started:
-                self._unregister_stream(q)
-        for q in started:
-            if q.id in self._cancelled_streams:
-                # stopped mid-drain by a cancel: the memory sink
-                # holds at most a PARTIAL snapshot — returning it as
-                # a normal result would be a silent wrong answer
-                self._cancelled_streams.discard(q.id)
-                raise RuntimeError(
-                    "streaming statement cancelled before the drain "
-                    "completed; partial snapshot discarded"
+
+        was_cancelled = False
+        try:
+            try:
+                result = run(sink_name)
+            except Exception as exc:  # noqa: BLE001
+                # content-keyed sink names collide when two clients
+                # run the SAME statement concurrently (Spark refuses
+                # a second ACTIVE query with the name) — retry once
+                # under a unique suffix; serial re-runs still reuse
+                # the one registration
+                if "already active" not in str(exc):
+                    raise
+                result = run(
+                    f"{sink_name}_{_uuid.uuid4().hex[:6]}"
                 )
+        finally:
+            with _STREAMS_LOCK:
+                key = self._cancel_scope_key()
+                streams = self._thread_streams.get(key, [])
+                for q in started:
+                    if q in streams:
+                        streams.remove(q)
+                    if q.id in self._cancelled_streams:
+                        was_cancelled = True
+                        self._cancelled_streams.discard(q.id)
+                if not streams:
+                    self._thread_streams.pop(key, None)
+        if was_cancelled:
+            raise RuntimeError(
+                "streaming statement cancelled before the drain "
+                "completed; partial snapshot discarded"
+            )
         return result
 
     def _table_as_stream(self, name: str, tmp_prefix: str):
@@ -1314,6 +1370,14 @@ class Engine:
             out, f"__stream_sessionize_{self._content_tag(raw)}"
         )
 
+    @staticmethod
+    def _carry_cols(args: dict) -> list[str]:
+        """Parse the comma-separated ``carry_cols`` argument shared
+        by the textstats-family table functions."""
+        return [c.strip()
+                for c in str(args.get("carry_cols", "")).split(",")
+                if c.strip()]
+
     def _table_fn_quality_scores(self, raw: str) -> "DataFrame":
         """Per-document quality scoring from SQL — the text-analysis
         family's seam entry (zero-exchange pure map; plan-gated)."""
@@ -1328,9 +1392,7 @@ class Engine:
             required={"docs"},
         )
         chars = args.get("chars_col")
-        carry = [c.strip()
-                 for c in str(args.get("carry_cols", "")).split(",")
-                 if c.strip()]
+        carry = self._carry_cols(args)
         return TS.quality_scores(
             self.spark.table(str(args["docs"])),
             text_col=str(args.get("text_col", "text")),
@@ -1352,9 +1414,7 @@ class Engine:
             known={"docs", "text_col", "id_col", "carry_cols"},
             required={"docs"},
         )
-        carry = [c.strip()
-                 for c in str(args.get("carry_cols", "")).split(",")
-                 if c.strip()]
+        carry = self._carry_cols(args)
         return TS.lang_id(
             self.spark.table(str(args["docs"])),
             text_col=str(args.get("text_col", "text")),
@@ -1377,9 +1437,7 @@ class Engine:
             known={"docs", "text_col", "id_col", "carry_cols"},
             required={"docs"},
         )
-        carry = [c.strip()
-                 for c in str(args.get("carry_cols", "")).split(",")
-                 if c.strip()]
+        carry = self._carry_cols(args)
         return TS.repetition_signals(
             self.spark.table(str(args["docs"])),
             text_col=str(args.get("text_col", "text")),

@@ -130,7 +130,12 @@ def repetition_signals(
     divide once at the end — bit-identical across engines. At
     100 TB the whole thing is a map-side projection pass with no
     exchange, same as the rest of this module."""
-    toks = _toks(text_col)
+    # NULL text maps to the EMPTY token array, not NULL: size(NULL)
+    # is -1 under non-ANSI Spark, which would emit n_words=-1 and
+    # silently skew every pooled denominator downstream
+    toks = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(_toks(text_col))
     base = docs.select(
         F.col(id_col),
         *(carry_cols or []),
@@ -153,9 +158,11 @@ def repetition_signals(
           acc -> acc.best)
         """
     )
+    # greatest(.., 0): slice refuses a negative length, which the
+    # empty (null-text) document would otherwise produce
     grams = F.expr(
-        "zip_with(slice(__w, 1, size(__w) - 1),"
-        " slice(__w, 2, size(__w) - 1),"
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> concat(a, ' ', b))"
     )
     return base.select(

@@ -1521,7 +1521,11 @@ def bi_chart_quality_sources(spark: SparkSession,
     )
 
 
-_GAP_US = 30 * 60 * 1_000_000
+# the 30-minute session gap shared with the streaming oracles — ONE
+# definition so the bi and streaming rows can never drift
+from hands_on_trino_iceberg_superset_spark.queries.streaming import (  # noqa: E402,E501
+    _GAP_US,
+)
 
 
 @register(

@@ -701,11 +701,6 @@ class TrinoWireServer:
             "query": sql_text,
             "created": datetime.now(timezone.utc),
             "finished": None,
-            # the executing thread: a DELETE-cancel maps qid -> this
-            # id to stop STREAMING drains the statement started (job
-            # groups are thread-local and never reach the microbatch
-            # thread, so cancelJobGroup alone cannot)
-            "thread_id": threading.get_ident(),
         }
         with self._lock:
             self._stmt_log.append(rec)
@@ -719,16 +714,39 @@ class TrinoWireServer:
         sc = self.engine.spark.sparkContext
         sc.setJobGroup(qid, f"wire statement {qid}",
                        interruptOnCancel=True)
+        # streaming drains run their jobs in the MICROBATCH thread,
+        # outside the job group — the engine registers them under
+        # this statement's cancel scope (the qid: unique, unlike an
+        # OS thread ident, which per-request threads recycle)
+        self.engine.enter_cancel_scope(qid)
         try:
             payload, hdrs = self._execute_inner(
                 qid, sql_text, prepared, session, catalog, schema
             )
         finally:
+            self.engine.exit_cancel_scope()
             sc.setLocalProperty("spark.jobGroup.id", None)
             sc.setLocalProperty("spark.job.interruptOnCancel", None)
         # record mutations hold the same lock the snapshot reader
         # takes — no torn RUNNING/finished fields across threads
         with self._lock:
+            if "error" not in payload and qid in self._cancelled:
+                # the cancel raced the statement's completion (or
+                # arrived before its streaming drain even started —
+                # nothing registered yet to stop): the client asked
+                # for CANCELED while the statement was RUNNING, so
+                # honoring the completed result would silently
+                # ignore the kill
+                self._queries.pop(qid, None)
+                payload = {
+                    "id": qid, "stats": {"state": "FAILED"},
+                    "error": {
+                        "message": "statement cancelled",
+                        "errorCode": 0,
+                        "errorName": "USER_CANCELED",
+                        "errorType": "USER_ERROR",
+                    },
+                }
             if "error" in payload:
                 if qid in self._cancelled:
                     rec["state"] = "CANCELED"
@@ -1087,22 +1105,22 @@ class TrinoWireServer:
         instead of letting the statement run to completion."""
         with self._lock:
             self._queries.pop(qid, None)
-            running_tid = next(
-                (r.get("thread_id") for r in self._stmt_log
-                 if r["query_id"] == qid and r["finished"] is None),
-                None,
-            )
-            if running_tid is not None:
+            running = any(r["query_id"] == qid
+                          and r["finished"] is None
+                          for r in self._stmt_log)
+            if running:
                 self._cancelled.add(qid)
-        if running_tid is not None:
+        if running:
             try:
                 self.engine.spark.sparkContext.cancelJobGroup(qid)
             except Exception:  # noqa: BLE001 — cancel is best-effort
                 pass
             # streaming drains run their jobs in the microbatch
-            # thread: stop them through the engine's registry
+            # thread, outside the job group: stop them through the
+            # engine's registry, keyed by the statement's cancel
+            # scope (the qid — never a recycled thread id)
             try:
-                self.engine.stop_streams_for_thread(running_tid)
+                self.engine.stop_streams_for_scope(qid)
             except Exception:  # noqa: BLE001 — cancel is best-effort
                 pass
 

@@ -861,3 +861,23 @@ def test_repetition_signals_match_python_reference(spark, tmp_path):
         for r in repetition_signals(df).collect()
     }
     assert got == expect
+
+
+def test_repetition_signals_null_and_empty_text(spark):
+    """NULL text is the EMPTY document (all counts 0), never
+    size(NULL) = -1 garbage that would skew pooled denominators;
+    empty string keeps Spark's split('') == [''] one-token shape."""
+    from hands_on_trino_iceberg_superset_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.top_word_count, r.n_2grams,
+                      r.n_dup_2grams)
+           for r in repetition_signals(df).collect()}
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (1, 1, 0, 0)
+    assert got[3] == (2, 2, 1, 0)

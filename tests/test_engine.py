@@ -1051,7 +1051,7 @@ def test_stop_streams_for_thread_stops_registered_query(spark):
         assert q.id in eng._cancelled_streams
     finally:
         eng._cancelled_streams.discard(q.id)
-        eng._unregister_stream(q)
+        eng._thread_streams.pop(threading.get_ident(), None)
         if q.isActive:
             q.stop()
 
@@ -1111,3 +1111,81 @@ def test_explain_refuses_streaming_table_functions(spark, sf_dir):
     after = {t.name for t in spark.catalog.listTables()
              if t.name.startswith("__stream_")}
     assert after == before
+
+
+def test_cancel_scope_tokens_beat_thread_ids(spark):
+    """Streams registered inside an explicit cancel scope (the wire
+    qid) are stoppable by scope token from ANY thread — and a
+    recycled OS thread id can never be confused with them."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    class _StubQuery:
+        def __init__(self, qid):
+            self.id = qid
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    eng = Engine(spark)
+    q = _StubQuery("stub-1")
+    eng.enter_cancel_scope("stmt-abc")
+    try:
+        eng._register_stream(q)
+    finally:
+        eng.exit_cancel_scope()
+    try:
+        # a thread-ident key must NOT see the scoped stream
+        import threading
+
+        assert eng.stop_streams_for_thread(
+            threading.get_ident()) == 0
+        assert not q.stopped
+        # the scope token stops it, from anywhere
+        assert eng.stop_streams_for_scope("stmt-abc") == 1
+        assert q.stopped
+        assert q.id in eng._cancelled_streams
+    finally:
+        eng._cancelled_streams.discard(q.id)
+        eng._thread_streams.pop("stmt-abc", None)
+
+
+def test_concurrent_identical_stream_statements(spark, sf_dir):
+    """Two clients running the SAME streaming statement at the same
+    time must both succeed: the content-keyed sink name collides
+    while the first drain is active (Spark refuses a second ACTIVE
+    query with the name), and the engine retries under a unique
+    suffix."""
+    import threading
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "concurrent_stream_events_v"
+    )
+    eng = Engine(spark)
+    stmt = (
+        "SELECT count(*) AS n FROM TABLE(stream_sessionize("
+        "events => 'concurrent_stream_events_v', "
+        "gap => '45 minutes'))"
+    )
+    results: dict[int, object] = {}
+
+    def client(i: int) -> None:
+        try:
+            results[i] = eng.sql(stmt).collect()[0].n
+        except Exception as exc:  # noqa: BLE001
+            results[i] = exc
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(not isinstance(v, Exception) for v in
+               results.values()), results
+    assert results[0] == results[1]

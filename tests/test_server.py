@@ -1222,3 +1222,30 @@ def test_cancel_stops_streaming_statement(server, spark):
     while seam_active() and time.time() < deadline:
         time.sleep(0.2)
     assert not seam_active()
+
+
+def test_cancel_raced_completion_reports_canceled(server):
+    """A DELETE that lands while the statement is RUNNING but after
+    its work can no longer be interrupted (e.g. before a streaming
+    drain registers, or racing completion) must still surface as
+    USER_CANCELED — honoring the completed result would silently
+    ignore the kill."""
+    orig = server._execute_inner
+
+    def raced(qid, *args, **kwargs):
+        # the cancel arrives mid-execution, too late to stop work
+        server._cancelled.add(qid)
+        return orig(qid, *args, **kwargs)
+
+    marker = "SELECT 1 AS x /* raced_cancel_probe */"
+    server._execute_inner = raced
+    try:
+        payload, _ = server._execute(marker)
+    finally:
+        server._execute_inner = orig
+    assert payload["stats"]["state"] == "FAILED"
+    assert payload["error"]["errorName"] == "USER_CANCELED"
+    with server._lock:
+        rec = next(r for r in server._stmt_log
+                   if r["query"] == marker)
+        assert rec["state"] == "CANCELED"
