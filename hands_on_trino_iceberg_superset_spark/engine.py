@@ -124,6 +124,16 @@ _SESSION_STREAMS: "weakref.WeakKeyDictionary[SparkSession, dict]" \
 _SESSION_STREAMS_CANCELLED: \
     "weakref.WeakKeyDictionary[SparkSession, set]" \
     = weakref.WeakKeyDictionary()
+#: cancel SCOPES (wire qids) whose DELETE arrived before the
+#: statement's drain registered anything to stop — registration
+#: consults this so the just-started query is stopped immediately
+#: instead of running its whole drain with only the status
+#: rewritten afterwards. String tokens only (qids are unique and
+#: are cleared by the server when the statement ends); recycled
+#: thread-ident keys are never persisted here.
+_SESSION_CANCELLED_SCOPES: \
+    "weakref.WeakKeyDictionary[SparkSession, set]" \
+    = weakref.WeakKeyDictionary()
 #: one short-critical-section lock for BOTH structures above: the
 #: cancel path must never observe a query after its drain
 #: unregistered it (a flag set then would leak forever)
@@ -183,6 +193,8 @@ class Engine:
         )
         self._cancelled_streams: set = \
             _SESSION_STREAMS_CANCELLED.setdefault(self.spark, set())
+        self._cancelled_scopes: set = \
+            _SESSION_CANCELLED_SCOPES.setdefault(self.spark, set())
 
     # -- query entry points (reference §3 paths A/C) ------------------
 
@@ -215,8 +227,9 @@ class Engine:
         # streaming table function inside it (resolution drains) —
         # the same analysis-only guarantee Engine.explain enforces
         # must hold on this entry too (EXPLAIN ANALYZE has no Spark
-        # SQL form and never reaches here)
-        if re.match(r"^\s*EXPLAIN\b", text, re.IGNORECASE):
+        # SQL form and never reaches here). Leading comments are
+        # part of the head: '/* x */ EXPLAIN ...' explains too.
+        if self._EXPLAIN_HEAD_RE.match(text):
             self._reject_streaming_explain(text, "EXPLAIN")
         text = self._resolve_table_functions(text)
         view = self._resolve_view_ddl(text)
@@ -1185,13 +1198,27 @@ class Engine:
         _CANCEL_SCOPE.token = token
 
     def exit_cancel_scope(self) -> None:
+        token = getattr(_CANCEL_SCOPE, "token", None)
         _CANCEL_SCOPE.token = None
+        if token is not None:
+            with _STREAMS_LOCK:
+                self._cancelled_scopes.discard(token)
 
     def _register_stream(self, query) -> None:
         with _STREAMS_LOCK:
-            self._thread_streams.setdefault(
-                self._cancel_scope_key(), []
-            ).append(query)
+            key = self._cancel_scope_key()
+            self._thread_streams.setdefault(key, []).append(query)
+            # a DELETE that beat this registration: flag-and-stop
+            # NOW, or the drain would run to completion with only
+            # its final status rewritten
+            already_cancelled = key in self._cancelled_scopes
+            if already_cancelled:
+                self._cancelled_streams.add(query.id)
+        if already_cancelled:
+            try:
+                query.stop()
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                pass
 
     def stop_streams_for_scope(self, key) -> int:
         """Stop every live streaming query registered under cancel
@@ -1204,6 +1231,12 @@ class Engine:
             targets = list(self._thread_streams.get(key, []))
             for q in targets:
                 self._cancelled_streams.add(q.id)
+            if isinstance(key, str):
+                # remember the cancelled scope so a drain that has
+                # not STARTED yet stops at registration (qids only —
+                # the server clears this when the statement ends;
+                # recycled thread idents must never persist)
+                self._cancelled_scopes.add(key)
         stopped = 0
         for q in targets:
             try:
@@ -1242,6 +1275,7 @@ class Engine:
             )
 
         was_cancelled = False
+        retry_name = None
         try:
             try:
                 result = run(sink_name)
@@ -1253,9 +1287,20 @@ class Engine:
                 # the one registration
                 if "already active" not in str(exc):
                     raise
-                result = run(
-                    f"{sink_name}_{_uuid.uuid4().hex[:6]}"
-                )
+                retry_name = f"{sink_name}_{_uuid.uuid4().hex[:6]}"
+                result = run(retry_name)
+            # decouple the returned frame from the SHARED sink: a
+            # later identical statement repopulates the same
+            # content-keyed memory table batch by batch, and a still
+            # -lazy earlier result reading through it would observe
+            # an intermediate snapshot. localCheckpoint materializes
+            # the result (aggregate-sized) to executor storage, so
+            # every caller's frame is immutable from here on.
+            result = result.localCheckpoint(eager=True)
+            if retry_name is not None:
+                # the one-off retry sink would otherwise pin a full
+                # result snapshot in driver memory for the session
+                self.spark.catalog.dropTempView(retry_name)
         finally:
             with _STREAMS_LOCK:
                 key = self._cancel_scope_key()
@@ -2212,6 +2257,15 @@ class Engine:
     _STREAM_FN_RE = re.compile(
         r"TABLE\s*\(\s*stream_(window|sessionize)\s*\(",
         re.IGNORECASE,
+    )
+
+    #: EXPLAIN as the statement head, allowing leading /* */ and --
+    #: comments (Spark treats them as part of the statement, so a
+    #: commented EXPLAIN still explains — and must still refuse
+    #: streaming table functions)
+    _EXPLAIN_HEAD_RE = re.compile(
+        r"^\s*(?:(?:/\*.*?\*/|--[^\n]*(?:\n|$))\s*)*EXPLAIN\b",
+        re.IGNORECASE | re.DOTALL,
     )
 
     def _reject_streaming_explain(self, sql_text: str,

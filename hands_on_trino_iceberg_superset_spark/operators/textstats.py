@@ -28,7 +28,12 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 def _toks(text_col: str) -> Column:
-    return F.split(F.col(text_col), " ")
+    # NULL text maps to the EMPTY token array, not NULL: size(NULL)
+    # is -1 under non-ANSI Spark, which would give every consumer
+    # (token counts, ratios, pooled denominators) negative garbage
+    return F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
 
 
 def quality_scores(
@@ -65,17 +70,20 @@ def quality_scores(
         & (F.col("n_types") * 2 >= F.col("n_tokens"))
         & (F.col("n_stop") > 0)
     )
+    # nullif: the empty (null-text) document has 0 tokens, and its
+    # ratios are NULL, not a divide-by-zero error under ANSI mode
+    denom = F.nullif(F.col("n_tokens"), F.lit(0))
     return base.select(
         id_col,
         *carry,
         "n_tokens",
-        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+        (F.col("n_types").cast("double") / denom).alias(
             "type_token_ratio"
         ),
-        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+        (F.col("n_stop").cast("double") / denom).alias(
             "stopword_ratio"
         ),
-        (F.col("__n_chars").cast("double") / F.col("n_tokens")).alias(
+        (F.col("__n_chars").cast("double") / denom).alias(
             "avg_token_len"
         ),
         gate.alias("passes_quality"),
@@ -96,8 +104,11 @@ def lang_id(
     whole family stays a zero-exchange map."""
     toks = _toks(text_col)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    # the size(toks) > 0 guard keeps the empty (null-text) document
+    # out of 'en': 0 stopwords >= 10% of 0 tokens is vacuously true
     guessed = (
-        F.when(n_stop * 10 >= F.size(toks), "en")
+        F.when((F.size(toks) > 0) & (n_stop * 10 >= F.size(toks)),
+               "en")
         .otherwise("unknown")
     ).alias("guessed_lang")
     return docs.select(id_col, *(carry_cols or []), guessed)
@@ -130,12 +141,7 @@ def repetition_signals(
     divide once at the end — bit-identical across engines. At
     100 TB the whole thing is a map-side projection pass with no
     exchange, same as the rest of this module."""
-    # NULL text maps to the EMPTY token array, not NULL: size(NULL)
-    # is -1 under non-ANSI Spark, which would emit n_words=-1 and
-    # silently skew every pooled denominator downstream
-    toks = F.when(
-        F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(_toks(text_col))
+    toks = _toks(text_col)
     base = docs.select(
         F.col(id_col),
         *(carry_cols or []),

@@ -730,13 +730,18 @@ class TrinoWireServer:
         # record mutations hold the same lock the snapshot reader
         # takes — no torn RUNNING/finished fields across threads
         with self._lock:
-            if "error" not in payload and qid in self._cancelled:
-                # the cancel raced the statement's completion (or
+            if ("error" not in payload and qid in self._cancelled
+                    and Engine._EXPLAINABLE.match(sql_text)):
+                # the cancel raced a READ statement's completion (or
                 # arrived before its streaming drain even started —
                 # nothing registered yet to stop): the client asked
                 # for CANCELED while the statement was RUNNING, so
                 # honoring the completed result would silently
-                # ignore the kill
+                # ignore the kill. DML is deliberately excluded —
+                # its side effects are already committed, and
+                # reporting USER_CANCELED would invite a retry and
+                # a duplicate write; the truthful answer there is
+                # the FINISHED result.
                 self._queries.pop(qid, None)
                 payload = {
                     "id": qid, "stats": {"state": "FAILED"},

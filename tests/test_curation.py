@@ -881,3 +881,27 @@ def test_repetition_signals_null_and_empty_text(spark):
     assert got[1] == (0, 0, 0, 0)
     assert got[2] == (1, 1, 0, 0)
     assert got[3] == (2, 2, 1, 0)
+
+
+def test_quality_and_lang_id_null_text(spark):
+    """NULL text must be the empty document across the WHOLE
+    textstats family (the shared _toks guard): quality_scores gives
+    0 tokens / NULL ratios / fails the gate, lang_id guesses
+    'unknown' — never size(NULL) = -1 garbage."""
+    from hands_on_trino_iceberg_superset_spark.operators.textstats import (
+        lang_id,
+        quality_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the a of and to in " * 5)],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_scores(df).collect()}
+    assert q[1].n_tokens == 0
+    assert q[1].type_token_ratio is None
+    assert q[1].passes_quality is False
+    assert q[2].n_tokens > 0 and q[2].stopword_ratio > 0.9
+    lg = {r.doc_id: r.guessed_lang for r in lang_id(df).collect()}
+    assert lg[1] == "unknown"
+    assert lg[2] == "en"

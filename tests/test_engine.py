@@ -1189,3 +1189,92 @@ def test_concurrent_identical_stream_statements(spark, sf_dir):
     assert all(not isinstance(v, Exception) for v in
                results.values()), results
     assert results[0] == results[1]
+
+
+def test_explain_refusal_survives_leading_comments(spark, sf_dir):
+    """'/* x */ EXPLAIN ...' is still an EXPLAIN to Spark — the
+    streaming refusal must not be bypassable by a comment prefix on
+    the Engine.sql entry."""
+    import pytest
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+    from hands_on_trino_iceberg_superset_spark.sources import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "cmt_explain_events_v"
+    )
+    eng = Engine(spark)
+    for head in ("/* probe */ EXPLAIN", "-- probe\nEXPLAIN",
+                 "EXPLAIN"):
+        with pytest.raises(ValueError, match="would execute"):
+            eng.sql(
+                f"{head} SELECT * FROM TABLE(stream_window("
+                "events => 'cmt_explain_events_v'))"
+            )
+
+
+def test_cancel_before_registration_stops_drain_at_start(spark):
+    """A DELETE that lands before the statement's drain registers
+    anything must still stop the drain: the cancelled SCOPE is
+    remembered, and registration flag-and-stops the just-started
+    query instead of letting it run to completion."""
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    class _StubQuery:
+        def __init__(self, qid):
+            self.id = qid
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    eng = Engine(spark)
+    # the DELETE arrives first: nothing registered under the scope
+    assert eng.stop_streams_for_scope("stmt-early") == 0
+    q = _StubQuery("stub-early")
+    eng.enter_cancel_scope("stmt-early")
+    try:
+        eng._register_stream(q)  # the drain starts AFTER the cancel
+        assert q.stopped
+        assert q.id in eng._cancelled_streams
+    finally:
+        eng.exit_cancel_scope()  # also clears the cancelled scope
+        eng._cancelled_streams.discard(q.id)
+        eng._thread_streams.pop("stmt-early", None)
+    assert "stmt-early" not in eng._cancelled_scopes
+
+
+def test_stream_result_immutable_after_sink_reuse(spark):
+    """A drained result must be INDEPENDENT of the shared
+    content-keyed sink: a later identical statement over changed
+    data repopulates the sink, and a still-held earlier frame must
+    keep its original rows (localCheckpoint decoupling)."""
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.engine import Engine
+
+    def events(n):
+        return spark.range(n).select(
+            F.lit(1).cast("long").alias("user_id"),
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + (F.col("id") * F.expr("INTERVAL 2 HOUR"))).alias("ts"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+
+    eng = Engine(spark)
+    events(4).createOrReplaceTempView("immut_events_v")
+    stmt = (
+        "SELECT n_events FROM TABLE(stream_window("
+        "events => 'immut_events_v', window => '12 hours'))"
+    )
+    first = eng.sql(stmt)
+    first_rows = sorted(r.n_events for r in first.collect())
+    # same statement, DIFFERENT data -> the sink repopulates
+    events(12).createOrReplaceTempView("immut_events_v")
+    second = eng.sql(stmt)
+    assert sorted(r.n_events for r in second.collect()) != first_rows
+    # the earlier frame still reads its ORIGINAL drain
+    assert sorted(r.n_events for r in first.collect()) == first_rows

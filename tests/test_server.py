@@ -1249,3 +1249,29 @@ def test_cancel_raced_completion_reports_canceled(server):
         rec = next(r for r in server._stmt_log
                    if r["query"] == marker)
         assert rec["state"] == "CANCELED"
+
+
+def test_cancel_raced_dml_completion_stays_finished(server):
+    """A cancel racing a DML statement whose side effects already
+    COMMITTED must NOT be rewritten to USER_CANCELED — the client
+    would retry and write twice. The truthful answer is FINISHED."""
+    orig = server._execute_inner
+    marker = "INSERT INTO raced_dml_t VALUES (1) /* raced_dml */"
+
+    def raced(qid, *args, **kwargs):
+        server._cancelled.add(qid)
+        # stand-in for routed DML that committed inside the handler
+        return ({"id": qid, "columns": [],
+                 "stats": {"state": "FINISHED"}}, [])
+
+    server._execute_inner = raced
+    try:
+        payload, _ = server._execute(marker)
+    finally:
+        server._execute_inner = orig
+    assert payload["stats"]["state"] == "FINISHED"
+    assert "error" not in payload
+    with server._lock:
+        rec = next(r for r in server._stmt_log
+                   if r["query"] == marker)
+        assert rec["state"] == "FINISHED"
