@@ -1072,7 +1072,7 @@ class Engine:
             required={"docs", "threshold"},
         )
         max_df = args.get("max_df")
-        return D.containment_pairs_inverted(
+        return D.containment_pairs_auto(
             self.spark.table(str(args["docs"])),
             threshold=float(args["threshold"]),
             n=int(args.get("n", 8)),

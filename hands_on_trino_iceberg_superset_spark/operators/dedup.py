@@ -304,6 +304,249 @@ def containment_pairs_inverted(
     ).where(F.col("containment") >= threshold)
 
 
+def containment_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    n_blocks: int = 8,
+    chunk_rows: int = 20_000_000,
+    _hot=None,
+) -> DataFrame:
+    """Same output as :func:`containment_pairs_inverted`, computed as
+    a vectorized in-memory postings join per doc-block pair — the
+    exact path when the corpus's postings fit worker memory (the
+    containment twin of :func:`ngram_jaccard_pairs_blocked`, r14
+    optimization round).
+
+    The inverted index's irreducible work is ``Σ min(df,K)²`` pair
+    emissions; paying it as shuffled Spark rows costs ~30x more per
+    emission than the numpy sorted-merge expansion inside an Arrow
+    block task. Docs hash into ``n_blocks`` blocks, each unordered
+    block pair is one ``applyInPandas`` group, and within a group the
+    intersection counts come from one searchsorted-aligned
+    repeat/gather + ``unique`` — exact integer counts, float64
+    division, bit-identical to the inverted path.
+
+    ``max_df``: the same hot-shingle cap semantics as the inverted
+    path — shingles whose corpus-wide document frequency exceeds the
+    cap leave the universe and set sizes recompute over survivors.
+    The hot list is tiny by construction (few shingles exceed K); it
+    is collected once driver-side (``_hot`` lets the auto router pass
+    one it already computed) and applied as a vectorized ``np.isin``
+    mask inside each block task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0)
+    if max_df is not None and _hot is None:
+        hot_rows = (
+            shingled.select(F.explode("sh").alias("s"))
+            .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s").collect()
+        )
+        _hot = np.array([r.s for r in hot_rows], dtype=np.int64)
+    hot_arr = (
+        np.asarray(_hot, dtype=np.int64)
+        if _hot is not None else np.empty(0, np.int64)
+    )
+    if n_blocks == 1:
+        # single-block fast lane: every doc ships ONCE (no combo
+        # join, no union double-scan of the shingling pipeline) and
+        # the group self-expands — the common case once the auto
+        # router sizes n_blocks from the measured postings count
+        tagged = shingled.select(
+            F.lit(0).alias("bi"), F.lit(0).alias("bj"),
+            "id", "sh", F.lit("a").alias("role"),
+        )
+    else:
+        v = shingled.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+        )
+        combos = [(i, j)
+                  for i in range(n_blocks) for j in range(i, n_blocks)]
+        combos_df = df.sparkSession.createDataFrame(
+            combos, "bi int, bj int"
+        )
+        side_a = v.join(
+            F.broadcast(combos_df), v.blk == combos_df.bi
+        ).select("bi", "bj", "id", "sh", F.lit("a").alias("role"))
+        # diagonal groups self-expand from the a-copy; only
+        # off-diagonal combos need the second copy
+        side_b = v.join(
+            F.broadcast(combos_df),
+            (v.blk == combos_df.bj) & (combos_df.bi != combos_df.bj),
+        ).select("bi", "bj", "id", "sh", F.lit("b").alias("role"))
+        tagged = side_a.unionAll(side_b)
+    thr = threshold
+
+    def postings(rows: pd.DataFrame):
+        sh = rows["sh"].to_numpy()
+        lens = np.fromiter(
+            (len(x) for x in sh), dtype=np.int64, count=len(sh)
+        )
+        docs = np.repeat(np.arange(len(sh), dtype=np.int64), lens)
+        hashes = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in sh])
+            if len(sh)
+            else np.empty(0, np.int64)
+        )
+        if len(hot_arr) and len(hashes):
+            keep = ~np.isin(hashes, hot_arr)
+            hashes, docs = hashes[keep], docs[keep]
+            # set sizes over the reduced universe, exactly like the
+            # inverted path's sz2 recompute
+            lens = np.bincount(docs, minlength=len(sh)).astype(np.int64)
+        order = np.argsort(hashes, kind="stable")
+        return hashes[order], docs[order], lens
+
+    def expand_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "containment": pd.Series(dtype="float64"),
+             "jaccard_sim": pd.Series(dtype="float64")}
+        )
+        diag = key[0] == key[1]
+        a_rows = pdf[pdf["role"] == "a"]
+        b_rows = a_rows if diag else pdf[pdf["role"] == "b"]
+        if a_rows.empty or b_rows.empty:
+            return empty
+        ha, da, lens_a = postings(a_rows)
+        hb, db, lens_b = (ha, da, lens_a) if diag \
+            else postings(b_rows)
+        lo = np.searchsorted(hb, ha, side="left")
+        hi = np.searchsorted(hb, ha, side="right")
+        span = hi - lo
+        csum = np.cumsum(span)
+        total = int(csum[-1]) if len(csum) else 0
+        if total == 0:
+            return empty
+        n_b = len(b_rows)
+        cuts = np.searchsorted(
+            csum, np.arange(chunk_rows, total, chunk_rows), side="left"
+        )
+        bounds = [0, *(int(c) + 1 for c in cuts), len(ha)]
+        key_parts, cnt_parts = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            if s0 >= s1:
+                continue
+            L = span[s0:s1]
+            t = int(L.sum())
+            if t == 0:
+                continue
+            exp_a = np.repeat(da[s0:s1], L)
+            starts = np.repeat(lo[s0:s1], L)
+            offs = np.arange(t, dtype=np.int64) - np.repeat(
+                np.cumsum(L) - L, L
+            )
+            exp_b = db[starts + offs]
+            uk, cnt = np.unique(exp_a * n_b + exp_b, return_counts=True)
+            key_parts.append(uk)
+            cnt_parts.append(cnt)
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        if len(key_parts) > 1:
+            keys, inv = np.unique(keys, return_inverse=True)
+            cnts = np.bincount(inv, weights=cnts.astype(np.float64))
+        ia = keys // n_b
+        ib = keys % n_b
+        inter = cnts.astype(np.float64)
+        la, lb = lens_a[ia], lens_b[ib]
+        cont = inter / np.minimum(la, lb)
+        jac = inter / (la + lb - inter)
+        ids_a = a_rows["id"].to_numpy()[ia]
+        ids_b = b_rows["id"].to_numpy()[ib]
+        order_ok = ids_a < ids_b if diag else ids_a != ids_b
+        keep = (cont >= thr) & order_ok
+        lo_id = np.minimum(ids_a[keep], ids_b[keep])
+        hi_id = np.maximum(ids_a[keep], ids_b[keep])
+        return pd.DataFrame(
+            {"id_a": lo_id, "id_b": hi_id,
+             "containment": cont[keep], "jaccard_sim": jac[keep]}
+        )
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        expand_block,
+        "id_a long, id_b long, containment double, jaccard_sim double",
+    )
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    postings_cap: int = 100_000_000,
+) -> DataFrame:
+    """Exact containment pairs with the same scale-adaptive plan
+    choice as :func:`ngram_jaccard_pairs_auto` (r14 optimization
+    round): one linear probe pass measures the (max_df-reduced)
+    postings count, corpora under ``postings_cap`` pay the ``Σdf²``
+    postings join as vectorized numpy inside Arrow block tasks
+    (:func:`containment_pairs_blocked`), anything larger takes the
+    distributed inverted index (:func:`containment_pairs_inverted`)
+    — the true web-scale shape. Output identical either way. When
+    ``max_df`` is set, the probe's per-shingle aggregate also yields
+    the hot-shingle list (bounded by construction), so the blocked
+    path never recomputes it.
+    """
+    import numpy as np
+
+    per_shingle = (
+        df.select(
+            F.explode(
+                F.transform(
+                    word_shingles(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_df is None:
+        row = per_shingle.agg(F.sum("c").alias("postings")).collect()[0]
+        postings, hot = int(row["postings"] or 0), None
+    else:
+        row = per_shingle.agg(
+            F.sum(
+                F.when(F.col("c") <= max_df, F.col("c")).otherwise(F.lit(0))
+            ).alias("postings"),
+            F.collect_list(
+                F.when(F.col("c") > max_df, F.col("s"))
+            ).alias("hot"),
+        ).collect()[0]
+        postings = int(row["postings"] or 0)
+        hot = np.array(row["hot"] or [], dtype=np.int64)
+    if postings <= postings_cap:
+        # block count sized from the MEASURED postings volume, not a
+        # constant: ~4M postings per block keeps every block-pair
+        # task comfortably in worker memory while a small corpus
+        # rides the single-block fast lane (one shuffle, one Arrow
+        # task, each doc shipped once)
+        n_blocks = max(1, min(64, -(-postings // 4_000_000)))
+        return containment_pairs_blocked(
+            df, threshold, n=n, text_col=text_col, id_col=id_col,
+            max_df=max_df, n_blocks=n_blocks, _hot=hot,
+        )
+    return containment_pairs_inverted(
+        df, threshold, n=n, text_col=text_col, id_col=id_col,
+        max_df=max_df,
+    )
+
+
 def ngram_jaccard_pairs_inverted(
     df: DataFrame,
     threshold: float,

@@ -222,16 +222,20 @@ _WRAP_POST = "end of quoted excerpt original source follows"
         "document-level MinHash. Wrapper docs are derived in-query "
         "(every 10th doc re-published inside 7-word boilerplate — "
         "one word short of the shingle width, so wrappers share "
-        "nothing with each other). Same inverted-index postings "
-        "join as the Jaccard tier (operators/dedup."
-        "containment_pairs_inverted, Σdf² cost, max_df cap "
-        "available) but WITHOUT the symmetric size-ratio prefilter "
-        "— asymmetric pairs are exactly what that filter drops. The "
-        "oracle recomputes every pair's shingle sets from scratch.",
+        "nothing with each other). Scale-adaptive plan choice since "
+        "the r14 optimization round (operators/dedup."
+        "containment_pairs_auto, same Σdf² postings cost, max_df "
+        "cap available): corpora whose postings fit worker memory "
+        "pay the join as vectorized numpy inside Arrow block tasks, "
+        "web-scale corpora take the distributed inverted index — "
+        "output identical either way, and still WITHOUT the "
+        "symmetric size-ratio prefilter (asymmetric pairs are "
+        "exactly what that filter drops). The oracle recomputes "
+        "every pair's shingle sets from scratch.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.containment_pairs_inverted(
+    return D.containment_pairs_auto(
         docs.unionAll(_wrap_docs(docs, _WRAP_PRE, _WRAP_POST)),
         threshold=0.9, n=8,
     )
@@ -308,7 +312,9 @@ _BOILER_POST = ("standard syndication footer appended by the feed "
     """,
     doc="Containment dedup in the BOILERPLATE-HEAVY regime with the "
         "max_df web-scale guard ENGAGED (operators/dedup."
-        "containment_pairs_inverted max_df=10): every wrapper shares "
+        "containment_pairs_auto max_df=10, blocked/inverted "
+        "scale-routing since the r14 optimization round): every "
+        "wrapper shares "
         "a 16-word syndication header/footer, so boilerplate "
         "8-grams have df = wrapper count and the uncapped postings "
         "join would blow up Σdf² on pairs that share NOTHING but "
@@ -332,7 +338,7 @@ def dedup_containment_capped(spark: SparkSession,
         .where(F.col("doc_id") % 3 == 0)
         .select("doc_id", "text")
     )
-    return D.containment_pairs_inverted(
+    return D.containment_pairs_auto(
         docs.unionAll(_wrap_docs(docs, _BOILER_PRE, _BOILER_POST)),
         threshold=0.9, n=8, max_df=10,
     )

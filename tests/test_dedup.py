@@ -464,6 +464,43 @@ def test_containment_max_df_prunes_boilerplate_postings(spark) -> None:
     assert got == {(i, 100 + i) for i in range(12)}
 
 
+def test_containment_blocked_matches_inverted(spark) -> None:
+    """The r14 vectorized blocked containment path must be
+    bit-identical to the distributed inverted index, capped and
+    uncapped, and containment_pairs_auto must route this small
+    corpus to the blocked plan (FlatMapGroupsInPandas) while the
+    inverted path stays shuffle-join shaped."""
+    boiler_pre = " ".join(f"hdr{i}" for i in range(12))
+    boiler_post = " ".join(f"ftr{i}" for i in range(12))
+    quotes = {i: " ".join(f"q{i}w{j}" for j in range(15))
+              for i in range(12)}
+    rows = [(i, q) for i, q in quotes.items()]
+    rows += [(100 + i, f"{boiler_pre} {q} {boiler_post}")
+             for i, q in quotes.items()]
+    rows += [(200, "short doc"), (201, "")]  # shingle-less docs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def canon(frame):
+        return sorted(
+            (r.id_a, r.id_b, r.containment, r.jaccard_sim)
+            for r in frame.collect()
+        )
+
+    for max_df in (None, 3):
+        inv = canon(D.containment_pairs_inverted(
+            df, threshold=0.9, n=8, max_df=max_df))
+        blk = canon(D.containment_pairs_blocked(
+            df, threshold=0.9, n=8, max_df=max_df))
+        auto_df = D.containment_pairs_auto(
+            df, threshold=0.9, n=8, max_df=max_df)
+        assert inv == blk == canon(auto_df)
+        assert inv  # the fixture must actually produce pairs
+        executed = auto_df._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in executed
+        assert "CartesianProduct" not in executed
+
+
 def test_substring_rewrite_cuts_planted_span_keeps_flanks(spark) -> None:
     """A 60-token duplicate planted at an arbitrary mid-document
     offset (k=50, the Lee-et-al. regime) is cut from the LATER

@@ -927,10 +927,31 @@ def test_sql_dedup_workhorse_table_functions_plan_shape(spark, sf_dir):
     executed = ct._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in executed
     assert "CartesianProduct" not in executed
-    assert ("SortMergeJoin" in executed
-            or "BroadcastHashJoin" in executed
-            or "ShuffledHashJoin" in executed)
-    assert "HashAggregate" in executed
+    # r14 optimization round: containment_pairs routes through
+    # containment_pairs_auto — this corpus fits the in-memory
+    # postings cap, so the seam plans the vectorized Arrow block
+    # expansion (FlatMapGroupsInPandas; small corpora ride the
+    # single-block fast lane with no combo join at all), never a
+    # quadratic scan; the distributed inverted-index shape past the
+    # cap is gated separately below
+    assert "FlatMapGroupsInPandas" in executed
+
+    # the web-scale inverted path keeps its capped postings
+    # equi-join + pair-dedup aggregate shape
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        dedup as D,
+    )
+
+    inv = D.containment_pairs_inverted(
+        spark.table("plan_minhash_docs_v"), 0.9, n=8, max_df=10
+    )
+    inv_plan = inv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in inv_plan
+    assert "CartesianProduct" not in inv_plan
+    assert ("SortMergeJoin" in inv_plan
+            or "BroadcastHashJoin" in inv_plan
+            or "ShuffledHashJoin" in inv_plan)
+    assert "HashAggregate" in inv_plan
 
 
 def test_sql_asof_table_function_plan_shape(spark, sf_dir):
