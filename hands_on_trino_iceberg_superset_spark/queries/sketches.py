@@ -42,11 +42,25 @@ from hands_on_trino_iceberg_superset_spark.sources import load_table
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # the sketch and the exact count are aggregated SEPARATELY and
+    # joined on the (tiny) group key: mixing approx_count_distinct
+    # with count(DISTINCT) in one agg makes Spark evaluate the HLL
+    # partial over the per-(event_type, user_id) distinct expansion,
+    # materializing the 2^14-register sketch buffer (1,639 LONG
+    # words) once per DISTINCT PAIR — ~13 KB of aggregate state per
+    # user instead of per group, gigabytes of hash-map at scale.
+    # Split, the sketch state is one buffer per group per partition
+    # and the merge is the same max-per-register fold, so the
+    # estimate (and the gated boolean) is bit-identical (r14
+    # optimization round; guide §2.3 shuffle-fewer-bytes).
+    apx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    agg = apx.join(exact, "event_type")
     within = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
         <= 0.02 * F.col("exact_users")
