@@ -62,11 +62,18 @@ def bm25_scores(
     whitespace tokens on both sides. Score is the exact-decimal BM25
     sum described in the module docstring, emitted as DOUBLE."""
     toks = _tokens(docs, text_col, id_col)
+    # (doc, term) postings materialized ONCE (r14 optimization
+    # round): tf feeds the scoring join AND derives dl / dft / the
+    # corpus stats below, and without this each reference re-runs
+    # the tokenize-explode + postings shuffle over the corpus — the
+    # final plan paid the corpus pass FOUR times. dl is recovered as
+    # sum(tf) per doc (identical bigint: every non-empty token is
+    # counted exactly once either way).
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
+    ).localCheckpoint(eager=True)
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

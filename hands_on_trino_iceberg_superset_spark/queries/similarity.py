@@ -71,6 +71,15 @@ def _recall_gate(
     fewer rows on both sides, and demanding k would drop it while
     the oracle still emits its rows — a deterministic false
     mismatch."""
+    # materialize both arms ONCE (r14 optimization round): the gate
+    # references `exact` three times and `approx` twice, and without
+    # this every reference re-executes the full probe / exact-scan
+    # pipeline (no subtree reuse across self-references — measured
+    # 3x the query cost). Both frames are RESULT-sized (<= k rows per
+    # query), so the checkpoint is bounded by the answer, never the
+    # corpus.
+    approx = approx.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
     a = approx.select("query_id", "neighbor_id")
     hits = (
         a.join(exact.select("query_id", "neighbor_id"),
