@@ -1334,6 +1334,7 @@ class Engine:
 
         from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (  # noqa: E501
             streamable_parquet_root,
+            streamable_projected_scan,
         )
 
         df = self.spark.table(name)
@@ -1342,6 +1343,14 @@ class Engine:
             return (
                 self.spark.readStream.schema(df.schema).parquet(root)
             )
+        # r14 optimization round: a deterministic Project/Filter
+        # chain over one parquet relation (the normalized events
+        # view) streams the relation's own files with the chain
+        # re-applied — no corpus rewrite; any other shape still
+        # snapshots
+        projected = streamable_projected_scan(df)
+        if projected is not None:
+            return projected
         src = os.path.join(tempfile.mkdtemp(prefix=tmp_prefix), "src")
         df.write.mode("overwrite").parquet(src)
         return (

@@ -934,9 +934,15 @@ def minhash_lsh_pairs(
         )
         for bnd in range(bands)
     ]
+    # materialized ONCE (r14 optimization round): the candidate
+    # self-join references banded on BOTH sides, and without this
+    # the whole signature derivation (shingle explode + num_hashes
+    # min-aggregates + band explode) executes twice. Banded rows are
+    # three longs per (doc, band) — strictly smaller than what the
+    # candidate join itself shuffles.
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket").localCheckpoint(eager=True)
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (

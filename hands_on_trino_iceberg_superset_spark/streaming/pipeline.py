@@ -290,7 +290,105 @@ def streamable_parquet_root(df: DataFrame) -> str | None:
         roots = relation.location().rootPaths()
         if roots.length() != 1:
             return None
-        return roots.head().toString()
+        # normalized for FileStreamSource: single-file roots need the
+        # glob escape or the drain dies at getBatch ("basePath must
+        # be a directory") — a latent crash before r14
+        return _streamable_root(roots.head().toString())
+    except Exception:  # noqa: BLE001 — any plan-shape surprise:
+        return None    # snapshot fallback is always correct
+
+
+def _streamable_root(root: str) -> str | None:
+    """Normalize a relation root for FileStreamSource. A directory
+    streams as-is. A SINGLE-FILE root (the testdata shape) trips
+    FileStreamSource's injected ``basePath`` ("must be a directory"),
+    so the last character is glob-escaped (``...parque[t]``) — a glob
+    path suppresses the basePath injection and matches exactly the
+    one file. Refused (``None`` -> snapshot fallback) when the file's
+    ancestry contains ``=`` (would be mis-read as partition dirs
+    without a basePath) or the last char can't be bracketed."""
+    import os
+
+    if root.startswith("file:"):
+        local = root[len("file:"):]
+        if os.path.isdir(local):
+            return root
+        if os.path.isfile(local):
+            head, tail = os.path.split(local)
+            if "=" in head or not tail or not tail[-1].isalnum():
+                return None
+            return f"file:{head}/{tail[:-1]}[{tail[-1]}]"
+        return None
+    return root  # non-local scheme: pass through (directory shape)
+
+
+def streamable_projected_scan(df: DataFrame) -> DataFrame | None:
+    """Zero-copy file stream for a DERIVED frame whose plan is a
+    chain of deterministic ``Project``/``Filter`` nodes over one
+    parquet ``LogicalRelation`` (r14 optimization round): stream the
+    relation's OWN files with the relation's schema and re-apply the
+    projection/filter chain — expressed back as SQL via each
+    Catalyst expression's ``sql()`` — on the streaming frame.
+
+    This extends :func:`streamable_parquet_root` to the most common
+    registered-view shape (the normalized ``events`` view is a
+    single Project over the raw scan), removing the full corpus
+    rewrite the snapshot fallback pays at 100 TB. Guard rails keep
+    it refusal-based: any non-Project/Filter node, any
+    non-deterministic expression, any SQL round-trip surprise, or a
+    result schema that differs from the batch frame's falls back to
+    the always-correct snapshot (returns ``None``).
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        ops: list[tuple[str, object]] = []
+        while True:
+            cls = plan.getClass().getSimpleName()
+            if cls in ("SubqueryAlias", "View"):
+                plan = plan.children().head()
+            elif cls == "Project":
+                pl = plan.projectList()
+                exprs = []
+                for i in range(pl.length()):
+                    e = pl.apply(i)
+                    if not e.deterministic():
+                        return None
+                    exprs.append(e.sql())
+                ops.append(("project", exprs))
+                plan = plan.child()
+            elif cls == "Filter":
+                cond = plan.condition()
+                if not cond.deterministic():
+                    return None
+                ops.append(("filter", cond.sql()))
+                plan = plan.child()
+            elif cls == "LogicalRelation":
+                relation = plan.relation()
+                if relation.getClass().getSimpleName() != "HadoopFsRelation":
+                    return None
+                if "Parquet" not in relation.fileFormat().getClass().getName():
+                    return None
+                roots = relation.location().rootPaths()
+                if roots.length() != 1:
+                    return None
+                root = _streamable_root(roots.head().toString())
+                if root is None:
+                    return None
+                ddl = relation.schema().toDDL()
+                break
+            else:
+                return None
+        out = df.sparkSession.readStream.schema(ddl).parquet(root)
+        for kind, payload in reversed(ops):
+            if kind == "project":
+                out = out.selectExpr(*payload)
+            else:
+                out = out.where(payload)
+        want = [(f.name, f.dataType) for f in df.schema.fields]
+        got = [(f.name, f.dataType) for f in out.schema.fields]
+        if want != got:
+            return None
+        return out
     except Exception:  # noqa: BLE001 — any plan-shape surprise:
         return None    # snapshot fallback is always correct
 
