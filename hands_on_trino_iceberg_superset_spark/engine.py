@@ -1135,7 +1135,10 @@ class Engine:
                 wordpiece as WP,
             )
 
-            words = WP.word_frequencies(docs, text_col)
+            # vocab-sized, materialized once: vocab selection and
+            # the encode pass both reference it (r14 optimization)
+            words = WP.word_frequencies(docs, text_col) \
+                .localCheckpoint(eager=True)
             return WP.encode_words(
                 words, WP.select_vocab(
                     words, top_k=int(args.get("top_k", 40)))
@@ -1149,7 +1152,8 @@ class Engine:
                 wordpiece as WP,
             )
 
-            words = WP.word_frequencies(docs, text_col)
+            words = WP.word_frequencies(docs, text_col) \
+                .localCheckpoint(eager=True)
             return UG.viterbi_encode(
                 words, UG.prune_vocab(
                     words, int(args.get("top_k", 20)))

@@ -1451,7 +1451,12 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
         wordpiece as WP,
     )
 
-    words = WP.word_frequencies(_docs(spark, sf_dir))
+    # vocab-sized word table materialized once (r14 optimization
+    # round): the longest-word gate, the vocab selection, and the
+    # encode pass each referenced it, re-running the corpus
+    # tokenize-explode three times
+    words = WP.word_frequencies(_docs(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
     longest = words.agg(F.max(F.length("word"))).collect()[0][0]
     if longest and longest > _WP_STEPS:
         raise ValueError(
@@ -1642,7 +1647,10 @@ def _ug_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece as WP,
     )
 
-    words = WP.word_frequencies(_docs(spark, sf_dir))
+    # vocab-sized, materialized once — same rationale as the
+    # wordpiece encode row (r14 optimization round)
+    words = WP.word_frequencies(_docs(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
     longest = words.agg(F.max(F.length("word"))).collect()[0][0]
     if longest and longest > _UG_STEPS:
         raise ValueError(
