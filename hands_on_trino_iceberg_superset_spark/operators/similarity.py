@@ -396,7 +396,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — exact, via
     distributed block matrix multiply.
@@ -409,31 +409,57 @@ def cosine_neardup_pairs(
     ``n_blocks`` times through one shuffle, so network volume is
     ``n_blocks * corpus`` while compute stays the full quadratic —
     the right trade until an LSH/IVF prefilter bounds the candidate
-    set. Size ``n_blocks`` ~ sqrt(parallelism) at the target scale.
+    set. ``n_blocks=None`` (default since the r14 optimization
+    round) sizes blocks from the input's estimated bytes (~8 MB of
+    vectors per block, capped at 64); small corpora ride a
+    single-block fast lane where each vector ships ONCE and the one
+    group self-expands. Diagonal groups always self-expand from the
+    a-copy, so block replication is ``n_blocks`` copies, not
+    ``n_blocks + 1``.
     """
     import numpy as np
     import pandas as pd
 
+    if n_blocks is None:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan()
+                .stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — estimate only, never fatal
+            est = 1 << 30
+        n_blocks = max(1, min(64, -(-est // (8 << 20))))
     v = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    combos_df = df.sparkSession.createDataFrame(combos, "bi int, bj int")
-    side_a = v.join(
-        F.broadcast(combos_df), v.blk == combos_df.bi
-    ).select("bi", "bj", "id", "v", F.lit("a").alias("role"))
-    side_b = v.join(
-        F.broadcast(combos_df), v.blk == combos_df.bj
-    ).select("bi", "bj", "id", "v", F.lit("b").alias("role"))
-    tagged = side_a.unionAll(side_b)
+    if n_blocks == 1:
+        tagged = v.select(
+            F.lit(0).alias("bi"), F.lit(0).alias("bj"),
+            "id", "v", F.lit("a").alias("role"),
+        )
+    else:
+        combos = [(i, j)
+                  for i in range(n_blocks) for j in range(i, n_blocks)]
+        combos_df = df.sparkSession.createDataFrame(
+            combos, "bi int, bj int"
+        )
+        side_a = v.join(
+            F.broadcast(combos_df), v.blk == combos_df.bi
+        ).select("bi", "bj", "id", "v", F.lit("a").alias("role"))
+        side_b = v.join(
+            F.broadcast(combos_df),
+            (v.blk == combos_df.bj) & (combos_df.bi != combos_df.bj),
+        ).select("bi", "bj", "id", "v", F.lit("b").alias("role"))
+        tagged = side_a.unionAll(side_b)
 
     digits = round_digits
 
     def gemm_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         a_rows = pdf[pdf["role"] == "a"]
-        b_rows = pdf[pdf["role"] == "b"]
+        b_rows = a_rows if key[0] == key[1] \
+            else pdf[pdf["role"] == "b"]
         if a_rows.empty or b_rows.empty:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"),

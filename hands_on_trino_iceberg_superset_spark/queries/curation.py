@@ -589,18 +589,28 @@ def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.expr(_TOKS).alias("toks")
     ).where(F.size("toks") >= 8)
+    # r14 optimization round, three value-preserving plan changes:
+    # spans are xxhash64'd to BIGINT before the shuffle (the query
+    # only counts spans, never reads their text — same injectivity
+    # argument as the dedup shingle family; ~6x fewer shuffle bytes
+    # than 8-gram strings), the distinct postings materialize ONCE
+    # (the shared-span aggregate and the semi-join both reference
+    # them — the explode+distinct ran twice), and the per-span doc
+    # count is a plain count(*) (rows are already distinct per
+    # (doc_id, sp) and a doc has one source, so count(DISTINCT
+    # doc_id) == count(*) without the distinct expansion).
     spans = toks.select(
         "doc_id", "source",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' '))"
+                "i -> xxhash64(array_join(slice(toks, i, 8), ' ')))"
             )
         ).alias("sp"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     shared = (
         spans.groupBy("sp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 2)
         .select("sp")
     )
