@@ -1246,19 +1246,36 @@ def simhash_signatures(
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
     hashed = toks.select("id", hash_fn(F.col("tok")).alias("h"))
-    # vote_i = sum over tokens of (bit_i ? +1 : -1)
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftright("h", i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
-    )
+    # votes as PACKED POPCOUNTS (r14 optimization round): the naive
+    # form is one sum aggregate per bit — a 60-wide HashAggregate
+    # whose generated code alone costs ~2s to compile per call. Two
+    # 32-bit per-bit counters pack into each 64-bit sum (exact: both
+    # fields are non-negative counts bounded by the doc's distinct
+    # tokens, so the low field can never carry into the high one),
+    # halving the aggregate width; the majority vote is recovered as
+    # ``2*popcount_i > n_tokens`` — identical to ``sum(±1) > 0``.
+    half = (bits + 1) // 2
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(half):
+        j = i + half
+        packed = F.shiftright("h", i).bitwiseAND(F.lit(1))
+        if j < bits:
+            packed = packed + F.shiftleft(
+                F.shiftright("h", j).bitwiseAND(F.lit(1)), 32
+            )
+        aggs.append(F.sum(packed).alias(f"p{i}"))
+    votes = hashed.groupBy("id").agg(*aggs)
+    mask32 = F.lit((1 << 32) - 1)
+
+    def pop(i: int) -> Column:
+        if i < half:
+            return F.col(f"p{i}").bitwiseAND(mask32)
+        return F.shiftrightunsigned(F.col(f"p{i - half}"), 32)
+
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
         bit = F.when(
-            F.col(f"v{i}") > 0,
+            pop(i) * 2 > F.col("n"),
             F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint"))
         sig = sig.bitwiseOR(bit)
