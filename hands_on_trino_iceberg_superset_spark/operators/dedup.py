@@ -481,6 +481,19 @@ def containment_pairs_blocked(
     )
 
 
+def _blocked_n_blocks(postings: int, df2: int) -> int:
+    """Block count for the vectorized blocked postings paths, from
+    the measured workload: per-block postings memory (~4M rows) and
+    per-block-pair expansion compute (~4M emissions; expansion of a
+    block pair is ~df2 / n_blocks²) both bound it; tiny corpora get
+    the single-block fast lane."""
+    import math
+
+    by_mem = -(-postings // 4_000_000)
+    by_exp = math.isqrt(max(0, df2 - 1) // 1_000_000) + 1
+    return max(1, min(64, max(by_mem, by_exp)))
+
+
 def containment_pairs_auto(
     df: DataFrame,
     threshold: float,
@@ -517,26 +530,34 @@ def containment_pairs_auto(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if max_df is None:
-        row = per_shingle.agg(F.sum("c").alias("postings")).collect()[0]
+        row = per_shingle.agg(
+            F.sum("c").alias("postings"),
+            F.sum(F.col("c") * F.col("c")).alias("df2"),
+        ).collect()[0]
         postings, hot = int(row["postings"] or 0), None
+        df2 = int(row["df2"] or 0)
     else:
+        live = F.col("c") <= max_df
         row = per_shingle.agg(
             F.sum(
-                F.when(F.col("c") <= max_df, F.col("c")).otherwise(F.lit(0))
+                F.when(live, F.col("c")).otherwise(F.lit(0))
             ).alias("postings"),
+            F.sum(
+                F.when(live, F.col("c") * F.col("c")).otherwise(F.lit(0))
+            ).alias("df2"),
             F.collect_list(
                 F.when(F.col("c") > max_df, F.col("s"))
             ).alias("hot"),
         ).collect()[0]
         postings = int(row["postings"] or 0)
+        df2 = int(row["df2"] or 0)
         hot = np.array(row["hot"] or [], dtype=np.int64)
     if postings <= postings_cap:
-        # block count sized from the MEASURED postings volume, not a
-        # constant: ~4M postings per block keeps every block-pair
-        # task comfortably in worker memory while a small corpus
-        # rides the single-block fast lane (one shuffle, one Arrow
-        # task, each doc shipped once)
-        n_blocks = max(1, min(64, -(-postings // 4_000_000)))
+        # block count sized from the MEASURED workload (postings for
+        # per-block memory, Σdf² for per-block-pair expansion
+        # compute); small corpora ride the single-block fast lane
+        # (one shuffle, one Arrow task, each doc shipped once)
+        n_blocks = _blocked_n_blocks(postings, df2)
         return containment_pairs_blocked(
             df, threshold, n=n, text_col=text_col, id_col=id_col,
             max_df=max_df, n_blocks=n_blocks, _hot=hot,
@@ -659,19 +680,36 @@ def ngram_jaccard_pairs_blocked(
             word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh"),
     ).where(F.size("sh") > 0)
-    v = shingled.withColumn(
-        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
-    )
-    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    combos_df = df.sparkSession.createDataFrame(combos, "bi int, bj int")
     group_keys = (["block"] if block_col else []) + ["bi", "bj"]
-    side_a = v.join(F.broadcast(combos_df), v.blk == combos_df.bi).select(
-        *group_keys, "id", "sh", F.lit("a").alias("role")
-    )
-    side_b = v.join(F.broadcast(combos_df), v.blk == combos_df.bj).select(
-        *group_keys, "id", "sh", F.lit("b").alias("role")
-    )
-    tagged = side_a.unionAll(side_b)
+    if n_blocks == 1:
+        # single-block fast lane (r14 optimization round): each doc
+        # ships ONCE — no combo join, no union double-scan — and the
+        # group self-expands (the auto router picks this whenever
+        # the measured postings fit one task)
+        tagged = shingled.select(
+            *([F.col("block")] if block_col else []),
+            F.lit(0).alias("bi"), F.lit(0).alias("bj"),
+            "id", "sh", F.lit("a").alias("role"),
+        )
+    else:
+        v = shingled.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+        )
+        combos = [(i, j)
+                  for i in range(n_blocks) for j in range(i, n_blocks)]
+        combos_df = df.sparkSession.createDataFrame(
+            combos, "bi int, bj int"
+        )
+        side_a = v.join(
+            F.broadcast(combos_df), v.blk == combos_df.bi
+        ).select(*group_keys, "id", "sh", F.lit("a").alias("role"))
+        # diagonal groups self-expand from the a-copy; only
+        # off-diagonal combos need the second copy
+        side_b = v.join(
+            F.broadcast(combos_df),
+            (v.blk == combos_df.bj) & (combos_df.bi != combos_df.bj),
+        ).select(*group_keys, "id", "sh", F.lit("b").alias("role"))
+        tagged = side_a.unionAll(side_b)
     thr = threshold
     diag_at = len(group_keys) - 2  # key position of bi (bj follows)
 
@@ -695,12 +733,14 @@ def ngram_jaccard_pairs_blocked(
              "id_b": pd.Series(dtype="int64"),
              "jaccard_sim": pd.Series(dtype="float64")}
         )
+        diag = key[diag_at] == key[diag_at + 1]
         a_rows = pdf[pdf["role"] == "a"]
-        b_rows = pdf[pdf["role"] == "b"]
+        b_rows = a_rows if diag else pdf[pdf["role"] == "b"]
         if a_rows.empty or b_rows.empty:
             return empty
         ha, da, lens_a = postings(a_rows)
-        hb, db, lens_b = postings(b_rows)
+        hb, db, lens_b = (ha, da, lens_a) if diag \
+            else postings(b_rows)
         lo = np.searchsorted(hb, ha, side="left")
         hi = np.searchsorted(hb, ha, side="right")
         span = hi - lo
@@ -809,13 +849,19 @@ def ngram_jaccard_pairs_auto(
     Output is identical either way (exact integer counts, float64
     Jaccard).
     """
-    postings, _vocab, _df2 = ngram_jaccard_stats(
+    postings, _vocab, df2 = ngram_jaccard_stats(
         df, n=n, text_col=text_col, id_col=id_col
     )
     if postings <= postings_cap:
+        # block count sized from the MEASURED workload (r14
+        # optimization round): memory wants >= postings / 4M blocks;
+        # compute wants the per-block-pair expansion (~df2 / blocks²)
+        # under ~4M emissions so the Σdf² work spreads across tasks.
+        # Small corpora ride the single-block fast lane.
+        n_blocks = _blocked_n_blocks(postings, df2)
         return ngram_jaccard_pairs_blocked(
             df, threshold, n=n, block_col=block_col,
-            text_col=text_col, id_col=id_col,
+            text_col=text_col, id_col=id_col, n_blocks=n_blocks,
         )
     return ngram_jaccard_pairs_inverted(
         df, threshold, n=n, block_col=block_col,
