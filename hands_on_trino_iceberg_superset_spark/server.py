@@ -415,8 +415,13 @@ class TrinoWireServer:
         return f"http://{host}:{port}"
 
     def start(self) -> None:
+        # poll_interval bounds how long shutdown() blocks waiting for
+        # the accept loop to notice the stop flag — the stdlib default
+        # of 0.5s charged ~half a second of pure sleep to every
+        # server lifecycle (one per wire inventory row and per test)
         self._thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True
+            target=lambda: self._httpd.serve_forever(poll_interval=0.02),
+            daemon=True,
         )
         self._thread.start()
 
