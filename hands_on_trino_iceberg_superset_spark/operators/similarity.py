@@ -1201,6 +1201,11 @@ def ivf_probe(
         .where(F.col("cell_rank") <= n_probe)
         .select("query_id", "qv", "cell", *match_cols,
                 *[f"_q_{c}" for c in exclude_cols])
+        # materialized once (r14 optimization round): the cells
+        # collect below and the scoring join would otherwise each
+        # re-run the centroid-ranking window; probes are
+        # (queries x n_probe) rows — batch-query-sized metadata
+        .localCheckpoint(eager=True)
     )
     # distinct probed cells: <= n_centroids values of index METADATA
     # (bounded by index width, not by corpus or query count) — turned
