@@ -1059,9 +1059,16 @@ def test_sql_tokenize_table_function_plan_shape(spark, sf_dir):
     assert "MapInPandas" in executed  # Arrow-batched segmentation
     assert "Join" not in executed
     assert "CartesianProduct" not in executed
-    # word-frequency partial+final aggregate: one shuffle exchange
+    # word-frequency partial+final aggregate: one shuffle exchange.
+    # Since the r14 optimization round the vocab-sized word table is
+    # materialized ONCE (localCheckpoint) before segmentation — the
+    # corpus groupBy then lives in the checkpoint job and the
+    # returned plan reads the checkpointed table (Scan ExistingRDD);
+    # either shape satisfies the volume-routing gate, a join never
+    # does.
     assert executed.count("Exchange") <= 2
-    assert "HashAggregate" in executed
+    assert ("HashAggregate" in executed
+            or "Scan ExistingRDD" in executed)
 
 
 def test_sql_textstats_table_functions_plan_shape(spark, sf_dir):
