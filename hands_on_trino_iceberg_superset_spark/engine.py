@@ -1138,7 +1138,7 @@ class Engine:
             # vocab-sized, materialized once: vocab selection and
             # the encode pass both reference it (r14 optimization)
             words = WP.word_frequencies(docs, text_col) \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             return WP.encode_words(
                 words, WP.select_vocab(
                     words, top_k=int(args.get("top_k", 40)))
@@ -1153,7 +1153,7 @@ class Engine:
             )
 
             words = WP.word_frequencies(docs, text_col) \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             return UG.viterbi_encode(
                 words, UG.prune_vocab(
                     words, int(args.get("top_k", 20)))

@@ -988,7 +988,7 @@ def minhash_lsh_pairs(
     # candidate join itself shuffles.
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket").localCheckpoint(eager=True)
+    ).select("id", "bb.band", "bb.bucket").localCheckpoint(eager=False)
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (

@@ -71,7 +71,7 @@ def bm25_scores(
     # counted exactly once either way).
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
     )

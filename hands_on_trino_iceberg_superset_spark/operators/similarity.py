@@ -1205,7 +1205,7 @@ def ivf_probe(
         # collect below and the scoring join would otherwise each
         # re-run the centroid-ranking window; probes are
         # (queries x n_probe) rows — batch-query-sized metadata
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # distinct probed cells: <= n_centroids values of index METADATA
     # (bounded by index width, not by corpus or query count) — turned

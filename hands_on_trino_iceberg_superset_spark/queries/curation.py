@@ -607,7 +607,7 @@ def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> xxhash64(array_join(slice(toks, i, 8), ' ')))"
             )
         ).alias("sp"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     shared = (
         spans.groupBy("sp")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1466,7 +1466,7 @@ def tokenizer_wordpiece_encode(spark: SparkSession,
     # encode pass each referenced it, re-running the corpus
     # tokenize-explode three times
     words = WP.word_frequencies(_docs(spark, sf_dir)) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     longest = words.agg(F.max(F.length("word"))).collect()[0][0]
     if longest and longest > _WP_STEPS:
         raise ValueError(
@@ -1660,7 +1660,7 @@ def _ug_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-sized, materialized once — same rationale as the
     # wordpiece encode row (r14 optimization round)
     words = WP.word_frequencies(_docs(spark, sf_dir)) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     longest = words.agg(F.max(F.length("word"))).collect()[0][0]
     if longest and longest > _UG_STEPS:
         raise ValueError(

@@ -78,8 +78,8 @@ def _recall_gate(
     # 3x the query cost). Both frames are RESULT-sized (<= k rows per
     # query), so the checkpoint is bounded by the answer, never the
     # corpus.
-    approx = approx.localCheckpoint(eager=True)
-    exact = exact.localCheckpoint(eager=True)
+    approx = approx.localCheckpoint(eager=False)
+    exact = exact.localCheckpoint(eager=False)
     a = approx.select("query_id", "neighbor_id")
     hits = (
         a.join(exact.select("query_id", "neighbor_id"),
