@@ -140,6 +140,18 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
+    # effective-parallelism echo (r15, VERDICT item 2): prove in the
+    # output itself that the session honors $SPARK_GRAFT_CPUS — the
+    # r14 scaling block was flagged suspect_cpus_ignored because the
+    # bench never showed the master it actually ran on
+    sc = spark.sparkContext
+    env = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+    }
     detail = {
         "metric": "inventory_total_runtime",
         "value": total,
@@ -147,6 +159,7 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf),
         "basis": "noop",
+        **env,
     }
     # full per-query map: to a file + stderr (the driver keeps only a
     # ~2000-char stdout tail, which silently truncated the one big
@@ -174,10 +187,16 @@ def main() -> None:
         "basis": "noop",
         "n_queries": len(per_query),
         "queries_file": detail_path.name,
+        **env,
     }
-    order = [q for q in headline if q in per_query] + [
+    # deterministic packing order (r15, VERDICT item 1 of "what's
+    # wrong"): headline first, then SORTED BY NAME — inventory
+    # growth used to rotate which rows fit the 1600-byte budget,
+    # leaving the driver's round-over-round comparison ~15 rows and
+    # generating phantom drop/new churn every round
+    order = [q for q in headline if q in per_query] + sorted(
         q for q in per_query if q not in headline
-    ]
+    )
     for q in order:
         trial = {**compact, "queries": {**compact["queries"], q: per_query[q]}}
         if len(json.dumps(trial)) > 1600:

@@ -212,18 +212,33 @@ def _shingle_postings(
     id_col: str,
     block_col: str | None = None,
     max_df: int | None = None,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Shared inverted-index builder: one posting row per (doc,
     distinct shingle-hash), carrying the doc's set size ``sz`` (over
     the max_df-reduced universe when the cap is on — see
-    :func:`ngram_jaccard_pairs_inverted` for the cap semantics)."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+    :func:`ngram_jaccard_pairs_inverted` for the cap semantics).
+
+    ``_shingled`` (r15 optimization round): an already-built
+    ``(id, sh)`` frame — the auto router's checkpointed shingling —
+    so the probe and the expansion share ONE shingling pass. Only
+    valid without ``block_col`` (the containment family).
+    Empty-``sh`` docs vanish on explode either way, so a
+    ``size(sh) > 0``-filtered frame produces identical postings.
+    """
+    if _shingled is not None:
+        if block_col:
+            raise ValueError("_shingled is incompatible with block_col")
+        shingled = _shingled.withColumn("sz", F.size("sh"))
+    else:
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("block")] if block_col else []),
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda s: F.xxhash64(s),
+            ).alias("sh"),
+        ).withColumn("sz", F.size("sh"))
     postings = shingled.select(
         "id", "sz",
         *( ["block"] if block_col else [] ),
@@ -256,6 +271,7 @@ def containment_pairs_inverted(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplication: containment
     ``C(a,b) = |A ∩ B| / min(|A|, |B|)`` over distinct word
@@ -278,6 +294,7 @@ def containment_pairs_inverted(
     """
     postings = _shingle_postings(
         df, n=n, text_col=text_col, id_col=id_col, max_df=max_df,
+        _shingled=_shingled,
     )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
@@ -314,6 +331,7 @@ def containment_pairs_blocked(
     n_blocks: int = 8,
     chunk_rows: int = 20_000_000,
     _hot=None,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Same output as :func:`containment_pairs_inverted`, computed as
     a vectorized in-memory postings join per doc-block pair — the
@@ -341,12 +359,18 @@ def containment_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    if _shingled is not None:
+        # the auto router's checkpointed (id, sh) frame: one
+        # shingling pass shared with the stats probe (r15)
+        shingled = _shingled
+    else:
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda s: F.xxhash64(s),
+            ).alias("sh"),
+        ).where(F.size("sh") > 0)
     if max_df is not None and _hot is None:
         hot_rows = (
             shingled.select(F.explode("sh").alias("s"))
@@ -510,49 +534,59 @@ def containment_pairs_auto(
     postings join as vectorized numpy inside Arrow block tasks
     (:func:`containment_pairs_blocked`), anything larger takes the
     distributed inverted index (:func:`containment_pairs_inverted`)
-    — the true web-scale shape. Output identical either way. When
-    ``max_df`` is set, the probe's per-shingle aggregate also yields
-    the hot-shingle list (bounded by construction), so the blocked
-    path never recomputes it.
+    — the true web-scale shape. Output identical either way.
+
+    r15 optimization round: the shingled ``(id, sh)`` frame is built
+    ONCE and lazily checkpointed — the stats probe materializes it
+    and the chosen expansion path (blocked or inverted) reuses the
+    stored rows instead of re-running tokenize + shingle + hash over
+    the corpus (the probe used to be a full extra shingling pass,
+    and the blocked path shingled AGAIN — dedup_containment was the
+    slowest bench row at 4.5 s for exactly this). The hot-shingle
+    list under ``max_df`` is collected only AFTER routing decides on
+    the blocked path (it is unused — and largest — on the inverted
+    route, which recomputes it distributedly; collecting it up front
+    risked driver memory exactly at web scale, ADVICE r14).
     """
     import numpy as np
 
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0).localCheckpoint(eager=False)
     per_shingle = (
-        df.select(
-            F.explode(
-                F.transform(
-                    word_shingles(F.col(text_col), n),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("s")
-        )
+        shingled.select(F.explode("sh").alias("s"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    if max_df is None:
-        row = per_shingle.agg(
-            F.sum("c").alias("postings"),
-            F.sum(F.col("c") * F.col("c")).alias("df2"),
-        ).collect()[0]
-        postings, hot = int(row["postings"] or 0), None
-        df2 = int(row["df2"] or 0)
-    else:
-        live = F.col("c") <= max_df
-        row = per_shingle.agg(
-            F.sum(
-                F.when(live, F.col("c")).otherwise(F.lit(0))
-            ).alias("postings"),
-            F.sum(
-                F.when(live, F.col("c") * F.col("c")).otherwise(F.lit(0))
-            ).alias("df2"),
-            F.collect_list(
-                F.when(F.col("c") > max_df, F.col("s"))
-            ).alias("hot"),
-        ).collect()[0]
-        postings = int(row["postings"] or 0)
-        df2 = int(row["df2"] or 0)
-        hot = np.array(row["hot"] or [], dtype=np.int64)
+    if max_df is not None:
+        # two consumers on the capped route (stats agg + hot-list
+        # filter): store the distinct-shingle-sized frame instead of
+        # re-running the postings aggregate
+        per_shingle = per_shingle.localCheckpoint(eager=False)
+    live = F.lit(True) if max_df is None else F.col("c") <= max_df
+    row = per_shingle.agg(
+        F.sum(F.when(live, F.col("c")).otherwise(F.lit(0)))
+        .alias("postings"),
+        F.sum(F.when(live, F.col("c") * F.col("c")).otherwise(F.lit(0)))
+        .alias("df2"),
+    ).collect()[0]
+    postings = int(row["postings"] or 0)
+    df2 = int(row["df2"] or 0)
     if postings <= postings_cap:
+        if max_df is None:
+            hot = None
+        else:
+            # bounded by construction (few shingles exceed the cap:
+            # at most postings_total/max_df values), and only ever
+            # collected on this in-memory route
+            hot_rows = (
+                per_shingle.where(F.col("c") > max_df)
+                .select("s").collect()
+            )
+            hot = np.array([r.s for r in hot_rows], dtype=np.int64)
         # block count sized from the MEASURED workload (postings for
         # per-block memory, Σdf² for per-block-pair expansion
         # compute); small corpora ride the single-block fast lane
@@ -561,10 +595,11 @@ def containment_pairs_auto(
         return containment_pairs_blocked(
             df, threshold, n=n, text_col=text_col, id_col=id_col,
             max_df=max_df, n_blocks=n_blocks, _hot=hot,
+            _shingled=shingled,
         )
     return containment_pairs_inverted(
         df, threshold, n=n, text_col=text_col, id_col=id_col,
-        max_df=max_df,
+        max_df=max_df, _shingled=shingled,
     )
 
 
@@ -1001,16 +1036,39 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = shingled.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    sh_b = shingled.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    # verify join probes the shingle table ONCE (r15 optimization
+    # round): candidates melt to one row per pair SIDE, join the
+    # checkpointed shingles on id, and the pair re-groups — the old
+    # sh_a/sh_b formulation scanned and shuffled the full shingle
+    # table twice, while this shape shuffles it once plus the
+    # (candidate-bounded) pair arrays. Each group holds exactly one
+    # a-row and one b-row (both ids exist in shingled by
+    # construction: candidates come from banded ⊆ shingled), so the
+    # null-skipping firsts are deterministic.
+    melted = candidates.select(
+        "id_a", "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"),
+                         F.lit(True).alias("is_a")),
+                F.struct(F.col("id_b").alias("id"),
+                         F.lit(False).alias("is_a")),
+            )
+        ).alias("m"),
+    ).select("id_a", "id_b", F.col("m.id").alias("id"),
+             F.col("m.is_a").alias("is_a"))
+    pair_sh = (
+        melted.join(shingled, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("is_a"), F.col("sh")),
+                    ignorenulls=True).alias("sh_a"),
+            F.first(F.when(~F.col("is_a"), F.col("sh")),
+                    ignorenulls=True).alias("sh_b"),
+        )
     )
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
+        pair_sh.select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
