@@ -1036,39 +1036,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify join probes the shingle table ONCE (r15 optimization
-    # round): candidates melt to one row per pair SIDE, join the
-    # checkpointed shingles on id, and the pair re-groups — the old
-    # sh_a/sh_b formulation scanned and shuffled the full shingle
-    # table twice, while this shape shuffles it once plus the
-    # (candidate-bounded) pair arrays. Each group holds exactly one
-    # a-row and one b-row (both ids exist in shingled by
-    # construction: candidates come from banded ⊆ shingled), so the
-    # null-skipping firsts are deterministic.
-    melted = candidates.select(
-        "id_a", "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("id"),
-                         F.lit(True).alias("is_a")),
-                F.struct(F.col("id_b").alias("id"),
-                         F.lit(False).alias("is_a")),
-            )
-        ).alias("m"),
-    ).select("id_a", "id_b", F.col("m.id").alias("id"),
-             F.col("m.is_a").alias("is_a"))
-    pair_sh = (
-        melted.join(shingled, "id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.when(F.col("is_a"), F.col("sh")),
-                    ignorenulls=True).alias("sh_a"),
-            F.first(F.when(~F.col("is_a"), F.col("sh")),
-                    ignorenulls=True).alias("sh_b"),
-        )
+    # verify-join shape, adjudicated in the r15 optimization round:
+    # the tempting "probe the shingle table once" melt (explode each
+    # candidate pair to two (pair, id) rows, join shingles on id,
+    # re-group by pair) is SLOWER — candidates are result-bounded and
+    # broadcast, so this double join never shuffles the shingle
+    # table at all (two broadcast-hash probes streaming the stored
+    # checkpoint map-side), while the melt traded one of those scans
+    # for a pair-keyed exchange + object-hash aggregate carrying the
+    # shingle arrays (measured 3.50 -> 4.15 s at sf0.1; reverted).
+    sh_a = shingled.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
     )
     return (
-        pair_sh.select(
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
@@ -1484,14 +1470,23 @@ def hamming_pairs(
 # ------------------------------------- exact substring dedup (rewrite)
 
 
-def _span_tokens(df: DataFrame, text_col: str, id_col: str):
+def _span_tokens(df: DataFrame, text_col: str, id_col: str,
+                 checkpoint: bool = False):
     """Shared tokenization for the span-rewrite family: (docs with
-    token array ``t``, exploded (doc_id, pos, tok) rows)."""
+    token array ``t``, exploded (doc_id, pos, tok) rows).
+
+    ``checkpoint=True`` stores the tokenized frame once (lazy local
+    checkpoint) — the rewrite pipelines read it three times (token
+    rows, k-gram postings, and the keep-every-doc output join), and
+    without it each reference re-runs scan + split + filter over the
+    corpus (r15 optimization round)."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
         .alias("t"),
     )
+    if checkpoint:
+        docs = docs.localCheckpoint(eager=False)
     tok_rows = docs.select(
         "doc_id", F.posexplode("t").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -1520,13 +1515,16 @@ def _span_grams(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _span_rewrite(df: DataFrame, tok_rows: DataFrame,
-                  dups: DataFrame, id_col: str) -> DataFrame:
+def _span_rewrite(all_docs: DataFrame, tok_rows: DataFrame,
+                  dups: DataFrame) -> DataFrame:
     """Coverage + rewrite accounting shared by the span-dedup family:
     ``dups`` carries (doc_id, pos=span start, cover_end); a per-doc
     running-max window turns span coverage into one linear pass, and
     each doc emits kept/removed counts plus the md5 fingerprint of
-    its surviving text in document order."""
+    its surviving text in document order. ``all_docs`` supplies the
+    keep-every-doc id list — callers pass the (checkpointed)
+    tokenized frame so the raw corpus pipeline is not re-run just to
+    enumerate ids (r15)."""
     from pyspark.sql import Window
 
     run_end = F.max("cover_end").over(
@@ -1553,7 +1551,7 @@ def _span_rewrite(df: DataFrame, tok_rows: DataFrame,
             " ",
         ).alias("kept_text"),
     )
-    return df.select(F.col(id_col).alias("doc_id")).join(
+    return all_docs.select("doc_id").join(
         agg, "doc_id", "left"
     ).select(
         "doc_id",
@@ -1618,7 +1616,7 @@ def duplicate_span_rewrite(
     k = int(min_len)
     if k < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
-    docs, tok_rows = _span_tokens(df, text_col, id_col)
+    docs, tok_rows = _span_tokens(df, text_col, id_col, checkpoint=True)
     grams = _span_grams(docs, k)
     first = F.min(F.struct("doc_id", "start")).over(
         Window.partitionBy("g")
@@ -1632,7 +1630,7 @@ def duplicate_span_rewrite(
         .select("doc_id", F.col("start").alias("pos"),
                 (F.col("start") + F.lit(k - 1)).alias("cover_end"))
     )
-    return _span_rewrite(df, tok_rows, dups, id_col)
+    return _span_rewrite(docs, tok_rows, dups)
 
 
 def decontaminate_spans(
@@ -1665,7 +1663,8 @@ def decontaminate_spans(
     k = int(min_len)
     if k < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
-    t_docs, tok_rows = _span_tokens(train, text_col, id_col)
+    t_docs, tok_rows = _span_tokens(train, text_col, id_col,
+                                    checkpoint=True)
     b_docs, _ = _span_tokens(benchmark, text_col, id_col)
     bench_grams = _span_grams(b_docs, k).select("g").distinct()
     dups = (
@@ -1674,7 +1673,7 @@ def decontaminate_spans(
         .select("doc_id", F.col("start").alias("pos"),
                 (F.col("start") + F.lit(k - 1)).alias("cover_end"))
     )
-    return _span_rewrite(train, tok_rows, dups, id_col)
+    return _span_rewrite(t_docs, tok_rows, dups)
 
 
 # ------------------------------------------- incremental (cross-batch)

@@ -655,17 +655,27 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("p.w1").alias("w1"),
                 F.col("p.bg").alias("bg"))
     )
+    # one bigram-occurrence pass shared by model training (cb) and
+    # scoring (term): without the checkpoint each reference re-runs
+    # tokenize + zip_with + explode over the corpus (r15 optimization
+    # round — the before-plan scanned documents.parquet 9 times)
+    bigr = bigr.localCheckpoint(eager=False)
     uni = toks.select("doc_id", "lang", F.explode("t").alias("w"))
     train_bigr = bigr.where(F.col("doc_id") % 2 == 0)
     train_uni = uni.where(F.col("doc_id") % 2 == 0)
     cb = train_bigr.groupBy("lang", "bg").agg(
         F.count(F.lit(1)).alias("cb")
     )
+    # cu is vocab-bounded and read twice (scoring join + vocab
+    # derivation): store it once
     cu = train_uni.groupBy("lang", "w").agg(
         F.count(F.lit(1)).alias("cu")
-    )
-    vocab = train_uni.groupBy("lang").agg(
-        F.countDistinct("w").alias("v")
+    ).localCheckpoint(eager=False)
+    # |vocab| per lang == number of distinct (lang, w) rows in cu —
+    # identical bigint to countDistinct(w) over train_uni, one corpus
+    # pass cheaper
+    vocab = cu.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v")
     )
     # scoring joins: Catalyst picks broadcast vs shuffle by model
     # size (vocab-bounded after min-count pruning at real scale)
@@ -704,6 +714,10 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nll_dec").cast("double") / F.col("n_bigrams"), 4
             ).alias("score"),
         )
+        # per-document rows, referenced by BOTH the tertile-threshold
+        # histogram and the final bucket join — one stored copy
+        # instead of re-running the whole scoring pipeline twice
+        .localCheckpoint(eager=False)
     )
     # tertile thresholds from the per-lang ROUNDED-SCORE histogram:
     # the windows below run over vocab-bounded aggregate rows, never
