@@ -922,9 +922,13 @@ class Engine:
         df.createOrReplaceTempView(view)
         return view
 
-    def _ann_arm(self, fn: str, args: dict) -> "DataFrame":
+    def _ann_arm(self, fn: str, args: dict,
+                 queries_df: "DataFrame | None" = None) -> "DataFrame":
         """The shared vector arm: exact cosine over ``corpus`` XOR a
-        partition-pruned probe of a registered ``index``."""
+        partition-pruned probe of a registered ``index``.
+        ``queries_df`` lets hybrid_topk pass its already-stored
+        queries frame instead of re-resolving (and re-computing) the
+        view."""
         from hands_on_trino_iceberg_superset_spark.operators import (
             similarity as S,
         )
@@ -938,7 +942,8 @@ class Engine:
         k = int(args.get("k", 10))
         id_col = str(args.get("id_col", "vec_id"))
         vec_col = str(args.get("vec_col", "embedding"))
-        queries = self.spark.table(str(args["queries"]))
+        queries = (queries_df if queries_df is not None
+                   else self.spark.table(str(args["queries"])))
         if fn == "hybrid_topk":
             # the hybrid queries table carries (qid, qtext, qvec);
             # shape the vector side to the corpus' column names
@@ -1515,7 +1520,13 @@ class Engine:
             required={"docs", "queries"},
         )
         k = int(args.get("k", 10))
-        queries = self.spark.table(str(args["queries"]))
+        # the queries table is read by BOTH arms (qtext for BM25,
+        # qvec for the vector ranker); a temp view defined over a
+        # join/projection would re-run it per arm, so store it once —
+        # query batches are small by the broadcast contract (r15
+        # optimization round)
+        queries = self.spark.table(str(args["queries"])) \
+            .localCheckpoint(eager=False)
         lex = R.bm25_topk(
             self.spark.table(str(args["docs"])),
             queries.select("qid", "qtext"),
@@ -1523,7 +1534,8 @@ class Engine:
             text_col=str(args.get("text_col", "text")),
             id_col=str(args.get("id_col", "doc_id")),
         )
-        vec = self._ann_arm("hybrid_topk", args).select(
+        vec = self._ann_arm("hybrid_topk", args,
+                            queries_df=queries).select(
             F.col("query_id").alias("qid"),
             F.col("neighbor_id").alias("doc_id"),
             "rank",

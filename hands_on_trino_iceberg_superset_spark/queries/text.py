@@ -1318,7 +1318,11 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qtext"),
             F.col("embedding").alias("qvec"),
         )
-    )
+    # anchor rows are read by BOTH arms (qtext for BM25, qvec for
+    # the cosine ranker) — one stored copy instead of re-running the
+    # docs-embeddings join per arm; anchors are 1-per-100 docs, the
+    # broadcast-sized query batch (r15 optimization round)
+    ).localCheckpoint(eager=False)
     lex = R.bm25_topk(
         docs, anchors.select("qid", "qtext"), k=10
     )
