@@ -220,15 +220,13 @@ def _shingle_postings(
     :func:`ngram_jaccard_pairs_inverted` for the cap semantics).
 
     ``_shingled`` (r15 optimization round): an already-built
-    ``(id, sh)`` frame — the auto router's checkpointed shingling —
-    so the probe and the expansion share ONE shingling pass. Only
-    valid without ``block_col`` (the containment family).
-    Empty-``sh`` docs vanish on explode either way, so a
+    ``(id, [block,] sh)`` frame — the auto router's checkpointed
+    shingling — so the probe and the expansion share ONE shingling
+    pass (it must carry a ``block`` column when ``block_col`` is
+    set). Empty-``sh`` docs vanish on explode either way, so a
     ``size(sh) > 0``-filtered frame produces identical postings.
     """
     if _shingled is not None:
-        if block_col:
-            raise ValueError("_shingled is incompatible with block_col")
         shingled = _shingled.withColumn("sz", F.size("sh"))
     else:
         shingled = df.select(
@@ -611,6 +609,7 @@ def ngram_jaccard_pairs_inverted(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Same output as :func:`ngram_jaccard_pairs`, via an inverted
     index instead of a pairwise block join.
@@ -637,7 +636,7 @@ def ngram_jaccard_pairs_inverted(
     """
     postings = _shingle_postings(
         df, n=n, text_col=text_col, id_col=id_col,
-        block_col=block_col, max_df=max_df,
+        block_col=block_col, max_df=max_df, _shingled=_shingled,
     )
     a, b = postings.alias("a"), postings.alias("b")
     cond = (
@@ -675,6 +674,7 @@ def ngram_jaccard_pairs_blocked(
     id_col: str = "doc_id",
     n_blocks: int = 8,
     chunk_rows: int = 20_000_000,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Same output as :func:`ngram_jaccard_pairs_inverted`, computed
     as a vectorized in-memory postings join per doc-block pair — the
@@ -708,13 +708,19 @@ def ngram_jaccard_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("block")] if block_col else []),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    if _shingled is not None:
+        # the auto router's checkpointed (id, [block,] sh) frame:
+        # one shingling pass shared with the stats probe (r15)
+        shingled = _shingled
+    else:
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("block")] if block_col else []),
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda s: F.xxhash64(s),
+            ).alias("sh"),
+        ).where(F.size("sh") > 0)
     group_keys = (["block"] if block_col else []) + ["bi", "bj"]
     if n_blocks == 1:
         # single-block fast lane (r14 optimization round): each doc
@@ -883,10 +889,33 @@ def ngram_jaccard_pairs_auto(
 
     Output is identical either way (exact integer counts, float64
     Jaccard).
+
+    r15 optimization round: like :func:`containment_pairs_auto`, the
+    shingled frame is built ONCE and lazily checkpointed — the stats
+    probe materializes it and the routed expansion reuses the stored
+    rows instead of re-running tokenize + shingle + hash over the
+    corpus. The probe aggregates hashed shingles (what both
+    expansion paths join on) rather than raw strings; postings/Σdf²
+    are identical up to the pipeline's documented ~2^-64 xxhash64
+    collision rate, and they only steer the route/block count.
     """
-    postings, _vocab, df2 = ngram_jaccard_stats(
-        df, n=n, text_col=text_col, id_col=id_col
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0).localCheckpoint(eager=False)
+    row = (
+        shingled.select(F.explode("sh").alias("s"))
+        .groupBy("s").count()
+        .agg(
+            F.sum("count").alias("postings"),
+            F.sum(F.col("count") * F.col("count")).alias("df2"),
+        ).collect()[0]
     )
+    postings = int(row["postings"] or 0)
+    df2 = int(row["df2"] or 0)
     if postings <= postings_cap:
         # block count sized from the MEASURED workload (r14
         # optimization round): memory wants >= postings / 4M blocks;
@@ -897,10 +926,12 @@ def ngram_jaccard_pairs_auto(
         return ngram_jaccard_pairs_blocked(
             df, threshold, n=n, block_col=block_col,
             text_col=text_col, id_col=id_col, n_blocks=n_blocks,
+            _shingled=shingled,
         )
     return ngram_jaccard_pairs_inverted(
         df, threshold, n=n, block_col=block_col,
         text_col=text_col, id_col=id_col, max_df=max_df,
+        _shingled=shingled,
     )
 
 

@@ -326,12 +326,23 @@ def sq8_topk(
             ).alias(f"{prefix}_code"),
         )
 
+    def code_norm(prefix: str) -> Column:
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(f"{prefix}_code"),
+                        lambda a: (a * a).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    # code norms are per-VECTOR quantities: evaluate them once per
+    # row on each side instead of re-running the interpreted
+    # aggregate-lambda per (query, corpus) PAIR inside the join —
+    # identical doubles (same expression, same input), 3 higher-order
+    # aggregates per pair -> 1 (r15 optimization round, guide §1.2)
     q8 = quantized(
         queries.withColumn("q_scale", scale), "q"
-    )
+    ).withColumn("q_n", code_norm("q"))
     c8 = quantized(
         corpus.withColumn("c_scale", scale), "c"
-    )
+    ).withColumn("c_n", code_norm("c"))
     c8 = widen_if_underpartitioned(c8)
     # approximate cosine straight from the codes: the per-vector
     # scales cancel in the cosine ratio, so they need not be carried
@@ -341,16 +352,7 @@ def sq8_topk(
                        lambda a, b: (a * b).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        / (
-            F.sqrt(F.aggregate(
-                F.transform(F.col("q_code"),
-                            lambda a: (a * a).cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x))
-            * F.sqrt(F.aggregate(
-                F.transform(F.col("c_code"),
-                            lambda a: (a * a).cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x))
-        )
+        / (F.col("q_n") * F.col("c_n"))
     )
     cand = (
         c8.join(F.broadcast(q8), F.col("q_id") != F.col("c_id"))
@@ -1744,6 +1746,11 @@ def pq_topk(
         .withColumn("cell_rank", F.row_number().over(wc))
         .where(F.col("cell_rank") <= n_probe)
         .select("query_id", "qv", "cell")
+        # materialized once (r15; same fix ivf_probe got in r14): the
+        # cells collect below and the ADC scoring join would
+        # otherwise each re-run the centroid-ranking window; probes
+        # are (queries x n_probe) rows — batch-query-sized metadata
+        .localCheckpoint(eager=False)
     )
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()

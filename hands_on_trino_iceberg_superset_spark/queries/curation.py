@@ -1240,7 +1240,10 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(F.split("text", " "), lambda w: w != "")
         ).alias("n_tokens"),
-    )
+    # narrow (doc_id, n_tokens) rows are read twice — the n_batches
+    # constant and the rank pipeline — and each reference used to
+    # re-scan and re-tokenize the full text (r15 optimization round)
+    ).localCheckpoint(eager=False)
     n_batches = F.ceil(F.count(F.lit(1)) / F.lit(32.0)).cast("bigint")
     consts = d.agg(n_batches.alias("n_batches"))
     # distributed global rank, NEVER a single-partition window: the

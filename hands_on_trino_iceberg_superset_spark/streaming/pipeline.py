@@ -252,6 +252,22 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def _relation_options_inert(relation) -> bool:
+    """True iff the HadoopFsRelation carries no read options beyond
+    the path itself. Options like ``pathGlobFilter``,
+    ``recursiveFileLookup``, ``mergeSchema`` or ``basePath`` change
+    WHICH files (or which schema) a scan reads; streaming the
+    relation's root verbatim would read a DIFFERENT file set and
+    silently produce wrong rows instead of falling back to the
+    snapshot (ADVICE r14 — the zero-copy contract must stay strictly
+    refusal-based)."""
+    it = relation.options().keysIterator()
+    while it.hasNext():
+        if str(it.next()).lower() not in ("path", "paths"):
+            return False
+    return True
+
+
 def streamable_parquet_root(df: DataFrame) -> str | None:
     """If ``df`` is a BARE parquet scan (its analyzed plan is just
     alias wrappers over one ``LogicalRelation`` whose
@@ -283,6 +299,8 @@ def streamable_parquet_root(df: DataFrame) -> str | None:
             return None
         if "Parquet" not in relation.fileFormat().getClass().getName():
             return None
+        if not _relation_options_inert(relation):
+            return None
         if relation.schema().catalogString() != (
             df._jdf.schema().catalogString()
         ):
@@ -298,6 +316,14 @@ def streamable_parquet_root(df: DataFrame) -> str | None:
         return None    # snapshot fallback is always correct
 
 
+#: glob metacharacters FileStreamSource would interpret anywhere in
+#: a path — a root containing any of these cannot be streamed
+#: verbatim (ADVICE r14: escaping only the LAST char left earlier
+#: metachars live, failing or matching other files at stream start,
+#: outside the callers' try/fallback)
+_GLOB_CHARS = set("[]{}*?\\")
+
+
 def _streamable_root(root: str) -> str | None:
     """Normalize a relation root for FileStreamSource. A directory
     streams as-is. A SINGLE-FILE root (the testdata shape) trips
@@ -306,11 +332,15 @@ def _streamable_root(root: str) -> str | None:
     path suppresses the basePath injection and matches exactly the
     one file. Refused (``None`` -> snapshot fallback) when the file's
     ancestry contains ``=`` (would be mis-read as partition dirs
-    without a basePath) or the last char can't be bracketed."""
+    without a basePath), when any glob metacharacter appears anywhere
+    in the path (it would be glob-interpreted by FileStreamSource),
+    or the last char can't be bracketed."""
     import os
 
     if root.startswith("file:"):
         local = root[len("file:"):]
+        if _GLOB_CHARS & set(local):
+            return None
         if os.path.isdir(local):
             return root
         if os.path.isfile(local):
@@ -318,6 +348,8 @@ def _streamable_root(root: str) -> str | None:
             if "=" in head or not tail or not tail[-1].isalnum():
                 return None
             return f"file:{head}/{tail[:-1]}[{tail[-1]}]"
+        return None
+    if _GLOB_CHARS & set(root):
         return None
     return root  # non-local scheme: pass through (directory shape)
 
@@ -367,6 +399,8 @@ def streamable_projected_scan(df: DataFrame) -> DataFrame | None:
                 if relation.getClass().getSimpleName() != "HadoopFsRelation":
                     return None
                 if "Parquet" not in relation.fileFormat().getClass().getName():
+                    return None
+                if not _relation_options_inert(relation):
                     return None
                 roots = relation.location().rootPaths()
                 if roots.length() != 1:

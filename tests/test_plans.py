@@ -1059,16 +1059,28 @@ def test_sql_tokenize_table_function_plan_shape(spark, sf_dir):
     assert "MapInPandas" in executed  # Arrow-batched segmentation
     assert "Join" not in executed
     assert "CartesianProduct" not in executed
-    # word-frequency partial+final aggregate: one shuffle exchange.
     # Since the r14 optimization round the vocab-sized word table is
-    # materialized ONCE (localCheckpoint) before segmentation — the
-    # corpus groupBy then lives in the checkpoint job and the
-    # returned plan reads the checkpointed table (Scan ExistingRDD);
-    # either shape satisfies the volume-routing gate, a join never
-    # does.
+    # materialized ONCE (localCheckpoint) before segmentation: the
+    # returned plan must read the CHECKPOINTED table (Scan
+    # ExistingRDD) with at most the vocab-selection exchanges on top
+    # — and the checkpoint job itself (the word-frequency corpus
+    # pass) must still be the one partial+final hash aggregate with
+    # exactly one shuffle (ADVICE r14: the 'either marker' form let
+    # any checkpointed intermediate pass regardless of aggregation
+    # strategy).
     assert executed.count("Exchange") <= 2
-    assert ("HashAggregate" in executed
-            or "Scan ExistingRDD" in executed)
+    assert "Scan ExistingRDD" in executed
+    from hands_on_trino_iceberg_superset_spark.operators import (
+        wordpiece as WP,
+    )
+
+    words_plan = (
+        WP.word_frequencies(spark.table("plan_tok_docs_v"), "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in words_plan
+    assert words_plan.count("Exchange") == 1
+    assert "Join" not in words_plan
 
 
 def test_sql_textstats_table_functions_plan_shape(spark, sf_dir):

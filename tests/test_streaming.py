@@ -449,6 +449,41 @@ def test_streamable_parquet_root_detection(spark, sf_dir):
     ) is None
 
 
+def test_streamable_gates_refuse_read_options_and_glob_paths(
+    spark, sf_dir,
+):
+    """ADVICE r15 hardening: the zero-copy gates are strictly
+    refusal-based. (1) A parquet read carrying options that change
+    the file set or schema (pathGlobFilter, recursiveFileLookup,
+    mergeSchema, basePath) must snapshot — streaming the root
+    verbatim would read different files. (2) A root whose PATH
+    contains glob metacharacters must snapshot — FileStreamSource
+    would glob-interpret them."""
+    from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+        _streamable_root,
+        streamable_parquet_root,
+        streamable_projected_scan,
+    )
+
+    with_opts = (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+    assert streamable_parquet_root(with_opts) is None
+    assert streamable_projected_scan(
+        with_opts.select("doc_id", "text")
+    ) is None
+    # plain reads still stream (the whole point of the gate)
+    bare = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert streamable_parquet_root(bare) is not None
+
+    # roots with glob metacharacters anywhere (a batch read of such
+    # a dir fails in Spark itself, so exercise the helper directly)
+    for bad in ("file:/tmp/a[b/c.parquet", "file:/tmp/x*/c.parquet",
+                "file:/tmp/br{a,b}ce/c.parquet", "s3://bkt/p?th/dir"):
+        assert _streamable_root(bad) is None
+
+
 def test_stream_seam_zero_copy_on_bare_table(spark, sf_dir, tmp_path):
     """TABLE(stream_window(...)) over a bare parquet-backed table
     streams the table's OWN files — no snapshot temp dir is written
