@@ -332,17 +332,20 @@ def sq8_topk(
                         lambda a: (a * a).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x))
 
-    # code norms are per-VECTOR quantities: evaluate them once per
-    # row on each side instead of re-running the interpreted
-    # aggregate-lambda per (query, corpus) PAIR inside the join —
-    # identical doubles (same expression, same input), 3 higher-order
-    # aggregates per pair -> 1 (r15 optimization round, guide §1.2)
+    # the QUERY-side code norm is hoisted onto the broadcast rows:
+    # identical doubles (same expression, same input), one fewer
+    # interpreted aggregate-lambda per (query, corpus) pair at zero
+    # stream-side cost (r15 optimization round, guide §1.2). The
+    # corpus-side norm deliberately stays inline in the pair
+    # expression — hoisting it too adds an interpreted Project pass
+    # over every corpus row, measured net-NEGATIVE (~7%) against the
+    # per-pair saving.
     q8 = quantized(
         queries.withColumn("q_scale", scale), "q"
     ).withColumn("q_n", code_norm("q"))
     c8 = quantized(
         corpus.withColumn("c_scale", scale), "c"
-    ).withColumn("c_n", code_norm("c"))
+    )
     c8 = widen_if_underpartitioned(c8)
     # approximate cosine straight from the codes: the per-vector
     # scales cancel in the cosine ratio, so they need not be carried
@@ -352,7 +355,7 @@ def sq8_topk(
                        lambda a, b: (a * b).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        / (F.col("q_n") * F.col("c_n"))
+        / (F.col("q_n") * code_norm("c"))
     )
     cand = (
         c8.join(F.broadcast(q8), F.col("q_id") != F.col("c_id"))

@@ -186,13 +186,19 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.expr(_TOKS).alias("toks")
     ).where(F.size("toks") >= 8)
+    # 8-gram identity = xxhash64 of the token slice itself (r15
+    # optimization round): no per-position 8-token string is ever
+    # allocated, and the semi-join compares longs. Both sides hash
+    # identically, so the join result is unchanged up to the
+    # pipeline-wide ~2^-64 xxhash64 collision rate (same discipline
+    # as the shingle-dedup family).
     shingles = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' '))"
+                "i -> xxhash64(slice(toks, i, 8)))"
             )
         ).alias("sh"),
     )

@@ -849,6 +849,14 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_all"))
         .orderBy(F.desc("c_all"), F.asc("w"))
         .limit(100)
+        # NOT checkpointed, adjudicated r15: tk is referenced three
+        # times (consts, the cs semi-join, the grid cross join) and
+        # each reference re-runs the corpus histogram + top-K, but a
+        # localCheckpoint here measured consistently SLOWER (~16% at
+        # sf0.1, interleaved A/B) — the checkpointed limit
+        # materializes through a single-partition pass while the
+        # re-planned TakeOrderedAndProject stays fully parallel and
+        # the histogram jobs overlap. Leave the re-derivation.
     )
     consts = tk.agg(
         F.count(F.lit(1)).alias("k"), F.sum("c_all").alias("n_all")
