@@ -433,7 +433,17 @@ def cosine_neardup_pairs(
             )
         except Exception:  # noqa: BLE001 — estimate only, never fatal
             est = 1 << 30
+        # ~8 MB of vectors per block up to 64 blocks (512 MB); past
+        # that the flat 64-cap silently fattened blocks without
+        # bound (VERDICT r14 #4) — grow the block count at ~64 MB
+        # per block instead, ceiling 1024 (64 GB of vectors; group
+        # count n²/2 ≈ 500k tasks). Inputs beyond THAT are out of
+        # the exact all-pairs regime by construction — route through
+        # cosine_neardup_pairs_lsh, whose candidate prefilter bounds
+        # the quadratic — so fattening there is the documented trade.
         n_blocks = max(1, min(64, -(-est // (8 << 20))))
+        if n_blocks == 64:
+            n_blocks = max(64, min(1024, -(-est // (64 << 20))))
     v = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),

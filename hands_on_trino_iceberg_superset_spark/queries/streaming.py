@@ -234,8 +234,6 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value",
         )
         tmp = tempfile.mkdtemp(prefix="stream_merge_q_")
-        src = os.path.join(tmp, "src")
-        ev.write.mode("overwrite").parquet(src)
         target = ev.select("user_id").distinct().select(
             "user_id",
             F.lit("seed").alias("last_event_type"),
@@ -244,12 +242,26 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = VersionedTable.create(
             spark, os.path.join(tmp, "t"), target
         )
-        stream = (
-            spark.readStream.schema(
-                "user_id long, ts_ns long, event_id long, "
-                "event_type string, value double"
-            ).parquet(src)
+        # zero-copy source (r15 optimization round): the CDC batch is
+        # a deterministic projection over the events parquet, so the
+        # r14 projected-scan gate streams the table's OWN files with
+        # the projection re-applied — the fixture used to rewrite the
+        # full event log to a temp dir just to stream it back. The
+        # snapshot copy remains as the refusal fallback.
+        from hands_on_trino_iceberg_superset_spark.streaming.pipeline import (
+            streamable_projected_scan,
         )
+
+        stream = streamable_projected_scan(ev)
+        if stream is None:
+            src = os.path.join(tmp, "src")
+            ev.write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, ts_ns long, event_id long, "
+                    "event_type string, value double"
+                ).parquet(src)
+            )
         q = stream_merge_into(
             stream, table, on="user_id",
             checkpoint_dir=os.path.join(tmp, "ckpt"),
