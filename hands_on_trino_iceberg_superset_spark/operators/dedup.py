@@ -847,9 +847,12 @@ def ngram_jaccard_stats(
     id_col: str = "doc_id",
 ) -> tuple[int, int, int]:
     """(postings, distinct shingles, Σdf²) in ONE aggregation pass —
-    the linear-cost density probe :func:`ngram_jaccard_pairs_auto`
-    routes on. ``Σdf²`` is exactly the inverted index's join-row
-    count; ``postings / distinct`` is the mean document frequency."""
+    the standalone linear-cost density probe (capacity planning /
+    diagnostics). :func:`ngram_jaccard_pairs_auto` runs the same
+    aggregate inline off its checkpointed shingled frame since the
+    r15 optimization round, so routing shares the shingling pass.
+    ``Σdf²`` is exactly the inverted index's join-row count;
+    ``postings / distinct`` is the mean document frequency."""
     posts = df.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("s")
     )

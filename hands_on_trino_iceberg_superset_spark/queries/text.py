@@ -535,6 +535,94 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _perplexity_scored(toks: DataFrame) -> DataFrame:
+    """The per-document scoring subtree of text_perplexity_buckets —
+    factored out (r15 optimization round) so the plan gate in
+    tests/test_plans.py can assert the model-join broadcast property
+    on the SAME code path even though the query stores this frame
+    once (a localCheckpoint hides its plan from the outer explain)."""
+    # one row per bigram occurrence; chr(1) never occurs in tokens
+    bigr = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    "         slice(t, 2, size(t) - 1),"
+                    "         (a, b) -> struct(a AS w1,"
+                    "                          concat(a, char(1), b) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"),
+                F.col("p.bg").alias("bg"))
+    )
+    # NOTE (r15 optimization round): cb/cu are deliberately NOT
+    # derived from a checkpointed bigram frame — a localCheckpoint
+    # here erases the parquet-derived size estimates Catalyst needs
+    # to AUTO-broadcast the vocab-bounded model tables into the
+    # scoring join (plan-gated: no forced hint on cb/cu, because at
+    # web scale an unprunable model may legitimately exceed the
+    # broadcast cap and must be allowed to shuffle). The shared-
+    # subtree win lives one level up: `scored` below is stored once.
+    uni = toks.select("doc_id", "lang", F.explode("t").alias("w"))
+    train_bigr = bigr.where(F.col("doc_id") % 2 == 0)
+    train_uni = uni.where(F.col("doc_id") % 2 == 0)
+    cb = train_bigr.groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cu = train_uni.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    # |vocab| per lang == number of distinct (lang, w) rows in cu —
+    # identical bigint to countDistinct(w) over train_uni, without
+    # the distinct-expand pass
+    vocab = cu.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    # scoring joins: Catalyst picks broadcast vs shuffle by model
+    # size (vocab-bounded after min-count pruning at real scale)
+    p = (
+        (F.coalesce("cb", F.lit(0)) + F.lit(0.5))
+        / (F.coalesce("cu", F.lit(0))
+           + F.lit(0.5) * F.coalesce("v", F.lit(1)))
+    )
+    term = (
+        bigr.join(cb, ["lang", "bg"], "left")
+        .join(cu.withColumnRenamed("w", "w1"), ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), ["lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            # no training slice for this lang -> sentinel bucket, not
+            # a degenerate p=1/nll=0 "best quality" score
+            F.col("v").isNotNull().alias("modeled"),
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll6"),
+        )
+    )
+    scored = (
+        term.groupBy("doc_id", "lang")
+        .agg(
+            F.bool_or("modeled").alias("modeled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll6").alias("nll_dec"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "modeled",
+            "n_bigrams",
+            F.col("nll_dec").cast("double").alias("nll"),
+            F.round(
+                F.col("nll_dec").cast("double") / F.col("n_bigrams"), 4
+            ).alias("score"),
+        )
+    )
+    return scored
+
+
 @register(
     "text_perplexity_buckets",
     oracle="""
@@ -637,88 +725,12 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", _tokens().alias("t"))
-    # one row per bigram occurrence; chr(1) never occurs in tokens
-    bigr = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t) - 1),"
-                    "         slice(t, 2, size(t) - 1),"
-                    "         (a, b) -> struct(a AS w1,"
-                    "                          concat(a, char(1), b) AS bg))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "lang", F.col("p.w1").alias("w1"),
-                F.col("p.bg").alias("bg"))
-    )
-    # one bigram-occurrence pass shared by model training (cb) and
-    # scoring (term): without the checkpoint each reference re-runs
-    # tokenize + zip_with + explode over the corpus (r15 optimization
-    # round — the before-plan scanned documents.parquet 9 times)
-    bigr = bigr.localCheckpoint(eager=False)
-    uni = toks.select("doc_id", "lang", F.explode("t").alias("w"))
-    train_bigr = bigr.where(F.col("doc_id") % 2 == 0)
-    train_uni = uni.where(F.col("doc_id") % 2 == 0)
-    cb = train_bigr.groupBy("lang", "bg").agg(
-        F.count(F.lit(1)).alias("cb")
-    )
-    # cu is vocab-bounded and read twice (scoring join + vocab
-    # derivation): store it once
-    cu = train_uni.groupBy("lang", "w").agg(
-        F.count(F.lit(1)).alias("cu")
-    ).localCheckpoint(eager=False)
-    # |vocab| per lang == number of distinct (lang, w) rows in cu —
-    # identical bigint to countDistinct(w) over train_uni, one corpus
-    # pass cheaper
-    vocab = cu.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    # scoring joins: Catalyst picks broadcast vs shuffle by model
-    # size (vocab-bounded after min-count pruning at real scale)
-    p = (
-        (F.coalesce("cb", F.lit(0)) + F.lit(0.5))
-        / (F.coalesce("cu", F.lit(0))
-           + F.lit(0.5) * F.coalesce("v", F.lit(1)))
-    )
-    term = (
-        bigr.join(cb, ["lang", "bg"], "left")
-        .join(cu.withColumnRenamed("w", "w1"), ["lang", "w1"], "left")
-        .join(F.broadcast(vocab), ["lang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            # no training slice for this lang -> sentinel bucket, not
-            # a degenerate p=1/nll=0 "best quality" score
-            F.col("v").isNotNull().alias("modeled"),
-            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll6"),
-        )
-    )
-    scored = (
-        term.groupBy("doc_id", "lang")
-        .agg(
-            F.bool_or("modeled").alias("modeled"),
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("nll6").alias("nll_dec"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "modeled",
-            "n_bigrams",
-            F.col("nll_dec").cast("double").alias("nll"),
-            F.round(
-                F.col("nll_dec").cast("double") / F.col("n_bigrams"), 4
-            ).alias("score"),
-        )
-        # per-document rows, referenced by BOTH the tertile-threshold
-        # histogram and the final bucket join — one stored copy
-        # instead of re-running the whole scoring pipeline twice
-        .localCheckpoint(eager=False)
-    )
+    # per-document scoring rows, referenced by BOTH the tertile-
+    # threshold histogram and the final bucket join — one stored copy
+    # instead of re-running the whole scoring pipeline (tokenize +
+    # bigram explode + three model joins) twice (r15 optimization
+    # round: the before-plan scanned documents.parquet 9 times)
+    scored = _perplexity_scored(toks).localCheckpoint(eager=False)
     # tertile thresholds from the per-lang ROUNDED-SCORE histogram:
     # the windows below run over vocab-bounded aggregate rows, never
     # over the N-document corpus

@@ -334,12 +334,33 @@ def test_drift_report_topk_avoids_global_sort(spark, inv, sf_dir):
 
 def test_perplexity_model_joins_broadcast_at_test_scale(spark, inv, sf_dir):
     executed, _ = _plans(spark, inv, "text_perplexity_buckets", sf_dir)
-    # vocab-bounded model tables broadcast at this corpus size (no
-    # forced hint on cb/cu: Catalyst must pick it from stats)
-    assert executed.count("BroadcastHashJoin") >= 3
     # tertile thresholds come from the histogram, not a global sort
     # of per-document scores
     assert "TakeOrderedAndProject" not in executed
+    # Since the r15 optimization round the per-document scoring frame
+    # is stored once (localCheckpoint), so the model joins live in
+    # the checkpoint's plan — gate them on the SAME code path via the
+    # factored scoring subtree: the vocab-bounded model tables must
+    # broadcast at this corpus size WITHOUT a forced hint on cb/cu
+    # (Catalyst must pick it from parquet-derived stats; a stats-
+    # erasing checkpoint below the model joins would regress this).
+    import pyspark.sql.functions as F
+
+    from hands_on_trino_iceberg_superset_spark.queries.text import (
+        _perplexity_scored,
+        _tokens,
+    )
+    from hands_on_trino_iceberg_superset_spark.sources import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("t")
+    )
+    scoring = (
+        _perplexity_scored(toks)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert scoring.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in scoring
 
 
 def test_filtered_ivf_probe_prunes_and_pushes_filter(
