@@ -186,19 +186,20 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.expr(_TOKS).alias("toks")
     ).where(F.size("toks") >= 8)
-    # 8-gram identity = xxhash64 of the token slice itself (r15
-    # optimization round): no per-position 8-token string is ever
-    # allocated, and the semi-join compares longs. Both sides hash
-    # identically, so the join result is unchanged up to the
-    # pipeline-wide ~2^-64 xxhash64 collision rate (same discipline
-    # as the shingle-dedup family).
+    # String 8-grams kept, adjudicated r15: hashing the token slice
+    # instead (xxhash64(slice(toks, i, 8)) — no per-position string
+    # allocation, long-valued semi-join) measured FLAT solo and a
+    # consistent in-bench regression (1.56 -> 2.13 s min-of-5
+    # interleaved full-bench runs): the interpreted hash-of-array
+    # walks 8 string elements per position and costs more than the
+    # concat it replaced. Reverted.
     shingles = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 7), "
-                "i -> xxhash64(slice(toks, i, 8)))"
+                "i -> array_join(slice(toks, i, 8), ' '))"
             )
         ).alias("sh"),
     )
@@ -1241,15 +1242,21 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # NOT checkpointed, adjudicated r15: the narrow (doc_id,
+    # n_tokens) frame is read twice (the n_batches constant and the
+    # rank pipeline), but a localCheckpoint here measured a
+    # CONSISTENT in-bench regression (1.97 -> 3.05 s min-of-5
+    # interleaved full-bench runs; solo A/B flat) — it doubles the
+    # stored copy of rows prefix_sum immediately persists again, and
+    # the standalone materialization serializes ahead of the
+    # prefix-sum jobs. The constant's extra tokenize pass is the
+    # cheaper side of the trade even though it re-scans the corpus.
     d = docs.select(
         "doc_id",
         F.size(
             F.filter(F.split("text", " "), lambda w: w != "")
         ).alias("n_tokens"),
-    # narrow (doc_id, n_tokens) rows are read twice — the n_batches
-    # constant and the rank pipeline — and each reference used to
-    # re-scan and re-tokenize the full text (r15 optimization round)
-    ).localCheckpoint(eager=False)
+    )
     n_batches = F.ceil(F.count(F.lit(1)) / F.lit(32.0)).cast("bigint")
     consts = d.agg(n_batches.alias("n_batches"))
     # distributed global rank, NEVER a single-partition window: the

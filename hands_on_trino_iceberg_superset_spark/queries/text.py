@@ -1338,11 +1338,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qtext"),
             F.col("embedding").alias("qvec"),
         )
-    # anchor rows are read by BOTH arms (qtext for BM25, qvec for
-    # the cosine ranker) — one stored copy instead of re-running the
-    # docs-embeddings join per arm; anchors are 1-per-100 docs, the
-    # broadcast-sized query batch (r15 optimization round)
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed, adjudicated r15: anchors feed BOTH arms and a
+    # localCheckpoint would share the docs-embeddings join — but it
+    # also erases the stats Catalyst uses downstream (measured: the
+    # fused ranking's BroadcastHashJoin degraded to SortMergeJoin and
+    # min-of-6 interleaved full-bench runs read 2.19 -> 2.78 s). The
+    # engine's hybrid_topk seam keeps its checkpoint because its
+    # operators carry explicit broadcast hints, making it
+    # strategy-neutral there.
+    )
     lex = R.bm25_topk(
         docs, anchors.select("qid", "qtext"), k=10
     )
